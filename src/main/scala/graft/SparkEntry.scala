@@ -67,7 +67,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_ingest_narrow")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.queries.RelationalQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ graft.queries.RelationalQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // R3-R9: topic parse -> type inference -> registry semi-join -> narrow
     // points -> per-series rollup. The whole reference hot path, one plan.
@@ -191,7 +197,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q_ingest_narrow" ->
       s"""WITH msgs AS ($mqttMessagesSql),
          |parsed AS (
