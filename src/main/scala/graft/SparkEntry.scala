@@ -68,10 +68,12 @@ object SparkEntry {
     queries("q_ingest_narrow")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.queries.RelationalQueries.queries
+    coreQueries ++ graft.queries.RelationalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ graft.queries.RelationalQueries.oracleSql
+    coreOracleSql ++ graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

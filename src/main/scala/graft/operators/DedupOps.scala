@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.{hash60, tokens}
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash groupBy), n-gram Jaccard (inverted-index
+  * self-join, exact), MinHash+LSH (banded signatures, candidate join + exact
+  * verify), SimHash (bit-sliced blocking + Hamming verify).
+  *
+  * Scale design: every algorithm is a sequence of narrow per-row transforms,
+  * hash-partitioned self-joins on content keys, and hash aggregations — no
+  * cross products, no driver-side state. Candidate generation (LSH bands /
+  * SimHash bands / shared shingles) bounds the pair space; the exact
+  * verification join only touches candidate pairs. All hashing is md5-derived
+  * (`TextOps.hash60`) so results are deterministic and engine-independent.
+  */
+object DedupOps {
+
+  val M: Long = 1000000007L // modulus for the affine minhash family
+
+  def normText(c: Column): Column = lower(trim(c))
+
+  /** Exact-dup key: hash of normalized text. */
+  def exactKey(c: Column): Column = md5(normText(c))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Documents shorter than n tokens contribute no shingles.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(t) - lit(n - 1)),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(when(size(t) >= n, grams).otherwise(array()))).as("shingle"))
+  }
+
+  /** Exact pairwise n-gram Jaccard >= tau. Complete for tau > 0: any pair
+    * with J > 0 shares a shingle, so the inverted-index self-join on
+    * `shingle` enumerates every qualifying pair without a cross product.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    verifyJaccard(candidatesFromShared(sh), sh, tau)
+  }
+
+  /** Candidate pairs = documents sharing at least one shingle. */
+  private def candidatesFromShared(sh: DataFrame): DataFrame =
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against the
+    * shingle inverted index; emits (i, j, jaccard) for J >= tau.
+    * Integer-count division keeps the double bit-identical cross-engine.
+    */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = candidates
+      .join(sh.as("si"), col("i") === col("si.doc_id"))
+      .join(sh.as("sj"), col("j") === col("sj.doc_id") && col("si.shingle") === col("sj.shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.as("ni"), col("i") === col("ni.doc_id"))
+      .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("ni.n") + col("nj.n") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Affine minhash family h_i(x) = (a_i * x + b_i) mod M over 60-bit
+    * md5-derived shingle hashes reduced mod M. Coefficients are fixed so the
+    * signature is deterministic and reproducible in the oracle.
+    */
+  def minhashA(i: Int): Long = 7919L * i + 17L
+  def minhashB(i: Int): Long = 104729L * i + 31L
+
+  /** MinHash signature: (doc_id, mh0..mh{k-1}). */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val h = pmod(hash60(col("shingle")), lit(M))
+    val aggs = (0 until k).map(i =>
+      min(pmod(lit(minhashA(i)) * col("__h") + lit(minhashB(i)), lit(M))).as(s"mh$i"))
+    sh.withColumn("__h", h).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: k-hash signatures, banded into `bands`
+    * groups of k/bands rows; documents sharing any band bucket become
+    * candidates, then exact Jaccard filters at tau. Deterministic given the
+    * fixed hash family (candidate recall is a property of (k, bands, tau),
+    * not of run-time randomness).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sh = shingles(docs, idCol, textCol, n)
+    val sigs = minhashSignatures(sh, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (0 until r).map(x => col(s"mh${b * r + x}")): _*)).as("bv"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    verifyJaccard(candidates, sh, tau)
+  }
+
+  /** 60-bit SimHash over distinct tokens: bit j of the signature is set when
+    * the sum over tokens of (+1 if bit j of hash60(token) else -1) is > 0.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("__h", hash60(col("tok")))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("__h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"s$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
+    * 4 x 15-bit bands (any pair within distance <= 3 must agree exactly on
+    * at least one band — pigeonhole, so blocking is lossless for maxDist 3).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"), (shiftright(col("simhash"), b * 15) % lit(32768L)).as("bv")))
+    val buckets = sigs.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: media payloads as opaque `BINARY` with typed
+  * metadata, plus decode / feature-extract / frame-sample plumbing.
+  *
+  * The decode step is a STUB (this environment ships no image/audio codecs):
+  * [[FakeDecoder.decode]] derives deterministic pseudo-features from the raw
+  * bytes. Everything around it is real Spark plumbing — schema, per-partition
+  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
+  * columnar metadata extraction — so swapping in a real codec changes one
+  * function.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
+  * decode is a narrow per-partition map, so it parallelizes with the scan
+  * and pushes no shuffle. Partitioning by (modality, date) would bound task
+  * payload sizes at 100 TB.
+  */
+object MultimodalOps {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], modality: String)
+  case class DecodedRow(doc_id: Long, modality: String, n_bytes: Long,
+                        width: Int, height: Int, mean_byte: Double, n_frames: Int)
+
+  /** Attach an opaque binary payload + typed metadata struct to documents.
+    * (Fixture: the utf-8 bytes of `text` stand in for media bytes.)
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("meta", struct(
+        col("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        (lit(32L) + pmod(col("n_bytes"), lit(224L))).as("width"),
+        (lit(32L) + pmod(expr("n_bytes div 7"), lit(224L))).as("height")))
+
+  /** STUB decoder: deterministic pseudo-features from raw bytes. A real
+    * implementation would call an image/audio codec here; the signature and
+    * batch shape are what matter.
+    */
+  object FakeDecoder {
+    def decode(m: MediaRow): DecodedRow = {
+      val n = m.payload.length.toLong
+      val mean = if (n == 0) 0.0 else m.payload.map(b => (b & 0xff).toDouble).sum / n
+      DecodedRow(m.doc_id, m.modality, n,
+        width = (32 + (n % 224)).toInt, height = (32 + ((n / 7) % 224)).toInt,
+        mean_byte = mean, n_frames = ((n + 255) / 256).toInt)
+    }
+  }
+
+  /** Per-partition batched decode — the `mapInPandas` analogue: one decoder
+    * instance per partition (amortizes codec init), streaming iterator in
+    * and out (no partition materialization).
+    */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    media.mapPartitions { rows =>
+      // per-partition: a real codec would be initialized once here
+      rows.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Frame sampling: cut the payload into fixed-size "frames" and emit one
+    * row per sampled frame (every `stride`-th), binary-sliced — the video
+    * analogue of token windows.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames", expr(s"octet_length(payload) div $frameBytes") + lit(1))
+      .select(col("doc_id"), col("modality"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * frameBytes)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps.hash60
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`).
+  *
+  * Numeric design: vectors are quantized to integers (`floor(x * 1e7)`), so
+  * dot products and norms are EXACT int64 arithmetic — order-independent,
+  * overflow-safe for dim<=128 and |x|<=30, and bit-identical in any engine.
+  * The final cosine is a single double division/sqrt over exactly-represented
+  * integers, so even cross-engine comparisons are exact. Quantization error
+  * (1e-7 per component) is far below any meaningful similarity threshold.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set against
+  * the corpus — no shuffle of the corpus, one window per query for top-k.
+  * The LSH path buckets vectors by deterministic hyperplane signs, turning
+  * the O(N^2) pair space into per-bucket equi-joins; candidates are verified
+  * with the exact kernel. IVF would follow the same shape with learned
+  * centroids; hyperplane LSH keeps it deterministic and oracle-checkable.
+  */
+object SimilarityOps {
+
+  val Scale = 1e7
+
+  /** ARRAY<FLOAT> -> ARRAY<BIGINT> quantization. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm. */
+  def normQ(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from quantized ints: one double division over exact operands. */
+  def cosineQ(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast("double") / sqrt(n1.cast("double") * n2.cast("double"))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * Query side is broadcast (it is the small side by construction), so the
+    * corpus is scanned once with no shuffle; top-k is a per-query window.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", normQ(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(dotQ(col("qv"), col("cv")), col("qn"), col("cn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Hyperplane-LSH bucket id (nPlanes bits) per vector. Plane signs are
+    * md5-derived constants, computed once on the driver and baked into the
+    * plan as literal arrays — zero per-row hashing cost; the per-plane dot
+    * is a runtime array fold, not an unrolled expression tree.
+    */
+  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int, signs: (Int, Int) => Int): Column = {
+    val bits = (0 until nPlanes).map { m =>
+      val planeArr = array((0 until dim).map(i => lit(signs(m, i).toLong)): _*)
+      when(dotQ(vecQ, planeArr) > 0, lit(1L << m)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Signs via hash60 of "hp{m}_{i}": bit 0 decides +1/-1. Matches the
+    * oracle's md5 expression exactly.
+    */
+  def mdSign(m: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp${m}_$i".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    if ((h & 1L) == 1L) 1 else -1
+  }
+
+  /** LSH-bucketed near-neighbor pairs: vectors sharing a bucket are
+    * candidates; exact quantized cosine filters at tau. The scale path for
+    * pairwise similarity — pair space shrinks ~2^nPlanes-fold.
+    */
+  def lshNearDupPairs(vecs: DataFrame, nPlanes: Int, dim: Int, tau: Double): DataFrame = {
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes, dim, mdSign))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.qn"), col("b.qn")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Exact all-pairs cosine >= tau (the oracle-checkable baseline; at scale
+    * use [[lshNearDupPairs]]).
+    */
+  def brutePairs(vecs: DataFrame, tau: Double): DataFrame = {
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.qn"), col("b.qn")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

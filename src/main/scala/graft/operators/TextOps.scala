@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting (whitespace + regex), language ID (stopword
+  * n-gram heuristic), quality scoring, and document fingerprinting.
+  *
+  * Everything is pure `Column` expressions (higher-order array functions, no
+  * UDFs) so the operators stay inside whole-stage codegen and distribute
+  * trivially — per-document work, no shuffle, no driver state.
+  *
+  * Cross-engine determinism: hashing is md5-based (`hash60`), arithmetic is
+  * integer or identically-shaped double expressions, so every operator here
+  * is oracle-checkable against another SQL engine.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5, as a long.
+    * Reproducible in any engine with md5 + hex parsing (unlike xxhash64,
+    * whose seed/implementation is engine-specific).
+    */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: word pieces + standalone punctuation. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("""\w+|[^\w\s]""")).cast("long")
+
+  /** Stopword lists per language for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "on"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
+
+  def stopScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("long")
+
+  /** Language ID: argmax of per-language stopword hit counts, deterministic
+    * tie-break in fixed order de < en < es < fr, `und` when no stopword hits.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val (de, en, es, fr) = (stopScore(t, "de"), stopScore(t, "en"), stopScore(t, "es"), stopScore(t, "fr"))
+    when(de >= en && de >= es && de >= fr && de > 0, "de")
+      .when(en >= es && en >= fr && en > 0, "en")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality features + a composite score in [0, 1]. Expression shapes are
+    * kept identical to the oracle SQL so double math is bit-identical.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nTok = size(t).cast("long")
+    val nChar = length(text).cast("long")
+    val distinctRatio = size(array_distinct(t)).cast("double") / nTok.cast("double")
+    val stopRatio = stopScore(t, "en").cast("double") / nTok.cast("double")
+    val lenScore = least(lit(1.0), nTok.cast("double") / lit(50.0))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars" -> nChar,
+      "distinct_ratio" -> distinctRatio,
+      "stop_ratio" -> stopRatio,
+      "quality_score" -> (lit(0.4) * distinctRatio + lit(0.4) * lenScore + lit(0.2) * stopRatio))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set of the
+    * normalized text — whitespace- and order-insensitive, so reordered or
+    * re-whitespaced copies collide (the "fingerprint dedup" idiom).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(trim(text)))))))
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** LLM-data-pipeline operators (SURVEY.md §2.4): deduplication (exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine), similarity
+  * search (brute-force + hyperplane LSH), text analysis (token counting,
+  * language ID, quality scoring, fingerprinting), multimodal columns.
+  *
+  * Every query here is fully deterministic — hashing is md5-derived, vector
+  * math is integer-quantized — so even the LSH variants are oracle-checked
+  * end-to-end, not just rows-only.
+  */
+object PipelineQueries {
+
+  // DuckDB fragments shared across oracles
+  private val toksSql = "string_split(text, ' ')"
+  private def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  private val shinglesSql =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i))""".stripMargin
+  private val quantSql =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv FROM embeddings),
+      |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q)""".stripMargin
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
+  private def stopSql(lang: String) = {
+    val lst = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> list_contains([$lst], t)))"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting: whitespace + BPE-ish regex
+    "q_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens_ws"),
+        TextOps.regexTokenCount(col("text")).as("n_tokens_re"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_distinct"))
+    }),
+
+    // language ID (stopword heuristic) vs. labeled lang: confusion counts
+    "q_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(TextOps.langId(col("text")).as("langid"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // quality features + composite score
+    "q_text_quality" -> ((s, dir) => {
+      val feats = TextOps.qualityFeatures(col("text")).map { case (nm, c) => c.as(nm) }
+      Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id") +: feats: _*)
+    }),
+
+    // order/whitespace-insensitive content fingerprint, dup stats per source
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(TextOps.fingerprint(col("text")))).as("n_dups"))
+    }),
+
+    // exact dedup via normalized-text hash, per language
+    "q_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(DedupOps.exactKey(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(DedupOps.exactKey(col("text")))).as("n_dups"))
+    }),
+
+    // exact 3-gram Jaccard near-dup pairs (inverted-index join, complete)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      DedupOps.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, tau = 0.5)
+    }),
+
+    // MinHash(12) + LSH(6 bands of 2) candidates, exact-Jaccard verified
+    "q_dedup_minhash" -> ((s, dir) => {
+      DedupOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, k = 12, bands = 6, tau = 0.5)
+    }),
+
+    // SimHash(60-bit) near-dup pairs, Hamming <= 3, 4x15-bit band blocking
+    "q_dedup_simhash" -> ((s, dir) => {
+      DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+    }),
+
+    // embedding cosine near-dup pairs (exact quantized kernel, all pairs)
+    "q_dedup_embedding" -> ((s, dir) => {
+      SimilarityOps.brutePairs(Tables.embeddings(s, dir), tau = 0.5)
+    }),
+
+    // brute-force cosine top-5 for 20 query vectors
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.bruteTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+    }),
+
+    // hyperplane-LSH bucket histogram (8 planes over 64 dims)
+    "q_ann_lsh_buckets" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          SimilarityOps.lshBucket(SimilarityOps.quantize(col("embedding")), 8, 64,
+            SimilarityOps.mdSign).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+          sum(col("vec_id")).as("sum_vec"))
+    }),
+
+    // multimodal: binary payload + typed metadata + frame hash
+    "q_multimodal_meta" -> ((s, dir) => {
+      MultimodalOps.withPayload(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
+        .select(
+          col("doc_id"), col("modality"),
+          col("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          md5(substring(col("text"), 1, 128)).as("frame0_hash"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_re,
+         |  length(text) AS n_chars,
+         |  len(list_distinct($toksSql)) AS n_distinct
+         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |scored AS (SELECT lang, ${stopSql("de")} AS s_de, ${stopSql("en")} AS s_en,
+         |    ${stopSql("es")} AS s_es, ${stopSql("fr")} AS s_fr FROM t)
+         |SELECT CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS langid,
+         |  lang, count(*) AS n
+         |FROM scored GROUP BY 1, 2""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents WHERE doc_id % 11 = 0)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  length(text) AS n_chars,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+         |  CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |    + 0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         |    + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS quality_score
+         |FROM t""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
+         |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shinglesSql,
+         |h AS (SELECT doc_id, ${hash60Sql("shingle")} % 1000000007 AS h FROM sh),
+         |sig AS (SELECT doc_id, i, min(((7919*i + 17) * h + (104729*i + 31)) % 1000000007) AS mh
+         |  FROM h, UNNEST(generate_series(0, 11)) AS t(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)) AS bv
+         |  FROM sig GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (SELECT c.i, c.j, count(*) AS c
+         |  FROM cand c JOIN sh si ON si.doc_id = c.i
+         |  JOIN sh sj ON sj.doc_id = c.j AND sj.shingle = si.shingle GROUP BY 1, 2)
+         |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
+         |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+         |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok),
+         |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, UNNEST(generate_series(0, 59)) AS t(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |bk AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) % 32768 AS bv
+         |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b))
+         |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH $quantSql
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+         |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+         |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.5""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $quantSql,
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(${dotSql("b.qv", "a.qv")} AS DOUBLE)
+         |      / sqrt(CAST(b.nq AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+         |  FROM n a JOIN n b ON b.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "q_ann_lsh_buckets" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv FROM embeddings),
+         |planes AS (SELECT m, i,
+         |    CASE WHEN ${hash60Sql("'hp' || CAST(m AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 2 = 1
+         |         THEN 1 ELSE -1 END AS s
+         |  FROM UNNEST(generate_series(0, 7)) AS t(m), UNNEST(generate_series(0, 63)) AS u(i)),
+         |dots AS (SELECT vec_id, m, sum(qv[i + 1] * s) AS dot
+         |  FROM q, planes GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << m ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1)
+         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, sum(vec_id) AS sum_vec
+         |FROM buckets GROUP BY 1""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  32 + octet_length(encode(text)) % 224 AS width,
+        |  32 + (octet_length(encode(text)) // 7) % 224 AS height,
+        |  md5(substring(text, 1, 128)) AS frame0_hash
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+  )
+}

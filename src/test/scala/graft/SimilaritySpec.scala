@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, SimilarityOps}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("quantized cosine of identical vectors is 1.0 (within quantization)") {
+    val df = Seq((1L, Array(0.5f, 0.5f, 0.1f)), (2L, Array(0.5f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cos = SimilarityOps.brutePairs(df, 0.0).select("cos").as[Double].collect().head
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("bruteTopK ranks by cosine desc with id tie-break, k rows per query") {
+    val top = SimilarityOps.bruteTopK(emb.filter(col("vec_id") < 5), emb, 3)
+    val byQuery = top.select("query_id", "rk", "cos")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs") {
+    val brute = SimilarityOps.brutePairs(emb, 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshNearDupPairs(emb, 8, 64, 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("multimodal decode stub: per-partition map yields features for every row") {
+    val media = MultimodalOps.withPayload(Tables.documents(spark, sf).limit(20))
+      .select(col("doc_id"), col("payload"), col("modality"))
+      .as[MultimodalOps.MediaRow]
+    val decoded = MultimodalOps.decodeAll(media).collect()
+    assert(decoded.length == 20)
+    decoded.foreach { d =>
+      assert(d.n_bytes > 0 && d.mean_byte > 0 && d.width >= 32 && d.n_frames >= 1)
+    }
+  }
+
+  test("frame sampling emits stride-spaced offsets") {
+    val media = MultimodalOps.withPayload(Tables.documents(spark, sf).limit(3))
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 2)
+      .select("doc_id", "frame_idx", "frame_offset")
+      .as[(Long, Long, Long)].collect()
+    assert(frames.nonEmpty)
+    frames.foreach { case (_, idx, off) => assert(idx % 2 == 0 && off == idx * 64) }
+  }
+}
