@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ingest.Ingest
+
+/** Structured-Streaming form of the reference's hot path (entry point A,
+  * SURVEY.md §3.1): MQTT-shaped messages -> parse -> infer -> registry
+  * filter -> narrow points -> checkpointed parquet sink.
+  *
+  * The transforms are the SAME `Ingest` column expressions as the batch
+  * path — one definition, two execution modes — which is the point of
+  * building on Spark instead of a bespoke stream processor.
+  *
+  * Delivery semantics: checkpoint + file-sink commit log give exactly-once,
+  * a deliberate upgrade over the reference's at-most-once in-memory queue
+  * (influx_service.py:54, 210-212; SURVEY.md §7.3).
+  */
+object StreamingIngest {
+
+  /** Raw message stream (`topic STRING, payload STRING, ts TIMESTAMP`) to
+    * narrow points. `registry` is a static (or periodically reloaded)
+    * dimension — the stream-static broadcast semi-join mirrors
+    * influx_service.py:134-137.
+    */
+  def pointsStream(messages: DataFrame, registry: DataFrame): DataFrame =
+    Ingest.narrowPoints(
+      Ingest.registryFilter(
+        Ingest.inferTypes(Ingest.parseTopic(messages.filter(Ingest.dataTopicFilter))),
+        registry))
+
+  /** R9 as a streaming sink: append to parquet partitioned by device, with
+    * checkpointing. Partitioning by device_id bounds per-file series count;
+    * a production deployment would add a date partition for retention.
+    */
+  def startParquetSink(points: DataFrame, path: String, checkpoint: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    points.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("device_id")
+      .trigger(trigger)
+      .start()
+
+  /** R10 — the 10-minute points-written rollup (influx_service.py:310-322),
+    * as an event-time tumbling window with a watermark bounding state.
+    * Emits one row per closed window: the reference's status payload fields
+    * (points written + device count, influx_service.py:318-320).
+    */
+  def statusCounts(points: DataFrame, interval: String = "10 minutes",
+                   lateness: String = "1 minute"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), interval))
+      .agg(
+        count(lit(1)).as("points_written"),
+        approx_count_distinct("device_id").as("n_devices"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("points_written"), col("n_devices"))
+}

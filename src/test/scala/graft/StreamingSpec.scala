@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def us(s: String): Long =
+    java.sql.Timestamp.valueOf(s).getTime * 1000L
+
+  test("streaming ingest: parse + infer + registry filter through MemoryStream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val msgs = in.toDF().toDF("topic", "payload", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val registry = Seq("d1", "d2").toDF("device_id")
+    val points = StreamingIngest.pointsStream(msgs, registry)
+    val q = points.writeStream.format("memory").queryName("pts_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ("openchirp/device/d1/Temp", "21.5", us("2024-01-01 00:00:01")),
+        ("openchirp/device/d1/OK", "true", us("2024-01-01 00:00:02")),
+        ("openchirp/device/d9/temp", "1.0", us("2024-01-01 00:00:03")), // unregistered
+        ("openchirp/service/x/thing/events", "{}", us("2024-01-01 00:00:04")), // control plane
+        ("openchirp/device/d2/label", "hot", us("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val rows = spark.table("pts_out")
+        .select("device_id", "transducer", "num", "bool", "str")
+        .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+        .toSet
+      assert(rows == Set(
+        ("d1", "temp", Some(21.5), None, None),
+        ("d1", "ok", None, Some(true), None),
+        ("d2", "label", None, None, Some("hot"))))
+    } finally q.stop()
+  }
+
+  test("windowed status counts finalize after watermark passes (append mode)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("device_id", "ts_us", "num")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val counts = StreamingIngest.statusCounts(points, "10 minutes", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("status_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("d1", us("2024-01-01 00:01:00"), 1.0), ("d2", us("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("status_out").count() == 0) // window still open
+      in.addData(("d1", us("2024-01-01 00:15:00"), 3.0)) // advances watermark past 00:10+1m
+      q.processAllAvailable()
+      val closed = spark.table("status_out")
+        .select("points_written", "n_devices").as[(Long, Long)].collect()
+      assert(closed.toSeq == Seq((2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("registry CDC applies new/update/delete in event-time order per device") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[RegistryCdc.ServiceEvent]
+    val q = RegistryCdc.apply(in.toDS()).writeStream
+      .format("memory").queryName("cdc_out").outputMode("update").start()
+    try {
+      in.addData(
+        RegistryCdc.ServiceEvent("d1", "new", Seq("Temp", "Hum"), 100),
+        RegistryCdc.ServiceEvent("d2", "new", Seq("X"), 100))
+      q.processAllAvailable()
+      in.addData(
+        RegistryCdc.ServiceEvent("d1", "update", Seq("temp", "pressure"), 200),
+        RegistryCdc.ServiceEvent("d2", "delete", Nil, 200))
+      q.processAllAvailable()
+      val last = spark.table("cdc_out")
+        .groupBy("deviceId")
+        .agg(max_by(struct(col("transducers"), col("active")), col("asOfUs")).as("s"))
+        .select(col("deviceId"), col("s.transducers"), col("s.active"))
+        .collect().map(r => (r.getString(0), r.getSeq[String](1).toSet, r.getBoolean(2))).toSet
+      assert(last == Set(
+        ("d1", Set("temp", "pressure"), true),
+        ("d2", Set.empty[String], false)))
+    } finally q.stop()
+  }
+
+  test("CDC batch replay: snapshot-after-stream-start race resolves by event time") {
+    implicit val s = spark
+    // snapshot (loaded at ts=150) races an update (ts=200): update must win,
+    // mirroring the events-before-snapshot bootstrap of influx_service.py:424-432
+    val events = Seq(
+      RegistryCdc.ServiceEvent("d1", "new", Seq("a"), 150),   // snapshot row
+      RegistryCdc.ServiceEvent("d1", "update", Seq("b"), 200),
+      RegistryCdc.ServiceEvent("d2", "delete", Nil, 120),
+      RegistryCdc.ServiceEvent("d2", "new", Seq("x"), 100)).toDS()
+    val out = RegistryCdc.replayBatch(events).collect()
+      .map(r => (r.deviceId, r.transducers.toSet, r.active)).toSet
+    assert(out == Set(("d1", Set("b"), true), ("d2", Set.empty[String], false)))
+  }
+
+  test("MQTT-like DSv2 source: wildcard subscribe, offsets, arrival stamping") {
+    MqttBus.clear()
+    MqttBus.publish("openchirp/device/d1/temp", "1.5")
+    MqttBus.publish("openchirp/service/s1/thing/events", """{"action":"new"}""")
+    MqttBus.publish("openchirp/device/d2/hum", "2.5")
+    val stream = spark.readStream
+      .format("graft.streaming.MqttLikeSource")
+      .option("topics", "openchirp/device/+/+")
+      .load()
+    val q = stream.selectExpr("topic", "cast(payload as string) AS p")
+      .writeStream.format("memory").queryName("mqtt_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      MqttBus.publish("openchirp/device/d3/co2", "3.5") // arrives in a later micro-batch
+      q.processAllAvailable()
+      val got = spark.table("mqtt_out").as[(String, String)].collect().toSet
+      assert(got == Set(
+        ("openchirp/device/d1/temp", "1.5"),
+        ("openchirp/device/d2/hum", "2.5"),
+        ("openchirp/device/d3/co2", "3.5")))
+    } finally q.stop()
+  }
+
+  test("status publisher emits the reference's JSON shape per closed window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val points = in.toDF().toDF("device_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = StatusPublisher.start(
+      StreamingIngest.statusCounts(points, "10 minutes", "1 minute"),
+      statusTopic = "openchirp/service/sid/status",
+      publish = (t, p) => published.add((t, p)),
+      checkpoint = tmp("status_cp"),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      in.addData(("d1", us("2024-01-01 00:01:00")), ("d1", us("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      in.addData(("d1", us("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val msgs = published.toArray(Array.empty[(String, String)])
+      assert(msgs.toSeq == Seq(("openchirp/service/sid/status",
+        """{"message": "Points written 10 min avg: 2 / #Devices: 1"}""")))
+    } finally q.stop()
+  }
+
+  test("exactly-once file sink: restart from checkpoint does not duplicate") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    val msgs = in.toDF().toDF("topic", "payload", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val registry = Seq("d1").toDF("device_id")
+    val out = tmp("sink_out"); val cp = tmp("sink_cp")
+    val points = StreamingIngest.pointsStream(msgs, registry)
+    val q1 = StreamingIngest.startParquetSink(points, out, cp, Trigger.ProcessingTime(0))
+    in.addData(("openchirp/device/d1/t", "1.0", us("2024-01-01 00:00:01")))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = StreamingIngest.startParquetSink(points, out, cp, Trigger.ProcessingTime(0))
+    in.addData(("openchirp/device/d1/t", "2.0", us("2024-01-01 00:00:02")))
+    q2.processAllAvailable(); q2.stop()
+    val vals = spark.read.parquet(out).select("num").as[Double].collect().sorted
+    assert(vals.toSeq == Seq(1.0, 2.0))
+  }
+}
