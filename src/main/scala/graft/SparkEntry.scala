@@ -190,10 +190,10 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
-    // §2.2: time-range scan (predicate pushed to parquet)
+    // §2.2: time-range scan (predicate on the raw ns column -> parquet pushdown)
     "q_time_range" -> ((s, dir) => {
       Tables.events(s, dir)
-        .filter(TimeSeriesOps.timeRange(col("ts"), "2024-01-10 00:00:00", "2024-01-12 00:00:00"))
+        .filter(TimeSeriesOps.timeRangeNs(col("ts_ns"), "2024-01-10 00:00:00", "2024-01-12 00:00:00"))
         .groupBy("user_id")
         .agg(count(one).as("n"), dsum(col("value"), 4).as("sum_value"))
     })

@@ -43,14 +43,24 @@ object DedupOps {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    verifyJaccard(candidatesFromShared(sh), sh, tau)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shared-shingle counts come straight off the inverted-index self-join —
+    // no candidate materialization + re-join (which re-explodes every
+    // candidate by its full shingle list and dominated the benchmark)
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    jaccardFromCounts(shared, sizes, tau)
   }
 
-  /** Candidate pairs = documents sharing at least one shingle. */
-  private def candidatesFromShared(sh: DataFrame): DataFrame =
-    sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+  private def jaccardFromCounts(shared: DataFrame, sizes: DataFrame, tau: Double): DataFrame =
+    shared
+      .join(sizes.as("ni"), col("i") === col("ni.doc_id"))
+      .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("ni.n") + col("nj.n") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the
     * shingle inverted index; emits (i, j, jaccard) for J >= tau.
@@ -62,12 +72,7 @@ object DedupOps {
       .join(sh.as("si"), col("i") === col("si.doc_id"))
       .join(sh.as("sj"), col("j") === col("sj.doc_id") && col("si.shingle") === col("sj.shingle"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    shared
-      .join(sizes.as("ni"), col("i") === col("ni.doc_id"))
-      .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("ni.n") + col("nj.n") - col("c")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    jaccardFromCounts(shared, sizes, tau)
   }
 
   /** Affine minhash family h_i(x) = (a_i * x + b_i) mod M over 60-bit

@@ -29,12 +29,20 @@ object SimilarityOps {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — a native codegen
+    * Catalyst expression (see [[graft.functions.VectorExpressions]]); the
+    * HOF formulation ([[dotQHof]]) has identical semantics but interprets
+    * its lambda per element.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.VectorExpressions.dot_q(a, b)
 
-  /** Exact integer squared norm. */
-  def normQ(a: Column): Column =
+  /** Exact integer squared norm (codegen expression). */
+  def normQ(a: Column): Column = graft.functions.VectorExpressions.norm_sq_q(a)
+
+  /** Built-ins-only formulations, kept as the semantic reference. */
+  def dotQHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  def normQHof(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
   /** Cosine from quantized ints: one double division over exact operands. */

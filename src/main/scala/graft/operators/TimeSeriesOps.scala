@@ -20,6 +20,18 @@ object TimeSeriesOps {
   def timeRange(ts: Column, from: String, to: String): Column =
     ts >= lit(from).cast("timestamp") && ts < lit(to).cast("timestamp")
 
+  /** Time-range predicate on a raw nanosecond-epoch LONG column. The derived
+    * `ts` timestamp is a computed column, so predicates on it cannot reach
+    * the parquet scan; an equivalent bound on the physical `ts_ns` column
+    * does (exact for whole-second bounds, since us = ns div 1000).
+    */
+  def timeRangeNs(tsNs: Column, from: String, to: String): Column = {
+    def ns(s: String): Long = // explicit UTC: independent of the JVM default zone
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    tsNs >= lit(ns(from)) && tsNs < lit(ns(to))
+  }
+
   /** Tumbling time-bucket aggregation: `GROUP BY time(dur)` semantics.
     * Uses Spark's `window()` (epoch-aligned tumbling windows); callers pass
     * the aggregate columns. Partial aggregation (map-side combine) applies

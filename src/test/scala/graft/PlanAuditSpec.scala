@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-quality gate: the properties that make these queries survive a
+  * 100x scale-up are asserted on the optimized physical plan, not left to
+  * hope — predicate pushdown reaching the parquet scan, dimension joins
+  * broadcast (no fact shuffle), partial aggregation before exchanges, and
+  * custom kernels staying inside whole-stage codegen.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("time-range predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan("q_time_range")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      s"no pushed ts filter in:\n$p")
+  }
+
+  test("lineitem date filter is pushed down") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("registry semi-join broadcasts the dimension (no fact shuffle)") {
+    val p = plan("q_semijoin_registry")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("star join broadcasts all dimensions") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("aggregations run partial+final (map-side combine before shuffle)") {
+    val p = plan("q_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("column pruning: q1 scan reads only needed lineitem columns") {
+    val p = plan("q_tpch_q1")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("ANN scorer uses the native codegen kernel inside WholeStageCodegen") {
+    val df = SparkEntry.queries("q_ann_topk")(spark, sf)
+    assert(plan("q_ann_topk").contains("dot_q"))
+    df.collect() // materialize THIS plan so AQE finalizes (count() would plan a copy)
+    val executed = df.queryExecution.executedPlan.toString
+    // the scorer projection must sit inside a WholeStageCodegen stage (`*(n)`)
+    val scorerLine = executed.linesIterator.find(_.contains("dot_q")).getOrElse("")
+    assert(scorerLine.contains("*("), s"scorer not codegen'd:\n$executed")
+  }
+
+  test("ingest pipeline: no shuffle before the final aggregate") {
+    val p = plan("q_ingest_narrow")
+    // one Exchange for the groupBy is expected; the semi-join must not add one
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+}
