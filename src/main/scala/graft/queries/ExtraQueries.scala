@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.WeightedAvg
+
+/** Remaining SURVEY §2 checklist items: outer joins, global sort/limit
+  * (TakeOrderedAndProject), approximate aggregates (sketches — no oracle,
+  * rows-only check by design), the typed-UDAF surface, and the registry
+  * document JSON roundtrip (to_json/from_json/explode, the device-document
+  * shape of influx_service.py:226-229).
+  */
+object ExtraQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
+  private val one = lit(1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // left outer join + null-aware aggregation over the optional side
+    "q_outer_join" -> ((s, dir) => {
+      val liAgg = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity"), 4).as("qty"))
+      Tables.orders(s, dir)
+        .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(one).as("n_orders"),
+          count(col("qty")).as("n_with_items"),
+          dsum(coalesce(col("qty"), lit(0.0))).as("total_qty"))
+    }),
+
+    // global top-n: orderBy + limit plans TakeOrderedAndProject (no full sort)
+    "q_sort_limit" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // sketches: approx distinct + approx percentiles (engine-specific
+    // estimates -> deliberately NO oracle entry; rows-only driver check.
+    // ApproxSpec bounds the error against exact values instead.)
+    "q_approx_aggs" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+    }),
+
+    // typed UDAF: weighted average with exact decimal buffer
+    "q_udaf_wavg" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvg)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+    }),
+
+    // device-document JSON roundtrip: build the REST document shape, parse
+    // it back (from_json), explode the transducer array into registry rows
+    "q_registry_explode" -> ((s, dir) => {
+      val docSchema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("transducers", ArrayType(StructType(Seq(StructField("name", StringType)))))))
+      Tables.customer(s, dir)
+        .select(to_json(struct(
+          col("c_custkey").as("id"),
+          array(struct(lit("Temp").as("name")),
+            struct(concat(lit("s"), col("c_custkey") % 4).as("name"))).as("transducers"))).as("doc"))
+        .select(from_json(col("doc"), docSchema).as("d"))
+        .select(col("d.id").as("device_id"), explode(col("d.transducers")).as("t"))
+        .select(col("device_id"), lower(col("t.name")).as("transducer"))
+        .groupBy("transducer")
+        .agg(count(one).as("n"), countDistinct(col("device_id")).as("n_devices"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_outer_join" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_orders, count(qty) AS n_with_items,
+        |  CAST(sum(CAST(coalesce(qty, 0.0) AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_registry_explode" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS device_id, 'temp' AS transducer FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 's' || (c_custkey % 4) FROM customer)
+        |SELECT transducer, count(*) AS n, count(DISTINCT device_id) AS n_devices
+        |FROM t GROUP BY 1""".stripMargin
+  )
+}
