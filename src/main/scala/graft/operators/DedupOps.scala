@@ -42,7 +42,10 @@ object DedupOps {
     * `shingle` enumerates every qualifying pair without a cross product.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // the shingle set feeds three plan branches (sizes + both join sides);
+    // persist so the explode+md5 work runs once per job. At warehouse scale
+    // the equivalent is materializing the shingle index as a table.
+    val sh = shingles(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // shared-shingle counts come straight off the inverted-index self-join —
     // no candidate materialization + re-join (which re-explodes every
@@ -100,7 +103,8 @@ object DedupOps {
                       n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shingles(docs, idCol, textCol, n).persist() // reused by sigs + verify
+
     val sigs = minhashSignatures(sh, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed (a hot
+  * device producing most points is the expected failure mode at fleet
+  * scale). AQE's skew-join split handles sort-merge cases at runtime; this
+  * explicit salting utility covers the planned-for case and works for any
+  * join type.
+  */
+object SkewOps {
+
+  /** Salted equi-join: the big side gets a per-row salt in [0, salt); the
+    * small side is replicated `salt` ways. The hot key's rows then spread
+    * over `salt` reducers instead of one. Result set is identical to
+    * `big.join(small, key)` (asserted by SkewSpec).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salt - 1).toLong))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -63,6 +63,16 @@ object ExtraQueries {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
     }),
 
+    // sliding event-time windows (20-min window, 10-min slide: each event
+    // lands in exactly two windows)
+    "q_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
+        .agg(count(one).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+    }),
+
     // device-document JSON roundtrip: build the REST document shape, parse
     // it back (from_json), explode the transducer array into registry rows
     "q_registry_explode" -> ((s, dir) => {
@@ -101,6 +111,14 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wavg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH expanded AS (
+        |  SELECT ((epoch_us(ts) // 600000000) - o) * 600000000 AS w_start, event_type, value
+        |  FROM events, UNNEST([0, 1]) AS t(o))
+        |SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM expanded GROUP BY 1, 2""".stripMargin,
 
     "q_registry_explode" ->
       """WITH t AS (
