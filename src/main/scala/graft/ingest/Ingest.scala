@@ -37,6 +37,14 @@ object Ingest {
     */
   def isEventTopic(eventsTopic: String): Column = col("topic") === eventsTopic
 
+  /** Dead-letter predicate: neither data-plane nor control-plane. The
+    * reference swallows such messages inside a bare-except wrapper
+    * (influx_service.py:114-119, 444-446); we route them to a dead-letter
+    * sink instead so nothing is silently lost.
+    */
+  def isDeadLetter(eventsTopic: String): Column =
+    !dataTopicFilter && !isEventTopic(eventsTopic)
+
   /** R7 — payload type inference (influx_service.py:149-181), the *intended*
     * precedence documented in the reference's comment block:
     *   1. float (any numeric parse; ints deliberately collapse to double,

