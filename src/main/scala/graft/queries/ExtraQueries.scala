@@ -63,6 +63,18 @@ object ExtraQueries {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
     }),
 
+    // the custom physical as-of operator (AsofJoinNode/Strategy/Exec) on the
+    // same alignment task as q_asof_join, checked against DuckDB's ASOF JOIN
+    "q_asof_join_exec" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_ts"), col("value").as("click_value"))
+      graft.plans.AsofJoinExecApi.asof(purchases, clicks, Seq("user_id"), "ts_us", "click_ts")
+        .select(col("event_id"), col("ts_us"), col("value"), col("click_ts"), col("click_value"))
+    }),
+
     // sliding event-time windows (20-min window, 10-min slide: each event
     // lands in exactly two windows)
     "q_sliding_window" -> ((s, dir) => {
@@ -111,6 +123,14 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wavg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_asof_join_exec" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |p AS (SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS click_ts, value AS click_value FROM ev WHERE event_type = 'click')
+        |SELECT p.event_id, p.ts_us, p.value, c.click_ts, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts_us""".stripMargin,
 
     "q_sliding_window" ->
       """WITH expanded AS (
