@@ -105,6 +105,54 @@ object SimilarityOps {
       .filter(col("cos") >= tau)
   }
 
+  /** IVF-style partitioned ANN. Deterministic stand-in for k-means training:
+    * the first `nCentroids` vectors serve as centroids (a production build
+    * would learn them; the index/search mechanics — assignment, probe
+    * ranking, bucket-restricted scoring — are identical and are what's
+    * exercised here).
+    *
+    * Every vector is assigned to its max-cosine centroid; a query probes the
+    * `probes` nearest centroid buckets and scores only those vectors:
+    * the pair space shrinks ~nCentroids/probes-fold, and the bucket join is
+    * a plain equi-join on `cid`, so it scales like any hash join.
+    */
+  def ivfAssignments(vecs: DataFrame, nCentroids: Int): DataFrame = {
+    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
+    val cents = q.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("qn"), col("cid"),
+        cosineQ(dotQ(col("qv"), col("cv")), col("qn"), col("cn")).as("ccos"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select("vec_id", "qv", "qn", "cid")
+  }
+
+  def ivfTopK(vecs: DataFrame, nCentroids: Int, probes: Int, k: Int,
+              isQuery: Column): DataFrame = {
+    val assigned = ivfAssignments(vecs, nCentroids).persist()
+    val cents = assigned.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid2"), col("qv").as("cv"), col("qn").as("cn"))
+    val queries = assigned.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("want_qv"), col("qn").as("want_qn"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid2").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2"),
+        cosineQ(dotQ(col("want_qv"), col("cv")), col("want_qn"), col("cn")).as("pcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= probes)
+      .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2").as("cid"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineQ(dotQ(col("want_qv"), col("qv")), col("want_qn"), col("qn")).as("cos"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Exact all-pairs cosine >= tau (the oracle-checkable baseline; at scale
     * use [[lshNearDupPairs]]).
     */

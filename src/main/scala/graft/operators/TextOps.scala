@@ -79,4 +79,15 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(trim(text)))))))
+
+  /** Order-SENSITIVE rolling (polynomial) fingerprint over token hashes:
+    * h = fold(h * 31 + hash60(tok) mod M). Complements [[fingerprint]]:
+    * detects exact sequences, not bags. Pure fold, no shuffle.
+    */
+  val RollM: Long = 1000000007L
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(lower(trim(text))), t => pmod(hash60(t), lit(RollM))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, lit(RollM)))
 }

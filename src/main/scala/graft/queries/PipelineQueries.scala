@@ -118,6 +118,21 @@ object PipelineQueries {
           sum(col("vec_id")).as("sum_vec"))
     }),
 
+    // IVF-partitioned ANN: assign to max-cos centroid, probe 2 buckets,
+    // score only bucket members (nCentroids=8, the deterministic training
+    // stand-in; mechanics identical to learned centroids)
+    "q_ann_ivf" -> ((s, dir) => {
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, probes = 2, k = 3,
+        isQuery = col("vec_id") >= 100 && col("vec_id") < 120)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    }),
+
+    // order-sensitive rolling (polynomial) fingerprint
+    "q_text_rolling_fp" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
+    }),
+
     // multimodal: binary payload + typed metadata + frame hash
     "q_multimodal_meta" -> ((s, dir) => {
       MultimodalOps.withPayload(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
@@ -252,6 +267,41 @@ object PipelineQueries {
          |  FROM dots GROUP BY 1)
          |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, sum(vec_id) AS sum_vec
          |FROM buckets GROUP BY 1""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $quantSql,
+         |cents AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < 8),
+         |assign0 AS (SELECT n.vec_id, n.qv, n.nq, cents.cid,
+         |    CAST(${dotSql("n.qv", "cents.cv")} AS DOUBLE)
+         |      / sqrt(CAST(n.nq AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
+         |  FROM n, cents),
+         |assigned AS (SELECT vec_id, qv, nq, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+         |    FROM assign0) WHERE crk = 1),
+         |queries AS (SELECT vec_id AS query_id, qv AS want_qv, nq AS want_qn
+         |  FROM assigned WHERE vec_id >= 100 AND vec_id < 120),
+         |probed AS (SELECT query_id, want_qv, want_qn, cid FROM (
+         |    SELECT q.query_id, q.want_qv, q.want_qn, cents.cid,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CAST(${dotSql("q.want_qv", "cents.cv")} AS DOUBLE)
+         |          / sqrt(CAST(q.want_qn AS DOUBLE) * CAST(cents.cn AS DOUBLE)) DESC, cents.cid) AS prk
+         |    FROM queries q, cents) WHERE prk <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CAST(${dotSql("p.want_qv", "a.qv")} AS DOUBLE)
+         |      / sqrt(CAST(p.want_qn AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+         |  FROM probed p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cos, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "q_text_rolling_fp" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(lower(trim(text)), ' '),
+         |        t -> ${hash60Sql("t")} % 1000000007)),
+         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS roll_fp
+         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
