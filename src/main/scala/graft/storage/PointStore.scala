@@ -21,6 +21,7 @@ object PointStore {
     points
       .withColumn("p_date", to_date(col("ts")))
       .repartition(col("p_date")) // one writer wave per partition, no tiny files
+      .sortWithinPartitions("device_id", "ts") // tight row-group min/max on device+time
       .write.partitionBy("p_date").mode("overwrite").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -149,6 +149,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark-bounded state") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val docs = in.toDF().toDF("fp", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val deduped = docs.withWatermark("ts", "10 minutes").dropDuplicates("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", us("2024-01-01 00:00:01")), ("a", us("2024-01-01 00:00:02")),
+        ("b", us("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      in.addData(("a", us("2024-01-01 00:01:00")), ("c", us("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      val fps = spark.table("dedup_out").select("fp").as[String].collect().sorted
+      assert(fps.toSeq == Seq("a", "b", "c")) // duplicate 'a's dropped across batches
+    } finally q.stop()
+  }
+
+  test("streaming session windows close after the gap + watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val pts = in.toDF().toDF("device_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val sessions = pts
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("device_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("device_id"), col("session_window.start").as("s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("d1", us("2024-01-01 00:00:00")), ("d1", us("2024-01-01 00:03:00")),
+        ("d1", us("2024-01-01 00:20:00"))) // gap > 5 min closes first session
+      q.processAllAvailable()
+      in.addData(("d1", us("2024-01-01 01:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").select("n").as[Long].collect().sorted
+      assert(closed.contains(2L)) // the two-event session closed with n=2
+    } finally q.stop()
+  }
+
   test("exactly-once file sink: restart from checkpoint does not duplicate") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, String, Long)]
