@@ -85,8 +85,22 @@ object DedupOps {
   def minhashA(i: Int): Long = 7919L * i + 17L
   def minhashB(i: Int): Long = 104729L * i + 31L
 
-  /** MinHash signature: (doc_id, mh0..mh{k-1}). */
+  /** MinHash signature: (doc_id, mh0..mh{k-1}), computed by the one-pass
+    * [[graft.functions.MinHashSketch]] TypedImperativeAggregate (single
+    * k-slot buffer instead of k independent min-aggregates; bit-identical
+    * results — MinHashSketchSpec asserts equivalence to the k-column form).
+    */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val h = pmod(hash60(col("shingle")), lit(M))
+    val withSketch = sh.withColumn("__h", h)
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.minhash_sketch(col("__h"), k).as("sig"))
+    withSketch.select(col("doc_id") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The k-column built-ins-only formulation, kept as semantic reference. */
+  def minhashSignaturesCols(sh: DataFrame, k: Int): DataFrame = {
     val h = pmod(hash60(col("shingle")), lit(M))
     val aggs = (0 until k).map(i =>
       min(pmod(lit(minhashA(i)) * col("__h") + lit(minhashB(i)), lit(M))).as(s"mh$i"))
