@@ -135,8 +135,19 @@ object DedupOps {
 
   /** 60-bit SimHash over distinct tokens: bit j of the signature is set when
     * the sum over tokens of (+1 if bit j of hash60(token) else -1) is > 0.
+    * Computed by the one-pass [[graft.functions.SimHashSketch]]
+    * TypedImperativeAggregate (bit-identical to
+    * [[simhashSignaturesCols]], asserted by MinHashSketchSpec).
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .withColumn("__h", hash60(col("tok")))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashSketch.simhash_sketch(col("__h")).as("simhash"))
+
+  /** The 60-column built-ins-only formulation, kept as semantic reference. */
+  def simhashSignaturesCols(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .withColumn("__h", hash60(col("tok")))

@@ -97,6 +97,35 @@ object EngineProperties extends Properties("graft") {
     RegistryCdc.ServiceEvent("dev", a, if (a == "delete") Nil else Seq(s"t$i", "temp"), (i + 1) * 100L)
   }
 
+  // --- as-of join: physical operator vs composed form vs pure model --------
+
+  private val asofGen = for {
+    nl <- Gen.chooseNum(1, 15)
+    nr <- Gen.chooseNum(0, 15)
+    ls <- Gen.listOfN(nl, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 50L)))
+    rs <- Gen.listOfN(nr, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 50L), Gen.chooseNum(0.0, 9.0)))
+  } yield (ls.distinct, rs.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+
+  property("physical as-of join matches composed form and a pure model") =
+    forAll(asofGen) { case (ls, rs) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "v")
+      val gotExec = graft.plans.AsofJoinExecApi.asof(left, right, Seq("k"), "ts", "rts")
+        .select("lid", "rts", "v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val gotComposed = graft.operators.AsofJoin.asof(left, right, Seq("k"), "ts", "rts", Seq("v"))
+        .select("lid", "right_rts", "right_v").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val model = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        if (cand.isEmpty) (i.toLong, None, None)
+        else { val best = cand.maxBy(_._2); (i.toLong, Some(best._2), Some(best._3)) }
+      }.toSet
+      gotExec == model && gotComposed == model
+    }
+
   property("registry CDC result is independent of arrival order") =
     forAll(eventsGen, Gen.chooseNum(0, 1000)) { (events, seed) =>
       import spark.implicits._

@@ -14,4 +14,14 @@ class MinHashSketchSpec extends SparkSuite {
     assert(viaSketch == viaCols)
     assert(viaSketch.nonEmpty)
   }
+
+  test("SimHash TypedImperativeAggregate equals the 60-column formulation") {
+    val docs = Tables.documents(spark, sf)
+    val viaSketch = DedupOps.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCols = DedupOps.simhashSignaturesCols(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSketch == viaCols)
+    assert(viaSketch.nonEmpty)
+  }
 }
