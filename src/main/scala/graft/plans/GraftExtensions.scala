@@ -24,7 +24,40 @@ import graft.functions.{DotProductLong, NormSqLong}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    GraftFunctions.registrations.foreach(ext.injectFunction)
   }
+}
+
+/** SQL-surface registration of the engine's custom expressions, so
+  * `spark.sql("SELECT dot_q(a, b) ...")` works wherever the extensions are
+  * installed (or after [[GraftFunctions.register]] on an existing session).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.{DotProductLong, MinHashSketch, NormSqLong, SimHashSketch}
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_q"),
+      (es: Seq[Expression]) => DotProductLong(es(0), es(1))),
+    (FunctionIdentifier("norm_sq_q"),
+      new ExpressionInfo(classOf[NormSqLong].getName, "norm_sq_q"),
+      (es: Seq[Expression]) => NormSqLong(es(0))),
+    (FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashSketch].getName, "minhash_sketch"),
+      (es: Seq[Expression]) => MinHashSketch(es(0),
+        es(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
+    (FunctionIdentifier("simhash_sketch"),
+      new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
+      (es: Seq[Expression]) => SimHashSketch(es(0)).toAggregateExpression()))
+
+  /** Imperative registration for sessions built without the extensions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
 
 object RewriteSelfDot extends Rule[LogicalPlan] {

@@ -24,4 +24,16 @@ class ExtensionsSpec extends SparkSuite {
   test("GraftExtensions registers against the public extensions hook") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
+
+  test("custom functions are callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_q(array(1L, 2L), array(3L, 4L)) AS d,
+        |       norm_sq_q(array(3L, 4L)) AS n""".stripMargin).collect().head
+    assert(r.getLong(0) == 11L && r.getLong(1) == 25L)
+    val agg = spark.sql(
+      """SELECT simhash_sketch(h) AS s, minhash_sketch(h, 4) AS m
+        |FROM VALUES (5L), (9L) AS t(h)""".stripMargin).collect().head
+    assert(agg.getLong(0) >= 0L && agg.getSeq[Long](1).length == 4)
+  }
 }
