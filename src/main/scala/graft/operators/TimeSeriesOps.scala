@@ -53,6 +53,56 @@ object TimeSeriesOps {
         max(orderCol).as("last_ts"),
         min_by(valueCol, orderCol).as("first_value"))
 
+  /** InfluxQL-style per-series analytics (derivative / difference /
+    * moving_average / cumulative_sum / elapsed): one window per series,
+    * ordered by time — a single shuffle on the series key.
+    * Double expressions are shaped for bit-exact oracle parity; running
+    * sums and moving averages accumulate in decimal.
+    */
+  def seriesAnalytics(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                      movingN: Int = 3): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsUs)
+    val frame = w.rowsBetween(-(movingN - 1), Window.currentRow)
+    val prevV = lag(value, 1).over(w)
+    val prevTs = lag(tsUs, 1).over(w)
+    df.select(
+      key.as("series_key"), tsUs.as("ts_us"), value.as("value"),
+      (value - prevV).as("difference"),
+      (tsUs - prevTs).as("elapsed_us"),
+      // per-second rate; null on the first point of a series
+      ((value - prevV) / ((tsUs - prevTs).cast("double") / lit(1000000.0))).as("derivative"),
+      (sum(value.cast("decimal(38,4)")).over(frame).cast("double")
+        / count(lit(1)).over(frame)).as(s"moving_avg_$movingN"),
+      sum(value.cast("decimal(38,4)")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("cumulative_sum"))
+  }
+
+  /** Time-bucket gap filling with LOCF (InfluxQL `GROUP BY time(...) fill(previous)`):
+    * densify each series over [fromTs, toTs) at `stepUs` spacing, then carry
+    * the last observed aggregate forward. The bucket skeleton is generated
+    * per series key (explode of a bounded sequence — no driver loop); the
+    * fill is a last-ignoreNulls window. One shuffle on the series key.
+    */
+  def gapFillLocf(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                  fromUs: Long, untilUs: Long, stepUs: Long): DataFrame = {
+    val bucketed = df
+      .filter(tsUs >= fromUs && tsUs < untilUs)
+      .groupBy(key.as("series_key"),
+        (floor((tsUs - lit(fromUs)) / lit(stepUs)).cast("long")).as("bucket"))
+      .agg(sum(value.cast("decimal(38,4)")).cast("double").as("bucket_sum"))
+    val nBuckets = ((untilUs - fromUs) / stepUs).toInt
+    val skeleton = bucketed.select(col("series_key")).distinct()
+      .select(col("series_key"),
+        explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
+    val w = Window.partitionBy(col("series_key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skeleton.join(bucketed, Seq("series_key", "bucket"), "left")
+      .select(col("series_key"), col("bucket"),
+        (lit(fromUs) + col("bucket") * lit(stepUs)).as("bucket_start_us"),
+        col("bucket_sum"),
+        last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
   /** Top-k rows per group by a ranking column; deterministic via explicit
     * tie-breakers. Plans as one shuffle on the partition keys + in-partition
     * sort (no global sort).

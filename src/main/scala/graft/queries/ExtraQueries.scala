@@ -63,6 +63,25 @@ object ExtraQueries {
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
     }),
 
+    // InfluxQL-style per-series analytics: derivative, difference,
+    // moving average, cumulative sum, elapsed
+    "q_ts_analytics" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.seriesAnalytics(
+        Tables.events(s, dir).filter(col("user_id") < 30),
+        key = col("user_id"), tsUs = unix_micros(col("ts")), value = col("value"))
+    }),
+
+    // time-bucket gap filling with fill(previous): daily buckets over the
+    // fixture's January range, LOCF per series
+    "q_ts_gapfill" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.gapFillLocf(
+        Tables.events(s, dir),
+        key = col("user_id"), tsUs = unix_micros(col("ts")), value = col("value"),
+        fromUs = 1704067200000000L,            // 2024-01-01 00:00 UTC
+        untilUs = 1704067200000000L + 30L * 86400000000L,
+        stepUs = 86400000000L)
+    }),
+
     // the custom physical as-of operator (AsofJoinNode/Strategy/Exec) on the
     // same alignment task as q_asof_join, checked against DuckDB's ASOF JOIN
     "q_asof_join_exec" -> ((s, dir) => {
@@ -123,6 +142,37 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS wavg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_ts_analytics" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE user_id < 30)
+        |SELECT user_id AS series_key, ts_us, value,
+        |  value - lag(value) OVER w AS difference,
+        |  ts_us - lag(ts_us) OVER w AS elapsed_us,
+        |  (value - lag(value) OVER w) / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0) AS derivative,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) OVER f AS DOUBLE) / count(*) OVER f AS moving_avg_3,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_sum
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
+        |       f AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_ts_gapfill" ->
+      """WITH b AS (
+        |  SELECT user_id AS series_key,
+        |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS bucket_sum
+        |  FROM events
+        |  WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706659200000000
+        |  GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT series_key FROM b),
+        |skel AS (SELECT series_key, o AS bucket FROM keys, UNNEST(generate_series(0, 29)) AS t(o)),
+        |j AS (SELECT s.series_key, s.bucket,
+        |    1704067200000000 + s.bucket * 86400000000 AS bucket_start_us, b.bucket_sum
+        |  FROM skel s LEFT JOIN b ON s.series_key = b.series_key AND s.bucket = b.bucket)
+        |SELECT series_key, bucket, bucket_start_us, bucket_sum,
+        |  last_value(bucket_sum IGNORE NULLS) OVER
+        |    (PARTITION BY series_key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_sum
+        |FROM j""".stripMargin,
 
     "q_asof_join_exec" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),
