@@ -71,8 +71,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildDistribution: Seq[Distribution] = {
+    // pin an identical partition count on both children: doExecute zips
+    // partitions pairwise, so asymmetric AQE coalescing would be incorrect
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(leftKeys, requiredNumPartitions = n) ::
+      ClusteredDistribution(rightKeys, requiredNumPartitions = n) :: Nil
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
