@@ -18,7 +18,10 @@ case class WavgBuf(swx: JBigDecimal, sw: JBigDecimal)
 object WeightedAvg extends Aggregator[(Double, Double), WavgBuf, Double] {
   private val Zero = JBigDecimal.ZERO
   private def dec(x: Double, scale: Int): JBigDecimal =
-    new JBigDecimal(x).setScale(scale, RoundingMode.HALF_UP)
+    // valueOf (shortest decimal repr, like CAST(double AS DECIMAL) in both
+    // engines) — new JBigDecimal(x) would round the exact binary expansion
+    // and diverge on half-way values
+    JBigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
 
   override def zero: WavgBuf = WavgBuf(Zero, Zero)
 

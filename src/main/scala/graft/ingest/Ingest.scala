@@ -92,6 +92,12 @@ object Ingest {
     */
   def wideView(narrow: DataFrame): DataFrame =
     narrow
+      // resolve duplicate (device, ts, transducer) writes first (max wins,
+      // deterministically): map_from_entries throws on duplicate keys under
+      // Spark's default mapKeyDedupPolicy, and redelivered messages are a
+      // legitimate input (the reference's last-write-wins overwrite)
+      .groupBy("device_id", "ts", "transducer")
+      .agg(max(col("num")).as("num"))
       .groupBy("device_id", "ts")
       .agg(map_from_entries(collect_list(struct(col("transducer"), col("num")))).as("fields"))
 }

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * timestamps, so a right row at exactly t is visible to a left row at t.
   */
 object AsofJoin {
+  // Null caveat: rows with null keys land in the same window partition and
+  // can match each other, unlike SQL join semantics. The physical operator
+  // (graft.plans.AsofJoinExec) implements strict null-never-matches; prefer
+  // it when the key may be null.
 
   /** @param left      probe side; every row is preserved (left outer as-of)
     * @param right     reference side supplying the "most recent" values

@@ -9,6 +9,11 @@ import TextOps.{hash60, tokens}
   * self-join, exact), MinHash+LSH (banded signatures, candidate join + exact
   * verify), SimHash (bit-sliced blocking + Hamming verify).
   *
+  * Cache note: the pairwise operators persist their shingle index for the
+  * duration of the computation; the cache entries live until the session
+  * clears them (`spark.catalog.clearCache()`) — a long-lived service should
+  * materialize the shingle index as a table instead.
+  *
   * Scale design: every algorithm is a sequence of narrow per-row transforms,
   * hash-partitioned self-joins on content keys, and hash aggregations — no
   * cross products, no driver-side state. Candidate generation (LSH bands /
@@ -164,6 +169,9 @@ object DedupOps {
     * at least one band — pigeonhole, so blocking is lossless for maxDist 3).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    // 4 bands are lossless only while maxDist < 4 (pigeonhole); a larger
+    // threshold would silently miss pairs whose differing bits spread 1-per-band
+    require(maxDist <= 3, s"4-band blocking is only complete for maxDist <= 3, got $maxDist")
     val sigs = simhashSignatures(docs, idCol, textCol)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), (shiftright(col("simhash"), b * 15) % lit(32768L)).as("bv")))

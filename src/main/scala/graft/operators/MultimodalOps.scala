@@ -72,7 +72,11 @@ object MultimodalOps {
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media
-      .withColumn("n_frames", expr(s"octet_length(payload) div $frameBytes") + lit(1))
+      // ceil-div: an exact-multiple payload has len/frameBytes frames, not
+      // one more; empty payloads have zero frames
+      .withColumn("n_frames",
+        expr(s"(octet_length(payload) + ${frameBytes - 1}) div $frameBytes"))
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("modality"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
       .withColumn("frame_offset", col("frame_idx") * frameBytes)

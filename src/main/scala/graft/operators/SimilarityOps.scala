@@ -9,7 +9,8 @@ import TextOps.hash60
   *
   * Numeric design: vectors are quantized to integers (`floor(x * 1e7)`), so
   * dot products and norms are EXACT int64 arithmetic — order-independent,
-  * overflow-safe for dim<=128 and |x|<=30, and bit-identical in any engine.
+  * overflow-safe for dim * (|x| * 1e7)^2 < 2^63 (e.g. dim=128 needs
+  * |x| <= ~26; dim=64 allows |x| <= ~38), and bit-identical in any engine.
   * The final cosine is a single double division/sqrt over exactly-represented
   * integers, so even cross-engine comparisons are exact. Quantization error
   * (1e-7 per component) is far below any meaningful similarity threshold.

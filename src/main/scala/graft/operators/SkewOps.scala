@@ -17,8 +17,11 @@ object SkewOps {
     * `big.join(small, key)` (asserted by SkewSpec).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+    // salt must be DETERMINISTIC per row content: a monotonically_increasing_id
+    // based salt changes on task retry, re-routing rows to different reducers
+    // mid-shuffle (lost/duplicated join rows — the SPARK-23207 failure class)
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salt)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((salt - 1).toLong))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

@@ -85,12 +85,15 @@ object TimeSeriesOps {
     */
   def gapFillLocf(df: DataFrame, key: Column, tsUs: Column, value: Column,
                   fromUs: Long, untilUs: Long, stepUs: Long): DataFrame = {
+    require(untilUs > fromUs && stepUs > 0, "empty or inverted gap-fill range")
     val bucketed = df
       .filter(tsUs >= fromUs && tsUs < untilUs)
       .groupBy(key.as("series_key"),
         (floor((tsUs - lit(fromUs)) / lit(stepUs)).cast("long")).as("bucket"))
       .agg(sum(value.cast("decimal(38,4)")).cast("double").as("bucket_sum"))
-    val nBuckets = ((untilUs - fromUs) / stepUs).toInt
+    // ceil: a trailing partial bucket still belongs to the skeleton (floor
+    // would silently drop its data in the join below)
+    val nBuckets = ((untilUs - fromUs + stepUs - 1) / stepUs).toInt
     val skeleton = bucketed.select(col("series_key")).distinct()
       .select(col("series_key"),
         explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))

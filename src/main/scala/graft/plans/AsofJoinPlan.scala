@@ -108,22 +108,32 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lTsV = lTsEval.eval(lRow).asInstanceOf[Long]
+          val lTsRaw = lTsEval.eval(lRow)
+          // SQL join semantics: null keys/timestamps never match (DuckDB's
+          // ASOF — our parity oracle — behaves the same). Null-first sort
+          // order puts such left rows at the front, so skipping them leaves
+          // the merge pointers untouched.
+          if (lKey.anyNull || lTsRaw == null) return joiner(lRow, nullRight)
+          val lTsV = lTsRaw.asInstanceOf[Long]
           var done = false
           while (!done && (pendingRight != null || rIter.hasNext)) {
             if (pendingRight == null) pendingRight = rIter.next().copy()
             val rKey = rKeyProj(pendingRight)
-            val cmp = keyOrd.compare(rKey, lKey)
-            if (cmp < 0) {
-              pendingRight = null // right key fully behind; discard
-            } else if (cmp == 0) {
-              val rTsV = rTsEval.eval(pendingRight).asInstanceOf[Long]
-              if (rTsV <= lTsV) {
-                candidate = pendingRight
-                candidateKey = rKey.copy()
-                pendingRight = null
-              } else done = true // right too new for this left row; keep for later
-            } else done = true // right key ahead of left key
+            val rTsRaw = if (rKey.anyNull) null else rTsEval.eval(pendingRight)
+            if (rKey.anyNull || rTsRaw == null) {
+              pendingRight = null // null key/ts can never match; discard
+            } else {
+              val cmp = keyOrd.compare(rKey, lKey)
+              if (cmp < 0) {
+                pendingRight = null // right key fully behind; discard
+              } else if (cmp == 0) {
+                if (rTsRaw.asInstanceOf[Long] <= lTsV) {
+                  candidate = pendingRight
+                  candidateKey = rKey.copy()
+                  pendingRight = null
+                } else done = true // right too new for this left row; keep for later
+              } else done = true // right key ahead of left key
+            }
           }
           if (candidate != null && candidateKey != null && keyOrd.compare(candidateKey, lKey) == 0)
             joiner(lRow, candidate)

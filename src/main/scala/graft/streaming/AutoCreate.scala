@@ -56,7 +56,10 @@ object AutoCreate {
   def existingCatalog(spark: SparkSession, catalogPath: String): DataFrame =
     try spark.read.parquet(catalogPath)
     catch {
-      case _: Exception =>
+      // ONLY path-not-yet-created falls back to empty; a transient IO error
+      // must propagate — an empty catalog would re-fire create() for every
+      // known key and append duplicates
+      case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("device_id", org.apache.spark.sql.types.StringType),

@@ -40,4 +40,18 @@ class AsofExecSpec extends SparkSuite {
       ("l2", Some(20L), Some(2.0)),
       ("l3", None, None)))
   }
+
+  test("physical as-of: null keys and null timestamps never match") {
+    val left = Seq((Some("a"), Some(10L), "lk"), (None, Some(10L), "lnull"),
+      (Some("a"), None, "lts")).toDF("k", "ts", "tag")
+    val right = Seq((Some("a"), Some(5L), 1.0), (None, Some(1L), 9.0),
+      (Some("a"), None, 8.0)).toDF("k", "rts", "v")
+    val got = AsofJoinExecApi.asof(left, right, Seq("k"), "ts", "rts")
+      .select("tag", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got == Set(
+      ("lk", Some(1.0)),   // only the non-null right row matches
+      ("lnull", None),     // null left key: padded
+      ("lts", None)))      // null left ts: padded
+  }
 }
