@@ -101,6 +101,27 @@ object PipelineQueries {
       SimilarityOps.brutePairs(Tables.embeddings(s, dir), tau = 0.5)
     }),
 
+    // embedding near-dup via the LSH scale path: bucket candidates (8
+    // deterministic hyperplanes), exact cosine verify — oracle-checkable
+    // because the bucketing itself is deterministic
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir), nPlanes = 8, dim = 64, tau = 0.4)
+    }),
+
+    // dedup survivor selection: one representative per fingerprint group,
+    // highest quality score (doc_id tie-break) wins
+    "q_dedup_survivor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("q", TextOps.qualityFeatures(col("text")).last._2)
+      val w = Window.partitionBy(col("fp")).orderBy(col("q").desc, col("doc_id").asc)
+      docs.withColumn("rk", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(when(col("rk") === 1, 1)).as("n_survivors"),
+          count(when(col("rk") > 1, 1)).as("n_removed"))
+    }),
+
     // brute-force cosine top-5 for 20 query vectors
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -242,6 +263,39 @@ object PipelineQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
          |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.5""".stripMargin,
+
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $quantSql,
+         |planes AS (SELECT m, i,
+         |    CASE WHEN ${hash60Sql("'hp' || CAST(m AS VARCHAR) || '_' || CAST(i AS VARCHAR)")} % 2 = 1
+         |         THEN 1 ELSE -1 END AS s
+         |  FROM UNNEST(generate_series(0, 7)) AS t(m), UNNEST(generate_series(0, 63)) AS u(i)),
+         |dots AS (SELECT vec_id, m, sum(qv[i + 1] * s) AS dot FROM q, planes GROUP BY 1, 2),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << m ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1),
+         |cand AS (SELECT ba.vec_id AS i, bb.vec_id AS j
+         |  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+         |SELECT c.i, c.j,
+         |  CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+         |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) AS cos
+         |FROM cand c JOIN n a ON a.vec_id = c.i JOIN n b ON b.vec_id = c.j
+         |WHERE CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE)
+         |    / sqrt(CAST(a.nq AS DOUBLE) * CAST(b.nq AS DOUBLE)) >= 0.4""".stripMargin,
+
+    "q_dedup_survivor" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp
+         |  FROM documents),
+         |scored AS (SELECT doc_id, lang, fp,
+         |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |      + 0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         |      + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS q
+         |  FROM t),
+         |ranked AS (SELECT lang, row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT lang, count(*) FILTER (WHERE rk = 1) AS n_survivors,
+         |  count(*) FILTER (WHERE rk > 1) AS n_removed
+         |FROM ranked GROUP BY 1""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH $quantSql,
