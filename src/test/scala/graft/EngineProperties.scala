@@ -88,6 +88,31 @@ object EngineProperties extends Properties("graft") {
       back == expected
     }
 
+  // --- exact jaccard pairs vs pure model ----------------------------------
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(2, 10)
+    texts <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("exact jaccard pairs match a pure set model") =
+    forAll(docGen) { docs =>
+      import spark.implicits._
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val model = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        si = shingleSet(ti); sj = shingleSet(tj)
+        inter = (si & sj).size if inter > 0
+        jac = inter.toDouble / (si.size + sj.size - inter) if jac >= 0.3
+      } yield (i, j, jac)).toSet
+      val got = graft.operators.DedupOps
+        .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+      got == model
+    }
+
   // --- CDC order-insensitivity --------------------------------------------
 
   private val eventsGen: Gen[List[RegistryCdc.ServiceEvent]] = for {
