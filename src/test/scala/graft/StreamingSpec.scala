@@ -149,6 +149,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase joins clicks within the last 10 minutes") {
+    implicit val sq = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long)]
+    val purchasesIn = MemoryStream[(Long, Long, Double)]
+    val clicks = clicksIn.toDF().toDF("c_user", "cts_us")
+      .withColumn("cts", timestamp_micros(col("cts_us")))
+      .withWatermark("cts", "1 minute")
+    val purchases = purchasesIn.toDF().toDF("user_id", "pts_us", "amount")
+      .withColumn("pts", timestamp_micros(col("pts_us")))
+      .withWatermark("pts", "1 minute")
+    val joined = purchases.join(clicks,
+      expr("user_id = c_user AND cts <= pts AND cts >= pts - INTERVAL 10 MINUTES"),
+      "inner")
+    val q = joined.select(col("user_id"), col("amount"), col("cts_us"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      clicksIn.addData((1L, us("2024-01-01 00:00:00")), (1L, us("2024-01-01 00:30:00")),
+        (2L, us("2024-01-01 00:05:00")))
+      purchasesIn.addData((1L, us("2024-01-01 00:05:00"), 9.5), // joins click@00:00
+        (1L, us("2024-01-01 00:31:00"), 3.0),                   // joins click@00:30
+        (2L, us("2024-01-01 00:40:00"), 7.0))                   // click too old: no row
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").select("user_id", "amount", "cts_us")
+        .as[(Long, Double, Long)].collect().toSet
+      assert(got == Set(
+        (1L, 9.5, us("2024-01-01 00:00:00")),
+        (1L, 3.0, us("2024-01-01 00:30:00"))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark-bounded state") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long)]
