@@ -60,6 +60,17 @@ object PipelineQueries {
         .select(col("doc_id") +: feats: _*)
     }),
 
+    // corpus n-gram statistics: top-10 bigrams by document frequency
+    "q_text_ngrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = DedupOps.shingles(Tables.documents(s, dir), "doc_id", "text", 2)
+      val counts = bigrams.groupBy(col("shingle").as("bigram"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      counts.withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_freq").desc, col("bigram").asc)).cast("long"))
+        .filter(col("rk") <= 10)
+    }),
+
     // order/whitespace-insensitive content fingerprint, dup stats per source
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -200,6 +211,15 @@ object PipelineQueries {
          |    + 0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
          |    + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS quality_score
          |FROM t""".stripMargin,
+
+    "q_text_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+         |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)),
+         |counts AS (SELECT bigram, count(DISTINCT doc_id) AS doc_freq FROM bg GROUP BY 1)
+         |SELECT bigram, doc_freq, rk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY doc_freq DESC, bigram) AS rk FROM counts)
+         |WHERE rk <= 10""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT source, count(*) AS n_docs,
