@@ -31,6 +31,34 @@ class StorageSpec extends SparkSuite {
     assert(ranged.count() == expected)
   }
 
+  test("bucketed tables join with no exchange (co-located layout)") {
+    import graft.storage.BucketedStore
+    val base = Files.createTempDirectory("bucketed").toString
+    BucketedStore.writeBucketed(Tables.lineitem(spark, sf), "li_b", s"$base/li",
+      "l_orderkey", 4, sortCol = Some("l_orderkey"))
+    BucketedStore.writeBucketed(Tables.orders(spark, sf), "o_b", s"$base/o",
+      "o_orderkey", 4, sortCol = Some("o_orderkey"))
+    val joined = BucketedStore.table(spark, "li_b")
+      .join(BucketedStore.table(spark, "o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+    if (plan.contains("SortMergeJoin")) {
+      val shuffles = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(plan).size
+      assert(shuffles == 0, s"bucketed join still shuffled:\n$plan")
+    }
+    // result parity with the unbucketed join
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of rows share one key
     val big = spark.range(0, 10000)
