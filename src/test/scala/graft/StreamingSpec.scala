@@ -126,6 +126,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("end-to-end: MQTT source -> ingest pipeline -> checkpointed parquet sink") {
+    MqttBus.clear()
+    MqttBus.publish("openchirp/device/d1/Temp", "21.5")
+    MqttBus.publish("openchirp/device/d1/Mode", "auto")
+    MqttBus.publish("openchirp/device/d9/temp", "1.0")              // unregistered device
+    MqttBus.publish("openchirp/service/s1/thing/events", "{}")      // control plane
+    val registry = Seq("d1").toDF("device_id")
+    val msgs = spark.readStream
+      .format("graft.streaming.MqttLikeSource")
+      .option("topics", "#")
+      .load()
+      .withColumn("payload", col("payload").cast("string"))
+    val out = tmp("e2e_out"); val cp = tmp("e2e_cp")
+    val q = StreamingIngest.startParquetSink(
+      StreamingIngest.pointsStream(msgs, registry), out, cp,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      MqttBus.publish("openchirp/device/d1/ok", "true") // second micro-batch
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .select("device_id", "transducer", "num", "bool", "str").collect()
+        .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))
+        .toSet
+      assert(rows == Set(
+        ("d1", "temp", Some(21.5), None, None),
+        ("d1", "mode", None, None, Some("auto")),
+        ("d1", "ok", None, Some(true), None)))
+    } finally q.stop()
+  }
+
   test("status publisher emits the reference's JSON shape per closed window") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long)]
