@@ -43,6 +43,17 @@ class IngestSpec extends SparkSuite {
     assert(m == Map("temp" -> 21.5, "hum" -> 0.4))
   }
 
+  test("wide view tolerates duplicate redelivered points (max wins, no crash)") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val narrow = Seq(
+      ("d1", "temp", ts, Some(21.5), None: Option[Boolean], None: Option[String]),
+      ("d1", "temp", ts, Some(21.5), None: Option[Boolean], None: Option[String]), // redelivery
+      ("d1", "temp", ts, Some(22.0), None: Option[Boolean], None: Option[String])) // conflict
+      .toDF("device_id", "transducer", "ts", "num", "bool", "str")
+    val m = Ingest.wideView(narrow).select("fields").as[Map[String, Double]].collect().head
+    assert(m == Map("temp" -> 22.0))
+  }
+
   test("dead-letter routing: the three-way topic split is a partition") {
     val eventsTopic = "openchirp/service/s1/thing/events"
     val topics = Seq(

@@ -54,4 +54,14 @@ class SimilaritySpec extends SparkSuite {
     assert(frames.nonEmpty)
     frames.foreach { case (_, idx, off) => assert(idx % 2 == 0 && off == idx * 64) }
   }
+
+  test("frame count is exact for exact-multiple payloads (no phantom frame)") {
+    val media = Seq((1L, "x" * 128), (2L, "y" * 100)).toDF("doc_id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("modality", lit("image"))
+    val frames = MultimodalOps.sampleFrames(media, frameBytes = 64, stride = 1)
+      .groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(frames == Map(1L -> 2L, 2L -> 2L)) // 128/64 = exactly 2; ceil(100/64) = 2
+  }
 }

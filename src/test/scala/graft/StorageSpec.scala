@@ -59,6 +59,20 @@ class StorageSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("gap fill keeps data in a trailing partial bucket") {
+    import graft.operators.TimeSeriesOps
+    val df = Seq(("s1", 0L, 1.0), ("s1", 2_200_000L, 5.0)) // second point in partial bucket 2
+      .toDF("k", "ts_us", "v")
+    val out = TimeSeriesOps.gapFillLocf(df, col("k"), col("ts_us"), col("v"),
+        fromUs = 0L, untilUs = 2_500_000L, stepUs = 1_000_000L)
+      .select("bucket", "bucket_sum", "filled_sum")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (0L, Some(1.0), Some(1.0)),
+      (1L, None, Some(1.0)),        // LOCF carries bucket 0's value
+      (2L, Some(5.0), Some(5.0))))  // partial bucket retained
+  }
+
   test("salted join equals plain join on skewed data") {
     // hot key: 90% of rows share one key
     val big = spark.range(0, 10000)
