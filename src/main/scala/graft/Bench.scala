@@ -23,7 +23,10 @@ object Bench {
     def runAll(): Map[String, Double] = {
       val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // noop sink forces evaluation of every projected expression;
+        // count() would let Catalyst prune unused projections, so map-only
+        // queries would measure scan+filter only
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }

@@ -162,13 +162,18 @@ object SparkEntry {
         .agg(dsum(col("value"), 4))
     }),
 
-    // §2.3 sorts/top-k: top-3 spenders per event_type, exact decimal ordering
+    // §2.3 sorts/top-k: top-3 spenders per event_type, exact decimal
+    // ordering. event_type has 5 values, so a plain per-group window would
+    // sort ALL (event_type, user) totals on <=5 tasks; the salted two-stage
+    // top-k keeps parallelism at |groups|*32 and the final exact window
+    // only ranks <=3*32 candidates per group.
     "q_topk_users" -> ((s, dir) => {
       val totals = Tables.events(s, dir)
         .groupBy("event_type", "user_id")
         .agg(sum(col("value").cast("decimal(38,4)")).as("total_dec"))
-      TimeSeriesOps.topKPerGroup(totals,
-        Seq(col("event_type")), Seq(col("total_dec").desc, col("user_id").asc), 3)
+      TimeSeriesOps.topKPerGroupSalted(totals,
+        Seq(col("event_type")), Seq(col("total_dec").desc, col("user_id").asc), 3,
+        saltExpr = hash(col("user_id")))
         .select(col("event_type"), col("rk"), col("user_id"),
           col("total_dec").cast("double").as("total"))
     }),
@@ -286,7 +291,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """WITH t AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT k % 10 AS k_bucket, count(*) AS n, sum(k) AS sum_k FROM t GROUP BY 1""".stripMargin,
+        |SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM t GROUP BY 1""".stripMargin,
 
     "q_session_window" ->
       """WITH flagged AS (

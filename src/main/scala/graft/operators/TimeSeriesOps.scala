@@ -114,4 +114,26 @@ object TimeSeriesOps {
     val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
     df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
+
+  /** Scale-safe top-k per group for LOW-CARDINALITY group keys. A window
+    * partitioned by a 5-value key runs on at most 5 tasks no matter how big
+    * the cluster is — a structural parallelism ceiling. Instead: a partial
+    * top-k per (group, salt) slice (parallelism = |groups|·nSalts), then the
+    * exact final rank over the <= |groups|·nSalts·k surviving candidates.
+    * The overall top-k of a group is always contained in the union of its
+    * per-slice top-ks, so the result is identical to [[topKPerGroup]]
+    * provided `orderBy` is a total order (use explicit tie-breakers) and
+    * `saltExpr` is deterministic per row (content-derived, never
+    * spark_partition_id/rand — those change under task retry).
+    */
+  def topKPerGroupSalted(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column],
+                         k: Int, saltExpr: Column, nSalts: Int = 32): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val salt = pmod(saltExpr, lit(nSalts))
+    val wPartial = Window.partitionBy(partitionBy :+ salt: _*).orderBy(orderBy: _*)
+    val candidates = df.withColumn("__rk_partial", row_number().over(wPartial))
+      .filter(col("__rk_partial") <= k).drop("__rk_partial")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    candidates.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
 }

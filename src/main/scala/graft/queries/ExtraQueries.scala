@@ -7,10 +7,11 @@ import graft.Tables
 import graft.functions.WeightedAvg
 
 /** Remaining SURVEY §2 checklist items: outer joins, global sort/limit
-  * (TakeOrderedAndProject), approximate aggregates (sketches — no oracle,
-  * rows-only check by design), the typed-UDAF surface, and the registry
-  * document JSON roundtrip (to_json/from_json/explode, the device-document
-  * shape of influx_service.py:226-229).
+  * (TakeOrderedAndProject), approximate aggregates (sketches, gated via
+  * self-relative error booleans computed identically in both engines),
+  * the typed-UDAF surface, and the registry document JSON roundtrip
+  * (to_json/from_json/explode, the device-document shape of
+  * influx_service.py:226-229).
   */
 object ExtraQueries {
 
@@ -43,16 +44,24 @@ object ExtraQueries {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
-    // sketches: approx distinct + approx percentiles (engine-specific
-    // estimates -> deliberately NO oracle entry; rows-only driver check.
-    // ApproxSpec bounds the error against exact values instead.)
+    // sketches: approx distinct + approx percentiles. The estimates are
+    // engine-specific (HLL++ / t-digest internals differ), so the oracle
+    // compares each engine's approximation against ITS OWN exact value and
+    // emits booleans — both sides deterministically produce `true`, giving
+    // the sketches a full rows+schema+hash gate while still exercising them.
+    // Exact n_users is also emitted (bit-comparable across engines).
     "q_approx_aggs" -> ((s, dir) => {
+      val spread = max(col("value")) - min(col("value"))
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95"))
+          countDistinct(col("user_id")).as("n_users"),
+          (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+            <= lit(0.05) * countDistinct(col("user_id"))).as("users_ok"),
+          (abs(percentile_approx(col("value"), lit(0.5), lit(1000))
+            - expr("percentile(value, 0.5)")) <= lit(0.05) * spread).as("p50_ok"),
+          (abs(percentile_approx(col("value"), lit(0.95), lit(1000))
+            - expr("percentile(value, 0.95)")) <= lit(0.05) * spread).as("p95_ok"))
     }),
 
     // typed UDAF: weighted average with exact decimal buffer
@@ -136,6 +145,17 @@ object ExtraQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_approx_aggs" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= 0.05 * count(DISTINCT user_id) AS users_ok,
+        |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |    <= 0.05 * (max(value) - min(value)) AS p50_ok,
+        |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+        |    <= 0.05 * (max(value) - min(value)) AS p95_ok
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_udaf_wavg" ->
       """SELECT l_returnflag,

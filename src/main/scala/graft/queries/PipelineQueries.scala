@@ -60,15 +60,24 @@ object PipelineQueries {
         .select(col("doc_id") +: feats: _*)
     }),
 
-    // corpus n-gram statistics: top-10 bigrams by document frequency
+    // corpus n-gram statistics: top-10 bigrams by document frequency.
+    // Global top-k is orderBy().limit(k) — plans TakeOrderedAndProject
+    // (per-partition bounded heap + tiny driver merge), NOT a global
+    // single-partition window: at 100 TB the distinct-bigram table is
+    // 1e8+ rows and an unpartitioned WindowExec would sort it on one task.
+    // The rank is derived AFTER the limit, over the <=10 surviving rows.
     "q_text_ngrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val bigrams = DedupOps.shingles(Tables.documents(s, dir), "doc_id", "text", 2)
       val counts = bigrams.groupBy(col("shingle").as("bigram"))
         .agg(countDistinct(col("doc_id")).as("doc_freq"))
-      counts.withColumn("rk",
-          row_number().over(Window.orderBy(col("doc_freq").desc, col("bigram").asc)).cast("long"))
-        .filter(col("rk") <= 10)
+      counts.orderBy(col("doc_freq").desc, col("bigram").asc).limit(10)
+        // rank over the <=10 survivors; partitionBy(lit) keeps the window's
+        // partitionSpec non-empty (no "No Partition Defined" plan warning)
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(lit(1))
+            .orderBy(col("doc_freq").desc, col("bigram").asc)).cast("long"))
+        .select("bigram", "doc_freq", "rk")
     }),
 
     // order/whitespace-insensitive content fingerprint, dup stats per source
@@ -339,7 +348,7 @@ object PipelineQueries {
          |  FROM q, planes GROUP BY 1, 2),
          |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << m ELSE 0 END) AS BIGINT) AS bucket
          |  FROM dots GROUP BY 1)
-         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, sum(vec_id) AS sum_vec
+         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, CAST(sum(vec_id) AS BIGINT) AS sum_vec
          |FROM buckets GROUP BY 1""".stripMargin,
 
     "q_ann_ivf" ->

@@ -217,7 +217,7 @@ object RelationalQueries {
         |       SELECT user_id, 'error_only' FROM (SELECT * FROM e EXCEPT SELECT * FROM p)
         |       UNION ALL
         |       SELECT user_id, 'purchase_or_signup' FROM (SELECT * FROM p UNION SELECT * FROM sg))
-        |SELECT setop, count(*) AS n_users, sum(user_id) AS sum_users
+        |SELECT setop, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS sum_users
         |FROM tagged GROUP BY 1""".stripMargin,
 
     "q_string_funcs" ->

@@ -30,17 +30,22 @@ object StreamingIngest {
         Ingest.inferTypes(Ingest.parseTopic(messages.filter(Ingest.dataTopicFilter))),
         registry))
 
-  /** R9 as a streaming sink: append to parquet partitioned by device, with
-    * checkpointing. Partitioning by device_id bounds per-file series count;
-    * a production deployment would add a date partition for retention.
+  /** R9 as a streaming sink: append to parquet partitioned by UTC date —
+    * the SAME layout PointStore documents for the batch store. Partitioning
+    * by device_id would create one directory per device per micro-batch
+    * (10^6 devices -> small-files explosion); a date partition gives
+    * time-range pruning (the dominant query pattern) while device
+    * selectivity comes from row-group min/max within the partition.
     */
   def startParquetSink(points: DataFrame, path: String, checkpoint: String,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    points.writeStream
+    points
+      .withColumn("p_date", to_date(col("ts")))
+      .writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .partitionBy("device_id")
+      .partitionBy("p_date")
       .trigger(trigger)
       .start()
 
@@ -56,7 +61,11 @@ object StreamingIngest {
       .groupBy(window(col("ts"), interval))
       .agg(
         count(lit(1)).as("points_written"),
-        approx_count_distinct("device_id").as("n_devices"))
+        // exact, like the reference's registry-size report
+        // (influx_service.py:317). count_distinct is unsupported in
+        // streaming aggs; collect_set is exact and its state is bounded by
+        // the (small) per-window device set.
+        size(collect_set(col("device_id"))).cast("long").as("n_devices"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("points_written"), col("n_devices"))
 }

@@ -56,6 +56,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(scorerLine.contains("*("), s"scorer not codegen'd:\n$executed")
   }
 
+  test("q_topk_users: salted partial top-k — no tiny-partition window sorts the full totals") {
+    val df = SparkEntry.queries("q_topk_users")(spark, sf)
+    df.collect() // finalize AQE
+    val executed = df.queryExecution.executedPlan.toString
+    val winLines = executed.linesIterator.filter(_.contains("Window")).toSeq
+    // the first (big-input) window must be partitioned by (event_type, salt);
+    // the salt expression is pre-projected as _w0, so the salted stage shows
+    // a two-key partition spec. Only the <=3*32 candidate survivors reach
+    // the |event_type|-partition final window.
+    val salted = """\[event_type#\d+, _w0#\d+\]""".r
+    assert(salted.findFirstIn(executed).isDefined, s"no salted window in:\n$executed")
+    assert(winLines.size >= 2, s"expected partial+final windows in:\n$executed")
+  }
+
+  test("q_text_ngrams: global top-k plans TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_text_ngrams")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one

@@ -154,6 +154,11 @@ class StreamingSpec extends SparkSuite {
         ("d1", "temp", Some(21.5), None, None),
         ("d1", "mode", None, None, Some("auto")),
         ("d1", "ok", None, Some(true), None)))
+      // layout: date-partitioned (PointStore's documented layout), never
+      // per-device directories (small-files explosion at 10^6 devices)
+      val partDirs = new java.io.File(out).listFiles
+        .filter(f => f.isDirectory && !f.getName.startsWith("_")).map(_.getName)
+      assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("p_date=")))
     } finally q.stop()
   }
 
