@@ -45,21 +45,48 @@ object DedupOps {
   /** Exact pairwise n-gram Jaccard >= tau. Complete for tau > 0: any pair
     * with J > 0 shares a shingle, so the inverted-index self-join on
     * `shingle` enumerates every qualifying pair without a cross product.
+    *
+    * Skew hazard: a shingle appearing in `df` documents contributes
+    * O(df^2) rows to the self-join. One boilerplate phrase shared by 10^6
+    * documents means 10^12 pairs from that single key. `maxShingleDf`
+    * bounds this: shingles with document frequency above the cap are
+    * excluded from CANDIDATE GENERATION only, and every surviving candidate
+    * is then exact-verified against the FULL shingle index, so reported
+    * jaccard values are always true values. Completeness caveat: a pair
+    * whose shared shingles ALL exceed the cap is never considered — for
+    * near-dup dedup that is the right trade (ubiquitous shingles carry no
+    * dedup signal; at corpus scale prefer [[minhashLshPairs]], whose
+    * banded buckets bound candidates by construction).
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int, tau: Double,
+                   maxShingleDf: Option[Long] = None): DataFrame = {
     // the shingle set feeds three plan branches (sizes + both join sides);
     // persist so the explode+md5 work runs once per job. At warehouse scale
     // the equivalent is materializing the shingle index as a table.
     val sh = shingles(docs, idCol, textCol, n).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // shared-shingle counts come straight off the inverted-index self-join —
-    // no candidate materialization + re-join (which re-explodes every
-    // candidate by its full shingle list and dominated the benchmark)
-    val shared = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    jaccardFromCounts(shared, sizes, tau)
+    maxShingleDf match {
+      case None =>
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // shared-shingle counts come straight off the inverted-index self-join —
+        // no candidate materialization + re-join (which re-explodes every
+        // candidate by its full shingle list and dominated the benchmark)
+        val shared = sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("c"))
+        jaccardFromCounts(shared, sizes, tau)
+      case Some(cap) =>
+        require(cap >= 2, s"maxShingleDf < 2 can never produce a candidate pair, got $cap")
+        // candidates only from rare shingles (df <= cap): the self-join's
+        // per-key fan-out is bounded by cap^2 regardless of corpus skew
+        val rare = sh.withColumn("__df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+          .filter(col("__df") <= cap).drop("__df")
+        val candidates = rare.as("a").join(rare.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+        verifyJaccard(candidates, sh, tau)
+    }
   }
 
   private def jaccardFromCounts(shared: DataFrame, sizes: DataFrame, tau: Double): DataFrame =

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * fleet scale (10^6 devices x 10^3 days), the classic small-files failure.
   * At warehouse scale, add bucketing on device_id for shuffle-free
   * device-aligned joins.
+  *
+  * Continuous ingestion (streaming appends accumulating small files) goes
+  * through [[TxLogTable]] instead: per-batch `append` commits + periodic
+  * size-bounded `compact`, with snapshot-isolated readers — the
+  * upsert/compaction story plain parquet append lacks.
   */
 object PointStore {
 

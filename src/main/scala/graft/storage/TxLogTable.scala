@@ -1,0 +1,198 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Minimal ACID table layer in the transaction-log style (the Delta/Iceberg
+  * pattern, BASELINE.md names Parquet/Delta as the reference's table layer):
+  * immutable parquet data directories + an append-only commit log. Each
+  * commit file records the COMPLETE set of data directories visible at that
+  * version, so readers get snapshot isolation by resolving one log entry,
+  * writers never mutate data in place, and old versions stay readable
+  * (time travel) until vacuumed.
+  *
+  * Layout under `path`:
+  * {{{
+  *   d-<uuid>/part-*.parquet     -- immutable data directories
+  *   _txlog/<version>.json       -- {"version":N,"op":"...","dirs":[...]}
+  * }}}
+  *
+  * Commit protocol: write the entry to a temp file, then atomically
+  * hard-link it to `<version>.json` (link(2) fails with EEXIST on a
+  * committed version; rename(2) would silently replace — not a commit
+  * primitive). Two writers racing on the same version see exactly one
+  * winner; the loser gets [[TxLogTable.CommitConflict]] and retries by
+  * re-reading. Holds on local filesystems and HDFS (createLink/no-replace
+  * create); an object store deployment needs a conditional-put commit
+  * service instead — the same caveat Delta's LogStore abstracts.
+  *
+  * Scale posture: MERGE rewrites the full snapshot — correct for dimension
+  * tables (registries: small, slowly changing). Fact tables (the point
+  * store) use `append` per micro-batch + `compact` to fold accumulated
+  * small directories, bounded by `maxBytes` so compaction cost tracks the
+  * small-file debt, never the table size.
+  */
+class TxLogTable(spark: SparkSession, path: String) {
+  import TxLogTable._
+
+  private val root: Path = Paths.get(path)
+  private val logDir: Path = root.resolve("_txlog")
+
+  /** Latest committed version, if any commit exists. */
+  def version: Option[Long] = {
+    if (!Files.isDirectory(logDir)) return None
+    val vs = listLog(logDir)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def read(): DataFrame =
+    readVersion(version.getOrElse(throw new IllegalStateException(s"no committed version at $path")))
+
+  /** Time travel: the table exactly as of commit `v`. */
+  def readVersion(v: Long): DataFrame = {
+    val e = readEntry(v)
+    if (e.dirs.isEmpty)
+      throw new IllegalStateException(s"version $v of $path is empty")
+    spark.read.parquet(e.dirs.map(d => root.resolve(d).toString): _*)
+  }
+
+  /** Append-only commit: previous snapshot plus the new rows. */
+  def append(df: DataFrame): Long = {
+    val dir = writeDataDir(df)
+    commit("append", currentDirs() :+ dir)
+  }
+
+  /** Replace the table contents. */
+  def overwrite(df: DataFrame): Long = {
+    val dir = writeDataDir(df)
+    commit("overwrite", Seq(dir))
+  }
+
+  /** MERGE upsert by `keys`: for each key, one surviving row. With
+    * `orderCol`, the row with the greatest order value wins (ties prefer
+    * the update) — replaying the same updates batch is then idempotent,
+    * which is what makes a foreachBatch maintenance loop exactly-once.
+    * Without `orderCol`, updates unconditionally replace current rows.
+    */
+  def merge(updates: DataFrame, keys: Seq[String], orderCol: Option[String] = None): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val merged = version match {
+      case None => dedupKeys(updates.withColumn("__src", lit(1)), keys, orderCol)
+      case Some(_) =>
+        val tagged = read().withColumn("__src", lit(0))
+          .unionByName(updates.withColumn("__src", lit(1)))
+        dedupKeys(tagged, keys, orderCol)
+    }
+    val dir = writeDataDir(merged)
+    commit("merge", Seq(dir))
+  }
+
+  private def dedupKeys(tagged: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
+    val order = orderCol.map(c => Seq(col(c).desc, col("__src").desc))
+      .getOrElse(Seq(col("__src").desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    tagged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "__src")
+  }
+
+  /** Fold small data directories (total size <= maxBytes each) into one.
+    * Directories above the threshold are carried over untouched, so the
+    * rewrite cost is proportional to the accumulated small-file debt, not
+    * the table size.
+    */
+  def compact(maxBytes: Long = Long.MaxValue): Long = {
+    val dirs = currentDirs()
+    val (small, big) = dirs.partition(d => dirSize(root.resolve(d)) <= maxBytes)
+    if (small.size < 2) return version.get // nothing to fold
+    val folded = spark.read.parquet(small.map(d => root.resolve(d).toString): _*)
+    val dir = writeDataDir(folded)
+    commit("compact", big :+ dir)
+  }
+
+  /** Delete data directories no longer referenced by the LATEST version.
+    * This discards time travel to earlier versions (their log entries stay
+    * but their data may be gone) — run only past any retention window.
+    */
+  def vacuum(): Seq[String] = {
+    val live = currentDirs().toSet
+    val all = Files.list(root).toArray.map(_.asInstanceOf[Path])
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
+    val orphans = all.filterNot(p => live.contains(p.getFileName.toString))
+    orphans.foreach(deleteRecursively)
+    orphans.map(_.getFileName.toString).toSeq
+  }
+
+  private def currentDirs(): Seq[String] =
+    version.map(readEntry(_).dirs).getOrElse(Nil)
+
+  private def readEntry(v: Long): LogEntry =
+    parseEntry(new String(Files.readAllBytes(logDir.resolve(s"$v.json")), "UTF-8"))
+
+  private def writeDataDir(df: DataFrame): String = {
+    val name = s"d-${UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(root.resolve(name).toString)
+    name
+  }
+
+  private def commit(op: String, dirs: Seq[String]): Long = {
+    Files.createDirectories(logDir)
+    val next = version.map(_ + 1).getOrElse(0L)
+    writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs)))
+    next
+  }
+}
+
+object TxLogTable {
+
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  private[graft] case class LogEntry(version: Long, op: String, dirs: Seq[String])
+
+  /** The atomicity point of the commit protocol: materialize the entry to a
+    * temp file, then HARD-LINK it to `<version>.json`. link(2) atomically
+    * fails with EEXIST when the target exists (POSIX rename(2) would
+    * silently replace it — NOT a safe commit primitive), so of two writers
+    * racing on the same version exactly one link succeeds; the loser gets
+    * [[CommitConflict]] and must re-read and retry.
+    */
+  private[graft] def writeCommitFile(logDir: Path, version: Long, entry: String): Unit = {
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, entry.getBytes("UTF-8"))
+    try Files.createLink(logDir.resolve(s"$version.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflict(s"version $version was committed concurrently")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  // dir names are generated (`d-<hex>`), ops are fixed strings: no escaping
+  // needed, so the log format stays a hand-rolled one-liner with no JSON
+  // library dependency
+  private[graft] def renderEntry(e: LogEntry): String =
+    s"""{"version":${e.version},"op":"${e.op}","dirs":[${e.dirs.map(d => s""""$d"""").mkString(",")}]}"""
+
+  private[graft] def parseEntry(s: String): LogEntry = {
+    val version = """"version":(\d+)""".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"bad log entry: $s")).group(1).toLong
+    val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val dirsRaw = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val dirs = """"([^"]+)"""".r.findAllMatchIn(dirsRaw).map(_.group(1)).toSeq
+    LogEntry(version, op, dirs)
+  }
+
+  private def listLog(logDir: Path): Seq[Long] =
+    Files.list(logDir).toArray.map(_.asInstanceOf[Path].getFileName.toString)
+      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).toSeq
+
+  private def dirSize(p: Path): Long =
+    Files.walk(p).toArray.map(_.asInstanceOf[Path])
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).toArray.map(_.asInstanceOf[Path])
+      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+}

@@ -42,6 +42,36 @@ class DedupSpec extends SparkSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("df-capped jaccard: ubiquitous shingle generates no candidates, rare pairs stay exact") {
+    // every doc shares one boilerplate shingle ("x y z"); docs 1/2 and 3/4
+    // additionally share rare content. Uncapped, the hot shingle alone
+    // fans out O(n^2) join rows; with the cap its bucket is skipped.
+    val n = 40
+    val boiler = (1 to n).map(d => (d.toLong, s"x y z unique$d filler$d pad$d"))
+    val near = Seq(
+      (101L, "x y z alpha beta gamma delta"),
+      (102L, "x y z alpha beta gamma delta"),
+      (103L, "x y z red green blue cyan"),
+      (104L, "x y z red green blue cyan"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+
+    val capped = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.5, maxShingleDf = Some(10L))
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(capped.keySet == Set((101L, 102L), (103L, 104L)))
+    // values are TRUE jaccard (verified on the full index), not an estimate
+    // over surviving shingles only
+    val uncapped = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .select("i", "j", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (i, j, v) => (i, j) -> v }.toMap
+    assert(capped == uncapped.view.filterKeys(capped.keySet).toMap)
+    // bounded fan-out: candidate generation never touches the df=44 shingle,
+    // so the candidate set is exactly the rare-shingle pairs
+    val sh = DedupOps.shingles(df, "doc_id", "text", 3)
+    val hotDf = sh.groupBy("shingle").count().agg(max("count")).as[Long].collect().head
+    assert(hotDf == (n + 4).toLong) // the skew this test exists to exercise
+  }
+
   test("shingling skips documents shorter than n tokens") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = DedupOps.shingles(df, "doc_id", "text", 3)

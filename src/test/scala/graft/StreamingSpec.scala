@@ -162,6 +162,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CDC -> MERGE-maintained registry table -> ingest semi-join (R11 closes into R6)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val tablePath = tmp("reg_table") + "/registry"
+    val cp = tmp("reg_cp")
+    val in = MemoryStream[RegistryCdc.ServiceEvent]
+    val q = RegistryMaintenance.start(RegistryCdc.apply(in.toDS()), tablePath, cp,
+      Trigger.ProcessingTime(0))
+    try {
+      in.addData(
+        RegistryCdc.ServiceEvent("d1", "new", Seq("Temp"), 100),
+        RegistryCdc.ServiceEvent("d2", "new", Seq("Hum"), 100))
+      q.processAllAvailable()
+      in.addData(RegistryCdc.ServiceEvent("d2", "delete", Nil, 200))
+      q.processAllAvailable()
+
+      // the ingest path reads the SAME table the CDC stream maintains
+      val reg = RegistryMaintenance.activeDevices(spark, tablePath)
+      assert(reg.as[String].collect().toSeq == Seq("d1")) // d2 soft-deleted
+      val msgs = Seq(
+        ("openchirp/device/d1/temp", "1.5"), // registered
+        ("openchirp/device/d2/hum", "2.0"),  // deleted -> dropped
+        ("openchirp/device/d3/co2", "3.0"))  // never registered -> dropped
+        .toDF("topic", "payload")
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val pts = graft.ingest.Ingest.narrowPoints(
+        graft.ingest.Ingest.registryFilter(
+          graft.ingest.Ingest.inferTypes(graft.ingest.Ingest.parseTopic(msgs)), reg))
+      assert(pts.select("device_id").as[String].collect().toSeq == Seq("d1"))
+
+      // a LATE re-create beats the delete by event time, replay-safely
+      in.addData(RegistryCdc.ServiceEvent("d2", "new", Seq("Hum"), 300))
+      q.processAllAvailable()
+      assert(RegistryMaintenance.activeDevices(spark, tablePath)
+        .as[String].collect().toSet == Set("d1", "d2"))
+    } finally q.stop()
+  }
+
   test("status publisher emits the reference's JSON shape per closed window") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Long)]
