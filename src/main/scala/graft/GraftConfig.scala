@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** R18/R19 — file-driven configuration + logging setup.
+  *
+  * The reference loads a flat INI (`[DEFAULT]` section of key=value pairs,
+  * common.py:33-52; service.conf) and maps an integer `log_verbosity` 1..6
+  * to a logging level via `(6 - v) * 10` (common.py:54-81). This is the
+  * same surface Spark-side: an INI scan to a flat string map, engine
+  * settings picked from well-known keys, any `spark.*` key passed through
+  * to the session builder verbatim, and the verbosity scale mapped onto
+  * log4j2 levels.
+  */
+object GraftConfig {
+
+  /** Parse INI text to a flat map. `[DEFAULT]` keys stay unprefixed; keys
+    * in any other section are flattened as `section.key`. `#`/`;` start
+    * comments, keys are lower-cased and trimmed (configparser semantics).
+    * `spark.*` keys keep their case-sensitive tail (Spark conf keys are
+    * case-sensitive), everything else lower-cases.
+    */
+  def parseIni(text: String): Map[String, String] = {
+    var section = "DEFAULT"
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1).trim
+        } else line.indexOf('=') match {
+          case -1 => // bare line: ignored, like configparser's non-strict mode
+          case i =>
+            val rawKey = line.substring(0, i).trim
+            val key = if (rawKey.startsWith("spark.")) rawKey else rawKey.toLowerCase
+            val value = line.substring(i + 1).trim
+            out(if (section == "DEFAULT") key else s"${section.toLowerCase}.$key") = value
+        }
+      }
+    }
+    out.toMap
+  }
+
+  def load(path: String): Map[String, String] =
+    parseIni(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  /** The reference's verbosity scale: `(6 - v) * 10` = CRITICAL(1) ..
+    * NOTSET(6), translated to log4j2 level names.
+    */
+  def verbosityToLevel(v: Int): String = v match {
+    case 1          => "FATAL"
+    case 2          => "ERROR"
+    case 3          => "WARN"
+    case 4          => "INFO"
+    case 5          => "DEBUG"
+    case n if n >= 6 => "TRACE" // NOTSET: log everything
+    case _          => "WARN"
+  }
+
+  /** Build a session from config: engine defaults first, then the
+    * well-known keys, then every `spark.*` key verbatim (so a deployment
+    * can set any Spark conf without a code change — the INI equivalent of
+    * spark-defaults.conf).
+    *
+    * Well-known keys: `app_name`, `master`, `cores` (used by the default
+    * local master and shuffle partitions when `master` is absent).
+    */
+  def sessionBuilder(conf: Map[String, String]): SparkSession.Builder = {
+    val cores = conf.getOrElse("cores", "32")
+    val b = GraftSession.builder(
+        appName = conf.getOrElse("app_name", "graft"), cores = cores)
+      .master(conf.getOrElse("master", s"local[$cores]"))
+    conf.foldLeft(b) {
+      case (bb, (k, v)) if k.startsWith("spark.") => bb.config(k, v)
+      case (bb, _) => bb
+    }
+  }
+
+  /** R19 — apply the configured verbosity to the running session's log4j2
+    * hierarchy (the reference rebuilds the root logger's handlers; Spark
+    * owns the appenders, so level is the knob).
+    */
+  def configureLogging(spark: SparkSession, conf: Map[String, String]): Unit =
+    spark.sparkContext.setLogLevel(
+      verbosityToLevel(conf.getOrElse("log_verbosity", "3").toInt))
+
+  /** One-call entry: load file, build session, set logging. */
+  def sessionFromFile(path: String): SparkSession = {
+    val conf = load(path)
+    val spark = sessionBuilder(conf).getOrCreate()
+    configureLogging(spark, conf)
+    GraftSession.prepare(spark)
+  }
+}

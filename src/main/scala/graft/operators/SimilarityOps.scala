@@ -106,22 +106,15 @@ object SimilarityOps {
       .filter(col("cos") >= tau)
   }
 
-  /** IVF-style partitioned ANN. Deterministic stand-in for k-means training:
-    * the first `nCentroids` vectors serve as centroids (a production build
-    * would learn them; the index/search mechanics — assignment, probe
-    * ranking, bucket-restricted scoring — are identical and are what's
-    * exercised here).
-    *
-    * Every vector is assigned to its max-cosine centroid; a query probes the
-    * `probes` nearest centroid buckets and scores only those vectors:
-    * the pair space shrinks ~nCentroids/probes-fold, and the bucket join is
-    * a plain equi-join on `cid`, so it scales like any hash join.
-    */
-  def ivfAssignments(vecs: DataFrame, nCentroids: Int): DataFrame = {
-    val q = vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+  /** Quantized corpus in the internal shape: (vec_id, qv, qn). */
+  private def prepQ(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", normQ(col("qv")))
-    val cents = q.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+
+  /** Assign each vector to its max-cosine centroid (explicit tie-break on
+    * cid). Centroids are broadcast; the corpus is never shuffled.
+    */
+  private def assignTo(q: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("qn"), col("cid"),
@@ -131,15 +124,74 @@ object SimilarityOps {
       .select("vec_id", "qv", "qn", "cid")
   }
 
+  /** Fixed-iteration Lloyd's k-means on quantized vectors, fully
+    * deterministic and integer-exact so it is oracle-able as plain
+    * arithmetic: init = first k vectors by id; assignment = max cosine with
+    * cid tie-break; update = element-wise FLOOR-DIVISION mean
+    * `(s - pmod(s, n)) / n` (no floating-point accumulation, so every
+    * engine computes bit-identical centroids). Empty clusters carry their
+    * previous centroid forward. Cosine is scale-invariant, so the floor
+    * rounding (vs a real mean) perturbs assignments no more than
+    * quantization itself.
+    *
+    * Scale: each iteration is one broadcast-join pass over the corpus plus
+    * a (cid, pos)-grouped sum — k*dim rows on the shuffle, independent of
+    * corpus size.
+    */
+  def kmeansCentroidsQ(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(q, cents)
+      val sums = assigned.select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      // exact floor division in pure int arithmetic: numerator is divisible
+      // by cnt, so the double division is exact (|s| < 2^53)
+      val newc = sums
+        .withColumn("c", ((col("s") - pmod(col("s"), col("cnt"))) / col("cnt")).cast("long"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+      cents = cents.as("p").join(newc.as("nc"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nc.cv"), col("p.cv")).as("cv"))
+        .withColumn("cn", normQ(col("cv")))
+    }
+    cents
+  }
+
+  /** IVF-style partitioned ANN. Centroids are either the first `nCentroids`
+    * vectors (kmeansIters = 0, the trivial deterministic index) or learned
+    * by [[kmeansCentroidsQ]] (kmeansIters > 0 — better-balanced buckets,
+    * higher recall at the same probe budget).
+    *
+    * Every vector is assigned to its max-cosine centroid; a query probes the
+    * `probes` nearest centroid buckets and scores only those vectors:
+    * the pair space shrinks ~nCentroids/probes-fold, and the bucket join is
+    * a plain equi-join on `cid`, so it scales like any hash join.
+    */
+  def ivfAssignments(vecs: DataFrame, nCentroids: Int, kmeansIters: Int = 0): DataFrame = {
+    val q = prepQ(vecs)
+    assignTo(q, ivfCentroids(q, nCentroids, kmeansIters))
+  }
+
+  private def ivfCentroids(q: DataFrame, nCentroids: Int, kmeansIters: Int): DataFrame =
+    if (kmeansIters == 0)
+      q.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+    else kmeansCentroidsQ(q, nCentroids, kmeansIters)
+
   def ivfTopK(vecs: DataFrame, nCentroids: Int, probes: Int, k: Int,
-              isQuery: Column): DataFrame = {
-    val assigned = ivfAssignments(vecs, nCentroids).persist()
-    val cents = assigned.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid2"), col("qv").as("cv"), col("qn").as("cn"))
+              isQuery: Column, kmeansIters: Int = 0): DataFrame = {
+    val q = prepQ(vecs).persist()
+    val cents = ivfCentroids(q, nCentroids, kmeansIters).persist()
+    val assigned = assignTo(q, cents).persist()
     val queries = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("qv").as("want_qv"), col("qn").as("want_qn"))
+    val probeCents = cents
+      .select(col("cid").as("cid2"), col("cv"), col("cn"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid2").asc)
-    val probed = queries.crossJoin(broadcast(cents))
+    val probed = queries.crossJoin(broadcast(probeCents))
       .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2"),
         cosineQ(dotQ(col("want_qv"), col("cv")), col("want_qn"), col("cn")).as("pcos"))
       .withColumn("prk", row_number().over(wProbe))

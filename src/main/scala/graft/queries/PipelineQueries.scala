@@ -34,6 +34,55 @@ object PipelineQueries {
     s"len(list_filter(toks, t -> list_contains([$lst], t)))"
   }
 
+  private def cosSql(av: String, an: String, bv: String, bn: String) =
+    s"""CAST(${dotSql(av, bv)} AS DOUBLE) / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))"""
+
+  /** DuckDB oracle for IVF ANN with `iters` unrolled k-means iterations —
+    * mirrors [[SimilarityOps.kmeansCentroidsQ]] step for step: max-cos
+    * assignment with cid tie-break, element-wise floor-division mean
+    * `(s - ((s % n + n) % n)) / n` (exact: numerator divisible, < 2^53),
+    * empty clusters carry the previous centroid.
+    */
+  private def ivfOracleSql(nCentroids: Int, probes: Int, topK: Int, iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""kassign$t AS (SELECT vec_id, qv, cid FROM (
+         |    SELECT n.vec_id, n.qv, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} DESC, c.cid) AS crk
+         |    FROM n, cents$t c) WHERE crk = 1),
+         |ksums$t AS (SELECT cid, i AS pos, sum(qv[i]) AS s, count(*) AS cnt
+         |  FROM kassign$t, UNNEST(generate_series(1, len(qv))) AS u(i) GROUP BY 1, 2),
+         |knewc$t AS (SELECT cid,
+         |    list(CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cv
+         |  FROM ksums$t GROUP BY 1),
+         |cents${t + 1} AS (SELECT p.cid, coalesce(nc.cv, p.cv) AS cv,
+         |    CAST(list_sum(list_transform(coalesce(nc.cv, p.cv), x -> x * x)) AS BIGINT) AS cn
+         |  FROM cents$t p LEFT JOIN knewc$t nc ON p.cid = nc.cid)""".stripMargin
+    }
+    s"""WITH $quantSql,
+       |cents0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < $nCentroids),
+       |${steps.mkString(",\n")}${if (iters > 0) "," else ""}
+       |assign0 AS (SELECT n.vec_id, n.qv, n.nq, c.cid,
+       |    ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} AS ccos
+       |  FROM n, cents$iters c),
+       |assigned AS (SELECT vec_id, qv, nq, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+       |    FROM assign0) WHERE crk = 1),
+       |queries AS (SELECT vec_id AS query_id, qv AS want_qv, nq AS want_qn
+       |  FROM assigned WHERE vec_id >= 100 AND vec_id < 120),
+       |probed AS (SELECT query_id, want_qv, want_qn, cid FROM (
+       |    SELECT q.query_id, q.want_qv, q.want_qn, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${cosSql("q.want_qv", "q.want_qn", "c.cv", "c.cn")} DESC, c.cid) AS prk
+       |    FROM queries q, cents$iters c) WHERE prk <= $probes),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("p.want_qv", "p.want_qn", "a.qv", "a.nq")} AS cos
+       |  FROM probed p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM scored) WHERE rk <= $topK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace + BPE-ish regex
@@ -159,12 +208,13 @@ object PipelineQueries {
           sum(col("vec_id")).as("sum_vec"))
     }),
 
-    // IVF-partitioned ANN: assign to max-cos centroid, probe 2 buckets,
-    // score only bucket members (nCentroids=8, the deterministic training
-    // stand-in; mechanics identical to learned centroids)
+    // IVF-partitioned ANN with LEARNED centroids: 2 deterministic k-means
+    // iterations (integer floor-div means, first-8 init — oracle-able as
+    // fixed arithmetic), then assign to max-cos centroid, probe 2 buckets,
+    // score only bucket members
     "q_ann_ivf" -> ((s, dir) => {
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, probes = 2, k = 3,
-        isQuery = col("vec_id") >= 100 && col("vec_id") < 120)
+        isQuery = col("vec_id") >= 100 && col("vec_id") < 120, kmeansIters = 2)
         .select("query_id", "rk", "neighbor_id", "cos")
     }),
 
@@ -351,31 +401,7 @@ object PipelineQueries {
          |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec, CAST(sum(vec_id) AS BIGINT) AS sum_vec
          |FROM buckets GROUP BY 1""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH $quantSql,
-         |cents AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < 8),
-         |assign0 AS (SELECT n.vec_id, n.qv, n.nq, cents.cid,
-         |    CAST(${dotSql("n.qv", "cents.cv")} AS DOUBLE)
-         |      / sqrt(CAST(n.nq AS DOUBLE) * CAST(cents.cn AS DOUBLE)) AS ccos
-         |  FROM n, cents),
-         |assigned AS (SELECT vec_id, qv, nq, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
-         |    FROM assign0) WHERE crk = 1),
-         |queries AS (SELECT vec_id AS query_id, qv AS want_qv, nq AS want_qn
-         |  FROM assigned WHERE vec_id >= 100 AND vec_id < 120),
-         |probed AS (SELECT query_id, want_qv, want_qn, cid FROM (
-         |    SELECT q.query_id, q.want_qv, q.want_qn, cents.cid,
-         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |        CAST(${dotSql("q.want_qv", "cents.cv")} AS DOUBLE)
-         |          / sqrt(CAST(q.want_qn AS DOUBLE) * CAST(cents.cn AS DOUBLE)) DESC, cents.cid) AS prk
-         |    FROM queries q, cents) WHERE prk <= 2),
-         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CAST(${dotSql("p.want_qv", "a.qv")} AS DOUBLE)
-         |      / sqrt(CAST(p.want_qn AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
-         |  FROM probed p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, cos, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-         |  FROM scored) WHERE rk <= 3""".stripMargin,
+    "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
 
     "q_text_rolling_fp" ->
       s"""SELECT doc_id,

@@ -35,6 +35,26 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh.subsetOf(brute))
   }
 
+  test("IVF with learned centroids: recall vs brute-force top-k") {
+    val isQ = col("vec_id") >= 100 && col("vec_id") < 120
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(SimilarityOps.bruteTopK(emb.filter(isQ), emb, 3))
+    val learned = pairs(SimilarityOps.ivfTopK(emb, 8, 2, 3, isQ, kmeansIters = 2))
+    val recall = (learned & brute).size.toDouble / brute.size
+    info(f"ivf recall@3 (8 centroids, 2 probes, 2 kmeans iters): $recall%.2f")
+    // 2-of-8 probes scans ~1/4 of the corpus; on the near-isotropic fixture
+    // embeddings (no real cluster structure) measured recall is ~0.42
+    // (learned) vs ~0.3 (first-N init). A floor well above the ~0.25 random
+    // baseline keeps this a real assertion without overfitting the fixture.
+    assert(recall >= 0.35, f"recall $recall%.2f below floor")
+    // the learned index must not be WORSE than the untrained first-N one
+    val firstN = pairs(SimilarityOps.ivfTopK(emb, 8, 2, 3, isQ, kmeansIters = 0))
+    val recallFirstN = (firstN & brute).size.toDouble / brute.size
+    info(f"first-N recall@3: $recallFirstN%.2f")
+    assert(recall >= recallFirstN - 0.15, "learned centroids regressed recall materially")
+  }
+
   test("multimodal decode stub: per-partition map yields features for every row") {
     val media = MultimodalOps.withPayload(Tables.documents(spark, sf).limit(20))
       .select(col("doc_id"), col("payload"), col("modality"))
