@@ -118,8 +118,10 @@ object PipelineQueries {
     "q_text_ngrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val bigrams = DedupOps.shingles(Tables.documents(s, dir), "doc_id", "text", 2)
+      // shingles() already emits DISTINCT (doc_id, shingle), so a plain
+      // count IS the document frequency — no two-phase distinct aggregate
       val counts = bigrams.groupBy(col("shingle").as("bigram"))
-        .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        .agg(count(lit(1)).as("doc_freq"))
       counts.orderBy(col("doc_freq").desc, col("bigram").asc).limit(10)
         // rank over the <=10 survivors; partitionBy(lit) keeps the window's
         // partitionSpec non-empty (no "No Partition Defined" plan warning)

@@ -17,12 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `#` rest), stamps arrival time, and exposes `(topic, payload, ts)` rows
   * to Structured Streaming micro-batches.
   *
-  * Transport: an in-process [[MqttBus]] stands in for a broker connection
-  * (zero-egress test environment); a production source would hold one
-  * subscriber per partition feeding the same offset-indexed log. Offsets are
-  * plain message indexes, so recovery/exactly-once come from the streaming
-  * checkpoint like any log-backed source — which is precisely what the
-  * reference's in-memory queue (influx_service.py:54,80) lacked.
+  * Transport: the broker side is behind the [[MqttTransport]] seam —
+  * [[MqttConnectionManager]] owns connect/subscribe/reconnect-resubscribe
+  * and pumps messages into this offset-indexed log; the zero-egress build
+  * plugs [[InProcessTransport]] in, a production build implements the same
+  * trait over a real client library. Offsets are plain message indexes, so
+  * recovery/exactly-once come from the streaming checkpoint like any
+  * log-backed source — which is precisely what the reference's in-memory
+  * queue (influx_service.py:54,80) lacked.
   */
 object MqttBus {
   private val messages = ArrayBuffer[(String, Array[Byte], Long)]()
