@@ -64,6 +64,27 @@ object ExtraQueries {
             - expr("percentile(value, 0.95)")) <= lit(0.05) * spread).as("p95_ok"))
     }),
 
+    // ACID MERGE upsert through the transaction-log table: seed a keyed
+    // dimension from customer, MERGE the latest-order update per customer
+    // (asOf = order date, so stale updates lose), read the committed
+    // snapshot back. The oracle recomputes the same upsert relationally —
+    // gating the actual write->merge->read roundtrip, not just the algebra.
+    "q_table_merge" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+      val t = new graft.storage.TxLogTable(s, path)
+      t.overwrite(Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_acctbal").as("v"), lit(0L).as("as_of_us")))
+      val latestOrder = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(
+          max_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey"))).as("v"),
+          // o_orderdate is parquet TIMESTAMP_NTZ; cast is identity under the
+          // UTC session zone and matches DuckDB's naive epoch_us
+          unix_micros(max(col("o_orderdate")).cast("timestamp")).as("as_of_us"))
+      t.merge(latestOrder, keys = Seq("k"), orderCol = Some("as_of_us"))
+      t.read()
+    }),
+
     // typed UDAF: weighted average with exact decimal buffer
     "q_udaf_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg)
@@ -156,6 +177,20 @@ object ExtraQueries {
         |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
         |    <= 0.05 * (max(value) - min(value)) AS p95_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_table_merge" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey AS k, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |mx AS (SELECT o_custkey AS k, epoch_us(max(o_orderdate)) AS as_of_us
+        |  FROM orders GROUP BY 1),
+        |upd AS (SELECT r.k, r.v, m.as_of_us FROM ranked r JOIN mx m ON r.k = m.k WHERE r.rn = 1)
+        |SELECT coalesce(u.k, c.c_custkey) AS k,
+        |  coalesce(u.v, c.c_acctbal) AS v,
+        |  coalesce(u.as_of_us, 0) AS as_of_us
+        |FROM customer c FULL JOIN upd u ON c.c_custkey = u.k""".stripMargin,
 
     "q_udaf_wavg" ->
       """SELECT l_returnflag,
