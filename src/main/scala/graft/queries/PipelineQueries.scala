@@ -220,6 +220,29 @@ object PipelineQueries {
         .select("query_id", "rk", "neighbor_id", "cos")
     }),
 
+    // the full training-data cleaning pipeline as ONE declarative plan:
+    // quality gate -> language-ID agreement -> fingerprint near-dup
+    // survivor selection -> per-language corpus stats. One scan, one
+    // window shuffle on the (high-cardinality) fingerprint, one final agg.
+    "q_pipeline_clean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextOps.qualityFeatures(col("text")).last._2
+      val kept = Tables.documents(s, dir)
+        .withColumn("q", q)
+        .filter(col("q") >= 0.5) // quality gate
+        .withColumn("agree", (TextOps.langId(col("text")) === col("lang")).cast("long"))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("q").desc, col("doc_id").asc)
+      kept.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("agree")).as("n_lang_agree"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          min(col("q")).as("min_q"),
+          max(col("q")).as("max_q"))
+    }),
+
     // order-sensitive rolling (polynomial) fingerprint
     "q_text_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
@@ -404,6 +427,34 @@ object PipelineQueries {
          |FROM buckets GROUP BY 1""".stripMargin,
 
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
+
+    "q_pipeline_clean" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |scored AS (SELECT doc_id, lang, text, toks,
+         |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |      + 0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         |      + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS q,
+         |    ${stopSql("de")} AS s_de, ${stopSql("en")} AS s_en,
+         |    ${stopSql("es")} AS s_es, ${stopSql("fr")} AS s_fr
+         |  FROM t),
+         |kept AS (SELECT doc_id, lang, toks, q,
+         |    CASE WHEN lang = CASE
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'und' END THEN 1 ELSE 0 END AS agree,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp
+         |  FROM scored
+         |  WHERE q >= 0.5),
+         |ranked AS (SELECT lang, toks, q, agree,
+         |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rk
+         |  FROM kept)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(agree) AS BIGINT) AS n_lang_agree,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  min(q) AS min_q, max(q) AS max_q
+         |FROM ranked WHERE rk = 1 GROUP BY 1""".stripMargin,
 
     "q_text_rolling_fp" ->
       s"""SELECT doc_id,
