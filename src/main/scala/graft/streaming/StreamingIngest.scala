@@ -49,6 +49,23 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** R8 as a STREAMING view: the wide (device, ts) -> {transducer: num}
+    * layout maintained incrementally — the reference double-writes this
+    * "organized" form on every message (influx_service.py:191-200); here it
+    * is derived from the narrow stream with no second write path.
+    * Redelivered duplicates are dropped by a watermark-bounded dedup BEFORE
+    * the map build (map_from_entries throws on duplicate keys); append mode
+    * emits each (device, ts) row exactly once, when the watermark passes
+    * its event time. Two chained stateful operators, both bounded by the
+    * same watermark.
+    */
+  def wideViewStream(points: DataFrame, lateness: String = "1 minute"): DataFrame =
+    points
+      .withWatermark("ts", lateness)
+      .dropDuplicates(Seq("device_id", "ts", "transducer"))
+      .groupBy(col("device_id"), col("ts"))
+      .agg(map_from_entries(collect_list(struct(col("transducer"), col("num")))).as("fields"))
+
   /** R10 — the 10-minute points-written rollup (influx_service.py:310-322),
     * as an event-time tumbling window with a watermark bounding state.
     * Emits one row per closed window: the reference's status payload fields

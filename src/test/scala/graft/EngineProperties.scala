@@ -151,6 +151,39 @@ object EngineProperties extends Properties("graft") {
       gotExec == model && gotComposed == model
     }
 
+  // --- TxLogTable merge: fold of merges equals a pure last-writer-wins map --
+
+  private val mergeBatchesGen: Gen[List[List[(Long, String, Long)]]] = for {
+    nBatches <- Gen.chooseNum(1, 4)
+    batches <- Gen.listOfN(nBatches, for {
+      n <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 4L)
+        v <- Gen.oneOf("a", "b", "c", "d")
+        ts <- Gen.chooseNum(1L, 9L)
+      } yield (k, v, ts))
+      // one row per (key, ts) within a batch: equal-ts rows in ONE batch
+      // have no defined winner (the seam callers like RegistryMaintenance
+      // never produce them — CDC emits one snapshot per key per batch)
+    } yield rows.groupBy(r => (r._1, r._3)).values.map(_.head).toList)
+  } yield batches
+
+  property("TxLogTable merge fold equals last-writer-wins (ties favor later batch)") =
+    forAll(mergeBatchesGen) { batches =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("txprop").toString + "/t"
+      val t = new graft.storage.TxLogTable(spark, dir)
+      batches.foreach(b => t.merge(b.toDF("k", "v", "ts"), Seq("k"), Some("ts")))
+      val got = t.read().as[(Long, String, Long)].collect().toSet
+      // pure model: per key, the row with max ts; among equal ts the row
+      // from the LATEST batch wins (updates beat current state)
+      val model = batches.zipWithIndex.flatMap { case (b, i) => b.map(r => (r, i)) }
+        .groupBy(_._1._1)
+        .map { case (_, rows) => rows.maxBy { case ((_, _, ts), i) => (ts, i) }._1 }
+        .toSet
+      got == model
+    }
+
   property("registry CDC result is independent of arrival order") =
     forAll(eventsGen, Gen.chooseNum(0, 1000)) { (events, seed) =>
       import spark.implicits._

@@ -162,6 +162,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming wide view: dedup + map build close after watermark, duplicates collapse") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device_id", "transducer", "ts_us", "num")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val wide = StreamingIngest.wideViewStream(points, "1 minute")
+    val q = wide.writeStream.format("memory").queryName("wide_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ("d1", "temp", us("2024-01-01 00:00:01"), 21.5),
+        ("d1", "temp", us("2024-01-01 00:00:01"), 21.5), // redelivery: must collapse
+        ("d1", "hum", us("2024-01-01 00:00:01"), 0.4))
+      q.processAllAvailable()
+      assert(spark.table("wide_out").count() == 0) // watermark not yet past
+      in.addData(("d1", "temp", us("2024-01-01 00:10:00"), 22.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("wide_out")
+        .select(col("device_id"), col("fields"))
+        .collect().map(r => (r.getString(0), r.getMap[String, Double](1).toMap))
+      assert(rows.toSeq == Seq(("d1", Map("temp" -> 21.5, "hum" -> 0.4))))
+    } finally q.stop()
+  }
+
   test("CDC -> MERGE-maintained registry table -> ingest semi-join (R11 closes into R6)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
