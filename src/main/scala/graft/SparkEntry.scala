@@ -88,6 +88,26 @@ object SparkEntry {
           count(col("bool")).as("n_bool"), count(col("str")).as("n_str"))
     }),
 
+    // R3 dispatch as a gated query: data-plane / control-plane / dead-letter
+    // routing over a mixed topic stream (the reference swallows unroutable
+    // messages in a bare except, influx_service.py:114-119 — we route and
+    // count them)
+    "q_dead_letter" -> ((s, dir) => {
+      val m = col("event_id") % 5
+      val mixed = Tables.events(s, dir).select(
+        when(m === 3, lit("openchirp/service/svc1/thing/events"))
+          .when(m === 4, concat(lit("noise/"), col("event_type")))
+          .otherwise(concat_ws("/", lit("openchirp"), lit("device"),
+            concat(lit("dev"), col("user_id") % 50), col("event_type"))).as("topic"))
+      mixed.select(
+          when(Ingest.dataTopicFilter, "data")
+            .when(Ingest.isEventTopic("openchirp/service/svc1/thing/events"), "control")
+            .otherwise("dead_letter").as("route"),
+          col("topic"))
+        .groupBy("route")
+        .agg(count(one).as("n"), countDistinct(col("topic")).as("n_topics"))
+    }),
+
     // §2.2: time-bucketed aggregation (GROUP BY time(10m) idiom; R10)
     "q_bucket_10m" -> ((s, dir) => {
       TimeSeriesOps.bucketAgg(Tables.events(s, dir), col("ts"), "10 minutes",
@@ -222,6 +242,20 @@ object SparkEntry {
          |  count(bool) AS n_bool, count(str) AS n_str
          |FROM parsed WHERE device_id IN (SELECT device_id FROM registry)
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_dead_letter" ->
+      """WITH mixed AS (
+        |  SELECT CASE event_id % 5
+        |    WHEN 3 THEN 'openchirp/service/svc1/thing/events'
+        |    WHEN 4 THEN 'noise/' || event_type
+        |    ELSE 'openchirp/device/dev' || (user_id % 50) || '/' || event_type END AS topic
+        |  FROM events)
+        |SELECT CASE
+        |    WHEN regexp_matches(topic, '^openchirp/device/[^/]+/[^/]+$') THEN 'data'
+        |    WHEN topic = 'openchirp/service/svc1/thing/events' THEN 'control'
+        |    ELSE 'dead_letter' END AS route,
+        |  count(*) AS n, count(DISTINCT topic) AS n_topics
+        |FROM mixed GROUP BY 1""".stripMargin,
 
     "q_bucket_10m" ->
       """SELECT (epoch_us(ts) // 600000000) * 600000000 AS w_start, event_type,
