@@ -70,8 +70,8 @@ object ExtraQueries {
     // snapshot back. The oracle recomputes the same upsert relationally —
     // gating the actual write->merge->read roundtrip, not just the algebra.
     "q_table_merge" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
-      val t = new graft.storage.TxLogTable(s, path)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_merge")
+      val t = new graft.storage.TxLogTable(s, tmpRoot.toString + "/t")
       t.overwrite(Tables.customer(s, dir).select(
         col("c_custkey").as("k"), col("c_acctbal").as("v"), lit(0L).as("as_of_us")))
       val latestOrder = Tables.orders(s, dir)
@@ -82,7 +82,16 @@ object ExtraQueries {
           // UTC session zone and matches DuckDB's naive epoch_us
           unix_micros(max(col("o_orderdate")).cast("timestamp")).as("as_of_us"))
       t.merge(latestOrder, keys = Seq("k"), orderCol = Some("as_of_us"))
-      t.read()
+      val out = t.read()
+      // materialize the (dimension-sized) snapshot, then delete the scratch
+      // table so repeated invocations don't litter the temp filesystem
+      val rows = out.collect()
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      val st = java.nio.file.Files.walk(tmpRoot)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally st.close()
+      result
     }),
 
     // typed UDAF: weighted average with exact decimal buffer

@@ -62,14 +62,17 @@ class TxLogTable(spark: SparkSession, path: String) {
 
   /** Append-only commit: previous snapshot plus the new rows. */
   def append(df: DataFrame): Long = {
+    val base = version
+    val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
     val dir = writeDataDir(df)
-    commit("append", currentDirs() :+ dir)
+    commit("append", dirs :+ dir, base)
   }
 
   /** Replace the table contents. */
   def overwrite(df: DataFrame): Long = {
+    val base = version
     val dir = writeDataDir(df)
-    commit("overwrite", Seq(dir))
+    commit("overwrite", Seq(dir), base)
   }
 
   /** MERGE upsert by `keys`: for each key, one surviving row. With
@@ -80,15 +83,16 @@ class TxLogTable(spark: SparkSession, path: String) {
     */
   def merge(updates: DataFrame, keys: Seq[String], orderCol: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val merged = version match {
+    val base = version
+    val merged = base match {
       case None => dedupKeys(updates.withColumn("__src", lit(1)), keys, orderCol)
-      case Some(_) =>
-        val tagged = read().withColumn("__src", lit(0))
+      case Some(v) =>
+        val tagged = readVersion(v).withColumn("__src", lit(0))
           .unionByName(updates.withColumn("__src", lit(1)))
         dedupKeys(tagged, keys, orderCol)
     }
     val dir = writeDataDir(merged)
-    commit("merge", Seq(dir))
+    commit("merge", Seq(dir), base)
   }
 
   private def dedupKeys(tagged: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
@@ -105,12 +109,14 @@ class TxLogTable(spark: SparkSession, path: String) {
     * the table size.
     */
   def compact(maxBytes: Long = Long.MaxValue): Long = {
-    val dirs = currentDirs()
+    val base = Some(version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path")))
+    val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
     val (small, big) = dirs.partition(d => dirSize(root.resolve(d)) <= maxBytes)
-    if (small.size < 2) return version.get // nothing to fold
+    if (small.size < 2) return base.get // nothing to fold
     val folded = spark.read.parquet(small.map(d => root.resolve(d).toString): _*)
     val dir = writeDataDir(folded)
-    commit("compact", big :+ dir)
+    commit("compact", big :+ dir, base)
   }
 
   /** Delete data directories no longer referenced by the LATEST version.
@@ -119,11 +125,11 @@ class TxLogTable(spark: SparkSession, path: String) {
     */
   def vacuum(): Seq[String] = {
     val live = currentDirs().toSet
-    val all = Files.list(root).toArray.map(_.asInstanceOf[Path])
+    val all = listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
     val orphans = all.filterNot(p => live.contains(p.getFileName.toString))
     orphans.foreach(deleteRecursively)
-    orphans.map(_.getFileName.toString).toSeq
+    orphans.map(_.getFileName.toString)
   }
 
   private def currentDirs(): Seq[String] =
@@ -138,9 +144,16 @@ class TxLogTable(spark: SparkSession, path: String) {
     name
   }
 
-  private def commit(op: String, dirs: Seq[String]): Long = {
+  /** Commit at exactly `base + 1`, where `base` is the version this
+    * operation's snapshot was READ at — never recomputed from the live log.
+    * If another writer committed meanwhile, the hard-link on base+1 hits
+    * EEXIST and the operation fails with [[TxLogTable.CommitConflict]]
+    * instead of silently publishing a snapshot that drops the concurrent
+    * commit's data (optimistic concurrency, the Delta protocol's rule).
+    */
+  private def commit(op: String, dirs: Seq[String], base: Option[Long]): Long = {
     Files.createDirectories(logDir)
-    val next = version.map(_ + 1).getOrElse(0L)
+    val next = base.map(_ + 1).getOrElse(0L)
     writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs)))
     next
   }
@@ -184,15 +197,27 @@ object TxLogTable {
     LogEntry(version, op, dirs)
   }
 
+  // java.nio directory streams hold an fd until closed; these helpers close
+  // them eagerly (version() runs on every table operation — leaking one fd
+  // per call would exhaust the process limit on a long-lived maintenance
+  // stream)
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.toArray.map(_.asInstanceOf[Path]).toSeq finally st.close()
+  }
+
+  private def walkDir(p: Path): Seq[Path] = {
+    val st = Files.walk(p)
+    try st.toArray.map(_.asInstanceOf[Path]).toSeq finally st.close()
+  }
+
   private def listLog(logDir: Path): Seq[Long] =
-    Files.list(logDir).toArray.map(_.asInstanceOf[Path].getFileName.toString)
-      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong).toSeq
+    listDir(logDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d+\\.json")).map(_.stripSuffix(".json").toLong)
 
   private def dirSize(p: Path): Long =
-    Files.walk(p).toArray.map(_.asInstanceOf[Path])
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    walkDir(p).filter(Files.isRegularFile(_)).map(Files.size).sum
 
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).toArray.map(_.asInstanceOf[Path])
-      .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    walkDir(p).sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
 }

@@ -70,14 +70,20 @@ class MqttConnectionManager(transport: MqttTransport,
   private def reconnectLoop(): Unit = {
     var attempt = 0
     var backoff = baseBackoffMs
-    while (running.get() && !transport.isConnected) {
+    var restored = false
+    // loop until connect AND subscribe both succeed: a session that
+    // connects but fails to subscribe is worse than a dead one (silently
+    // receives nothing), so it is torn down and retried, never kept
+    while (running.get() && !restored) {
       if (attempt >= maxReconnectAttempts)
         throw new IllegalStateException(s"gave up reconnecting after $attempt attempts")
       try {
         connectAndSubscribe()
         reconnects += 1
+        restored = true
       } catch {
         case _: Exception =>
+          if (transport.isConnected) transport.disconnect() // half-open session
           attempt += 1
           Thread.sleep(backoff)
           backoff = math.min(backoff * 2, maxBackoffMs)
@@ -96,6 +102,7 @@ class InProcessTransport extends MqttTransport {
   @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
   @volatile private var onLost: Throwable => Unit = _ => ()
   @volatile var failNextConnects: Int = 0
+  @volatile var failNextSubscribes: Int = 0
   private val subs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
 
   override def connect(): Unit = synchronized {
@@ -107,6 +114,10 @@ class InProcessTransport extends MqttTransport {
   }
   override def subscribe(filters: Seq[String]): Unit = synchronized {
     if (!connected) throw new IllegalStateException("subscribe before connect")
+    if (failNextSubscribes > 0) {
+      failNextSubscribes -= 1
+      throw new java.io.IOException("SUBACK failure (simulated)")
+    }
     subs += filters
   }
   override def setCallbacks(m: (String, Array[Byte]) => Unit, l: Throwable => Unit): Unit = {

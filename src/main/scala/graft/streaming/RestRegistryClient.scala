@@ -77,18 +77,27 @@ class RestRegistryClient(baseUrl: String,
 
   /** Transducer names from the device document (`{"transducers":
     * [{"name": ...}, ...]}`, the shape q_registry_explode roundtrips).
-    * Names are lower-cased like the ingest path (influx_service.py:139).
+    * Only names INSIDE the transducers array count — device documents also
+    * carry a top-level device name and owner sub-documents with their own
+    * `name` fields, which must not be reported as transducers. Names are
+    * lower-cased like the ingest path (influx_service.py:139).
     */
   def deviceTransducers(deviceId: String): Seq[String] =
     getDevice(deviceId).toSeq.flatMap { doc =>
-      """"name"\s*:\s*"([^"]*)"""".r.findAllMatchIn(doc).map(_.group(1).toLowerCase).toSeq
+      val arr = """(?s)"transducers"\s*:\s*\[(.*?)\]""".r
+        .findFirstMatchIn(doc).map(_.group(1)).getOrElse("")
+      """"name"\s*:\s*"([^"]*)"""".r.findAllMatchIn(arr).map(_.group(1).toLowerCase).toSeq
     }
 
   /** R14 — idempotent transducer create: 2xx and 409 (already exists) both
     * count as success, so replays and concurrent creators converge.
+    * The name is JSON-escaped: it comes from a publisher-controlled topic
+    * segment, so raw interpolation would let one crafted topic inject
+    * fields (or produce invalid JSON and wedge the auto-create stream on a
+    * permanent 400).
     */
   def createTransducer(deviceId: String, transducer: String): Unit = {
-    val body = s"""{"name": "$transducer", "unit": "", "is_actuable": false}"""
+    val body = s"""{"name": ${RestRegistryClient.jsonString(transducer)}, "unit": "", "is_actuable": false}"""
     val r = send(request("POST", s"/device/$deviceId/transducer", Some(body)))
     r.statusCode() match {
       case c if c >= 200 && c < 300 => ()
@@ -100,4 +109,18 @@ class RestRegistryClient(baseUrl: String,
 
   /** Adapter for the [[AutoCreate]] seam. */
   def createFn: AutoCreate.CreateFn = (d, t) => createTransducer(d, t)
+}
+
+object RestRegistryClient {
+  /** Minimal JSON string encoder (quote + escape specials and controls). */
+  private[graft] def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

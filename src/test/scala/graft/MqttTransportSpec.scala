@@ -44,6 +44,22 @@ class MqttTransportSpec extends SparkSuite {
     m.stop()
   }
 
+  test("subscribe failure after reconnect: session torn down and retried, never connected-unsubscribed") {
+    val t = new InProcessTransport
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val m = newManager(t, sink)
+    m.start()
+    t.failNextSubscribes = 1 // connect succeeds, SUBSCRIBE rejected once
+    t.dropConnection("flap")
+    // the half-open (connected, no filters) session must not survive:
+    // the manager retries until connect AND subscribe both succeed
+    assert(t.isConnected && m.reconnectCount == 1)
+    assert(t.subscriptionHistory.size == 2, "filters must be re-issued after the failed SUBSCRIBE")
+    assert(t.deliver("openchirp/device/d1/temp", "1.0"))
+    assert(sink.size == 1)
+    m.stop()
+  }
+
   test("messages delivered while disconnected are dropped by the transport, not the log") {
     val t = new InProcessTransport
     val sink = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()

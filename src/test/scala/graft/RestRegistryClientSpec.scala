@@ -32,8 +32,12 @@ class RestRegistryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       val path = ex.getRequestURI.getPath
       (ex.getRequestMethod, path) match {
         case ("GET", "/device/d1") =>
+          // realistic document shape: device and owner carry their own
+          // `name` fields, which must NOT be reported as transducers
           respond(ex, 200,
-            """{"id": "d1", "transducers": [{"name": "Temp"}, {"name": "Hum"}]}""")
+            """{"id": "d1", "name": "Boiler 3", "owner": {"name": "ops"},
+              | "transducers": [{"name": "Temp"}, {"name": "Hum"}],
+              | "properties": {"name": "ignored-too"}}""".stripMargin)
         case ("GET", "/device/missing") =>
           respond(ex, 404, """{"error": "not found"}""")
         case ("POST", p) if p.endsWith("/transducer") =>
@@ -56,9 +60,19 @@ class RestRegistryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def client = new RestRegistryClient(base, maxAttempts = 5, backoffMs = 1)
 
-  test("device lookup parses the transducer list; 404 maps to None") {
+  test("device lookup parses ONLY the transducers array; 404 maps to None") {
+    // the fake doc carries device/owner/properties `name` fields too —
+    // none of them may leak into the transducer list
     assert(client.deviceTransducers("d1") == Seq("temp", "hum"))
     assert(client.getDevice("missing").isEmpty)
+  }
+
+  test("create body JSON-escapes publisher-controlled transducer names") {
+    import graft.streaming.RestRegistryClient.jsonString
+    assert(jsonString("""x","injected":true,"y":"""") ==
+      "\"x\\\",\\\"injected\\\":true,\\\"y\\\":\\\"\"")
+    assert(jsonString("tab\there\nline") == "\"tab\\there\\nline\"")
+    assert(jsonString("\u0001") == "\"\\u0001\"")
   }
 
   test("create retries through transient 500s and treats 409 as success") {

@@ -74,6 +74,48 @@ class TxLogTableSpec extends SparkSuite {
     assert(t.read().count() == 50003)
   }
 
+  test("stale snapshot cannot commit: interleaved writer raises CommitConflict, no lost update") {
+    val path = tmp()
+    val a = new TxLogTable(spark, path)
+    a.append(Seq((1L, "a")).toDF("k", "v")) // v0
+    // writer B commits v1 while writer A is (conceptually) mid-operation
+    val b = new TxLogTable(spark, path)
+    b.append(Seq((2L, "b")).toDF("k", "v")) // v1
+    // A's snapshot was read at v0, so its commit lands on v1 — taken -> conflict.
+    // Reproduce A's interleaving exactly: dirs listed at v0, then commit(base=v0).
+    intercept[TxLogTable.CommitConflict] {
+      TxLogTable.writeCommitFile(
+        java.nio.file.Paths.get(path, "_txlog"), 1L,
+        TxLogTable.renderEntry(TxLogTable.LogEntry(1L, "append", Seq("d-stale"))))
+    }
+    // B's committed data is intact — the stale writer could NOT publish a
+    // snapshot that silently dropped it
+    assert(b.read().as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("concurrent appends: every append that reported success is in the final snapshot") {
+    val path = tmp()
+    new TxLogTable(spark, path).append(Seq((0L, "base")).toDF("k", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (1 to 4).map { i =>
+      Future(scala.util.Try {
+        new TxLogTable(spark, path).append(Seq((i.toLong, s"v$i")).toDF("k", "v")); i.toLong
+      })
+    }
+    val outcomes = Await.result(Future.sequence(attempts), 120.seconds)
+    val succeeded = outcomes.collect { case scala.util.Success(i) => i }.toSet
+    outcomes.collect { case scala.util.Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[TxLogTable.CommitConflict], s"unexpected failure: $e")
+    }
+    val finalKeys = new TxLogTable(spark, path).read()
+      .as[(Long, String)].collect().map(_._1).toSet
+    // the no-lost-update invariant: a writer that returned success is never
+    // silently dropped by a concurrent commit (losers must CONFLICT instead)
+    assert((succeeded + 0L).subsetOf(finalKeys), s"lost updates: ${(succeeded + 0L) -- finalKeys}")
+  }
+
   test("concurrent commit on the same version: exactly one winner") {
     val logDir = java.nio.file.Files.createTempDirectory("txlog_race")
     // two writers race version 1: the first rename wins...
