@@ -119,6 +119,19 @@ class TxLogTable(spark: SparkSession, path: String) {
     commit("compact", big :+ dir, base)
   }
 
+  /** Change feed between two committed versions: row-level diff of the two
+    * snapshots (`insert` rows appear in `to` only, `delete` in `from`
+    * only; an upsert shows as delete+insert of the key's old/new rows).
+    * Lets downstream consumers follow a MERGE-maintained dimension
+    * incrementally instead of re-reading it — the CDF idiom.
+    */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    val from = readVersion(fromV)
+    val to = readVersion(toV)
+    to.exceptAll(from).withColumn("_change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
   /** Delete data directories no longer referenced by the LATEST version.
     * This discards time travel to earlier versions (their log entries stay
     * but their data may be gone) — run only past any retention window.

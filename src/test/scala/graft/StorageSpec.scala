@@ -59,6 +59,36 @@ class StorageSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("stats index: device-range read skips files and matches the full-scan result") {
+    import graft.storage.StatsIndex
+    val base = Files.createTempDirectory("statsidx").toString
+    val path = s"$base/points"; val statsPath = s"$base/stats"
+    val points = Tables.events(spark, sf)
+      .select(col("user_id").as("device_id"), col("ts"), col("value").as("num"))
+      // several files per date partition, each covering a tight device range
+      .withColumn("p_date", to_date(col("ts")))
+      .repartitionByRange(8, col("device_id"))
+      .sortWithinPartitions("device_id", "ts")
+    points.write.partitionBy("p_date").mode("overwrite").parquet(path)
+
+    val stats = StatsIndex.build(spark.read.parquet(path), Seq("device_id"))
+    StatsIndex.write(stats, statsPath)
+    val nFiles = stats.count()
+
+    val lo = lit(10L); val hi = lit(19L)
+    val candidates = StatsIndex.candidateFiles(
+      StatsIndex.read(spark, statsPath), "device_id", lo, hi)
+    assert(candidates.nonEmpty && candidates.size < nFiles,
+      s"no skipping: ${candidates.size} of $nFiles files")
+
+    val pruned = StatsIndex.readRange(spark, statsPath, "device_id", lo, hi)
+      .select("device_id", "ts", "num")
+    val full = spark.read.parquet(path)
+      .filter(col("device_id") >= 10L && col("device_id") <= 19L)
+      .select("device_id", "ts", "num")
+    assert(pruned.count() == full.count() && pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+  }
+
   test("gap fill keeps data in a trailing partial bucket") {
     import graft.operators.TimeSeriesOps
     val df = Seq(("s1", 0L, 1.0), ("s1", 2_200_000L, 5.0)) // second point in partial bucket 2

@@ -37,6 +37,18 @@ class TxLogTableSpec extends SparkSuite {
     assert(t.read().as[(Long, String, Long)].collect().toSet == before)
   }
 
+  test("change feed: upsert between versions shows as delete+insert") {
+    val t = new TxLogTable(spark, tmp())
+    t.overwrite(Seq((1L, "old", 100L), (2L, "same", 100L)).toDF("k", "v", "ts")) // v0
+    t.merge(Seq((1L, "new", 200L), (3L, "ins", 200L)).toDF("k", "v", "ts"),
+      Seq("k"), Some("ts")) // v1
+    val cf = t.changes(0L, 1L)
+      .select("k", "v", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(cf == Set(
+      (1L, "old", "delete"), (1L, "new", "insert"), // upsert = delete+insert
+      (3L, "ins", "insert")))                       // pure insert; unchanged k=2 absent
+  }
+
   test("time travel: every committed version stays readable until vacuum") {
     val t = new TxLogTable(spark, tmp())
     t.append(Seq((1L, "a")).toDF("k", "v"))
