@@ -164,6 +164,22 @@ object RelationalQueries {
           count(one).as("n"))
     }),
 
+    // EXACT interpolated percentiles (InfluxQL percentile() / SQL
+    // percentile_cont): Spark's percentile and DuckDB's quantile_cont share
+    // the type-7 definition; parity of the interpolation arithmetic is
+    // pinned by this oracle row
+    "q_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.75)").as("p75"),
+          expr("percentile(value, 0.95)").as("p95"),
+          min(col("value")).as("vmin"),
+          max(col("value")).as("vmax"))
+    }),
+
     // as-of join: align each purchase to the user's most recent click
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
@@ -177,6 +193,15 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q_window_funcs" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  row_number() OVER w_seq AS rn,
