@@ -62,19 +62,27 @@ object TimeSeriesOps {
   def seriesAnalytics(df: DataFrame, key: Column, tsUs: Column, value: Column,
                       movingN: Int = 3): DataFrame = {
     val w = Window.partitionBy(key).orderBy(tsUs)
+    val full = Window.partitionBy(key) // whole-series frame (no order)
     val frame = w.rowsBetween(-(movingN - 1), Window.currentRow)
     val prevV = lag(value, 1).over(w)
     val prevTs = lag(tsUs, 1).over(w)
+    // per-second rate; null on the first point of a series
+    val derivative = (value - prevV) / ((tsUs - prevTs).cast("double") / lit(1000000.0))
     df.select(
       key.as("series_key"), tsUs.as("ts_us"), value.as("value"),
       (value - prevV).as("difference"),
       (tsUs - prevTs).as("elapsed_us"),
-      // per-second rate; null on the first point of a series
-      ((value - prevV) / ((tsUs - prevTs).cast("double") / lit(1000000.0))).as("derivative"),
+      derivative.as("derivative"),
+      // InfluxQL non_negative_derivative: negative rates (counter resets)
+      // suppressed to null rather than reported as bogus negatives
+      when(derivative < 0, lit(null).cast("double")).otherwise(derivative)
+        .as("nn_derivative"),
       (sum(value.cast("decimal(38,4)")).over(frame).cast("double")
         / count(lit(1)).over(frame)).as(s"moving_avg_$movingN"),
       sum(value.cast("decimal(38,4)")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double").as("cumulative_sum"))
+        .cast("double").as("cumulative_sum"),
+      // InfluxQL spread(): max - min over the whole series (exact doubles)
+      (max(value).over(full) - min(value).over(full)).as("spread"))
   }
 
   /** Time-bucket gap filling with LOCF (InfluxQL `GROUP BY time(...) fill(previous)`):

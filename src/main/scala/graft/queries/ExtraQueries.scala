@@ -208,17 +208,23 @@ object ExtraQueries {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_ts_analytics" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE user_id < 30)
-        |SELECT user_id AS series_key, ts_us, value,
-        |  value - lag(value) OVER w AS difference,
-        |  ts_us - lag(ts_us) OVER w AS elapsed_us,
-        |  (value - lag(value) OVER w) / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0) AS derivative,
-        |  CAST(sum(CAST(value AS DECIMAL(38,4))) OVER f AS DOUBLE) / count(*) OVER f AS moving_avg_3,
-        |  CAST(sum(CAST(value AS DECIMAL(38,4))) OVER
-        |    (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_sum
-        |FROM e
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
-        |       f AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE user_id < 30),
+        |d AS (SELECT user_id, ts_us, value,
+        |    value - lag(value) OVER w AS difference,
+        |    ts_us - lag(ts_us) OVER w AS elapsed_us,
+        |    (value - lag(value) OVER w) / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0) AS derivative,
+        |    CAST(sum(CAST(value AS DECIMAL(38,4))) OVER f AS DOUBLE) / count(*) OVER f AS moving_avg_3,
+        |    CAST(sum(CAST(value AS DECIMAL(38,4))) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_sum,
+        |    max(value) OVER p - min(value) OVER p AS spread
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
+        |         f AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         p AS (PARTITION BY user_id))
+        |SELECT user_id AS series_key, ts_us, value, difference, elapsed_us, derivative,
+        |  CASE WHEN derivative < 0 THEN NULL ELSE derivative END AS nn_derivative,
+        |  moving_avg_3, cumulative_sum, spread
+        |FROM d""".stripMargin,
 
     "q_ts_gapfill" ->
       """WITH b AS (
