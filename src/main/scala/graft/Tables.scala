@@ -36,4 +36,20 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture as a temp view (events with its ts/ts_ns dual
+    * surface) and the engine's SQL functions, so the whole query surface is
+    * reachable from `spark.sql(...)` — the BASELINE "query via Spark SQL"
+    * entry point. Idempotent.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    graft.plans.GraftFunctions.register(spark)
+  }
 }
