@@ -165,6 +165,50 @@ object DedupOps {
     verifyJaccard(candidates, sh, tau)
   }
 
+  /** Connected components over an undirected pair list `(i, j)` — the
+    * transitive-closure step a real dedup pipeline needs after candidate
+    * pairs: if A~B and B~C, all three are one duplicate group even when
+    * A~C was never emitted. Min-label propagation (the GraphX/Pregel CC
+    * algorithm): every node starts labeled with itself; each round takes
+    * the min of its own and its neighbors' labels; fixpoint after at most
+    * `diameter` rounds. Each round is one shuffle on node id — no driver
+    * state beyond the convergence counter; each round's labels are eagerly
+    * localCheckpoint-ed so lineage (and Catalyst planning cost) stays
+    * flat round-over-round.
+    * Returns (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("src"), col("component").as("nbl")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("nbl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        // localCheckpoint, NOT persist: persist keeps the LOGICAL plan
+        // growing (round N nests all N-1 predecessors; Catalyst analysis
+        // goes super-linear), the checkpoint cuts lineage to the
+        // materialized blocks so per-round planning stays O(1)
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("node"), col("component").as("old")), Seq("node"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 60-bit SimHash over distinct tokens: bit j of the signature is set when
     * the sum over tokens of (+1 if bit j of hash60(token) else -1) is > 0.
     * Computed by the one-pass [[graft.functions.SimHashSketch]]

@@ -34,6 +34,25 @@ object PipelineQueries {
     s"len(list_filter(toks, t -> list_contains([$lst], t)))"
   }
 
+  // SimHash pair SQL, shared between q_dedup_simhash and the recursive
+  // clustering oracle (q_dedup_clusters wraps the same pairs in a
+  // WITH RECURSIVE min-label reachability)
+  private def simhashCtes =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
+       |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok),
+       |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, UNNEST(generate_series(0, 59)) AS t(j) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |bk AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) % 32768 AS bv
+       |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b))""".stripMargin
+  private def simhashPairSelect =
+    """SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   private def cosSql(av: String, an: String, bv: String, bn: String) =
     s"""CAST(${dotSql(av, bv)} AS DOUBLE) / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))"""
 
@@ -165,6 +184,17 @@ object PipelineQueries {
     // SimHash(60-bit) near-dup pairs, Hamming <= 3, 4x15-bit band blocking
     "q_dedup_simhash" -> ((s, dir) => {
       DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+    }),
+
+    // transitive dedup clustering: connected components over simhash pairs
+    // (A~B, B~C => one group even without an A~C edge) via min-label
+    // propagation; component histogram per representative (min doc_id)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+        .select("i", "j")
+      DedupOps.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // embedding cosine near-dup pairs (exact quantized kernel, all pairs)
@@ -345,19 +375,20 @@ object PipelineQueries {
          |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_dedup_simhash" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
-         |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok),
-         |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM h, UNNEST(generate_series(0, 59)) AS t(j) GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY 1),
-         |bk AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) % 32768 AS bv
-         |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b))
-         |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+      s"""WITH $simhashCtes
+         |$simhashPairSelect""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashCtes,
+         |pairs AS ($simhashPairSelect),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT component, count(*) AS n_docs FROM cc GROUP BY 1""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH $quantSql

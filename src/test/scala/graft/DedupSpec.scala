@@ -72,6 +72,21 @@ class DedupSpec extends SparkSuite {
     assert(hotDf == (n + 4).toLong) // the skew this test exists to exercise
   }
 
+  test("connected components: transitive chains collapse, separate groups stay apart") {
+    // chain 1-2, 2-3 (no 1-3 edge) plus disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val cc = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path converges within the iteration bound") {
+    val n = 20 // path 0-1-2-...-19: worst-case diameter for label propagation
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
+    val cc = DedupOps.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.length == n && cc.forall(_._2 == 0L))
+  }
+
   test("shingling skips documents shorter than n tokens") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = DedupOps.shingles(df, "doc_id", "text", 3)
