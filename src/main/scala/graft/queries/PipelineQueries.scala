@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 
 /** LLM-data-pipeline operators (SURVEY.md §2.4): deduplication (exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine), similarity
@@ -273,6 +273,32 @@ object PipelineQueries {
           max(col("q")).as("max_q"))
     }),
 
+    // deterministic dataset assembly: hash-based train/val/test split +
+    // hash-Bernoulli subsampling of the train split — stable under dataset
+    // growth and retries (never rand()), md5-derived so oracle-exact
+    "q_sample_split" -> ((s, dir) => {
+      val id = col("doc_id")
+      Tables.documents(s, dir)
+        .withColumn("split", SampleOps.splitAssign(id))
+        .withColumn("sampled",
+          (SampleOps.splitAssign(id) === "train" && SampleOps.sampleByRate(id, 0.5))
+            .cast("long"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sampled")).as("n_sampled"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+    }),
+
+    // token-budget sequence packing (streaming concat-and-cut, per source
+    // shard): per-chunk document and token totals
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tok", TextOps.tokenCount(col("text")))
+      SampleOps.packChunks(docs, col("source"), col("doc_id"), col("n_tok"), budget = 2000L)
+        .groupBy("source", "chunk")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
+    }),
+
     // order-sensitive rolling (polynomial) fingerprint
     "q_text_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
@@ -486,6 +512,27 @@ object PipelineQueries {
          |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
          |  min(q) AS min_q, max(q) AS max_q
          |FROM ranked WHERE rk = 1 GROUP BY 1""".stripMargin,
+
+    "q_sample_split" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks,
+         |    ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT CASE WHEN h % 100 < 80 THEN 'train'
+         |            WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h % 100 < 80 AND h % 1000000 < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS n_tok FROM documents),
+         |c AS (SELECT source, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM t)
+         |SELECT source, CAST(floor(before / 2000) AS BIGINT) AS chunk,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q_text_rolling_fp" ->
       s"""SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SampleOps
+
+class SampleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hash split: deterministic, stable under growth, roughly 80/10/10") {
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.withColumn("split", SampleOps.splitAssign(col("doc_id")))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.65 && counts("train") / total < 0.95)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+    // stability: the assignment of doc 0..9 is unchanged when more docs exist
+    val first = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), SampleOps.splitAssign(col("doc_id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val again = docs.select(col("doc_id"), SampleOps.splitAssign(col("doc_id")).as("s"))
+      .filter(col("doc_id") < 10).as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("pack chunks: streaming concat-and-cut boundaries on a handcrafted shard") {
+    // budget 10; cumulative-before: 0,4,9,13,15,24 -> chunks 0,0,0,1,1,2
+    val docs = Seq(("s", 1L, 4L), ("s", 2L, 5L), ("s", 3L, 4L),
+      ("s", 4L, 2L), ("s", 5L, 9L), ("s", 6L, 1L)).toDF("source", "doc_id", "n_tok")
+    val got = SampleOps.packChunks(docs, col("source"), col("doc_id"), col("n_tok"), 10L)
+      .select("doc_id", "chunk").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+  }
+
+  test("pack chunks: per-group windows, chunk ids contiguous from zero per source") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_tok", graft.operators.TextOps.tokenCount(col("text")))
+    val chunks = SampleOps.packChunks(docs, col("source"), col("doc_id"), col("n_tok"), 2000L)
+      .groupBy("source").agg(countDistinct("chunk").as("n_chunks"), max("chunk").as("max_chunk"))
+      .as[(String, Long, Long)].collect()
+    chunks.foreach { case (src, n, mx) =>
+      assert(n == mx + 1, s"$src: chunk ids not contiguous (distinct=$n max=$mx)")
+    }
+  }
+}
