@@ -80,6 +80,24 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(trim(text)))))))
 
+  /** Sliding token-window chunks: starts at 0, stride, 2*stride, ... while
+    * start < n_tokens; each chunk takes up to `chunkTokens` tokens. The
+    * overlap (chunkTokens - stride) preserves context across boundaries —
+    * the standard RAG / pretraining chunking shape. Pure per-row array
+    * expression (no explode until the caller wants rows, no shuffle).
+    * Returns ARRAY<STRUCT<start, n_tok, chunk_text>>.
+    */
+  def slidingChunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0, "chunk and stride must be positive")
+    val t = tokens(text)
+    val n = size(t)
+    val starts = filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)), s => s < n)
+    transform(starts, s => struct(
+      s.cast("long").as("start"),
+      least(lit(chunkTokens), n - s).cast("long").as("n_tok"),
+      concat_ws(" ", slice(t, s + 1, lit(chunkTokens))).as("chunk_text")))
+  }
+
   /** Order-SENSITIVE rolling (polynomial) fingerprint over token hashes:
     * h = fold(h * 31 + hash60(tok) mod M). Complements [[fingerprint]]:
     * detects exact sequences, not bags. Pure fold, no shuffle.

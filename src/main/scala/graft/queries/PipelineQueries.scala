@@ -299,6 +299,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
     }),
 
+    // sliding token-window chunking (40-token chunks, stride 30 -> 10-token
+    // overlap): the RAG/pretraining chunk shape, hashed per chunk
+    "q_text_chunks" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          explode(TextOps.slidingChunks(col("text"), chunkTokens = 40, stride = 30)).as("c"))
+        .select(col("doc_id"), col("c.start").as("start"), col("c.n_tok").as("n_tok"),
+          md5(col("c.chunk_text")).as("chunk_hash"))
+    }),
+
     // order-sensitive rolling (polynomial) fingerprint
     "q_text_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
@@ -533,6 +543,13 @@ object PipelineQueries {
          |SELECT source, CAST(floor(before / 2000) AS BIGINT) AS chunk,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
          |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 9 = 0)
+         |SELECT doc_id, s AS start,
+         |  len(toks[s+1 : s+40]) AS n_tok,
+         |  md5(array_to_string(toks[s+1 : s+40], ' ')) AS chunk_hash
+         |FROM d, UNNEST(generate_series(0, len(toks) - 1, 30)) AS t(s)""".stripMargin,
 
     "q_text_rolling_fp" ->
       s"""SELECT doc_id,
