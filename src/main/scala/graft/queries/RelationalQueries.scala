@@ -180,6 +180,24 @@ object RelationalQueries {
           max(col("value")).as("vmax"))
     }),
 
+    // interval (range) join via time binning: events landing inside
+    // per-nation 6-hour maintenance windows. The binned equi-join shape
+    // replaces the nested-loop theta join (see RangeJoin) — hash shuffle
+    // on the hour bin, exact containment as post-filter
+    "q_range_join" -> ((s, dir) => {
+      val jan1Us = 1704067200000000L
+      val windows = Tables.nation(s, dir).select(
+        col("n_nationkey").as("window_id"),
+        (lit(jan1Us) + col("n_nationkey") * lit(86400000000L)).as("w_start_us"),
+        (lit(jan1Us) + col("n_nationkey") * lit(86400000000L) + lit(21600000000L)).as("w_end_us"))
+      val events = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.RangeJoin.pointInInterval(
+          events, "ts_us", windows, "w_start_us", "w_end_us", binUs = 3600000000L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+    }),
+
     // as-of join: align each purchase to the user's most recent click
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
@@ -193,6 +211,17 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH w AS (SELECT n_nationkey AS window_id,
+        |    1704067200000000 + n_nationkey * 86400000000 AS w_start_us,
+        |    1704067200000000 + n_nationkey * 86400000000 + 21600000000 AS w_end_us
+        |  FROM nation)
+        |SELECT window_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN w
+        |  ON epoch_us(ts) >= w_start_us AND epoch_us(ts) < w_end_us
+        |GROUP BY 1""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.25) AS p25,

@@ -3,6 +3,27 @@ package graft
 import graft.operators.AsofJoin
 
 class AsofJoinSpec extends SparkSuite {
+
+  test("binned range join equals the naive theta join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pts = Seq((1L, 100L), (2L, 250L), (3L, 999L), (4L, 1000L), (5L, 1500L))
+      .toDF("pid", "ts_us")
+    val ivs = Seq((10L, 0L, 300L), (11L, 250L, 1000L), (12L, 900L, 2000L))
+      .toDF("iv", "s_us", "e_us")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iv").as[(Long, Long)].collect().toSet
+    val naive = rows(pts.join(ivs, col("ts_us") >= col("s_us") && col("ts_us") < col("e_us")))
+    // bin width deliberately misaligned with interval boundaries
+    val binned = rows(graft.operators.RangeJoin.pointInInterval(
+      pts, "ts_us", ivs, "s_us", "e_us", binUs = 77L))
+    assert(binned == naive && naive.nonEmpty)
+    // boundary semantics: start inclusive (250 joins [250,1000)),
+    // end exclusive (1000 does NOT join [250,1000) but does join [900,2000))
+    assert(naive.contains((2L, 10L)) && naive.contains((2L, 11L)))
+    assert(naive.contains((3L, 11L)))
+    assert(!naive.contains((4L, 11L)) && naive.contains((4L, 12L)))
+  }
   import spark.implicits._
 
   test("asof picks most recent right row at or before left ts, per key") {

@@ -76,6 +76,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
   }
 
+  test("q_range_join: binned equi-join, never a nested-loop theta join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("Join") && p.contains("__bin"), p)
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one
