@@ -209,6 +209,11 @@ object DedupOps {
       iters += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          "(graph diameter exceeds maxIters) — raise maxIters; returning " +
+          "mid-propagation labels would silently split components")
     labels
   }
 

@@ -31,6 +31,12 @@ object RangeJoin {
     require(binUs > 0, "bin width must be positive")
     val pts = points.withColumn("__bin", expr(s"$tsCol div ${binUs}L"))
     val ivs = intervals
+      // empty/inverted intervals ([start, end) with end <= start) are
+      // dropped BEFORE the explode: Spark's sequence() steps -1 when
+      // start > stop, so a corrupt interval would otherwise fan out into
+      // a huge descending bin list (results stay right via the post-filter,
+      // but the shuffle blows up)
+      .filter(col(endCol) > col(startCol))
       // [start, end): the last contained instant is end-1
       .withColumn("__bin", explode(sequence(
         expr(s"$startCol div ${binUs}L"), expr(s"($endCol - 1) div ${binUs}L"))))

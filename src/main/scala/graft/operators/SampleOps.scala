@@ -50,6 +50,10 @@ object SampleOps {
     val w = Window.partitionBy(group).orderBy(order)
     val before = coalesce(
       sum(nTokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    df.withColumn("chunk", floor(before / lit(budget)).cast("long"))
+    // integer div, not floor(double /): a running total near 2^53 would
+    // make the double quotient inexact and could flip a chunk boundary
+    df.withColumn("__before", before)
+      .withColumn("chunk", expr(s"__before div ${budget}L"))
+      .drop("__before")
   }
 }

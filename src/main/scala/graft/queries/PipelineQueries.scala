@@ -540,7 +540,7 @@ object PipelineQueries {
          |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
          |  FROM t)
-         |SELECT source, CAST(floor(before / 2000) AS BIGINT) AS chunk,
+         |SELECT source, CAST(before // 2000 AS BIGINT) AS chunk,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS chunk_tokens
          |FROM c GROUP BY 1, 2""".stripMargin,
 

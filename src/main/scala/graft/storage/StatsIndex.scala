@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Build is a single pass over the table grouped by `input_file_name()`
   * (per-file partial aggregation — the shuffle carries one row per file).
-  * Rebuild after compaction; stale entries only ever cause over-reading
-  * (a vanished file is dropped from the listing), never wrong results,
-  * because pruning is a file-list FILTER followed by the ordinary scan.
+  * The index MUST be rebuilt after any file-changing operation
+  * (compaction, vacuum, overwrite): reads through a stale index fail fast
+  * on a vanished file — deliberately, since silently skipping it would
+  * under-read rows that moved into files the stale index doesn't list.
   */
 object StatsIndex {
 
@@ -50,16 +51,18 @@ object StatsIndex {
   /** Range read with file skipping: prune the file list via the index,
     * then scan only the surviving files with the precise predicate on top
     * (the index is a superset filter, never a substitute for it).
+    * `tablePath` is passed as basePath so partition columns (e.g.
+    * PointStore's p_date) survive the leaf-file read; an empty candidate
+    * set returns an empty DataFrame with the table schema — a normal
+    * query outcome, not an error.
     */
-  def readRange(spark: SparkSession, statsPath: String, c: String,
+  def readRange(spark: SparkSession, statsPath: String, tablePath: String, c: String,
                 lo: Column, hi: Column): DataFrame = {
     val files = candidateFiles(read(spark, statsPath), c, lo, hi)
-    if (files.isEmpty) {
-      // empty candidate set: preserve schema by reading zero rows from the
-      // stats' own file list is impossible — callers treat None as empty
-      throw new IllegalArgumentException(
-        s"no files intersect [$lo, $hi] on $c — nothing to read")
-    }
-    spark.read.parquet(files: _*).filter(col(c) >= lo && col(c) <= hi)
+    if (files.isEmpty)
+      spark.read.parquet(tablePath).where(lit(false))
+    else
+      spark.read.option("basePath", tablePath).parquet(files: _*)
+        .filter(col(c) >= lo && col(c) <= hi)
   }
 }

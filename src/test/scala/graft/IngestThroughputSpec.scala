@@ -17,7 +17,7 @@ import graft.streaming.StreamingIngest
 class IngestThroughputSpec extends SparkSuite {
   import spark.implicits._
 
-  test("streaming hot path sustains >20k rows/s on 4 cores (reference: ~1e3/s ceiling)") {
+  test("streaming hot path clears an 8k rows/s floor on 4 cores (typical 30k+; reference ~1e3/s)") {
     implicit val sq = spark.sqlContext
     val n = 200000
     val baseUs = 1704067200000000L

@@ -81,12 +81,18 @@ class StorageSpec extends SparkSuite {
     assert(candidates.nonEmpty && candidates.size < nFiles,
       s"no skipping: ${candidates.size} of $nFiles files")
 
-    val pruned = StatsIndex.readRange(spark, statsPath, "device_id", lo, hi)
-      .select("device_id", "ts", "num")
+    val pruned = StatsIndex.readRange(spark, statsPath, path, "device_id", lo, hi)
+    // partition column survives the leaf-file read (basePath)
+    assert(pruned.columns.contains("p_date"))
+    val prunedSel = pruned.select("device_id", "ts", "num", "p_date")
     val full = spark.read.parquet(path)
       .filter(col("device_id") >= 10L && col("device_id") <= 19L)
-      .select("device_id", "ts", "num")
-    assert(pruned.count() == full.count() && pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+      .select("device_id", "ts", "num", "p_date")
+    assert(prunedSel.count() == full.count()
+      && prunedSel.except(full).isEmpty && full.except(prunedSel).isEmpty)
+    // empty candidate range: empty result with the table schema, no error
+    val none = StatsIndex.readRange(spark, statsPath, path, "device_id", lit(-99L), lit(-50L))
+    assert(none.count() == 0 && none.columns.contains("p_date"))
   }
 
   test("gap fill keeps data in a trailing partial bucket") {
