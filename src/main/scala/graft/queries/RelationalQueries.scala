@@ -198,6 +198,28 @@ object RelationalQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
     }),
 
+    // sequential-pattern funnel: view -> click-after-view ->
+    // purchase-after-that-click, per user; stage-reach counts per user
+    // cohort (user_id % 10). Three keyed aggregations, all shuffling on
+    // user_id — no window over the full event set
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts_us") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(
+          count(lit(1)).as("n_view"),
+          count(col("c_ts")).as("n_view_click"),
+          count(col("p_ts")).as("n_full_funnel"))
+    }),
+
     // as-of join: align each purchase to the user's most recent click
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
@@ -211,6 +233,22 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS c_ts
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts GROUP BY 1)
+        |SELECT v.user_id % 10 AS cohort,
+        |  count(*) AS n_view, count(c.c_ts) AS n_view_click,
+        |  count(p.p_ts) AS n_full_funnel
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY 1""".stripMargin,
+
     "q_range_join" ->
       """WITH w AS (SELECT n_nationkey AS window_id,
         |    1704067200000000 + n_nationkey * 86400000000 AS w_start_us,
