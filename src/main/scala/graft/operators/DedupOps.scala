@@ -189,21 +189,30 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("component").as("nbl")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min(col("nbl")).as("nbr_min"))
-      // change detection rides in the same pass as the label update (the
-      // old label is on the same row), so each round is ONE materializing
-      // job plus a cheap aggregate over the checkpointed blocks
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (coalesce(col("nbr_min"), col("component")) < col("component"))
-            .cast("long").as("__moved"))
+      // neighbor-min update; the old label rides along for change detection
+      val step = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("component").as("__old"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         // localCheckpoint, NOT persist: persist keeps the LOGICAL plan
         // growing (round N nests all N-1 predecessors; Catalyst analysis
         // goes super-linear), the checkpoint cuts lineage to the
         // materialized blocks so per-round planning stays O(1)
         .localCheckpoint(true)
+      // pointer jumping: also take the label OF the current label
+      // (component <= node always holds, so label[label[node]] only ever
+      // shrinks). This halves the remaining propagation distance per round
+      // — O(log diameter) rounds instead of O(diameter), the
+      // Shiloach-Vishkin-style shortcut
+      val grand = step.select(col("node").as("component"), col("component").as("__grand"))
+      val next = step.join(grand, Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("__grand"), col("component"))).as("component"),
+          (least(col("component"), coalesce(col("__grand"), col("component"))) < col("__old"))
+            .cast("long").as("__moved"))
+        .localCheckpoint(true)
       val changed = next.agg(coalesce(sum(col("__moved")), lit(0L))).head.getLong(0)
       labels.unpersist()
+      step.unpersist()
       labels = next.drop("__moved")
       converged = changed == 0
       iters += 1
