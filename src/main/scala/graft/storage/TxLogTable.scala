@@ -176,6 +176,26 @@ object TxLogTable {
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** The documented loser-retries protocol, packaged: run `op` (which must
+    * re-read table state itself on each attempt — every TxLogTable mutation
+    * does, since it resolves `version` fresh), retrying only on
+    * [[CommitConflict]]. Anything else propagates: a conflict means "redo
+    * against the new snapshot", every other failure means stop.
+    */
+  def retryOnConflict[T](maxAttempts: Int = 5)(op: => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: CommitConflict =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[graft] case class LogEntry(version: Long, op: String, dirs: Seq[String])
 
   /** The atomicity point of the commit protocol: materialize the entry to a

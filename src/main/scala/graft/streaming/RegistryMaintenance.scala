@@ -28,8 +28,13 @@ object RegistryMaintenance {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[RegistryCdc.RegistrySnapshot], _: Long) =>
         if (!batch.isEmpty)
-          new TxLogTable(batch.sparkSession, tablePath)
-            .merge(batch.toDF(), keys = Seq("deviceId"), orderCol = Some("asOfUs"))
+          // a concurrent writer (e.g. a compactor) losing us the commit race
+          // must not kill the maintenance stream: merge re-reads the new
+          // snapshot and retries (idempotent by asOfUs order)
+          TxLogTable.retryOnConflict() {
+            new TxLogTable(batch.sparkSession, tablePath)
+              .merge(batch.toDF(), keys = Seq("deviceId"), orderCol = Some("asOfUs"))
+          }
         ()
       }
       .trigger(trigger)

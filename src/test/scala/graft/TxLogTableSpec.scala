@@ -143,6 +143,28 @@ class TxLogTableSpec extends SparkSuite {
       new String(java.nio.file.Files.readAllBytes(logDir.resolve("1.json")), "UTF-8")).dirs.isEmpty)
   }
 
+  test("retryOnConflict: retries only commit conflicts, bounded, other errors propagate") {
+    var calls = 0
+    val out = TxLogTable.retryOnConflict(maxAttempts = 5) {
+      calls += 1
+      if (calls < 3) throw new TxLogTable.CommitConflict("lost the race")
+      42
+    }
+    assert(out == 42 && calls == 3)
+    // exhausted attempts surface the conflict
+    intercept[TxLogTable.CommitConflict] {
+      TxLogTable.retryOnConflict(maxAttempts = 2) {
+        throw new TxLogTable.CommitConflict("always")
+      }
+    }
+    // non-conflict failures are NOT retried
+    var once = 0
+    intercept[IllegalArgumentException] {
+      TxLogTable.retryOnConflict(maxAttempts = 5) { once += 1; throw new IllegalArgumentException("no") }
+    }
+    assert(once == 1)
+  }
+
   test("log entry roundtrip") {
     val e = TxLogTable.LogEntry(7L, "merge", Seq("d-aa", "d-bb"))
     assert(TxLogTable.parseEntry(TxLogTable.renderEntry(e)) == e)
