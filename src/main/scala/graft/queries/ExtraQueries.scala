@@ -94,6 +94,31 @@ object ExtraQueries {
       result
     }),
 
+    // file-format roundtrip: nation through CSV (headered, quoted), region
+    // through JSON lines, read back with explicit schemas, joined and
+    // aggregated — gating the actual write->read path of both sources,
+    // checked against the parquet originals
+    "q_formats_roundtrip" -> ((s, dir) => {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_fmt")
+      val nationSchema = Tables.nation(s, dir).schema
+      val regionSchema = Tables.region(s, dir).schema
+      Tables.nation(s, dir).write.option("header", "true").csv(s"$tmpRoot/nation_csv")
+      Tables.region(s, dir).write.json(s"$tmpRoot/region_json")
+      val nation = s.read.option("header", "true").schema(nationSchema)
+        .csv(s"$tmpRoot/nation_csv")
+      val region = s.read.schema(regionSchema).json(s"$tmpRoot/region_json")
+      val out = nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(one).as("n_nations"), sum(col("n_nationkey")).as("sum_key"))
+      val rows = out.collect() // 5 rows; materialize, then drop the scratch dirs
+      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      val st = java.nio.file.Files.walk(tmpRoot)
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      finally st.close()
+      result
+    }),
+
     // typed UDAF: weighted average with exact decimal buffer
     "q_udaf_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg)
@@ -200,6 +225,12 @@ object ExtraQueries {
         |  coalesce(u.v, c.c_acctbal) AS v,
         |  coalesce(u.as_of_us, 0) AS as_of_us
         |FROM customer c FULL JOIN upd u ON c.c_custkey = u.k""".stripMargin,
+
+    "q_formats_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
 
     "q_udaf_wavg" ->
       """SELECT l_returnflag,
