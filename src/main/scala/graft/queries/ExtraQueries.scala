@@ -56,7 +56,11 @@ object ExtraQueries {
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("n_users"),
-          (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+          // rsd 0.01: the default 0.05 makes a 5% bound a ~1-sigma check
+          // that fails ~1/3 of the time once the HLL leaves its near-exact
+          // sparse regime (observed at sf0.1); at rsd 0.01 the same bound
+          // is 5 sigma
+          (abs(approx_count_distinct(col("user_id"), 0.01) - countDistinct(col("user_id")))
             <= lit(0.05) * countDistinct(col("user_id"))).as("users_ok"),
           (abs(percentile_approx(col("value"), lit(0.5), lit(1000))
             - expr("percentile(value, 0.5)")) <= lit(0.05) * spread).as("p50_ok"),
