@@ -226,6 +226,75 @@ object DedupOps {
     labels
   }
 
+  /** Benchmark-contamination report: for each eval document, how much of it
+    * appears verbatim (at n-gram granularity) in the training corpus — the
+    * decontamination check every LLM training pipeline runs before an eval
+    * set can be trusted.
+    *
+    * Shape: both sides reduce to distinct (doc, shingle-hash) rows; the
+    * train side collapses to an inverted index (shingle-hash -> document
+    * frequency), so the join is a hash equi-join on a content key whose
+    * cardinality grows with the corpus — parallelism scales with data, and
+    * the train index is the ONLY thing the (small) eval side touches. No
+    * pairwise doc×doc work at any point.
+    *
+    * Returns one row per eval doc: `n_shingles` (its distinct n-grams),
+    * `n_hit` (how many also occur in training), `max_train_df` (document
+    * frequency of its most common leaked n-gram; 0 when clean) and
+    * `contamination` = n_hit / n_shingles.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainIdx = shingles(train, idCol, textCol, n)
+      .withColumn("sh", hash60(col("shingle")))
+      .groupBy("sh").agg(count(lit(1)).as("train_df"))
+    val evalSh = shingles(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), hash60(col("shingle")).as("sh"))
+    evalSh.join(trainIdx, Seq("sh"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("train_df")).as("n_hit"),
+        coalesce(max(col("train_df")), lit(0L)).as("max_train_df"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Exact edit-distance verification of candidate pairs: SimHash banding
+    * proposes candidates (bounded, no cross product), then Levenshtein runs
+    * ONLY on those pairs. Direct pairwise Levenshtein over a corpus is
+    * O(N²·len²) — never viable; candidate-then-verify is the standard
+    * two-stage shape. Emits (i, j, hamming, lev, sim) with
+    * sim = 1 - lev/max(len_i, len_j) for sim >= minSim.
+    *
+    * At 100 TB also pass Spark's bounded `levenshtein(l, r, threshold)` via
+    * a max-distance cutoff: the DP early-exits once the bound is exceeded.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int, minSim: Double): DataFrame = {
+    val pairs = simhashPairs(docs, idCol, textCol, maxHamming)
+    val txt = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // The candidate set is SMALL IN BYTES but CPU-dense (an O(len^2) DP per
+    // row), so AQE's byte-based coalescing would fold it onto one task and
+    // run every DP serially. repartition-by-number is exempt from AQE
+    // coalescing, so the DP work actually spreads across the cluster.
+    val spread = pairs
+      .join(txt.as("ti"), col("i") === col("ti.doc_id"))
+      .join(txt.as("tj"), col("j") === col("tj.doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // stage the levenshtein behind an aliased projection so it is computed
+    // once per pair for the derived similarity, not re-evaluated per use
+    val scored = spread
+      .select(col("i"), col("j"), col("hamming"),
+        levenshtein(col("ti.text"), col("tj.text")).cast("long").as("lev"),
+        greatest(length(col("ti.text")), length(col("tj.text"))).cast("double").as("__max_len"))
+      .select(col("i"), col("j"), col("hamming"), col("lev"),
+        (lit(1.0) - col("lev").cast("double") / col("__max_len")).as("sim"))
+    // sim is always in [0, 1] (lev <= max_len), so a non-positive threshold
+    // is vacuous — skipping it keeps the plan at exactly ONE DP per pair
+    // (a Filter would be pushed through the projection and re-evaluate it)
+    if (minSim > 0.0) scored.filter(col("sim") >= minSim) else scored
+  }
+
   /** 60-bit SimHash over distinct tokens: bit j of the signature is set when
     * the sum over tokens of (+1 if bit j of hash60(token) else -1) is > 0.
     * Computed by the one-pass [[graft.functions.SimHashSketch]]

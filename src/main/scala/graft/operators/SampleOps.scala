@@ -37,6 +37,34 @@ object SampleOps {
   def sampleByRate(id: Column, rate: Double): Column =
     hashBucket(id, 1000000) < (rate * 1000000).toLong
 
+  /** Per-group quota sampling: keep at most `k` rows per group, chosen by
+    * deterministic hash order over `id` (so the kept set is a stable,
+    * uniform sample — not "whatever sorted first" — and survives retries
+    * and dataset growth). The domain-quota idiom: cap any one domain/source
+    * from dominating a training mix.
+    *
+    * Group keys are typically LOW cardinality (a handful of sources), so
+    * this routes through the salted two-stage top-k — parallelism stays
+    * |groups|·nSalts instead of collapsing to |groups| tasks.
+    * Emits the input plus `rk` (1-based keep rank within the group).
+    */
+  def quotaPerGroup(df: DataFrame, group: Column, id: Column, k: Int): DataFrame =
+    graft.operators.TimeSeriesOps.topKPerGroupSalted(
+      df, Seq(group), Seq(hash60(id.cast("string")).asc, id.asc), k,
+      saltExpr = hash60(concat(lit("qsalt_"), id.cast("string"))))
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g. keep
+    * 100% of rare languages, 10% of English). Unlisted strata fall back to
+    * `defaultRate`. Pure hash predicate — map-only at any scale.
+    */
+  def stratifiedSample(stratum: Column, id: Column,
+                       rates: Map[String, Double], defaultRate: Double): Column = {
+    val base = sampleByRate(id, defaultRate)
+    rates.foldLeft(when(lit(false), lit(false))) { case (acc, (s, r)) =>
+      acc.when(stratum === s, sampleByRate(id, r))
+    }.otherwise(base)
+  }
+
   /** Token-budget sequence packing within each `group`: documents are laid
     * out in `order`, and a document starts a new chunk when the running
     * token total before it has crossed the budget (streaming concat-and-cut

@@ -98,6 +98,32 @@ object TextOps {
       concat_ws(" ", slice(t, s + 1, lit(chunkTokens))).as("chunk_text")))
   }
 
+  /** PII patterns for scrub/redact passes. Deliberately restricted to regex
+    * features with identical semantics in Java regex and RE2 (character
+    * classes, bounded quantifiers, ASCII word boundaries) so redaction is
+    * oracle-checkable cross-engine.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\+\d{1,2} \d{3}-\d{3}-\d{4}""", "<PHONE>"))
+
+  /** Count of matches for one PII kind. */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = piiPatterns.collectFirst { case (`kind`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind: $kind"))
+    regexp_count(text, lit(pat)).cast("long")
+  }
+
+  /** Redact every PII occurrence (all kinds, fixed order so the result is
+    * deterministic even where patterns could overlap). Pure per-row
+    * expression — a scrub pass over 100 TB is a map-only job, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
   /** Order-SENSITIVE rolling (polynomial) fingerprint over token hashes:
     * h = fold(h * 31 + hash60(tok) mod M). Complements [[fingerprint]]:
     * detects exact sequences, not bags. Pure fold, no shuffle.

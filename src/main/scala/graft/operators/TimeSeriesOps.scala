@@ -114,6 +114,27 @@ object TimeSeriesOps {
         last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** Fixed-width value histogram per key: bin i covers
+    * [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/nBins; values below `lo` land
+    * in bin -1, values >= `hi` in bin `nBins` (explicit overflow bins, so
+    * the histogram partitions the data — nothing silently dropped). One
+    * hash aggregate: the shuffle carries at most |keys|·(nBins+2) rows
+    * regardless of input size. Bin arithmetic is a single IEEE divide +
+    * floor, bit-identical cross-engine.
+    */
+  def fixedWidthHistogram(df: DataFrame, keys: Seq[Column], value: Column,
+                          lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = when(value < lo, lit(-1L))
+      .when(value >= hi, lit(nBins.toLong))
+      .otherwise(floor((value - lit(lo)) / lit(w)).cast("long"))
+    df.groupBy(keys :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(value).as("bin_min"),
+        max(value).as("bin_max"))
+  }
+
   /** Top-k rows per group by a ranking column; deterministic via explicit
     * tie-breakers. Plans as one shuffle on the partition keys + in-partition
     * sort (no global sort).

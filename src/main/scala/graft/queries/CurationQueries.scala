@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import PipelineQueries.{hash60Sql, simhashCtes, simhashPairSelect, toksSql}
+
+/** Data-curation and quality-gate operators: value histograms, edit-distance
+  * near-dup verification, benchmark decontamination, per-domain quotas,
+  * stratified sampling, PII redaction, Deequ-style validation, and
+  * BM25-family keyword relevance.
+  *
+  * Same determinism discipline as the rest of the engine: md5-derived
+  * hashing, rational (no-transcendental) scoring, fixed expression trees —
+  * every query here is oracle-checked bit-exact against DuckDB.
+  */
+object CurationQueries {
+
+  private val one = lit(1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // fixed-width value histogram per event_type with explicit overflow
+    // bins; one hash-agg, <= |types|*(bins+2) rows on the shuffle
+    "q_histogram" -> ((s, dir) => {
+      TimeSeriesOps.fixedWidthHistogram(Tables.events(s, dir),
+        Seq(col("event_type")), col("value"), lo = 0.0, hi = 500.0, nBins = 20)
+    }),
+
+    // two-stage near-dup verify: SimHash banding proposes candidates,
+    // Levenshtein runs only on those pairs (never corpus x corpus). The %9
+    // subset bounds the candidate-pair count — near-dup clusters contribute
+    // quadratically many pairs, and each pair costs an O(len^2) DP
+    "q_edit_distance" -> ((s, dir) => {
+      DedupOps.editDistancePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", maxHamming = 3, minSim = 0.0)
+    }),
+
+    // benchmark decontamination: 5-gram overlap of each eval doc (id%10=7)
+    // against the training corpus via a shingle-hash inverted index
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", n = 5)
+    }),
+
+    // per-domain quota: keep <= 20 docs per source by deterministic hash
+    // order (salted two-stage top-k — no low-cardinality window)
+    "q_domain_quota" -> ((s, dir) => {
+      SampleOps.quotaPerGroup(Tables.documents(s, dir), col("source"), col("doc_id"), k = 20)
+        .groupBy("source")
+        .agg(count(one).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+          max(col("rk")).as("max_rk"))
+    }),
+
+    // stratified deterministic sampling: per-language keep rates
+    "q_stratified_sample" -> ((s, dir) => {
+      val kept = SampleOps.stratifiedSample(col("lang"), col("doc_id"),
+        Map("en" -> 0.2, "zh" -> 1.0), defaultRate = 0.5)
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(one).as("n_docs"), sum(kept.cast("long")).as("n_kept"))
+    }),
+
+    // PII scrub: deterministic synthetic PII appended to each doc, then
+    // counted and redacted (map-only pass — the 100 TB scrub shape)
+    "q_pii_redact" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        lit(" contact dev"), col("doc_id").cast("string"),
+        lit("@example.com via 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" or +1 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199"))
+      Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          TextOps.piiCount(pii, "email").as("n_email"),
+          TextOps.piiCount(pii, "ipv4").as("n_ip"),
+          TextOps.piiCount(pii, "phone").as("n_phone"),
+          md5(TextOps.redactPii(pii)).as("redacted_md5"),
+          length(TextOps.redactPii(pii)).cast("long").as("n_chars"))
+    }),
+
+    // Deequ-style data-quality gate: all metrics in ONE aggregation pass,
+    // constraints evaluated over the single metrics row
+    "q_data_quality" -> ((s, dir) => {
+      ValidateOps.check(Tables.events(s, dir),
+        metrics = Seq(
+          "n_rows" -> count(one),
+          "value_completeness" -> ValidateOps.completeness(col("value")),
+          "event_id_uniqueness" -> ValidateOps.uniqueness(col("event_id")),
+          "user_id_uniqueness" -> ValidateOps.uniqueness(col("user_id")),
+          "value_in_range" -> ValidateOps.inRangeRatio(col("value"), 0.0, 1000.0),
+          "min_value" -> min(col("value")),
+          "max_value" -> max(col("value")),
+          "n_event_types" -> count_distinct(col("event_type"))),
+        constraints = Seq(
+          "chk_value_complete" -> (col("value_completeness") === 1.0),
+          "chk_event_id_key" -> (col("event_id_uniqueness") === 1.0),
+          "chk_value_range" -> (col("value_in_range") === 1.0),
+          "chk_has_5_types" -> (col("n_event_types") === 5)))
+    }),
+
+    // BM25-family keyword relevance, global top-20 via TakeOrderedAndProject
+    "q_bm25" -> ((s, dir) => {
+      SearchOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("join", "vector", "window"), k = 20)
+    })
+  )
+
+  // DuckDB-side mirror of the BM25 score for term index i (same IEEE tree
+  // as SearchOps.bm25TopK: rational idf, k1=1.2, b=0.75)
+  private def bm25TermSql(i: Int): String =
+    s"(CAST(n_corpus AS DOUBLE) - df_$i + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)" +
+      s" * (tf_$i * (1.2 + 1.0)) / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg_len))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 0.0 THEN CAST(-1 AS BIGINT)
+        |       WHEN value >= 500.0 THEN CAST(20 AS BIGINT)
+        |       ELSE CAST(floor((value - 0.0) / 25.0) AS BIGINT) END AS bin,
+        |  count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_edit_distance" ->
+      s"""WITH ${simhashCtes("WHERE doc_id % 9 = 0")},
+         |pairs AS ($simhashPairSelect)
+         |SELECT p.i, p.j, p.hamming,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+         |FROM pairs p
+         |JOIN documents a ON a.doc_id = p.i
+         |JOIN documents b ON b.doc_id = p.j
+         |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) >= 0.0""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id,
+         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM d, UNNEST(generate_series(1, len(toks) - 4)) AS t(i)),
+         |tr AS (SELECT ${hash60Sql("shingle")} AS sh, count(*) AS train_df
+         |  FROM sh5 WHERE doc_id % 10 <> 7 GROUP BY 1),
+         |ev AS (SELECT doc_id AS eval_id, ${hash60Sql("shingle")} AS sh
+         |  FROM sh5 WHERE doc_id % 10 = 7)
+         |SELECT eval_id, count(*) AS n_shingles, count(train_df) AS n_hit,
+         |  coalesce(max(train_df), CAST(0 AS BIGINT)) AS max_train_df,
+         |  CAST(count(train_df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+         |FROM ev LEFT JOIN tr USING (sh) GROUP BY 1""".stripMargin,
+
+    "q_domain_quota" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |    ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS hv FROM documents),
+         |r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk FROM h)
+         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  max(rk) AS max_rk
+         |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH t AS (SELECT lang,
+         |    ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN CASE WHEN lang = 'en' THEN b < 200000
+         |                          WHEN lang = 'zh' THEN b < 1000000
+         |                          ELSE b < 500000 END
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q_pii_redact" -> {
+      val Seq(email, ip, phone) = TextOps.piiPatterns.map(_._2)
+      val redacted = TextOps.piiPatterns.foldLeft("pii") { case (acc, (_, pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact dev' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' or +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |      || '-0199' AS pii
+         |  FROM documents WHERE doc_id % 4 = 0)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii, '$email')) AS n_email,
+         |  len(regexp_extract_all(pii, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(pii, '$phone')) AS n_phone,
+         |  md5($redacted) AS redacted_md5,
+         |  length($redacted) AS n_chars
+         |FROM p""".stripMargin
+    },
+
+    "q_data_quality" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+        |  CAST(count(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value_completeness,
+        |  CAST(count(DISTINCT event_id) AS DOUBLE) / CAST(count(event_id) AS DOUBLE) AS event_id_uniqueness,
+        |  CAST(count(DISTINCT user_id) AS DOUBLE) / CAST(count(user_id) AS DOUBLE) AS user_id_uniqueness,
+        |  CAST(sum(CASE WHEN value >= 0.0 AND value < 1000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(value) AS DOUBLE) AS value_in_range,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(DISTINCT event_type) AS n_event_types
+        |FROM events)
+        |SELECT *,
+        |  value_completeness = 1.0 AS chk_value_complete,
+        |  event_id_uniqueness = 1.0 AS chk_event_id_key,
+        |  value_in_range = 1.0 AS chk_value_range,
+        |  n_event_types = 5 AS chk_has_5_types
+        |FROM m""".stripMargin,
+
+    "q_bm25" -> {
+      val terms = Seq("join", "vector", "window")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+      }.mkString(",\n    ")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(",\n    ")
+      val score = terms.indices.map(bm25TermSql).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n_corpus,
+         |    CAST(sum(CAST(len(toks) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS avg_len,
+         |    $dfs
+         |  FROM d),
+         |pre AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfs
+         |  FROM d),
+         |scored AS (SELECT doc_id, $score AS score FROM pre CROSS JOIN stats)
+         |SELECT doc_id, score FROM scored WHERE score > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    }
+  )
+}

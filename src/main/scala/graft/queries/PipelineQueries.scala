@@ -16,9 +16,9 @@ import graft.operators.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextO
   */
 object PipelineQueries {
 
-  // DuckDB fragments shared across oracles
-  private val toksSql = "string_split(text, ' ')"
-  private def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  // DuckDB fragments shared across oracles (also used by CurationQueries)
+  private[queries] val toksSql = "string_split(text, ' ')"
+  private[queries] def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
   private val shinglesSql =
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -34,11 +34,12 @@ object PipelineQueries {
     s"len(list_filter(toks, t -> list_contains([$lst], t)))"
   }
 
-  // SimHash pair SQL, shared between q_dedup_simhash and the recursive
+  // SimHash pair SQL, shared between q_dedup_simhash, the recursive
   // clustering oracle (q_dedup_clusters wraps the same pairs in a
-  // WITH RECURSIVE min-label reachability)
-  private def simhashCtes =
-    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  // WITH RECURSIVE min-label reachability), and the edit-distance verify
+  // (CurationQueries, with a doc subset `where`)
+  private[queries] def simhashCtes(where: String = ""): String =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents $where),
        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM d),
        |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM tok),
        |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
@@ -47,7 +48,7 @@ object PipelineQueries {
        |  FROM bits GROUP BY 1),
        |bk AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) % 32768 AS bv
        |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b))""".stripMargin
-  private def simhashPairSelect =
+  private[queries] def simhashPairSelect =
     """SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
@@ -411,11 +412,11 @@ object PipelineQueries {
          |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_dedup_simhash" ->
-      s"""WITH $simhashCtes
+      s"""WITH ${simhashCtes()}
          |$simhashPairSelect""".stripMargin,
 
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashCtes,
+      s"""WITH RECURSIVE ${simhashCtes()},
          |pairs AS ($simhashPairSelect),
          |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
          |nodes AS (SELECT DISTINCT src AS node FROM edges),

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+
+/** Data-curation operators: histogram binning, edit-distance verify,
+  * decontamination, quotas, stratified sampling, PII redaction, validation,
+  * BM25 relevance.
+  */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("histogram: bins partition the data with explicit overflow bins") {
+    val df = Seq(-5.0, 0.0, 24.9, 25.0, 499.9, 500.0, 777.0).toDF("v")
+    val got = TimeSeriesOps.fixedWidthHistogram(df, Seq.empty, col("v"), 0.0, 500.0, 20)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 1L, 19L -> 1L, 20L -> 2L))
+    assert(got.values.sum == 7L, "histogram must partition the input — nothing dropped")
+  }
+
+  test("edit distance: identical texts give lev 0 / sim 1; near-dups verified exactly") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dup
+      (3L, base.replace("tok7", "tok7x")),          // near dup (1 token edited)
+      (4L, (101 to 130).map(i => s"zz$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.editDistancePairs(docs, "doc_id", "text", maxHamming = 3, minSim = 0.0)
+      .select("i", "j", "lev", "sim").as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(pairs((1L, 2L)) == (0L, 1.0))
+    pairs.get((1L, 3L)).foreach { case (lev, sim) =>
+      assert(lev == 1L && sim < 1.0 && sim > 0.9)
+    }
+    assert(!pairs.keySet.exists { case (i, j) => i == 4L || j == 4L },
+      "unrelated doc must not appear in candidate pairs")
+  }
+
+  test("contamination: n-gram overlap against the train index, clean docs report 0") {
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),        // 5-grams: {w1..w5, w2..w6}
+      (2L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "w1 w2 w3 w4 w5 q9"),       // shares exactly one 5-gram with train
+      (11L, "y1 y2 y3 y4 y5 y6")).toDF("doc_id", "text")
+    val got = DedupOps.contaminationReport(train, eval, "doc_id", "text", n = 5)
+      .select("eval_id", "n_shingles", "n_hit", "max_train_df", "contamination")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 2L, 1L, 1L, 0.5)))
+    assert(got(11L) == ((11L, 2L, 0L, 0L, 0.0)))
+  }
+
+  test("quota sampling: salted two-stage result equals the plain window form") {
+    val docs = Tables.documents(spark, sf)
+    val salted = SampleOps.quotaPerGroup(docs, col("source"), col("doc_id"), k = 7)
+      .select("source", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
+    val hv = TextOps.hash60(col("doc_id").cast("string"))
+    val plain = TimeSeriesOps.topKPerGroup(docs, Seq(col("source")),
+        Seq(hv.asc, col("doc_id").asc), 7)
+      .select("source", "doc_id", "rk").as[(String, Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(salted.groupBy(_._1).values.forall(_.size <= 7))
+  }
+
+  test("stratified sampling: rate-1.0 stratum keeps everything, assignment deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val kept = SampleOps.stratifiedSample(col("lang"), col("doc_id"),
+      Map("en" -> 0.2, "zh" -> 1.0), defaultRate = 0.5)
+    val byLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(kept.cast("long")).as("k"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (nZh, kZh) = byLang("zh")
+    assert(nZh == kZh, "rate 1.0 must keep every doc")
+    val (nEn, kEn) = byLang("en")
+    assert(kEn < nEn, "rate 0.2 must drop some docs")
+  }
+
+  test("PII redaction: every pattern counted, then scrubbed to zero residual matches") {
+    val dirty = "reach me at jo.do+1@corp.example.org or admin@a.bc, " +
+      "host 192.168.0.1 backup 10.0.0.255, call +1 555-123-4567 end"
+    val df = Seq(dirty).toDF("t")
+    val got = df.select(
+        TextOps.piiCount(col("t"), "email").as("e"),
+        TextOps.piiCount(col("t"), "ipv4").as("i"),
+        TextOps.piiCount(col("t"), "phone").as("p"),
+        TextOps.redactPii(col("t")).as("r"))
+      .as[(Long, Long, Long, String)].head()
+    assert((got._1, got._2, got._3) == ((2L, 2L, 1L)), got)
+    val redacted = Seq(got._4).toDF("t")
+    val residual = redacted.select(
+        (TextOps.piiCount(col("t"), "email") + TextOps.piiCount(col("t"), "ipv4") +
+          TextOps.piiCount(col("t"), "phone")).as("n"))
+      .as[Long].head()
+    assert(residual == 0L, s"PII survived redaction: ${got._4}")
+    assert(got._4.contains("<EMAIL>") && got._4.contains("<IP>") && got._4.contains("<PHONE>"))
+  }
+
+  test("validation: one-pass profile metrics and constraints on a crafted table") {
+    val df = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(20.0), "a"),
+      (3L, None, "b"), (4L, Some(2000.0), "b")).toDF("id", "v", "g")
+    val row = ValidateOps.check(df,
+      metrics = Seq(
+        "n_rows" -> count(lit(1)),
+        "v_complete" -> ValidateOps.completeness(col("v")),
+        "id_unique" -> ValidateOps.uniqueness(col("id")),
+        "v_in_range" -> ValidateOps.inRangeRatio(col("v"), 0.0, 1000.0)),
+      constraints = Seq(
+        "chk_complete" -> (col("v_complete") === 1.0),
+        "chk_key" -> (col("id_unique") === 1.0))).head()
+    assert(row.getAs[Long]("n_rows") == 4L)
+    assert(row.getAs[Double]("v_complete") == 0.75)
+    assert(row.getAs[Double]("id_unique") == 1.0)
+    assert(row.getAs[Double]("v_in_range") == 2.0 / 3.0)
+    assert(!row.getAs[Boolean]("chk_complete") && row.getAs[Boolean]("chk_key"))
+  }
+
+  test("bm25: term-dense docs outrank, termless docs absent, ranking deterministic") {
+    val docs = Seq(
+      (1L, "join join join filter"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "join scan merge sort"),
+      (4L, "join join alpha beta")).toDF("doc_id", "text")
+    val got = SearchOps.bm25TopK(docs, "doc_id", "text", Seq("join"), k = 10)
+      .as[(Long, Double)].collect()
+    assert(!got.map(_._1).contains(2L), "doc without the term must score out")
+    assert(got.map(_._1).take(2).toSet == Set(1L, 4L),
+      s"higher tf must outrank: ${got.mkString(",")}")
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted(Ordering[Double].reverse)))
+  }
+}

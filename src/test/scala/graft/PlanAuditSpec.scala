@@ -83,6 +83,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Join") && p.contains("__bin"), p)
   }
 
+  test("q_bm25: global relevance top-k plans TakeOrderedAndProject, stats broadcast") {
+    val df = SparkEntry.queries("q_bm25")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats not broadcast back into the score pass:\n$p")
+  }
+
+  test("q_contamination: inverted-index equi-join, never doc-pairwise") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct"), s"pairwise blowup:\n$p")
+    // the eval->train probe must be a hash equi-join on the shingle hash
+    assert(p.contains("Join") && p.contains("sh#"), p)
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one
