@@ -20,6 +20,21 @@ object ExtraQueries {
 
   private val one = lit(1)
 
+  /** Materialize a (small, dimension-sized) result computed from scratch
+    * files under `tmpRoot`, then delete the scratch tree so repeated
+    * invocations don't litter the temp filesystem.
+    */
+  private def materializeAndClean(s: SparkSession, out: DataFrame,
+                                  tmpRoot: java.nio.file.Path): DataFrame = {
+    val rows = out.collect()
+    val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val st = java.nio.file.Files.walk(tmpRoot)
+    try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    finally st.close()
+    result
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // left outer join + null-aware aggregation over the optional side
@@ -86,16 +101,39 @@ object ExtraQueries {
           // UTC session zone and matches DuckDB's naive epoch_us
           unix_micros(max(col("o_orderdate")).cast("timestamp")).as("as_of_us"))
       t.merge(latestOrder, keys = Seq("k"), orderCol = Some("as_of_us"))
-      val out = t.read()
-      // materialize the (dimension-sized) snapshot, then delete the scratch
-      // table so repeated invocations don't litter the temp filesystem
-      val rows = out.collect()
-      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      val st = java.nio.file.Files.walk(tmpRoot)
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      finally st.close()
-      result
+      materializeAndClean(s, t.read(), tmpRoot)
+    }),
+
+    // incremental materialized-view maintenance: seed a per-customer
+    // (count, decimal-sum) aggregate from the v0 fact snapshot, append two
+    // more batches, fold ONLY the appended rows (the O(delta) change feed)
+    // into the view — the oracle recomputes the aggregate from scratch, so
+    // a hash match proves incremental == full recompute bit-for-bit
+    "q_incremental_mv" -> ((s, dir) => {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_imv")
+      val t = new graft.storage.TxLogTable(s, tmpRoot.toString + "/fact")
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("k"),
+        col("o_totalprice").as("v"), col("o_orderkey"))
+      t.overwrite(o.filter(col("o_orderkey") % 3 === 0))
+      val v0 = t.version.get
+      val mv0 = graft.storage.IncrementalAgg.snapshot(t.read(), Seq("k"), "v")
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      val delta = t.appendsBetween(v0, t.version.get)
+        .withColumn("_change_type", lit("insert"))
+      val mv = graft.storage.IncrementalAgg.applyDelta(mv0, delta, Seq("k"), "v")
+        .select(col("k"), col("cnt"), col("sum_v").cast("double").as("sum_v"))
+      materializeAndClean(s, mv, tmpRoot)
+    }),
+
+    // Z-order (Morton) curve values over two independent dimensions — the
+    // multi-dim clustering key that keeps per-file min/max tight on BOTH
+    // columns (file skipping for either predicate; see ZOrder/StorageSpec)
+    "q_zorder" -> ((s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(1023L))
+      val y = floor(col("value")).cast("long").bitwiseAND(lit(1023L))
+      Tables.events(s, dir).filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), graft.storage.ZOrder.zvalue2(x, y, 10).as("zv"))
     }),
 
     // file-format roundtrip: nation through CSV (headered, quoted), region
@@ -114,13 +152,7 @@ object ExtraQueries {
       val out = nation.join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(one).as("n_nations"), sum(col("n_nationkey")).as("sum_key"))
-      val rows = out.collect() // 5 rows; materialize, then drop the scratch dirs
-      val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      val st = java.nio.file.Files.walk(tmpRoot)
-      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      finally st.close()
-      result
+      materializeAndClean(s, out, tmpRoot)
     }),
 
     // typed UDAF: weighted average with exact decimal buffer
@@ -229,6 +261,18 @@ object ExtraQueries {
         |  coalesce(u.v, c.c_acctbal) AS v,
         |  coalesce(u.as_of_us, 0) AS as_of_us
         |FROM customer c FULL JOIN upd u ON c.c_custkey = u.k""".stripMargin,
+
+    "q_incremental_mv" ->
+      """SELECT o_custkey AS k, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_v
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH t AS (SELECT event_id, user_id & 1023 AS zx,
+         |    CAST(floor(value) AS BIGINT) & 1023 AS zy
+         |  FROM events WHERE event_id % 97 = 0)
+         |SELECT event_id, ${graft.storage.ZOrder.zvalue2Sql("zx", "zy", 10)} AS zv
+         |FROM t""".stripMargin,
 
     "q_formats_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations,

@@ -132,6 +132,27 @@ class TxLogTable(spark: SparkSession, path: String) {
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
 
+  /** Cheap change feed for an APPEND-ONLY version range: the rows added
+    * between `fromV` and `toV` are exactly the data directories the append
+    * commits introduced, so reading the delta costs O(|delta|) — no
+    * snapshot diff (which [[changes]] must do, at O(table) shuffle cost,
+    * to handle merges/compactions). Throws if any commit in the range is
+    * not an append: a rewrite invalidates the dirs-added = rows-added
+    * equivalence, and silently returning a wrong delta would corrupt any
+    * incrementally-maintained downstream state.
+    */
+  def appendsBetween(fromV: Long, toV: Long): DataFrame = {
+    require(toV > fromV, s"need toV > fromV, got $fromV -> $toV")
+    val nonAppend = (fromV + 1).to(toV).map(readEntry).filter(_.op != "append")
+    if (nonAppend.nonEmpty)
+      throw new IllegalStateException(
+        s"versions ${nonAppend.map(_.version).mkString(",")} of $path are not appends — " +
+          "use changes() (snapshot diff) for ranges containing rewrites")
+    val added = readEntry(toV).dirs.filterNot(readEntry(fromV).dirs.toSet)
+    if (added.isEmpty) readVersion(toV).limit(0)
+    else spark.read.parquet(added.map(d => root.resolve(d).toString): _*)
+  }
+
   /** Delete data directories no longer referenced by the LATEST version.
     * This discards time travel to earlier versions (their log entries stay
     * but their data may be gone) — run only past any retention window.

@@ -49,6 +49,28 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming MERGE sink: foreachBatch upsert into a [[graft.storage.TxLogTable]]
+    * — the streaming -> ACID-table bridge (continuous dimension maintenance,
+    * e.g. a registry mirror). `orderCol` makes the merge idempotent per key
+    * (greatest order value wins), so a replayed micro-batch after a restart
+    * converges to the same table instead of double-applying — exactly-once
+    * EFFECT on the table from at-least-once batch delivery. Commit races
+    * with concurrent writers retry via the table's optimistic protocol.
+    */
+  def startMergeSink(updates: DataFrame, table: graft.storage.TxLogTable,
+                     keys: Seq[String], orderCol: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.storage.TxLogTable.retryOnConflict() {
+            table.merge(batch, keys, Some(orderCol)); ()
+          }
+      }
+      .start()
+
   /** R8 as a STREAMING view: the wide (device, ts) -> {transducer: num}
     * layout maintained incrementally — the reference double-writes this
     * "organized" form on every message (influx_service.py:191-200); here it

@@ -95,6 +95,59 @@ class StorageSpec extends SparkSuite {
     assert(none.count() == 0 && none.columns.contains("p_date"))
   }
 
+  test("z-order layout skips files on BOTH dimensions; linear sort only on one") {
+    import graft.storage.{StatsIndex, ZOrder}
+    val base = Files.createTempDirectory("zorder").toString
+    // 128x128 grid: two independent uniform dimensions
+    val grid = spark.range(0, 16384).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"), col("id").as("v"))
+
+    ZOrder.write(grid, col("x"), col("y"), bits = 7, nFiles = 16, s"$base/z")
+    val zstats = StatsIndex.build(spark.read.parquet(s"$base/z"), Seq("x", "y"))
+    StatsIndex.write(zstats, s"$base/zstats")
+    val zN = zstats.count()
+    val zx = StatsIndex.candidateFiles(
+      StatsIndex.read(spark, s"$base/zstats"), "x", lit(0L), lit(15L))
+    val zy = StatsIndex.candidateFiles(
+      StatsIndex.read(spark, s"$base/zstats"), "y", lit(0L), lit(15L))
+    assert(zx.size < zN && zy.size < zN,
+      s"z-order must skip on both dims: x=${zx.size}, y=${zy.size} of $zN")
+
+    // linear x-sort: tight on x, but every file spans the whole y domain
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/lin")
+    val lstats = StatsIndex.build(spark.read.parquet(s"$base/lin"), Seq("x", "y"))
+    StatsIndex.write(lstats, s"$base/lstats")
+    val ly = StatsIndex.candidateFiles(
+      StatsIndex.read(spark, s"$base/lstats"), "y", lit(0L), lit(15L))
+    assert(ly.size == lstats.count(),
+      "x-sorted layout should NOT skip on y — that asymmetry is what z-order removes")
+
+    // pruned read equals the full-scan filter
+    val pruned = StatsIndex.readRange(spark, s"$base/zstats", s"$base/z", "y", lit(0L), lit(15L))
+    val full = spark.read.parquet(s"$base/z").filter(col("y") >= 0L && col("y") <= 15L)
+    assert(pruned.count() == full.count() && full.count() == 16L * 128L)
+  }
+
+  test("dynamic partition pruning: dim-side filter prunes fact date partitions at runtime") {
+    val base = Files.createTempDirectory("dpp").toString
+    val points = Tables.events(spark, sf)
+      .select(col("user_id").as("device_id"), col("ts"), col("value").as("num"))
+    PointStore.write(points, s"$base/points")
+    val fact = PointStore.read(spark, s"$base/points")
+    // calendar dimension with a non-partition attribute to filter on
+    fact.select(col("p_date")).distinct()
+      .withColumn("day_tag", dayofmonth(col("p_date")))
+      .write.parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact.join(dim.filter(col("day_tag") <= 3), Seq("p_date"))
+      .groupBy("p_date").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no runtime partition pruning on the fact scan:\n$p")
+  }
+
   test("gap fill keeps data in a trailing partial bucket") {
     import graft.operators.TimeSeriesOps
     val df = Seq(("s1", 0L, 1.0), ("s1", 2_200_000L, 5.0)) // second point in partial bucket 2

@@ -49,6 +49,55 @@ class TxLogTableSpec extends SparkSuite {
       (3L, "ins", "insert")))                       // pure insert; unchanged k=2 absent
   }
 
+  test("appendsBetween: O(delta) feed returns exactly the appended rows, rejects rewrites") {
+    val t = new TxLogTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("k", "v")) // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"))    // v1
+    t.append(Seq((3L, "c")).toDF("k", "v"))    // v2
+    assert(t.appendsBetween(0L, 2L).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    assert(t.appendsBetween(1L, 2L).as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // a merge rewrites data dirs: the cheap feed must refuse, not mislead
+    t.merge(Seq((1L, "a2")).toDF("k", "v"), Seq("k")) // v3
+    val e = intercept[IllegalStateException](t.appendsBetween(0L, 3L))
+    assert(e.getMessage.contains("not appends"))
+  }
+
+  test("incremental aggregate: append delta fold == from-scratch recompute") {
+    import graft.storage.IncrementalAgg
+    val t = new TxLogTable(spark, tmp())
+    t.overwrite(Seq((1L, 10.5), (1L, 2.25), (2L, 7.0)).toDF("k", "v")) // v0
+    val mv0 = IncrementalAgg.snapshot(t.read(), Seq("k"), "v")
+    t.append(Seq((1L, 1.0), (3L, 4.5)).toDF("k", "v"))                 // v1
+    val delta = t.appendsBetween(0L, 1L).withColumn("_change_type", lit("insert"))
+    val got = IncrementalAgg.applyDelta(mv0, delta, Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = IncrementalAgg.snapshot(t.read(), Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got == Set((1L, 3L, 13.75), (2L, 1L, 7.0), (3L, 1L, 4.5)))
+  }
+
+  test("incremental aggregate: delete/upsert deltas via the snapshot-diff change feed") {
+    import graft.storage.IncrementalAgg
+    val t = new TxLogTable(spark, tmp())
+    t.overwrite(Seq((1L, 10.0, 100L), (2L, 7.0, 100L), (3L, 5.0, 100L)).toDF("k", "v", "ts")) // v0
+    val mv0 = IncrementalAgg.snapshot(t.read(), Seq("k"), "v")
+    // upsert key 1 (delete+insert in the feed), insert key 4
+    t.merge(Seq((1L, 20.0, 200L), (4L, 1.0, 200L)).toDF("k", "v", "ts"),
+      Seq("k"), Some("ts")) // v1
+    val got = IncrementalAgg.applyDelta(mv0, t.changes(0L, 1L), Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = IncrementalAgg.snapshot(t.read(), Seq("k"), "v")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.exists { case (k, _, s) => k == 1L && s == 20.0 })
+  }
+
   test("time travel: every committed version stays readable until vacuum") {
     val t = new TxLogTable(spark, tmp())
     t.append(Seq((1L, "a")).toDF("k", "v"))
