@@ -114,6 +114,68 @@ object TimeSeriesOps {
         last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** Integer kernel for the truncated EMA: weight_j = 2·(n-1)^j / (n+1)^(j+1)
+    * (the a·(1-a)^j kernel with a = 2/(n+1)), scaled by (n+1)^depth so every
+    * coefficient is an exact integer — the whole EMA then runs in int64
+    * arithmetic and the only floating-point ops are the two final divides.
+    */
+  def emaCoefficients(n: Int, depth: Int): Seq[Long] = {
+    require(n > 1 && depth > 0, "need n > 1 and depth > 0")
+    // headroom: coefficients multiply 1e-6-quantized values (~2^30 for a
+    // 1e3-range metric); keep the kernel below 2^32 so products stay exact
+    require(BigInt(n + 1).pow(depth) * 2 < (BigInt(1) << 32),
+      s"EMA kernel (n=$n, depth=$depth) overflows the int64 budget")
+    (0 until depth).map(j =>
+      (BigInt(2) * BigInt(n - 1).pow(j) * BigInt(n + 1).pow(depth - 1 - j)).toLong)
+  }
+
+  /** InfluxQL-style `exponential_moving_average(n)` as a truncated-kernel
+    * weighted average over the trailing `depth` points, normalized by the
+    * kernel mass of the points actually present (a series head averages
+    * what exists instead of decaying toward zero). Truncation error is
+    * (1-a)^depth of the mass — depth 5·n keeps it under 1%.
+    *
+    * Cross-engine determinism: values are quantized to 1e-6 units (one IEEE
+    * multiply + floor per row), weighted by the integer kernel, and summed
+    * in int64 — exact — so the result is two IEEE divisions away from
+    * integers and bit-identical in any engine. (A double-weight fold drifts
+    * an ulp across engines; this is the same quantize-then-integer-sum
+    * discipline as the vector kernels.)
+    */
+  def exponentialMovingAverage(value: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                               n: Int, depth: Int): Column = {
+    val cs = emaCoefficients(n, depth)
+    val vu = floor(value * lit(1000000.0)) // 1e-6 units, int64
+    val num = cs.zipWithIndex.map { case (c, j) =>
+      coalesce(lag(vu, j).over(w) * lit(c), lit(0L))
+    }.reduce(_ + _)
+    val den = cs.zipWithIndex.map { case (c, j) =>
+      when(lag(vu, j).over(w).isNotNull, lit(c)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    num.cast("double") / den.cast("double") / lit(1000000.0)
+  }
+
+  /** InfluxQL `integral()`: time-weighted area under the series (trapezoid
+    * rule), per key. Each row's trapezoid (v + prev_v)/2 · Δt_seconds is a
+    * double computed identically in any engine, then quantized to 1e-6
+    * units with `floor` and summed in int64 — order-independent and exact
+    * (a DECIMAL cast of a computed double rounds differently across
+    * engines near the scale quantum; floor-quantization does not). One
+    * window + one hash-agg per series key.
+    */
+  def integral(df: DataFrame, key: Column, tsUs: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsUs)
+    val trap = (value + lag(value, 1).over(w)) / lit(2.0) *
+      ((tsUs - lag(tsUs, 1).over(w)).cast("double") / lit(1000000.0))
+    df.select(key.as("series_key"), floor(trap * lit(1000000.0)).as("__u"))
+      .groupBy("series_key")
+      .agg(
+        // single-point series have no segments: integral 0, not null
+        (coalesce(sum(col("__u")), lit(0L)).cast("double") / lit(1000000.0))
+          .as("integral"),
+        count(col("__u")).as("n_segments"))
+  }
+
   /** Fixed-width value histogram per key: bin i covers
     * [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/nBins; values below `lo` land
     * in bin -1, values >= `hi` in bin `nBins` (explicit overflow bins, so

@@ -182,6 +182,25 @@ object ExtraQueries {
         stepUs = 86400000000L)
     }),
 
+    // InfluxQL exponential_moving_average as a truncated-kernel window
+    // (fixed literal weights -> deterministic IEEE tree, oracle-exact)
+    "q_ts_ema" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 15)
+        .select(col("user_id").as("series_key"), unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          graft.operators.TimeSeriesOps.exponentialMovingAverage(
+            col("value"), w, n = 4, depth = 10).as("ema4"))
+    }),
+
+    // InfluxQL integral(): trapezoid area under each series, decimal-summed
+    "q_ts_integral" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.integral(Tables.events(s, dir),
+        col("user_id"), unix_micros(col("ts")), col("value"))
+    }),
+
     // the custom physical as-of operator (AsofJoinNode/Strategy/Exec) on the
     // same alignment task as q_asof_join, checked against DuckDB's ASOF JOIN
     "q_asof_join_exec" -> ((s, dir) => {
@@ -322,6 +341,35 @@ object ExtraQueries {
         |  last_value(bucket_sum IGNORE NULLS) OVER
         |    (PARTITION BY series_key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_sum
         |FROM j""".stripMargin,
+
+    "q_ts_ema" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      val num = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag(vu, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      val den = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag(vu, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu
+         |  FROM events WHERE user_id < 15)
+         |SELECT user_id AS series_key, ts_us, value,
+         |  CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) / 1000000.0 AS ema4
+         |FROM t
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+    },
+
+    "q_ts_integral" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |tr AS (SELECT user_id,
+        |    CAST(floor(((value + lag(value) OVER w) / 2.0
+        |      * (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0))
+        |      * 1000000.0) AS BIGINT) AS u
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us))
+        |SELECT user_id AS series_key,
+        |  CAST(coalesce(sum(u), 0) AS DOUBLE) / 1000000.0 AS integral,
+        |  count(u) AS n_segments
+        |FROM tr GROUP BY 1""".stripMargin,
 
     "q_asof_join_exec" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),

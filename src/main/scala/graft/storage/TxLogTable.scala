@@ -132,6 +132,29 @@ class TxLogTable(spark: SparkSession, path: String) {
       .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
   }
 
+  /** OPTIMIZE ZORDER: rewrite the current snapshot into `nFiles`
+    * z-clustered files on dimensions (x, y) — compaction that also
+    * establishes multi-dimensional locality, so per-file min/max (and a
+    * [[StatsIndex]] built on top) serve range predicates on EITHER
+    * dimension. Commits as a rewrite: time travel keeps prior versions,
+    * and [[appendsBetween]] ranges crossing it correctly refuse (use
+    * [[changes]]). Run it like compaction — on the accumulated debt,
+    * off the write path.
+    */
+  def optimizeZOrder(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                     bits: Int, nFiles: Int): Long = {
+    require(nFiles > 0, "nFiles must be positive")
+    val base = Some(version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path")))
+    val clustered = readVersion(base.get)
+      .withColumn("__z", ZOrder.zvalue2(x, y, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val dir = writeDataDir(clustered)
+    commit("optimize", Seq(dir), base)
+  }
+
   /** Cheap change feed for an APPEND-ONLY version range: the rows added
     * between `fromV` and `toV` are exactly the data directories the append
     * commits introduced, so reading the delta costs O(|delta|) — no

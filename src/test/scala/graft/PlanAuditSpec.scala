@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Plan-quality gate: the properties that make these queries survive a
   * 100x scale-up are asserted on the optimized physical plan, not left to
   * hope — predicate pushdown reaching the parquet scan, dimension joins
@@ -96,6 +98,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"pairwise blowup:\n$p")
     // the eval->train probe must be a hash equi-join on the shingle hash
     assert(p.contains("Join") && p.contains("sh#"), p)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at real scale the application-side threshold (10GB default) is met by
+    // the fact table; here it is lowered so the injection fires on test data
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("ingest pipeline: no shuffle before the final aggregate") {

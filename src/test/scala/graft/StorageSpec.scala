@@ -129,6 +129,27 @@ class StorageSpec extends SparkSuite {
     assert(pruned.count() == full.count() && full.count() == 16L * 128L)
   }
 
+  test("TxLogTable OPTIMIZE ZORDER: content preserved, both-dim skipping, rewrite fences the append feed") {
+    import graft.storage.{StatsIndex, TxLogTable}
+    val t = new TxLogTable(spark, Files.createTempDirectory("txz").toString + "/t")
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), expr("id div 64").as("y"), col("id").as("v"))
+    t.append(grid)                                        // v0
+    t.optimizeZOrder(col("x"), col("y"), bits = 6, nFiles = 8) // v1 (rewrite)
+    // content identical
+    assert(t.read().as[(Long, Long, Long)].collect().toSet ==
+      grid.as[(Long, Long, Long)].collect().toSet)
+    // the clustered files skip on BOTH dimensions
+    val stats = StatsIndex.build(t.read(), Seq("x", "y"))
+    val n = stats.count()
+    val cx = StatsIndex.candidateFiles(stats, "x", lit(0L), lit(7L))
+    val cy = StatsIndex.candidateFiles(stats, "y", lit(0L), lit(7L))
+    assert(cx.size < n && cy.size < n, s"x=${cx.size}, y=${cy.size} of $n")
+    // the rewrite fences the O(delta) append feed
+    val e = intercept[IllegalStateException](t.appendsBetween(0L, 1L))
+    assert(e.getMessage.contains("not appends"))
+  }
+
   test("dynamic partition pruning: dim-side filter prunes fact date partitions at runtime") {
     val base = Files.createTempDirectory("dpp").toString
     val points = Tables.events(spark, sf)

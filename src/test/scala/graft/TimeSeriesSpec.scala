@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("exponential moving average: truncated kernel, normalized over present history") {
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 4.0)).toDF("k", "ts", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+    val got = df.select(col("ts"),
+        TimeSeriesOps.exponentialMovingAverage(col("v"), w, n = 4, depth = 10).as("ema"))
+      .as[(Long, Double)].collect().toMap
+    // a = 2/5 = 0.4; weights 0.4, 0.24, 0.144, ...
+    assert(math.abs(got(0L) - 1.0) < 1e-12, "single point: ema == value")
+    assert(math.abs(got(1L) - (0.4 * 2.0 + 0.24 * 1.0) / (0.4 + 0.24)) < 1e-12)
+    assert(math.abs(got(2L) - (0.4 * 4.0 + 0.24 * 2.0 + 0.144 * 1.0) / (0.4 + 0.24 + 0.144)) < 1e-12)
+    // more recent points weigh more: ema at t2 sits between last value and mean
+    assert(got(2L) > (1.0 + 2.0 + 4.0) / 3 && got(2L) < 4.0)
+  }
+
+  test("integral: trapezoid area per series, first point contributes no segment") {
+    val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
+      (8L, 0L, 2.0)).toDF("k", "ts_us", "v")
+    val got = TimeSeriesOps.integral(df, col("k"), col("ts_us"), col("v"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(7L) == ((2.0 + 8.0, 2L)))        // (3+1)/2*1s + (5+3)/2*2s
+    assert(got(8L) == ((0.0, 0L)))              // single point: empty sum
+  }
+}
