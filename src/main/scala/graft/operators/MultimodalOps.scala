@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media payloads as opaque `BINARY` with typed
   * metadata, plus decode / feature-extract / frame-sample plumbing.
   *
-  * The decode step is a STUB (this environment ships no image/audio codecs):
-  * [[FakeDecoder.decode]] derives deterministic pseudo-features from the raw
-  * bytes. Everything around it is real Spark plumbing — schema, per-partition
-  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
-  * columnar metadata extraction — so swapping in a real codec changes one
-  * function.
+  * The AUDIO decode path is REAL: [[WavCodec]] parses RIFF/WAVE PCM
+  * containers (pure JVM byte arithmetic — no native codec needed) and
+  * [[decodeAudio]] runs it per-partition with dead-letter routing for
+  * corrupt payloads. Image/video decode remains a STUB (the environment
+  * ships no image codecs): [[FakeDecoder.decode]] derives deterministic
+  * pseudo-features from the raw bytes. Everything around both is the same
+  * Spark plumbing — schema, per-partition batched iteration (the Scala
+  * analogue of `mapInPandas` batch shape), columnar metadata extraction —
+  * so swapping a real image codec in changes one function, exactly as the
+  * WAV path demonstrates.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
   * decode is a narrow per-partition map, so it parallelizes with the scan
@@ -63,6 +67,46 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       // per-partition: a real codec would be initialized once here
       rows.map(FakeDecoder.decode)
+    }
+  }
+
+  case class AudioDecoded(doc_id: Long, ok: Boolean, err: String,
+                          sample_rate: Int, channels: Int, bits: Int,
+                          n_frames: Long, duration_us: Long, rms: Double, peak: Int)
+
+  /** Deterministic audio fixture: a PCM16 square wave whose length, period
+    * and amplitude derive from `doc_id` — REAL WAV bytes (RIFF header +
+    * samples) built by [[WavCodec.synth]], so the decode stage downstream
+    * does genuine container parsing, not pseudo-features.
+    */
+  def synthWave(docId: Long): Array[Byte] = {
+    val len = (800 + (docId % 23) * 37).toInt
+    val period = (2 + docId % 50).toInt
+    val amp = (1000 + docId % 9000).toShort
+    val samples = Array.tabulate(len)(i =>
+      if ((i / period) % 2 == 0) amp else (-amp).toShort)
+    WavCodec.synth(8000, samples)
+  }
+
+  /** REAL audio decode over the payload column: per-partition batched WAV
+    * parsing ([[WavCodec.decode]]). Corrupt payloads become `ok = false`
+    * rows carrying the parse error — the dead-letter routing shape — never
+    * fabricated features and never a job-killing throw (one bad file in a
+    * 100 TB scan must not fail the stage; the caller filters/routes).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioDecoded] = {
+    implicit val enc = Encoders.product[AudioDecoded]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val w = WavCodec.decode(m.payload)
+          AudioDecoded(m.doc_id, ok = true, err = "", w.sampleRate, w.channels,
+            w.bitsPerSample, w.nFrames, w.durationUs, w.rms, w.peak)
+        } catch {
+          case e: WavCodec.MalformedWav =>
+            AudioDecoded(m.doc_id, ok = false, err = e.getMessage, 0, 0, 0, 0L, 0L, 0.0, 0)
+        }
+      }
     }
   }
 

@@ -201,6 +201,23 @@ object ExtraQueries {
         col("user_id"), unix_micros(col("ts")), col("value"))
     }),
 
+    // per-series z-score outlier detection from exact decimal moments
+    "q_ts_outliers" -> ((s, dir) => {
+      graft.operators.StatsOps.outlierStats(Tables.events(s, dir),
+        col("user_id"), col("value"), k = 2.0)
+    }),
+
+    // Pearson correlation of click vs view spend per (user, day) cell —
+    // integer-quantized units, exact decimal moments, one double tree
+    "q_ts_corr" -> ((s, dir) => {
+      val units = floor(col("value") * lit(100.0))
+      val cells = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", units)).as("xu"),
+          sum(when(col("event_type") === "view", units)).as("yu"))
+      graft.operators.StatsOps.pearsonUnits(cells, col("xu"), col("yu"))
+    }),
+
     // the custom physical as-of operator (AsofJoinNode/Strategy/Exec) on the
     // same alignment task as q_asof_join, checked against DuckDB's ASOF JOIN
     "q_asof_join_exec" -> ((s, dir) => {
@@ -370,6 +387,39 @@ object ExtraQueries {
         |  CAST(coalesce(sum(u), 0) AS DOUBLE) / 1000000.0 AS integral,
         |  count(u) AS n_segments
         |FROM tr GROUP BY 1""".stripMargin,
+
+    "q_ts_outliers" ->
+      """WITH st AS (SELECT user_id, value,
+        |    CAST(count(value) OVER w AS DOUBLE) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sxx
+        |  FROM events WINDOW w AS (PARTITION BY user_id)),
+        |fl AS (SELECT user_id, value, sx / n AS mean,
+        |    sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0)) AS std
+        |  FROM st)
+        |SELECT user_id AS series_key, count(value) AS n,
+        |  CAST(sum(CASE WHEN abs(value - mean) > 2.0 * std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(mean) AS mean, min(std) AS std
+        |FROM fl GROUP BY 1""".stripMargin,
+
+    "q_ts_corr" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'click' THEN CAST(floor(value * 100.0) AS BIGINT) END AS xu0,
+        |    CASE WHEN event_type = 'view' THEN CAST(floor(value * 100.0) AS BIGINT) END AS yu0
+        |  FROM events),
+        |cells AS (SELECT user_id, day, sum(xu0) AS xu, sum(yu0) AS yu FROM u GROUP BY 1, 2),
+        |p AS (SELECT xu, yu FROM cells WHERE xu IS NOT NULL AND yu IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(CAST(xu AS DECIMAL(38,0))) AS sx, sum(CAST(yu AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(xu * yu AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(xu * xu AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(yu * yu AS DECIMAL(38,0))) AS syy
+        |  FROM p)
+        |SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+        |FROM m""".stripMargin,
 
     "q_asof_join_exec" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events),

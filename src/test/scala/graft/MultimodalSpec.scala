@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, WavCodec}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("WAV roundtrip: synth then decode recovers format and exact signal features") {
+    val amp: Short = 3000
+    val samples = Array.tabulate(1600)(i => if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+    val info = WavCodec.decode(WavCodec.synth(8000, samples))
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nFrames == 1600 && info.durationUs == 200000L) // 0.2 s at 8 kHz
+    assert(info.rms == 3000.0 && info.peak == 3000, "constant-magnitude wave: rms == peak == amp")
+  }
+
+  test("WAV decode: 8-bit and multi-channel payloads parse correctly") {
+    // hand-build a stereo PCM8 file: 4 frames, channels (L=128+x, R=128-x)
+    val data = Array[Int](138, 118, 148, 108, 128, 128, 228, 28).map(_.toByte)
+    val buf = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(36 + data.length).put("WAVE".getBytes("ASCII"))
+    buf.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(2)
+      .putInt(4000).putInt(8000).putShort(2).putShort(8)
+    buf.put("data".getBytes("ASCII")).putInt(data.length).put(data)
+    val info = WavCodec.decode(buf.array())
+    assert(info.channels == 2 && info.bitsPerSample == 8 && info.nFrames == 4)
+    assert(info.peak == 100, "8-bit samples are unsigned, centered at 128")
+  }
+
+  test("WAV decode: malformed payloads fail loudly, never fabricate features") {
+    val good = WavCodec.synth(8000, Array[Short](1, 2, 3, 4))
+    def expectFail(bytes: Array[Byte], fragment: String): Unit = {
+      val e = intercept[WavCodec.MalformedWav](WavCodec.decode(bytes))
+      assert(e.getMessage.contains(fragment), s"'${e.getMessage}' !~ '$fragment'")
+    }
+    expectFail(Array[Byte](1, 2, 3), "too short")
+    expectFail("JUNKxxxxJUNK".getBytes("ASCII"), "not RIFF/WAVE")
+    expectFail(good.take(30), "overruns")
+    // a data chunk whose length is not a frame multiple
+    val odd = good.clone(); ByteBuffer.wrap(odd).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 7)
+    expectFail(odd, "not a multiple")
+  }
+
+  test("distributed audio decode: real parsing per partition, corrupt rows dead-letter") {
+    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(60)
+      .as[Long]
+      .map { id =>
+        val payload = if (id == 9L) Array[Byte](82, 73) // corrupt: truncated RIFF
+          else MultimodalOps.synthWave(id)
+        MultimodalOps.MediaRow(id, payload, "audio")
+      }
+    val decoded = MultimodalOps.decodeAudio(media).collect()
+    val bad = decoded.filter(!_.ok)
+    assert(bad.map(_.doc_id).toSeq == Seq(9L) && bad.head.err.contains("too short"))
+    val ok = decoded.filter(_.ok)
+    assert(ok.nonEmpty && ok.forall(d => d.sample_rate == 8000 && d.bits == 16))
+    // spot-check one row against a local decode of the same synth
+    val want = WavCodec.decode(MultimodalOps.synthWave(3L))
+    val got = ok.find(_.doc_id == 3L).get
+    assert(got.n_frames == want.nFrames && got.rms == want.rms && got.peak == want.peak)
+    // square waves: rms equals amplitude, amplitude varies by doc
+    assert(ok.forall(d => d.rms == 1000.0 + d.doc_id % 9000))
+  }
+}

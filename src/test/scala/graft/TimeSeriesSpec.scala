@@ -21,6 +21,30 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(2L) > (1.0 + 2.0 + 4.0) / 3 && got(2L) < 4.0)
   }
 
+  test("outlier stats: z-score flags from exact moments, constant series safe") {
+    import graft.operators.StatsOps
+    val df = Seq((1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 100.0),
+      (2L, 5.0), (2L, 5.0)).toDF("k", "v")
+    val got = StatsOps.outlierStats(df, col("k"), col("v"), k = 1.0)
+      .select("series_key", "n", "n_outliers")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((4L, 1L)), s"the 100.0 spike must flag: $got")
+    assert(got(2L) == ((2L, 0L)), "constant series: std 0, nothing flags, no NaN")
+  }
+
+  test("pearson: exact moments give corr 1 / -1 on linear series, nulls drop") {
+    import graft.operators.StatsOps
+    val pos = Seq((Some(1L), Some(2L)), (Some(2L), Some(4L)), (Some(3L), Some(6L)),
+      (None, Some(9L))).toDF("xu", "yu")
+    val (n, c) = StatsOps.pearsonUnits(pos, col("xu"), col("yu"))
+      .as[(Long, Double)].head()
+    assert(n == 3L && math.abs(c - 1.0) < 1e-12, s"n=$n corr=$c")
+    val neg = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("xu", "yu")
+    val (_, cn) = StatsOps.pearsonUnits(neg, col("xu"), col("yu"))
+      .as[(Long, Double)].head()
+    assert(math.abs(cn + 1.0) < 1e-12, s"corr=$cn")
+  }
+
   test("integral: trapezoid area per series, first point contributes no segment") {
     val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
       (8L, 0L, 2.0)).toDF("k", "ts_us", "v")
