@@ -51,7 +51,30 @@ object GraftFunctions {
         es(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
     (FunctionIdentifier("simhash_sketch"),
       new ExpressionInfo(classOf[SimHashSketch].getName, "simhash_sketch"),
-      (es: Seq[Expression]) => SimHashSketch(es(0)).toAggregateExpression()))
+      (es: Seq[Expression]) => SimHashSketch(es(0)).toAggregateExpression())) ++
+    // curation operators surfaced as SQL functions: built from the same
+    // Column compositions the DataFrame API uses (one definition, both
+    // surfaces), bridged through the Column<->Expression shim
+    composed
+
+  private def composed: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.graft.shim
+    import graft.operators.{SampleOps, TextOps}
+    def fn(name: String)(build: Seq[Expression] => org.apache.spark.sql.Column) =
+      (FunctionIdentifier(name), new ExpressionInfo("graft.operators", name),
+        (es: Seq[Expression]) => shim.toExpression(build(es)))
+    Seq(
+      fn("hash60")(es => TextOps.hash60(shim.column(es(0)))),
+      fn("lang_id")(es => TextOps.langId(shim.column(es(0)))),
+      fn("quality_score")(es => TextOps.qualityFeatures(shim.column(es(0))).last._2),
+      fn("fingerprint")(es => TextOps.fingerprint(shim.column(es(0)))),
+      fn("rolling_fp")(es => TextOps.rollingFingerprint(shim.column(es(0)))),
+      fn("redact_pii")(es => TextOps.redactPii(shim.column(es(0)))),
+      fn("split_assign")(es => SampleOps.splitAssign(shim.column(es(0)))),
+      fn("zvalue")(es => graft.storage.ZOrder.zvalue2(
+        shim.column(es(0)), shim.column(es(1)),
+        es(2).eval(null).asInstanceOf[Int])))
+  }
 
   /** Imperative registration for sessions built without the extensions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -12,6 +12,18 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Fully convert a functions-API `Column` tree into a Catalyst
+    * expression the analyzer can resolve. [[expression]] merely WRAPS the
+    * column node (fine when the Column already wraps a concrete
+    * Expression); a Column built from `org.apache.spark.sql.functions`
+    * compositions needs the classic converter, or it survives analysis as
+    * an un-codegen-able opaque node. This is what lets one Column-based
+    * operator definition serve both the DataFrame API and a registered
+    * SQL function.
+    */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a (resolved) logical plan as a DataFrame (Dataset.ofRows is
     * private[sql]).
     */

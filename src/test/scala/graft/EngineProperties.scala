@@ -193,4 +193,60 @@ object EngineProperties extends Properties("graft") {
           .map(r => (r.deviceId, r.transducers.toSet, r.active)).toSet
       result(events) == result(shuffled)
     }
+
+  // --- curation/storage operator properties --------------------------------
+
+  property("zvalue2 is injective on the grid (interleave loses no bits)") =
+    forAll(Gen.chooseNum(1, 8)) { bits =>
+      import spark.implicits._
+      val side = 1 << bits
+      val grid = spark.range(0, side.toLong * side).select(
+        (col("id") % side).as("x"), expr(s"id div $side").as("y"))
+      val distinctZ = grid
+        .select(graft.storage.ZOrder.zvalue2(col("x"), col("y"), bits).as("z"))
+        .distinct().count()
+      distinctZ == side.toLong * side
+    }
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0).map(v => math.rint(v * 100) / 100))
+
+  property("EMA stays within [min, max] of the series prefix") =
+    forAll(seriesGen) { vs =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("ts", "v")
+      val w = Window.partitionBy(lit(1)).orderBy(col("ts"))
+      val rows = df.select(col("ts"),
+          graft.operators.TimeSeriesOps.exponentialMovingAverage(col("v"), w, 3, 8).as("ema"))
+        .orderBy("ts").as[(Long, Double)].collect()
+      rows.forall { case (i, ema) =>
+        val prefix = vs.slice(math.max(0, i.toInt - 7), i.toInt + 1)
+        // 1e-6 quantization of values bounds the EMA the same way
+        ema >= prefix.min - 1e-6 && ema <= prefix.max + 1e-6
+      }
+    }
+
+  property("histogram partitions the input: bin counts sum to row count") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 700.0))) { vs =>
+      import spark.implicits._
+      val total = graft.operators.TimeSeriesOps
+        .fixedWidthHistogram(vs.toDF("v"), Seq.empty, col("v"), 0.0, 500.0, 10)
+        .agg(sum(col("n"))).as[Long].head()
+      total == vs.length.toLong
+    }
+
+  property("quota sampling: at most k per group, selection is a stable function of id") =
+    forAll(Gen.chooseNum(1, 10)) { k =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val kept = graft.operators.SampleOps
+        .quotaPerGroup(docs, col("source"), col("doc_id"), k)
+        .select("source", "doc_id").as[(String, Long)].collect()
+      val perGroup = kept.groupBy(_._1).view.mapValues(_.length)
+      val again = graft.operators.SampleOps
+        .quotaPerGroup(docs, col("source"), col("doc_id"), k)
+        .select("source", "doc_id").as[(String, Long)].collect()
+      perGroup.values.forall(_ <= k) && kept.toSet == again.toSet
+    }
 }

@@ -49,6 +49,26 @@ class SqlSurfaceSpec extends SparkSuite {
     rows.foreach { case (_, d, nsq) => assert(d == nsq && nsq > 0) }
   }
 
+  test("curation operators are callable from raw SQL and match the Column forms") {
+    import org.apache.spark.sql.functions._
+    val sql = spark.sql(
+      """SELECT doc_id, lang_id(text) AS lid, quality_score(text) AS q,
+        |  fingerprint(text) AS fp, split_assign(doc_id) AS sp
+        |FROM documents WHERE doc_id < 40""".stripMargin)
+      .as[(Long, String, Double, String, String)].collect().toSet
+    val df = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        graft.operators.TextOps.langId(col("text")).as("lid"),
+        graft.operators.TextOps.qualityFeatures(col("text")).last._2.as("q"),
+        graft.operators.TextOps.fingerprint(col("text")).as("fp"),
+        graft.operators.SampleOps.splitAssign(col("doc_id")).as("sp"))
+      .as[(Long, String, Double, String, String)].collect().toSet
+    assert(sql == df && sql.nonEmpty)
+    // zvalue: interleaving in SQL matches the storage-layer expression
+    val z = spark.sql("SELECT zvalue(5, 3, 3)").as[Long].head()
+    assert(z == 27L) // 5=101, 3=011 -> interleaved y1x1 y0x0: 011011
+  }
+
   test("sketch aggregates are callable from raw SQL") {
     val sig = spark.sql(
       """SELECT doc_id % 3 AS g, minhash_sketch(CAST(doc_id AS BIGINT), 4) AS sig
