@@ -13,12 +13,43 @@ import graft.operators.AsofJoin
   */
 object RelationalQueries {
 
+  /** One SQL text, two engines: correlated EXISTS / NOT EXISTS, an IN
+    * subquery, and a scalar subquery (decimal-exact average so the
+    * threshold comparison is deterministic cross-engine). Runs through the
+    * raw-SQL entry (`Tables.registerViews`) — the whole subquery surface is
+    * Catalyst-planned (semi/anti joins), nothing engine-specific.
+    */
+  private val subqueriesSql: String =
+    """WITH thresh AS (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      |    / count(*) AS avg_price FROM orders)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+      |FROM customer c
+      |WHERE c_custkey IN (
+      |    SELECT o_custkey FROM orders
+      |    WHERE o_totalprice > 1.5 * (SELECT avg_price FROM thresh))
+      |  AND EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+      |      AND o2.o_totalprice < 50000.0)
+      |GROUP BY 1""".stripMargin
+
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 6) =
     sum(c.cast(s"decimal(38,$scale)")).cast("double")
 
   private val one = lit(1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // subquery surface via the raw-SQL entry: same text runs in the oracle
+    "q_subqueries" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(subqueriesSql)
+    }),
 
     // ranking / analytic / frame window functions over per-supplier series
     "q_window_funcs" -> ((s, dir) => {
@@ -233,6 +264,8 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_subqueries" -> subqueriesSql,
+
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -95,6 +95,26 @@ class StorageSpec extends SparkSuite {
     assert(none.count() == 0 && none.columns.contains("p_date"))
   }
 
+  test("indexed point store: single-device range read skips files and matches direct filter") {
+    val base = Files.createTempDirectory("psidx").toString
+    val points = Tables.events(spark, sf)
+      .select(concat(lit("dev"), lpad(col("user_id").cast("string"), 4, "0")).as("device_id"),
+        col("ts"), col("value").as("num"))
+    PointStore.writeIndexed(points, s"$base/points", s"$base/stats")
+    val got = PointStore.readDeviceRange(spark, s"$base/points", s"$base/stats",
+      "dev0007", "2024-01-05", "2024-01-20")
+    val want = points.filter(col("device_id") === "dev0007" &&
+      col("ts") >= lit("2024-01-05").cast("timestamp") &&
+      col("ts") < lit("2024-01-20").cast("timestamp"))
+    assert(got.count() == want.count() && want.count() > 0)
+    // the stats index actually prunes: candidate files < total files
+    import graft.storage.StatsIndex
+    val stats = StatsIndex.read(spark, s"$base/stats")
+    val cand = StatsIndex.candidateFiles(stats, "device_id", lit("dev0007"), lit("dev0007"))
+    assert(cand.nonEmpty && cand.size < stats.count(),
+      s"no file skipping: ${cand.size} of ${stats.count()}")
+  }
+
   test("z-order layout skips files on BOTH dimensions; linear sort only on one") {
     import graft.storage.{StatsIndex, ZOrder}
     val base = Files.createTempDirectory("zorder").toString
