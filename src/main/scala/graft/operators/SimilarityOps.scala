@@ -206,6 +206,62 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
+  /** Product quantization (PQ) ANN with asymmetric-distance scoring — the
+    * third standard index family next to hyperplane LSH and IVF. The vector
+    * space is split into `m` subspaces; each subspace learns `kCodes`
+    * centroids ([[kmeansCentroidsQ]] on the sub-vectors — deterministic,
+    * integer-exact, so the whole index is oracle-able); every database
+    * vector compresses to m small codes (m·log2(kCodes) bits instead of
+    * dim·32 — the memory footprint that lets a 100 TB corpus keep its index
+    * in RAM). Queries stay full-precision: ADC scores
+    * `dot(q, v) ≈ Σ_m dot(q_m, centroid_{m, code_m(v)})` via a tiny
+    * broadcast lookup table (|queries|·m·kCodes rows), so scoring the
+    * corpus is one equi-join on (subspace, code) + an int64 sum — no
+    * per-pair vector math at all.
+    *
+    * Scoring is raw quantized inner product (MIPS-style, exact int64) —
+    * monotone in cosine for normalized embeddings.
+    */
+  def pqTopK(vecs: DataFrame, m: Int, kCodes: Int, dim: Int, k: Int,
+             isQuery: Column, kmeansIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subLen = dim / m
+    val q = prepQ(vecs).persist()
+
+    // per-subspace: learned codebook + code assignment (max-cos, cid tie-break)
+    val perSub = (0 until m).map { j =>
+      val sub = q.select(col("vec_id"), slice(col("qv"), j * subLen + 1, subLen).as("qv"))
+        .withColumn("qn", normQ(col("qv")))
+      val cents = kmeansCentroidsQ(sub, kCodes, kmeansIters)
+      val codes = assignTo(sub, cents)
+        .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
+      (cents.withColumn("sub", lit(j)), codes)
+    }
+    val centsAll = perSub.map(_._1).reduce(_ unionByName _)
+    val codesAll = perSub.map(_._2).reduce(_ unionByName _)
+
+    // ADC lookup table: every (query, subspace, codebook entry) dot product
+    val queries = q.filter(isQuery).select(col("vec_id").as("query_id"), col("qv"))
+    val qsubs = (0 until m).map { j =>
+      queries.select(col("query_id"), lit(j).as("sub"),
+        slice(col("qv"), j * subLen + 1, subLen).as("qsub"))
+    }.reduce(_ unionByName _)
+    val adc = qsubs.join(broadcast(centsAll), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        dotQ(col("qsub"), col("cv")).as("d"))
+
+    // score = exact int64 sum of the m looked-up partial dots
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    codesAll.join(broadcast(adc), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dot"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "adc_dot")
+  }
+
   /** Exact all-pairs cosine >= tau (the oracle-checkable baseline; at scale
     * use [[lshNearDupPairs]]).
     */

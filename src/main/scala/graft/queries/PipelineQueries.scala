@@ -103,6 +103,65 @@ object PipelineQueries {
        |  FROM scored) WHERE rk <= $topK""".stripMargin
   }
 
+  /** DuckDB oracle for PQ/ADC ANN — mirrors [[SimilarityOps.pqTopK]]: per
+    * subspace, the same unrolled deterministic k-means as the IVF oracle
+    * (max-cos assignment, floor-division means, empty clusters carry), then
+    * code assignment, the ADC lookup table, and the int64 score join.
+    */
+  private def pqOracleSql(m: Int, kCodes: Int, subLen: Int, topK: Int, iters: Int): String = {
+    def sliceOf(src: String, j: Int) = s"$src[${j * subLen + 1}:${(j + 1) * subLen}]"
+    val subCtes = (0 until m).map { j =>
+      val base =
+        s"""nsub$j AS (SELECT vec_id, ${sliceOf("qv", j)} AS qv,
+           |    CAST(list_sum(list_transform(${sliceOf("qv", j)}, x -> x*x)) AS BIGINT) AS nq
+           |  FROM q),
+           |c${j}_0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM nsub$j WHERE vec_id < $kCodes)""".stripMargin
+      val steps = (0 until iters).map { t =>
+        s"""ka${j}_$t AS (SELECT vec_id, qv, cid FROM (
+           |    SELECT n.vec_id, n.qv, c.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |        ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} DESC, c.cid) AS crk
+           |    FROM nsub$j n, c${j}_$t c) WHERE crk = 1),
+           |ks${j}_$t AS (SELECT cid, i AS pos, sum(qv[i]) AS s, count(*) AS cnt
+           |  FROM ka${j}_$t, UNNEST(generate_series(1, len(qv))) AS u(i) GROUP BY 1, 2),
+           |kn${j}_$t AS (SELECT cid,
+           |    list(CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cv
+           |  FROM ks${j}_$t GROUP BY 1),
+           |c${j}_${t + 1} AS (SELECT p.cid, coalesce(nc.cv, p.cv) AS cv,
+           |    CAST(list_sum(list_transform(coalesce(nc.cv, p.cv), x -> x * x)) AS BIGINT) AS cn
+           |  FROM c${j}_$t p LEFT JOIN kn${j}_$t nc ON p.cid = nc.cid)""".stripMargin
+      }
+      val codes =
+        s"""codes$j AS (SELECT vec_id, $j AS sub, cid AS code FROM (
+           |    SELECT n.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |        ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} DESC, c.cid) AS crk
+           |    FROM nsub$j n, c${j}_$iters c) WHERE crk = 1)""".stripMargin
+      (base +: steps :+ codes).mkString(",\n")
+    }
+    val codesUnion = (0 until m).map(j => s"SELECT * FROM codes$j").mkString(" UNION ALL ")
+    val centsUnion = (0 until m)
+      .map(j => s"SELECT $j AS sub, cid, cv FROM c${j}_$iters").mkString(" UNION ALL ")
+    val qsubsUnion = (0 until m)
+      .map(j => s"SELECT query_id, $j AS sub, ${sliceOf("qv", j)} AS qsub FROM queries")
+      .mkString(" UNION ALL ")
+    s"""WITH $quantSql,
+       |${subCtes.mkString(",\n")},
+       |codes AS ($codesUnion),
+       |cents AS ($centsUnion),
+       |queries AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id >= 100 AND vec_id < 110),
+       |qsubs AS ($qsubsUnion),
+       |adc AS (SELECT query_id, s.sub, s.cid AS code, ${dotSql("qsub", "s.cv")} AS d
+       |  FROM qsubs JOIN cents s ON qsubs.sub = s.sub),
+       |scored AS (SELECT a.query_id, c.vec_id AS neighbor_id, CAST(sum(a.d) AS BIGINT) AS adc_dot
+       |  FROM codes c JOIN adc a ON a.sub = c.sub AND a.code = c.code
+       |  WHERE c.vec_id <> a.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rk, neighbor_id, adc_dot FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id) AS rk
+       |  FROM scored) WHERE rk <= $topK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace + BPE-ish regex
@@ -249,6 +308,14 @@ object PipelineQueries {
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), nCentroids = 8, probes = 2, k = 3,
         isQuery = col("vec_id") >= 100 && col("vec_id") < 120, kmeansIters = 2)
         .select("query_id", "rk", "neighbor_id", "cos")
+    }),
+
+    // product-quantization ANN: 4 subspaces x 8 codes, 1 k-means iteration,
+    // ADC scoring — the compressed-index family (codes, not vectors, at
+    // scan time); deterministic codebooks make even this oracle-exact
+    "q_ann_pq" -> ((s, dir) => {
+      SimilarityOps.pqTopK(Tables.embeddings(s, dir), m = 4, kCodes = 8, dim = 64,
+        k = 5, isQuery = col("vec_id") >= 100 && col("vec_id") < 110, kmeansIters = 1)
     }),
 
     // the full training-data cleaning pipeline as ONE declarative plan:
@@ -495,6 +562,8 @@ object PipelineQueries {
          |FROM buckets GROUP BY 1""".stripMargin,
 
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
+
+    "q_ann_pq" -> pqOracleSql(m = 4, kCodes = 8, subLen = 16, topK = 5, iters = 1),
 
     "q_pipeline_clean" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
