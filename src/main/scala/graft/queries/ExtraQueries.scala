@@ -201,6 +201,21 @@ object ExtraQueries {
         col("user_id"), unix_micros(col("ts")), col("value"))
     }),
 
+    // trailing TIME-window aggregates (RANGE frame over event-time micros):
+    // "sum/count over the last 10 minutes" per event — the time-based frame
+    // InfluxQL moving windows imply, which a ROWS frame cannot express for
+    // irregular series. RANGE frames treat order-value peers identically in
+    // every engine, so ties don't break determinism.
+    "q_trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0) // 10 minutes of microseconds, inclusive
+      Tables.events(s, dir).filter(col("user_id") < 25)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          sum(col("value").cast("decimal(38,4)")).over(w).cast("double").as("sum_10m"),
+          count(lit(1)).over(w).as("n_10m"))
+    }),
+
     // per-series z-score outlier detection from exact decimal moments
     "q_ts_outliers" -> ((s, dir) => {
       graft.operators.StatsOps.outlierStats(Tables.events(s, dir),
@@ -387,6 +402,14 @@ object ExtraQueries {
         |  CAST(coalesce(sum(u), 0) AS DOUBLE) / 1000000.0 AS integral,
         |  count(u) AS n_segments
         |FROM tr GROUP BY 1""".stripMargin,
+
+    "q_trailing_window" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_10m,
+        |  count(*) OVER w AS n_10m
+        |FROM events WHERE user_id < 25
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_ts_outliers" ->
       """WITH st AS (SELECT user_id, value,

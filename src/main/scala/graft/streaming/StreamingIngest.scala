@@ -49,6 +49,26 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Dead-letter sink: unroutable messages (neither data-plane nor
+    * control-plane topic shape) quarantined to their own checkpointed
+    * parquet table with the reason attached — the reference swallows them
+    * in a bare except (influx_service.py:114-119), which at fleet scale
+    * means silent data loss with no way to replay after a routing fix.
+    * Same exactly-once guarantees as the main sink.
+    */
+  def startDeadLetterSink(messages: DataFrame, controlTopic: String,
+                          path: String, checkpoint: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    messages
+      .filter(Ingest.isDeadLetter(controlTopic))
+      .withColumn("dl_reason", lit("unroutable_topic"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Streaming MERGE sink: foreachBatch upsert into a [[graft.storage.TxLogTable]]
     * — the streaming -> ACID-table bridge (continuous dimension maintenance,
     * e.g. a registry mirror). `orderCol` makes the merge idempotent per key

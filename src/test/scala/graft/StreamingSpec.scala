@@ -162,6 +162,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dead-letter sink: unroutable messages quarantined with reason, none swallowed") {
+    implicit val sq = spark.sqlContext
+    val out = tmp("dl_out"); val cp = tmp("dl_cp")
+    val in = MemoryStream[(String, String, Long)]
+    val msgs = in.toDF().toDF("topic", "payload", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingIngest.startDeadLetterSink(msgs,
+      "openchirp/service/svc1/thing/events", out, cp, Trigger.ProcessingTime(0))
+    try {
+      in.addData(
+        ("openchirp/device/dev1/temp", "21.5", us("2024-01-01 00:00:01")),   // data-plane
+        ("openchirp/service/svc1/thing/events", "{}", us("2024-01-01 00:00:02")), // control
+        ("noise/garbage", "x", us("2024-01-01 00:00:03")),                   // dead letter
+        ("openchirp/device/too/many/segments", "y", us("2024-01-01 00:00:04"))) // dead letter
+      q.processAllAvailable()
+      val dl = spark.read.parquet(out).select("topic", "dl_reason")
+        .as[(String, String)].collect().toSet
+      assert(dl == Set(("noise/garbage", "unroutable_topic"),
+        ("openchirp/device/too/many/segments", "unroutable_topic")))
+    } finally q.stop()
+  }
+
   test("streaming MERGE sink: micro-batches upsert into the ACID table, replays converge") {
     implicit val sq = spark.sqlContext
     val table = new graft.storage.TxLogTable(spark, tmp("msink") + "/t")
