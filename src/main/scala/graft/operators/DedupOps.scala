@@ -268,6 +268,12 @@ object DedupOps {
     *
     * At 100 TB also pass Spark's bounded `levenshtein(l, r, threshold)` via
     * a max-distance cutoff: the DP early-exits once the bound is exceeded.
+    *
+    * Unicode caveat: Spark's levenshtein counts CODEPOINTS while DuckDB's
+    * counts BYTES, so the q_edit_distance oracle is only bit-exact on
+    * ASCII text (the fixture corpus is ASCII by construction). Non-ASCII
+    * corpora still get correct Spark-side semantics — only the cross-engine
+    * gate would need a byte-explicit oracle.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int, minSim: Double): DataFrame = {

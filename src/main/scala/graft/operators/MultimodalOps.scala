@@ -103,8 +103,11 @@ object MultimodalOps {
           AudioDecoded(m.doc_id, ok = true, err = "", w.sampleRate, w.channels,
             w.bitsPerSample, w.nFrames, w.durationUs, w.rms, w.peak)
         } catch {
-          case e: WavCodec.MalformedWav =>
-            AudioDecoded(m.doc_id, ok = false, err = e.getMessage, 0, 0, 0, 0L, 0L, 0.0, 0)
+          // NonFatal, not just MalformedWav: a null payload or a parser bug
+          // must also dead-letter, never kill the stage
+          case scala.util.control.NonFatal(e) =>
+            AudioDecoded(m.doc_id, ok = false,
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, 0, 0L, 0L, 0.0, 0)
         }
       }
     }

@@ -198,12 +198,17 @@ object SimilarityOps {
       .filter(col("prk") <= probes)
       .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2").as("cid"))
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("cid"))
+    val result = probed.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotQ(col("want_qv"), col("qv")), col("want_qn"), col("qn")).as("cos"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
+      // see pqTopK: eager-checkpoint the small result, then release the
+      // session-lifetime pins on the cached corpus/centroids/assignments
+      .localCheckpoint(true)
+    Seq(q, cents, assigned).foreach(_.unpersist())
+    result
   }
 
   /** Product quantization (PQ) ANN with asymmetric-distance scoring — the
@@ -253,13 +258,19 @@ object SimilarityOps {
     // score = exact int64 sum of the m looked-up partial dots
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
-    codesAll.join(broadcast(adc), Seq("sub", "code"))
+    val result = codesAll.join(broadcast(adc), Seq("sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d")).as("adc_dot"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "adc_dot")
+      // eager checkpoint of the (tiny, |queries|·k) result lets the big
+      // cached corpus be released NOW — a bare persist would otherwise pin
+      // it in the cache manager for the session lifetime
+      .localCheckpoint(true)
+    q.unpersist()
+    result
   }
 
   /** Exact all-pairs cosine >= tau (the oracle-checkable baseline; at scale

@@ -163,8 +163,12 @@ object TimeSeriesOps {
     * engines near the scale quantum; floor-quantization does not). One
     * window + one hash-agg per series key.
     */
-  def integral(df: DataFrame, key: Column, tsUs: Column, value: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(tsUs)
+  def integral(df: DataFrame, key: Column, tsUs: Column, value: Column,
+               tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    // explicit tie-break columns keep the trapezoid pairing deterministic
+    // when a series carries equal timestamps (repo convention: exact sort
+    // keys + explicit tie-breaks — tied-ts peer order is engine-arbitrary)
+    val w = Window.partitionBy(key).orderBy(tsUs +: tieBreak: _*)
     val trap = (value + lag(value, 1).over(w)) / lit(2.0) *
       ((tsUs - lag(tsUs, 1).over(w)).cast("double") / lit(1000000.0))
     df.select(key.as("series_key"), floor(trap * lit(1000000.0)).as("__u"))
@@ -188,9 +192,12 @@ object TimeSeriesOps {
                           lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
     val w = (hi - lo) / nBins
+    // least() clamp: with a non-exactly-representable width, a value just
+    // under `hi` can have (value-lo)/w round up to nBins — keep it in the
+    // last REAL bin; the overflow bin is strictly for value >= hi
     val bin = when(value < lo, lit(-1L))
       .when(value >= hi, lit(nBins.toLong))
-      .otherwise(floor((value - lit(lo)) / lit(w)).cast("long"))
+      .otherwise(least(floor((value - lit(lo)) / lit(w)).cast("long"), lit(nBins - 1L)))
     df.groupBy(keys :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("n"),
         min(value).as("bin_min"),

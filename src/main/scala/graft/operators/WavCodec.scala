@@ -58,7 +58,9 @@ object WavCodec {
     while (pos + 8 <= bytes.length) {
       val id = ascii(pos, 4)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > bytes.length)
+      // bound check in Long arithmetic: a hostile len near Int.MaxValue would
+      // wrap `pos + 8 + len` negative and slip past an Int comparison
+      if (len < 0 || pos.toLong + 8L + len > bytes.length)
         fail(s"chunk '$id' length $len overruns the payload at offset $pos")
       id match {
         case "fmt " =>

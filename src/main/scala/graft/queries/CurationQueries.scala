@@ -122,7 +122,7 @@ object CurationQueries {
       """SELECT event_type,
         |  CASE WHEN value < 0.0 THEN CAST(-1 AS BIGINT)
         |       WHEN value >= 500.0 THEN CAST(20 AS BIGINT)
-        |       ELSE CAST(floor((value - 0.0) / 25.0) AS BIGINT) END AS bin,
+        |       ELSE least(CAST(floor((value - 0.0) / 25.0) AS BIGINT), 19) END AS bin,
         |  count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
         |FROM events GROUP BY 1, 2""".stripMargin,
 

@@ -195,10 +195,11 @@ object ExtraQueries {
             col("value"), w, n = 4, depth = 10).as("ema4"))
     }),
 
-    // InfluxQL integral(): trapezoid area under each series, decimal-summed
+    // InfluxQL integral(): trapezoid area under each series, quantized-summed
     "q_ts_integral" -> ((s, dir) => {
       graft.operators.TimeSeriesOps.integral(Tables.events(s, dir),
-        col("user_id"), unix_micros(col("ts")), col("value"))
+        col("user_id"), unix_micros(col("ts")), col("value"),
+        tieBreak = Seq(col("event_id")))
     }),
 
     // trailing TIME-window aggregates (RANGE frame over event-time micros):
@@ -392,12 +393,12 @@ object ExtraQueries {
     },
 
     "q_ts_integral" ->
-      """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
         |tr AS (SELECT user_id,
         |    CAST(floor(((value + lag(value) OVER w) / 2.0
         |      * (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0))
         |      * 1000000.0) AS BIGINT) AS u
-        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us))
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT user_id AS series_key,
         |  CAST(coalesce(sum(u), 0) AS DOUBLE) / 1000000.0 AS integral,
         |  count(u) AS n_segments

@@ -42,6 +42,11 @@ class MultimodalSpec extends SparkSuite {
     // a data chunk whose length is not a frame multiple
     val odd = good.clone(); ByteBuffer.wrap(odd).order(ByteOrder.LITTLE_ENDIAN).putInt(40, 7)
     expectFail(odd, "not a multiple")
+    // hostile chunk length near Int.MaxValue: the bounds check must not
+    // wrap in Int arithmetic and walk off the buffer
+    val hostile = good.clone()
+    ByteBuffer.wrap(hostile).order(ByteOrder.LITTLE_ENDIAN).putInt(40, Int.MaxValue - 7)
+    expectFail(hostile, "overruns")
   }
 
   test("distributed audio decode: real parsing per partition, corrupt rows dead-letter") {
@@ -55,6 +60,12 @@ class MultimodalSpec extends SparkSuite {
     val decoded = MultimodalOps.decodeAudio(media).collect()
     val bad = decoded.filter(!_.ok)
     assert(bad.map(_.doc_id).toSeq == Seq(9L) && bad.head.err.contains("too short"))
+    // a NULL payload (not just a malformed one) must dead-letter, not NPE the stage
+    val withNull = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(1L, MultimodalOps.synthWave(1L), "audio"),
+      MultimodalOps.MediaRow(2L, null, "audio")))
+    val nullRow = MultimodalOps.decodeAudio(withNull).collect().find(_.doc_id == 2L).get
+    assert(!nullRow.ok && nullRow.err.nonEmpty)
     val ok = decoded.filter(_.ok)
     assert(ok.nonEmpty && ok.forall(d => d.sample_rate == 8000 && d.bits == 16))
     // spot-check one row against a local decode of the same synth
