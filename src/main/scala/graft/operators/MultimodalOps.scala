@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media payloads as opaque `BINARY` with typed
   * metadata, plus decode / feature-extract / frame-sample plumbing.
   *
-  * The AUDIO decode path is REAL: [[WavCodec]] parses RIFF/WAVE PCM
-  * containers (pure JVM byte arithmetic — no native codec needed) and
-  * [[decodeAudio]] runs it per-partition with dead-letter routing for
-  * corrupt payloads. Image/video decode remains a STUB (the environment
-  * ships no image codecs): [[FakeDecoder.decode]] derives deterministic
-  * pseudo-features from the raw bytes. Everything around both is the same
+  * The AUDIO and IMAGE decode paths are REAL: [[WavCodec]] parses RIFF/WAVE
+  * PCM containers and [[BmpCodec]] parses uncompressed 24-bit BMPs with
+  * integer average-pooled thumbnails (decode → feature-extract → resize) —
+  * both pure JVM byte arithmetic, no native codecs, run per-partition with
+  * dead-letter routing for corrupt payloads ([[decodeAudio]] /
+  * [[decodeImages]]). Video decode remains a STUB (no container codec is
+  * expressible in plain byte math): [[FakeDecoder.decode]] derives
+  * deterministic pseudo-features. Everything around all three is the same
   * Spark plumbing — schema, per-partition batched iteration (the Scala
   * analogue of `mapInPandas` batch shape), columnar metadata extraction —
-  * so swapping a real image codec in changes one function, exactly as the
-  * WAV path demonstrates.
+  * so a production video codec changes one function, exactly as the WAV
+  * and BMP paths demonstrate.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
   * decode is a narrow per-partition map, so it parallelizes with the scan
@@ -108,6 +110,44 @@ object MultimodalOps {
           case scala.util.control.NonFatal(e) =>
             AudioDecoded(m.doc_id, ok = false,
               err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, 0, 0L, 0L, 0.0, 0)
+        }
+      }
+    }
+  }
+
+  case class ImageDecoded(doc_id: Long, ok: Boolean, err: String,
+                          width: Int, height: Int, mean_lum: Double, thumb: Seq[Long])
+
+  /** Deterministic image fixture: a gradient + id-seeded checker pattern as
+    * REAL 24-bit BMP bytes ([[BmpCodec.synth]]).
+    */
+  def synthImage(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 17).toInt
+    val h = (16 + docId % 13).toInt
+    BmpCodec.synth(w, h, (x, y) => {
+      val checker = if (((x / 4) + (y / 4) + docId) % 2 == 0) 64 else 0
+      ((x * 255 / math.max(1, w - 1)) min 255,
+        (y * 255 / math.max(1, h - 1)) min 255, checker)
+    })
+  }
+
+  /** REAL image decode + feature-extract + resize over the payload column:
+    * per-partition BMP parsing with integer average-pooled thumbnails
+    * ([[BmpCodec.decode]]). Corrupt payloads dead-letter (`ok = false`),
+    * same contract as [[decodeAudio]].
+    */
+  def decodeImages(media: Dataset[MediaRow], poolSize: Int = 4): Dataset[ImageDecoded] = {
+    implicit val enc = Encoders.product[ImageDecoded]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val b = BmpCodec.decode(m.payload, poolSize)
+          ImageDecoded(m.doc_id, ok = true, err = "",
+            b.width, b.height, b.meanLum, b.thumb.toSeq)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            ImageDecoded(m.doc_id, ok = false,
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, 0.0, Seq.empty)
         }
       }
     }

@@ -49,6 +49,66 @@ class MultimodalSpec extends SparkSuite {
     expectFail(hostile, "overruns")
   }
 
+  test("BMP roundtrip: synth then decode recovers dims, exact mean and pooled thumbnail") {
+    import graft.operators.BmpCodec
+    // 8x8 image: left half black, right half white
+    val info = BmpCodec.decode(
+      BmpCodec.synth(8, 8, (x, _) => if (x < 4) (0, 0, 0) else (255, 255, 255)),
+      poolSize = 2)
+    assert(info.width == 8 && info.height == 8 && !info.topDown)
+    assert(info.meanLum == 127.5)
+    // 2x2 thumbnail (row-major, y-first): left cells 0, right cells 765
+    assert(info.thumb.toSeq == Seq(0L, 765L, 0L, 765L))
+  }
+
+  test("BMP decode: row padding and top-down order handled; hostile headers fail loudly") {
+    import graft.operators.BmpCodec
+    // width 3 -> row size 12 (3 bytes padding per row): mean must ignore padding
+    val padded = BmpCodec.synth(3, 2, (_, _) => (10, 20, 30))
+    assert(BmpCodec.decode(padded).meanLum == 20.0)
+    // top-down variant: flip the height sign; gradient row must land at y=0
+    val bu = BmpCodec.synth(4, 2, (_, y) => if (y == 0) (255, 255, 255) else (0, 0, 0))
+    val td = bu.clone()
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2) // declare top-down; file row 0 is now the TOP row
+    val buInfo = BmpCodec.decode(bu, poolSize = 1)
+    val tdInfo = BmpCodec.decode(td, poolSize = 1)
+    assert(buInfo.meanLum == tdInfo.meanLum && tdInfo.topDown)
+    def expectFail(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[BmpCodec.MalformedBmp](BmpCodec.decode(bytes))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    expectFail(Array[Byte](1, 2, 3), "too short")
+    expectFail("XXnotabmp".padTo(60, 'x').getBytes("ASCII"), "missing BM magic")
+    val hostile = padded.clone()
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue - 3) // width that would wrap Int row math
+    expectFail(hostile, "unreasonable dimensions")
+    val overrun = padded.clone()
+    java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, 2000) // height larger than the actual pixel data
+    expectFail(overrun, "overruns")
+  }
+
+  test("distributed image decode: real parsing per partition, corrupt rows dead-letter") {
+    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(40)
+      .as[Long]
+      .map { id =>
+        val payload = if (id == 6L) Array[Byte]('B', 'M', 1) // corrupt
+          else MultimodalOps.synthImage(id)
+        MultimodalOps.MediaRow(id, payload, "image")
+      }
+    val decoded = MultimodalOps.decodeImages(media).collect()
+    val bad = decoded.filter(!_.ok)
+    assert(bad.map(_.doc_id).toSeq == Seq(6L) && bad.head.err.contains("too short"))
+    val ok = decoded.filter(_.ok)
+    assert(ok.nonEmpty && ok.forall(d => d.width >= 16 && d.height >= 16 && d.thumb.length == 16))
+    // spot-check against a local decode of the same synthetic image
+    val want = graft.operators.BmpCodec.decode(MultimodalOps.synthImage(3L))
+    val got = ok.find(_.doc_id == 3L).get
+    assert(got.mean_lum == want.meanLum && got.thumb == want.thumb.toSeq)
+  }
+
   test("distributed audio decode: real parsing per partition, corrupt rows dead-letter") {
     val media = Tables.documents(spark, sf).select(col("doc_id")).limit(60)
       .as[Long]
