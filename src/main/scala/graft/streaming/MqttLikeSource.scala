@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,20 +68,43 @@ class MqttTable(topics: String) extends Table with SupportsRead {
   override def schema(): StructType = MqttLikeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxMessagesPerTrigger")).map(_.toLong)
     () => new Scan {
       override def readSchema(): StructType = MqttLikeSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MqttMicroBatchStream(topics)
+        new MqttMicroBatchStream(topics, maxPerTrigger)
     }
+  }
 }
 
 case class MqttOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-class MqttMicroBatchStream(topics: String) extends MicroBatchStream {
+/** `maxPerTrigger` is the admission-control lever (Kafka's
+  * maxOffsetsPerTrigger analogue): after downtime a broker-side backlog
+  * would otherwise arrive as ONE giant first micro-batch — checkpoint
+  * interval, state growth and sink commit all spike together. The cap
+  * bounds each batch to a fixed offset budget (counted on the raw log,
+  * pre-wildcard-filter, since offsets index the log) so recovery drains as
+  * several normal-sized batches instead.
+  */
+class MqttMicroBatchStream(topics: String, maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val regex = MqttBus.patternToRegex(topics)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MqttOffset].index
+    val avail = MqttBus.size
+    limit match {
+      case r: ReadMaxRows => MqttOffset(math.min(avail, s + r.maxRows()))
+      case _ => MqttOffset(avail)
+    }
+  }
 
   override def latestOffset(): Offset = MqttOffset(MqttBus.size)
   override def initialOffset(): Offset = MqttOffset(0L)

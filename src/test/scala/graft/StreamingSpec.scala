@@ -126,6 +126,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("MQTT source admission control: a backlog drains as capped micro-batches, nothing lost") {
+    MqttBus.clear()
+    (0 until 100).foreach(i => MqttBus.publish(s"openchirp/device/d$i/temp", s"$i.0"))
+    val stream = spark.readStream
+      .format("graft.streaming.MqttLikeSource")
+      .option("topics", "openchirp/device/+/+")
+      .option("maxMessagesPerTrigger", "30")
+      .load()
+    val q = stream.selectExpr("topic")
+      .writeStream.format("memory").queryName("mqtt_capped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mqtt_capped").count() == 100, "the cap must delay, never drop")
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.length >= 4, s"backlog should span >= ceil(100/30) batches: ${batches.toSeq}")
+      assert(batches.forall(_ <= 30), s"batch exceeded the cap: ${batches.toSeq}")
+    } finally q.stop()
+  }
+
   test("end-to-end: MQTT source -> ingest pipeline -> checkpointed parquet sink") {
     MqttBus.clear()
     MqttBus.publish("openchirp/device/d1/Temp", "21.5")
