@@ -383,6 +383,34 @@ object PipelineQueries {
         .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
     }),
 
+    // REAL codec gate, audio: Spark synthesizes WAV bytes and decodes them
+    // with the actual RIFF/PCM parser; the oracle recomputes every feature
+    // in closed form from the synth parameters — a decode bug on either
+    // side of the container roundtrip breaks the hash
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthWave(id), "audio"))
+      MultimodalOps.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_us"), col("rms"), col("peak"))
+    }),
+
+    // REAL codec gate, image: BMP encode -> parse -> feature-extract ->
+    // 4x4 average-pooled thumbnail, vs the oracle's pixel-function
+    // arithmetic over generate_series (no BMP parsing in DuckDB — the two
+    // sides agree only if the byte-level roundtrip is faithful)
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image"))
+      MultimodalOps.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("mean_lum"),
+          md5(concat_ws("_", col("thumb").cast("array<string>"))).as("thumb_md5"))
+    }),
+
     // multimodal: binary payload + typed metadata + frame hash
     "q_multimodal_meta" -> ((s, dir) => {
       MultimodalOps.withPayload(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
@@ -629,6 +657,36 @@ object PipelineQueries {
          |        t -> ${hash60Sql("t")} % 1000000007)),
          |    (acc, h) -> (acc * 31 + h) % 1000000007) AS roll_fp
          |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+
+    "q_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(800 + (doc_id % 23) * 37 AS BIGINT) AS n_frames,
+        |  CAST((800 + (doc_id % 23) * 37) * 125 AS BIGINT) AS duration_us,
+        |  CAST(1000 + doc_id % 9000 AS DOUBLE) AS rms,
+        |  CAST(1000 + doc_id % 9000 AS INTEGER) AS peak
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+
+    "q_image_decode" ->
+      """WITH ids AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |px AS (SELECT doc_id, w, h,
+        |    least((x * 255) // greatest(1, w - 1), 255)
+        |      + least((y * 255) // greatest(1, h - 1), 255)
+        |      + CASE WHEN ((x // 4) + (y // 4) + doc_id) % 2 = 0 THEN 64 ELSE 0 END AS gray,
+        |    least((y * 4) // h, 3) * 4 + least((x * 4) // w, 3) AS cell
+        |  FROM ids, UNNEST(generate_series(0, w - 1)) AS t(x),
+        |    UNNEST(generate_series(0, h - 1)) AS u(y)),
+        |cells AS (SELECT doc_id, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2),
+        |thumbs AS (SELECT doc_id,
+        |    md5(string_agg(CAST(tv AS VARCHAR), '_' ORDER BY cell)) AS thumb_md5
+        |  FROM cells GROUP BY 1),
+        |lum AS (SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |    CAST(sum(gray) AS DOUBLE) / (3.0 * (w * h)) AS mean_lum
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT l.doc_id, l.width, l.height, l.mean_lum, t.thumb_md5
+        |FROM lum l JOIN thumbs t ON l.doc_id = t.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
