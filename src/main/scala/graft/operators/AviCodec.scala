@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** A REAL (pure-JVM) video CONTAINER parser: RIFF/AVI — header metadata
+  * (dimensions, frame timing, frame count) and the movi frame index, so
+  * frame sampling slices actual container frames instead of fixed-size
+  * byte windows. The frame PAYLOADS stay opaque (decoding a compressed
+  * video codec is not expressible in plain byte math — that one function
+  * is the remaining documented stub of the multimodal family; container
+  * parsing, frame indexing and sampling are genuine).
+  *
+  * Layout handled: `RIFF..AVI ` / `LIST..hdrl` holding an `avih` main
+  * header / `LIST..movi` holding `##dc`/`##db`/`##wb` frame chunks (padded
+  * to even offsets per RIFF). Bounds are checked in Long arithmetic;
+  * anything malformed throws [[MalformedAvi]] — corrupt media dead-letters.
+  */
+object AviCodec {
+
+  final case class AviInfo(width: Int, height: Int, usPerFrame: Int,
+                           nFrames: Int, durationUs: Long,
+                           frames: Seq[(Int, Int)]) // (offset, length) per video frame
+
+  final class MalformedAvi(msg: String) extends RuntimeException(msg)
+
+  private val MaxFrames = 1 << 20
+
+  /** Build a minimal spec-conforming AVI: avih main header + movi chunks. */
+  def synth(width: Int, height: Int, usPerFrame: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty)
+    def pad(n: Int) = n + (n & 1)
+    val avihLen = 56
+    val hdrlLen = 4 + 8 + avihLen                 // 'hdrl' + avih chunk
+    val moviLen = 4 + frames.map(f => 8 + pad(f.length)).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String) = buf.put(s.getBytes("ASCII"))
+    tag("RIFF"); buf.putInt(riffLen); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlLen); tag("hdrl")
+    tag("avih"); buf.putInt(avihLen)
+    buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviLen); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  def decode(bytes: Array[Byte]): AviInfo = {
+    def fail(msg: String) = throw new MalformedAvi(msg)
+    if (bytes.length < 12) fail(s"too short for a RIFF header: ${bytes.length} bytes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ")
+      fail(s"not RIFF/AVI (got '${ascii(0, 4)}'/'${ascii(8, 4)}')")
+
+    var header: Option[(Int, Int, Int, Int)] = None // (usPerFrame, totalFrames, w, h)
+    val frames = ArrayBuffer[(Int, Int)]()
+
+    def walkMovi(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = ascii(pos, 4)
+        val len = buf.getInt(pos + 4)
+        if (len < 0 || pos.toLong + 8L + len > until)
+          fail(s"movi chunk '$id' length $len overruns at offset $pos")
+        // video/audio frame chunks: '##dc' (compressed), '##db' (raw), '##wb'
+        if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          if (frames.size >= MaxFrames) fail(s"more than $MaxFrames frames")
+          frames += ((pos + 8, len))
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = ascii(pos, 4)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos.toLong + 8L + len > bytes.length)
+        fail(s"chunk '$id' length $len overruns the payload at offset $pos")
+      id match {
+        case "LIST" =>
+          if (len < 4) fail(s"LIST chunk too short: $len")
+          ascii(pos + 8, 4) match {
+            case "hdrl" =>
+              // scan the header list for the avih main header
+              var hp = pos + 12
+              val hEnd = pos + 8 + len
+              while (hp + 8 <= hEnd && header.isEmpty) {
+                val hid = ascii(hp, 4)
+                val hlen = buf.getInt(hp + 4)
+                if (hlen < 0 || hp.toLong + 8L + hlen > hEnd)
+                  fail(s"hdrl chunk '$hid' length $hlen overruns")
+                if (hid == "avih") {
+                  if (hlen < 40) fail(s"avih too short: $hlen")
+                  header = Some((buf.getInt(hp + 8), buf.getInt(hp + 24),
+                    buf.getInt(hp + 40), buf.getInt(hp + 44)))
+                }
+                hp += 8 + hlen + (hlen & 1)
+              }
+            case "movi" => walkMovi(pos + 12, pos + 8 + len)
+            case _ => // other lists skipped
+          }
+        case _ => // non-LIST top-level chunks (idx1, JUNK) skipped
+      }
+      pos += 8 + len + (len & 1)
+    }
+
+    val (usPerFrame, total, w, h) = header.getOrElse(fail("missing avih header"))
+    if (w <= 0 || h <= 0 || usPerFrame <= 0) fail(s"bad avih: ${w}x$h @$usPerFrame us")
+    if (total != frames.size)
+      fail(s"avih declares $total frames but movi holds ${frames.size} — " +
+        "a truncated or inconsistent file must not silently under-report")
+    AviInfo(w, h, usPerFrame, frames.size,
+      durationUs = frames.size.toLong * usPerFrame, frames = frames.toSeq)
+  }
+
+  /** Raw bytes of frame `k` (payload stays opaque — codec territory). */
+  def frameBytes(bytes: Array[Byte], info: AviInfo, k: Int): Array[Byte] = {
+    val (off, len) = info.frames(k)
+    java.util.Arrays.copyOfRange(bytes, off, off + len)
+  }
+}

@@ -153,6 +153,50 @@ object MultimodalOps {
     }
   }
 
+  case class VideoDecoded(doc_id: Long, ok: Boolean, err: String,
+                          width: Int, height: Int, n_frames: Int, duration_us: Long,
+                          sampled_hashes: Seq[String])
+
+  /** Deterministic video fixture: a REAL AVI container whose frame payloads
+    * are md5-derived byte strings of (doc_id, frame index) — opaque to the
+    * (stubbed) frame codec but closed-form recomputable by the oracle.
+    */
+  def synthVideo(docId: Long): Array[Byte] = {
+    val n = (3 + docId % 5).toInt
+    val frames = (0 until n).map { k =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"f${docId}_$k").getBytes("ASCII")
+    }
+    AviCodec.synth(width = (64 + docId % 64).toInt, height = (48 + docId % 32).toInt,
+      usPerFrame = 33333, frames = frames)
+  }
+
+  /** REAL video container decode: AVI header + movi frame index parsed
+    * per-partition; every `stride`-th frame is sliced from the container
+    * and content-hashed (the frame-sampling shape over true container
+    * frames). Frame PAYLOAD decoding stays stubbed — the hash stands in
+    * for the codec call. Corrupt containers dead-letter (`ok = false`).
+    */
+  def decodeVideos(media: Dataset[MediaRow], stride: Int = 2): Dataset[VideoDecoded] = {
+    require(stride > 0, "stride must be positive")
+    implicit val enc = Encoders.product[VideoDecoded]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val info = AviCodec.decode(m.payload)
+          val hashes = (0 until info.nFrames by stride).map(k =>
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(
+              AviCodec.frameBytes(m.payload, info, k)))
+          VideoDecoded(m.doc_id, ok = true, err = "",
+            info.width, info.height, info.nFrames, info.durationUs, hashes)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            VideoDecoded(m.doc_id, ok = false,
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, 0, 0L, Seq.empty)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and emit one
     * row per sampled frame (every `stride`-th), binary-sliced — the video
     * analogue of token windows.

@@ -411,6 +411,19 @@ object PipelineQueries {
           md5(concat_ws("_", col("thumb").cast("array<string>"))).as("thumb_md5"))
     }),
 
+    // REAL container gate, video: AVI header + movi frame-index parsing,
+    // every 2nd frame sliced from the container and content-hashed; the
+    // oracle recomputes the frame payload hashes in closed form
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideo(id), "video"))
+      MultimodalOps.decodeVideos(media, stride = 2).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("duration_us"), md5(concat_ws("_", col("sampled_hashes"))).as("frames_md5"))
+    }),
+
     // multimodal: binary payload + typed metadata + frame hash
     "q_multimodal_meta" -> ((s, dir) => {
       MultimodalOps.withPayload(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
@@ -687,6 +700,22 @@ object PipelineQueries {
         |  FROM px GROUP BY doc_id, w, h)
         |SELECT l.doc_id, l.width, l.height, l.mean_lum, t.thumb_md5
         |FROM lum l JOIN thumbs t ON l.doc_id = t.doc_id""".stripMargin,
+
+    "q_video_frames" ->
+      """WITH ids AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |fr AS (SELECT doc_id, k,
+        |    md5(md5('f' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR))) AS fh
+        |  FROM ids, UNNEST(generate_series(0, nf - 1, 2)) AS t(k)),
+        |agg AS (SELECT doc_id, md5(string_agg(fh, '_' ORDER BY k)) AS frames_md5
+        |  FROM fr GROUP BY 1)
+        |SELECT i.doc_id,
+        |  CAST(64 + i.doc_id % 64 AS INTEGER) AS width,
+        |  CAST(48 + i.doc_id % 32 AS INTEGER) AS height,
+        |  i.nf AS n_frames,
+        |  CAST(i.nf AS BIGINT) * 33333 AS duration_us,
+        |  a.frames_md5
+        |FROM ids i JOIN agg a ON i.doc_id = a.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -90,6 +90,57 @@ class MultimodalSpec extends SparkSuite {
     expectFail(overrun, "overruns")
   }
 
+  test("AVI roundtrip: container headers and frame index recovered, payload bytes intact") {
+    import graft.operators.AviCodec
+    val frames = Seq("alpha".getBytes, "bee".getBytes, "gamma!!".getBytes, "dd".getBytes)
+    val avi = AviCodec.synth(320, 240, 40000, frames)
+    val info = AviCodec.decode(avi)
+    assert(info.width == 320 && info.height == 240 && info.usPerFrame == 40000)
+    assert(info.nFrames == 4 && info.durationUs == 160000L)
+    // frame payloads (incl. odd-length ones behind RIFF padding) roundtrip
+    frames.indices.foreach { k =>
+      assert(AviCodec.frameBytes(avi, info, k).sameElements(frames(k)), s"frame $k")
+    }
+  }
+
+  test("AVI decode: inconsistent or truncated containers fail loudly") {
+    import graft.operators.AviCodec
+    val good = AviCodec.synth(64, 48, 33333, Seq("f0".getBytes, "f1".getBytes))
+    def expectFail(bytes: Array[Byte], frag: String): Unit = {
+      val e = intercept[AviCodec.MalformedAvi](AviCodec.decode(bytes))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    expectFail(Array[Byte](1, 2), "too short")
+    expectFail("RIFFxxxxWAVE".getBytes("ASCII"), "not RIFF/AVI")
+    expectFail(good.take(40), "overruns")
+    // header/index count mismatch must not silently under-report:
+    // dwTotalFrames sits at 12 (RIFF) + 12 (LIST/hdrl) + 8 (avih hdr) + 16
+    val lying = good.clone()
+    ByteBuffer.wrap(lying).order(ByteOrder.LITTLE_ENDIAN).putInt(48, 9)
+    expectFail(lying, "declares")
+  }
+
+  test("distributed video decode: frame index sampled per partition, corrupt rows dead-letter") {
+    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(30)
+      .as[Long]
+      .map { id =>
+        val payload = if (id == 4L) "RIFFbadbadbad".getBytes("ASCII")
+          else MultimodalOps.synthVideo(id)
+        MultimodalOps.MediaRow(id, payload, "video")
+      }
+    val decoded = MultimodalOps.decodeVideos(media, stride = 2).collect()
+    val bad = decoded.filter(!_.ok)
+    assert(bad.map(_.doc_id).toSeq == Seq(4L) && bad.head.err.contains("not RIFF/AVI"))
+    val ok = decoded.filter(_.ok)
+    assert(ok.nonEmpty && ok.forall(d => d.n_frames >= 3 &&
+      d.sampled_hashes.length == (d.n_frames + 1) / 2))
+    // frame hashes match a local decode of the same container
+    val localInfo = graft.operators.AviCodec.decode(MultimodalOps.synthVideo(2L))
+    val localHash = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      graft.operators.AviCodec.frameBytes(MultimodalOps.synthVideo(2L), localInfo, 0))
+    assert(ok.find(_.doc_id == 2L).get.sampled_hashes.head == localHash)
+  }
+
   test("distributed image decode: real parsing per partition, corrupt rows dead-letter") {
     val media = Tables.documents(spark, sf).select(col("doc_id")).limit(40)
       .as[Long]
