@@ -58,58 +58,48 @@ object AviCodec {
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ")
       fail(s"not RIFF/AVI (got '${ascii(0, 4)}'/'${ascii(8, 4)}')")
 
-    var header: Option[(Int, Int, Int, Int)] = None // (usPerFrame, totalFrames, w, h)
-    val frames = ArrayBuffer[(Int, Int)]()
-
-    def walkMovi(from: Int, until: Int): Unit = {
+    // ONE chunk walker for every RIFF level (top, hdrl, movi): id/len read,
+    // Long-arithmetic overrun check, even-padding advance — the rules a
+    // hostile file attacks, kept in a single place
+    def walkChunks(from: Int, until: Int, ctx: String)(f: (String, Int, Int) => Unit): Unit = {
       var pos = from
       while (pos + 8 <= until) {
         val id = ascii(pos, 4)
         val len = buf.getInt(pos + 4)
         if (len < 0 || pos.toLong + 8L + len > until)
-          fail(s"movi chunk '$id' length $len overruns at offset $pos")
-        // video/audio frame chunks: '##dc' (compressed), '##db' (raw), '##wb'
-        if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
-            (id.endsWith("dc") || id.endsWith("db"))) {
-          if (frames.size >= MaxFrames) fail(s"more than $MaxFrames frames")
-          frames += ((pos + 8, len))
-        }
+          fail(s"$ctx chunk '$id' length $len overruns at offset $pos")
+        f(id, pos + 8, len)
         pos += 8 + len + (len & 1)
       }
     }
 
-    var pos = 12
-    while (pos + 8 <= bytes.length) {
-      val id = ascii(pos, 4)
-      val len = buf.getInt(pos + 4)
-      if (len < 0 || pos.toLong + 8L + len > bytes.length)
-        fail(s"chunk '$id' length $len overruns the payload at offset $pos")
-      id match {
-        case "LIST" =>
-          if (len < 4) fail(s"LIST chunk too short: $len")
-          ascii(pos + 8, 4) match {
-            case "hdrl" =>
-              // scan the header list for the avih main header
-              var hp = pos + 12
-              val hEnd = pos + 8 + len
-              while (hp + 8 <= hEnd && header.isEmpty) {
-                val hid = ascii(hp, 4)
-                val hlen = buf.getInt(hp + 4)
-                if (hlen < 0 || hp.toLong + 8L + hlen > hEnd)
-                  fail(s"hdrl chunk '$hid' length $hlen overruns")
-                if (hid == "avih") {
-                  if (hlen < 40) fail(s"avih too short: $hlen")
-                  header = Some((buf.getInt(hp + 8), buf.getInt(hp + 24),
-                    buf.getInt(hp + 40), buf.getInt(hp + 44)))
-                }
-                hp += 8 + hlen + (hlen & 1)
-              }
-            case "movi" => walkMovi(pos + 12, pos + 8 + len)
-            case _ => // other lists skipped
-          }
-        case _ => // non-LIST top-level chunks (idx1, JUNK) skipped
-      }
-      pos += 8 + len + (len & 1)
+    var header: Option[(Int, Int, Int, Int)] = None // (usPerFrame, totalFrames, w, h)
+    val frames = ArrayBuffer[(Int, Int)]()
+
+    walkChunks(12, bytes.length, "top-level") {
+      case ("LIST", dataOff, len) =>
+        if (len < 4) fail(s"LIST chunk too short: $len")
+        ascii(dataOff, 4) match {
+          case "hdrl" =>
+            walkChunks(dataOff + 4, dataOff + len, "hdrl") {
+              case ("avih", hOff, hlen) if header.isEmpty =>
+                if (hlen < 40) fail(s"avih too short: $hlen")
+                header = Some((buf.getInt(hOff), buf.getInt(hOff + 16),
+                  buf.getInt(hOff + 32), buf.getInt(hOff + 36)))
+              case _ => ()
+            }
+          case "movi" =>
+            walkChunks(dataOff + 4, dataOff + len, "movi") {
+              // video frame chunks: '##dc' (compressed), '##db' (raw)
+              case (id, fOff, flen) if id.length == 4 && id(0).isDigit &&
+                  id(1).isDigit && (id.endsWith("dc") || id.endsWith("db")) =>
+                if (frames.size >= MaxFrames) fail(s"more than $MaxFrames frames")
+                frames += ((fOff, flen))
+              case _ => ()
+            }
+          case _ => // other lists skipped
+        }
+      case _ => // non-LIST top-level chunks (idx1, JUNK) skipped
     }
 
     val (usPerFrame, total, w, h) = header.getOrElse(fail("missing avih header"))

@@ -68,9 +68,12 @@ object BmpCodec {
     if (bpp != 24) fail(s"unsupported bit depth: $bpp (only 24bpp)")
     if (compression != 0) fail(s"unsupported compression: $compression")
     val topDown = rawHeight < 0
-    val height = math.abs(rawHeight)
-    if (width <= 0 || height == 0 || width > MaxDim || height > MaxDim)
+    // abs in Long: math.abs(Int.MinValue) stays negative and would sail
+    // through every later check with a "successful" fabricated decode
+    val heightL = math.abs(rawHeight.toLong)
+    if (width <= 0 || heightL == 0 || width > MaxDim || heightL > MaxDim)
       fail(s"unreasonable dimensions ${width}x$rawHeight")
+    val height = heightL.toInt
     val rs = rowSize(width)
     // all bounds in Long: hostile headers must not wrap Int arithmetic
     if (pixelOff < FileHeader + InfoHeader ||

@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * The AUDIO and IMAGE decode paths are REAL: [[WavCodec]] parses RIFF/WAVE
   * PCM containers and [[BmpCodec]] parses uncompressed 24-bit BMPs with
   * integer average-pooled thumbnails (decode → feature-extract → resize) —
-  * both pure JVM byte arithmetic, no native codecs, run per-partition with
-  * dead-letter routing for corrupt payloads ([[decodeAudio]] /
-  * [[decodeImages]]). Video decode remains a STUB (no container codec is
-  * expressible in plain byte math): [[FakeDecoder.decode]] derives
-  * deterministic pseudo-features. Everything around all three is the same
-  * Spark plumbing — schema, per-partition batched iteration (the Scala
-  * analogue of `mapInPandas` batch shape), columnar metadata extraction —
-  * so a production video codec changes one function, exactly as the WAV
-  * and BMP paths demonstrate.
+  * and VIDEO container parsing is REAL too ([[AviCodec]]: RIFF/AVI headers
+  * + the movi frame index, so frame sampling slices true container frames)
+  * — all pure JVM byte arithmetic, no native codecs, run per-partition
+  * with dead-letter routing for corrupt payloads ([[decodeAudio]] /
+  * [[decodeImages]] / [[decodeVideos]]). The one remaining STUB is the
+  * video frame-PAYLOAD codec call (compressed-codec math isn't expressible
+  * as plain byte parsing): [[decodeVideos]] content-hashes each sampled
+  * frame where production would decode it, and [[FakeDecoder.decode]]
+  * keeps the generic pseudo-feature path for exercising the plumbing.
+  * Everything around the codecs is the same Spark shape — schema,
+  * per-partition batched iteration (the Scala analogue of `mapInPandas`),
+  * columnar metadata extraction — so a production codec changes one
+  * function, exactly as the WAV/BMP/AVI paths demonstrate.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
   * decode is a narrow per-partition map, so it parallelizes with the scan

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -91,17 +91,28 @@ case class MqttOffset(index: Long) extends Offset {
   * several normal-sized batches instead.
   */
 class MqttMicroBatchStream(topics: String, maxPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val regex = MqttBus.patternToRegex(topics)
+
+  // Trigger.AvailableNow: without SupportsTriggerAvailableNow, Spark wraps
+  // the source and fetches latestOffset ONCE with allAvailable — silently
+  // bypassing the cap in exactly the backlog-drain scenario it exists for.
+  // Implementing it (Kafka does the same) pins the drain target here and
+  // lets the rate limit apply across the catch-up batches.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(MqttBus.size)
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MqttOffset].index
-    val avail = MqttBus.size
+    val avail = availableNowEnd.getOrElse(MqttBus.size)
     limit match {
-      case r: ReadMaxRows => MqttOffset(math.min(avail, s + r.maxRows()))
+      // saturating form: `s + maxRows` could overflow Long for an
+      // "effectively unlimited" cap and regress the end offset below start
+      case r: ReadMaxRows => MqttOffset(s + math.min(r.maxRows(), math.max(0L, avail - s)))
       case _ => MqttOffset(avail)
     }
   }

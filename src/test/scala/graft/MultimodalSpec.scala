@@ -88,6 +88,11 @@ class MultimodalSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(overrun).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(22, 2000) // height larger than the actual pixel data
     expectFail(overrun, "overruns")
+    // biHeight = Int.MinValue: math.abs stays negative in Int — must still fail
+    val minH = padded.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    expectFail(minH, "unreasonable dimensions")
   }
 
   test("AVI roundtrip: container headers and frame index recovered, payload bytes intact") {
@@ -121,7 +126,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("distributed video decode: frame index sampled per partition, corrupt rows dead-letter") {
-    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(30)
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 30)
       .as[Long]
       .map { id =>
         val payload = if (id == 4L) "RIFFbadbadbad".getBytes("ASCII")
@@ -142,7 +147,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("distributed image decode: real parsing per partition, corrupt rows dead-letter") {
-    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(40)
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 40)
       .as[Long]
       .map { id =>
         val payload = if (id == 6L) Array[Byte]('B', 'M', 1) // corrupt
@@ -161,7 +166,7 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("distributed audio decode: real parsing per partition, corrupt rows dead-letter") {
-    val media = Tables.documents(spark, sf).select(col("doc_id")).limit(60)
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 60)
       .as[Long]
       .map { id =>
         val payload = if (id == 9L) Array[Byte](82, 73) // corrupt: truncated RIFF

@@ -143,6 +143,25 @@ class StreamingSpec extends SparkSuite {
       assert(batches.length >= 4, s"backlog should span >= ceil(100/30) batches: ${batches.toSeq}")
       assert(batches.forall(_ <= 30), s"batch exceeded the cap: ${batches.toSeq}")
     } finally q.stop()
+
+    // Trigger.AvailableNow must RESPECT the cap (SupportsTriggerAvailableNow:
+    // without it Spark fetches one allAvailable batch, silently bypassing
+    // admission control in the very backlog-drain scenario it exists for)
+    val stream2 = spark.readStream
+      .format("graft.streaming.MqttLikeSource")
+      .option("topics", "openchirp/device/+/+")
+      .option("maxMessagesPerTrigger", "30")
+      .load()
+    val q2 = stream2.selectExpr("topic")
+      .writeStream.format("memory").queryName("mqtt_avail_now")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q2.awaitTermination(60000), "AvailableNow query should self-terminate")
+      assert(spark.table("mqtt_avail_now").count() == 100)
+      val b2 = q2.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(b2.length >= 4 && b2.forall(_ <= 30),
+        s"AvailableNow bypassed the cap: ${b2.toSeq}")
+    } finally q2.stop()
   }
 
   test("end-to-end: MQTT source -> ingest pipeline -> checkpointed parquet sink") {
