@@ -217,6 +217,19 @@ object ExtraQueries {
           count(lit(1)).over(w).as("n_10m"))
     }),
 
+    // InfluxQL mode(): most frequent value per series (deterministic
+    // tie-break on the value itself). user_id is high-cardinality, so the
+    // per-series window scales with the data — no low-cardinality ceiling.
+    "q_ts_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_value"), col("n").as("n_obs"))
+    }),
+
     // per-series z-score outlier detection from exact decimal moments
     "q_ts_outliers" -> ((s, dir) => {
       graft.operators.StatsOps.outlierStats(Tables.events(s, dir),
@@ -411,6 +424,13 @@ object ExtraQueries {
         |FROM events WHERE user_id < 25
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_ts_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_value, n AS n_obs FROM r WHERE rk = 1""".stripMargin,
 
     "q_ts_outliers" ->
       """WITH st AS (SELECT user_id, value,
