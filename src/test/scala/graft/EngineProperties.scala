@@ -249,4 +249,25 @@ object EngineProperties extends Properties("graft") {
         .select("source", "doc_id").as[(String, Long)].collect()
       perGroup.values.forall(_ <= k) && kept.toSet == again.toSet
     }
+
+  property("WAV codec roundtrip: arbitrary PCM16 signals survive synth->decode exactly") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue + 1, Short.MaxValue.toInt))) { vs =>
+      val samples = vs.map(_.toShort).toArray
+      val info = graft.operators.WavCodec.decode(graft.operators.WavCodec.synth(8000, samples))
+      info.nFrames == samples.length.toLong &&
+        info.peak == samples.map(v => math.abs(v.toInt)).max &&
+        info.sampleRate == 8000 && info.channels == 1
+    }
+
+  property("BMP codec roundtrip: arbitrary solid-color images decode to the exact mean") =
+    // dims >= the 4x4 pool grid: smaller images leave empty thumbnail
+    // cells (correctly 0), which the all-cells assertion below would flag
+    forAll(Gen.chooseNum(4, 40), Gen.chooseNum(4, 40),
+      Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)) { (w, h, r, g, b) =>
+      val info = graft.operators.BmpCodec.decode(
+        graft.operators.BmpCodec.synth(w, h, (_, _) => (r, g, b)))
+      info.width == w && info.height == h &&
+        info.meanLum == (r + g + b).toDouble / 3.0 &&
+        info.thumb.forall(_ == (r + g + b).toLong)
+    }
 }
