@@ -56,9 +56,12 @@ object StatsOps {
       count(lit(1)).as("n"),
       sum(col("__x").cast("decimal(38,0)")).as("sx"),
       sum(col("__y").cast("decimal(38,0)")).as("sy"),
-      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("syy"))
+      // operand-FIRST casts: int64 × int64 overflows before a post-hoc cast
+      // could save it (units near 2^32 wrap — or throw under ANSI); decimal
+      // × decimal is exact and DuckDB's HUGEINT path matches bit-for-bit
+      sum(col("__x").cast("decimal(38,0)") * col("__y").cast("decimal(38,0)")).as("sxy"),
+      sum(col("__x").cast("decimal(38,0)") * col("__x").cast("decimal(38,0)")).as("sxx"),
+      sum(col("__y").cast("decimal(38,0)") * col("__y").cast("decimal(38,0)")).as("syy"))
     val nd = col("n").cast("double")
     val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
     val (sxy, sxx, syy) = (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))

@@ -455,9 +455,9 @@ object ExtraQueries {
         |p AS (SELECT xu, yu FROM cells WHERE xu IS NOT NULL AND yu IS NOT NULL),
         |m AS (SELECT count(*) AS n,
         |    sum(CAST(xu AS DECIMAL(38,0))) AS sx, sum(CAST(yu AS DECIMAL(38,0))) AS sy,
-        |    sum(CAST(xu * yu AS DECIMAL(38,0))) AS sxy,
-        |    sum(CAST(xu * xu AS DECIMAL(38,0))) AS sxx,
-        |    sum(CAST(yu * yu AS DECIMAL(38,0))) AS syy
+        |    sum(CAST(xu AS DECIMAL(38,0)) * CAST(yu AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(xu AS DECIMAL(38,0)) * CAST(xu AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(yu AS DECIMAL(38,0)) * CAST(yu AS DECIMAL(38,0))) AS syy
         |  FROM p)
         |SELECT n,
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

@@ -179,12 +179,22 @@ class TxLogTable(spark: SparkSession, path: String) {
   /** Delete data directories no longer referenced by the LATEST version.
     * This discards time travel to earlier versions (their log entries stay
     * but their data may be gone) — run only past any retention window.
+    *
+    * Directories younger than `retainMillis` are SKIPPED even when
+    * unreferenced: an in-flight concurrent writer materializes its data
+    * directory BEFORE its log commit, so an unreferenced-but-fresh dir may
+    * belong to a writer that can still win the commit race — deleting it
+    * would publish a snapshot pointing at vanished data (the Delta
+    * retention-window rule). Pass 0 only when no writer can be in flight.
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(retainMillis: Long = TxLogTable.DefaultVacuumRetentionMs): Seq[String] = {
+    require(retainMillis >= 0, "retainMillis must be >= 0")
     val live = currentDirs().toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
     val all = listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d-"))
     val orphans = all.filterNot(p => live.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     orphans.foreach(deleteRecursively)
     orphans.map(_.getFileName.toString)
   }
@@ -195,9 +205,17 @@ class TxLogTable(spark: SparkSession, path: String) {
   private def readEntry(v: Long): LogEntry =
     parseEntry(new String(Files.readAllBytes(logDir.resolve(s"$v.json")), "UTF-8"))
 
-  private def writeDataDir(df: DataFrame): String = {
-    val name = s"d-${UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(root.resolve(name).toString)
+  /** Materialize `df` as a new immutable data directory. The name carries a
+    * FULL 128-bit UUID and the write mode is error-if-exists: a truncated
+    * name (32 bits) reaches ~1% birthday-collision odds after only ~10k
+    * commits — a week of per-micro-batch appends — and with
+    * mode("overwrite") a collision would silently clobber a LIVE committed
+    * directory. With the full UUID a collision is cosmologically unlikely,
+    * and if one ever happens the write FAILS instead of corrupting the
+    * snapshot. `name` is injectable for tests only.
+    */
+  private[graft] def writeDataDir(df: DataFrame, name: String = s"d-${UUID.randomUUID()}"): String = {
+    df.write.mode("errorifexists").parquet(root.resolve(name).toString)
     name
   }
 
@@ -217,6 +235,12 @@ class TxLogTable(spark: SparkSession, path: String) {
 }
 
 object TxLogTable {
+
+  /** Default vacuum grace window (7 days, the Delta default): unreferenced
+    * directories younger than this are presumed to belong to in-flight
+    * writers and are left alone.
+    */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 

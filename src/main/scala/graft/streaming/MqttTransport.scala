@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 /** The broker transport seam (R1): the client surface a real MQTT library
   * exposes (connect / subscribe / message + connection-lost callbacks /
@@ -45,16 +45,47 @@ class MqttConnectionManager(transport: MqttTransport,
                             nowUs: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   private val running = new AtomicBoolean(false)
-  @volatile private var reconnects = 0
+  // connection-lost callbacks arrive on transport threads: the guard makes
+  // recovery single-flight (a second drop during an in-progress reconnect
+  // must not start a second interleaving loop), and the counter is atomic
+  // because `+= 1` on a @volatile is a non-atomic read-modify-write
+  private val reconnecting = new AtomicBoolean(false)
+  private val pendingDrops = new AtomicInteger(0)
+  private val reconnects = new AtomicInteger(0)
 
-  def reconnectCount: Int = reconnects
+  def reconnectCount: Int = reconnects.get()
 
   def start(): Unit = {
     running.set(true)
     transport.setCallbacks(
       onMessage = (topic, payload) => log(topic, payload, nowUs()),
-      onConnectionLost = _ => if (running.get()) reconnectLoop())
+      onConnectionLost = _ => if (running.get()) guardedReconnect())
     connectAndSubscribe()
+  }
+
+  /** Single-flight recovery: exactly one thread drives the reconnect loop;
+    * concurrent drops only bump `pendingDrops` and leave. The guard holder
+    * clears the counter BEFORE probing the connection (a drop writes
+    * connected=false before incrementing, so a wiped signal is always
+    * visible as a dead connection on the next probe) and re-checks it both
+    * inside the guard and after releasing it — the one window where a drop
+    * could otherwise be lost is a signal that arrives between the holder's
+    * last check and the CAS release, and the post-release re-check catches
+    * exactly that interleaving.
+    */
+  private def guardedReconnect(): Unit = {
+    pendingDrops.incrementAndGet()
+    var more = true
+    while (more && running.get()) {
+      if (!reconnecting.compareAndSet(false, true)) return // holder will see our increment
+      try {
+        do {
+          pendingDrops.set(0)
+          if (!transport.isConnected) reconnectLoop()
+        } while (running.get() && pendingDrops.get() > 0)
+      } finally reconnecting.set(false)
+      more = pendingDrops.get() > 0
+    }
   }
 
   def stop(): Unit = {
@@ -79,7 +110,7 @@ class MqttConnectionManager(transport: MqttTransport,
         throw new IllegalStateException(s"gave up reconnecting after $attempt attempts")
       try {
         connectAndSubscribe()
-        reconnects += 1
+        reconnects.incrementAndGet()
         restored = true
       } catch {
         case _: Exception =>

@@ -80,6 +80,27 @@ class MqttTransportSpec extends SparkSuite {
     assert(m.reconnectCount == 0)
   }
 
+  test("concurrent double drop: single-flight recovery, session restored, no interleaved loops") {
+    val t = new InProcessTransport
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val m = newManager(t, sink)
+    m.start()
+    // two connection-lost callbacks fire from different transport threads
+    // while the broker refuses a few attempts — without the single-flight
+    // guard, two reconnect loops interleave connect/disconnect
+    t.failNextConnects = 3
+    val threads = (1 to 2).map(i => new Thread(() => t.dropConnection(s"drop $i")))
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(t.isConnected, "session must end restored")
+    // at most one recovery per drop signal — never an unbounded interleaving
+    assert(m.reconnectCount >= 1 && m.reconnectCount <= 2, s"got ${m.reconnectCount}")
+    // every restore re-issued the filters; history is whole Seqs, never torn
+    assert(t.subscriptionHistory.forall(_ == Seq("openchirp/device/+/+", "openchirp/service/x/events")))
+    assert(t.deliver("openchirp/device/d9/temp", "9.9"))
+    assert(sink.map(_._1).toSeq == Seq("openchirp/device/d9/temp"))
+    m.stop()
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport

@@ -9,4 +9,16 @@ trait SparkSuite extends AnyFunSuite {
     GraftSession.builder("graft-test", cores = "4").master("local[4]").getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with SQL confs set, restoring prior values afterwards. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -45,6 +45,19 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(cn + 1.0) < 1e-12, s"corr=$cn")
   }
 
+  test("pearson: units near 2^32 do not overflow the moment products (ANSI-strict)") {
+    import graft.operators.StatsOps
+    // x*y of these exceeds int64 (2^33 * 2^33 = 2^66): the operand-first
+    // decimal cast must make the multiply exact instead of wrapping (or
+    // throwing under ANSI). Linear series -> corr exactly 1.
+    val big = (1L to 4L).map(i => (i * (1L << 33), i * (1L << 33) * 3)).toDF("xu", "yu")
+    withSQLConf("spark.sql.ansi.enabled" -> "true") {
+      val (n, c) = StatsOps.pearsonUnits(big, col("xu"), col("yu"))
+        .as[(Long, Double)].head()
+      assert(n == 4L && math.abs(c - 1.0) < 1e-12, s"n=$n corr=$c")
+    }
+  }
+
   test("integral: trapezoid area per series, first point contributes no segment") {
     val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
       (8L, 0L, 2.0)).toDF("k", "ts_us", "v")

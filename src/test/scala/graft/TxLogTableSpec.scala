@@ -115,7 +115,7 @@ class TxLogTableSpec extends SparkSuite {
     t.compact()
     assert(t.read().as[(Long, String)].collect().toSet == before)
     // the new snapshot is a single folded directory...
-    val vacuumed = t.vacuum() // ...and vacuum drops the five orphaned ones
+    val vacuumed = t.vacuum(retainMillis = 0L) // ...and vacuum drops the five orphaned ones
     assert(vacuumed.size == dirsBefore)
     assert(new java.io.File(path).listFiles.count(_.getName.startsWith("d-")) == 1)
     assert(t.read().as[(Long, String)].collect().toSet == before)
@@ -128,7 +128,7 @@ class TxLogTableSpec extends SparkSuite {
     val bigDirs = new java.io.File(path).listFiles.filter(_.getName.startsWith("d-")).map(_.getName).toSet
     (0 until 3).foreach(i => t.append(Seq((-i.toLong, "small")).toDF("k", "v")))
     t.compact(maxBytes = 100 * 1024) // folds only the three tiny commits
-    t.vacuum()
+    t.vacuum(retainMillis = 0L)
     val after = new java.io.File(path).listFiles.filter(_.getName.startsWith("d-")).map(_.getName).toSet
     assert(bigDirs.subsetOf(after), "large directory must be carried over, not rewritten")
     assert(after.size == bigDirs.size + 1)
@@ -212,6 +212,32 @@ class TxLogTableSpec extends SparkSuite {
       TxLogTable.retryOnConflict(maxAttempts = 5) { once += 1; throw new IllegalArgumentException("no") }
     }
     assert(once == 1)
+  }
+
+  test("data-dir name collision fails loudly instead of clobbering committed data") {
+    val t = new TxLogTable(spark, tmp())
+    t.writeDataDir(Seq((1L, "live")).toDF("k", "v"), name = "d-fixed")
+    // a second write landing on the same name must ERROR (error-if-exists),
+    // never silently overwrite the live directory
+    intercept[Exception] {
+      t.writeDataDir(Seq((2L, "clobber")).toDF("k", "v"), name = "d-fixed")
+    }
+  }
+
+  test("vacuum skips young unreferenced dirs (in-flight writer grace window)") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    t.append(Seq((1L, "a")).toDF("k", "v")) // v0, referenced
+    // an in-flight writer has materialized its data dir but not committed yet
+    val inflight = t.writeDataDir(Seq((2L, "pending")).toDF("k", "v"))
+    // default grace window: the fresh unreferenced dir survives vacuum...
+    assert(t.vacuum() == Seq.empty)
+    assert(new java.io.File(path, inflight).isDirectory)
+    // ...so the writer can still win its commit and the snapshot stays whole
+    // (with retention 0 — caller asserts no writer is in flight — it goes)
+    assert(t.vacuum(retainMillis = 0L) == Seq(inflight))
+    assert(!new java.io.File(path, inflight).exists)
+    assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
   test("log entry roundtrip") {
