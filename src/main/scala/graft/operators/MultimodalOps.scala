@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   * + the movi frame index, so frame sampling slices true container frames)
   * — all pure JVM byte arithmetic, no native codecs, run per-partition
   * with dead-letter routing for corrupt payloads ([[decodeAudio]] /
-  * [[decodeImages]] / [[decodeVideos]]). The one remaining STUB is the
-  * video frame-PAYLOAD codec call (compressed-codec math isn't expressible
-  * as plain byte parsing): [[decodeVideos]] content-hashes each sampled
-  * frame where production would decode it, and [[FakeDecoder.decode]]
-  * keeps the generic pseudo-feature path for exercising the plumbing.
+  * [[decodeImages]] / [[decodeVideos]], unified in [[decodeMeta]] which
+  * dispatches each row to ITS modality's real codec). The one remaining
+  * STUB is the video frame-PAYLOAD codec call (compressed-codec math isn't
+  * expressible as plain byte parsing): [[decodeVideos]] content-hashes
+  * each sampled frame where production would decode it.
   * Everything around the codecs is the same Spark shape — schema,
   * per-partition batched iteration (the Scala analogue of `mapInPandas`),
   * columnar metadata extraction — so a production codec changes one
@@ -31,11 +31,20 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], modality: String)
-  case class DecodedRow(doc_id: Long, modality: String, n_bytes: Long,
-                        width: Int, height: Int, mean_byte: Double, n_frames: Int)
 
-  /** Attach an opaque binary payload + typed metadata struct to documents.
-    * (Fixture: the utf-8 bytes of `text` stand in for media bytes.)
+  /** Unified per-modality metadata, every field DECODER-derived (no
+    * synthetic formulas): dimensions from the BMP/AVI headers, frame count
+    * and duration from the WAV/AVI containers. `n_frames` is 1 for a still
+    * image; `width`/`height` are 0 for audio; `duration_us` is 0 for a
+    * still image.
+    */
+  case class MediaMeta(doc_id: Long, modality: String, ok: Boolean, err: String,
+                       n_bytes: Long, width: Int, height: Int,
+                       n_frames: Long, duration_us: Long)
+
+  /** Attach an opaque binary payload + basic metadata to documents.
+    * (Fixture: the utf-8 bytes of `text` stand in for media bytes; REAL
+    * media metadata comes from [[decodeMeta]], never from formulas here.)
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs
@@ -46,33 +55,55 @@ object MultimodalOps {
           (col("doc_id") % 3 + 1).cast("int")))
       .withColumn("meta", struct(
         col("n_bytes"),
-        md5(col("payload")).as("checksum"),
-        (lit(32L) + pmod(col("n_bytes"), lit(224L))).as("width"),
-        (lit(32L) + pmod(expr("n_bytes div 7"), lit(224L))).as("height")))
+        md5(col("payload")).as("checksum")))
 
-  /** STUB decoder: deterministic pseudo-features from raw bytes. A real
-    * implementation would call an image/audio codec here; the signature and
-    * batch shape are what matter.
+  /** Deterministic media fixture for `docId`: REAL container bytes for the
+    * document's modality — a 24-bit BMP, a PCM16 WAV, or an AVI with true
+    * movi frame chunks — so a decode stage downstream does genuine parsing.
     */
-  object FakeDecoder {
-    def decode(m: MediaRow): DecodedRow = {
-      val n = m.payload.length.toLong
-      val mean = if (n == 0) 0.0 else m.payload.map(b => (b & 0xff).toDouble).sum / n
-      DecodedRow(m.doc_id, m.modality, n,
-        width = (32 + (n % 224)).toInt, height = (32 + ((n / 7) % 224)).toInt,
-        mean_byte = mean, n_frames = ((n + 255) / 256).toInt)
-    }
+  def synthMedia(docId: Long): MediaRow = (docId % 3) match {
+    case 0 => MediaRow(docId, synthImage(docId), "image")
+    case 1 => MediaRow(docId, synthWave(docId), "audio")
+    case _ => MediaRow(docId, synthVideo(docId), "video")
   }
 
-  /** Per-partition batched decode — the `mapInPandas` analogue: one decoder
-    * instance per partition (amortizes codec init), streaming iterator in
-    * and out (no partition materialization).
+  /** Per-partition batched decode — the `mapInPandas` analogue: each row is
+    * dispatched to ITS modality's REAL codec ([[BmpCodec]] / [[WavCodec]] /
+    * [[AviCodec]]) and the container-derived metadata is normalized into
+    * one schema. Corrupt payloads and unknown modalities dead-letter
+    * (`ok = false` + error text), never fabricate features and never throw
+    * — one bad file in a 100 TB scan must not fail the stage.
     */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
-    implicit val enc = Encoders.product[DecodedRow]
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
     media.mapPartitions { rows =>
-      // per-partition: a real codec would be initialized once here
-      rows.map(FakeDecoder.decode)
+      // per-partition: real codecs would be initialized once here
+      rows.map { m =>
+        try {
+          m.modality match {
+            case "image" =>
+              val b = BmpCodec.decode(m.payload)
+              MediaMeta(m.doc_id, m.modality, ok = true, err = "", m.payload.length,
+                b.width, b.height, n_frames = 1L, duration_us = 0L)
+            case "audio" =>
+              val w = WavCodec.decode(m.payload)
+              MediaMeta(m.doc_id, m.modality, ok = true, err = "", m.payload.length,
+                width = 0, height = 0, w.nFrames, w.durationUs)
+            case "video" =>
+              val v = AviCodec.decode(m.payload)
+              MediaMeta(m.doc_id, m.modality, ok = true, err = "", m.payload.length,
+                v.width, v.height, v.nFrames.toLong, v.durationUs)
+            case other =>
+              MediaMeta(m.doc_id, other, ok = false, err = s"unknown modality '$other'",
+                if (m.payload == null) 0L else m.payload.length.toLong, 0, 0, 0L, 0L)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            MediaMeta(m.doc_id, m.modality, ok = false,
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}",
+              if (m.payload == null) 0L else m.payload.length.toLong, 0, 0, 0L, 0L)
+        }
+      }
     }
   }
 

@@ -424,16 +424,22 @@ object PipelineQueries {
           col("duration_us"), md5(concat_ws("_", col("sampled_hashes"))).as("frames_md5"))
     }),
 
-    // multimodal: binary payload + typed metadata + frame hash
+    // REAL codec gate, all modalities: each document's payload is genuine
+    // container bytes (BMP / WAV / AVI per doc_id % 3) and every output
+    // column is DECODER-derived — dimensions from the BMP/AVI headers,
+    // frame counts and durations from the WAV/AVI containers. The oracle
+    // recomputes the features closed-form from the synth parameters (no
+    // codecs in DuckDB), so the two sides agree only if the byte-level
+    // encode -> parse roundtrip is faithful for all three formats.
     "q_multimodal_meta" -> ((s, dir) => {
-      MultimodalOps.withPayload(Tables.documents(s, dir).filter(col("doc_id") % 5 === 0))
-        .select(
-          col("doc_id"), col("modality"),
-          col("n_bytes"),
-          col("meta.checksum").as("checksum"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          md5(substring(col("text"), 1, 128)).as("frame0_hash"))
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(MultimodalOps.synthMedia)
+      MultimodalOps.decodeMeta(media).toDF()
+        .filter(col("ok"))
+        .select(col("doc_id"), col("modality"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"), col("duration_us"))
     })
   )
 
@@ -717,14 +723,29 @@ object PipelineQueries {
         |  a.frames_md5
         |FROM ids i JOIN agg a ON i.doc_id = a.doc_id""".stripMargin,
 
+    // closed-form recompute of the container layouts: BMP = 54-byte headers
+    // + height x 4-aligned rows; WAV = 44-byte header + 2 bytes/sample,
+    // duration = len * 1e6 / 8000 us; AVI = 100 fixed bytes + 40/frame
+    // (8-byte chunk header + 32-byte md5-hex payload), 33333 us/frame
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS checksum,
-        |  32 + octet_length(encode(text)) % 224 AS width,
-        |  32 + (octet_length(encode(text)) // 7) % 224 AS height,
-        |  md5(substring(text, 1, 128)) AS frame0_hash
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 54 + (16 + doc_id % 13) * (((3 * (16 + doc_id % 17) + 3) // 4) * 4)
+        |    WHEN 1 THEN 44 + 2 * (800 + (doc_id % 23) * 37)
+        |    ELSE 100 + 40 * (3 + doc_id % 5) END AS BIGINT) AS n_bytes,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 16 + doc_id % 17 WHEN 1 THEN 0
+        |    ELSE 64 + doc_id % 64 END AS INTEGER) AS width,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 16 + doc_id % 13 WHEN 1 THEN 0
+        |    ELSE 48 + doc_id % 32 END AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1 WHEN 1 THEN 800 + (doc_id % 23) * 37
+        |    ELSE 3 + doc_id % 5 END AS BIGINT) AS n_frames,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 0 WHEN 1 THEN (800 + (doc_id % 23) * 37) * 125
+        |    ELSE (3 + doc_id % 5) * 33333 END AS BIGINT) AS duration_us
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin
   )
 }

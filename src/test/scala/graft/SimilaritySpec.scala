@@ -75,15 +75,24 @@ class SimilaritySpec extends SparkSuite {
     assert(full.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.sameElements(1L to 5L) })
   }
 
-  test("multimodal decode stub: per-partition map yields features for every row") {
-    val media = MultimodalOps.withPayload(Tables.documents(spark, sf).limit(20))
-      .select(col("doc_id"), col("payload"), col("modality"))
-      .as[MultimodalOps.MediaRow]
-    val decoded = MultimodalOps.decodeAll(media).collect()
-    assert(decoded.length == 20)
+  test("multimodal decodeMeta: every row routed through its modality's real codec") {
+    val media = Tables.documents(spark, sf).limit(21)
+      .select(col("doc_id")).as[Long].map(MultimodalOps.synthMedia)
+    val decoded = MultimodalOps.decodeMeta(media).collect()
+    assert(decoded.length == 21)
+    assert(decoded.forall(_.ok), decoded.filterNot(_.ok).map(_.err).mkString("; "))
     decoded.foreach { d =>
-      assert(d.n_bytes > 0 && d.mean_byte > 0 && d.width >= 32 && d.n_frames >= 1)
+      d.modality match {
+        case "image" => assert(d.width >= 16 && d.height >= 16 && d.n_frames == 1)
+        case "audio" => assert(d.width == 0 && d.n_frames >= 800 && d.duration_us == d.n_frames * 125)
+        case "video" => assert(d.width >= 64 && d.n_frames >= 3 && d.duration_us == d.n_frames * 33333L)
+      }
+      assert(d.n_bytes > 0)
     }
+    // a corrupt payload dead-letters instead of fabricating features
+    val bad = MultimodalOps.decodeMeta(
+      Seq(MultimodalOps.MediaRow(99L, Array[Byte](1, 2, 3), "image")).toDS()).head()
+    assert(!bad.ok && bad.err.nonEmpty && bad.width == 0)
   }
 
   test("frame sampling emits stride-spaced offsets") {
