@@ -188,6 +188,22 @@ object SimilarityOps {
     val assigned = assignTo(q, cents).persist()
     val queries = assigned.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("qv").as("want_qv"), col("qn").as("want_qn"))
+    val result = probeIvf(queries, cents, assigned, probes, k)
+      // see pqTopK: eager-checkpoint the small result, then release the
+      // session-lifetime pins on the cached corpus/centroids/assignments
+      .localCheckpoint(true)
+    Seq(q, cents, assigned).foreach(_.unpersist())
+    result
+  }
+
+  /** The probe side of IVF, shared by the inline path ([[ivfTopK]]) and the
+    * persisted-index path ([[ivfProbe]]): pick the `probes` max-cosine
+    * centroid buckets per query (tiny broadcast cross join), then score
+    * ONLY those buckets' members via a plain equi-join on `cid`. Contains
+    * no learning — at 100 TB this is the entire per-query cost.
+    */
+  private def probeIvf(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
+                       probes: Int, k: Int): DataFrame = {
     val probeCents = cents
       .select(col("cid").as("cid2"), col("cv"), col("cn"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid2").asc)
@@ -198,17 +214,12 @@ object SimilarityOps {
       .filter(col("prk") <= probes)
       .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2").as("cid"))
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    val result = probed.join(assigned, Seq("cid"))
+    probed.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineQ(dotQ(col("want_qv"), col("qv")), col("want_qn"), col("qn")).as("cos"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
-      // see pqTopK: eager-checkpoint the small result, then release the
-      // session-lifetime pins on the cached corpus/centroids/assignments
-      .localCheckpoint(true)
-    Seq(q, cents, assigned).foreach(_.unpersist())
-    result
   }
 
   /** Product quantization (PQ) ANN with asymmetric-distance scoring — the
@@ -232,7 +243,22 @@ object SimilarityOps {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subLen = dim / m
     val q = prepQ(vecs).persist()
+    val (centsAll, codesAll) = pqCodebooks(q, m, kCodes, subLen, kmeansIters)
+    val queries = q.filter(isQuery).select(col("vec_id").as("query_id"), col("qv"))
+    val result = probePq(queries, centsAll, codesAll, m, subLen, k)
+      // eager checkpoint of the (tiny, |queries|·k) result lets the big
+      // cached corpus be released NOW — a bare persist would otherwise pin
+      // it in the cache manager for the session lifetime
+      .localCheckpoint(true)
+    q.unpersist()
+    result
+  }
 
+  /** PQ learning: per-subspace codebooks (max-cos k-means) + every corpus
+    * vector's m codes. The BUILD side — runs once per corpus version.
+    */
+  private def pqCodebooks(q: DataFrame, m: Int, kCodes: Int, subLen: Int,
+                          kmeansIters: Int): (DataFrame, DataFrame) = {
     // per-subspace: learned codebook + code assignment (max-cos, cid tie-break)
     val perSub = (0 until m).map { j =>
       val sub = q.select(col("vec_id"), slice(col("qv"), j * subLen + 1, subLen).as("qv"))
@@ -242,15 +268,23 @@ object SimilarityOps {
         .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
       (cents.withColumn("sub", lit(j)), codes)
     }
-    val centsAll = perSub.map(_._1).reduce(_ unionByName _)
-    val codesAll = perSub.map(_._2).reduce(_ unionByName _)
+    (perSub.map(_._1).reduce(_ unionByName _), perSub.map(_._2).reduce(_ unionByName _))
+  }
 
-    // ADC lookup table: every (query, subspace, codebook entry) dot product
-    val queries = q.filter(isQuery).select(col("vec_id").as("query_id"), col("qv"))
-    val qsubs = (0 until m).map { j =>
-      queries.select(col("query_id"), lit(j).as("sub"),
-        slice(col("qv"), j * subLen + 1, subLen).as("qsub"))
-    }.reduce(_ unionByName _)
+  /** The probe side of PQ/ADC, shared by [[pqTopK]] and the persisted-index
+    * path ([[pqProbe]]): build the tiny ADC lookup table (|queries|·m·kCodes
+    * partial dots), equi-join it to the codes, sum. No learning, no
+    * per-pair vector math.
+    */
+  private def probePq(queries: DataFrame, centsAll: DataFrame, codesAll: DataFrame,
+                      m: Int, subLen: Int, k: Int): DataFrame = {
+    // ADC lookup table: every (query, subspace, codebook entry) dot product.
+    // Subspace slicing is an inline explode over ONE pass of the query set
+    // (a per-subspace union would scan the query source m times).
+    val qsubs = queries
+      .select(col("query_id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"), slice(col("qv"), j * subLen + 1, subLen).as("qsub"))): _*)).as("se"))
+      .select(col("query_id"), col("se.sub").as("sub"), col("se.qsub").as("qsub"))
     val adc = qsubs.join(broadcast(centsAll), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid").as("code"),
         dotQ(col("qsub"), col("cv")).as("d"))
@@ -258,19 +292,79 @@ object SimilarityOps {
     // score = exact int64 sum of the m looked-up partial dots
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
-    val result = codesAll.join(broadcast(adc), Seq("sub", "code"))
+    codesAll.join(broadcast(adc), Seq("sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d")).as("adc_dot"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "adc_dot")
-      // eager checkpoint of the (tiny, |queries|·k) result lets the big
-      // cached corpus be released NOW — a bare persist would otherwise pin
-      // it in the cache manager for the session lifetime
-      .localCheckpoint(true)
+  }
+
+  // ------------- persisted index lifecycle: build once, probe many -------
+
+  /** Build the IVF index ONCE and persist it as two ACID
+    * ([[graft.storage.TxLogTable]]) tables under `path`: `centroids`
+    * (cid, cv, cn) and `assignments` (vec_id, qv, qn, cid). At 100 TB the
+    * k-means learning and the full-corpus assignment pass belong on the
+    * ingest/maintenance path, amortized over every query; [[ivfProbe]]
+    * then reads only these tables — no learning inside queries.
+    */
+  def buildIvfIndex(vecs: DataFrame, nCentroids: Int, kmeansIters: Int, path: String): Unit = {
+    val spark = vecs.sparkSession
+    val q = prepQ(vecs).persist()
+    val cents = ivfCentroids(q, nCentroids, kmeansIters).persist()
+    new graft.storage.TxLogTable(spark, s"$path/centroids").overwrite(cents)
+    new graft.storage.TxLogTable(spark, s"$path/assignments").overwrite(assignTo(q, cents))
+    Seq(q, cents).foreach(_.unpersist())
+  }
+
+  /** True iff a built IVF/PQ index exists at `path` (both tables committed). */
+  def indexExists(spark: org.apache.spark.sql.SparkSession, path: String,
+                  tables: Seq[String]): Boolean =
+    tables.forall(t => new graft.storage.TxLogTable(spark, s"$path/$t").version.isDefined)
+
+  /** Probe-only IVF ANN against a persisted index: quantize the (small)
+    * query set map-side, pick probe buckets against the broadcast centroid
+    * table, score only those buckets via the `cid` equi-join. The plan
+    * contains NO k-means stage and never scans the raw corpus.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+               queries: DataFrame, probes: Int, k: Int): DataFrame = {
+    val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
+    val assigned = new graft.storage.TxLogTable(spark, s"$path/assignments").read()
+    val qs = queries.select(col("vec_id").as("query_id"),
+        quantize(col("embedding")).as("want_qv"))
+      .withColumn("want_qn", normQ(col("want_qv")))
+    probeIvf(qs, cents, assigned, probes, k)
+  }
+
+  /** Build the PQ index ONCE: `codebooks` (sub, cid, cv, cn) and `codes`
+    * (vec_id, sub, code) as ACID tables — m·log2(kCodes) bits per corpus
+    * vector, the footprint that keeps a 100 TB corpus's index in RAM.
+    */
+  def buildPqIndex(vecs: DataFrame, m: Int, kCodes: Int, dim: Int,
+                   kmeansIters: Int, path: String): Unit = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val spark = vecs.sparkSession
+    val q = prepQ(vecs).persist()
+    val (centsAll, codesAll) = pqCodebooks(q, m, kCodes, dim / m, kmeansIters)
+    new graft.storage.TxLogTable(spark, s"$path/codebooks").overwrite(centsAll)
+    new graft.storage.TxLogTable(spark, s"$path/codes").overwrite(codesAll)
     q.unpersist()
-    result
+  }
+
+  /** Probe-only PQ/ADC ANN against a persisted index: no learning, no raw
+    * corpus scan — the ADC table comes from the broadcast codebook table
+    * and scoring is the (sub, code) equi-join over the codes table.
+    */
+  def pqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+              queries: DataFrame, m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val centsAll = new graft.storage.TxLogTable(spark, s"$path/codebooks").read()
+    val codesAll = new graft.storage.TxLogTable(spark, s"$path/codes").read()
+    val qs = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+    probePq(qs, centsAll, codesAll, m, dim / m, k)
   }
 
   /** Exact all-pairs cosine >= tau (the oracle-checkable baseline; at scale

@@ -122,6 +122,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("ANN probe queries: no k-means stage, index read from persisted tables") {
+    // the build/probe split's whole point: the gated probe plan must touch
+    // only the persisted index (parquet scans), never re-learn. k-means is
+    // the only user of posexplode in this family, so its absence + the
+    // absence of the raw embeddings scan pins probe-only execution.
+    for (name <- Seq("q_ann_ivf_probe", "q_ann_pq_probe")) {
+      val p = plan(name) // first call builds the index as a separate job; the returned plan is the probe
+      assert(!p.toLowerCase.contains("posexplode"), s"$name probe plan contains a k-means stage:\n$p")
+      assert(p.contains("parquet"), s"$name probe does not read the persisted index:\n$p")
+      assert(!p.contains("embeddings.parquet") ||
+        p.linesIterator.count(_.contains("embeddings.parquet")) <= 1,
+        s"$name probe rescans the raw corpus beyond the query-side read:\n$p")
+    }
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one
