@@ -1,0 +1,380 @@
+package graft.streaming
+
+import java.io.{EOFException, IOException, InputStream}
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable.ArrayBuffer
+
+/** MQTT 3.1.1 wire codec — the minimal packet set a QoS-0 telemetry
+  * subscriber needs (CONNECT/CONNACK, SUBSCRIBE/SUBACK, PUBLISH,
+  * PINGREQ/PINGRESP, DISCONNECT), encoded per the OASIS spec: fixed header
+  * of packet-type nibble + flags, then the 7-bits-per-byte remaining-length
+  * varint, then the variable header/payload. This is the byte-level half of
+  * what the reference delegates to paho (influx_service.py:47-97); the
+  * session half lives in [[SocketMqttTransport]].
+  */
+object MqttWireCodec {
+
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3
+  val SUBSCRIBE = 8; val SUBACK = 9
+  val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
+
+  final class MalformedPacket(msg: String) extends IOException(msg)
+
+  /** A decoded fixed header + raw body (variable header and payload). */
+  final case class Packet(ptype: Int, flags: Int, body: Array[Byte])
+
+  /** Len-prefixed UTF-8 (MQTT 1.5.3): two length bytes then the bytes. */
+  private def utf8(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    if (b.length > 0xffff) throw new MalformedPacket(s"string too long: ${b.length}")
+    Array[Byte](((b.length >> 8) & 0xff).toByte, (b.length & 0xff).toByte) ++ b
+  }
+
+  /** Remaining-length varint (MQTT 2.2.3): 7 bits per byte, LSB group
+    * first, high bit = continuation, at most 4 bytes (max 268 435 455).
+    */
+  private def varLen(n: Int): Array[Byte] = {
+    if (n < 0 || n > 268435455) throw new MalformedPacket(s"bad remaining length $n")
+    val out = ArrayBuffer[Byte]()
+    var x = n
+    var done = false
+    while (!done) {
+      var d = x % 128
+      x /= 128
+      if (x > 0) d |= 0x80 else done = true
+      out += d.toByte
+    }
+    out.toArray
+  }
+
+  private def frame(ptype: Int, flags: Int, body: Array[Byte]): Array[Byte] =
+    Array((((ptype << 4) | flags) & 0xff).toByte) ++ varLen(body.length) ++ body
+
+  private def pid2(id: Int): Array[Byte] =
+    Array(((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
+
+  /** CONNECT: protocol "MQTT" level 4, clean session, no will/auth. */
+  def encodeConnect(clientId: String, keepAliveSecs: Int = 0): Array[Byte] =
+    frame(CONNECT, 0, utf8("MQTT") ++ Array[Byte](4, 2) ++ pid2(keepAliveSecs) ++ utf8(clientId))
+
+  def encodeConnack(sessionPresent: Boolean, returnCode: Int): Array[Byte] =
+    frame(CONNACK, 0, Array((if (sessionPresent) 1 else 0).toByte, returnCode.toByte))
+
+  /** SUBSCRIBE (reserved flags 0b0010 per spec); one QoS-0 entry per filter. */
+  def encodeSubscribe(packetId: Int, filters: Seq[String]): Array[Byte] =
+    frame(SUBSCRIBE, 2, pid2(packetId) ++ filters.toArray.flatMap(f => utf8(f) :+ 0.toByte))
+
+  /** SUBACK return codes: 0x00 = granted QoS 0, 0x80 = failure. */
+  def encodeSuback(packetId: Int, codes: Seq[Int]): Array[Byte] =
+    frame(SUBACK, 0, pid2(packetId) ++ codes.toArray.map(_.toByte))
+
+  /** QoS-0 PUBLISH: topic then payload, no packet id. */
+  def encodePublish(topic: String, payload: Array[Byte]): Array[Byte] =
+    frame(PUBLISH, 0, utf8(topic) ++ payload)
+
+  def encodePingReq(): Array[Byte] = frame(PINGREQ, 0, Array.empty)
+  def encodePingResp(): Array[Byte] = frame(PINGRESP, 0, Array.empty)
+  def encodeDisconnect(): Array[Byte] = frame(DISCONNECT, 0, Array.empty)
+
+  /** Blocking read of ONE packet. None on clean EOF at a packet boundary;
+    * [[MalformedPacket]] on EOF mid-packet or an over-long length varint —
+    * a truncated stream must never be silently treated as a clean close.
+    */
+  def readPacket(in: InputStream): Option[Packet] = {
+    val first = in.read()
+    if (first < 0) return None
+    var mult = 1; var len = 0; var i = 0; var cont = true
+    while (cont) {
+      val b = in.read()
+      if (b < 0) throw new MalformedPacket("EOF inside remaining length")
+      len += (b & 0x7f) * mult
+      mult *= 128
+      i += 1
+      if (i > 4) throw new MalformedPacket("remaining length exceeds 4 bytes")
+      cont = (b & 0x80) != 0
+    }
+    val body = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val r = in.read(body, off, len - off)
+      if (r < 0) throw new MalformedPacket(s"EOF inside body at $off/$len")
+      off += r
+    }
+    Some(Packet(first >> 4, first & 0x0f, body))
+  }
+
+  /** Parse a len-prefixed UTF-8 string at `off`; (value, bytes consumed). */
+  def readUtf8(body: Array[Byte], off: Int): (String, Int) = {
+    if (off + 2 > body.length) throw new MalformedPacket("truncated string length")
+    val n = ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+    if (off + 2 + n > body.length) throw new MalformedPacket("truncated string body")
+    (new String(body, off + 2, n, "UTF-8"), 2 + n)
+  }
+
+  def readPid(body: Array[Byte], off: Int): Int = {
+    if (off + 2 > body.length) throw new MalformedPacket("truncated packet id")
+    ((body(off) & 0xff) << 8) | (body(off + 1) & 0xff)
+  }
+}
+
+/** A real network [[MqttTransport]]: MQTT 3.1.1 over a TCP socket. The
+  * session lifecycle mirrors the reference's paho client
+  * (influx_service.py:47-97): connect = socket + CONNECT/CONNACK
+  * handshake, subscribe = SUBSCRIBE/SUBACK rendezvous, arriving PUBLISH
+  * packets fire the message callback from a dedicated reader thread, and
+  * an unexpected EOF or socket error fires the connection-lost callback —
+  * [[MqttConnectionManager]] drives reconnect/resubscribe on top,
+  * unchanged from the in-process transport.
+  */
+class SocketMqttTransport(host: String, port: Int, clientId: String,
+                          ioTimeoutMs: Int = 10000) extends MqttTransport {
+  import MqttWireCodec._
+
+  @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
+  @volatile private var onLost: Throwable => Unit = _ => ()
+  @volatile private var session: Option[Session] = None
+  private val nextPid = new AtomicInteger(0)
+
+  private final class Session(val socket: Socket) {
+    val out = socket.getOutputStream
+    @volatile var closing = false // deliberate disconnect: EOF is not "lost"
+    val pendingSubacks = new ConcurrentHashMap[Int, ArrayBlockingQueue[Seq[Int]]]()
+    def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
+  }
+
+  override def connect(): Unit = {
+    if (session.isDefined) throw new IllegalStateException("already connected")
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), ioTimeoutMs)
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(ioTimeoutMs) // bound the CONNACK wait
+    val in = sock.getInputStream
+    val s = new Session(sock)
+    try {
+      s.send(encodeConnect(clientId))
+      val ack = readPacket(in).getOrElse(throw new EOFException("closed before CONNACK"))
+      if (ack.ptype != CONNACK) throw new IOException(s"expected CONNACK, got type ${ack.ptype}")
+      if (ack.body.length < 2) throw new MalformedPacket("short CONNACK")
+      if (ack.body(1) != 0) throw new IOException(s"CONNECT refused rc=${ack.body(1)}")
+    } catch {
+      case e: Throwable => try sock.close() catch { case _: Exception => () }; throw e
+    }
+    sock.setSoTimeout(0) // the reader blocks indefinitely between packets
+    session = Some(s)
+    val reader = new Thread(() => readLoop(s, in), s"mqtt-reader-$clientId")
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  private def readLoop(s: Session, in: InputStream): Unit = {
+    try {
+      var live = true
+      while (live) {
+        readPacket(in) match {
+          case None =>
+            live = false
+            lost(s, new EOFException("broker closed the connection"))
+          case Some(p) => p.ptype match {
+            case PUBLISH =>
+              val (topic, consumed) = readUtf8(p.body, 0)
+              // QoS-0 subscriptions only: no packet id between topic and payload
+              onMessage(topic, java.util.Arrays.copyOfRange(p.body, consumed, p.body.length))
+            case SUBACK =>
+              val pid = readPid(p.body, 0)
+              val codes: Seq[Int] = p.body.drop(2).toSeq.map(_ & 0xff)
+              Option(s.pendingSubacks.get(pid)).foreach(_.offer(codes))
+            case PINGRESP => ()
+            case _ => () // packets a QoS-0 subscriber never receives
+          }
+        }
+      }
+    } catch {
+      case e: Throwable => lost(s, e)
+    }
+  }
+
+  /** Mark the session dead and fire the lost callback EXACTLY once, and
+    * only for the session the failure belongs to (a stale reader noticing
+    * its old socket die must not kill a newer session).
+    */
+  private def lost(s: Session, cause: Throwable): Unit = {
+    // decide under the monitor, fire OUTSIDE it: the lost callback drives a
+    // whole reconnect loop (sleeps included) and must not hold the lock
+    // disconnect()/a racing lost() need
+    val fire = synchronized {
+      if (!s.closing && session.contains(s)) {
+        session = None
+        try s.socket.close() catch { case _: Exception => () }
+        true
+      } else false
+    }
+    if (fire) onLost(cause)
+  }
+
+  override def subscribe(filters: Seq[String]): Unit = {
+    val s = session.getOrElse(throw new IllegalStateException("subscribe before connect"))
+    val pid = (nextPid.incrementAndGet() & 0xfffe) + 1 // 1..65535, never 0
+    val q = new ArrayBlockingQueue[Seq[Int]](1)
+    s.pendingSubacks.put(pid, q)
+    try {
+      s.send(encodeSubscribe(pid, filters))
+      val codes = Option(q.poll(ioTimeoutMs, TimeUnit.MILLISECONDS))
+        .getOrElse(throw new IOException(s"SUBACK timeout after $ioTimeoutMs ms"))
+      if (codes.size != filters.size || codes.exists(_ >= 0x80))
+        throw new IOException(s"SUBACK rejected: $codes")
+    } finally s.pendingSubacks.remove(pid)
+  }
+
+  override def setCallbacks(m: (String, Array[Byte]) => Unit, l: Throwable => Unit): Unit = {
+    onMessage = m; onLost = l
+  }
+
+  override def disconnect(): Unit = synchronized {
+    session.foreach { s =>
+      s.closing = true
+      session = None
+      try s.send(encodeDisconnect()) catch { case _: Exception => () }
+      try s.socket.close() catch { case _: Exception => () }
+    }
+  }
+
+  override def isConnected: Boolean = session.isDefined
+}
+
+/** In-process MQTT 3.1.1 broker over real TCP sockets (loopback only) —
+  * the zero-egress stand-in for a production broker, so the WIRE transport
+  * is exercised end-to-end: accept loop, CONNECT/CONNACK handshake with
+  * protocol validation, per-session subscription state, wildcard-routed
+  * QoS-0 fan-out, and fault injection (refused connects, rejected
+  * subscribes, hard connection drops) for the reconnect machinery.
+  */
+class MockMqttBroker {
+  import MqttWireCodec._
+
+  private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+  private val refusals = new AtomicInteger(0)
+  private val subFailures = new AtomicInteger(0)
+  private val sessions = ConcurrentHashMap.newKeySet[ClientSession]()
+  private val subscribeLog = ArrayBuffer[Seq[String]]()
+
+  def port: Int = server.getLocalPort
+
+  /** Refuse the next `n` connection attempts (socket closed pre-CONNACK). */
+  def refuseNextConnects(n: Int): Unit = refusals.set(n)
+
+  /** Reject the next `n` SUBSCRIBE packets with 0x80 return codes. */
+  def failNextSubscribes(n: Int): Unit = subFailures.set(n)
+
+  private final class ClientSession(val socket: Socket) {
+    val out = socket.getOutputStream
+    val filters = ArrayBuffer[String]()
+    def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
+  }
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), s"mock-broker-session-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => () } // server closed
+    }
+  }, "mock-broker-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    try {
+      readPacket(in) match {
+        case Some(p) if p.ptype == CONNECT =>
+          if (refusals.getAndUpdate(n => math.max(0, n - 1)) > 0) { sock.close(); return }
+          val (proto, c) = readUtf8(p.body, 0)
+          val level = p.body(c)
+          val rc = if (proto == "MQTT" && level == 4) 0 else 1 // unacceptable protocol
+          val cs = new ClientSession(sock)
+          cs.send(encodeConnack(sessionPresent = false, rc))
+          if (rc != 0) { sock.close(); return }
+          sessions.add(cs)
+          try sessionLoop(cs, in)
+          finally { sessions.remove(cs); try sock.close() catch { case _: Exception => () } }
+        case _ => sock.close() // first packet must be CONNECT (MQTT 3.1.1-0-1)
+      }
+    } catch {
+      case _: Exception => try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  private def sessionLoop(cs: ClientSession, in: InputStream): Unit = {
+    var live = true
+    while (live && running) {
+      readPacket(in) match {
+        case None => live = false
+        case Some(p) => p.ptype match {
+          case SUBSCRIBE =>
+            val pid = readPid(p.body, 0)
+            val fs = ArrayBuffer[String]()
+            var off = 2
+            while (off < p.body.length) {
+              val (f, c) = readUtf8(p.body, off)
+              off += c + 1 // skip the requested-QoS byte
+              fs += f
+            }
+            subscribeLog.synchronized { subscribeLog += fs.toSeq }
+            if (subFailures.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              cs.send(encodeSuback(pid, fs.map(_ => 0x80).toSeq))
+            else {
+              cs.filters.synchronized { cs.filters ++= fs }
+              cs.send(encodeSuback(pid, fs.map(_ => 0).toSeq))
+            }
+          case PUBLISH => // client-to-broker publish: route like any message
+            val (topic, c) = readUtf8(p.body, 0)
+            publish(topic, java.util.Arrays.copyOfRange(p.body, c, p.body.length))
+          case PINGREQ => cs.send(encodePingResp())
+          case DISCONNECT => live = false
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Broker-side fan-out: deliver to every live session with a matching
+    * filter (`+` one level, `#` rest — [[MqttBus.patternToRegex]]).
+    * Returns the number of sessions delivered to (QoS 0: disconnected
+    * clients simply miss the message).
+    */
+  def publish(topic: String, payload: Array[Byte]): Int = {
+    var n = 0
+    sessions.forEach { cs =>
+      val matched = cs.filters.synchronized(
+        cs.filters.exists(f => topic.matches(MqttBus.patternToRegex(f))))
+      if (matched) {
+        try { cs.send(encodePublish(topic, payload)); n += 1 }
+        catch { case _: Exception => () } // session died mid-send: QoS-0 drop
+      }
+    }
+    n
+  }
+
+  def publish(topic: String, payload: String): Int = publish(topic, payload.getBytes("UTF-8"))
+
+  /** Hard-kill every live connection with no DISCONNECT — a broker crash. */
+  def dropAllConnections(): Unit =
+    sessions.forEach(cs => try cs.socket.close() catch { case _: Exception => () })
+
+  def sessionCount: Int = sessions.size
+
+  /** Every SUBSCRIBE's filter list, in arrival order. */
+  def subscriptionHistory: Seq[Seq[String]] = subscribeLog.synchronized(subscribeLog.toSeq)
+
+  def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => () }
+    dropAllConnections()
+  }
+}

@@ -101,6 +101,112 @@ class MqttTransportSpec extends SparkSuite {
     m.stop()
   }
 
+  private def awaitCond(timeoutMs: Long = 30000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline && !cond) Thread.sleep(10)
+    cond
+  }
+
+  test("wire codec: remaining-length varint boundaries roundtrip") {
+    import graft.streaming.MqttWireCodec._
+    // 127 / 128 / 16383 / 16384 are the 1->2 and 2->3 byte varint edges
+    for (n <- Seq(0, 1, 127, 128, 16383, 16384)) {
+      val payload = Array.fill[Byte](n)(7)
+      val bytes = encodePublish("t", payload)
+      val p = readPacket(new java.io.ByteArrayInputStream(bytes)).get
+      assert(p.ptype == PUBLISH && p.flags == 0)
+      val (topic, c) = readUtf8(p.body, 0)
+      assert(topic == "t" && p.body.length - c == n, s"n=$n")
+    }
+    // truncated stream mid-packet must fail loudly, not read as clean EOF
+    val trunc = encodePublish("topic", Array.fill[Byte](50)(1)).dropRight(10)
+    intercept[MalformedPacket] {
+      readPacket(new java.io.ByteArrayInputStream(trunc))
+    }
+  }
+
+  test("wire codec: SUBSCRIBE carries filters + QoS, SUBACK carries codes") {
+    import graft.streaming.MqttWireCodec._
+    val sub = readPacket(new java.io.ByteArrayInputStream(
+      encodeSubscribe(42, Seq("a/+/b", "#")))).get
+    assert(sub.ptype == SUBSCRIBE && sub.flags == 2) // spec-mandated reserved flags
+    assert(readPid(sub.body, 0) == 42)
+    val (f1, c1) = readUtf8(sub.body, 2)
+    val (f2, _) = readUtf8(sub.body, 2 + c1 + 1)
+    assert(f1 == "a/+/b" && f2 == "#")
+    val ack = readPacket(new java.io.ByteArrayInputStream(encodeSuback(42, Seq(0, 0x80)))).get
+    assert(ack.ptype == SUBACK && readPid(ack.body, 0) == 42)
+    assert(ack.body.drop(2).toSeq.map(_ & 0xff) == Seq(0, 0x80))
+  }
+
+  test("socket transport: real TCP handshake, wildcard routing, manager on top unchanged") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-e2e")
+    val m = new MqttConnectionManager(t, Seq("openchirp/device/+/+"),
+      log = (topic, payload, ts) => sink.synchronized {
+        sink += ((topic, new String(payload, "UTF-8"), ts))
+      },
+      baseBackoffMs = 1, nowUs = () => 42L)
+    try {
+      m.start()
+      assert(t.isConnected && broker.sessionCount == 1)
+      assert(broker.subscriptionHistory == Seq(Seq("openchirp/device/+/+")))
+      // matching topic reaches the subscriber over the wire...
+      assert(broker.publish("openchirp/device/d1/temp", "21.5") == 1)
+      // ...non-matching topic is routed to nobody
+      assert(broker.publish("other/stream/x", "no") == 0)
+      assert(awaitCond()(sink.synchronized(sink.size == 1)))
+      assert(sink.synchronized(sink.head) == (("openchirp/device/d1/temp", "21.5", 42L)))
+      m.stop()
+      assert(!t.isConnected)
+      assert(awaitCond()(broker.sessionCount == 0))
+    } finally { m.stop(); broker.close() }
+  }
+
+  test("socket transport: broker crash -> reconnect over a new session, filters re-issued") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-reconnect")
+    val m = new MqttConnectionManager(t, Seq("openchirp/device/+/+"),
+      log = (topic, payload, ts) => sink.synchronized {
+        sink += ((topic, new String(payload, "UTF-8"), ts))
+      },
+      baseBackoffMs = 1, nowUs = () => 7L)
+    try {
+      m.start()
+      broker.refuseNextConnects(2) // two refused attempts exercise the backoff
+      broker.dropAllConnections()  // hard kill: EOF on the reader, no DISCONNECT
+      assert(awaitCond()(m.reconnectCount == 1 && t.isConnected))
+      // the new session re-issued the filters (initial + post-reconnect)
+      assert(awaitCond()(broker.subscriptionHistory.size == 2))
+      assert(broker.subscriptionHistory.last == Seq("openchirp/device/+/+"))
+      // delivered-count can transiently include a dying TCP session (writes
+      // to a half-closed socket don't fail until the RST arrives), so gate
+      // on AT LEAST the live subscriber and on the message arriving
+      assert(awaitCond()(broker.publish("openchirp/device/d2/hum", "2.5") >= 1))
+      assert(awaitCond()(sink.synchronized(sink.nonEmpty)))
+      assert(sink.synchronized(sink.head) == (("openchirp/device/d2/hum", "2.5", 7L)))
+    } finally { m.stop(); broker.close() }
+  }
+
+  test("socket transport: rejected SUBACK tears the session down and retries") {
+    val broker = new MockMqttBroker
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-subfail")
+    val m = new MqttConnectionManager(t, Seq("openchirp/service/x/events"),
+      log = (_, _, _) => (), baseBackoffMs = 1)
+    try {
+      m.start()
+      broker.failNextSubscribes(1) // next session connects but SUBSCRIBE is rejected
+      broker.dropAllConnections()
+      // recovery must not stop at connected-but-unsubscribed: it retries the
+      // whole connect+subscribe until BOTH succeed
+      assert(awaitCond()(m.reconnectCount == 1 && t.isConnected))
+      assert(awaitCond()(broker.subscriptionHistory.size == 3)) // initial + rejected + granted
+      assert(awaitCond()(broker.publish("openchirp/service/x/events", "ok") >= 1))
+    } finally { m.stop(); broker.close() }
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport
