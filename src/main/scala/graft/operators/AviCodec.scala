@@ -6,10 +6,13 @@ import scala.collection.mutable.ArrayBuffer
 /** A REAL (pure-JVM) video CONTAINER parser: RIFF/AVI — header metadata
   * (dimensions, frame timing, frame count) and the movi frame index, so
   * frame sampling slices actual container frames instead of fixed-size
-  * byte windows. The frame PAYLOADS stay opaque (decoding a compressed
-  * video codec is not expressible in plain byte math — that one function
-  * is the remaining documented stub of the multimodal family; container
-  * parsing, frame indexing and sampling are genuine).
+  * byte windows. UNCOMPRESSED (`00db`) frame payloads are genuinely
+  * pixel-decoded downstream via the shared DIB row machinery
+  * ([[BmpCodec.dibFeatures]], driven by
+  * [[graft.operators.MultimodalOps.decodeVideoPixels]]); COMPRESSED
+  * (`00dc`) payloads stay opaque — decoding a compressed video codec is
+  * not expressible in plain byte math, and those frames dead-letter at the
+  * pixel stage rather than fake a decode.
   *
   * Layout handled: `RIFF..AVI ` / `LIST..hdrl` holding an `avih` main
   * header / `LIST..movi` holding `##dc`/`##db`/`##wb` frame chunks (padded
@@ -26,8 +29,13 @@ object AviCodec {
 
   private val MaxFrames = 1 << 20
 
-  /** Build a minimal spec-conforming AVI: avih main header + movi chunks. */
-  def synth(width: Int, height: Int, usPerFrame: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+  /** Build a minimal spec-conforming AVI: avih main header + movi chunks.
+    * `raw = true` writes `00db` (uncompressed DIB) frame chunks — the
+    * variant whose payloads [[graft.operators.BmpCodec.dibFeatures]] can
+    * genuinely pixel-decode; the default `00dc` marks compressed payloads.
+    */
+  def synth(width: Int, height: Int, usPerFrame: Int, frames: Seq[Array[Byte]],
+            raw: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty)
     def pad(n: Int) = n + (n & 1)
     val avihLen = 56
@@ -44,7 +52,7 @@ object AviCodec {
       .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
     tag("LIST"); buf.putInt(moviLen); tag("movi")
     frames.foreach { f =>
-      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      tag(if (raw) "00db" else "00dc"); buf.putInt(f.length); buf.put(f)
       if ((f.length & 1) == 1) buf.put(0.toByte)
     }
     buf.array()

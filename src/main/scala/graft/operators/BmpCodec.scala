@@ -24,32 +24,45 @@ object BmpCodec {
   private val InfoHeader = 40
   private val MaxDim = 1 << 15 // a hostile header must not drive allocation
 
-  private def rowSize(width: Int): Int = (width * 3 + 3) & ~3
+  private[graft] def rowSize(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Raw 24-bpp bottom-up DIB pixel data (4-byte-aligned BGR rows, no file
+    * headers) from a pixel function (x, y) -> (r, g, b), y = 0 at the TOP.
+    * This is the payload format shared by BMP files and uncompressed AVI
+    * `00db` frame chunks — [[synth]] wraps it in BMP headers,
+    * [[AviCodec.synth]] can embed it as frame payloads.
+    */
+  private[graft] def dibBytes(width: Int, height: Int,
+                                  px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim)
+    val rs = rowSize(width)
+    val out = new Array[Byte](rs * height)
+    // bottom-up: file row 0 is the image's BOTTOM row
+    for (fileRow <- 0 until height; x <- 0 until width) {
+      val y = height - 1 - fileRow
+      val (r, g, b) = px(x, y)
+      val off = fileRow * rs + x * 3
+      out(off) = b.toByte; out(off + 1) = g.toByte; out(off + 2) = r.toByte
+    }
+    out
+  }
 
   /** Synthesize a 24-bit bottom-up BMP from a pixel function
     * (x, y) -> (r, g, b), y = 0 at the TOP of the image.
     */
   def synth(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim)
-    val rs = rowSize(width)
-    val dataLen = rs * height
-    val buf = ByteBuffer.allocate(FileHeader + InfoHeader + dataLen)
+    val data = dibBytes(width, height, px)
+    val buf = ByteBuffer.allocate(FileHeader + InfoHeader + data.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put('B'.toByte).put('M'.toByte)
-      .putInt(FileHeader + InfoHeader + dataLen)
+      .putInt(FileHeader + InfoHeader + data.length)
       .putInt(0)                          // reserved
       .putInt(FileHeader + InfoHeader)    // pixel offset
     buf.putInt(InfoHeader).putInt(width).putInt(height)
       .putShort(1.toShort).putShort(24.toShort)
       .putInt(0)                          // BI_RGB (uncompressed)
-      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    // bottom-up: file row 0 is the image's BOTTOM row
-    for (fileRow <- 0 until height; x <- 0 until width) {
-      val y = height - 1 - fileRow
-      val (r, g, b) = px(x, y)
-      val off = FileHeader + InfoHeader + fileRow * rs + x * 3
-      buf.put(off, b.toByte).put(off + 1, g.toByte).put(off + 2, r.toByte)
-    }
+      .putInt(data.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(data)
     buf.array()
   }
 
@@ -80,7 +93,20 @@ object BmpCodec {
         pixelOff.toLong + rs.toLong * height > bytes.length)
       fail(s"pixel data ${rs.toLong * height} bytes at $pixelOff overruns payload ${bytes.length}")
 
+    val (meanLum, thumb) = dibFeatures(bytes, pixelOff, width, height, topDown, poolSize)
+    BmpInfo(width, height, topDown, meanLum, thumb)
+  }
+
+  /** Feature-extract + average-pooled thumbnail over a raw 24-bpp DIB pixel
+    * array at `pixelOff` — the row machinery shared by BMP files and
+    * uncompressed AVI `00db` frames. Caller has validated bounds
+    * (`pixelOff + rowSize(width)·height <= bytes.length`).
+    */
+  private[graft] def dibFeatures(bytes: Array[Byte], pixelOff: Int, width: Int,
+                                     height: Int, topDown: Boolean,
+                                     poolSize: Int): (Double, Array[Long]) = {
     require(poolSize > 0, "poolSize must be positive")
+    val rs = rowSize(width)
     val tSums = Array.ofDim[Long](poolSize * poolSize)
     val tCounts = Array.ofDim[Long](poolSize * poolSize)
     var lumSum = 0L
@@ -104,6 +130,6 @@ object BmpCodec {
     val n = width.toLong * height
     val thumb = Array.tabulate(poolSize * poolSize)(i =>
       if (tCounts(i) == 0) 0L else tSums(i) / tCounts(i))
-    BmpInfo(width, height, topDown, lumSum.toDouble / (3.0 * n), thumb)
+    (lumSum.toDouble / (3.0 * n), thumb)
   }
 }

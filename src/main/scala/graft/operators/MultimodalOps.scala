@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * — all pure JVM byte arithmetic, no native codecs, run per-partition
   * with dead-letter routing for corrupt payloads ([[decodeAudio]] /
   * [[decodeImages]] / [[decodeVideos]], unified in [[decodeMeta]] which
-  * dispatches each row to ITS modality's real codec). The one remaining
-  * STUB is the video frame-PAYLOAD codec call (compressed-codec math isn't
-  * expressible as plain byte parsing): [[decodeVideos]] content-hashes
-  * each sampled frame where production would decode it.
+  * dispatches each row to ITS modality's real codec). Video frame PAYLOADS
+  * decode genuinely for the uncompressed `00db` format
+  * ([[decodeVideoPixels]]: container index → DIB pixel parse per sampled
+  * frame); the one remaining STUB is compressed (`00dc`) frame payloads —
+  * compressed-codec math isn't expressible as plain byte parsing, so
+  * [[decodeVideos]] content-hashes those where production would decode.
   * Everything around the codecs is the same Spark shape — schema,
   * per-partition batched iteration (the Scala analogue of `mapInPandas`),
   * columnar metadata extraction — so a production codec changes one
@@ -227,6 +229,69 @@ object MultimodalOps {
           case scala.util.control.NonFatal(e) =>
             VideoDecoded(m.doc_id, ok = false,
               err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, 0, 0L, Seq.empty)
+        }
+      }
+    }
+  }
+
+  case class VideoPixels(doc_id: Long, ok: Boolean, err: String,
+                         width: Int, height: Int, frame_idx: Int,
+                         mean_lum: Double, thumb: Seq[Long])
+
+  /** Deterministic video fixture with REAL pixel payloads: an AVI whose
+    * `00db` frame chunks are raw 24-bpp DIB pixel arrays (the uncompressed
+    * format — [[BmpCodec.dibBytes]]) of a gradient + per-frame-shifted
+    * checker, so the frame-payload decode downstream does genuine pixel
+    * parsing, closed-form recomputable by the oracle.
+    */
+  def synthVideoDib(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 9).toInt
+    val h = (12 + docId % 7).toInt
+    val n = (3 + docId % 4).toInt
+    val frames = (0 until n).map { k =>
+      BmpCodec.dibBytes(w, h, (x, y) => {
+        val checker = if (((x / 2) + (y / 2) + docId + k) % 2 == 0) 32 else 0
+        ((x * 255 / (w - 1)) min 255, ((y + k) * 255 / (h - 1)) min 255, checker)
+      })
+    }
+    AviCodec.synth(w, h, usPerFrame = 33333, frames = frames, raw = true)
+  }
+
+  /** REAL video frame-payload decode: the AVI container index locates every
+    * `stride`-th frame and — for uncompressed `00db` frames — the payload
+    * is pixel-decoded with the BMP row machinery (feature-extract + pooled
+    * thumbnail per frame). This closes the multimodal family's last codec
+    * seam for the uncompressed format; compressed (`00dc`) payloads remain
+    * codec territory and dead-letter here rather than fake a decode.
+    * One output row per sampled frame; corrupt containers or frames whose
+    * payload size does not match the header geometry dead-letter.
+    */
+  def decodeVideoPixels(media: Dataset[MediaRow], stride: Int = 2,
+                        poolSize: Int = 4): Dataset[VideoPixels] = {
+    require(stride > 0, "stride must be positive")
+    implicit val enc = Encoders.product[VideoPixels]
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        try {
+          val info = AviCodec.decode(m.payload)
+          val rs = BmpCodec.rowSize(info.width)
+          (0 until info.nFrames by stride).iterator.map { k =>
+            val (off, len) = info.frames(k)
+            if (len != rs * info.height)
+              VideoPixels(m.doc_id, ok = false,
+                err = s"frame $k payload $len bytes != DIB geometry ${rs * info.height}",
+                info.width, info.height, k, 0.0, Seq.empty)
+            else {
+              val (meanLum, thumb) = BmpCodec.dibFeatures(
+                m.payload, off, info.width, info.height, topDown = false, poolSize)
+              VideoPixels(m.doc_id, ok = true, err = "",
+                info.width, info.height, k, meanLum, thumb.toSeq)
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Iterator.single(VideoPixels(m.doc_id, ok = false,
+              err = s"${e.getClass.getSimpleName}: ${e.getMessage}", 0, 0, -1, 0.0, Seq.empty))
         }
       }
     }

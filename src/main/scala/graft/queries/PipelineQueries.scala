@@ -459,6 +459,21 @@ object PipelineQueries {
           col("duration_us"), md5(concat_ws("_", col("sampled_hashes"))).as("frames_md5"))
     }),
 
+    // REAL frame-PAYLOAD gate, video: every 2nd uncompressed (00db) frame
+    // is located via the container index and pixel-decoded (gradient +
+    // frame-shifted checker) — per-frame luminance + pooled thumbnail vs
+    // the oracle's pixel-function arithmetic over generate_series
+    "q_video_pixels" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideoDib(id), "video"))
+      MultimodalOps.decodeVideoPixels(media, stride = 2).toDF()
+        .filter(col("ok"))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"), col("mean_lum"),
+          md5(concat_ws("_", col("thumb").cast("array<string>"))).as("thumb_md5"))
+    }),
+
     // REAL codec gate, all modalities: each document's payload is genuine
     // container bytes (BMP / WAV / AVI per doc_id % 3) and every output
     // column is DECODER-derived — dimensions from the BMP/AVI headers,
@@ -646,6 +661,29 @@ object PipelineQueries {
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
 
     "q_ann_pq" -> pqOracleSql(m = 4, kCodes = 8, subLen = 16, topK = 5, iters = 1),
+
+    "q_video_pixels" ->
+      """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(12 + doc_id % 7 AS BIGINT) AS h, CAST(3 + doc_id % 4 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |fr AS (SELECT doc_id, w, h, k FROM ids, UNNEST(generate_series(0, nf - 1, 2)) AS t(k)),
+        |px AS (SELECT doc_id, w, h, k, x, y,
+        |    least((x * 255) // (w - 1), 255)
+        |      + least(((y + k) * 255) // (h - 1), 255)
+        |      + CASE WHEN ((x // 2) + (y // 2) + doc_id + k) % 2 = 0 THEN 32 ELSE 0 END AS gray,
+        |    least((y * 4) // h, 3) * 4 + least((x * 4) // w, 3) AS cell
+        |  FROM fr, UNNEST(generate_series(0, w - 1)) AS t(x),
+        |    UNNEST(generate_series(0, h - 1)) AS u(y)),
+        |cells AS (SELECT doc_id, k, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2, 3),
+        |thumbs AS (SELECT doc_id, k,
+        |    md5(string_agg(CAST(tv AS VARCHAR), '_' ORDER BY cell)) AS thumb_md5
+        |  FROM cells GROUP BY 1, 2),
+        |lum AS (SELECT doc_id, k, CAST(min(w) AS INTEGER) AS width, CAST(min(h) AS INTEGER) AS height,
+        |    CAST(sum(gray) AS DOUBLE) / (3.0 * min(w) * min(h)) AS mean_lum
+        |  FROM px GROUP BY 1, 2)
+        |SELECT l.doc_id, CAST(l.k AS INTEGER) AS frame_idx, l.width, l.height,
+        |  l.mean_lum, t.thumb_md5
+        |FROM lum l JOIN thumbs t ON l.doc_id = t.doc_id AND l.k = t.k""".stripMargin,
 
     // the probe-only paths compute the same math as the inline paths (the
     // index persistence changes WHERE learning runs, not what it computes),

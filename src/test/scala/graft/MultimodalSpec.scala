@@ -146,6 +146,40 @@ class MultimodalSpec extends SparkSuite {
     assert(ok.find(_.doc_id == 2L).get.sampled_hashes.head == localHash)
   }
 
+  test("video frame-payload pixel decode: DIB frames decode, mismatched geometry dead-letters") {
+    // a 2x2 single-frame DIB video with hand-computable pixels:
+    // px(x,y) = (x*255, y*255, checker) -> gray values known in closed form
+    val w = 2; val h = 2
+    val dib = graft.operators.BmpCodec.dibBytes(w, h, (x, y) => (x * 255, y * 255, 0))
+    val avi = graft.operators.AviCodec.synth(w, h, 33333, Seq(dib), raw = true)
+    val one = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(1L, avi, "video")).toDS(), stride = 1).collect()
+    assert(one.length == 1 && one.head.ok, one.head.err)
+    // grays: (0,0)=0, (1,0)=255, (0,1)=255, (1,1)=510 -> mean = 1020/(3*4)
+    assert(one.head.mean_lum == 1020.0 / 12.0)
+    assert(one.head.frame_idx == 0 && one.head.width == w && one.head.height == h)
+
+    // the deterministic fixture: every sampled frame of every doc decodes
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 30)
+      .as[Long].map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideoDib(id), "video"))
+    val decoded = MultimodalOps.decodeVideoPixels(media, stride = 2).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.ok),
+      decoded.filterNot(_.ok).map(d => s"${d.doc_id}: ${d.err}").mkString("; "))
+    assert(decoded.forall(d => d.thumb.nonEmpty && d.mean_lum > 0))
+
+    // compressed (00dc) frames are NOT pixel-decodable: geometry mismatch
+    // dead-letters per frame instead of fabricating pixels
+    val compressed = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(9L, MultimodalOps.synthVideo(9L), "video")).toDS(),
+      stride = 2).collect()
+    assert(compressed.nonEmpty && compressed.forall(r => !r.ok && r.err.contains("DIB geometry")))
+    // corrupt container: one dead-letter row for the whole payload
+    val corrupt = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(10L, "RIFFbadbadbad".getBytes("ASCII"), "video")).toDS(),
+      stride = 1).collect()
+    assert(corrupt.length == 1 && !corrupt.head.ok && corrupt.head.frame_idx == -1)
+  }
+
   test("distributed image decode: real parsing per partition, corrupt rows dead-letter") {
     val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 40)
       .as[Long]
