@@ -203,18 +203,23 @@ object PipelineQueries {
     // 1e8+ rows and an unpartitioned WindowExec would sort it on one task.
     // The rank is derived AFTER the limit, over the <=10 surviving rows.
     "q_text_ngrams" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val bigrams = DedupOps.shingles(Tables.documents(s, dir), "doc_id", "text", 2)
       // shingles() already emits DISTINCT (doc_id, shingle), so a plain
       // count IS the document frequency — no two-phase distinct aggregate
       val counts = bigrams.groupBy(col("shingle").as("bigram"))
         .agg(count(lit(1)).as("doc_freq"))
-      counts.orderBy(col("doc_freq").desc, col("bigram").asc).limit(10)
-        // rank over the <=10 survivors; partitionBy(lit) keeps the window's
-        // partitionSpec non-empty (no "No Partition Defined" plan warning)
-        .withColumn("rk",
-          row_number().over(Window.partitionBy(lit(1))
-            .orderBy(col("doc_freq").desc, col("bigram").asc)).cast("long"))
+      val top = counts.orderBy(col("doc_freq").desc, col("bigram").asc).limit(10)
+      // rank the <=10 survivors WITHOUT a window: an unpartitioned
+      // WindowExec would warn (and partitionBy(lit) is constant-folded back
+      // to unpartitioned), so the rank is a broadcast self-join count of
+      // sort-order predecessors — 10x10 bounded pairs, zero shuffle.
+      // (bigram is unique after the groupBy, so this IS row_number.)
+      top.as("a")
+        .join(broadcast(top.as("b")),
+          col("b.doc_freq") > col("a.doc_freq") ||
+            (col("b.doc_freq") === col("a.doc_freq") && col("b.bigram") <= col("a.bigram")))
+        .groupBy(col("a.bigram").as("bigram"), col("a.doc_freq").as("doc_freq"))
+        .agg(count(lit(1)).as("rk"))
         .select("bigram", "doc_freq", "rk")
     }),
 

@@ -137,6 +137,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("no query in the whole surface plans an unpartitioned window") {
+    // an empty partitionSpec means WindowExec moves ALL rows to one task —
+    // the classic 100 TB scale-killer, and the source of the runtime
+    // "No Partition Defined" warnings. Pin ZERO across every gated query
+    // (partitionBy(lit(..)) does NOT count as partitioned: constant folding
+    // strips it right back to empty).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => s"$name: Window"
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => s"$name: WindowGroupLimit"
+      }
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows: ${offenders.mkString(", ")}")
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one
