@@ -136,6 +136,25 @@ object ExtraQueries {
         .select(col("event_id"), graft.storage.ZOrder.zvalue2(x, y, 10).as("zv"))
     }),
 
+    // BIGMIN z-range scan end-to-end: z-cluster the (user bucket, value
+    // bucket) grid with a per-file zv stats index, decompose a query
+    // rectangle into z-runs, scan only intersecting files, exact predicate
+    // on top — gated against a plain relational box filter in DuckDB
+    "q_zrange" -> ((s, dir) => {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_zrange")
+      val pts = Tables.events(s, dir).select(
+        col("event_id"),
+        col("user_id").bitwiseAND(lit(1023L)).as("zx"),
+        floor(col("value")).cast("long").bitwiseAND(lit(1023L)).as("zy"))
+      graft.storage.ZOrder.writeIndexed(pts, col("zx"), col("zy"), bits = 10,
+        nFiles = 8, s"$tmpRoot/z", s"$tmpRoot/stats")
+      val out = graft.storage.ZOrder.readBox(s, s"$tmpRoot/stats", s"$tmpRoot/z",
+          "zx", "zy", xLo = 100L, xHi = 300L, yLo = 40L, yHi = 90L, bits = 10)
+        .agg(count(one).as("n_rows"), sum(col("event_id")).as("sum_event_id"),
+          sum(col("zx")).as("sum_x"), sum(col("zy")).as("sum_y"))
+      materializeAndClean(s, out, tmpRoot)
+    }),
+
     // file-format roundtrip: nation through CSV (headered, quoted), region
     // through JSON lines, read back with explicit schemas, joined and
     // aggregated — gating the actual write->read path of both sources,
@@ -338,6 +357,14 @@ object ExtraQueries {
          |  FROM events WHERE event_id % 97 = 0)
          |SELECT event_id, ${graft.storage.ZOrder.zvalue2Sql("zx", "zy", 10)} AS zv
          |FROM t""".stripMargin,
+
+    "q_zrange" ->
+      """WITH t AS (SELECT event_id, user_id & 1023 AS zx,
+        |    CAST(floor(value) AS BIGINT) & 1023 AS zy
+        |  FROM events)
+        |SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(sum(zx) AS BIGINT) AS sum_x, CAST(sum(zy) AS BIGINT) AS sum_y
+        |FROM t WHERE zx BETWEEN 100 AND 300 AND zy BETWEEN 40 AND 90""".stripMargin,
 
     "q_formats_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations,

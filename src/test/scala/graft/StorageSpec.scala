@@ -149,6 +149,41 @@ class StorageSpec extends SparkSuite {
     assert(pruned.count() == full.count() && full.count() == 16L * 128L)
   }
 
+  test("BIGMIN z-range scan: box decomposition reads fewer files than the naive zv interval") {
+    import graft.storage.{StatsIndex, ZOrder}
+    val base = Files.createTempDirectory("zrange").toString
+    val grid = spark.range(0, 16384).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"), col("id").as("v"))
+    ZOrder.writeIndexed(grid, col("x"), col("y"), bits = 7, nFiles = 16,
+      s"$base/z", s"$base/stats")
+    // a y-band straddling the y=64 high-bit boundary: the naive zv interval
+    // [z(xLo,yLo), z(xHi,yHi)] spans nearly the whole curve
+    val (xLo, xHi, yLo, yHi) = (0L, 127L, 60L, 67L)
+    val ranges = ZOrder.zRanges(xLo, xHi, yLo, yHi, bits = 7, maxRanges = 256)
+    // uncoarsened decomposition covers EXACTLY the box's point count
+    assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum ==
+      (xHi - xLo + 1) * (yHi - yLo + 1))
+    val stats = StatsIndex.read(spark, s"$base/stats")
+    val boxFiles = ZOrder.candidateFilesForRanges(stats, ranges)
+    val naive = ZOrder.candidateFilesForRanges(stats,
+      Seq((ZOrder.zvalue2Long(xLo, yLo, 7), ZOrder.zvalue2Long(xHi, yHi, 7))))
+    assert(boxFiles.nonEmpty && boxFiles.size < naive.size,
+      s"z-run pruning must beat the naive interval: ${boxFiles.size} vs ${naive.size} files")
+    // the pruned read is exact: equals the full-scan box filter
+    val pruned = ZOrder.readBox(spark, s"$base/stats", s"$base/z", "x", "y",
+      xLo, xHi, yLo, yHi, bits = 7, maxRanges = 256)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    val full = spark.read.parquet(s"$base/z")
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    assert(pruned == full && pruned._1 == 128L * 8L)
+    // a coarsened (budget-capped) decomposition stays correct, just wider
+    val coarse = ZOrder.readBox(spark, s"$base/stats", s"$base/z", "x", "y",
+      xLo, xHi, yLo, yHi, bits = 7, maxRanges = 4)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Long)].head()
+    assert(coarse == full)
+  }
+
   test("TxLogTable OPTIMIZE ZORDER: content preserved, both-dim skipping, rewrite fences the append feed") {
     import graft.storage.{StatsIndex, TxLogTable}
     val t = new TxLogTable(spark, Files.createTempDirectory("txz").toString + "/t")
