@@ -60,13 +60,48 @@ class TxLogTable(spark: SparkSession, path: String) {
     spark.read.parquet(e.dirs.map(d => root.resolve(d).toString): _*)
   }
 
-  /** Append-only commit: previous snapshot plus the new rows. */
-  def append(df: DataFrame): Long = {
+  /** Append-only commit: previous snapshot plus the new rows.
+    *
+    * With `txn = Some((appId, seq))` the commit carries a transaction
+    * fence (the Delta SetTransaction idea): if a commit with the same
+    * appId and a sequence >= `seq` already exists, the append is SKIPPED
+    * and the current version returned — which turns an at-least-once
+    * replayer (a foreachBatch sink re-running a micro-batch after crash)
+    * into exactly-once table EFFECT, atomically, because the fence rides
+    * the same commit file as the data it fences.
+    */
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val base = version
-    val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
-    val dir = writeDataDir(df)
-    commit("append", dirs :+ dir, base)
+    val fenced = txn.exists { case (appId, seq) => txnHighWatermark(appId).exists(_ >= seq) }
+    if (fenced)
+      base.getOrElse(throw new IllegalStateException(
+        s"txn fence ${txn.get} exists but $path has no version"))
+    else {
+      val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
+      val dir = writeDataDir(df)
+      commit("append", dirs :+ dir, base, txn)
+    }
   }
+
+  /** Highest committed transaction sequence for `appId`, if any — the
+    * replay fence for idempotent appends. O(versions) scan of the (tiny)
+    * log entries, driver-side, exactly like Delta's SetTransaction lookup.
+    */
+  def txnHighWatermark(appId: String): Option[Long] = {
+    val vs = version.map(v => (0L to v).flatMap(readEntry(_).txn)).getOrElse(Nil)
+    val mine = vs.collect { case (a, s) if a == appId => s }
+    if (mine.isEmpty) None else Some(mine.max)
+  }
+
+  /** The version whose commit carried transaction (appId, seq), if any. */
+  def versionOfTxn(appId: String, seq: Long): Option[Long] =
+    version.flatMap(v => (0L to v).find(readEntry(_).txn.contains((appId, seq))))
+
+  /** Absolute paths of the data directories visible at version `v` —
+    * for external per-commit maintenance (e.g. lockstep stats indexing).
+    */
+  def dirPaths(v: Long): Seq[String] =
+    readEntry(v).dirs.map(d => root.resolve(d).toString)
 
   /** Replace the table contents. */
   def overwrite(df: DataFrame): Long = {
@@ -226,10 +261,11 @@ class TxLogTable(spark: SparkSession, path: String) {
     * instead of silently publishing a snapshot that drops the concurrent
     * commit's data (optimistic concurrency, the Delta protocol's rule).
     */
-  private def commit(op: String, dirs: Seq[String], base: Option[Long]): Long = {
+  private def commit(op: String, dirs: Seq[String], base: Option[Long],
+                     txn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1).getOrElse(0L)
-    writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs)))
+    writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs, txn)))
     next
   }
 }
@@ -264,7 +300,8 @@ object TxLogTable {
     throw new IllegalStateException("unreachable")
   }
 
-  private[graft] case class LogEntry(version: Long, op: String, dirs: Seq[String])
+  private[graft] case class LogEntry(version: Long, op: String, dirs: Seq[String],
+                                     txn: Option[(String, Long)] = None)
 
   /** The atomicity point of the commit protocol: materialize the entry to a
     * temp file, then HARD-LINK it to `<version>.json`. link(2) atomically
@@ -283,11 +320,17 @@ object TxLogTable {
     } finally Files.deleteIfExists(tmp)
   }
 
-  // dir names are generated (`d-<hex>`), ops are fixed strings: no escaping
-  // needed, so the log format stays a hand-rolled one-liner with no JSON
-  // library dependency
-  private[graft] def renderEntry(e: LogEntry): String =
-    s"""{"version":${e.version},"op":"${e.op}","dirs":[${e.dirs.map(d => s""""$d"""").mkString(",")}]}"""
+  // dir names are generated (`d-<hex>`), ops are fixed strings, and txn app
+  // ids are caller-chosen identifiers documented to avoid quotes/brackets:
+  // no escaping needed, so the log format stays a hand-rolled one-liner
+  // with no JSON library dependency
+  private[graft] def renderEntry(e: LogEntry): String = {
+    val txnPart = e.txn.map { case (a, s) =>
+      require(!a.exists(c => c == '"' || c == '[' || c == ']'), s"txn appId must not contain quotes/brackets: $a")
+      s""","txn":["$a",$s]"""
+    }.getOrElse("")
+    s"""{"version":${e.version},"op":"${e.op}","dirs":[${e.dirs.map(d => s""""$d"""").mkString(",")}]$txnPart}"""
+  }
 
   private[graft] def parseEntry(s: String): LogEntry = {
     val version = """"version":(\d+)""".r.findFirstMatchIn(s)
@@ -295,7 +338,9 @@ object TxLogTable {
     val op = """"op":"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val dirsRaw = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val dirs = """"([^"]+)"""".r.findAllMatchIn(dirsRaw).map(_.group(1)).toSeq
-    LogEntry(version, op, dirs)
+    val txn = """"txn":\["([^"]*)",(\d+)\]""".r.findFirstMatchIn(s)
+      .map(m => (m.group(1), m.group(2).toLong))
+    LogEntry(version, op, dirs, txn)
   }
 
   // java.nio directory streams hold an fd until closed; these helpers close

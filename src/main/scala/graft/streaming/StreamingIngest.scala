@@ -91,6 +91,51 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming ingest into an ACID point table WITH lockstep file-skipping
+    * maintenance — the continuous-ingest complement to
+    * [[graft.storage.PointStore.writeIndexed]]: every micro-batch
+    * (a) clusters the batch on (device_id, ts) so its files carry tight
+    * device ranges, (b) appends it to the fact [[graft.storage.TxLogTable]]
+    * idempotently (batch-id transaction fence: a replayed batch after a
+    * crash is a no-op, exactly-once table effect), and (c) appends ONLY the
+    * new files' min/max stats to the index table under the SAME fence — so
+    * device-pruned reads see every commit without a full index rebuild, and
+    * a crash between (b) and (c) heals on replay (the data fence skips, the
+    * index fence doesn't, and the new dirs are recovered from the commit
+    * the batch originally created).
+    */
+  def startIndexedAppendSink(points: DataFrame, table: graft.storage.TxLogTable,
+                             statsTable: graft.storage.TxLogTable, appId: String,
+                             checkpoint: String, nFilesPerBatch: Int = 4,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.storage.TxLogTable.retryOnConflict() {
+            val clustered = batch
+              .repartitionByRange(nFilesPerBatch, col("device_id"), col("ts"))
+              .sortWithinPartitions("device_id", "ts")
+            table.append(clustered, txn = Some((appId, batchId)))
+            // the batch's own commit — found by fence even on replay
+            val v = table.versionOfTxn(appId, batchId).getOrElse(
+              throw new IllegalStateException(s"append of batch $batchId left no txn commit"))
+            val newDirs =
+              if (v == 0L) table.dirPaths(v)
+              else table.dirPaths(v).diff(table.dirPaths(v - 1))
+            if (newDirs.nonEmpty) {
+              val stats = graft.storage.StatsIndex.build(
+                spark.read.parquet(newDirs: _*), Seq("device_id"))
+              statsTable.append(stats, txn = Some((appId, batchId)))
+            }
+            ()
+          }
+        }
+      }
+      .start()
+
   /** R8 as a STREAMING view: the wide (device, ts) -> {transducer: num}
     * layout maintained incrementally — the reference double-writes this
     * "organized" form on every message (influx_service.py:191-200); here it

@@ -248,6 +248,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("indexed append sink: every commit updates file skipping, device probe prunes") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("idx_sink")
+    val table = new graft.storage.TxLogTable(spark, s"$root/points")
+    val statsTable = new graft.storage.TxLogTable(spark, s"$root/stats")
+    val in = MemoryStream[(String, Long, Double)]
+    val points = in.toDF().toDF("device_id", "ts_us", "num")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamingIngest.startIndexedAppendSink(points, table, statsTable,
+      appId = "idx-sink-test", checkpoint = tmp("idx_sink_cp"), nFilesPerBatch = 2,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // three micro-batches over disjoint device ranges
+      in.addData(("dev01", us("2024-01-01 00:00:01"), 1.0), ("dev02", us("2024-01-01 00:00:02"), 2.0))
+      q.processAllAvailable()
+      in.addData(("dev03", us("2024-01-02 00:00:01"), 3.0), ("dev04", us("2024-01-02 00:00:02"), 4.0))
+      q.processAllAvailable()
+      in.addData(("dev05", us("2024-01-03 00:00:01"), 5.0), ("dev06", us("2024-01-03 00:00:02"), 6.0))
+      q.processAllAvailable()
+      // one fact commit + one index commit per micro-batch, in lockstep
+      assert(table.version.contains(2L) && statsTable.version.contains(2L))
+      // the index covers EVERY fact file — no commit left unindexed
+      val indexedFiles = statsTable.read().select("file").as[String].collect().toSet
+      val factRows = table.read().count()
+      assert(factRows == 6L)
+      assert(statsTable.read().agg(sum("n_rows")).as[Long].head() == factRows)
+      // the device probe prunes: candidate files are a strict subset
+      val cand = graft.storage.StatsIndex.candidateFiles(
+        statsTable.read(), "device_id", lit("dev05"), lit("dev05"))
+      assert(cand.nonEmpty && cand.size < indexedFiles.size,
+        s"no pruning: ${cand.size} of ${indexedFiles.size}")
+      // and the pruned read is exact
+      val got = graft.storage.PointStore.readDeviceIndexed(spark, table, statsTable,
+        "dev05", "2024-01-01", "2024-02-01")
+        .select("device_id", "num").as[(String, Double)].collect().toSeq
+      assert(got == Seq(("dev05", 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming wide view: dedup + map build close after watermark, duplicates collapse") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, String, Long, Double)]

@@ -243,5 +243,28 @@ class TxLogTableSpec extends SparkSuite {
   test("log entry roundtrip") {
     val e = TxLogTable.LogEntry(7L, "merge", Seq("d-aa", "d-bb"))
     assert(TxLogTable.parseEntry(TxLogTable.renderEntry(e)) == e)
+    val t = TxLogTable.LogEntry(9L, "append", Seq("d-cc"), Some(("sink-a", 41L)))
+    assert(TxLogTable.parseEntry(TxLogTable.renderEntry(t)) == t)
+  }
+
+  test("txn fence: replayed append is a no-op, fence state is queryable") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("k", "v"), txn = Some(("sink", 0L))) // v0
+    t.append(Seq((2L, "b")).toDF("k", "v"), txn = Some(("sink", 1L))) // v1
+    assert(t.version.contains(1L) && t.txnHighWatermark("sink").contains(1L))
+    // an at-least-once REPLAY of batch 1 must not double-append
+    val v = t.append(Seq((2L, "b")).toDF("k", "v"), txn = Some(("sink", 1L)))
+    assert(v == 1L && t.version.contains(1L))
+    assert(t.read().count() == 2L)
+    // the fence is per-app: another writer's sequence space is independent
+    t.append(Seq((3L, "c")).toDF("k", "v"), txn = Some(("other", 0L))) // v2
+    assert(t.version.contains(2L))
+    assert(t.txnHighWatermark("other").contains(0L) && t.txnHighWatermark("sink").contains(1L))
+    // each fenced commit is findable — the replay-recovery hook
+    assert(t.versionOfTxn("sink", 1L).contains(1L))
+    assert(t.versionOfTxn("sink", 9L).isEmpty)
+    // un-fenced appends still work alongside
+    t.append(Seq((4L, "d")).toDF("k", "v"))
+    assert(t.read().count() == 4L)
   }
 }
