@@ -155,6 +155,52 @@ object TimeSeriesOps {
     num.cast("double") / den.cast("double") / lit(1000000.0)
   }
 
+  /** InfluxQL `holt_winters(h, ...)`-style forecast — the fixed-coefficient
+    * variant of Holt's linear method: the LEVEL is the truncated-kernel
+    * integer EMA of the values and the TREND the same kernel over first
+    * differences (each recurrence's fixed-α unrolling, truncated at
+    * `depth`); the forecast at horizon `h` is `level_T + h·trend_T` taken
+    * at each series' last point. InfluxQL fits its coefficients with an
+    * optimizer, which no two engines reproduce bit-identically; fixing
+    * them keeps the operator deterministic and oracle-exact while keeping
+    * the same query surface (influx_service.py's InfluxDB tail exposes
+    * holt_winters() to its users). Same quantize-then-int64-sum discipline
+    * as [[exponentialMovingAverage]]; a single-point series has no trend
+    * (NaN-safe: trend 0, forecast = level).
+    *
+    * One window shuffle on the series key serves both smoothings and the
+    * last-point pick; the horizon fan-out runs on |series| rows only.
+    */
+  def holtForecast(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                   n: Int, depth: Int, horizons: Seq[Int],
+                   tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(horizons.nonEmpty, "need at least one horizon")
+    val tbNames = tieBreak.indices.map(i => s"__tb$i")
+    val base = df.select(
+      key.as("series_key") +: tsUs.as("__ts") +: value.as("__v") +:
+        tieBreak.zip(tbNames).map { case (c, nm) => c.as(nm) }: _*)
+    val w = Window.partitionBy(col("series_key"))
+      .orderBy(col("__ts") +: tbNames.map(col): _*)
+    val wDesc = Window.partitionBy(col("series_key"))
+      .orderBy(col("__ts").desc +: tbNames.map(col(_).desc): _*)
+    val smoothed = base
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .select(col("series_key"),
+        exponentialMovingAverage(col("__v"), w, n, depth).as("sm_level"),
+        // rows with no predecessor have an all-null diff kernel (mass 0):
+        // guard the 0/0 BEFORE it evaluates — under ANSI it throws, it
+        // doesn't NaN — trend 0 is the honest "no slope evidence" answer
+        when(lag(col("__v"), 1).over(w).isNotNull,
+          exponentialMovingAverage(col("__d"), w, n, depth))
+          .otherwise(lit(0.0)).as("sm_trend"),
+        row_number().over(wDesc).as("__rn"))
+    smoothed.filter(col("__rn") === 1)
+      .select(col("series_key"),
+        explode(array(horizons.map(h => lit(h.toLong)): _*)).as("h"),
+        col("sm_level"), col("sm_trend"))
+      .withColumn("forecast", col("sm_level") + col("h") * col("sm_trend"))
+  }
+
   /** InfluxQL `integral()`: time-weighted area under the series (trapezoid
     * rule), per key. Each row's trapezoid (v + prev_v)/2 · Δt_seconds is a
     * double computed identically in any engine, then quantized to 1e-6

@@ -214,6 +214,16 @@ object ExtraQueries {
             col("value"), w, n = 4, depth = 10).as("ema4"))
     }),
 
+    // InfluxQL holt_winters(): fixed-coefficient Holt forecast — EMA-kernel
+    // level + EMA-kernel trend over first differences, horizons 1..3 from
+    // each series' last point
+    "q_ts_holt" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.holtForecast(
+        Tables.events(s, dir).filter(col("user_id") < 15),
+        col("user_id"), unix_micros(col("ts")), col("value"),
+        n = 4, depth = 10, horizons = Seq(1, 2, 3), tieBreak = Seq(col("event_id")))
+    }),
+
     // InfluxQL integral(): trapezoid area under each series, quantized-summed
     "q_ts_integral" -> ((s, dir) => {
       graft.operators.TimeSeriesOps.integral(Tables.events(s, dir),
@@ -430,6 +440,33 @@ object ExtraQueries {
          |  CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) / 1000000.0 AS ema4
          |FROM t
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+    },
+
+    "q_ts_holt" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      def num(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag($u, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      def den(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu
+         |  FROM events WHERE user_id < 15),
+         |d AS (SELECT *, CAST(floor((value - lag(value) OVER
+         |      (PARTITION BY user_id ORDER BY ts_us, event_id)) * 1000000.0) AS BIGINT) AS du
+         |  FROM t),
+         |e AS (SELECT user_id,
+         |    CAST((${num("vu")}) AS DOUBLE) / CAST((${den("vu")}) AS DOUBLE) / 1000000.0 AS sm_level,
+         |    CAST((${num("du")}) AS DOUBLE) / CAST((${den("du")}) AS DOUBLE) / 1000000.0 AS trd,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |lastp AS (SELECT user_id, sm_level,
+         |    CASE WHEN isnan(trd) THEN 0.0 ELSE trd END AS sm_trend
+         |  FROM e WHERE rn = 1)
+         |SELECT user_id AS series_key, CAST(h AS BIGINT) AS h, sm_level, sm_trend,
+         |  sm_level + CAST(h AS BIGINT) * sm_trend AS forecast
+         |FROM lastp, UNNEST([1, 2, 3]) AS u(h)""".stripMargin
     },
 
     "q_ts_integral" ->

@@ -58,6 +58,23 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("holt forecast: level + h*trend from the EMA kernels, single-point series trend 0") {
+    val df = Seq((1L, 0L, 1L, 1.0), (1L, 1L, 2L, 2.0), (1L, 2L, 3L, 4.0), (2L, 0L, 4L, 7.0))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeriesOps.holtForecast(df, col("k"), col("ts"), col("v"),
+      n = 4, depth = 10, horizons = Seq(1, 2), tieBreak = Seq(col("id")))
+      .select("series_key", "h", "forecast").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val cs = TimeSeriesOps.emaCoefficients(4, 10).map(_.toDouble)
+    // level: kernel over values (4, 2, 1); trend: kernel over diffs (2, 1)
+    val level = (cs(0) * 4e6 + cs(1) * 2e6 + cs(2) * 1e6) / (cs(0) + cs(1) + cs(2)) / 1e6
+    val trend = (cs(0) * 2e6 + cs(1) * 1e6) / (cs(0) + cs(1)) / 1e6
+    assert(math.abs(got((1L, 1L)) - (level + trend)) < 1e-9)
+    assert(math.abs(got((1L, 2L)) - (level + 2 * trend)) < 1e-9)
+    // single point: no diffs -> trend 0 (never NaN), forecast stays flat
+    assert(got((2L, 1L)) == 7.0 && got((2L, 2L)) == 7.0)
+  }
+
   test("integral: trapezoid area per series, first point contributes no segment") {
     val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
       (8L, 0L, 2.0)).toDF("k", "ts_us", "v")
