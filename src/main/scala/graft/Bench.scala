@@ -36,15 +36,18 @@ object Bench {
     }
 
     runAll() // warmup
-    // min of two timed passes: single-run noise on a shared box swamps the
-    // real per-query cost otherwise
-    val p1 = runAll()
-    val p2 = runAll()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // min of three timed passes: run-to-run noise on a shared box is 2-3x,
+    // which swamps real per-query cost at min-of-2 — a third pass makes
+    // round-over-round deltas meaningful
+    val passes = Seq(runAll(), runAll(), runAll())
+    val results = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision keeps the single JSON line short enough that
+    // the per-query tail survives log truncation
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
