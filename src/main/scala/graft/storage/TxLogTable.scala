@@ -84,14 +84,22 @@ class TxLogTable(spark: SparkSession, path: String) {
   }
 
   /** Highest committed transaction sequence for `appId`, if any — the
-    * replay fence for idempotent appends. O(versions) scan of the (tiny)
-    * log entries, driver-side, exactly like Delta's SetTransaction lookup.
+    * replay fence for idempotent appends. Resolved from the latest txn
+    * CHECKPOINT plus the log suffix behind it, so the lookup reads
+    * O(checkpoint interval) entries regardless of table age. Without the
+    * checkpoint a per-micro-batch streaming sink would re-scan the whole
+    * log on EVERY fenced append — O(commits²) file reads over the stream's
+    * lifetime (100k commits ≈ a quarter of continuous ingest).
     */
-  def txnHighWatermark(appId: String): Option[Long] = {
-    val vs = version.map(v => (0L to v).flatMap(readEntry(_).txn)).getOrElse(Nil)
-    val mine = vs.collect { case (a, s) if a == appId => s }
-    if (mine.isEmpty) None else Some(mine.max)
-  }
+  def txnHighWatermark(appId: String): Option[Long] =
+    version.flatMap { v =>
+      val (ckptV, base) = latestTxnCheckpoint(v)
+        .map { case (cv, m) => (cv, m.get(appId)) }
+        .getOrElse((-1L, None))
+      val suffix = ((ckptV + 1) to v).flatMap(readEntry(_).txn)
+        .collect { case (a, s) if a == appId => s }
+      (base.toSeq ++ suffix).reduceOption(_ max _)
+    }
 
   /** The version whose commit carried transaction (appId, seq), if any. */
   def versionOfTxn(appId: String, seq: Long): Option[Long] =
@@ -266,7 +274,41 @@ class TxLogTable(spark: SparkSession, path: String) {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1).getOrElse(0L)
     writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs, txn)))
+    if (next > 0 && next % TxnCheckpointInterval == 0) writeTxnCheckpoint(next)
     next
+  }
+
+  /** Fold the txn watermarks up to `v` into `<v>.ckpt.json`. Derived
+    * deterministically from the immutable log prefix (previous checkpoint +
+    * the suffix behind it), so two writers racing on the same checkpoint
+    * produce identical bytes — the EEXIST loser simply moves on. Amortized
+    * O(1) per commit: each checkpoint folds one interval of entries.
+    * Best-effort by construction: a missing checkpoint only means the next
+    * lookup scans one extra interval (and the next checkpoint re-folds it).
+    */
+  private def writeTxnCheckpoint(v: Long): Unit = {
+    val (fromV, base) = latestTxnCheckpoint(v - 1).getOrElse((-1L, Map.empty[String, Long]))
+    val folded = ((fromV + 1) to v).flatMap(readEntry(_).txn)
+      .foldLeft(base) { case (m, (a, s)) => m.updated(a, m.get(a).fold(s)(_ max s)) }
+    val tmp = logDir.resolve(s".tmp-ckpt-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, renderTxnCheckpoint(v, folded).getBytes("UTF-8"))
+    try Files.createLink(logDir.resolve(s"$v.ckpt.json"), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Latest txn checkpoint at or before `atV`, if any. */
+  private def latestTxnCheckpoint(atV: Long): Option[(Long, Map[String, Long])] = {
+    if (!Files.isDirectory(logDir)) return None
+    val vs = listDir(logDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d+\\.ckpt\\.json"))
+      .map(_.stripSuffix(".ckpt.json").toLong).filter(_ <= atV)
+    if (vs.isEmpty) None
+    else {
+      val v = vs.max
+      Some((v, parseTxnCheckpoint(
+        new String(Files.readAllBytes(logDir.resolve(s"$v.ckpt.json")), "UTF-8"))))
+    }
   }
 }
 
@@ -277,6 +319,11 @@ object TxLogTable {
     * writers and are left alone.
     */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Write a txn-watermark checkpoint every this many commits: fence
+    * lookups then read at most one checkpoint + one interval of entries.
+    */
+  val TxnCheckpointInterval: Long = 10L
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
@@ -331,6 +378,18 @@ object TxLogTable {
     }.getOrElse("")
     s"""{"version":${e.version},"op":"${e.op}","dirs":[${e.dirs.map(d => s""""$d"""").mkString(",")}]$txnPart}"""
   }
+
+  // same no-escaping rationale as renderEntry: app ids are documented to
+  // avoid quotes/brackets, seqs are longs
+  private[graft] def renderTxnCheckpoint(v: Long, txns: Map[String, Long]): String = {
+    val body = txns.toSeq.sortBy(_._1)
+      .map { case (a, s) => s"""["$a",$s]""" }.mkString(",")
+    s"""{"version":$v,"txns":[$body]}"""
+  }
+
+  private[graft] def parseTxnCheckpoint(s: String): Map[String, Long] =
+    """\["([^"]*)",(\d+)\]""".r.findAllMatchIn(s)
+      .map(m => (m.group(1), m.group(2).toLong)).toMap
 
   private[graft] def parseEntry(s: String): LogEntry = {
     val version = """"version":(\d+)""".r.findFirstMatchIn(s)

@@ -267,4 +267,33 @@ class TxLogTableSpec extends SparkSuite {
     t.append(Seq((4L, "d")).toDF("k", "v"))
     assert(t.read().count() == 4L)
   }
+
+  test("txn checkpoints bound the fence lookup and survive checkpoint loss") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    // enough fenced commits to cross two checkpoint boundaries (interval 10)
+    (0L until 25L).foreach { i =>
+      val app = if (i % 3 == 0) "sink-a" else "sink-b"
+      t.append(Seq((i, s"r$i")).toDF("k", "v"), txn = Some((app, i)))
+    }
+    val logDir = java.nio.file.Paths.get(path, "_txlog")
+    val ckpts = java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .filter(_.endsWith(".ckpt.json")).sorted.toSeq
+    assert(ckpts.map(_.split('/').last) == Seq("10.ckpt.json", "20.ckpt.json"))
+    // watermarks resolve through checkpoint + suffix
+    assert(t.txnHighWatermark("sink-a").contains(24L))
+    assert(t.txnHighWatermark("sink-b").contains(23L))
+    assert(t.txnHighWatermark("nobody").isEmpty)
+    // a replay below the checkpointed watermark is still fenced
+    val v = t.append(Seq((3L, "replay")).toDF("k", "v"), txn = Some(("sink-a", 3L)))
+    assert(v == 24L && t.read().count() == 25L)
+    // checkpoints are an optimization, not the source of truth: deleting
+    // them must not change any answer (full-suffix fallback)
+    ckpts.foreach(c => java.nio.file.Files.delete(java.nio.file.Paths.get(c)))
+    assert(t.txnHighWatermark("sink-a").contains(24L))
+    assert(t.txnHighWatermark("sink-b").contains(23L))
+    // checkpoint roundtrip
+    val m = Map("a" -> 3L, "b" -> 41L)
+    assert(TxLogTable.parseTxnCheckpoint(TxLogTable.renderTxnCheckpoint(20L, m)) == m)
+  }
 }
