@@ -70,12 +70,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++ graft.queries.ExtraQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++ graft.queries.InfluxQLQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.queries.RelationalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++ graft.queries.ExtraQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++ graft.queries.InfluxQLQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

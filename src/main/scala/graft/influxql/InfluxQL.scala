@@ -1,0 +1,456 @@
+package graft.influxql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** InfluxQL SELECT front-end over the narrow points layout.
+  *
+  * The reference service exists to make InfluxQL queries work: it writes
+  * MQTT payloads into InfluxDB (influx_service.py:183-209) precisely so its
+  * users can then `SELECT mean(value) FROM <transducer> WHERE time > ...
+  * GROUP BY time(10m), device fill(previous)`. This module closes that last
+  * user-facing surface: the practical InfluxQL SELECT dialect, parsed with a
+  * hand-rolled tokenizer + recursive descent (no dependencies) and planned
+  * onto the SAME deterministic kernels the rest of the engine uses — the
+  * DataFrame comes back declarative, so Catalyst still sees one hash
+  * aggregate + (for fills) one window over the series key, exactly the
+  * plans the oracle-gated q_bucket_10m / q_ts_gapfill* queries pin.
+  *
+  * Supported grammar (case-insensitive keywords):
+  * {{{
+  *   SELECT field [, field ...]
+  *   FROM measurement
+  *   [WHERE cond [AND cond ...]]
+  *   [GROUP BY group [, group ...] [FILL(null|none|previous|linear|<num>)]]
+  *   [ORDER BY time (ASC|DESC)]
+  *   [LIMIT n]
+  *
+  *   field  := func '(' ident [',' num] ')' ['AS' ident] | ident
+  *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev
+  *   cond   := time (<|<=|>|>=) timeLit | ident (=|!=) 'string'
+  *   group  := time '(' duration ')' | ident
+  * }}}
+  *
+  * Deliberate semantic pins (deterministic where InfluxDB is loose):
+  *   - `percentile(f, N)` / `median(f)` are the interpolated (type-7)
+  *     percentile — bit-identical to DuckDB `quantile_cont` (repo
+  *     convention), where InfluxDB returns a nearest-rank point;
+  *   - `first`/`last` tie-break equal timestamps by value (struct min/max),
+  *     where InfluxDB's pick is storage-order arbitrary;
+  *   - `stddev` is the sample stddev of 1e-6-quantized values computed from
+  *     exact integer moments (decimal-summed, one double conversion at the
+  *     end) — order-independent, unlike a naive double accumulation;
+  *   - integer time literals are epoch MICROSECONDS (the engine's native
+  *     unit), not InfluxDB's nanoseconds; ISO-8601 strings work as usual.
+  *
+  * Scale posture: FROM/WHERE become plain pushable predicates on the points
+  * scan; GROUP BY time(d) is an epoch-aligned integer bucket (one hash
+  * aggregate, partial+final); fills densify per series via a bounded
+  * sequence explode + windows over ONE shuffle on the series key — the
+  * skeleton never materializes on the driver.
+  */
+object InfluxQL {
+
+  // ---------- AST ----------
+
+  sealed trait Fill
+  case object FillNull extends Fill
+  case object FillNone extends Fill
+  case object FillPrevious extends Fill
+  case object FillLinear extends Fill
+  final case class FillValue(v: Double) extends Fill
+
+  sealed trait Cond
+  final case class TimeCond(op: String, us: Long) extends Cond
+  final case class TagCond(tag: String, eq: Boolean, value: String) extends Cond
+
+  /** One SELECT expression; `func` is empty for a raw field reference. */
+  final case class Field(func: String, arg: String, pct: Option[Double],
+                         alias: Option[String]) {
+    def isAgg: Boolean = func.nonEmpty
+    def outName: String = alias.getOrElse(if (isAgg) func else arg)
+  }
+
+  final case class Query(fields: Seq[Field], measurement: String, conds: Seq[Cond],
+                         groupTimeUs: Option[Long], groupTags: Seq[String],
+                         fill: Fill, timeDesc: Boolean, limit: Option[Int])
+
+  val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
+    "last", "median", "percentile", "spread", "stddev")
+
+  // ---------- tokenizer ----------
+
+  private sealed trait Tok { def raw: String }
+  private final case class TIdent(raw: String) extends Tok
+  private final case class TNum(v: Double, raw: String) extends Tok
+  private final case class TStr(s: String, raw: String) extends Tok
+  private final case class TDur(us: Long, raw: String) extends Tok
+  private final case class TSym(raw: String) extends Tok
+
+  private val durUnitsUs = Map("ns" -> -1L /* sub-us: rejected below */ ,
+    "u" -> 1L, "us" -> 1L, "ms" -> 1000L, "s" -> 1000000L,
+    "m" -> 60000000L, "h" -> 3600000000L, "d" -> 86400000000L,
+    "w" -> 7L * 86400000000L)
+
+  private val tokenRe =
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|<>|[(),*=<>]))""".r
+
+  private def tokenize(text: String): Seq[Tok] = {
+    var pos = 0
+    val out = Seq.newBuilder[Tok]
+    while (pos < text.length && text.substring(pos).trim.nonEmpty) {
+      tokenRe.findPrefixMatchOf(text.substring(pos)) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"InfluxQL: unrecognized input at position $pos: '${text.substring(pos).take(20)}'")
+        case Some(m) =>
+          if (m.group(1) != null) out += TStr(m.group(2), m.group(1))
+          else if (m.group(3) != null) out += TIdent(m.group(4))
+          else if (m.group(5) != null) {
+            val unit = durUnitsUs(m.group(7))
+            if (unit < 0) throw new IllegalArgumentException(
+              "InfluxQL: sub-microsecond durations are below the engine's time unit")
+            out += TDur(m.group(6).toLong * unit, m.group(5))
+          }
+          else if (m.group(8) != null) out += TNum(m.group(8).toDouble, m.group(8))
+          else if (m.group(9) != null) out += TIdent(m.group(9))
+          else out += TSym(m.group(10))
+          pos += m.end
+      }
+    }
+    out.result()
+  }
+
+  // ---------- parser (recursive descent over the token list) ----------
+
+  private final class P(toks: Seq[Tok]) {
+    private var i = 0
+    def done: Boolean = i >= toks.length
+    def peek: Option[Tok] = toks.lift(i)
+    def next(): Tok = { val t = toks.lift(i).getOrElse(fail("unexpected end of query")); i += 1; t }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"InfluxQL: $msg (near token ${i + 1})")
+
+    def kw(word: String): Boolean = peek match {
+      case Some(TIdent(s)) if s.equalsIgnoreCase(word) => i += 1; true
+      case _ => false
+    }
+    def expectKw(word: String): Unit = if (!kw(word)) fail(s"expected $word")
+    def sym(s: String): Boolean = peek match {
+      case Some(TSym(x)) if x == s => i += 1; true
+      case _ => false
+    }
+    def expectSym(s: String): Unit = if (!sym(s)) fail(s"expected '$s'")
+    def ident(): String = next() match {
+      case TIdent(s) => s
+      case t => fail(s"expected identifier, got '${t.raw}'")
+    }
+    def num(): Double = next() match {
+      case TNum(v, _) => v
+      case t => fail(s"expected number, got '${t.raw}'")
+    }
+  }
+
+  def parse(text: String): Query = {
+    val p = new P(tokenize(text))
+    p.expectKw("SELECT")
+    val fields = Seq.newBuilder[Field]
+    do fields += parseField(p) while (p.sym(","))
+    p.expectKw("FROM")
+    val measurement = p.ident()
+
+    val conds = Seq.newBuilder[Cond]
+    if (p.kw("WHERE")) {
+      do conds += parseCond(p) while (p.kw("AND"))
+    }
+
+    var groupTime: Option[Long] = None
+    val groupTags = Seq.newBuilder[String]
+    var fill: Fill = FillNull
+    if (p.kw("GROUP")) {
+      p.expectKw("BY")
+      do {
+        val g = p.ident()
+        if (g.equalsIgnoreCase("time")) {
+          p.expectSym("(")
+          val d = p.next() match {
+            case TDur(us, _) => us
+            case TNum(v, raw) if v == math.floor(v) => v.toLong
+            case t => p.fail(s"expected duration in time(), got '${t.raw}'")
+          }
+          if (d <= 0) p.fail("time() interval must be positive")
+          if (groupTime.nonEmpty) p.fail("duplicate time() grouping")
+          groupTime = Some(d)
+          p.expectSym(")")
+        } else groupTags += g
+      } while (p.sym(","))
+      if (p.kw("FILL")) {
+        p.expectSym("(")
+        fill = p.next() match {
+          case TIdent(s) if s.equalsIgnoreCase("null") => FillNull
+          case TIdent(s) if s.equalsIgnoreCase("none") => FillNone
+          case TIdent(s) if s.equalsIgnoreCase("previous") => FillPrevious
+          case TIdent(s) if s.equalsIgnoreCase("linear") => FillLinear
+          case TNum(v, _) => FillValue(v)
+          case t => p.fail(s"expected fill mode, got '${t.raw}'")
+        }
+        p.expectSym(")")
+      }
+    }
+
+    var timeDesc = false
+    if (p.kw("ORDER")) {
+      p.expectKw("BY")
+      val c = p.ident()
+      if (!c.equalsIgnoreCase("time")) p.fail("only ORDER BY time is supported")
+      if (p.kw("DESC")) timeDesc = true else p.kw("ASC")
+    }
+    val limit = if (p.kw("LIMIT")) Some(p.num().toInt) else None
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+
+    val q = Query(fields.result(), measurement, conds.result(), groupTime,
+      groupTags.result(), fill, timeDesc, limit)
+    validate(q)
+    q
+  }
+
+  private def parseField(p: P): Field = {
+    val name = p.ident()
+    val f =
+      if (AggFuncs.contains(name.toLowerCase) && p.sym("(")) {
+        val fn = name.toLowerCase
+        val arg = p.ident()
+        val pct = if (p.sym(",")) Some(p.num()) else None
+        p.expectSym(")")
+        if (fn == "percentile" && pct.isEmpty) p.fail("percentile(field, N) needs N")
+        if (fn != "percentile" && pct.nonEmpty) p.fail(s"$fn() takes one argument")
+        Field(fn, arg, pct, None)
+      } else Field("", name, None, None)
+    if (p.kw("AS")) f.copy(alias = Some(p.ident())) else f
+  }
+
+  private def parseCond(p: P): Cond = {
+    val lhs = p.ident()
+    if (lhs.equalsIgnoreCase("time")) {
+      val op = p.next() match {
+        case TSym(s) if Set("<", "<=", ">", ">=").contains(s) => s
+        case t => p.fail(s"expected comparison after time, got '${t.raw}'")
+      }
+      val us = p.next() match {
+        case TNum(v, raw) if v == math.floor(v) => v.toLong
+        case TStr(s, _) => parseIsoUs(s, p)
+        case t => p.fail(s"expected time literal, got '${t.raw}'")
+      }
+      TimeCond(op, us)
+    } else {
+      val eq = p.next() match {
+        case TSym("=") => true
+        case TSym("!=") | TSym("<>") => false
+        case t => p.fail(s"expected = or != after tag '$lhs', got '${t.raw}'")
+      }
+      val v = p.next() match {
+        case TStr(s, _) => s
+        case t => p.fail(s"expected quoted tag value, got '${t.raw}'")
+      }
+      TagCond(lhs, eq, v)
+    }
+  }
+
+  private def parseIsoUs(s: String, p: P): Long =
+    try {
+      val instant =
+        if (s.contains("T")) java.time.Instant.parse(if (s.endsWith("Z")) s else s + "Z")
+        else java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        p.fail(s"bad time literal '$s' (ISO-8601 or epoch microseconds)")
+    }
+
+  private def validate(q: Query): Unit = {
+    if (q.fields.isEmpty) throw new IllegalArgumentException("InfluxQL: empty SELECT")
+    val aggs = q.fields.count(_.isAgg)
+    if (aggs > 0 && aggs < q.fields.size)
+      throw new IllegalArgumentException(
+        "InfluxQL: cannot mix aggregated and raw fields in one SELECT")
+    if (aggs == 0 && q.groupTimeUs.nonEmpty)
+      throw new IllegalArgumentException("InfluxQL: GROUP BY time() needs aggregated fields")
+    if (aggs == 0 && q.groupTags.nonEmpty)
+      throw new IllegalArgumentException("InfluxQL: GROUP BY needs aggregated fields")
+    val dup = q.fields.groupBy(_.outName).collect { case (n, fs) if fs.size > 1 => n }
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"InfluxQL: duplicate output columns ${dup.mkString(", ")} — alias with AS")
+    if (q.fill != FillNull && q.groupTimeUs.isEmpty)
+      throw new IllegalArgumentException("InfluxQL: FILL() requires GROUP BY time()")
+  }
+
+  // ---------- planner ----------
+
+  /** Plan `text` over `points` — the narrow layout with a `transducer`
+    * column (the measurement), a `ts_us` long column (event time), tag
+    * columns, and the value fields the query references.
+    */
+  def run(points: DataFrame, text: String): DataFrame = plan(points, parse(text))
+
+  def plan(points: DataFrame, q: Query): DataFrame = {
+    var df = points.filter(col("transducer") === q.measurement)
+    q.conds.foreach {
+      case TimeCond("<", us) => df = df.filter(col("ts_us") < us)
+      case TimeCond("<=", us) => df = df.filter(col("ts_us") <= us)
+      case TimeCond(">", us) => df = df.filter(col("ts_us") > us)
+      case TimeCond(">=", us) => df = df.filter(col("ts_us") >= us)
+      case TimeCond(op, _) => throw new IllegalArgumentException(s"bad time op $op")
+      case TagCond(tag, true, v) => df = df.filter(col(tag) === v)
+      case TagCond(tag, false, v) => df = df.filter(col(tag) =!= v)
+    }
+
+    if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
+
+    val aggExprs = q.fields.map(f => aggExpr(f).as(f.outName))
+    q.groupTimeUs match {
+      case None =>
+        val grouped =
+          if (q.groupTags.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
+          else df.groupBy(q.groupTags.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        q.limit.fold(grouped)(grouped.limit)
+      case Some(step) =>
+        // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
+        val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
+        val keys = bucket +: q.groupTags.map(col)
+        val grouped = df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+        val filled = applyFill(grouped, q, step)
+        val ordered = filled.orderBy(
+          (if (q.timeDesc) col("time").desc else col("time").asc) +:
+            q.groupTags.map(col(_).asc): _*)
+        q.limit.fold(ordered)(ordered.limit)
+    }
+  }
+
+  private def planRaw(df: DataFrame, q: Query): DataFrame = {
+    val cols = col("ts_us").as("time") +: q.fields.map(f => col(f.arg).as(f.outName))
+    val out = df.select(cols: _*)
+      .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
+    q.limit.fold(out)(out.limit)
+  }
+
+  /** One aggregation expression per SELECT function, each deterministic
+    * cross-engine (see class doc): decimal-routed sums, struct-tie-broken
+    * selectors, exact-moment stddev.
+    */
+  private def aggExpr(f: Field): Column = {
+    val v = col(f.arg)
+    f.func match {
+      case "count" => count(v)
+      case "sum" => sum(v.cast("decimal(38,4)")).cast("double")
+      case "mean" =>
+        sum(v.cast("decimal(38,4)")).cast("double") / count(v).cast("double")
+      case "min" => min(v)
+      case "max" => max(v)
+      case "first" => min(struct(col("ts_us").as("t"), v.as("v"))).getField("v")
+      case "last" => max(struct(col("ts_us").as("t"), v.as("v"))).getField("v")
+      case "median" => expr(s"percentile(${f.arg}, 0.5)")
+      case "percentile" =>
+        val p = f.pct.get
+        require(p >= 0 && p <= 100, s"percentile N out of [0,100]: $p")
+        expr(s"percentile(${f.arg}, ${p / 100.0})")
+      case "spread" => max(v) - min(v)
+      case "stddev" =>
+        // sample stddev of 1e-6-quantized values from exact integer moments
+        // (the pearsonUnits discipline): operand-first decimal casts keep
+        // the products exact and order-independent; each moment converts to
+        // double ONCE, then a fixed IEEE tree — bit-identical cross-engine
+        val vu = floor(v * lit(1000000.0)).cast("decimal(38,0)")
+        val nd = count(v).cast("double")
+        val s1 = sum(vu).cast("double")
+        val s2 = sum(vu * vu).cast("double")
+        when(count(v) > 1,
+          sqrt((nd * s2 - s1 * s1) /
+            (count(v) * (count(v) - lit(1L))).cast("double")) / lit(1000000.0))
+          .otherwise(lit(null).cast("double"))
+      case other => throw new IllegalArgumentException(s"unsupported function $other")
+    }
+  }
+
+  /** Densify the bucketed aggregate over the queried time range and fill
+    * empty buckets per the FILL mode. The skeleton is series-keys ×
+    * sequence(bucket starts) — a bounded explode, never a driver loop; all
+    * fill modes ride ONE window shuffle on the grouping tags.
+    */
+  private def applyFill(grouped: DataFrame, q: Query, step: Long): DataFrame = {
+    if (q.fill == FillNone) return grouped
+    // the default fill(null) densifies only when the query bounds the range
+    // (InfluxDB likewise only emits empty buckets inside explicit bounds);
+    // an EXPLICIT fill with no finite skeleton is a user error and throws
+    if (q.fill == FillNull && fillBoundsOpt(q).isEmpty) return grouped
+    val (lo, hi) = fillBounds(q)
+    val bLo = lo - Math.floorMod(lo, step)
+    val bHi = hi - 1 - Math.floorMod(hi - 1, step)
+    val aggNames = q.fields.map(_.outName)
+    val skeleton = {
+      val keys =
+        if (q.groupTags.isEmpty) grouped.select(lit(1).as("__one")).limit(1)
+        else grouped.select(q.groupTags.map(col): _*).distinct()
+      keys.select(
+        (q.groupTags.map(col) :+
+          explode(sequence(lit(bLo), lit(bHi), lit(step))).as("time")): _*)
+    }
+    val joined = skeleton.join(grouped, "time" +: q.groupTags, "left")
+
+    def series = Window.partitionBy(
+      (if (q.groupTags.isEmpty) Seq(lit(1)) else q.groupTags.map(col)): _*)
+    val back = series.orderBy(col("time")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = series.orderBy(col("time")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val outCols = col("time") +: q.groupTags.map(col)
+    val filledAggs: Seq[Column] = q.fill match {
+      case FillNull => aggNames.map(col)
+      case FillValue(x) =>
+        // the literal takes each aggregate's own type (fill(0) on a count
+        // stays a long; on a mean stays a double)
+        aggNames.map { n =>
+          val dt = grouped.schema(n).dataType
+          coalesce(col(n), lit(x).cast(dt)).as(n)
+        }
+      case FillPrevious =>
+        aggNames.map(n => last(col(n), ignoreNulls = true).over(back).as(n))
+      case FillLinear =>
+        // integer aggregates promote to double: a straight line between two
+        // counts is generally not a whole number
+        aggNames.map { n =>
+          val c = col(n).cast("double")
+          val obs = when(c.isNotNull, col("time"))
+          val pv = last(c, ignoreNulls = true).over(back)
+          val pb = last(obs, ignoreNulls = true).over(back)
+          val nv = first(c, ignoreNulls = true).over(fwd)
+          val nb = first(obs, ignoreNulls = true).over(fwd)
+          when(c.isNotNull, c)
+            .when(pv.isNotNull && nv.isNotNull,
+              pv + (nv - pv) * ((col("time") - pb).cast("double") / (nb - pb).cast("double")))
+            .otherwise(lit(null).cast("double")).as(n)
+        }
+      case FillNone => aggNames.map(col) // unreachable (early return)
+    }
+    joined.select(outCols ++ filledAggs: _*)
+  }
+
+  /** FILL needs explicit bounds: InfluxDB likewise only densifies inside the
+    * queried range — without both bounds there is no finite skeleton.
+    */
+  private def fillBounds(q: Query): (Long, Long) =
+    fillBoundsOpt(q).getOrElse(throw new IllegalArgumentException(
+      "InfluxQL: FILL() other than none needs both time bounds in WHERE"))
+
+  private def fillBoundsOpt(q: Query): Option[(Long, Long)] = {
+    val lo = q.conds.collect {
+      case TimeCond(">=", us) => us
+      case TimeCond(">", us) => us + 1
+    }
+    val hi = q.conds.collect {
+      case TimeCond("<", us) => us
+      case TimeCond("<=", us) => us + 1
+    }
+    if (lo.isEmpty || hi.isEmpty) None else Some((lo.max, hi.min))
+  }
+}

@@ -114,6 +114,55 @@ object TimeSeriesOps {
         last(col("bucket_sum"), ignoreNulls = true).over(w).as("filled_sum"))
   }
 
+  /** Time-bucket gap filling with linear interpolation (InfluxQL
+    * `GROUP BY time(...) fill(linear)`): same densified skeleton as
+    * [[gapFillLocf]], but an empty bucket takes the straight line between
+    * its nearest observed neighbors; buckets before the first / after the
+    * last observation stay null (InfluxQL leaves the edges unfilled —
+    * there is nothing to interpolate toward).
+    *
+    * Cross-engine determinism: the neighbor values are exact
+    * (decimal-accumulated bucket sums cast once to double) and the
+    * interpolation is a fixed IEEE expression tree — prev + (next-prev) ·
+    * (Δbucket/gap) — three exactly-specified double ops on exact inputs,
+    * bit-identical in any IEEE engine (same discipline as the cosine's
+    * single division). Two window passes over one shuffle on the series
+    * key; nothing rescans the input.
+    */
+  def gapFillLinear(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                    fromUs: Long, untilUs: Long, stepUs: Long): DataFrame = {
+    require(untilUs > fromUs && stepUs > 0, "empty or inverted gap-fill range")
+    val bucketed = df
+      .filter(tsUs >= fromUs && tsUs < untilUs)
+      .groupBy(key.as("series_key"),
+        (floor((tsUs - lit(fromUs)) / lit(stepUs)).cast("long")).as("bucket"))
+      .agg(sum(value.cast("decimal(38,4)")).cast("double").as("bucket_sum"))
+    val nBuckets = ((untilUs - fromUs + stepUs - 1) / stepUs).toInt
+    val skeleton = bucketed.select(col("series_key")).distinct()
+      .select(col("series_key"),
+        explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
+    val back = Window.partitionBy(col("series_key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("series_key")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("bucket_sum").isNotNull, col("bucket"))
+    val joined = skeleton.join(bucketed, Seq("series_key", "bucket"), "left")
+      .select(col("series_key"), col("bucket"), col("bucket_sum"),
+        last(col("bucket_sum"), ignoreNulls = true).over(back).as("__pv"),
+        last(obsBucket, ignoreNulls = true).over(back).as("__pb"),
+        first(col("bucket_sum"), ignoreNulls = true).over(fwd).as("__nv"),
+        first(obsBucket, ignoreNulls = true).over(fwd).as("__nb"))
+    joined.select(col("series_key"), col("bucket"),
+      (lit(fromUs) + col("bucket") * lit(stepUs)).as("bucket_start_us"),
+      col("bucket_sum"),
+      when(col("bucket_sum").isNotNull, col("bucket_sum"))
+        .when(col("__pv").isNotNull && col("__nv").isNotNull,
+          col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("bucket") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double")))
+        .otherwise(lit(null).cast("double")).as("filled_sum"))
+  }
+
   /** Integer kernel for the truncated EMA: weight_j = 2·(n-1)^j / (n+1)^(j+1)
     * (the a·(1-a)^j kernel with a = 2/(n+1)), scaled by (n+1)^depth so every
     * coefficient is an exact integer — the whole EMA then runs in int64

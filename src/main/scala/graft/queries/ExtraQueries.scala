@@ -201,6 +201,17 @@ object ExtraQueries {
         stepUs = 86400000000L)
     }),
 
+    // time-bucket gap filling with fill(linear): 4-hour buckets so real
+    // gaps exist; empty buckets take the line between observed neighbors
+    "q_ts_gapfill_linear" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.gapFillLinear(
+        Tables.events(s, dir).filter(col("user_id") < 50),
+        key = col("user_id"), tsUs = unix_micros(col("ts")), value = col("value"),
+        fromUs = 1704067200000000L,            // 2024-01-01 00:00 UTC
+        untilUs = 1704067200000000L + 30L * 86400000000L,
+        stepUs = 14400000000L)                 // 4 h -> 180 buckets
+    }),
+
     // InfluxQL exponential_moving_average as a truncated-kernel window
     // (fixed literal weights -> deterministic IEEE tree, oracle-exact)
     "q_ts_ema" -> ((s, dir) => {
@@ -424,6 +435,35 @@ object ExtraQueries {
         |  last_value(bucket_sum IGNORE NULLS) OVER
         |    (PARTITION BY series_key ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_sum
         |FROM j""".stripMargin,
+
+    "q_ts_gapfill_linear" ->
+      """WITH b AS (
+        |  SELECT user_id AS series_key,
+        |    (epoch_us(ts) - 1704067200000000) // 14400000000 AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS bucket_sum
+        |  FROM events
+        |  WHERE epoch_us(ts) >= 1704067200000000 AND epoch_us(ts) < 1706659200000000
+        |    AND user_id < 50
+        |  GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT series_key FROM b),
+        |skel AS (SELECT series_key, o AS bucket FROM keys, UNNEST(generate_series(0, 179)) AS t(o)),
+        |j AS (SELECT s.series_key, s.bucket, b.bucket_sum
+        |  FROM skel s LEFT JOIN b ON s.series_key = b.series_key AND s.bucket = b.bucket),
+        |w AS (SELECT series_key, bucket, bucket_sum,
+        |    last_value(bucket_sum IGNORE NULLS) OVER pb AS pv,
+        |    last_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER pb AS pbk,
+        |    first_value(bucket_sum IGNORE NULLS) OVER nf AS nv,
+        |    first_value(CASE WHEN bucket_sum IS NOT NULL THEN bucket END IGNORE NULLS) OVER nf AS nbk
+        |  FROM j
+        |  WINDOW pb AS (PARTITION BY series_key ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+        |         nf AS (PARTITION BY series_key ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT series_key, bucket,
+        |  1704067200000000 + bucket * 14400000000 AS bucket_start_us, bucket_sum,
+        |  CASE WHEN bucket_sum IS NOT NULL THEN bucket_sum
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN pv + (nv - pv) * (CAST(bucket - pbk AS DOUBLE) / CAST(nbk - pbk AS DOUBLE))
+        |       ELSE NULL END AS filled_sum
+        |FROM w""".stripMargin,
 
     "q_ts_ema" -> {
       val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)

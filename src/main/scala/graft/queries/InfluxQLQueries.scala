@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.influxql.InfluxQL
+
+/** Oracle-gated queries for the InfluxQL SELECT front-end: each runs a real
+  * InfluxQL string through the parser + planner (graft.influxql.InfluxQL)
+  * over the events fixture shaped as narrow points, and the DuckDB oracle
+  * recomputes the identical semantics in SQL. The point surface mirrors the
+  * reference's storage model: device tag = `dev{user_id % 50}` (the topic
+  * device id, influx_service.py:129), measurement = event_type, time in
+  * epoch microseconds.
+  */
+object InfluxQLQueries {
+
+  /** The narrow-points adapter the front-end queries run over. */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      concat(lit("dev"), col("user_id") % 50).as("device"),
+      col("event_type").as("transducer"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("value"))
+
+  private val ptsSql =
+    """pts AS (SELECT 'dev' || (user_id % 50) AS device, event_type AS transducer,
+      |  epoch_us(ts) AS ts_us, value FROM events)""".stripMargin
+
+  // exact-moment sample stddev of 1e-6-quantized values (the engine's
+  // deterministic stddev pin), as DuckDB SQL
+  private val vuSql = "CAST(floor(value*1000000.0) AS DECIMAL(38,0))"
+  private val stddevSql =
+    s"""CASE WHEN count(value) > 1 THEN
+       |  sqrt((CAST(count(value) AS DOUBLE) * CAST(sum($vuSql * $vuSql) AS DOUBLE)
+       |        - CAST(sum($vuSql) AS DOUBLE) * CAST(sum($vuSql) AS DOUBLE))
+       |       / CAST(count(value) * (count(value) - 1) AS DOUBLE)) / 1000000.0
+       |ELSE NULL END""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the full aggregate surface through one InfluxQL statement: daily
+    // buckets per device over January, default fill(null) densification
+    "q_influxql_agg" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value), sum(value), mean(value), min(value), max(value),
+          |       spread(value), stddev(value)
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
+    // fill(linear) + a negated tag predicate: empty 6-hour buckets take the
+    // straight line between observed neighbors, per device
+    "q_influxql_fill" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT mean(value) FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31' AND device != 'dev7'
+          |GROUP BY time(6h), device FILL(linear)""".stripMargin)
+    }),
+
+    // selector/percentile functions, ISO time literals, aliases,
+    // fill(previous), ORDER BY time DESC and LIMIT — one statement
+    "q_influxql_selectors" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT first(value) AS first_v, last(value) AS last_v,
+          |       median(value) AS med, percentile(value, 90) AS p90
+          |FROM purchase
+          |WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-31T00:00:00Z'
+          |GROUP BY time(2h) FILL(previous)
+          |ORDER BY time DESC LIMIT 50""".stripMargin)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_influxql_agg" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    count(value) AS cnt,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sm,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mn,
+         |    min(value) AS mnv, max(value) AS mxv,
+         |    max(value) - min(value) AS sprd,
+         |    $stddevSql AS sd
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, s.device, b.cnt AS "count", b.sm AS "sum", b.mn AS mean,
+         |  b.mnv AS "min", b.mxv AS "max", b.sprd AS spread, b.sd AS stddev
+         |FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device""".stripMargin,
+
+    "q_influxql_fill" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'view'
+         |      AND device != 'dev7'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 21600000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mean
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 21600000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 119)) AS t(o)),
+         |j AS (SELECT s.time, s.device, b.mean
+         |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device),
+         |w AS (SELECT time, device, mean,
+         |    last_value(mean IGNORE NULLS) OVER pb AS pv,
+         |    last_value(CASE WHEN mean IS NOT NULL THEN time END IGNORE NULLS) OVER pb AS pt,
+         |    first_value(mean IGNORE NULLS) OVER nf AS nv,
+         |    first_value(CASE WHEN mean IS NOT NULL THEN time END IGNORE NULLS) OVER nf AS nt
+         |  FROM j
+         |  WINDOW pb AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING),
+         |         nf AS (PARTITION BY device ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT time, device,
+         |  CASE WHEN mean IS NOT NULL THEN mean
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |         THEN pv + (nv - pv) * (CAST(time - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |       ELSE NULL END AS mean
+         |FROM w""".stripMargin,
+
+    "q_influxql_selectors" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT ts_us, value FROM pts WHERE transducer = 'purchase'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 7200000000 AS time,
+         |    (min({'t': ts_us, 'v': value})).v AS first_v,
+         |    (max({'t': ts_us, 'v': value})).v AS last_v,
+         |    quantile_cont(value, 0.5) AS med,
+         |    quantile_cont(value, 0.9) AS p90
+         |  FROM f GROUP BY 1),
+         |skel AS (SELECT 1704067200000000 + o * 7200000000 AS time
+         |         FROM UNNEST(generate_series(0, 359)) AS t(o)),
+         |j AS (SELECT s.time, b.first_v, b.last_v, b.med, b.p90
+         |  FROM skel s LEFT JOIN b ON s.time = b.time),
+         |w AS (SELECT time,
+         |    last_value(first_v IGNORE NULLS) OVER pb AS first_v,
+         |    last_value(last_v IGNORE NULLS) OVER pb AS last_v,
+         |    last_value(med IGNORE NULLS) OVER pb AS med,
+         |    last_value(p90 IGNORE NULLS) OVER pb AS p90
+         |  FROM j WINDOW pb AS (ORDER BY time ROWS UNBOUNDED PRECEDING))
+         |SELECT time, first_v, last_v, med, p90 FROM w
+         |ORDER BY time DESC LIMIT 50""".stripMargin)
+}

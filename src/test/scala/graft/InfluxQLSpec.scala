@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.influxql.InfluxQL
+import graft.influxql.InfluxQL._
+
+class InfluxQLSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pts(rows: (String, String, Long, Double)*): DataFrame =
+    rows.toDF("device", "transducer", "ts_us", "value")
+
+  test("parser: full clause surface round-trips into the AST") {
+    val q = parse(
+      """SELECT mean(value), percentile(value, 95) AS p95 FROM temp
+        |WHERE time >= '2024-01-01' AND time < 1706659200000000 AND device != 'dev7'
+        |GROUP BY time(6h), device FILL(linear)
+        |ORDER BY time DESC LIMIT 10""".stripMargin)
+    assert(q.fields == Seq(Field("mean", "value", None, None),
+      Field("percentile", "value", Some(95.0), Some("p95"))))
+    assert(q.measurement == "temp")
+    assert(q.conds == Seq(TimeCond(">=", 1704067200000000L),
+      TimeCond("<", 1706659200000000L), TagCond("device", eq = false, "dev7")))
+    assert(q.groupTimeUs.contains(6L * 3600000000L) && q.groupTags == Seq("device"))
+    assert(q.fill == FillLinear && q.timeDesc && q.limit.contains(10))
+  }
+
+  test("parser: durations, defaults, and keyword case-insensitivity") {
+    val q = parse("select SUM(value) from m where time > 5 group by time(90m)")
+    assert(q.groupTimeUs.contains(90L * 60000000L))
+    assert(q.fill == FillNull && !q.timeDesc && q.limit.isEmpty)
+    assert(q.conds == Seq(TimeCond(">", 5L)))
+    assert(parse("SELECT value FROM m").fields == Seq(Field("", "value", None, None)))
+    assert(parse("SELECT mean(value) FROM m GROUP BY time(1w) FILL(3.5)").fill == FillValue(3.5))
+  }
+
+  test("parser: malformed queries fail with positioned errors") {
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT FROM m").contains("expected"))
+    assert(bad("SELECT mean(value) value FROM m").contains("expected FROM"))
+    assert(bad("SELECT mean(value), value FROM m").contains("mix"))
+    assert(bad("SELECT mean(value) AS m, sum(value) AS m FROM x").contains("duplicate"))
+    assert(bad("SELECT value FROM m GROUP BY time(1h)").contains("aggregated"))
+    assert(bad("SELECT mean(value) FROM m FILL(previous)").contains("trailing"))
+    assert(bad("SELECT percentile(value) FROM m").contains("needs N"))
+    assert(bad("SELECT mean(value) FROM m WHERE time ~ 3").contains("unrecognized"))
+    assert(bad("SELECT mean(value) FROM m GROUP BY time(10ns)").contains("sub-microsecond"))
+  }
+
+  test("planner: grouped aggregates honor measurement, tags, and time buckets") {
+    val df = pts(
+      ("a", "temp", 0L, 1.0), ("a", "temp", 5L, 3.0), ("a", "temp", 10L, 10.0),
+      ("b", "temp", 1L, 7.0), ("a", "hum", 2L, 99.0))
+    val got = InfluxQL.run(df,
+      "SELECT count(value), sum(value), mean(value) FROM temp GROUP BY time(10u), device")
+      .as[(Long, String, Long, Double, Double)].collect().toSet
+    assert(got == Set(
+      (0L, "a", 2L, 4.0, 2.0),
+      (10L, "a", 1L, 10.0, 10.0),
+      (0L, "b", 1L, 7.0, 7.0)))
+  }
+
+  test("planner: selectors tie-break equal timestamps by value; spread and stddev exact") {
+    val df = pts(
+      ("a", "m", 1L, 5.0), ("a", "m", 1L, 2.0), ("a", "m", 9L, 7.0), ("a", "m", 9L, 8.0))
+    val row = InfluxQL.run(df,
+      "SELECT first(value), last(value), spread(value), stddev(value) FROM m")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(row._1 == 2.0, "first: smallest value among earliest-ts ties")
+    assert(row._2 == 8.0, "last: greatest value among latest-ts ties")
+    assert(row._3 == 6.0)
+    // sample stddev of {5,2,7,8}: mean 5.5, var (0.25+12.25+2.25+6.25)/3 = 7
+    assert(math.abs(row._4 - math.sqrt(7.0)) < 1e-6)
+  }
+
+  test("planner: fill modes densify the queried range") {
+    // one series, buckets 0/10/20/30: data in 10 (v=2) and 30 (v=8)
+    val df = pts(("a", "m", 12L, 2.0), ("a", "m", 33L, 8.0))
+    def run(fill: String): Map[Long, Option[Double]] =
+      InfluxQL.run(df,
+        s"SELECT mean(value) FROM m WHERE time >= 0 AND time < 40 GROUP BY time(10u), device FILL($fill)")
+        .select(col("time"), col("mean"))
+        .as[(Long, Option[Double])].collect().toMap
+    assert(run("none") == Map(10L -> Some(2.0), 30L -> Some(8.0)))
+    assert(run("null") ==
+      Map(0L -> None, 10L -> Some(2.0), 20L -> None, 30L -> Some(8.0)))
+    assert(run("previous") ==
+      Map(0L -> None, 10L -> Some(2.0), 20L -> Some(2.0), 30L -> Some(8.0)))
+    assert(run("linear") ==
+      Map(0L -> None, 10L -> Some(2.0), 20L -> Some(5.0), 30L -> Some(8.0)))
+    assert(run("0") ==
+      Map(0L -> Some(0.0), 10L -> Some(2.0), 20L -> Some(0.0), 30L -> Some(8.0)))
+    // a fill other than none has no finite skeleton without both time bounds
+    assert(intercept[IllegalArgumentException](InfluxQL.run(df,
+      "SELECT mean(value) FROM m GROUP BY time(1h) FILL(previous)"))
+      .getMessage.contains("time bounds"))
+  }
+
+  test("planner: fill(0) keeps each aggregate's own type; linear promotes counts") {
+    val df = pts(("a", "m", 12L, 2.0), ("a", "m", 33L, 8.0), ("a", "m", 35L, 1.0))
+    val zero = InfluxQL.run(df,
+      "SELECT count(value) FROM m WHERE time >= 0 AND time < 40 GROUP BY time(10u) FILL(0)")
+    assert(zero.schema("count").dataType.typeName == "long")
+    assert(zero.select("count").as[Long].collect().sorted.toSeq == Seq(0L, 0L, 1L, 2L))
+    val lin = InfluxQL.run(df,
+      "SELECT count(value) FROM m WHERE time >= 0 AND time < 40 GROUP BY time(10u) FILL(linear)")
+    assert(lin.schema("count").dataType.typeName == "double")
+    assert(lin.select(col("time"), col("count")).as[(Long, Option[Double])].collect().toMap
+      == Map(0L -> None, 10L -> Some(1.0), 20L -> Some(1.5), 30L -> Some(2.0)))
+  }
+
+  test("planner: raw selection, ORDER BY time DESC, LIMIT") {
+    val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("a", "m", 3L, 3.0),
+      ("b", "other", 4L, 9.0))
+    val got = InfluxQL.run(df, "SELECT value FROM m ORDER BY time DESC LIMIT 2")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((3L, 3.0), (2L, 2.0)))
+  }
+
+  test("planner: global (tagless) aggregate and whole-query limit") {
+    val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
+    val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
+      .as[(Double, Long)].collect().toSeq
+    assert(got == Seq((2.0, 2L)))
+  }
+}

@@ -75,6 +75,26 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got((2L, 1L)) == 7.0 && got((2L, 2L)) == 7.0)
   }
 
+  test("gap fill linear: empty buckets interpolate between neighbors, edges stay null") {
+    // series 1: observations in buckets 1 (sum 2.0) and 4 (sum 8.0) of [0, 6)
+    // with step 10us -> buckets 2,3 interpolate 4.0, 6.0; 0 and 5 stay null
+    val df = Seq((1L, 15L, 2.0), (1L, 45L, 8.0)).toDF("k", "ts", "v")
+    val got = TimeSeriesOps.gapFillLinear(df, col("k"), col("ts"), col("v"),
+        fromUs = 0L, untilUs = 60L, stepUs = 10L)
+      .select(col("bucket"), col("filled_sum"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(0L).isEmpty && got(5L).isEmpty, "nothing to interpolate toward at the edges")
+    assert(got(1L).contains(2.0) && got(4L).contains(8.0), "observed buckets pass through")
+    assert(got(2L).contains(4.0) && got(3L).contains(6.0), "gap takes the straight line")
+    // multi-bucket series with a single observation: nothing fills
+    val single = TimeSeriesOps.gapFillLinear(
+        Seq((7L, 25L, 3.0)).toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"), fromUs = 0L, untilUs = 60L, stepUs = 10L)
+      .select(col("bucket"), col("filled_sum"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(single(2L).contains(3.0) && (0L to 5L).filterNot(_ == 2L).forall(single(_).isEmpty))
+  }
+
   test("integral: trapezoid area per series, first point contributes no segment") {
     val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
       (8L, 0L, 2.0)).toDF("k", "ts_us", "v")
