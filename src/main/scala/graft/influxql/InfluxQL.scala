@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *   [ORDER BY time (ASC|DESC)]
   *   [LIMIT n]
   *
-  *   field  := func '(' ident [',' num] ')' ['AS' ident] | ident
+  *   field  := (agg | xform '(' agg [',' dur|num] ')') ['AS' ident] | ident
+  *   agg    := func '(' ident [',' num] ')'
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev
+  *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
   *   cond   := time (<|<=|>|>=) timeLit | ident (=|!=) 'string'
   *   group  := time '(' duration ')' | ident
   * }}}
@@ -65,11 +67,17 @@ object InfluxQL {
   final case class TimeCond(op: String, us: Long) extends Cond
   final case class TagCond(tag: String, eq: Boolean, value: String) extends Cond
 
-  /** One SELECT expression; `func` is empty for a raw field reference. */
+  /** One SELECT expression; `func` is empty for a raw field reference.
+    * `transform` wraps the aggregate in an InfluxQL transformation
+    * (`derivative(mean(value), 1h)`): `targ` carries its parameter — the
+    * unit in microseconds for the derivatives, the window width for
+    * moving_average, unused otherwise.
+    */
   final case class Field(func: String, arg: String, pct: Option[Double],
-                         alias: Option[String]) {
+                         alias: Option[String], transform: Option[String] = None,
+                         targ: Option[Long] = None) {
     def isAgg: Boolean = func.nonEmpty
-    def outName: String = alias.getOrElse(if (isAgg) func else arg)
+    def outName: String = alias.getOrElse(transform.getOrElse(if (isAgg) func else arg))
   }
 
   final case class Query(fields: Seq[Field], measurement: String, conds: Seq[Cond],
@@ -78,6 +86,12 @@ object InfluxQL {
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev")
+
+  /** InfluxQL transformations — each wraps an inner aggregate and runs as a
+    * window over the (densified) bucket series.
+    */
+  val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
+    "difference", "cumulative_sum", "moving_average")
 
   // ---------- tokenizer ----------
 
@@ -218,16 +232,52 @@ object InfluxQL {
   private def parseField(p: P): Field = {
     val name = p.ident()
     val f =
-      if (AggFuncs.contains(name.toLowerCase) && p.sym("(")) {
-        val fn = name.toLowerCase
-        val arg = p.ident()
-        val pct = if (p.sym(",")) Some(p.num()) else None
+      if (TransformFuncs.contains(name.toLowerCase) && p.sym("(")) {
+        val tf = name.toLowerCase
+        val inner = parseAggCall(p)
+        val targ: Option[Long] = tf match {
+          case "derivative" | "non_negative_derivative" =>
+            // the rate unit; InfluxQL's default is per second
+            if (p.sym(",")) Some(p.next() match {
+              case TDur(us, _) => us
+              case TNum(v, raw) if v == math.floor(v) && v > 0 => v.toLong
+              case t => p.fail(s"expected duration unit, got '${t.raw}'")
+            }) else Some(1000000L)
+          case "moving_average" =>
+            if (!p.sym(",")) p.fail("moving_average(agg, N) needs N")
+            val k = p.num()
+            if (k < 2 || k != math.floor(k)) p.fail("moving_average N must be an integer >= 2")
+            Some(k.toLong)
+          case _ =>
+            if (p.sym(",")) p.fail(s"$tf() takes one argument")
+            None
+        }
         p.expectSym(")")
-        if (fn == "percentile" && pct.isEmpty) p.fail("percentile(field, N) needs N")
-        if (fn != "percentile" && pct.nonEmpty) p.fail(s"$fn() takes one argument")
-        Field(fn, arg, pct, None)
+        inner.copy(transform = Some(tf), targ = targ)
+      } else if (AggFuncs.contains(name.toLowerCase) && p.sym("(")) {
+        parseAggBody(p, name.toLowerCase)
       } else Field("", name, None, None)
     if (p.kw("AS")) f.copy(alias = Some(p.ident())) else f
+  }
+
+  /** `func '(' field [',' num] ')'` — an aggregate call used as a transform
+    * operand.
+    */
+  private def parseAggCall(p: P): Field = {
+    val name = p.ident()
+    if (!AggFuncs.contains(name.toLowerCase))
+      p.fail(s"transformations take an aggregate argument, got '$name'")
+    p.expectSym("(")
+    parseAggBody(p, name.toLowerCase)
+  }
+
+  private def parseAggBody(p: P, fn: String): Field = {
+    val arg = p.ident()
+    val pct = if (p.sym(",")) Some(p.num()) else None
+    p.expectSym(")")
+    if (fn == "percentile" && pct.isEmpty) p.fail("percentile(field, N) needs N")
+    if (fn != "percentile" && pct.nonEmpty) p.fail(s"$fn() takes one argument")
+    Field(fn, arg, pct, None)
   }
 
   private def parseCond(p: P): Cond = {
@@ -284,6 +334,9 @@ object InfluxQL {
         s"InfluxQL: duplicate output columns ${dup.mkString(", ")} — alias with AS")
     if (q.fill != FillNull && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException("InfluxQL: FILL() requires GROUP BY time()")
+    if (q.fields.exists(_.transform.nonEmpty) && q.groupTimeUs.isEmpty)
+      throw new IllegalArgumentException(
+        "InfluxQL: transformations need GROUP BY time() — they run over the bucket series")
   }
 
   // ---------- planner ----------
@@ -320,7 +373,7 @@ object InfluxQL {
         val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
         val keys = bucket +: q.groupTags.map(col)
         val grouped = df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
-        val filled = applyFill(grouped, q, step)
+        val filled = applyTransforms(applyFill(grouped, q, step), q)
         val ordered = filled.orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
@@ -433,6 +486,51 @@ object InfluxQL {
       case FillNone => aggNames.map(col) // unreachable (early return)
     }
     joined.select(outCols ++ filledAggs: _*)
+  }
+
+  /** InfluxQL transformations over the (densified) bucket series — one
+    * window on the grouping tags ordered by bucket time, shared by every
+    * transformed field; runs AFTER fill, so `fill(previous)` feeds LOCF'd
+    * values into a derivative exactly as InfluxDB sequences it.
+    *
+    * Determinism pins: a transform whose operand bucket (or its
+    * predecessor) is null yields null — nulls propagate, they are never
+    * skipped over; cumulative_sum and moving_average run on
+    * 1e-6-quantized int64/decimal sums (order-independent, one double
+    * conversion at the end), while derivative/difference are two-operand
+    * fixed IEEE trees on exact inputs.
+    */
+  private def applyTransforms(df: DataFrame, q: Query): DataFrame = {
+    if (q.fields.forall(_.transform.isEmpty)) return df
+    val part = if (q.groupTags.isEmpty) Seq(lit(1)) else q.groupTags.map(col)
+    val w = Window.partitionBy(part: _*).orderBy(col("time"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = (col("time") +: q.groupTags.map(col)) ++ q.fields.map { f =>
+      val n = f.outName
+      f.transform match {
+        case None => col(n)
+        case Some(tf) =>
+          val c = col(n).cast("double")
+          val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
+          tf match {
+            case "derivative" | "non_negative_derivative" =>
+              val d = (c - lag(c, 1).over(w)) /
+                ((col("time") - lag(col("time"), 1).over(w)).cast("double") /
+                  lit(f.targ.get.toDouble))
+              (if (tf == "derivative") d
+               else when(d < 0, lit(null).cast("double")).otherwise(d)).as(n)
+            case "difference" => (c - lag(c, 1).over(w)).as(n)
+            case "cumulative_sum" =>
+              (sum(vu).over(cum).cast("double") / lit(1000000.0)).as(n)
+            case "moving_average" =>
+              val frame = w.rowsBetween(-(f.targ.get.toInt - 1), Window.currentRow)
+              (sum(vu).over(frame).cast("double") /
+                count(c).over(frame).cast("double") / lit(1000000.0)).as(n)
+            case other => throw new IllegalArgumentException(s"unsupported transform $other")
+          }
+      }
+    }
+    df.select(outCols: _*)
   }
 
   /** FILL needs explicit bounds: InfluxDB likewise only densifies inside the

@@ -60,6 +60,17 @@ object InfluxQLQueries {
           |GROUP BY time(6h), device FILL(linear)""".stripMargin)
     }),
 
+    // transformations over aggregates: rate, delta, running and moving
+    // forms across the densified daily series, per device
+    "q_influxql_transform" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT derivative(mean(value), 1h) AS dmean, difference(max(value)) AS dmax,
+          |       cumulative_sum(sum(value)) AS csum, moving_average(mean(value), 3) AS ma3
+          |FROM signup
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -122,6 +133,34 @@ object InfluxQLQueries {
          |         THEN pv + (nv - pv) * (CAST(time - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
          |       ELSE NULL END AS mean
          |FROM w""".stripMargin,
+
+    "q_influxql_transform" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'signup'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mean_v,
+         |    max(value) AS max_v,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_v
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o)),
+         |j AS (SELECT s.time, s.device, b.mean_v, b.max_v, b.sum_v
+         |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device)
+         |SELECT time, device,
+         |  (mean_v - lag(mean_v) OVER w)
+         |    / (CAST(time - lag(time) OVER w AS DOUBLE) / 3600000000.0) AS dmean,
+         |  max_v - lag(max_v) OVER w AS dmax,
+         |  CAST(sum(CAST(floor(sum_v * 1000000.0) AS DECIMAL(38,0))) OVER cum AS DOUBLE)
+         |    / 1000000.0 AS csum,
+         |  CAST(sum(CAST(floor(mean_v * 1000000.0) AS DECIMAL(38,0))) OVER ma AS DOUBLE)
+         |    / CAST(count(mean_v) OVER ma AS DOUBLE) / 1000000.0 AS ma3
+         |FROM j
+         |WINDOW w AS (PARTITION BY device ORDER BY time),
+         |  cum AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING),
+         |  ma AS (PARTITION BY device ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

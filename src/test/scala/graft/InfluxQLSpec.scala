@@ -111,6 +111,53 @@ class InfluxQLSpec extends SparkSuite {
       == Map(0L -> None, 10L -> Some(1.0), 20L -> Some(1.5), 30L -> Some(2.0)))
   }
 
+  test("parser: transformations wrap an aggregate and carry their parameter") {
+    val q = parse(
+      "SELECT derivative(mean(value), 1h), moving_average(sum(value), 3) AS ma FROM m GROUP BY time(1d)")
+    assert(q.fields == Seq(
+      Field("mean", "value", None, None, Some("derivative"), Some(3600000000L)),
+      Field("sum", "value", None, Some("ma"), Some("moving_average"), Some(3L))))
+    // per-second default unit
+    assert(parse("SELECT derivative(max(value)) FROM m GROUP BY time(1h)")
+      .fields.head.targ.contains(1000000L))
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT derivative(value) FROM m GROUP BY time(1h)").contains("aggregate"))
+    assert(bad("SELECT moving_average(mean(value)) FROM m GROUP BY time(1h)").contains("needs N"))
+    assert(bad("SELECT difference(mean(value)) FROM m").contains("GROUP BY time"))
+  }
+
+  test("planner: transformations run over the densified bucket series") {
+    // buckets 0/10/20/30 with sums 2, 6, (gap), 12
+    val df = pts(("a", "m", 2L, 2.0), ("a", "m", 12L, 6.0), ("a", "m", 31L, 12.0))
+    val got = InfluxQL.run(df,
+      """SELECT derivative(sum(value), 10u) AS d, difference(sum(value)) AS diff,
+        |cumulative_sum(sum(value)) AS cs, moving_average(sum(value), 2) AS ma
+        |FROM m WHERE time >= 0 AND time < 40 GROUP BY time(10u), device""".stripMargin)
+      .select(col("time"), col("d"), col("diff"), col("cs"), col("ma"))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(0L) == (None, None, Some(2.0), Some(2.0)), "no predecessor -> null rates")
+    assert(got(10L) == (Some(4.0), Some(4.0), Some(8.0), Some(4.0)))
+    assert(got(20L) == (None, None, Some(8.0), Some(6.0)), "null bucket propagates; ma averages what exists")
+    assert(got(30L) == (None, None, Some(20.0), Some(12.0)), "predecessor null -> null rate")
+    // fill(previous) feeds the transform: a LOCF'd bucket is a zero rate
+    val locf = InfluxQL.run(df,
+      """SELECT non_negative_derivative(sum(value), 10u) AS d FROM m
+        |WHERE time >= 0 AND time < 40 GROUP BY time(10u) FILL(previous)""".stripMargin)
+      .select(col("time"), col("d")).as[(Long, Option[Double])].collect().toMap
+    assert(locf(20L).contains(0.0), "LOCF'd bucket -> zero rate, not null")
+    // non_negative_derivative suppresses a genuine falling edge to null
+    val fall = pts(("a", "m", 2L, 2.0), ("a", "m", 12L, 6.0), ("a", "m", 21L, 1.0))
+    val nn = InfluxQL.run(fall,
+      """SELECT derivative(sum(value), 10u) AS d, non_negative_derivative(sum(value), 10u) AS nnd
+        |FROM m WHERE time >= 0 AND time < 30 GROUP BY time(10u)""".stripMargin)
+      .select(col("time"), col("d"), col("nnd"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(nn(20L) == (Some(-5.0), None))
+  }
+
   test("planner: raw selection, ORDER BY time DESC, LIMIT") {
     val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("a", "m", 3L, 3.0),
       ("b", "other", 4L, 9.0))
