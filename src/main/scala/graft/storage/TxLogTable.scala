@@ -118,6 +118,21 @@ class TxLogTable(spark: SparkSession, path: String) {
     commit("overwrite", Seq(dir), base)
   }
 
+  /** Row-level DELETE: drop rows matching `predicate`, keep everything
+    * else, commit as a rewrite. Like MERGE this rewrites the snapshot —
+    * right for dimension tables and GDPR-style corrections on bounded
+    * data; fact tables at scale should partition so deletes become
+    * partition drops instead. Time travel keeps the pre-delete versions
+    * readable; [[appendsBetween]] ranges crossing it refuse (rewrite).
+    */
+  def delete(predicate: org.apache.spark.sql.Column): Long = {
+    val base = Some(version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path")))
+    val kept = readVersion(base.get).filter(!coalesce(predicate, lit(false)))
+    val dir = writeDataDir(kept)
+    commit("delete", Seq(dir), base)
+  }
+
   /** MERGE upsert by `keys`: for each key, one surviving row. With
     * `orderCol`, the row with the greatest order value wins (ties prefer
     * the update) — replaying the same updates batch is then idempotent,

@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches inside the window, bounded state via watermarks") {
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(String, Long)]
+    val clicks = MemoryStream[(String, Long)]
+    val impDf = imps.toDF().toDF("device", "imp_us")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val clickDf = clicks.toDF().toDF("device", "click_us")
+      .withColumn("click_ts", timestamp_micros(col("click_us")))
+    val joined = StreamJoins.intervalJoin(impDf, clickDf, "device",
+        "imp_ts", "click_ts", "0 seconds", "10 minutes", "1 minute", "1 minute")
+      .select(col("l.device"), col("imp_us"), col("click_us"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ss_join_out")
+        .as[(String, Long, Long)].collect().toSet
+      imps.addData(("d1", us("2024-01-01 00:00:00")), ("d2", us("2024-01-01 00:00:00")))
+      clicks.addData(("d1", us("2024-01-01 00:05:00"))) // inside [0, 10m]
+      q.processAllAvailable()
+      assert(rows() == Set(("d1", us("2024-01-01 00:00:00"), us("2024-01-01 00:05:00"))))
+      // outside the interval (> 10 minutes after) and wrong key: no pairs
+      clicks.addData(("d1", us("2024-01-01 00:20:00")), ("d3", us("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      assert(rows().size == 1)
+      // a second in-window click still pairs (inner join is many-to-many)
+      clicks.addData(("d2", us("2024-01-01 00:09:00")))
+      q.processAllAvailable()
+      assert(rows().size == 2)
+    } finally q.stop()
+  }
+
   test("registry CDC applies new/update/delete in event-time order per device") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

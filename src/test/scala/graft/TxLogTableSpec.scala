@@ -268,6 +268,29 @@ class TxLogTableSpec extends SparkSuite {
     assert(t.read().count() == 4L)
   }
 
+  test("delete drops matching rows, keeps history, and fences the append feed") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))       // v0
+    t.append(Seq((4L, "d")).toDF("k", "v"))                             // v1
+    val v = t.delete(col("k") % 2 === 0)                                // v2
+    assert(v == 2L)
+    assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    // pre-delete versions stay readable (time travel)
+    assert(t.readVersion(1L).count() == 4L)
+    // a NULL predicate result means "not matched": the row survives
+    val t2 = new TxLogTable(spark, tmp())
+    t2.append(Seq((1L, Some(10L)), (2L, None)).toDF("k", "n"))
+    t2.delete(col("n") > 5L) // null > 5 is null, not true
+    assert(t2.read().as[(Long, Option[Long])].collect().toSet == Set((2L, None)))
+    // the O(delta) append feed refuses ranges crossing the rewrite
+    t.append(Seq((5L, "e")).toDF("k", "v"))                             // v3
+    val e = intercept[IllegalStateException](t.appendsBetween(1L, 3L))
+    assert(e.getMessage.contains("not appends"))
+    // the snapshot-diff change feed shows the deletion
+    val ch = t.changes(1L, 2L).select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch == Set((2L, "delete"), (4L, "delete")))
+  }
+
   test("txn checkpoints bound the fence lookup and survive checkpoint loss") {
     val path = tmp()
     val t = new TxLogTable(spark, path)
