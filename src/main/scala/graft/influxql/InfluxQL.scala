@@ -349,11 +349,28 @@ object InfluxQL {
 
   def plan(points: DataFrame, q: Query): DataFrame = {
     var df = points.filter(col("transducer") === q.measurement)
+    // `ts_us` is usually DERIVED (ts_ns div 1000 for the nanosecond store),
+    // so a predicate on it cannot reach the parquet scan. When the adapter
+    // also exposes the raw `ts_ns` column, push the EQUIVALENT raw-column
+    // bound alongside (ts_us >= X  <=>  ts_ns >= X*1000 under floor-div
+    // truncation, both non-negative) — that one lands in PushedFilters and
+    // prunes row groups / stats-indexed files, the repo's timeRangeNs
+    // convention. The ts_us predicate stays for exactness; the raw one is
+    // redundant, never wrong.
+    val hasNs = points.columns.contains("ts_ns")
     q.conds.foreach {
-      case TimeCond("<", us) => df = df.filter(col("ts_us") < us)
-      case TimeCond("<=", us) => df = df.filter(col("ts_us") <= us)
-      case TimeCond(">", us) => df = df.filter(col("ts_us") > us)
-      case TimeCond(">=", us) => df = df.filter(col("ts_us") >= us)
+      case TimeCond("<", us) =>
+        df = df.filter(col("ts_us") < us)
+        if (hasNs) df = df.filter(col("ts_ns") < us * 1000L)
+      case TimeCond("<=", us) =>
+        df = df.filter(col("ts_us") <= us)
+        if (hasNs) df = df.filter(col("ts_ns") < (us + 1) * 1000L)
+      case TimeCond(">", us) =>
+        df = df.filter(col("ts_us") > us)
+        if (hasNs) df = df.filter(col("ts_ns") >= (us + 1) * 1000L)
+      case TimeCond(">=", us) =>
+        df = df.filter(col("ts_us") >= us)
+        if (hasNs) df = df.filter(col("ts_ns") >= us * 1000L)
       case TimeCond(op, _) => throw new IllegalArgumentException(s"bad time op $op")
       case TagCond(tag, true, v) => df = df.filter(col(tag) === v)
       case TagCond(tag, false, v) => df = df.filter(col(tag) =!= v)
@@ -371,10 +388,19 @@ object InfluxQL {
       case Some(step) =>
         // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
         val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
-        val keys = bucket +: q.groupTags.map(col)
+        // a TAGLESS query is still one series — keyed by its measurement.
+        // Grouping and windowing on the real `transducer` attribute (constant
+        // under the FROM filter, but an attribute Catalyst cannot fold) keeps
+        // every fill/transform window partitioned; partitionBy(lit(..)) would
+        // constant-fold straight back to the unpartitioned scale-killer the
+        // plan audit pins to zero.
+        val partCols = if (q.groupTags.isEmpty) Seq("transducer") else q.groupTags
+        val keys = bucket +: partCols.map(col)
         val grouped = df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
-        val filled = applyTransforms(applyFill(grouped, q, step), q)
-        val ordered = filled.orderBy(
+        val filled = applyTransforms(applyFill(grouped, q, step, partCols), q, partCols)
+        val projected =
+          if (q.groupTags.isEmpty) filled.drop("transducer") else filled
+        val ordered = projected.orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
         q.limit.fold(ordered)(ordered.limit)
@@ -431,7 +457,8 @@ object InfluxQL {
     * sequence(bucket starts) — a bounded explode, never a driver loop; all
     * fill modes ride ONE window shuffle on the grouping tags.
     */
-  private def applyFill(grouped: DataFrame, q: Query, step: Long): DataFrame = {
+  private def applyFill(grouped: DataFrame, q: Query, step: Long,
+                        partCols: Seq[String]): DataFrame = {
     if (q.fill == FillNone) return grouped
     // the default fill(null) densifies only when the query bounds the range
     // (InfluxDB likewise only emits empty buckets inside explicit bounds);
@@ -441,22 +468,17 @@ object InfluxQL {
     val bLo = lo - Math.floorMod(lo, step)
     val bHi = hi - 1 - Math.floorMod(hi - 1, step)
     val aggNames = q.fields.map(_.outName)
-    val skeleton = {
-      val keys =
-        if (q.groupTags.isEmpty) grouped.select(lit(1).as("__one")).limit(1)
-        else grouped.select(q.groupTags.map(col): _*).distinct()
-      keys.select(
-        (q.groupTags.map(col) :+
+    val skeleton = grouped.select(partCols.map(col): _*).distinct()
+      .select(
+        (partCols.map(col) :+
           explode(sequence(lit(bLo), lit(bHi), lit(step))).as("time")): _*)
-    }
-    val joined = skeleton.join(grouped, "time" +: q.groupTags, "left")
+    val joined = skeleton.join(grouped, "time" +: partCols, "left")
 
-    def series = Window.partitionBy(
-      (if (q.groupTags.isEmpty) Seq(lit(1)) else q.groupTags.map(col)): _*)
+    def series = Window.partitionBy(partCols.map(col): _*)
     val back = series.orderBy(col("time")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = series.orderBy(col("time")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val outCols = col("time") +: q.groupTags.map(col)
+    val outCols = col("time") +: partCols.map(col)
     val filledAggs: Seq[Column] = q.fill match {
       case FillNull => aggNames.map(col)
       case FillValue(x) =>
@@ -500,12 +522,11 @@ object InfluxQL {
     * conversion at the end), while derivative/difference are two-operand
     * fixed IEEE trees on exact inputs.
     */
-  private def applyTransforms(df: DataFrame, q: Query): DataFrame = {
+  private def applyTransforms(df: DataFrame, q: Query, partCols: Seq[String]): DataFrame = {
     if (q.fields.forall(_.transform.isEmpty)) return df
-    val part = if (q.groupTags.isEmpty) Seq(lit(1)) else q.groupTags.map(col)
-    val w = Window.partitionBy(part: _*).orderBy(col("time"))
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val outCols = (col("time") +: q.groupTags.map(col)) ++ q.fields.map { f =>
+    val outCols = (col("time") +: partCols.map(col)) ++ q.fields.map { f =>
       val n = f.outName
       f.transform match {
         case None => col(n)

@@ -16,12 +16,17 @@ import graft.influxql.InfluxQL
   */
 object InfluxQLQueries {
 
-  /** The narrow-points adapter the front-end queries run over. */
+  /** The narrow-points adapter the front-end queries run over. The raw
+    * `ts_ns` column rides along so the planner's redundant raw-column time
+    * bounds reach the parquet scan (PushedFilters — pinned by
+    * PlanAuditSpec); `ts_us` is the exact query-time surface.
+    */
   def points(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(
       concat(lit("dev"), col("user_id") % 50).as("device"),
       col("event_type").as("transducer"),
       unix_micros(col("ts")).as("ts_us"),
+      col("ts_ns"),
       col("value"))
 
   private val ptsSql =

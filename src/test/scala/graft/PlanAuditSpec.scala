@@ -21,6 +21,19 @@ class PlanAuditSpec extends SparkSuite {
       s"no pushed ts filter in:\n$p")
   }
 
+  test("InfluxQL time bounds reach the parquet scan via the raw ts_ns column") {
+    val p = plan("q_influxql_agg")
+    // the ts_us bounds are on a derived column and can't push; the planner's
+    // redundant ts_ns bounds must land in PushedFilters (with the
+    // measurement equality), or a 100 TB time-range query scans everything
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts,"),
+      s"no pushed raw time bound in:\n$p")
+    assert(p.contains("LessThan(ts,"), s"no pushed raw upper bound in:\n$p")
+    assert(p.contains("EqualTo(event_type,click)"), s"measurement not pushed in:\n$p")
+    // one aggregation, partial+final: exactly two HashAggregate generations
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("lineitem date filter is pushed down") {
     val p = plan("q_tpch_q1")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
