@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   *
   *   field  := (agg | xform '(' agg [',' dur|num] ')') ['AS' ident] | ident
   *   agg    := func '(' ident [',' num] ')'
-  *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev
+  *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
+  *             | top|bottom   (N extreme points, sole field, no time buckets)
   *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
   *   cond   := time (<|<=|>|>=) timeLit | ident (=|!=) 'string'
   *   group  := time '(' duration ')' | ident
@@ -85,13 +86,18 @@ object InfluxQL {
                          fill: Fill, timeDesc: Boolean, limit: Option[Int])
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
-    "last", "median", "percentile", "spread", "stddev")
+    "last", "median", "percentile", "spread", "stddev", "mode")
 
   /** InfluxQL transformations — each wraps an inner aggregate and runs as a
     * window over the (densified) bucket series.
     */
   val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "cumulative_sum", "moving_average")
+
+  /** Row selectors: `top(field, N)` / `bottom(field, N)` return the N
+    * extreme POINTS (with their own times) rather than one value per group.
+    */
+  val TopBottomFuncs: Set[String] = Set("top", "bottom")
 
   // ---------- tokenizer ----------
 
@@ -254,7 +260,7 @@ object InfluxQL {
         }
         p.expectSym(")")
         inner.copy(transform = Some(tf), targ = targ)
-      } else if (AggFuncs.contains(name.toLowerCase) && p.sym("(")) {
+      } else if ((AggFuncs ++ TopBottomFuncs).contains(name.toLowerCase) && p.sym("(")) {
         parseAggBody(p, name.toLowerCase)
       } else Field("", name, None, None)
     if (p.kw("AS")) f.copy(alias = Some(p.ident())) else f
@@ -275,8 +281,11 @@ object InfluxQL {
     val arg = p.ident()
     val pct = if (p.sym(",")) Some(p.num()) else None
     p.expectSym(")")
-    if (fn == "percentile" && pct.isEmpty) p.fail("percentile(field, N) needs N")
-    if (fn != "percentile" && pct.nonEmpty) p.fail(s"$fn() takes one argument")
+    val needsN = fn == "percentile" || TopBottomFuncs.contains(fn)
+    if (needsN && pct.isEmpty) p.fail(s"$fn(field, N) needs N")
+    if (!needsN && pct.nonEmpty) p.fail(s"$fn() takes one argument")
+    if (TopBottomFuncs.contains(fn) && pct.exists(n => n < 1 || n != math.floor(n)))
+      p.fail(s"$fn N must be a positive integer")
     Field(fn, arg, pct, None)
   }
 
@@ -337,6 +346,14 @@ object InfluxQL {
     if (q.fields.exists(_.transform.nonEmpty) && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException(
         "InfluxQL: transformations need GROUP BY time() — they run over the bucket series")
+    if (q.fields.exists(f => TopBottomFuncs.contains(f.func))) {
+      if (q.fields.size > 1)
+        throw new IllegalArgumentException(
+          "InfluxQL: top()/bottom() must be the only SELECT field — it returns points, not a value")
+      if (q.groupTimeUs.nonEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: top()/bottom() does not combine with GROUP BY time()")
+    }
   }
 
   // ---------- planner ----------
@@ -377,13 +394,20 @@ object InfluxQL {
     }
 
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
+    if (q.fields.exists(f => TopBottomFuncs.contains(f.func)))
+      return planTopBottom(df, q)
 
-    val aggExprs = q.fields.map(f => aggExpr(f).as(f.outName))
+    val (modeFs, aggFs) = q.fields.partition(_.func == "mode")
+    val aggExprs = aggFs.map(f => aggExpr(f).as(f.outName))
     q.groupTimeUs match {
       case None =>
-        val grouped =
-          if (q.groupTags.isEmpty) df.agg(aggExprs.head, aggExprs.tail: _*)
-          else df.groupBy(q.groupTags.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        val tagCols = q.groupTags.map(col)
+        val base =
+          if (aggFs.isEmpty) None
+          else if (q.groupTags.isEmpty) Some(df.agg(aggExprs.head, aggExprs.tail: _*))
+          else Some(df.groupBy(tagCols: _*).agg(aggExprs.head, aggExprs.tail: _*))
+        val grouped = joinModes(base, modeFs, df, tagCols, q.groupTags)
+          .select(q.groupTags.map(col) ++ q.fields.map(f => col(f.outName)): _*)
         q.limit.fold(grouped)(grouped.limit)
       case Some(step) =>
         // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
@@ -396,15 +420,64 @@ object InfluxQL {
         // plan audit pins to zero.
         val partCols = if (q.groupTags.isEmpty) Seq("transducer") else q.groupTags
         val keys = bucket +: partCols.map(col)
-        val grouped = df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*)
+        val base =
+          if (aggFs.isEmpty) None
+          else Some(df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*))
+        val grouped = joinModes(base, modeFs, df, keys, "time" +: partCols)
         val filled = applyTransforms(applyFill(grouped, q, step, partCols), q, partCols)
-        val projected =
-          if (q.groupTags.isEmpty) filled.drop("transducer") else filled
+        // explicit output shape: time, tags, fields in declaration order
+        // (also drops the synthetic transducer series key of tagless queries)
+        val projected = filled.select(
+          (col("time") +: q.groupTags.map(col)) ++ q.fields.map(f => col(f.outName)): _*)
         val ordered = projected.orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
         q.limit.fold(ordered)(ordered.limit)
     }
+  }
+
+  /** mode() needs its own two-level aggregation (value frequencies, then an
+    * arg-max over them) — it cannot ride the single-pass aggregate with the
+    * other functions. Each mode field aggregates separately and equi-joins
+    * back on the group keys; both sides hash-partition on those keys, so
+    * the join adds no data-sized shuffle. Tie-break: the SMALLEST value
+    * among equally frequent ones (InfluxDB's pick is storage-order
+    * arbitrary; the engine's q_ts_mode pins the same rule) — encoded as a
+    * struct max over (count, -value).
+    */
+  private def joinModes(base: Option[DataFrame], modeFs: Seq[Field], df: DataFrame,
+                        keys: Seq[Column], keyNames: Seq[String]): DataFrame =
+    modeFs.foldLeft(base) { (acc, f) =>
+      val freq = df.groupBy(keys :+ col(f.arg).as("__mv"): _*)
+        .agg(count(lit(1)).as("__mc"))
+      val m = freq.groupBy(keyNames.map(col): _*)
+        .agg((-max(struct(col("__mc").as("c"), (-col("__mv")).as("nv")))
+          .getField("nv")).as(f.outName))
+      Some(acc.fold(m)(a => if (keyNames.isEmpty) a.crossJoin(m) else a.join(m, keyNames)))
+    }.getOrElse(throw new IllegalArgumentException("InfluxQL: no aggregate fields"))
+
+  /** top/bottom return the N extreme POINTS with their own event times —
+    * globally a sort+limit (TakeOrderedAndProject: per-partition heap +
+    * driver merge, never a full sort); per tag group a rank window, which
+    * Spark's WindowGroupLimit prunes to N rows per group before the
+    * exchange. Ties pin on (value, time); two rows tying on BOTH are
+    * identical in every output column, so any pick yields the same result.
+    */
+  private def planTopBottom(df: DataFrame, q: Query): DataFrame = {
+    val f = q.fields.head
+    val n = f.pct.get.toInt
+    val sortCols =
+      if (f.func == "top") Seq(col(f.arg).desc, col("ts_us").asc)
+      else Seq(col(f.arg).asc, col("ts_us").asc)
+    val out = (col("ts_us").as("time") +: q.groupTags.map(col)) :+ col(f.arg).as(f.outName)
+    val picked =
+      if (q.groupTags.isEmpty) df.orderBy(sortCols: _*).limit(n).select(out: _*)
+      else {
+        val w = Window.partitionBy(q.groupTags.map(col): _*).orderBy(sortCols: _*)
+        df.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= n).select(out: _*)
+      }
+    q.limit.fold(picked)(picked.limit)
   }
 
   private def planRaw(df: DataFrame, q: Query): DataFrame = {

@@ -76,6 +76,24 @@ object InfluxQLQueries {
           |GROUP BY time(1d), device""".stripMargin)
     }),
 
+    // mode() beside a one-pass aggregate: two-level frequency aggregation
+    // equi-joined back on the (epoch-aligned weekly bucket, device) keys
+    "q_influxql_mode" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT mode(value), count(value) FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1w), device""".stripMargin)
+    }),
+
+    // top(value, N) per tag group: N extreme POINTS with their own times
+    // (rank window pruned by WindowGroupLimit, never a full per-group sort)
+    "q_influxql_topn" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT top(value, 3) FROM error
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY device""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -166,6 +184,36 @@ object InfluxQLQueries {
          |WINDOW w AS (PARTITION BY device ORDER BY time),
          |  cum AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING),
          |  ma AS (PARTITION BY device ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_influxql_mode" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'view'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |freq AS (SELECT ts_us - ts_us % 604800000000 AS time, device, value,
+         |    count(*) AS mc
+         |  FROM f GROUP BY 1, 2, 3),
+         |modes AS (SELECT time, device,
+         |    -((max({'c': mc, 'nv': -value})).nv) AS mode
+         |  FROM freq GROUP BY 1, 2),
+         |counts AS (SELECT ts_us - ts_us % 604800000000 AS time, device,
+         |    count(value) AS cnt
+         |  FROM f GROUP BY 1, 2),
+         |b AS (SELECT m.time, m.device, m.mode, c.cnt
+         |  FROM modes m JOIN counts c ON m.time = c.time AND m.device = c.device),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1703721600000000 + o * 604800000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 4)) AS t(o))
+         |SELECT s.time, s.device, b.mode, b.cnt AS "count"
+         |FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device""".stripMargin,
+
+    "q_influxql_topn" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'error'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |r AS (SELECT ts_us AS time, device, value,
+         |    row_number() OVER (PARTITION BY device ORDER BY value DESC, ts_us ASC) AS rk
+         |  FROM f)
+         |SELECT time, device, value AS top FROM r WHERE rk <= 3""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

@@ -166,6 +166,48 @@ class InfluxQLSpec extends SparkSuite {
     assert(got == Seq((3L, 3.0), (2L, 2.0)))
   }
 
+  test("planner: mode rides a two-level aggregation joined to the other fields") {
+    val df = pts(
+      ("a", "m", 1L, 5.0), ("a", "m", 2L, 5.0), ("a", "m", 3L, 7.0),   // bucket 0: mode 5
+      ("a", "m", 11L, 3.0), ("a", "m", 12L, 9.0),                      // bucket 10: tie -> smaller
+      ("b", "m", 1L, 4.0), ("b", "m", 2L, 4.0))
+    val got = InfluxQL.run(df,
+      "SELECT mode(value), count(value) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "a", 5.0, 3L),
+      (10L, "a", 3.0, 2L),
+      (0L, "b", 4.0, 2L)))
+    // mode alone, tagless and bucketless (global two-level aggregation)
+    val solo = InfluxQL.run(df, "SELECT mode(value) FROM m")
+      .as[Double].collect().toSeq
+    assert(solo == Seq(4.0), "4.0 and 5.0 both appear twice; smaller value wins the tie")
+    // mode alongside a one-pass aggregate with no group keys (cross join)
+    val mixed = InfluxQL.run(df, "SELECT count(value), mode(value) FROM m")
+      .as[(Long, Double)].collect().toSeq
+    assert(mixed == Seq((7L, 4.0)))
+  }
+
+  test("planner: top/bottom return extreme points with their own times") {
+    val df = pts(
+      ("a", "m", 1L, 5.0), ("a", "m", 2L, 9.0), ("a", "m", 3L, 9.0), ("a", "m", 4L, 1.0),
+      ("b", "m", 5L, 7.0), ("b", "m", 6L, 3.0))
+    // global: ties on value break by earlier time
+    val topG = InfluxQL.run(df, "SELECT top(value, 3) FROM m")
+      .as[(Long, Double)].collect().toSeq
+    assert(topG == Seq((2L, 9.0), (3L, 9.0), (5L, 7.0)))
+    // per tag group
+    val botT = InfluxQL.run(df, "SELECT bottom(value, 1) FROM m GROUP BY device")
+      .as[(Long, String, Double)].collect().toSet
+    assert(botT == Set((4L, "a", 1.0), (6L, "b", 3.0)))
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT top(value, 2), mean(value) FROM m").contains("only SELECT field"))
+    assert(bad("SELECT top(value, 2) FROM m GROUP BY time(1h)").contains("GROUP BY time"))
+    assert(bad("SELECT top(value) FROM m").contains("needs N"))
+    assert(bad("SELECT bottom(value, 0) FROM m").contains("positive integer"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
