@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Supported grammar (case-insensitive keywords):
   * {{{
+  *   SHOW MEASUREMENTS | SHOW TAG KEYS | SHOW TAG VALUES WITH KEY = key
+  *     | SHOW FIELD KEYS
+  *
   *   SELECT field [, field ...]
   *   FROM measurement
   *   [WHERE cond [AND cond ...]]
@@ -32,7 +35,7 @@ import org.apache.spark.sql.functions._
   *             | top|bottom   (N extreme points, sole field, no time buckets)
   *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
   *   cond   := time (<|<=|>|>=) timeLit | ident (=|!=) 'string'
-  *   group  := time '(' duration ')' | ident
+  *   group  := time '(' duration ')' | ident | '*'   ('*' = every tag column)
   * }}}
   *
   * Deliberate semantic pins (deterministic where InfluxDB is loose):
@@ -83,7 +86,8 @@ object InfluxQL {
 
   final case class Query(fields: Seq[Field], measurement: String, conds: Seq[Cond],
                          groupTimeUs: Option[Long], groupTags: Seq[String],
-                         fill: Fill, timeDesc: Boolean, limit: Option[Int])
+                         fill: Fill, timeDesc: Boolean, limit: Option[Int],
+                         groupStar: Boolean = false)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -187,10 +191,13 @@ object InfluxQL {
 
     var groupTime: Option[Long] = None
     val groupTags = Seq.newBuilder[String]
+    var groupStar = false
     var fill: Fill = FillNull
     if (p.kw("GROUP")) {
       p.expectKw("BY")
       do {
+        if (p.sym("*")) { groupStar = true }
+        else {
         val g = p.ident()
         if (g.equalsIgnoreCase("time")) {
           p.expectSym("(")
@@ -204,6 +211,7 @@ object InfluxQL {
           groupTime = Some(d)
           p.expectSym(")")
         } else groupTags += g
+        }
       } while (p.sym(","))
       if (p.kw("FILL")) {
         p.expectSym("(")
@@ -230,7 +238,7 @@ object InfluxQL {
     if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
-      groupTags.result(), fill, timeDesc, limit)
+      groupTags.result(), fill, timeDesc, limit, groupStar)
     validate(q)
     q
   }
@@ -335,7 +343,7 @@ object InfluxQL {
         "InfluxQL: cannot mix aggregated and raw fields in one SELECT")
     if (aggs == 0 && q.groupTimeUs.nonEmpty)
       throw new IllegalArgumentException("InfluxQL: GROUP BY time() needs aggregated fields")
-    if (aggs == 0 && q.groupTags.nonEmpty)
+    if (aggs == 0 && (q.groupTags.nonEmpty || q.groupStar))
       throw new IllegalArgumentException("InfluxQL: GROUP BY needs aggregated fields")
     val dup = q.fields.groupBy(_.outName).collect { case (n, fs) if fs.size > 1 => n }
     if (dup.nonEmpty)
@@ -360,9 +368,70 @@ object InfluxQL {
 
   /** Plan `text` over `points` — the narrow layout with a `transducer`
     * column (the measurement), a `ts_us` long column (event time), tag
-    * columns, and the value fields the query references.
+    * columns, and the value fields the query references. Dispatches
+    * SELECT statements to the query planner and SHOW statements to the
+    * metadata planner.
     */
-  def run(points: DataFrame, text: String): DataFrame = plan(points, parse(text))
+  def run(points: DataFrame, text: String): DataFrame =
+    if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
+    else {
+      val q0 = parse(text)
+      val q = if (q0.groupStar) q0.copy(groupTags = tagColumns(points)) else q0
+      plan(points, q)
+    }
+
+  /** The reserved (non-tag, non-field) columns of the points layout. */
+  private val Reserved = Set("transducer", "ts_us", "ts_ns")
+
+  /** Tag columns: string-typed and not reserved (`GROUP BY *` expands to
+    * these, in name order for deterministic output).
+    */
+  def tagColumns(points: DataFrame): Seq[String] =
+    points.schema.fields
+      .filter(f => !Reserved.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq.sorted
+
+  /** SHOW metadata statements — the discovery half of the dialect
+    * (InfluxDB clients issue these before any SELECT): MEASUREMENTS and
+    * TAG VALUES are distinct-scans (one partial+final aggregate);
+    * TAG KEYS / FIELD KEYS answer from the schema alone, no scan at all.
+    */
+  def planShow(points: DataFrame, text: String): DataFrame = {
+    val p = new P(tokenize(text))
+    val spark = points.sparkSession
+    import org.apache.spark.sql.Encoders
+    def finish(df: DataFrame): DataFrame = {
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      df
+    }
+    p.expectKw("SHOW")
+    if (p.kw("MEASUREMENTS"))
+      finish(points.select(col("transducer").as("name")).distinct().orderBy(col("name")))
+    else if (p.kw("TAG")) {
+      if (p.kw("KEYS"))
+        finish(spark.createDataset(tagColumns(points).toList)(Encoders.STRING).toDF("tagKey"))
+      else if (p.kw("VALUES")) {
+        p.expectKw("WITH"); p.expectKw("KEY"); p.expectSym("=")
+        val k = p.next() match {
+          case TIdent(s) => s
+          case TStr(s, _) => s
+          case t => p.fail(s"expected tag key, got '${t.raw}'")
+        }
+        if (!tagColumns(points).contains(k)) p.fail(s"unknown tag key '$k'")
+        finish(points.select(lit(k).as("key"), col(k).as("value"))
+          .distinct().orderBy(col("value")))
+      } else p.fail("expected KEYS or VALUES after SHOW TAG")
+    } else if (p.kw("FIELD")) {
+      p.expectKw("KEYS")
+      val fields = points.schema.fields
+        .filter(f => !Reserved.contains(f.name) &&
+          f.dataType != org.apache.spark.sql.types.StringType)
+        .map(f => (f.name, f.dataType.typeName)).toList.sorted
+      finish(spark.createDataset(fields)(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("fieldKey", "fieldType"))
+    } else p.fail("unsupported SHOW statement (MEASUREMENTS, TAG KEYS, TAG VALUES, FIELD KEYS)")
+  }
 
   def plan(points: DataFrame, q: Query): DataFrame = {
     var df = points.filter(col("transducer") === q.measurement)

@@ -208,6 +208,23 @@ class InfluxQLSpec extends SparkSuite {
     assert(bad("SELECT bottom(value, 0) FROM m").contains("positive integer"))
   }
 
+  test("SHOW statements answer the discovery surface; GROUP BY * expands tags") {
+    val df = pts(("a", "temp", 1L, 1.0), ("b", "temp", 2L, 2.0), ("a", "hum", 3L, 3.0))
+    assert(InfluxQL.run(df, "SHOW MEASUREMENTS").as[String].collect().toSeq ==
+      Seq("hum", "temp"))
+    assert(InfluxQL.run(df, "SHOW TAG KEYS").as[String].collect().toSeq == Seq("device"))
+    assert(InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = device")
+      .as[(String, String)].collect().toSeq == Seq(("device", "a"), ("device", "b")))
+    // ts_us/ts_ns/transducer are reserved: only real fields appear
+    assert(InfluxQL.run(df, "SHOW FIELD KEYS")
+      .as[(String, String)].collect().toSeq == Seq(("value", "double")))
+    val star = InfluxQL.run(df, "SELECT count(value) FROM temp GROUP BY time(10u), *")
+      .as[(Long, String, Long)].collect().toSet
+    assert(star == Set((0L, "a", 1L), (0L, "b", 1L)))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = nope")).getMessage.contains("unknown tag"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
