@@ -259,6 +259,122 @@ object EngineProperties extends Properties("graft") {
         info.sampleRate == 8000 && info.channels == 1
     }
 
+  // --- InfluxQL parser: render->parse is the identity on the AST ----------
+
+  private object Iq {
+    import graft.influxql.InfluxQL._
+
+    private val aggPool = Seq("count", "sum", "mean", "min", "max", "first",
+      "last", "median", "spread", "stddev", "mode")
+    private val tagPool = Seq("device", "zone")
+    private val fieldPool = Seq("value", "v2")
+
+    private def aggFieldGen(i: Int, allowTransform: Boolean): Gen[Field] = for {
+      fn <- Gen.oneOf(aggPool :+ "percentile")
+      arg <- Gen.oneOf(fieldPool)
+      pct <- Gen.chooseNum(0, 100).map(n => if (fn == "percentile") Some(n.toDouble) else None)
+      tf <- if (allowTransform) Gen.option(Gen.oneOf(TransformFuncs.toSeq)) else Gen.const(None)
+      targ <- Gen.chooseNum(2, 9)
+    } yield {
+      val t = tf.map {
+        case d @ ("derivative" | "non_negative_derivative") => (d, Some(targ.toLong * 1000000L))
+        case "moving_average" => ("moving_average", Some(targ.toLong))
+        case other => (other, None)
+      }
+      Field(fn, arg, pct, Some(s"f$i"), t.map(_._1), t.flatMap(_._2))
+    }
+
+    private val condsGen: Gen[Seq[Cond]] = for {
+      nT <- Gen.chooseNum(0, 2)
+      ops <- Gen.listOfN(nT, Gen.oneOf(">", ">=", "<", "<="))
+      us <- Gen.listOfN(nT, Gen.chooseNum(0L, 2000000000000000L))
+      nG <- Gen.chooseNum(0, 2)
+      tags <- Gen.listOfN(nG, Gen.oneOf(tagPool))
+      eqs <- Gen.listOfN(nG, Gen.oneOf(true, false))
+      vs <- Gen.listOfN(nG, Gen.alphaNumStr.map("v" + _.take(6)))
+    } yield ops.zip(us).map { case (o, u) => TimeCond(o, u) } ++
+      tags.lazyZip(eqs).lazyZip(vs).map(TagCond.apply)
+
+    private val aggQueryGen: Gen[Query] = for {
+      groupTime <- Gen.option(Gen.chooseNum(1L, 7L).map(_ * 3600000000L))
+      n <- Gen.chooseNum(1, 3)
+      fields <- Gen.sequence[Seq[Field], Field](
+        (0 until n).map(i => aggFieldGen(i, allowTransform = groupTime.nonEmpty)))
+      conds <- condsGen
+      tags <- Gen.someOf(tagPool).map(_.toSeq)
+      star <- Gen.oneOf(true, false)
+      fill <- if (groupTime.isEmpty) Gen.const(FillNull: Fill)
+        else Gen.oneOf(Gen.const(FillNull: Fill), Gen.const(FillNone: Fill),
+          Gen.const(FillPrevious: Fill), Gen.const(FillLinear: Fill),
+          Gen.chooseNum(0, 99999).map(c => FillValue(c / 100.0): Fill))
+      desc <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.chooseNum(1, 500))
+    } yield Query(fields, "m1", conds, groupTime, tags, fill, desc, limit, star)
+
+    private val rawQueryGen: Gen[Query] = for {
+      fields <- Gen.someOf(fieldPool).suchThat(_.nonEmpty)
+      conds <- condsGen
+      desc <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.chooseNum(1, 500))
+    } yield Query(fields.toSeq.map(Field("", _, None, None)), "m1", conds,
+      None, Nil, FillNull, desc, limit)
+
+    private val topQueryGen: Gen[Query] = for {
+      fn <- Gen.oneOf("top", "bottom")
+      arg <- Gen.oneOf(fieldPool)
+      k <- Gen.chooseNum(1, 20)
+      conds <- condsGen
+      tags <- Gen.someOf(tagPool).map(_.toSeq)
+      desc <- Gen.oneOf(true, false)
+      limit <- Gen.option(Gen.chooseNum(1, 500))
+    } yield Query(Seq(Field(fn, arg, Some(k.toDouble), Some("f0"))), "m1", conds,
+      None, tags, FillNull, desc, limit)
+
+    val queryGen: Gen[Query] = Gen.oneOf(aggQueryGen, rawQueryGen, topQueryGen)
+
+    private def num(d: Double): String =
+      if (d == math.floor(d) && !d.isInfinite) d.toLong.toString
+      else BigDecimal(d).bigDecimal.toPlainString
+
+    private def renderField(f: Field): String = {
+      val inner = if (f.isAgg) s"${f.func}(${f.arg}${f.pct.fold("")(p => s", ${num(p)}")})"
+        else f.arg
+      val wrapped = f.transform.fold(inner)(tf => s"$tf($inner${f.targ.fold("")(t => s", $t")})")
+      wrapped + f.alias.fold("")(a => s" AS $a")
+    }
+
+    def render(q: Query): String = {
+      val sb = new StringBuilder("SELECT ")
+      sb ++= q.fields.map(renderField).mkString(", ")
+      sb ++= s" FROM ${q.measurement}"
+      if (q.conds.nonEmpty) sb ++= " WHERE " + q.conds.map {
+        case TimeCond(op, us) => s"time $op $us"
+        case TagCond(t, true, v) => s"$t = '$v'"
+        case TagCond(t, false, v) => s"$t != '$v'"
+      }.mkString(" AND ")
+      val groups = q.groupTimeUs.map(d => s"time($d)").toSeq ++
+        q.groupTags ++ (if (q.groupStar) Seq("*") else Nil)
+      if (groups.nonEmpty) sb ++= " GROUP BY " + groups.mkString(", ")
+      q.fill match {
+        case FillNull => ()
+        case FillNone => sb ++= " FILL(none)"
+        case FillPrevious => sb ++= " FILL(previous)"
+        case FillLinear => sb ++= " FILL(linear)"
+        case FillValue(v) => sb ++= s" FILL(${num(v)})"
+      }
+      if (q.timeDesc) sb ++= " ORDER BY time DESC"
+      q.limit.foreach(n => sb ++= s" LIMIT $n")
+      sb.toString
+    }
+  }
+
+  property("InfluxQL parser: render->parse is the identity on supported ASTs") =
+    forAll(Iq.queryGen) { q =>
+      val parsed = graft.influxql.InfluxQL.parse(Iq.render(q))
+      if (parsed != q) println(s"RENDER: ${Iq.render(q)}\nGOT:    $parsed\nWANT:   $q")
+      parsed == q
+    }
+
   property("BMP codec roundtrip: arbitrary solid-color images decode to the exact mean") =
     // dims >= the 4x4 pool grid: smaller images leave empty thumbnail
     // cells (correctly 0), which the all-cells assertion below would flag
