@@ -505,6 +505,50 @@ object InfluxQL {
     }
   }
 
+  /** Continuous query: the InfluxDB downsampling idiom (`CREATE CONTINUOUS
+    * QUERY ... BEGIN SELECT mean(value) INTO ... GROUP BY time(10m) END`)
+    * as a Structured Streaming plan. The SELECT subset that makes sense
+    * incrementally — single-pass aggregates, GROUP BY time(d) [+ tags] —
+    * becomes a watermarked tumbling-window aggregation; append mode emits
+    * each bucket once, when the watermark passes its end, which is exactly
+    * the continuous query's resample-and-store contract. Selectors that
+    * need ordered state (percentile/median/mode/top/bottom), fills
+    * (finalized buckets can't be revisited), transforms, and ORDER/LIMIT
+    * are rejected rather than silently approximated — except first/last,
+    * whose struct min/max IS incremental.
+    *
+    * `streamPoints` must carry a TIMESTAMP `ts` column (watermarks don't
+    * attach to raw longs) plus the tag/field columns; state is
+    * watermark-bounded like every streaming aggregate in the engine.
+    */
+  def runContinuous(streamPoints: DataFrame, text: String, lateness: String): DataFrame = {
+    val q = parse(text)
+    val step = q.groupTimeUs.getOrElse(throw new IllegalArgumentException(
+      "InfluxQL continuous query: GROUP BY time() is required"))
+    val banned = q.fields.filter(f => !f.isAgg || f.transform.nonEmpty ||
+      Set("percentile", "median", "mode", "top", "bottom").contains(f.func))
+    if (banned.nonEmpty)
+      throw new IllegalArgumentException(
+        s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
+          "incrementally — single-pass aggregates only")
+    if (q.fill != FillNull || q.timeDesc || q.limit.nonEmpty)
+      throw new IllegalArgumentException(
+        "InfluxQL continuous query: FILL/ORDER BY/LIMIT do not apply to a stream")
+    var df = streamPoints.filter(col("transducer") === q.measurement)
+    q.conds.foreach {
+      case TagCond(tag, true, v) => df = df.filter(col(tag) === v)
+      case TagCond(tag, false, v) => df = df.filter(col(tag) =!= v)
+      case TimeCond(_, _) => throw new IllegalArgumentException(
+        "InfluxQL continuous query: time bounds do not apply to a stream")
+    }
+    val aggExprs = q.fields.map(f => aggExprOn(f, unix_micros(col("ts"))).as(f.outName))
+    df.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"$step microseconds") +: q.groupTags.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(unix_micros(col("window.start")).as("time") +:
+        q.groupTags.map(col) ++: q.fields.map(f => col(f.outName)): _*)
+  }
+
   /** mode() needs its own two-level aggregation (value frequencies, then an
     * arg-max over them) — it cannot ride the single-pass aggregate with the
     * other functions. Each mode field aggregates separately and equi-joins
@@ -560,7 +604,9 @@ object InfluxQL {
     * cross-engine (see class doc): decimal-routed sums, struct-tie-broken
     * selectors, exact-moment stddev.
     */
-  private def aggExpr(f: Field): Column = {
+  private def aggExpr(f: Field): Column = aggExprOn(f, col("ts_us"))
+
+  private def aggExprOn(f: Field, ts: Column): Column = {
     val v = col(f.arg)
     f.func match {
       case "count" => count(v)
@@ -569,8 +615,8 @@ object InfluxQL {
         sum(v.cast("decimal(38,4)")).cast("double") / count(v).cast("double")
       case "min" => min(v)
       case "max" => max(v)
-      case "first" => min(struct(col("ts_us").as("t"), v.as("v"))).getField("v")
-      case "last" => max(struct(col("ts_us").as("t"), v.as("v"))).getField("v")
+      case "first" => min(struct(ts.as("t"), v.as("v"))).getField("v")
+      case "last" => max(struct(ts.as("t"), v.as("v"))).getField("v")
       case "median" => expr(s"percentile(${f.arg}, 0.5)")
       case "percentile" =>
         val p = f.pct.get

@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("InfluxQL continuous query: downsampling runs as a watermarked streaming aggregate") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val cq = graft.influxql.InfluxQL.runContinuous(points,
+      "SELECT mean(value), count(value), last(value) FROM temp GROUP BY time(10m), device",
+      lateness = "1 minute")
+    val q = cq.writeStream.format("memory").queryName("cq_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+        ("d1", "temp", us("2024-01-01 00:02:00"), 4.0),
+        ("d1", "hum", us("2024-01-01 00:03:00"), 99.0)) // other measurement: excluded
+      q.processAllAvailable()
+      assert(spark.table("cq_out").count() == 0, "bucket still open")
+      in.addData(("d1", "temp", us("2024-01-01 00:15:00"), 7.0)) // watermark past 00:10+1m
+      q.processAllAvailable()
+      val closed = spark.table("cq_out")
+        .select("time", "device", "mean", "count", "last")
+        .as[(Long, String, Double, Long, Double)].collect().toSeq
+      assert(closed == Seq((us("2024-01-01 00:00:00"), "d1", 3.0, 2L, 4.0)))
+    } finally q.stop()
+    // the non-incremental surface is rejected, not approximated
+    def bad(s: String): String = intercept[IllegalArgumentException](
+      graft.influxql.InfluxQL.runContinuous(points, s, "1 minute")).getMessage
+    assert(bad("SELECT percentile(value, 90) FROM temp GROUP BY time(10m)")
+      .contains("cannot run incrementally"))
+    assert(bad("SELECT mean(value) FROM temp").contains("GROUP BY time()"))
+    assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(previous)")
+      .contains("do not apply"))
+    assert(bad("SELECT mean(value) FROM temp WHERE time >= 5 GROUP BY time(10m)")
+      .contains("time bounds"))
+  }
+
   test("registry CDC applies new/update/delete in event-time order per device") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
