@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *   SHOW MEASUREMENTS | SHOW TAG KEYS | SHOW TAG VALUES WITH KEY = key
   *     | SHOW FIELD KEYS
   *
-  *   SELECT field [, field ...]
-  *   FROM measurement
+  *   SELECT field [, field ...] [INTO target]
+  *   FROM (measurement | '/regex/')   (regex: per-measurement series,
+  *                                     surfaced as a `measurement` column)
   *   [WHERE cond [AND cond ...]]
   *   [GROUP BY group [, group ...] [FILL(null|none|previous|linear|<num>)]]
   *   [ORDER BY time (ASC|DESC)]
@@ -87,7 +88,8 @@ object InfluxQL {
   final case class Query(fields: Seq[Field], measurement: String, conds: Seq[Cond],
                          groupTimeUs: Option[Long], groupTags: Seq[String],
                          fill: Fill, timeDesc: Boolean, limit: Option[Int],
-                         groupStar: Boolean = false)
+                         groupStar: Boolean = false, into: Option[String] = None,
+                         fromRegex: Boolean = false)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -110,6 +112,7 @@ object InfluxQL {
   private final case class TNum(v: Double, raw: String) extends Tok
   private final case class TStr(s: String, raw: String) extends Tok
   private final case class TDur(us: Long, raw: String) extends Tok
+  private final case class TRegex(re: String, raw: String) extends Tok
   private final case class TSym(raw: String) extends Tok
 
   private val durUnitsUs = Map("ns" -> -1L /* sub-us: rejected below */ ,
@@ -118,7 +121,7 @@ object InfluxQL {
     "w" -> 7L * 86400000000L)
 
   private val tokenRe =
-    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(<=|>=|!=|<>|[(),*=<>]))""".r
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|[(),*=<>]))""".r
 
   private def tokenize(text: String): Seq[Tok] = {
     var pos = 0
@@ -139,7 +142,8 @@ object InfluxQL {
           }
           else if (m.group(8) != null) out += TNum(m.group(8).toDouble, m.group(8))
           else if (m.group(9) != null) out += TIdent(m.group(9))
-          else out += TSym(m.group(10))
+          else if (m.group(10) != null) out += TRegex(m.group(11), m.group(10))
+          else out += TSym(m.group(12))
           pos += m.end
       }
     }
@@ -181,8 +185,12 @@ object InfluxQL {
     p.expectKw("SELECT")
     val fields = Seq.newBuilder[Field]
     do fields += parseField(p) while (p.sym(","))
+    val into = if (p.kw("INTO")) Some(p.ident()) else None
     p.expectKw("FROM")
-    val measurement = p.ident()
+    val (measurement, fromRegex) = p.peek match {
+      case Some(TRegex(re, _)) => p.next(); (re, true)
+      case _ => (p.ident(), false)
+    }
 
     val conds = Seq.newBuilder[Cond]
     if (p.kw("WHERE")) {
@@ -238,7 +246,7 @@ object InfluxQL {
     if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
-      groupTags.result(), fill, timeDesc, limit, groupStar)
+      groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex)
     validate(q)
     q
   }
@@ -375,10 +383,38 @@ object InfluxQL {
   def run(points: DataFrame, text: String): DataFrame =
     if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
     else {
-      val q0 = parse(text)
-      val q = if (q0.groupStar) q0.copy(groupTags = tagColumns(points)) else q0
+      val q = resolve(points, parse(text))
+      if (q.into.nonEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: SELECT ... INTO writes a table — use runInto")
       plan(points, q)
     }
+
+  /** `SELECT ... INTO target`: plan the query and append its result to the
+    * [[graft.storage.TxLogTable]] at `root/<target>` — the batch half of
+    * the InfluxDB downsample-and-store contract (the streaming half is
+    * [[runContinuous]]). Returns the committed version; reruns append
+    * again, exactly like re-issuing the InfluxDB statement.
+    */
+  def runInto(points: DataFrame, text: String, root: String): Long = {
+    val q = resolve(points, parse(text))
+    val target = q.into.getOrElse(throw new IllegalArgumentException(
+      "InfluxQL: runInto needs a SELECT ... INTO statement"))
+    new graft.storage.TxLogTable(points.sparkSession, s"$root/$target")
+      .append(plan(points, q))
+  }
+
+  /** Post-parse resolution against the points schema: `GROUP BY *` expands
+    * to the tag columns; a regex FROM groups per measurement (InfluxDB
+    * keeps matching measurements as separate series), so `transducer`
+    * joins the grouping keys and surfaces as a `measurement` column.
+    */
+  private def resolve(points: DataFrame, q0: Query): Query = {
+    val q1 = if (q0.groupStar) q0.copy(groupTags = tagColumns(points)) else q0
+    if (q1.fromRegex && q1.fields.exists(_.isAgg))
+      q1.copy(groupTags = "transducer" +: q1.groupTags)
+    else q1
+  }
 
   /** The reserved (non-tag, non-field) columns of the points layout. */
   private val Reserved = Set("transducer", "ts_us", "ts_ns")
@@ -434,7 +470,13 @@ object InfluxQL {
   }
 
   def plan(points: DataFrame, q: Query): DataFrame = {
-    var df = points.filter(col("transducer") === q.measurement)
+    var df = points.filter(
+      if (q.fromRegex) col("transducer").rlike(q.measurement)
+      else col("transducer") === q.measurement)
+    // regex FROM: per-measurement grouping key surfaces under its InfluxDB
+    // result name (resolve() already added transducer to the group tags)
+    def out(d: DataFrame): DataFrame =
+      if (q.fromRegex) d.withColumnRenamed("transducer", "measurement") else d
     // `ts_us` is usually DERIVED (ts_ns div 1000 for the nanosecond store),
     // so a predicate on it cannot reach the parquet scan. When the adapter
     // also exposes the raw `ts_ns` column, push the EQUIVALENT raw-column
@@ -464,7 +506,7 @@ object InfluxQL {
 
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
     if (q.fields.exists(f => TopBottomFuncs.contains(f.func)))
-      return planTopBottom(df, q)
+      return out(planTopBottom(df, q))
 
     val (modeFs, aggFs) = q.fields.partition(_.func == "mode")
     val aggExprs = aggFs.map(f => aggExpr(f).as(f.outName))
@@ -477,7 +519,7 @@ object InfluxQL {
           else Some(df.groupBy(tagCols: _*).agg(aggExprs.head, aggExprs.tail: _*))
         val grouped = joinModes(base, modeFs, df, tagCols, q.groupTags)
           .select(q.groupTags.map(col) ++ q.fields.map(f => col(f.outName)): _*)
-        q.limit.fold(grouped)(grouped.limit)
+        out(q.limit.fold(grouped)(grouped.limit))
       case Some(step) =>
         // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
         val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
@@ -501,7 +543,7 @@ object InfluxQL {
         val ordered = projected.orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
-        q.limit.fold(ordered)(ordered.limit)
+        out(q.limit.fold(ordered)(ordered.limit))
     }
   }
 
@@ -594,7 +636,10 @@ object InfluxQL {
   }
 
   private def planRaw(df: DataFrame, q: Query): DataFrame = {
-    val cols = col("ts_us").as("time") +: q.fields.map(f => col(f.arg).as(f.outName))
+    val head =
+      if (q.fromRegex) Seq(col("ts_us").as("time"), col("transducer").as("measurement"))
+      else Seq(col("ts_us").as("time"))
+    val cols = head ++ q.fields.map(f => col(f.arg).as(f.outName))
     val out = df.select(cols: _*)
       .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
     q.limit.fold(out)(out.limit)

@@ -76,6 +76,15 @@ object InfluxQLQueries {
           |GROUP BY time(1d), device""".stripMargin)
     }),
 
+    // regex FROM: matching measurements stay separate series, surfaced as
+    // a measurement column; fill densifies per measurement
+    "q_influxql_regex" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value), mean(value) FROM /^(click|view)$/
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d)""".stripMargin)
+    }),
+
     // mode() beside a one-pass aggregate: two-level frequency aggregation
     // equi-joined back on the (epoch-aligned weekly bucket, device) keys
     "q_influxql_mode" -> ((s, dir) => {
@@ -184,6 +193,22 @@ object InfluxQLQueries {
          |WINDOW w AS (PARTITION BY device ORDER BY time),
          |  cum AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING),
          |  ma AS (PARTITION BY device ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_influxql_regex" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT transducer, ts_us, value FROM pts
+         |      WHERE regexp_matches(transducer, '^(click|view)$$')
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, transducer AS measurement,
+         |    count(value) AS cnt,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mn
+         |  FROM f GROUP BY 1, 2),
+         |ms AS (SELECT DISTINCT measurement FROM b),
+         |skel AS (SELECT measurement, 1704067200000000 + o * 86400000000 AS time
+         |         FROM ms, UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, s.measurement, b.cnt AS "count", b.mn AS mean
+         |FROM skel s LEFT JOIN b ON s.time = b.time AND s.measurement = b.measurement""".stripMargin,
 
     "q_influxql_mode" ->
       s"""WITH $ptsSql,

@@ -225,6 +225,33 @@ class InfluxQLSpec extends SparkSuite {
       InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = nope")).getMessage.contains("unknown tag"))
   }
 
+  test("regex FROM groups per measurement; INTO commits to a TxLogTable") {
+    val df = pts(
+      ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
+      ("a", "hum", 3L, 50.0), ("a", "pressure", 4L, 900.0))
+    // aggregates: matching measurements stay separate series
+    val agg = InfluxQL.run(df,
+      "SELECT count(value) FROM /^(temp|hum)$/ GROUP BY time(10u)")
+      .select(col("measurement"), col("count"))
+      .as[(String, Long)].collect().toSet
+    assert(agg == Set(("temp", 2L), ("hum", 1L)))
+    // raw selection carries the measurement along
+    val raw = InfluxQL.run(df, "SELECT value FROM /^p/")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(raw == Seq((4L, "pressure", 900.0)))
+    // INTO: the result lands as an ACID table commit; reruns append
+    val root = java.nio.file.Files.createTempDirectory("influxinto").toString
+    val v0 = InfluxQL.runInto(df,
+      "SELECT mean(value) INTO temp_daily FROM temp GROUP BY time(10u), device", root)
+    assert(v0 == 0L)
+    val t = new graft.storage.TxLogTable(spark, s"$root/temp_daily")
+    assert(t.read().select("time", "device", "mean")
+      .as[(Long, String, Double)].collect().toSeq == Seq((0L, "a", 3.0)))
+    assert(intercept[IllegalArgumentException](InfluxQL.run(df,
+      "SELECT mean(value) INTO x FROM temp GROUP BY time(10u)"))
+      .getMessage.contains("runInto"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
