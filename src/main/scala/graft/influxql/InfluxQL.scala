@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
   *             | top|bottom   (N extreme points, sole field, no time buckets)
   *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
-  *   cond   := time (<|<=|>|>=) timeLit | ident (=|!=) 'string'
+  *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
+  *           | time (<|<=|>|>=) timeLit | tag (=|!=) 'string'
+  *           | field (=|!=|<|<=|>|>=) num
   *   group  := time '(' duration ')' | ident | '*'   ('*' = every tag column)
   * }}}
   *
@@ -71,6 +73,13 @@ object InfluxQL {
   sealed trait Cond
   final case class TimeCond(op: String, us: Long) extends Cond
   final case class TagCond(tag: String, eq: Boolean, value: String) extends Cond
+  /** Numeric comparison on a field column (`value > 5`). */
+  final case class FieldCond(field: String, op: String, v: Double) extends Cond
+  /** Disjunction of AND-branches (`(a AND b) OR c`); time bounds inside a
+    * branch don't contribute to fill skeletons or scan pushdown — only
+    * top-level conjuncts do.
+    */
+  final case class OrCond(branches: Seq[Seq[Cond]]) extends Cond
 
   /** One SELECT expression; `func` is empty for a raw field reference.
     * `transform` wraps the aggregate in an InfluxQL transformation
@@ -193,9 +202,7 @@ object InfluxQL {
     }
 
     val conds = Seq.newBuilder[Cond]
-    if (p.kw("WHERE")) {
-      do conds += parseCond(p) while (p.kw("AND"))
-    }
+    if (p.kw("WHERE")) conds ++= parseWhere(p)
 
     var groupTime: Option[Long] = None
     val groupTags = Seq.newBuilder[String]
@@ -305,6 +312,39 @@ object InfluxQL {
     Field(fn, arg, pct, None)
   }
 
+  /** Boolean condition grammar, standard precedence (AND binds tighter):
+    * {{{
+    *   where  := term (OR term)*     -- an OR at this level folds to OrCond
+    *   term   := factor (AND factor)*
+    *   factor := '(' where ')' | simple
+    * }}}
+    * Returns the top-level AND list; a disjunction becomes one [[OrCond]]
+    * element of it.
+    */
+  private def parseWhere(p: P): Seq[Cond] = {
+    val first = parseAndTerm(p)
+    if (p.peek.exists { case TIdent(s) => s.equalsIgnoreCase("OR"); case _ => false }) {
+      val branches = Seq.newBuilder[Seq[Cond]]
+      branches += first
+      while (p.kw("OR")) branches += parseAndTerm(p)
+      Seq(OrCond(branches.result()))
+    } else first
+  }
+
+  private def parseAndTerm(p: P): Seq[Cond] = {
+    val out = Seq.newBuilder[Cond]
+    out ++= parseFactor(p)
+    while (p.kw("AND")) out ++= parseFactor(p)
+    out.result()
+  }
+
+  private def parseFactor(p: P): Seq[Cond] =
+    if (p.sym("(")) {
+      val inner = parseWhere(p)
+      p.expectSym(")")
+      inner
+    } else Seq(parseCond(p))
+
   private def parseCond(p: P): Cond = {
     val lhs = p.ident()
     if (lhs.equalsIgnoreCase("time")) {
@@ -319,16 +359,19 @@ object InfluxQL {
       }
       TimeCond(op, us)
     } else {
-      val eq = p.next() match {
-        case TSym("=") => true
-        case TSym("!=") | TSym("<>") => false
-        case t => p.fail(s"expected = or != after tag '$lhs', got '${t.raw}'")
+      val op = p.next() match {
+        case TSym(s) if Set("=", "!=", "<>", "<", "<=", ">", ">=").contains(s) =>
+          if (s == "<>") "!=" else s
+        case t => p.fail(s"expected comparison after '$lhs', got '${t.raw}'")
       }
-      val v = p.next() match {
-        case TStr(s, _) => s
-        case t => p.fail(s"expected quoted tag value, got '${t.raw}'")
+      p.next() match {
+        case TStr(s, _) =>
+          if (op != "=" && op != "!=")
+            p.fail(s"tag '$lhs' only supports = and != (got $op)")
+          TagCond(lhs, op == "=", s)
+        case TNum(v, _) => FieldCond(lhs, op, v)
+        case t => p.fail(s"expected tag string or field number, got '${t.raw}'")
       }
-      TagCond(lhs, eq, v)
     }
   }
 
@@ -486,22 +529,17 @@ object InfluxQL {
     // convention. The ts_us predicate stays for exactness; the raw one is
     // redundant, never wrong.
     val hasNs = points.columns.contains("ts_ns")
-    q.conds.foreach {
-      case TimeCond("<", us) =>
-        df = df.filter(col("ts_us") < us)
-        if (hasNs) df = df.filter(col("ts_ns") < us * 1000L)
-      case TimeCond("<=", us) =>
-        df = df.filter(col("ts_us") <= us)
-        if (hasNs) df = df.filter(col("ts_ns") < (us + 1) * 1000L)
-      case TimeCond(">", us) =>
-        df = df.filter(col("ts_us") > us)
-        if (hasNs) df = df.filter(col("ts_ns") >= (us + 1) * 1000L)
-      case TimeCond(">=", us) =>
-        df = df.filter(col("ts_us") >= us)
-        if (hasNs) df = df.filter(col("ts_ns") >= us * 1000L)
-      case TimeCond(op, _) => throw new IllegalArgumentException(s"bad time op $op")
-      case TagCond(tag, true, v) => df = df.filter(col(tag) === v)
-      case TagCond(tag, false, v) => df = df.filter(col(tag) =!= v)
+    q.conds.foreach { c =>
+      df = df.filter(condColumn(c))
+      // only TOP-LEVEL time conjuncts get the raw-column twin: a bound
+      // inside an OR branch doesn't restrict the scan unconditionally
+      c match {
+        case TimeCond("<", us) if hasNs => df = df.filter(col("ts_ns") < us * 1000L)
+        case TimeCond("<=", us) if hasNs => df = df.filter(col("ts_ns") < (us + 1) * 1000L)
+        case TimeCond(">", us) if hasNs => df = df.filter(col("ts_ns") >= (us + 1) * 1000L)
+        case TimeCond(">=", us) if hasNs => df = df.filter(col("ts_ns") >= us * 1000L)
+        case _ => ()
+      }
     }
 
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
@@ -564,7 +602,8 @@ object InfluxQL {
     * watermark-bounded like every streaming aggregate in the engine.
     */
   def runContinuous(streamPoints: DataFrame, text: String, lateness: String): DataFrame = {
-    val q = parse(text)
+    val q0 = parse(text)
+    val q = if (q0.fromRegex) q0.copy(groupTags = "transducer" +: q0.groupTags) else q0
     val step = q.groupTimeUs.getOrElse(throw new IllegalArgumentException(
       "InfluxQL continuous query: GROUP BY time() is required"))
     val banned = q.fields.filter(f => !f.isAgg || f.transform.nonEmpty ||
@@ -576,19 +615,21 @@ object InfluxQL {
     if (q.fill != FillNull || q.timeDesc || q.limit.nonEmpty)
       throw new IllegalArgumentException(
         "InfluxQL continuous query: FILL/ORDER BY/LIMIT do not apply to a stream")
-    var df = streamPoints.filter(col("transducer") === q.measurement)
-    q.conds.foreach {
-      case TagCond(tag, true, v) => df = df.filter(col(tag) === v)
-      case TagCond(tag, false, v) => df = df.filter(col(tag) =!= v)
-      case TimeCond(_, _) => throw new IllegalArgumentException(
+    var df = streamPoints.filter(
+      if (q.fromRegex) col("transducer").rlike(q.measurement)
+      else col("transducer") === q.measurement)
+    q.conds.foreach { c =>
+      if (containsTime(c)) throw new IllegalArgumentException(
         "InfluxQL continuous query: time bounds do not apply to a stream")
+      df = df.filter(condColumn(c))
     }
     val aggExprs = q.fields.map(f => aggExprOn(f, unix_micros(col("ts"))).as(f.outName))
-    df.withWatermark("ts", lateness)
+    val res = df.withWatermark("ts", lateness)
       .groupBy(window(col("ts"), s"$step microseconds") +: q.groupTags.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
       .select(unix_micros(col("window.start")).as("time") +:
         q.groupTags.map(col) ++: q.fields.map(f => col(f.outName)): _*)
+    if (q.fromRegex) res.withColumnRenamed("transducer", "measurement") else res
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an
@@ -610,6 +651,32 @@ object InfluxQL {
           .getField("nv")).as(f.outName))
       Some(acc.fold(m)(a => if (keyNames.isEmpty) a.crossJoin(m) else a.join(m, keyNames)))
     }.getOrElse(throw new IllegalArgumentException("InfluxQL: no aggregate fields"))
+
+  private def containsTime(c: Cond): Boolean = c match {
+    case TimeCond(_, _) => true
+    case OrCond(bs) => bs.exists(_.exists(containsTime))
+    case _ => false
+  }
+
+  /** One condition as a Column predicate (recursive over OR trees). */
+  private def condColumn(c: Cond): Column = c match {
+    case TimeCond("<", us) => col("ts_us") < us
+    case TimeCond("<=", us) => col("ts_us") <= us
+    case TimeCond(">", us) => col("ts_us") > us
+    case TimeCond(">=", us) => col("ts_us") >= us
+    case TimeCond(op, _) => throw new IllegalArgumentException(s"bad time op $op")
+    case TagCond(tag, true, v) => col(tag) === v
+    case TagCond(tag, false, v) => col(tag) =!= v
+    case FieldCond(f, "=", v) => col(f) === v
+    case FieldCond(f, "!=", v) => col(f) =!= v
+    case FieldCond(f, "<", v) => col(f) < v
+    case FieldCond(f, "<=", v) => col(f) <= v
+    case FieldCond(f, ">", v) => col(f) > v
+    case FieldCond(f, ">=", v) => col(f) >= v
+    case FieldCond(_, op, _) => throw new IllegalArgumentException(s"bad field op $op")
+    case OrCond(branches) =>
+      branches.map(_.map(condColumn).reduce(_ && _)).reduce(_ || _)
+  }
 
   /** top/bottom return the N extreme POINTS with their own event times —
     * globally a sort+limit (TakeOrderedAndProject: per-partition heap +

@@ -284,16 +284,31 @@ object EngineProperties extends Properties("graft") {
       Field(fn, arg, pct, Some(s"f$i"), t.map(_._1), t.flatMap(_._2))
     }
 
+    private val simpleCondGen: Gen[Cond] = Gen.oneOf(
+      for {
+        op <- Gen.oneOf(">", ">=", "<", "<=")
+        u <- Gen.chooseNum(0L, 2000000000000000L)
+      } yield TimeCond(op, u),
+      for {
+        t <- Gen.oneOf(tagPool)
+        eq <- Gen.oneOf(true, false)
+        v <- Gen.alphaNumStr.map("v" + _.take(6))
+      } yield TagCond(t, eq, v),
+      for {
+        f <- Gen.oneOf(fieldPool)
+        op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">=")
+        v <- Gen.chooseNum(0, 99999).map(_ / 100.0)
+      } yield FieldCond(f, op, v))
+
+    private val orCondGen: Gen[Cond] = for {
+      nb <- Gen.chooseNum(2, 3)
+      branches <- Gen.listOfN(nb, Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, simpleCondGen)))
+    } yield OrCond(branches.map(_.toSeq))
+
     private val condsGen: Gen[Seq[Cond]] = for {
-      nT <- Gen.chooseNum(0, 2)
-      ops <- Gen.listOfN(nT, Gen.oneOf(">", ">=", "<", "<="))
-      us <- Gen.listOfN(nT, Gen.chooseNum(0L, 2000000000000000L))
-      nG <- Gen.chooseNum(0, 2)
-      tags <- Gen.listOfN(nG, Gen.oneOf(tagPool))
-      eqs <- Gen.listOfN(nG, Gen.oneOf(true, false))
-      vs <- Gen.listOfN(nG, Gen.alphaNumStr.map("v" + _.take(6)))
-    } yield ops.zip(us).map { case (o, u) => TimeCond(o, u) } ++
-      tags.lazyZip(eqs).lazyZip(vs).map(TagCond.apply)
+      n <- Gen.chooseNum(0, 3)
+      cs <- Gen.listOfN(n, Gen.frequency(4 -> simpleCondGen, 1 -> orCondGen))
+    } yield cs
 
     private val aggQueryGen: Gen[Query] = for {
       groupTime <- Gen.option(Gen.chooseNum(1L, 7L).map(_ * 3600000000L))
@@ -347,11 +362,16 @@ object EngineProperties extends Properties("graft") {
       val sb = new StringBuilder("SELECT ")
       sb ++= q.fields.map(renderField).mkString(", ")
       sb ++= s" FROM ${q.measurement}"
-      if (q.conds.nonEmpty) sb ++= " WHERE " + q.conds.map {
+      def cond(c: Cond): String = c match {
         case TimeCond(op, us) => s"time $op $us"
         case TagCond(t, true, v) => s"$t = '$v'"
         case TagCond(t, false, v) => s"$t != '$v'"
-      }.mkString(" AND ")
+        case FieldCond(f, op, v) => s"$f $op ${num(v)}"
+        // parenthesized so a top-level AND neighbor can't capture a branch
+        case OrCond(bs) => bs.map(_.map(cond).mkString(" AND "))
+          .mkString("((", ") OR (", "))")
+      }
+      if (q.conds.nonEmpty) sb ++= " WHERE " + q.conds.map(cond).mkString(" AND ")
       val groups = q.groupTimeUs.map(d => s"time($d)").toSeq ++
         q.groupTags ++ (if (q.groupStar) Seq("*") else Nil)
       if (groups.nonEmpty) sb ++= " GROUP BY " + groups.mkString(", ")

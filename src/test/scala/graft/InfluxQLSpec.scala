@@ -225,6 +225,28 @@ class InfluxQLSpec extends SparkSuite {
       InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = nope")).getMessage.contains("unknown tag"))
   }
 
+  test("WHERE supports field comparisons and OR with parentheses") {
+    val q = parse("SELECT value FROM m WHERE value > 5 AND (device = 'a' OR device = 'b') AND time >= 10")
+    assert(q.conds == Seq(
+      FieldCond("value", ">", 5.0),
+      OrCond(Seq(Seq(TagCond("device", eq = true, "a")), Seq(TagCond("device", eq = true, "b")))),
+      TimeCond(">=", 10L)))
+    // AND binds tighter than OR
+    val q2 = parse("SELECT value FROM m WHERE device = 'a' AND value > 1 OR value < 0")
+    assert(q2.conds == Seq(OrCond(Seq(
+      Seq(TagCond("device", eq = true, "a"), FieldCond("value", ">", 1.0)),
+      Seq(FieldCond("value", "<", 0.0))))))
+    val df = pts(
+      ("a", "m", 1L, 2.0), ("a", "m", 2L, 8.0), ("b", "m", 3L, 9.0), ("c", "m", 4L, 9.5))
+    val got = InfluxQL.run(df,
+      "SELECT value FROM m WHERE value > 5 AND (device = 'a' OR device = 'b')")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((2L, 8.0), (3L, 9.0)))
+    // strings reject ordered comparison
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT value FROM m WHERE device > 'a'")).getMessage.contains("= and !="))
+  }
+
   test("regex FROM groups per measurement; INTO commits to a TxLogTable") {
     val df = pts(
       ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
