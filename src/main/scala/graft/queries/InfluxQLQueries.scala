@@ -103,6 +103,18 @@ object InfluxQLQueries {
           |GROUP BY device""".stripMargin)
     }),
 
+    // boolean WHERE trees: OR with parentheses (AND binds tighter) plus a
+    // numeric field predicate beside the top-level time bounds — the bounds
+    // stay top-level conjuncts, so scan pushdown and the fill skeleton are
+    // unaffected by the disjunction
+    "q_influxql_where" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS cnt, mean(value) AS mv FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |  AND (device = 'dev3' OR device = 'dev4' OR value > 90)
+          |GROUP BY time(1d)""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -239,6 +251,20 @@ object InfluxQLQueries {
          |    row_number() OVER (PARTITION BY device ORDER BY value DESC, ts_us ASC) AS rk
          |  FROM f)
          |SELECT time, device, value AS top FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_influxql_where" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000
+         |      AND (device = 'dev3' OR device = 'dev4' OR value > 90)),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, count(value) AS cnt,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1),
+         |skel AS (SELECT 1704067200000000 + o * 86400000000 AS time
+         |         FROM UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, b.cnt, b.mv
+         |FROM skel s LEFT JOIN b ON s.time = b.time""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,
