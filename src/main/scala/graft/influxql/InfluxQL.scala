@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
   *   [ORDER BY time (ASC|DESC)]
   *   [LIMIT n]
   *
-  *   field  := (agg | xform '(' agg [',' dur|num] ')') ['AS' ident] | ident
-  *   agg    := func '(' ident [',' num] ')'
+  *   field  := expr ['AS' ident]
+  *   expr   := expr ('+'|'-'|'*'|'/') expr | '(' expr ')' | '-' expr | num
+  *           | scalar '(' expr [',' expr] ')' | call | ident
+  *   call   := agg | xform '(' agg [',' dur|num] ')'
+  *   agg    := func '(' ident [',' num] ')' | count '(' distinct '(' ident ')' ')'
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
   *             | top|bottom   (N extreme points, sole field, no time buckets)
   *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
+  *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
+  *           | pow|atan2
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
   *           | time (<|<=|>|>=) timeLit | tag (=|!=) 'string'
   *           | field (=|!=|<|<=|>|>=) num
@@ -81,20 +86,65 @@ object InfluxQL {
     */
   final case class OrCond(branches: Seq[Seq[Cond]]) extends Cond
 
-  /** One SELECT expression; `func` is empty for a raw field reference.
-    * `transform` wraps the aggregate in an InfluxQL transformation
-    * (`derivative(mean(value), 1h)`): `targ` carries its parameter — the
-    * unit in microseconds for the derivatives, the window width for
-    * moving_average, unused otherwise.
+  /** One aggregate (or transform-wrapped aggregate) call — a LEAF of a
+    * select expression. `transform` wraps the aggregate in an InfluxQL
+    * transformation (`derivative(mean(value), 1h)`): `targ` carries its
+    * parameter — the unit in microseconds for the derivatives, the window
+    * width for moving_average, unused otherwise.
     */
   final case class Field(func: String, arg: String, pct: Option[Double],
-                         alias: Option[String], transform: Option[String] = None,
+                         transform: Option[String] = None,
                          targ: Option[Long] = None) {
-    def isAgg: Boolean = func.nonEmpty
-    def outName: String = alias.getOrElse(transform.getOrElse(if (isAgg) func else arg))
+    def defaultName: String = transform.getOrElse(func)
   }
 
-  final case class Query(fields: Seq[Field], measurement: String, conds: Seq[Cond],
+  /** A select expression tree: aggregate calls, raw field references, and
+    * numeric literals composed with arithmetic and scalar math functions.
+    */
+  sealed trait FExpr
+  final case class FNum(v: Double) extends FExpr
+  final case class FRef(name: String) extends FExpr
+  final case class FCall(call: Field) extends FExpr
+  final case class FBin(op: String, l: FExpr, r: FExpr) extends FExpr
+  final case class FFun(fn: String, args: Seq[FExpr]) extends FExpr
+
+  /** One SELECT item: an expression plus its optional alias. The default
+    * output name is the first call/reference leaf's name (InfluxDB's rule
+    * for `mean(value) * 2` is likewise `mean`); a literal-only expression
+    * has no natural name and must be aliased.
+    */
+  final case class Item(expr: FExpr, alias: Option[String]) {
+    def calls: Seq[Field] = Item.collectCalls(expr)
+    def refs: Seq[String] = Item.collectRefs(expr)
+    def isAgg: Boolean = calls.nonEmpty
+    def bareCall: Option[Field] = expr match { case FCall(f) => Some(f); case _ => None }
+    def outName: String = alias.orElse(Item.leafName(expr)).getOrElse(
+      throw new IllegalArgumentException(
+        "InfluxQL: a literal-only expression needs an AS alias"))
+  }
+  object Item {
+    private[influxql] def collectCalls(e: FExpr): Seq[Field] = e match {
+      case FCall(f) => Seq(f)
+      case FBin(_, l, r) => collectCalls(l) ++ collectCalls(r)
+      case FFun(_, as) => as.flatMap(collectCalls)
+      case _ => Nil
+    }
+    private[influxql] def collectRefs(e: FExpr): Seq[String] = e match {
+      case FRef(n) => Seq(n)
+      case FBin(_, l, r) => collectRefs(l) ++ collectRefs(r)
+      case FFun(_, as) => as.flatMap(collectRefs)
+      case _ => Nil
+    }
+    private[influxql] def leafName(e: FExpr): Option[String] = e match {
+      case FCall(f) => Some(f.defaultName)
+      case FRef(n) => Some(n)
+      case FBin(_, l, r) => leafName(l).orElse(leafName(r))
+      case FFun(_, as) => as.flatMap(leafName(_)).headOption
+      case FNum(_) => None
+    }
+  }
+
+  final case class Query(fields: Seq[Item], measurement: String, conds: Seq[Cond],
                          groupTimeUs: Option[Long], groupTags: Seq[String],
                          fill: Fill, timeDesc: Boolean, limit: Option[Int],
                          groupStar: Boolean = false, into: Option[String] = None,
@@ -114,6 +164,17 @@ object InfluxQL {
     */
   val TopBottomFuncs: Set[String] = Set("top", "bottom")
 
+  /** Scalar math functions (InfluxQL's function-call surface over field
+    * values and aggregate results), each with its arity. All evaluate in
+    * double; `ln` is the natural log (InfluxQL's name — Spark calls it
+    * `log`).
+    */
+  val ScalarFuncs: Map[String, Int] = Map(
+    "abs" -> 1, "sqrt" -> 1, "ceil" -> 1, "floor" -> 1, "round" -> 1,
+    "exp" -> 1, "ln" -> 1, "log2" -> 1, "log10" -> 1,
+    "sin" -> 1, "cos" -> 1, "tan" -> 1, "asin" -> 1, "acos" -> 1, "atan" -> 1,
+    "pow" -> 2, "atan2" -> 2)
+
   // ---------- tokenizer ----------
 
   private sealed trait Tok { def raw: String }
@@ -130,29 +191,41 @@ object InfluxQL {
     "w" -> 7L * 86400000000L)
 
   private val tokenRe =
-    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|[(),*=<>]))""".r
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|[(),*=<>+/-]))""".r
 
   private def tokenize(text: String): Seq[Tok] = {
     var pos = 0
+    var last: Option[Tok] = None
     val out = Seq.newBuilder[Tok]
+    def push(t: Tok): Unit = { out += t; last = Some(t) }
     while (pos < text.length && text.substring(pos).trim.nonEmpty) {
       tokenRe.findPrefixMatchOf(text.substring(pos)) match {
         case None =>
           throw new IllegalArgumentException(
             s"InfluxQL: unrecognized input at position $pos: '${text.substring(pos).take(20)}'")
         case Some(m) =>
-          if (m.group(1) != null) out += TStr(m.group(2), m.group(1))
-          else if (m.group(3) != null) out += TIdent(m.group(4))
+          if (m.group(1) != null) push(TStr(m.group(2), m.group(1)))
+          else if (m.group(3) != null) push(TIdent(m.group(4)))
           else if (m.group(5) != null) {
             val unit = durUnitsUs(m.group(7))
             if (unit < 0) throw new IllegalArgumentException(
               "InfluxQL: sub-microsecond durations are below the engine's time unit")
-            out += TDur(m.group(6).toLong * unit, m.group(5))
+            push(TDur(m.group(6).toLong * unit, m.group(5)))
           }
-          else if (m.group(8) != null) out += TNum(m.group(8).toDouble, m.group(8))
-          else if (m.group(9) != null) out += TIdent(m.group(9))
-          else if (m.group(10) != null) out += TRegex(m.group(11), m.group(10))
-          else out += TSym(m.group(12))
+          else if (m.group(8) != null) push(TNum(m.group(8).toDouble, m.group(8)))
+          else if (m.group(9) != null) push(TIdent(m.group(9)))
+          else if (m.group(10) != null) {
+            // `/.../` is a regex literal only where one can appear — right
+            // after FROM; anywhere else `/` is the division operator (so
+            // `sum(a)/2 FROM /m/` doesn't swallow `2 FROM ` as a regex)
+            val afterFrom = last.exists {
+              case TIdent(s) => s.equalsIgnoreCase("FROM")
+              case _ => false
+            }
+            if (afterFrom) push(TRegex(m.group(11), m.group(10)))
+            else { push(TSym("/")); pos += m.start(10) + 1 - m.end }
+          }
+          else push(TSym(m.group(12)))
           pos += m.end
       }
     }
@@ -192,8 +265,8 @@ object InfluxQL {
   def parse(text: String): Query = {
     val p = new P(tokenize(text))
     p.expectKw("SELECT")
-    val fields = Seq.newBuilder[Field]
-    do fields += parseField(p) while (p.sym(","))
+    val fields = Seq.newBuilder[Item]
+    do fields += parseItem(p) while (p.sym(","))
     val into = if (p.kw("INTO")) Some(p.ident()) else None
     p.expectKw("FROM")
     val (measurement, fromRegex) = p.peek match {
@@ -236,6 +309,7 @@ object InfluxQL {
           case TIdent(s) if s.equalsIgnoreCase("previous") => FillPrevious
           case TIdent(s) if s.equalsIgnoreCase("linear") => FillLinear
           case TNum(v, _) => FillValue(v)
+          case TSym("-") => FillValue(-p.num())
           case t => p.fail(s"expected fill mode, got '${t.raw}'")
         }
         p.expectSym(")")
@@ -258,13 +332,57 @@ object InfluxQL {
     q
   }
 
-  private def parseField(p: P): Field = {
-    val name = p.ident()
-    val f =
-      if (TransformFuncs.contains(name.toLowerCase) && p.sym("(")) {
-        val tf = name.toLowerCase
+  /** `expr ['AS' alias]` — one SELECT item. */
+  private def parseItem(p: P): Item = {
+    val e = parseExpr(p)
+    Item(e, if (p.kw("AS")) Some(p.ident()) else None)
+  }
+
+  /** Arithmetic expression grammar, standard precedence (`* /` bind tighter
+    * than `+ -`; unary minus tightest):
+    * {{{
+    *   expr    := term (('+'|'-') term)*
+    *   term    := unary (('*'|'/') unary)*
+    *   unary   := '-' unary | primary
+    *   primary := num | '(' expr ')' | scalar '(' expr [',' expr] ')'
+    *            | call | ident
+    * }}}
+    */
+  private def parseExpr(p: P): FExpr = {
+    var l = parseMulTerm(p)
+    var go = true
+    while (go) {
+      if (p.sym("+")) l = FBin("+", l, parseMulTerm(p))
+      else if (p.sym("-")) l = FBin("-", l, parseMulTerm(p))
+      else go = false
+    }
+    l
+  }
+
+  private def parseMulTerm(p: P): FExpr = {
+    var l = parseUnaryExpr(p)
+    var go = true
+    while (go) {
+      if (p.sym("*")) l = FBin("*", l, parseUnaryExpr(p))
+      else if (p.sym("/")) l = FBin("/", l, parseUnaryExpr(p))
+      else go = false
+    }
+    l
+  }
+
+  private def parseUnaryExpr(p: P): FExpr =
+    if (p.sym("-")) FFun("neg", Seq(parseUnaryExpr(p))) else parsePrimary(p)
+
+  private def parsePrimary(p: P): FExpr = p.peek match {
+    case Some(TNum(v, _)) => p.next(); FNum(v)
+    case Some(TSym("(")) =>
+      p.next(); val e = parseExpr(p); p.expectSym(")"); e
+    case _ =>
+      val name = p.ident()
+      val lower = name.toLowerCase
+      if (TransformFuncs.contains(lower) && p.sym("(")) {
         val inner = parseAggCall(p)
-        val targ: Option[Long] = tf match {
+        val targ: Option[Long] = lower match {
           case "derivative" | "non_negative_derivative" =>
             // the rate unit; InfluxQL's default is per second
             if (p.sym(",")) Some(p.next() match {
@@ -278,15 +396,23 @@ object InfluxQL {
             if (k < 2 || k != math.floor(k)) p.fail("moving_average N must be an integer >= 2")
             Some(k.toLong)
           case _ =>
-            if (p.sym(",")) p.fail(s"$tf() takes one argument")
+            if (p.sym(",")) p.fail(s"$lower() takes one argument")
             None
         }
         p.expectSym(")")
-        inner.copy(transform = Some(tf), targ = targ)
-      } else if ((AggFuncs ++ TopBottomFuncs).contains(name.toLowerCase) && p.sym("(")) {
-        parseAggBody(p, name.toLowerCase)
-      } else Field("", name, None, None)
-    if (p.kw("AS")) f.copy(alias = Some(p.ident())) else f
+        FCall(inner.copy(transform = Some(lower), targ = targ))
+      } else if ((AggFuncs ++ TopBottomFuncs).contains(lower) && p.sym("(")) {
+        FCall(parseAggBody(p, lower))
+      } else if (ScalarFuncs.contains(lower) && p.sym("(")) {
+        val args = Seq.newBuilder[FExpr]
+        args += parseExpr(p)
+        while (p.sym(",")) args += parseExpr(p)
+        p.expectSym(")")
+        val got = args.result()
+        if (got.size != ScalarFuncs(lower))
+          p.fail(s"$lower() takes ${ScalarFuncs(lower)} argument(s), got ${got.size}")
+        FFun(lower, got)
+      } else FRef(name)
   }
 
   /** `func '(' field [',' num] ')'` — an aggregate call used as a transform
@@ -301,6 +427,15 @@ object InfluxQL {
   }
 
   private def parseAggBody(p: P, fn: String): Field = {
+    // `count(distinct(field))` — exact distinct cardinality
+    if (fn == "count" && p.peek.exists {
+      case TIdent(s) => s.equalsIgnoreCase("distinct"); case _ => false
+    }) {
+      p.next(); p.expectSym("(")
+      val arg = p.ident()
+      p.expectSym(")"); p.expectSym(")")
+      return Field("count_distinct", arg, None)
+    }
     val arg = p.ident()
     val pct = if (p.sym(",")) Some(p.num()) else None
     p.expectSym(")")
@@ -309,7 +444,7 @@ object InfluxQL {
     if (!needsN && pct.nonEmpty) p.fail(s"$fn() takes one argument")
     if (TopBottomFuncs.contains(fn) && pct.exists(n => n < 1 || n != math.floor(n)))
       p.fail(s"$fn N must be a positive integer")
-    Field(fn, arg, pct, None)
+    Field(fn, arg, pct)
   }
 
   /** Boolean condition grammar, standard precedence (AND binds tighter):
@@ -370,6 +505,7 @@ object InfluxQL {
             p.fail(s"tag '$lhs' only supports = and != (got $op)")
           TagCond(lhs, op == "=", s)
         case TNum(v, _) => FieldCond(lhs, op, v)
+        case TSym("-") => FieldCond(lhs, op, -p.num())
         case t => p.fail(s"expected tag string or field number, got '${t.raw}'")
       }
     }
@@ -388,8 +524,13 @@ object InfluxQL {
 
   private def validate(q: Query): Unit = {
     if (q.fields.isEmpty) throw new IllegalArgumentException("InfluxQL: empty SELECT")
+    q.fields.foreach { it =>
+      if (it.calls.nonEmpty && it.refs.nonEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: cannot mix aggregated and raw fields in one expression")
+    }
     val aggs = q.fields.count(_.isAgg)
-    if (aggs > 0 && aggs < q.fields.size)
+    if (aggs > 0 && q.fields.exists(it => it.refs.nonEmpty && it.calls.isEmpty))
       throw new IllegalArgumentException(
         "InfluxQL: cannot mix aggregated and raw fields in one SELECT")
     if (aggs == 0 && q.groupTimeUs.nonEmpty)
@@ -402,11 +543,11 @@ object InfluxQL {
         s"InfluxQL: duplicate output columns ${dup.mkString(", ")} — alias with AS")
     if (q.fill != FillNull && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException("InfluxQL: FILL() requires GROUP BY time()")
-    if (q.fields.exists(_.transform.nonEmpty) && q.groupTimeUs.isEmpty)
+    if (q.fields.exists(_.calls.exists(_.transform.nonEmpty)) && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException(
         "InfluxQL: transformations need GROUP BY time() — they run over the bucket series")
-    if (q.fields.exists(f => TopBottomFuncs.contains(f.func))) {
-      if (q.fields.size > 1)
+    if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func)))) {
+      if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: top()/bottom() must be the only SELECT field — it returns points, not a value")
       if (q.groupTimeUs.nonEmpty)
@@ -543,11 +684,20 @@ object InfluxQL {
     }
 
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
-    if (q.fields.exists(f => TopBottomFuncs.contains(f.func)))
+    if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       return out(planTopBottom(df, q))
 
-    val (modeFs, aggFs) = q.fields.partition(_.func == "mode")
-    val aggExprs = aggFs.map(f => aggExpr(f).as(f.outName))
+    // each DISTINCT call computes once under an internal name; the final
+    // projection compiles every item's expression over those columns (a
+    // call shared by several expressions still aggregates once)
+    val calls = q.fields.flatMap(_.calls).distinct
+    val intName: Map[Field, String] =
+      calls.zipWithIndex.map { case (f, i) => f -> s"__c$i" }.toMap
+    val (modeFs, aggFs) = calls.partition(_.func == "mode")
+    val aggExprs = aggFs.map(f => aggExpr(f).as(intName(f)))
+    def projectItems(d: DataFrame, head: Seq[Column]): DataFrame =
+      d.select(head ++ q.fields.map(it =>
+        compileItem(it.expr, f => col(intName(f))).as(it.outName)): _*)
     q.groupTimeUs match {
       case None =>
         val tagCols = q.groupTags.map(col)
@@ -555,8 +705,9 @@ object InfluxQL {
           if (aggFs.isEmpty) None
           else if (q.groupTags.isEmpty) Some(df.agg(aggExprs.head, aggExprs.tail: _*))
           else Some(df.groupBy(tagCols: _*).agg(aggExprs.head, aggExprs.tail: _*))
-        val grouped = joinModes(base, modeFs, df, tagCols, q.groupTags)
-          .select(q.groupTags.map(col) ++ q.fields.map(f => col(f.outName)): _*)
+        val grouped = projectItems(
+          joinModes(base, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),
+          q.groupTags.map(col))
         out(q.limit.fold(grouped)(grouped.limit))
       case Some(step) =>
         // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
@@ -572,17 +723,73 @@ object InfluxQL {
         val base =
           if (aggFs.isEmpty) None
           else Some(df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*))
-        val grouped = joinModes(base, modeFs, df, keys, "time" +: partCols)
-        val filled = applyTransforms(applyFill(grouped, q, step, partCols), q, partCols)
+        val grouped = joinModes(base, modeFs.map(f => f -> intName(f)), df,
+          keys, "time" +: partCols)
+        // fills and transforms act on the CALL columns (per-aggregate, the
+        // pinned sequencing: fill feeds LOCF'd values into a derivative);
+        // expression arithmetic happens after, in the final projection
+        val filled = applyTransforms(
+          applyFill(grouped, q, step, partCols, calls.map(intName)),
+          q, partCols, intName)
         // explicit output shape: time, tags, fields in declaration order
         // (also drops the synthetic transducer series key of tagless queries)
-        val projected = filled.select(
-          (col("time") +: q.groupTags.map(col)) ++ q.fields.map(f => col(f.outName)): _*)
+        val projected = projectItems(filled, col("time") +: q.groupTags.map(col))
         val ordered = projected.orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
         out(q.limit.fold(ordered)(ordered.limit))
     }
+  }
+
+  /** Compile a select expression over compiled call columns. A bare call or
+    * field reference keeps its native type (a `count` stays a long); any
+    * COMPOSITE expression evaluates in double end to end — every leaf casts
+    * to double first, so the arithmetic is a fixed IEEE tree, deterministic
+    * cross-engine (the repo's bit-exact convention; the integer-typed
+    * ceil/floor results cast back to double for the same reason).
+    */
+  private def compileItem(e: FExpr, leaf: Field => Column): Column = e match {
+    case FCall(f) => leaf(f)
+    case FRef(n) => col(n)
+    case other => compileExpr(other, leaf)
+  }
+
+  private def compileExpr(e: FExpr, leaf: Field => Column): Column = e match {
+    case FNum(v) => lit(v)
+    case FRef(n) => col(n).cast("double")
+    case FCall(f) => leaf(f).cast("double")
+    case FBin(op, l, r) =>
+      val (a, b) = (compileExpr(l, leaf), compileExpr(r, leaf))
+      op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case other => throw new IllegalArgumentException(s"bad operator $other")
+      }
+    case FFun("neg", Seq(x)) => -compileExpr(x, leaf)
+    case FFun(fn, args) =>
+      val a = args.map(compileExpr(_, leaf))
+      fn match {
+        case "abs" => abs(a(0))
+        case "sqrt" => sqrt(a(0))
+        case "ceil" => ceil(a(0)).cast("double")
+        case "floor" => floor(a(0)).cast("double")
+        case "round" => round(a(0)).cast("double")
+        case "exp" => exp(a(0))
+        case "ln" => log(a(0))
+        case "log2" => log2(a(0))
+        case "log10" => log10(a(0))
+        case "sin" => sin(a(0))
+        case "cos" => cos(a(0))
+        case "tan" => tan(a(0))
+        case "asin" => asin(a(0))
+        case "acos" => acos(a(0))
+        case "atan" => atan(a(0))
+        case "pow" => pow(a(0), a(1))
+        case "atan2" => atan2(a(0), a(1))
+        case other => throw new IllegalArgumentException(s"unsupported function $other")
+      }
   }
 
   /** Continuous query: the InfluxDB downsampling idiom (`CREATE CONTINUOUS
@@ -606,8 +813,13 @@ object InfluxQL {
     val q = if (q0.fromRegex) q0.copy(groupTags = "transducer" +: q0.groupTags) else q0
     val step = q.groupTimeUs.getOrElse(throw new IllegalArgumentException(
       "InfluxQL continuous query: GROUP BY time() is required"))
-    val banned = q.fields.filter(f => !f.isAgg || f.transform.nonEmpty ||
-      Set("percentile", "median", "mode", "top", "bottom").contains(f.func))
+    if (q.fields.exists(!_.isAgg))
+      throw new IllegalArgumentException(
+        "InfluxQL continuous query: raw fields cannot run incrementally — " +
+          "single-pass aggregates only")
+    val banned = q.fields.flatMap(_.calls).filter(f => f.transform.nonEmpty ||
+      Set("percentile", "median", "mode", "top", "bottom", "count_distinct")
+        .contains(f.func))
     if (banned.nonEmpty)
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
@@ -623,12 +835,18 @@ object InfluxQL {
         "InfluxQL continuous query: time bounds do not apply to a stream")
       df = df.filter(condColumn(c))
     }
-    val aggExprs = q.fields.map(f => aggExprOn(f, unix_micros(col("ts"))).as(f.outName))
+    // same internal-column scheme as the batch planner: distinct calls
+    // aggregate once, expressions compile over the result in the projection
+    val calls = q.fields.flatMap(_.calls).distinct
+    val intName: Map[Field, String] =
+      calls.zipWithIndex.map { case (f, i) => f -> s"__c$i" }.toMap
+    val aggExprs = calls.map(f => aggExprOn(f, unix_micros(col("ts"))).as(intName(f)))
     val res = df.withWatermark("ts", lateness)
       .groupBy(window(col("ts"), s"$step microseconds") +: q.groupTags.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
       .select(unix_micros(col("window.start")).as("time") +:
-        q.groupTags.map(col) ++: q.fields.map(f => col(f.outName)): _*)
+        q.groupTags.map(col) ++: q.fields.map(it =>
+          compileItem(it.expr, f => col(intName(f))).as(it.outName)): _*)
     if (q.fromRegex) res.withColumnRenamed("transducer", "measurement") else res
   }
 
@@ -641,14 +859,15 @@ object InfluxQL {
     * arbitrary; the engine's q_ts_mode pins the same rule) — encoded as a
     * struct max over (count, -value).
     */
-  private def joinModes(base: Option[DataFrame], modeFs: Seq[Field], df: DataFrame,
-                        keys: Seq[Column], keyNames: Seq[String]): DataFrame =
-    modeFs.foldLeft(base) { (acc, f) =>
+  private def joinModes(base: Option[DataFrame], modeFs: Seq[(Field, String)],
+                        df: DataFrame, keys: Seq[Column],
+                        keyNames: Seq[String]): DataFrame =
+    modeFs.foldLeft(base) { case (acc, (f, name)) =>
       val freq = df.groupBy(keys :+ col(f.arg).as("__mv"): _*)
         .agg(count(lit(1)).as("__mc"))
       val m = freq.groupBy(keyNames.map(col): _*)
         .agg((-max(struct(col("__mc").as("c"), (-col("__mv")).as("nv")))
-          .getField("nv")).as(f.outName))
+          .getField("nv")).as(name))
       Some(acc.fold(m)(a => if (keyNames.isEmpty) a.crossJoin(m) else a.join(m, keyNames)))
     }.getOrElse(throw new IllegalArgumentException("InfluxQL: no aggregate fields"))
 
@@ -686,12 +905,13 @@ object InfluxQL {
     * identical in every output column, so any pick yields the same result.
     */
   private def planTopBottom(df: DataFrame, q: Query): DataFrame = {
-    val f = q.fields.head
+    val it = q.fields.head
+    val f = it.bareCall.get // validate() pins top/bottom to a sole bare call
     val n = f.pct.get.toInt
     val sortCols =
       if (f.func == "top") Seq(col(f.arg).desc, col("ts_us").asc)
       else Seq(col(f.arg).asc, col("ts_us").asc)
-    val out = (col("ts_us").as("time") +: q.groupTags.map(col)) :+ col(f.arg).as(f.outName)
+    val out = (col("ts_us").as("time") +: q.groupTags.map(col)) :+ col(f.arg).as(it.outName)
     val picked =
       if (q.groupTags.isEmpty) df.orderBy(sortCols: _*).limit(n).select(out: _*)
       else {
@@ -706,7 +926,9 @@ object InfluxQL {
     val head =
       if (q.fromRegex) Seq(col("ts_us").as("time"), col("transducer").as("measurement"))
       else Seq(col("ts_us").as("time"))
-    val cols = head ++ q.fields.map(f => col(f.arg).as(f.outName))
+    val noCalls: Field => Column =
+      f => throw new IllegalArgumentException(s"unexpected aggregate ${f.func}")
+    val cols = head ++ q.fields.map(it => compileItem(it.expr, noCalls).as(it.outName))
     val out = df.select(cols: _*)
       .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
     q.limit.fold(out)(out.limit)
@@ -722,6 +944,7 @@ object InfluxQL {
     val v = col(f.arg)
     f.func match {
       case "count" => count(v)
+      case "count_distinct" => countDistinct(v)
       case "sum" => sum(v.cast("decimal(38,4)")).cast("double")
       case "mean" =>
         sum(v.cast("decimal(38,4)")).cast("double") / count(v).cast("double")
@@ -758,7 +981,7 @@ object InfluxQL {
     * fill modes ride ONE window shuffle on the grouping tags.
     */
   private def applyFill(grouped: DataFrame, q: Query, step: Long,
-                        partCols: Seq[String]): DataFrame = {
+                        partCols: Seq[String], aggNames: Seq[String]): DataFrame = {
     if (q.fill == FillNone) return grouped
     // the default fill(null) densifies only when the query bounds the range
     // (InfluxDB likewise only emits empty buckets inside explicit bounds);
@@ -767,7 +990,6 @@ object InfluxQL {
     val (lo, hi) = fillBounds(q)
     val bLo = lo - Math.floorMod(lo, step)
     val bHi = hi - 1 - Math.floorMod(hi - 1, step)
-    val aggNames = q.fields.map(_.outName)
     val skeleton = grouped.select(partCols.map(col): _*).distinct()
       .select(
         (partCols.map(col) :+
@@ -822,36 +1044,37 @@ object InfluxQL {
     * conversion at the end), while derivative/difference are two-operand
     * fixed IEEE trees on exact inputs.
     */
-  private def applyTransforms(df: DataFrame, q: Query, partCols: Seq[String]): DataFrame = {
-    if (q.fields.forall(_.transform.isEmpty)) return df
+  private def applyTransforms(df: DataFrame, q: Query, partCols: Seq[String],
+                              intName: Map[Field, String]): DataFrame = {
+    val tcalls = q.fields.flatMap(_.calls).distinct.filter(_.transform.nonEmpty)
+    if (tcalls.isEmpty) return df
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val outCols = (col("time") +: partCols.map(col)) ++ q.fields.map { f =>
-      val n = f.outName
-      f.transform match {
-        case None => col(n)
-        case Some(tf) =>
-          val c = col(n).cast("double")
-          val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
-          tf match {
-            case "derivative" | "non_negative_derivative" =>
-              val d = (c - lag(c, 1).over(w)) /
-                ((col("time") - lag(col("time"), 1).over(w)).cast("double") /
-                  lit(f.targ.get.toDouble))
-              (if (tf == "derivative") d
-               else when(d < 0, lit(null).cast("double")).otherwise(d)).as(n)
-            case "difference" => (c - lag(c, 1).over(w)).as(n)
-            case "cumulative_sum" =>
-              (sum(vu).over(cum).cast("double") / lit(1000000.0)).as(n)
-            case "moving_average" =>
-              val frame = w.rowsBetween(-(f.targ.get.toInt - 1), Window.currentRow)
-              (sum(vu).over(frame).cast("double") /
-                count(c).over(frame).cast("double") / lit(1000000.0)).as(n)
-            case other => throw new IllegalArgumentException(s"unsupported transform $other")
-          }
+    // each transformed call column rewrites IN PLACE from its own inner
+    // aggregate (independent of the other columns, so sequential
+    // withColumn is one collapsed Project over the shared window)
+    tcalls.foldLeft(df) { (d, f) =>
+      val n = intName(f)
+      val c = col(n).cast("double")
+      val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
+      val replaced = f.transform.get match {
+        case tf @ ("derivative" | "non_negative_derivative") =>
+          val dv = (c - lag(c, 1).over(w)) /
+            ((col("time") - lag(col("time"), 1).over(w)).cast("double") /
+              lit(f.targ.get.toDouble))
+          if (tf == "derivative") dv
+          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
+        case "difference" => c - lag(c, 1).over(w)
+        case "cumulative_sum" =>
+          sum(vu).over(cum).cast("double") / lit(1000000.0)
+        case "moving_average" =>
+          val frame = w.rowsBetween(-(f.targ.get.toInt - 1), Window.currentRow)
+          sum(vu).over(frame).cast("double") /
+            count(c).over(frame).cast("double") / lit(1000000.0)
+        case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }
+      d.withColumn(n, replaced)
     }
-    df.select(outCols: _*)
   }
 
   /** FILL needs explicit bounds: InfluxDB likewise only densifies inside the

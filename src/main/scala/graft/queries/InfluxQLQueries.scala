@@ -115,6 +115,30 @@ object InfluxQLQueries {
           |GROUP BY time(1d)""".stripMargin)
     }),
 
+    // expression engine over aggregates: binary arithmetic between calls,
+    // scalar functions (IEEE-exact ones only, the oracle must mirror
+    // bit-for-bit), literals, and count(distinct()) — shared calls
+    // aggregate once; composite expressions evaluate in double
+    "q_influxql_math" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT (mean(value) - min(value)) / (spread(value) + 1) AS norm,
+          |       sqrt(sum(value)) AS rootsum,
+          |       abs(mean(value) - 50) AS dist50,
+          |       count(value) * 2 AS cnt2,
+          |       count(distinct(value)) AS uniq
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
+    // raw (per-point) expressions ride the scan projection beside a field
+    // predicate — no aggregation, no shuffle beyond the output sort
+    "q_influxql_raw" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT value * 2 + 1 AS v2, floor(value / 4) AS q4 FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-10' AND value > 50""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -251,6 +275,35 @@ object InfluxQLQueries {
          |    row_number() OVER (PARTITION BY device ORDER BY value DESC, ts_us ASC) AS rk
          |  FROM f)
          |SELECT time, device, value AS top FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_influxql_math" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sm,
+         |    CAST(count(value) AS DOUBLE) AS cntd,
+         |    min(value) AS mnv, max(value) AS mxv,
+         |    CAST(count(DISTINCT value) AS BIGINT) AS uniq
+         |  FROM f GROUP BY 1, 2),
+         |e AS (SELECT time, device,
+         |    ((sm / cntd) - mnv) / ((mxv - mnv) + 1.0) AS norm,
+         |    sqrt(sm) AS rootsum,
+         |    abs((sm / cntd) - 50.0) AS dist50,
+         |    cntd * 2.0 AS cnt2, uniq
+         |  FROM b),
+         |devs AS (SELECT DISTINCT device FROM e),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, s.device, e.norm, e.rootsum, e.dist50, e.cnt2, e.uniq
+         |FROM skel s LEFT JOIN e ON s.time = e.time AND s.device = e.device""".stripMargin,
+
+    "q_influxql_raw" ->
+      s"""WITH $ptsSql
+         |SELECT ts_us AS time, (value * 2.0) + 1.0 AS v2, floor(value / 4.0) AS q4
+         |FROM pts WHERE transducer = 'view'
+         |  AND ts_us >= 1704067200000000 AND ts_us < 1704844800000000
+         |  AND value > 50""".stripMargin,
 
     "q_influxql_where" ->
       s"""WITH $ptsSql,

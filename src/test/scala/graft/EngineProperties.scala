@@ -269,7 +269,7 @@ object EngineProperties extends Properties("graft") {
     private val tagPool = Seq("device", "zone")
     private val fieldPool = Seq("value", "v2")
 
-    private def aggFieldGen(i: Int, allowTransform: Boolean): Gen[Field] = for {
+    private def aggCallGen(allowTransform: Boolean): Gen[Field] = for {
       fn <- Gen.oneOf(aggPool :+ "percentile")
       arg <- Gen.oneOf(fieldPool)
       pct <- Gen.chooseNum(0, 100).map(n => if (fn == "percentile") Some(n.toDouble) else None)
@@ -281,8 +281,30 @@ object EngineProperties extends Properties("graft") {
         case "moving_average" => ("moving_average", Some(targ.toLong))
         case other => (other, None)
       }
-      Field(fn, arg, pct, Some(s"f$i"), t.map(_._1), t.flatMap(_._2))
+      Field(fn, arg, pct, t.map(_._1), t.flatMap(_._2))
     }
+
+    // expression trees over aggregate calls: bare calls, binary arithmetic
+    // with literals or a second call, unary minus, 1-arg scalar functions
+    private def aggExprGen(allowTransform: Boolean): Gen[FExpr] = {
+      val leaf = aggCallGen(allowTransform).map(FCall.apply)
+      val numLeaf = Gen.chooseNum(1, 9999).map(n => FNum(n / 100.0))
+      Gen.frequency(
+        5 -> leaf,
+        1 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/")
+          l <- leaf
+          r <- Gen.oneOf(leaf, numLeaf)
+        } yield FBin(op, l, r)),
+        1 -> leaf.map(l => FFun("neg", Seq(l))),
+        1 -> (for {
+          fn <- Gen.oneOf("abs", "sqrt", "floor", "round")
+          l <- leaf
+        } yield FFun(fn, Seq(l))))
+    }
+
+    private def aggItemGen(i: Int, allowTransform: Boolean): Gen[Item] =
+      aggExprGen(allowTransform).map(e => Item(e, Some(s"f$i")))
 
     private val simpleCondGen: Gen[Cond] = Gen.oneOf(
       for {
@@ -313,8 +335,8 @@ object EngineProperties extends Properties("graft") {
     private val aggQueryGen: Gen[Query] = for {
       groupTime <- Gen.option(Gen.chooseNum(1L, 7L).map(_ * 3600000000L))
       n <- Gen.chooseNum(1, 3)
-      fields <- Gen.sequence[Seq[Field], Field](
-        (0 until n).map(i => aggFieldGen(i, allowTransform = groupTime.nonEmpty)))
+      fields <- Gen.sequence[Seq[Item], Item](
+        (0 until n).map(i => aggItemGen(i, allowTransform = groupTime.nonEmpty)))
       conds <- condsGen
       tags <- Gen.someOf(tagPool).map(_.toSeq)
       star <- Gen.oneOf(true, false)
@@ -331,7 +353,7 @@ object EngineProperties extends Properties("graft") {
       conds <- condsGen
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 500))
-    } yield Query(fields.toSeq.map(Field("", _, None, None)), "m1", conds,
+    } yield Query(fields.toSeq.map(n => Item(FRef(n), None)), "m1", conds,
       None, Nil, FillNull, desc, limit)
 
     private val topQueryGen: Gen[Query] = for {
@@ -342,7 +364,7 @@ object EngineProperties extends Properties("graft") {
       tags <- Gen.someOf(tagPool).map(_.toSeq)
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 500))
-    } yield Query(Seq(Field(fn, arg, Some(k.toDouble), Some("f0"))), "m1", conds,
+    } yield Query(Seq(Item(FCall(Field(fn, arg, Some(k.toDouble))), Some("f0"))), "m1", conds,
       None, tags, FillNull, desc, limit)
 
     val queryGen: Gen[Query] = Gen.oneOf(aggQueryGen, rawQueryGen, topQueryGen)
@@ -351,16 +373,27 @@ object EngineProperties extends Properties("graft") {
       if (d == math.floor(d) && !d.isInfinite) d.toLong.toString
       else BigDecimal(d).bigDecimal.toPlainString
 
-    private def renderField(f: Field): String = {
-      val inner = if (f.isAgg) s"${f.func}(${f.arg}${f.pct.fold("")(p => s", ${num(p)}")})"
-        else f.arg
-      val wrapped = f.transform.fold(inner)(tf => s"$tf($inner${f.targ.fold("")(t => s", $t")})")
-      wrapped + f.alias.fold("")(a => s" AS $a")
+    private def renderCall(f: Field): String = {
+      val inner = s"${f.func}(${f.arg}${f.pct.fold("")(p => s", ${num(p)}")})"
+      f.transform.fold(inner)(tf => s"$tf($inner${f.targ.fold("")(t => s", $t")})")
     }
+
+    // full parenthesization keeps the rendered tree shape = the parsed one
+    private def renderExpr(e: FExpr): String = e match {
+      case FNum(v) => num(v)
+      case FRef(n) => n
+      case FCall(f) => renderCall(f)
+      case FBin(op, l, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
+      case FFun("neg", Seq(x)) => s"(- ${renderExpr(x)})"
+      case FFun(fn, args) => s"$fn(${args.map(renderExpr).mkString(", ")})"
+    }
+
+    private def renderItem(it: Item): String =
+      renderExpr(it.expr) + it.alias.fold("")(a => s" AS $a")
 
     def render(q: Query): String = {
       val sb = new StringBuilder("SELECT ")
-      sb ++= q.fields.map(renderField).mkString(", ")
+      sb ++= q.fields.map(renderItem).mkString(", ")
       sb ++= s" FROM ${q.measurement}"
       def cond(c: Cond): String = c match {
         case TimeCond(op, us) => s"time $op $us"

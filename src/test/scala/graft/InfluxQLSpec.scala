@@ -17,8 +17,8 @@ class InfluxQLSpec extends SparkSuite {
         |WHERE time >= '2024-01-01' AND time < 1706659200000000 AND device != 'dev7'
         |GROUP BY time(6h), device FILL(linear)
         |ORDER BY time DESC LIMIT 10""".stripMargin)
-    assert(q.fields == Seq(Field("mean", "value", None, None),
-      Field("percentile", "value", Some(95.0), Some("p95"))))
+    assert(q.fields == Seq(Item(FCall(Field("mean", "value", None)), None),
+      Item(FCall(Field("percentile", "value", Some(95.0))), Some("p95"))))
     assert(q.measurement == "temp")
     assert(q.conds == Seq(TimeCond(">=", 1704067200000000L),
       TimeCond("<", 1706659200000000L), TagCond("device", eq = false, "dev7")))
@@ -31,7 +31,7 @@ class InfluxQLSpec extends SparkSuite {
     assert(q.groupTimeUs.contains(90L * 60000000L))
     assert(q.fill == FillNull && !q.timeDesc && q.limit.isEmpty)
     assert(q.conds == Seq(TimeCond(">", 5L)))
-    assert(parse("SELECT value FROM m").fields == Seq(Field("", "value", None, None)))
+    assert(parse("SELECT value FROM m").fields == Seq(Item(FRef("value"), None)))
     assert(parse("SELECT mean(value) FROM m GROUP BY time(1w) FILL(3.5)").fill == FillValue(3.5))
   }
 
@@ -115,11 +115,11 @@ class InfluxQLSpec extends SparkSuite {
     val q = parse(
       "SELECT derivative(mean(value), 1h), moving_average(sum(value), 3) AS ma FROM m GROUP BY time(1d)")
     assert(q.fields == Seq(
-      Field("mean", "value", None, None, Some("derivative"), Some(3600000000L)),
-      Field("sum", "value", None, Some("ma"), Some("moving_average"), Some(3L))))
+      Item(FCall(Field("mean", "value", None, Some("derivative"), Some(3600000000L))), None),
+      Item(FCall(Field("sum", "value", None, Some("moving_average"), Some(3L))), Some("ma"))))
     // per-second default unit
     assert(parse("SELECT derivative(max(value)) FROM m GROUP BY time(1h)")
-      .fields.head.targ.contains(1000000L))
+      .fields.head.bareCall.flatMap(_.targ).contains(1000000L))
     def bad(s: String): String =
       intercept[IllegalArgumentException](parse(s)).getMessage
     assert(bad("SELECT derivative(value) FROM m GROUP BY time(1h)").contains("aggregate"))
@@ -272,6 +272,55 @@ class InfluxQLSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](InfluxQL.run(df,
       "SELECT mean(value) INTO x FROM temp GROUP BY time(10u)"))
       .getMessage.contains("runInto"))
+  }
+
+  test("expressions: arithmetic over aggregates with standard precedence") {
+    val q = parse("SELECT mean(value) * 2 + 1 AS m21 FROM m")
+    assert(q.fields == Seq(Item(
+      FBin("+", FBin("*", FCall(Field("mean", "value", None)), FNum(2.0)), FNum(1.0)),
+      Some("m21"))))
+    // default output name comes from the first call leaf
+    assert(parse("SELECT mean(value) * 2 FROM m").fields.head.outName == "mean")
+    val df = pts(
+      ("a", "m", 1L, 2.0), ("a", "m", 2L, 4.0), ("b", "m", 3L, 10.0), ("b", "m", 4L, 20.0))
+    // two calls combined; a shared call aggregates once; literals fold in
+    val got = InfluxQL.run(df,
+      """SELECT (max(value) - min(value)) / 2 AS half_spread,
+        |       mean(value) * 2 AS dbl, count(value) AS n
+        |FROM m GROUP BY device""".stripMargin)
+      .as[(String, Double, Double, Long)].collect().toSet
+    assert(got == Set(("a", 1.0, 6.0, 2L), ("b", 5.0, 30.0, 2L)))
+    // scalar functions + unary minus; sqrt of a sum; composite count casts
+    // to double while a bare count stays long
+    val fns = InfluxQL.run(df,
+      "SELECT sqrt(sum(value)) AS rt, abs(-mean(value)) AS am, count(value) * 2 AS n2 FROM m")
+      .as[(Double, Double, Double)].collect().head
+    assert(fns == ((6.0, 9.0, 8.0)))
+    assert(InfluxQL.run(df, "SELECT count(value) * 2 AS n2 FROM m")
+      .schema("n2").dataType.typeName == "double")
+    // raw expressions ride the scan projection
+    val raw = InfluxQL.run(df, "SELECT value * 2 + 1 AS v, floor(value / 3) AS f FROM m")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(raw == Set((1L, 5.0, 0.0), (2L, 9.0, 1.0), (3L, 21.0, 3.0), (4L, 41.0, 6.0)))
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT mean(value) + value FROM m").contains("one expression"))
+    assert(bad("SELECT 2 + 2 FROM m").contains("alias"))
+    assert(bad("SELECT pow(value) FROM m").contains("takes 2"))
+    assert(bad("SELECT top(value, 2) * 2 FROM m").contains("only SELECT field"))
+  }
+
+  test("expressions: division stays division beside a regex FROM; count(distinct())") {
+    val df = pts(
+      ("a", "m", 1L, 5.0), ("a", "m", 2L, 5.0), ("a", "m", 3L, 7.0), ("b", "x", 4L, 1.0))
+    // `/` after a value is division even with a regex later in the text
+    val got = InfluxQL.run(df, "SELECT sum(value) / 2 AS h FROM /^m$/ GROUP BY time(10u)")
+      .select(col("h")).as[Double].collect().toSeq
+    assert(got == Seq(8.5))
+    val cd = InfluxQL.run(df,
+      "SELECT count(distinct(value)) AS u, count(value) AS n FROM m")
+      .as[(Long, Long)].collect().head
+    assert(cd == ((2L, 3L)))
   }
 
   test("planner: global (tagless) aggregate and whole-query limit") {
