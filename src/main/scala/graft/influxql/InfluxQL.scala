@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   *   [WHERE cond [AND cond ...]]
   *   [GROUP BY group [, group ...] [FILL(null|none|previous|linear|<num>)]]
   *   [ORDER BY time (ASC|DESC)]
-  *   [LIMIT n]
+  *   [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
   *
   *   field  := expr ['AS' ident]
   *   expr   := expr ('+'|'-'|'*'|'/') expr | '(' expr ')' | '-' expr | num
@@ -148,7 +148,8 @@ object InfluxQL {
                          groupTimeUs: Option[Long], groupTags: Seq[String],
                          fill: Fill, timeDesc: Boolean, limit: Option[Int],
                          groupStar: Boolean = false, into: Option[String] = None,
-                         fromRegex: Boolean = false)
+                         fromRegex: Boolean = false, offset: Option[Int] = None,
+                         slimit: Option[Int] = None, soffset: Option[Int] = None)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -323,11 +324,22 @@ object InfluxQL {
       if (!c.equalsIgnoreCase("time")) p.fail("only ORDER BY time is supported")
       if (p.kw("DESC")) timeDesc = true else p.kw("ASC")
     }
-    val limit = if (p.kw("LIMIT")) Some(p.num().toInt) else None
+    // InfluxQL clause order: LIMIT, OFFSET (points), then SLIMIT, SOFFSET
+    // (series)
+    def nat(clause: String): Int = {
+      val v = p.num()
+      if (v < 0 || v != math.floor(v)) p.fail(s"$clause takes a non-negative integer")
+      v.toInt
+    }
+    val limit = if (p.kw("LIMIT")) Some(nat("LIMIT")) else None
+    val offset = if (p.kw("OFFSET")) Some(nat("OFFSET")) else None
+    val slimit = if (p.kw("SLIMIT")) Some(nat("SLIMIT")) else None
+    val soffset = if (p.kw("SOFFSET")) Some(nat("SOFFSET")) else None
     if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
-      groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex)
+      groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
+      offset, slimit, soffset)
     validate(q)
     q
   }
@@ -543,6 +555,10 @@ object InfluxQL {
         s"InfluxQL: duplicate output columns ${dup.mkString(", ")} — alias with AS")
     if (q.fill != FillNull && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException("InfluxQL: FILL() requires GROUP BY time()")
+    if ((q.slimit.nonEmpty || q.soffset.nonEmpty) &&
+        !(q.fields.exists(_.isAgg) && (q.groupTags.nonEmpty || q.groupStar || q.fromRegex)))
+      throw new IllegalArgumentException(
+        "InfluxQL: SLIMIT/SOFFSET select series — they need GROUP BY tags (or *)")
     if (q.fields.exists(_.calls.exists(_.transform.nonEmpty)) && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException(
         "InfluxQL: transformations need GROUP BY time() — they run over the bucket series")
@@ -708,7 +724,7 @@ object InfluxQL {
         val grouped = projectItems(
           joinModes(base, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),
           q.groupTags.map(col))
-        out(q.limit.fold(grouped)(grouped.limit))
+        out(applyRowRange(applySeriesLimit(grouped, q), q))
       case Some(step) =>
         // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
         val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
@@ -734,11 +750,37 @@ object InfluxQL {
         // explicit output shape: time, tags, fields in declaration order
         // (also drops the synthetic transducer series key of tagless queries)
         val projected = projectItems(filled, col("time") +: q.groupTags.map(col))
-        val ordered = projected.orderBy(
+        val ordered = applySeriesLimit(projected, q).orderBy(
           (if (q.timeDesc) col("time").desc else col("time").asc) +:
             q.groupTags.map(col(_).asc): _*)
-        out(q.limit.fold(ordered)(ordered.limit))
+        out(applyRowRange(ordered, q))
     }
+  }
+
+  /** SLIMIT/SOFFSET keep a contiguous run of SERIES in tag order. The
+    * selector is a distinct over the tag columns → TakeOrderedAndProject
+    * (bounded by the series count, small by definition) → broadcast
+    * left-semi join back onto the result — never a window over the full
+    * output, which would single-partition it.
+    */
+  private def applySeriesLimit(df: DataFrame, q: Query): DataFrame = {
+    if (q.slimit.isEmpty && q.soffset.isEmpty) return df
+    val keys = q.groupTags
+    var sel = df.select(keys.map(col): _*).distinct()
+      .orderBy(keys.map(col(_).asc): _*)
+    q.soffset.foreach(n => sel = sel.offset(n))
+    q.slimit.foreach(n => sel = sel.limit(n))
+    // a USING-columns join fronts the keys; restore the output shape
+    df.join(broadcast(sel), keys, "left_semi").select(df.columns.map(col): _*)
+  }
+
+  /** LIMIT/OFFSET are whole-result-set row operations over the query's
+    * output order (SQL semantics — a deliberate pin where InfluxDB's LIMIT
+    * counts points per series in grouped queries).
+    */
+  private def applyRowRange(df: DataFrame, q: Query): DataFrame = {
+    val off = q.offset.fold(df)(df.offset)
+    q.limit.fold(off)(off.limit)
   }
 
   /** Compile a select expression over compiled call columns. A bare call or
@@ -824,7 +866,8 @@ object InfluxQL {
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
           "incrementally — single-pass aggregates only")
-    if (q.fill != FillNull || q.timeDesc || q.limit.nonEmpty)
+    if (q.fill != FillNull || q.timeDesc || q.limit.nonEmpty || q.offset.nonEmpty ||
+        q.slimit.nonEmpty || q.soffset.nonEmpty)
       throw new IllegalArgumentException(
         "InfluxQL continuous query: FILL/ORDER BY/LIMIT do not apply to a stream")
     var df = streamPoints.filter(
@@ -919,7 +962,7 @@ object InfluxQL {
         df.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= n).select(out: _*)
       }
-    q.limit.fold(picked)(picked.limit)
+    applyRowRange(applySeriesLimit(picked, q), q)
   }
 
   private def planRaw(df: DataFrame, q: Query): DataFrame = {
@@ -931,7 +974,7 @@ object InfluxQL {
     val cols = head ++ q.fields.map(it => compileItem(it.expr, noCalls).as(it.outName))
     val out = df.select(cols: _*)
       .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
-    q.limit.fold(out)(out.limit)
+    applyRowRange(out, q)
   }
 
   /** One aggregation expression per SELECT function, each deterministic

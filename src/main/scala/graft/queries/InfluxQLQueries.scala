@@ -139,6 +139,18 @@ object InfluxQLQueries {
           |WHERE time >= '2024-01-01' AND time < '2024-01-10' AND value > 50""".stripMargin)
     }),
 
+    // series + row paging: SLIMIT/SOFFSET pick a contiguous series window
+    // in tag order (distinct -> TakeOrderedAndProject -> broadcast semi
+    // join, never a full-output window); LIMIT/OFFSET then page the rows
+    // over the (time, tags) output order
+    "q_influxql_slimit" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT mean(value) AS mv FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device
+          |LIMIT 60 OFFSET 50 SLIMIT 5 SOFFSET 10""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -318,6 +330,22 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 29)) AS t(o))
          |SELECT s.time, b.cnt, b.mv
          |FROM skel s LEFT JOIN b ON s.time = b.time""".stripMargin,
+
+    "q_influxql_slimit" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |sel AS (SELECT DISTINCT device FROM b ORDER BY device LIMIT 5 OFFSET 10),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM sel, UNNEST(generate_series(0, 29)) AS t(o)),
+         |j AS (SELECT s.time, s.device, b.mv
+         |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device)
+         |SELECT time, device, mv FROM j
+         |ORDER BY time, device LIMIT 60 OFFSET 50""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

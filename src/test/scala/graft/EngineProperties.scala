@@ -346,7 +346,13 @@ object EngineProperties extends Properties("graft") {
           Gen.chooseNum(0, 99999).map(c => FillValue(c / 100.0): Fill))
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 500))
-    } yield Query(fields, "m1", conds, groupTime, tags, fill, desc, limit, star)
+      offset <- Gen.option(Gen.chooseNum(0, 500))
+      slimit <- if (tags.nonEmpty || star) Gen.option(Gen.chooseNum(1, 20))
+        else Gen.const(None)
+      soffset <- if (tags.nonEmpty || star) Gen.option(Gen.chooseNum(0, 20))
+        else Gen.const(None)
+    } yield Query(fields, "m1", conds, groupTime, tags, fill, desc, limit, star,
+      offset = offset, slimit = slimit, soffset = soffset)
 
     private val rawQueryGen: Gen[Query] = for {
       fields <- Gen.someOf(fieldPool).suchThat(_.nonEmpty)
@@ -417,6 +423,9 @@ object EngineProperties extends Properties("graft") {
       }
       if (q.timeDesc) sb ++= " ORDER BY time DESC"
       q.limit.foreach(n => sb ++= s" LIMIT $n")
+      q.offset.foreach(n => sb ++= s" OFFSET $n")
+      q.slimit.foreach(n => sb ++= s" SLIMIT $n")
+      q.soffset.foreach(n => sb ++= s" SOFFSET $n")
       sb.toString
     }
   }

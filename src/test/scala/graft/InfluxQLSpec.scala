@@ -323,6 +323,34 @@ class InfluxQLSpec extends SparkSuite {
     assert(cd == ((2L, 3L)))
   }
 
+  test("SLIMIT/SOFFSET select a series window; OFFSET pages rows") {
+    val df = pts(
+      ("a", "m", 1L, 1.0), ("a", "m", 11L, 2.0),
+      ("b", "m", 2L, 10.0), ("b", "m", 12L, 20.0),
+      ("c", "m", 3L, 100.0), ("c", "m", 13L, 200.0),
+      ("d", "m", 4L, 7.0))
+    // series in tag order (a,b,c,d): skip 1, keep 2 -> b and c
+    val got = InfluxQL.run(df,
+      "SELECT sum(value) AS s FROM m GROUP BY time(10u), device SLIMIT 2 SOFFSET 1")
+      .select(col("device"), col("s")).as[(String, Double)].collect().toSet
+    assert(got == Set(("b", 10.0), ("b", 20.0), ("c", 100.0), ("c", 200.0)))
+    // row paging over the (time, tags) output order
+    val page = InfluxQL.run(df,
+      "SELECT sum(value) AS s FROM m GROUP BY time(10u), device LIMIT 3 OFFSET 2")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(page == Seq((0L, "c", 100.0), (0L, "d", 7.0), (10L, "a", 2.0)))
+    // series ops need series: tagless aggregates and raw queries reject
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT sum(value) FROM m SLIMIT 2").contains("GROUP BY tags"))
+    assert(bad("SELECT value FROM m SLIMIT 2").contains("GROUP BY tags"))
+    // top/bottom combine with the series window
+    val tb = InfluxQL.run(df,
+      "SELECT top(value, 1) FROM m GROUP BY device SLIMIT 2 SOFFSET 2")
+      .as[(Long, String, Double)].collect().toSet
+    assert(tb == Set((13L, "c", 200.0), (4L, "d", 7.0)))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
