@@ -604,6 +604,40 @@ object InfluxQL {
       .append(plan(points, q))
   }
 
+  /** `DELETE FROM <measurement|/regex/> [WHERE ...]` and
+    * `DROP MEASUREMENT <m>` — the InfluxDB retention-management statements,
+    * committed as row-level deletes on the ACID points table (one rewrite
+    * commit; time travel keeps every pre-delete version readable, the
+    * engine's audit answer to a destructive statement). InfluxDB likewise
+    * restricts DELETE predicates to time bounds and tag equality — field
+    * conditions are rejected. Returns the committed version.
+    */
+  def runDelete(table: graft.storage.TxLogTable, text: String): Long = {
+    val p = new P(tokenize(text))
+    if (p.kw("DROP")) {
+      p.expectKw("MEASUREMENT")
+      val m = p.ident()
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      return table.delete(col("transducer") === m)
+    }
+    p.expectKw("DELETE")
+    p.expectKw("FROM")
+    val from = p.peek match {
+      case Some(TRegex(re, _)) => p.next(); col("transducer").rlike(re)
+      case _ => col("transducer") === p.ident()
+    }
+    val conds = if (p.kw("WHERE")) parseWhere(p) else Nil
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    def noFields(c: Cond): Unit = c match {
+      case FieldCond(f, _, _) => throw new IllegalArgumentException(
+        s"InfluxQL DELETE: only time and tag conditions are supported (got field '$f')")
+      case OrCond(bs) => bs.foreach(_.foreach(noFields))
+      case _ => ()
+    }
+    conds.foreach(noFields)
+    table.delete(conds.map(condColumn).foldLeft(from)(_ && _))
+  }
+
   /** Post-parse resolution against the points schema: `GROUP BY *` expands
     * to the tag columns; a regex FROM groups per measurement (InfluxDB
     * keeps matching measurements as separate series), so `transducer`

@@ -351,6 +351,31 @@ class InfluxQLSpec extends SparkSuite {
     assert(tb == Set((13L, "c", 200.0), (4L, "d", 7.0)))
   }
 
+  test("DELETE and DROP MEASUREMENT commit row-level deletes on the ACID table") {
+    val root = java.nio.file.Files.createTempDirectory("influxdel").toString
+    val t = new graft.storage.TxLogTable(spark, s"$root/points")
+    t.append(pts(
+      ("a", "temp", 10L, 1.0), ("a", "temp", 20L, 2.0), ("b", "temp", 30L, 3.0),
+      ("a", "hum", 40L, 4.0), ("b", "hum", 50L, 5.0)))
+    // time + tag predicate: only matching rows go
+    InfluxQL.runDelete(t, "DELETE FROM temp WHERE time < 25 AND device = 'a'")
+    assert(t.read().select("transducer", "ts_us").as[(String, Long)].collect().toSet
+      == Set(("temp", 30L), ("hum", 40L), ("hum", 50L)))
+    // regex FROM + OR tree
+    InfluxQL.runDelete(t, "DELETE FROM /^h/ WHERE device = 'a' OR time >= 50")
+    assert(t.read().select("transducer", "ts_us").as[(String, Long)].collect().toSet
+      == Set(("temp", 30L)))
+    // DROP MEASUREMENT removes the series wholesale
+    val v = InfluxQL.runDelete(t, "DROP MEASUREMENT temp")
+    assert(t.read().count() == 0L)
+    // destructive statements stay auditable: the pre-delete version reads
+    assert(t.readVersion(v - 1).count() == 1L)
+    // field conditions are rejected, exactly as InfluxDB rejects them
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(t, "DELETE FROM temp WHERE value > 2"))
+      .getMessage.contains("field"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
