@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *     | SHOW FIELD KEYS
   *
   *   SELECT field [, field ...] [INTO target]
-  *   FROM (measurement | '/regex/')   (regex: per-measurement series,
-  *                                     surfaced as a `measurement` column)
+  *   FROM (measurement | '/regex/' | '(' select ')')
+  *                                    (regex: per-measurement series,
+  *                                     surfaced as a `measurement` column;
+  *                                     subquery: the inner result is the
+  *                                     outer query's point source)
   *   [WHERE cond [AND cond ...]]
   *   [GROUP BY group [, group ...] [FILL(null|none|previous|linear|<num>)]]
   *   [ORDER BY time (ASC|DESC)]
@@ -149,7 +152,8 @@ object InfluxQL {
                          fill: Fill, timeDesc: Boolean, limit: Option[Int],
                          groupStar: Boolean = false, into: Option[String] = None,
                          fromRegex: Boolean = false, offset: Option[Int] = None,
-                         slimit: Option[Int] = None, soffset: Option[Int] = None)
+                         slimit: Option[Int] = None, soffset: Option[Int] = None,
+                         fromSub: Option[Query] = None)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -265,14 +269,28 @@ object InfluxQL {
 
   def parse(text: String): Query = {
     val p = new P(tokenize(text))
+    val q = parseQuery(p)
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    q
+  }
+
+  private def parseQuery(p: P): Query = {
     p.expectKw("SELECT")
     val fields = Seq.newBuilder[Item]
     do fields += parseItem(p) while (p.sym(","))
     val into = if (p.kw("INTO")) Some(p.ident()) else None
     p.expectKw("FROM")
-    val (measurement, fromRegex) = p.peek match {
-      case Some(TRegex(re, _)) => p.next(); (re, true)
-      case _ => (p.ident(), false)
+    val (measurement, fromRegex, fromSub) = p.peek match {
+      case Some(TRegex(re, _)) => p.next(); (re, true, None)
+      case Some(TSym("(")) =>
+        // subquery FROM: the inner SELECT's output becomes the outer
+        // query's point source
+        p.next()
+        val sub = parseQuery(p)
+        p.expectSym(")")
+        if (sub.into.nonEmpty) p.fail("INTO does not apply inside a subquery")
+        ("", false, Some(sub))
+      case _ => (p.ident(), false, None)
     }
 
     val conds = Seq.newBuilder[Cond]
@@ -335,11 +353,10 @@ object InfluxQL {
     val offset = if (p.kw("OFFSET")) Some(nat("OFFSET")) else None
     val slimit = if (p.kw("SLIMIT")) Some(nat("SLIMIT")) else None
     val soffset = if (p.kw("SOFFSET")) Some(nat("SOFFSET")) else None
-    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
-      offset, slimit, soffset)
+      offset, slimit, soffset, fromSub)
     validate(q)
     q
   }
@@ -583,12 +600,30 @@ object InfluxQL {
   def run(points: DataFrame, text: String): DataFrame =
     if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
     else {
-      val q = resolve(points, parse(text))
+      val q = parse(text)
       if (q.into.nonEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: SELECT ... INTO writes a table — use runInto")
-      plan(points, q)
+      planResolved(points, q)
     }
+
+  /** Recursive planning entry: a subquery FROM plans the inner SELECT and
+    * re-shapes its output into the points layout the outer query expects —
+    * `time` becomes the event time, and the series key is a synthetic
+    * constant measurement. The constant routes through a `when()` on a
+    * real attribute so FoldablePropagation cannot fold it out of the
+    * fill/transform windows' partitionBy (the zero-unpartitioned-windows
+    * pin holds for subquery plans too).
+    */
+  private def planResolved(points: DataFrame, q: Query): DataFrame = q.fromSub match {
+    case Some(sub) =>
+      val adapted = planResolved(points, sub)
+        .withColumnRenamed("time", "ts_us")
+        .withColumn("transducer",
+          when(col("ts_us").isNotNull, lit("(subquery)")).otherwise(lit("(subquery)")))
+      plan(adapted, resolve(adapted, q))
+    case None => plan(points, resolve(points, q))
+  }
 
   /** `SELECT ... INTO target`: plan the query and append its result to the
     * [[graft.storage.TxLogTable]] at `root/<target>` — the batch half of
@@ -597,11 +632,11 @@ object InfluxQL {
     * again, exactly like re-issuing the InfluxDB statement.
     */
   def runInto(points: DataFrame, text: String, root: String): Long = {
-    val q = resolve(points, parse(text))
+    val q = parse(text)
     val target = q.into.getOrElse(throw new IllegalArgumentException(
       "InfluxQL: runInto needs a SELECT ... INTO statement"))
     new graft.storage.TxLogTable(points.sparkSession, s"$root/$target")
-      .append(plan(points, q))
+      .append(planResolved(points, q))
   }
 
   /** `DELETE FROM <measurement|/regex/> [WHERE ...]` and
@@ -704,9 +739,12 @@ object InfluxQL {
   }
 
   def plan(points: DataFrame, q: Query): DataFrame = {
-    var df = points.filter(
-      if (q.fromRegex) col("transducer").rlike(q.measurement)
-      else col("transducer") === q.measurement)
+    // a subquery source is already the selected row set — no FROM filter
+    var df =
+      if (q.fromSub.nonEmpty) points
+      else points.filter(
+        if (q.fromRegex) col("transducer").rlike(q.measurement)
+        else col("transducer") === q.measurement)
     // regex FROM: per-measurement grouping key surfaces under its InfluxDB
     // result name (resolve() already added transducer to the group tags)
     def out(d: DataFrame): DataFrame =
@@ -886,6 +924,9 @@ object InfluxQL {
     */
   def runContinuous(streamPoints: DataFrame, text: String, lateness: String): DataFrame = {
     val q0 = parse(text)
+    if (q0.fromSub.nonEmpty)
+      throw new IllegalArgumentException(
+        "InfluxQL continuous query: subquery FROM cannot run incrementally")
     val q = if (q0.fromRegex) q0.copy(groupTags = "transducer" +: q0.groupTags) else q0
     val step = q.groupTimeUs.getOrElse(throw new IllegalArgumentException(
       "InfluxQL continuous query: GROUP BY time() is required"))

@@ -151,6 +151,20 @@ object InfluxQLQueries {
           |LIMIT 60 OFFSET 50 SLIMIT 5 SOFFSET 10""".stripMargin)
     }),
 
+    // subquery FROM: per-(day, device) maxima re-aggregated weekly — the
+    // InfluxDB mean-of-max idiom; the inner plan's fill skeleton emits
+    // null day-buckets the outer aggregates ignore, exactly as InfluxDB
+    // sequences it
+    "q_influxql_subquery" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT mean(dmax) AS mdm, max(dmax) AS mxm FROM
+          |(SELECT max(value) AS dmax FROM click
+          | WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          | GROUP BY time(1d), device)
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1w)""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -346,6 +360,23 @@ object InfluxQLQueries {
          |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device)
          |SELECT time, device, mv FROM j
          |ORDER BY time, device LIMIT 60 OFFSET 50""".stripMargin,
+
+    "q_influxql_subquery" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    max(value) AS dmax
+         |  FROM f GROUP BY 1, 2),
+         |a AS (SELECT time - time % 604800000000 AS wtime,
+         |    CAST(sum(CAST(dmax AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(dmax) AS DOUBLE) AS mdm,
+         |    max(dmax) AS mxm
+         |  FROM b GROUP BY 1),
+         |skel AS (SELECT 1703721600000000 + o * 604800000000 AS time
+         |         FROM UNNEST(generate_series(0, 4)) AS t(o))
+         |SELECT s.time, a.mdm, a.mxm
+         |FROM skel s LEFT JOIN a ON s.time = a.wtime""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

@@ -376,6 +376,42 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("field"))
   }
 
+  test("subquery FROM: the inner SELECT feeds the outer query") {
+    val df = pts(
+      ("a", "m", 1L, 2.0), ("a", "m", 5L, 4.0), ("a", "m", 11L, 6.0),
+      ("b", "m", 2L, 10.0), ("b", "m", 12L, 20.0), ("b", "m", 13L, 30.0))
+    // inner: per-(bucket, device) max; outer: mean of those maxima per bucket
+    val got = InfluxQL.run(df,
+      """SELECT mean(mx) AS mm FROM
+        |(SELECT max(value) AS mx FROM m GROUP BY time(10u), device)
+        |GROUP BY time(10u)""".stripMargin)
+      .select(col("time"), col("mm")).as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 7.0, 10L -> 18.0))
+    // double aggregation over the same field name (InfluxDB's classic
+    // mean-of-max idiom without aliases)
+    val noAlias = InfluxQL.run(df,
+      "SELECT mean(max) FROM (SELECT max(value) FROM m GROUP BY time(10u), device)")
+      .as[Double].collect().toSeq
+    assert(noAlias == Seq(12.5), "(7 + 18) buckets collapse: mean of 4 maxima (4+10+6+30)/4")
+    // outer WHERE applies to inner output; raw outer over agg inner
+    val filtered = InfluxQL.run(df,
+      """SELECT mx FROM (SELECT max(value) AS mx FROM m GROUP BY time(10u), device)
+        |WHERE mx > 5 AND time < 10""".stripMargin)
+      .as[(Long, Double)].collect().toSet
+    assert(filtered == Set((0L, 10.0)))
+    // fills stay per-series inside the subquery plan (regression guard for
+    // the constant-measurement partitioning)
+    val fill = InfluxQL.run(df,
+      """SELECT mean(mx) AS mm FROM
+        |(SELECT max(value) AS mx FROM m GROUP BY time(10u), device)
+        |WHERE time >= 0 AND time < 40 GROUP BY time(10u) FILL(previous)""".stripMargin)
+      .select(col("time"), col("mm")).as[(Long, Option[Double])].collect().toMap
+    assert(fill == Map(0L -> Some(7.0), 10L -> Some(18.0), 20L -> Some(18.0), 30L -> Some(18.0)))
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT mean(v) FROM (SELECT max(value) AS v INTO x FROM m)"))
+      .getMessage.contains("INTO"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
