@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Supported grammar (case-insensitive keywords):
   * {{{
-  *   SHOW MEASUREMENTS | SHOW TAG KEYS | SHOW TAG VALUES WITH KEY = key
-  *     | SHOW FIELD KEYS
+  *   SHOW MEASUREMENTS | SHOW SERIES | SHOW TAG KEYS
+  *     | SHOW TAG VALUES WITH KEY = key | SHOW FIELD KEYS
   *
   *   SELECT field [, field ...] [INTO target]
   *   FROM (measurement | '/regex/' | '(' select ')')
@@ -40,6 +40,7 @@ import org.apache.spark.sql.functions._
   *   agg    := func '(' ident [',' num] ')' | count '(' distinct '(' ident ')' ')'
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
   *             | top|bottom   (N extreme points, sole field, no time buckets)
+  *             | elapsed      (time to the series predecessor, raw-only)
   *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
   *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
   *           | pow|atan2
@@ -168,6 +169,12 @@ object InfluxQL {
     * extreme POINTS (with their own times) rather than one value per group.
     */
   val TopBottomFuncs: Set[String] = Set("top", "bottom")
+
+  /** `elapsed(field [, unit])` — the time between a point and its
+    * predecessor in the series, in whole `unit`s (default 1us, InfluxQL's
+    * integer division). Raw-only, sole field, per-measurement series.
+    */
+  val ElapsedFunc = "elapsed"
 
   /** Scalar math functions (InfluxQL's function-call surface over field
     * values and aggregate results), each with its arity. All evaluate in
@@ -432,6 +439,15 @@ object InfluxQL {
         FCall(inner.copy(transform = Some(lower), targ = targ))
       } else if ((AggFuncs ++ TopBottomFuncs).contains(lower) && p.sym("(")) {
         FCall(parseAggBody(p, lower))
+      } else if (lower == ElapsedFunc && p.sym("(")) {
+        val arg = p.ident()
+        val unit = if (p.sym(",")) (p.next() match {
+          case TDur(us, _) => us
+          case TNum(v, _) if v == math.floor(v) && v > 0 => v.toLong
+          case t => p.fail(s"expected duration unit, got '${t.raw}'")
+        }) else 1L
+        p.expectSym(")")
+        FCall(Field(ElapsedFunc, arg, None, targ = Some(unit)))
       } else if (ScalarFuncs.contains(lower) && p.sym("(")) {
         val args = Seq.newBuilder[FExpr]
         args += parseExpr(p)
@@ -558,6 +574,9 @@ object InfluxQL {
         throw new IllegalArgumentException(
           "InfluxQL: cannot mix aggregated and raw fields in one expression")
     }
+    if (q.fields.exists(_.calls.exists(_.func == ElapsedFunc)) && q.fields.size > 1)
+      throw new IllegalArgumentException(
+        "InfluxQL: elapsed() must be the only SELECT field")
     val aggs = q.fields.count(_.isAgg)
     if (aggs > 0 && q.fields.exists(it => it.refs.nonEmpty && it.calls.isEmpty))
       throw new IllegalArgumentException(
@@ -586,6 +605,14 @@ object InfluxQL {
       if (q.groupTimeUs.nonEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: top()/bottom() does not combine with GROUP BY time()")
+    }
+    if (q.fields.exists(_.calls.exists(_.func == ElapsedFunc))) {
+      if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: elapsed() must be the only SELECT field")
+      if (q.groupTimeUs.nonEmpty || q.groupTags.nonEmpty || q.groupStar)
+        throw new IllegalArgumentException(
+          "InfluxQL: elapsed() is a raw transformation — GROUP BY does not apply")
     }
   }
 
@@ -713,6 +740,12 @@ object InfluxQL {
     p.expectKw("SHOW")
     if (p.kw("MEASUREMENTS"))
       finish(points.select(col("transducer").as("name")).distinct().orderBy(col("name")))
+    else if (p.kw("SERIES"))
+      // series keys in InfluxDB's line format: measurement,tag=value,...
+      finish(points.select(concat_ws(",",
+        col("transducer") +: tagColumns(points).map(t =>
+          concat(lit(t + "="), col(t))): _*).as("key"))
+        .distinct().orderBy(col("key")))
     else if (p.kw("TAG")) {
       if (p.kw("KEYS"))
         finish(spark.createDataset(tagColumns(points).toList)(Encoders.STRING).toDF("tagKey"))
@@ -735,7 +768,8 @@ object InfluxQL {
         .map(f => (f.name, f.dataType.typeName)).toList.sorted
       finish(spark.createDataset(fields)(
         Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("fieldKey", "fieldType"))
-    } else p.fail("unsupported SHOW statement (MEASUREMENTS, TAG KEYS, TAG VALUES, FIELD KEYS)")
+    } else p.fail(
+      "unsupported SHOW statement (MEASUREMENTS, SERIES, TAG KEYS, TAG VALUES, FIELD KEYS)")
   }
 
   def plan(points: DataFrame, q: Query): DataFrame = {
@@ -771,6 +805,8 @@ object InfluxQL {
       }
     }
 
+    if (q.fields.exists(_.calls.exists(_.func == ElapsedFunc)))
+      return planElapsed(df, q)
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       return out(planTopBottom(df, q))
@@ -1038,6 +1074,28 @@ object InfluxQL {
           .filter(col("__rk") <= n).select(out: _*)
       }
     applyRowRange(applySeriesLimit(picked, q), q)
+  }
+
+  /** elapsed(): each point's distance to its series predecessor in whole
+    * units (integer division, InfluxQL's rule); the first point of a
+    * series has none and drops. One window per measurement series, ordered
+    * by (ts, value) so equal-timestamp pairs resolve deterministically.
+    */
+  private def planElapsed(df: DataFrame, q: Query): DataFrame = {
+    val f = q.fields.head.bareCall.get
+    val unit = f.targ.get
+    val w = Window.partitionBy(col("transducer"))
+      .orderBy(col("ts_us").asc, col(f.arg).asc)
+    val d = col("ts_us") - lag(col("ts_us"), 1).over(w)
+    val head =
+      if (q.fromRegex) Seq(col("ts_us").as("time"), col("transducer").as("measurement"))
+      else Seq(col("ts_us").as("time"))
+    val res = df.filter(col(f.arg).isNotNull)
+      .withColumn("__e", floor(d.cast("double") / lit(unit.toDouble)).cast("long"))
+      .filter(col("__e").isNotNull)
+      .select(head :+ col("__e").as(q.fields.head.outName): _*)
+      .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
+    applyRowRange(res, q)
   }
 
   private def planRaw(df: DataFrame, q: Query): DataFrame = {

@@ -165,6 +165,14 @@ object InfluxQLQueries {
           |GROUP BY time(1w)""".stripMargin)
     }),
 
+    // elapsed(): whole-unit gaps to the series predecessor, first point
+    // dropped — one window per measurement series
+    "q_influxql_elapsed" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT elapsed(value, 1s) AS gap FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-10'""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -377,6 +385,16 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 4)) AS t(o))
          |SELECT s.time, a.mdm, a.mxm
          |FROM skel s LEFT JOIN a ON s.time = a.wtime""".stripMargin,
+
+    "q_influxql_elapsed" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1704844800000000),
+         |w AS (SELECT ts_us AS time,
+         |    ts_us - lag(ts_us) OVER (ORDER BY ts_us, value) AS d
+         |  FROM f)
+         |SELECT time, CAST(floor(CAST(d AS DOUBLE) / 1000000.0) AS BIGINT) AS gap
+         |FROM w WHERE d IS NOT NULL""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

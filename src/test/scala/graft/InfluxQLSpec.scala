@@ -412,6 +412,30 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("INTO"))
   }
 
+  test("elapsed() measures gaps to the series predecessor; SHOW SERIES lists keys") {
+    val df = pts(
+      ("a", "m", 10L, 1.0), ("a", "m", 25L, 2.0), ("a", "m", 31L, 3.0),
+      ("b", "x", 100L, 9.0))
+    // default unit 1us; the first point of each measurement drops
+    val got = InfluxQL.run(df, "SELECT elapsed(value) FROM m")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((25L, 15L), (31L, 6L)))
+    // whole units truncate (InfluxQL's integer division)
+    val tens = InfluxQL.run(df, "SELECT elapsed(value, 10u) AS e FROM m")
+      .as[(Long, Long)].collect().toSeq
+    assert(tens == Seq((25L, 1L), (31L, 0L)))
+    // regex FROM: per-measurement windows, measurement surfaced
+    val re = InfluxQL.run(df, "SELECT elapsed(value) FROM /./")
+      .as[(Long, String, Long)].collect().toSet
+    assert(re == Set((25L, "m", 15L), (31L, "m", 6L)))
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT elapsed(value), value FROM m")).getMessage.contains("only SELECT field"))
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT elapsed(value) FROM m GROUP BY device")).getMessage.contains("GROUP BY"))
+    assert(InfluxQL.run(df, "SHOW SERIES").as[String].collect().toSeq ==
+      Seq("m,device=a", "x,device=b"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
