@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *   SHOW MEASUREMENTS | SHOW SERIES | SHOW TAG KEYS
   *     | SHOW TAG VALUES WITH KEY = key | SHOW FIELD KEYS
   *
+  *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL)
+  *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
+  *
   *   SELECT field [, field ...] [INTO target]
   *   FROM (measurement | '/regex/' | '(' select ')')
   *                                    (regex: per-measurement series,
@@ -958,8 +961,11 @@ object InfluxQL {
     * attach to raw longs) plus the tag/field columns; state is
     * watermark-bounded like every streaming aggregate in the engine.
     */
-  def runContinuous(streamPoints: DataFrame, text: String, lateness: String): DataFrame = {
-    val q0 = parse(text)
+  def runContinuous(streamPoints: DataFrame, text: String, lateness: String): DataFrame =
+    runContinuousParsed(streamPoints, parse(text), lateness)
+
+  private def runContinuousParsed(streamPoints: DataFrame, q0: Query,
+                                  lateness: String): DataFrame = {
     if (q0.fromSub.nonEmpty)
       throw new IllegalArgumentException(
         "InfluxQL continuous query: subquery FROM cannot run incrementally")
@@ -1002,6 +1008,42 @@ object InfluxQL {
         q.groupTags.map(col) ++: q.fields.map(it =>
           compileItem(it.expr, f => col(intName(f))).as(it.outName)): _*)
     if (q.fromRegex) res.withColumnRenamed("transducer", "measurement") else res
+  }
+
+  /** `CREATE CONTINUOUS QUERY <name> ON <db> BEGIN SELECT ... INTO <target>
+    * FROM ... GROUP BY time(d) [, tags] END` — the full InfluxDB
+    * downsample-and-store DDL, end to end: the inner SELECT runs as the
+    * watermarked streaming aggregate ([[runContinuous]]'s incremental
+    * subset) and every closed bucket commits into the
+    * [[graft.storage.TxLogTable]] at `root/<db>/<target>` through the
+    * idempotent streaming MERGE sink — keyed on (time, tags) with the
+    * bucket time as the order column, so an at-least-once replay of a
+    * micro-batch converges instead of double-writing (exactly-once table
+    * effect, the reference's resample contract influx_service.py:183-209
+    * without its per-message HTTP round-trip).
+    */
+  def startContinuousQuery(streamPoints: DataFrame, ddl: String, root: String,
+                           checkpoint: String, lateness: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = new P(tokenize(ddl))
+    p.expectKw("CREATE"); p.expectKw("CONTINUOUS"); p.expectKw("QUERY")
+    p.ident() // the CQ name: identity lives in the checkpoint + target table
+    p.expectKw("ON")
+    val db = p.ident()
+    p.expectKw("BEGIN")
+    val q = parseQuery(p)
+    p.expectKw("END")
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    val target = q.into.getOrElse(p.fail("continuous query needs SELECT ... INTO"))
+    val sel = runContinuousParsed(streamPoints, q.copy(into = None), lateness)
+    val tags = (if (q.fromRegex) Seq("measurement") else Nil) ++ q.groupTags
+    val table = new graft.storage.TxLogTable(
+      streamPoints.sparkSession, s"$root/$db/$target")
+    graft.streaming.StreamingIngest.startMergeSink(
+      sel, table, keys = "time" +: tags, orderCol = "time",
+      checkpoint = checkpoint, trigger = trigger)
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an

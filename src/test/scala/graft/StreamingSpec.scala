@@ -130,6 +130,45 @@ class StreamingSpec extends SparkSuite {
       .contains("time bounds"))
   }
 
+  test("CREATE CONTINUOUS QUERY: closed buckets MERGE into the ACID target table") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_ddl")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+      """CREATE CONTINUOUS QUERY temp_10m ON telemetry BEGIN
+        |SELECT mean(value), count(value) INTO temp_10m FROM temp
+        |GROUP BY time(10m), device END""".stripMargin,
+      root, checkpoint = tmp("cq_ddl_cp"), lateness = "1 minute",
+      trigger = Trigger.ProcessingTime(0))
+    val table = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_10m")
+    try {
+      in.addData(
+        ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+        ("d1", "temp", us("2024-01-01 00:02:00"), 4.0))
+      q.processAllAvailable()
+      // bucket still open: nothing committed (no table yet or empty)
+      assert(table.version.isEmpty || table.read().count() == 0)
+      in.addData(("d1", "temp", us("2024-01-01 00:15:00"), 7.0))
+      q.processAllAvailable()
+      val got = table.read().select("time", "device", "mean", "count")
+        .as[(Long, String, Double, Long)].collect().toSeq
+      assert(got == Seq((us("2024-01-01 00:00:00"), "d1", 3.0, 2L)))
+      // a replayed merge of the same closed bucket converges (idempotent)
+      graft.storage.TxLogTable.retryOnConflict() {
+        table.merge(got.toDF("time", "device", "mean", "count"),
+          Seq("time", "device"), Some("time")); ()
+      }
+      assert(table.read().count() == 1)
+    } finally q.stop()
+    // the DDL demands an INTO target
+    assert(intercept[IllegalArgumentException](
+      graft.influxql.InfluxQL.startContinuousQuery(points,
+        "CREATE CONTINUOUS QUERY x ON db BEGIN SELECT mean(value) FROM temp GROUP BY time(10m) END",
+        root, tmp("cq_cp2"), "1 minute")).getMessage.contains("INTO"))
+  }
+
   test("registry CDC applies new/update/delete in event-time order per device") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
