@@ -50,7 +50,9 @@ import org.apache.spark.sql.functions._
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
   *           | time (<|<=|>|>=) timeLit | tag (=|!=) 'string'
   *           | field (=|!=|<|<=|>|>=) num
-  *   group  := time '(' duration ')' | ident | '*'   ('*' = every tag column)
+  *   group  := time '(' duration [',' duration] ')' | ident | '*'
+  *             (the second duration shifts bucket alignment off the epoch;
+  *              '*' = every tag column)
   * }}}
   *
   * Deliberate semantic pins (deterministic where InfluxDB is loose):
@@ -157,7 +159,7 @@ object InfluxQL {
                          groupStar: Boolean = false, into: Option[String] = None,
                          fromRegex: Boolean = false, offset: Option[Int] = None,
                          slimit: Option[Int] = None, soffset: Option[Int] = None,
-                         fromSub: Option[Query] = None)
+                         fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -307,6 +309,7 @@ object InfluxQL {
     if (p.kw("WHERE")) conds ++= parseWhere(p)
 
     var groupTime: Option[Long] = None
+    var groupTimeOffset = 0L
     val groupTags = Seq.newBuilder[String]
     var groupStar = false
     var fill: Fill = FillNull
@@ -318,14 +321,21 @@ object InfluxQL {
         val g = p.ident()
         if (g.equalsIgnoreCase("time")) {
           p.expectSym("(")
-          val d = p.next() match {
+          def dur(): Long = p.next() match {
             case TDur(us, _) => us
-            case TNum(v, raw) if v == math.floor(v) => v.toLong
+            case TNum(v, _) if v == math.floor(v) => v.toLong
             case t => p.fail(s"expected duration in time(), got '${t.raw}'")
           }
+          val d = dur()
           if (d <= 0) p.fail("time() interval must be positive")
           if (groupTime.nonEmpty) p.fail("duplicate time() grouping")
           groupTime = Some(d)
+          if (p.sym(",")) {
+            val off = dur()
+            if (off < 0 || off >= d)
+              p.fail("time() offset must be in [0, interval)")
+            groupTimeOffset = off
+          }
           p.expectSym(")")
         } else groupTags += g
         }
@@ -366,7 +376,7 @@ object InfluxQL {
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
-      offset, slimit, soffset, fromSub)
+      offset, slimit, soffset, fromSub, groupTimeOffset)
     validate(q)
     q
   }
@@ -837,8 +847,10 @@ object InfluxQL {
           q.groupTags.map(col))
         out(applyRowRange(applySeriesLimit(grouped, q), q))
       case Some(step) =>
-        // epoch-aligned bucket start, exact integer arithmetic (ts_us >= 0)
-        val bucket = ((col("ts_us") - pmod(col("ts_us"), lit(step)))).as("time")
+        // epoch-aligned bucket start (shifted by the time() offset), exact
+        // integer arithmetic — pmod keeps it right even left of the offset
+        val bucket = (col("ts_us") -
+          pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))).as("time")
         // a TAGLESS query is still one series — keyed by its measurement.
         // Grouping and windowing on the real `transducer` attribute (constant
         // under the FROM filter, but an attribute Catalyst cannot fold) keeps
@@ -1002,7 +1014,8 @@ object InfluxQL {
       calls.zipWithIndex.map { case (f, i) => f -> s"__c$i" }.toMap
     val aggExprs = calls.map(f => aggExprOn(f, unix_micros(col("ts"))).as(intName(f)))
     val res = df.withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), s"$step microseconds") +: q.groupTags.map(col): _*)
+      .groupBy(window(col("ts"), s"$step microseconds", s"$step microseconds",
+        s"${q.groupTimeOffsetUs} microseconds") +: q.groupTags.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
       .select(unix_micros(col("window.start")).as("time") +:
         q.groupTags.map(col) ++: q.fields.map(it =>
@@ -1206,8 +1219,9 @@ object InfluxQL {
     // an EXPLICIT fill with no finite skeleton is a user error and throws
     if (q.fill == FillNull && fillBoundsOpt(q).isEmpty) return grouped
     val (lo, hi) = fillBounds(q)
-    val bLo = lo - Math.floorMod(lo, step)
-    val bHi = hi - 1 - Math.floorMod(hi - 1, step)
+    val off = q.groupTimeOffsetUs
+    val bLo = lo - Math.floorMod(lo - off, step)
+    val bHi = hi - 1 - Math.floorMod(hi - 1 - off, step)
     val skeleton = grouped.select(partCols.map(col): _*).distinct()
       .select(
         (partCols.map(col) :+

@@ -173,6 +173,15 @@ object InfluxQLQueries {
           |WHERE time >= '2024-01-01' AND time < '2024-01-10'""".stripMargin)
     }),
 
+    // time(interval, offset): daily buckets aligned to 06:00 — the bucket
+    // grid and the fill skeleton both shift off the epoch
+    "q_influxql_toffset" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS c, mean(value) AS mv FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d, 6h), device""".stripMargin)
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -395,6 +404,21 @@ object InfluxQLQueries {
          |  FROM f)
          |SELECT time, CAST(floor(CAST(d AS DOUBLE) / 1000000.0) AS BIGINT) AS gap
          |FROM w WHERE d IS NOT NULL""".stripMargin,
+
+    "q_influxql_toffset" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'view'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ((ts_us - 21600000000) % 86400000000) AS time, device,
+         |    count(value) AS c,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704002400000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 30)) AS t(o))
+         |SELECT s.time, s.device, b.c, b.mv
+         |FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device""".stripMargin,
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

@@ -334,6 +334,8 @@ object EngineProperties extends Properties("graft") {
 
     private val aggQueryGen: Gen[Query] = for {
       groupTime <- Gen.option(Gen.chooseNum(1L, 7L).map(_ * 3600000000L))
+      groupOff <- if (groupTime.isEmpty) Gen.const(0L)
+        else Gen.chooseNum(0L, 3L).map(_ * 600000000L)
       n <- Gen.chooseNum(1, 3)
       fields <- Gen.sequence[Seq[Item], Item](
         (0 until n).map(i => aggItemGen(i, allowTransform = groupTime.nonEmpty)))
@@ -352,7 +354,8 @@ object EngineProperties extends Properties("graft") {
       soffset <- if (tags.nonEmpty || star) Gen.option(Gen.chooseNum(0, 20))
         else Gen.const(None)
     } yield Query(fields, "m1", conds, groupTime, tags, fill, desc, limit, star,
-      offset = offset, slimit = slimit, soffset = soffset)
+      offset = offset, slimit = slimit, soffset = soffset,
+      groupTimeOffsetUs = groupOff)
 
     private val rawQueryGen: Gen[Query] = for {
       fields <- Gen.someOf(fieldPool).suchThat(_.nonEmpty)
@@ -411,7 +414,9 @@ object EngineProperties extends Properties("graft") {
           .mkString("((", ") OR (", "))")
       }
       if (q.conds.nonEmpty) sb ++= " WHERE " + q.conds.map(cond).mkString(" AND ")
-      val groups = q.groupTimeUs.map(d => s"time($d)").toSeq ++
+      val groups = q.groupTimeUs.map(d =>
+        if (q.groupTimeOffsetUs != 0L) s"time($d, ${q.groupTimeOffsetUs})"
+        else s"time($d)").toSeq ++
         q.groupTags ++ (if (q.groupStar) Seq("*") else Nil)
       if (groups.nonEmpty) sb ++= " GROUP BY " + groups.mkString(", ")
       q.fill match {

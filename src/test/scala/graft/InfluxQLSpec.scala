@@ -436,6 +436,23 @@ class InfluxQLSpec extends SparkSuite {
       Seq("m,device=a", "x,device=b"))
   }
 
+  test("GROUP BY time(interval, offset) shifts bucket alignment") {
+    val df = pts(
+      ("a", "m", 4L, 1.0), ("a", "m", 6L, 2.0), ("a", "m", 15L, 4.0), ("a", "m", 17L, 8.0))
+    // buckets ...[-4,6),[6,16),[16,26): 4->-4, 6/15->6, 17->16
+    val got = InfluxQL.run(df, "SELECT sum(value) AS s FROM m GROUP BY time(10u, 6u)")
+      .select(col("time"), col("s")).as[(Long, Double)].collect().toMap
+    assert(got == Map(-4L -> 1.0, 6L -> 6.0, 16L -> 8.0))
+    // fill skeleton aligns to the shifted grid
+    val filled = InfluxQL.run(df,
+      "SELECT sum(value) AS s FROM m WHERE time >= 0 AND time < 30 GROUP BY time(10u, 6u) FILL(0)")
+      .select(col("time"), col("s")).as[(Long, Double)].collect().toMap
+    assert(filled == Map(-4L -> 1.0, 6L -> 6.0, 16L -> 8.0, 26L -> 0.0))
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT sum(value) FROM m GROUP BY time(10u, 12u)"))
+      .getMessage.contains("offset"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
