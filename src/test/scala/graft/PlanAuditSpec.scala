@@ -150,6 +150,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_influxql_where: OR trees leave top-level time pushdown intact") {
+    val p = plan("q_influxql_where")
+    // the disjunction must not swallow the top-level time conjuncts: the
+    // raw ts bounds still land in PushedFilters
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      s"OR tree broke raw time pushdown in:\n$p")
+  }
+
+  test("q_influxql_slimit: series window is a broadcast semi join") {
+    val p = plan("q_influxql_slimit")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"series limit should broadcast-semi-join, got:\n$p")
+  }
+
+  test("q_influxql_subquery: inner time bounds still reach the scan") {
+    val p = plan("q_influxql_subquery")
+    assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      s"subquery lost the inner raw time pushdown in:\n$p")
+  }
+
   test("no query in the whole surface plans an unpartitioned window") {
     // an empty partitionSpec means WindowExec moves ALL rows to one task —
     // the classic 100 TB scale-killer, and the source of the runtime
