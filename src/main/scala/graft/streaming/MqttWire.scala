@@ -17,7 +17,7 @@ import scala.collection.mutable.ArrayBuffer
   */
 object MqttWireCodec {
 
-  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3
+  val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
   val SUBSCRIBE = 8; val SUBACK = 9
   val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
 
@@ -63,17 +63,31 @@ object MqttWireCodec {
   def encodeConnack(sessionPresent: Boolean, returnCode: Int): Array[Byte] =
     frame(CONNACK, 0, Array((if (sessionPresent) 1 else 0).toByte, returnCode.toByte))
 
-  /** SUBSCRIBE (reserved flags 0b0010 per spec); one QoS-0 entry per filter. */
-  def encodeSubscribe(packetId: Int, filters: Seq[String]): Array[Byte] =
-    frame(SUBSCRIBE, 2, pid2(packetId) ++ filters.toArray.flatMap(f => utf8(f) :+ 0.toByte))
+  /** SUBSCRIBE (reserved flags 0b0010 per spec); one entry per filter at
+    * the requested QoS (0 or 1).
+    */
+  def encodeSubscribe(packetId: Int, filters: Seq[String], qos: Int = 0): Array[Byte] = {
+    require(qos == 0 || qos == 1, s"unsupported QoS $qos")
+    frame(SUBSCRIBE, 2, pid2(packetId) ++ filters.toArray.flatMap(f => utf8(f) :+ qos.toByte))
+  }
 
-  /** SUBACK return codes: 0x00 = granted QoS 0, 0x80 = failure. */
+  /** SUBACK return codes: 0x00/0x01 = granted QoS, 0x80 = failure. */
   def encodeSuback(packetId: Int, codes: Seq[Int]): Array[Byte] =
     frame(SUBACK, 0, pid2(packetId) ++ codes.toArray.map(_.toByte))
 
-  /** QoS-0 PUBLISH: topic then payload, no packet id. */
-  def encodePublish(topic: String, payload: Array[Byte]): Array[Byte] =
-    frame(PUBLISH, 0, utf8(topic) ++ payload)
+  /** PUBLISH: topic, then (QoS >= 1 only) a packet id, then the payload.
+    * Flags per MQTT 3.3.1: bit 3 = DUP (a redelivery), bits 1-2 = QoS.
+    */
+  def encodePublish(topic: String, payload: Array[Byte], qos: Int = 0,
+                    packetId: Int = 0, dup: Boolean = false): Array[Byte] = {
+    require(qos == 0 || qos == 1, s"unsupported QoS $qos")
+    val flags = (if (dup) 8 else 0) | (qos << 1)
+    val mid = if (qos >= 1) pid2(packetId) else Array.empty[Byte]
+    frame(PUBLISH, flags, utf8(topic) ++ mid ++ payload)
+  }
+
+  /** PUBACK: the QoS-1 receiver's acknowledgement (MQTT 3.4). */
+  def encodePuback(packetId: Int): Array[Byte] = frame(PUBACK, 0, pid2(packetId))
 
   def encodePingReq(): Array[Byte] = frame(PINGREQ, 0, Array.empty)
   def encodePingResp(): Array[Byte] = frame(PINGRESP, 0, Array.empty)
@@ -129,8 +143,20 @@ object MqttWireCodec {
   * [[MqttConnectionManager]] drives reconnect/resubscribe on top,
   * unchanged from the in-process transport.
   */
+/** @param subscribeQos requested subscription QoS: 0 (fire-and-forget) or
+  *                     1 (at-least-once — each inbound QoS-1 PUBLISH is
+  *                     PUBACKed after the message callback returns, so a
+  *                     crash before the callback completes leaves the
+  *                     message unacked and the broker redelivers it with
+  *                     DUP; duplicates are the downstream offset-log /
+  *                     txn-fence layers' job, exactly like a replayed
+  *                     micro-batch)
+  * @param autoAck     test seam: false suppresses PUBACKs to exercise
+  *                    broker redelivery
+  */
 class SocketMqttTransport(host: String, port: Int, clientId: String,
-                          ioTimeoutMs: Int = 10000) extends MqttTransport {
+                          ioTimeoutMs: Int = 10000, subscribeQos: Int = 0,
+                          autoAck: Boolean = true) extends MqttTransport {
   import MqttWireCodec._
 
   @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
@@ -179,9 +205,13 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
             lost(s, new EOFException("broker closed the connection"))
           case Some(p) => p.ptype match {
             case PUBLISH =>
+              val qos = (p.flags >> 1) & 3
               val (topic, consumed) = readUtf8(p.body, 0)
-              // QoS-0 subscriptions only: no packet id between topic and payload
-              onMessage(topic, java.util.Arrays.copyOfRange(p.body, consumed, p.body.length))
+              // a QoS-1 delivery carries a packet id between topic and payload
+              val off = if (qos >= 1) consumed + 2 else consumed
+              onMessage(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
+              // ack AFTER the callback: at-least-once, never at-most-once
+              if (qos >= 1 && autoAck) s.send(encodePuback(readPid(p.body, consumed)))
             case SUBACK =>
               val pid = readPid(p.body, 0)
               val codes: Seq[Int] = p.body.drop(2).toSeq.map(_ & 0xff)
@@ -220,7 +250,7 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
     val q = new ArrayBlockingQueue[Seq[Int]](1)
     s.pendingSubacks.put(pid, q)
     try {
-      s.send(encodeSubscribe(pid, filters))
+      s.send(encodeSubscribe(pid, filters, subscribeQos))
       val codes = Option(q.poll(ioTimeoutMs, TimeUnit.MILLISECONDS))
         .getOrElse(throw new IOException(s"SUBACK timeout after $ioTimeoutMs ms"))
       if (codes.size != filters.size || codes.exists(_ >= 0x80))
@@ -271,7 +301,10 @@ class MockMqttBroker {
 
   private final class ClientSession(val socket: Socket) {
     val out = socket.getOutputStream
-    val filters = ArrayBuffer[String]()
+    val filters = ArrayBuffer[(String, Int)]() // (filter, granted QoS)
+    val nextPid = new AtomicInteger(0)
+    // QoS-1 deliveries awaiting PUBACK: pid -> (topic, payload)
+    val pendingAcks = new ConcurrentHashMap[Int, (String, Array[Byte])]()
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
 
@@ -318,23 +351,29 @@ class MockMqttBroker {
         case Some(p) => p.ptype match {
           case SUBSCRIBE =>
             val pid = readPid(p.body, 0)
-            val fs = ArrayBuffer[String]()
+            val fs = ArrayBuffer[(String, Int)]()
             var off = 2
             while (off < p.body.length) {
               val (f, c) = readUtf8(p.body, off)
-              off += c + 1 // skip the requested-QoS byte
-              fs += f
+              val reqQos = math.min(p.body(off + c) & 0xff, 1) // grant at most 1
+              off += c + 1
+              fs += ((f, reqQos))
             }
-            subscribeLog.synchronized { subscribeLog += fs.toSeq }
+            subscribeLog.synchronized { subscribeLog += fs.map(_._1).toSeq }
             if (subFailures.getAndUpdate(n => math.max(0, n - 1)) > 0)
               cs.send(encodeSuback(pid, fs.map(_ => 0x80).toSeq))
             else {
               cs.filters.synchronized { cs.filters ++= fs }
-              cs.send(encodeSuback(pid, fs.map(_ => 0).toSeq))
+              cs.send(encodeSuback(pid, fs.map(_._2).toSeq))
             }
-          case PUBLISH => // client-to-broker publish: route like any message
+          case PUBLISH => // client-to-broker publish: ack if QoS 1, then route
+            val qos = (p.flags >> 1) & 3
             val (topic, c) = readUtf8(p.body, 0)
-            publish(topic, java.util.Arrays.copyOfRange(p.body, c, p.body.length))
+            val off = if (qos >= 1) c + 2 else c
+            if (qos >= 1) cs.send(encodePuback(readPid(p.body, c)))
+            publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+          case PUBACK =>
+            cs.pendingAcks.remove(readPid(p.body, 0))
           case PINGREQ => cs.send(encodePingResp())
           case DISCONNECT => live = false
           case _ => ()
@@ -345,23 +384,56 @@ class MockMqttBroker {
 
   /** Broker-side fan-out: deliver to every live session with a matching
     * filter (`+` one level, `#` rest — [[MqttBus.patternToRegex]]).
-    * Returns the number of sessions delivered to (QoS 0: disconnected
+    * Delivery QoS per MQTT 3.8.4: min(publish QoS, granted subscription
+    * QoS). A QoS-1 delivery carries a fresh packet id and is tracked until
+    * the subscriber PUBACKs; [[redeliverPending]] resends survivors with
+    * DUP. Returns the number of sessions delivered to (QoS 0: disconnected
     * clients simply miss the message).
     */
-  def publish(topic: String, payload: Array[Byte]): Int = {
+  def publish(topic: String, payload: Array[Byte], qos: Int = 0): Int = {
     var n = 0
     sessions.forEach { cs =>
-      val matched = cs.filters.synchronized(
-        cs.filters.exists(f => topic.matches(MqttBus.patternToRegex(f))))
-      if (matched) {
-        try { cs.send(encodePublish(topic, payload)); n += 1 }
-        catch { case _: Exception => () } // session died mid-send: QoS-0 drop
+      val granted = cs.filters.synchronized(
+        cs.filters.collect {
+          case (f, g) if topic.matches(MqttBus.patternToRegex(f)) => g
+        }.maxOption)
+      granted.foreach { g =>
+        val dqos = math.min(qos, g)
+        try {
+          if (dqos >= 1) {
+            val pid = (cs.nextPid.incrementAndGet() & 0xfffe) + 1
+            cs.pendingAcks.put(pid, (topic, payload))
+            cs.send(encodePublish(topic, payload, qos = 1, packetId = pid))
+          } else cs.send(encodePublish(topic, payload))
+          n += 1
+        } catch { case _: Exception => () } // session died mid-send
       }
     }
     n
   }
 
   def publish(topic: String, payload: String): Int = publish(topic, payload.getBytes("UTF-8"))
+
+  def publish(topic: String, payload: String, qos: Int): Int =
+    publish(topic, payload.getBytes("UTF-8"), qos)
+
+  /** Unacked QoS-1 deliveries across all sessions (0 = everything acked). */
+  def pendingAckCount: Int = {
+    var n = 0
+    sessions.forEach(cs => n += cs.pendingAcks.size)
+    n
+  }
+
+  /** Resend every unacked QoS-1 delivery with DUP set — the broker's
+    * retry timer, as an explicit test hook so redelivery is deterministic.
+    */
+  def redeliverPending(): Unit =
+    sessions.forEach { cs =>
+      cs.pendingAcks.forEach { (pid, tp) =>
+        try cs.send(encodePublish(tp._1, tp._2, qos = 1, packetId = pid, dup = true))
+        catch { case _: Exception => () }
+      }
+    }
 
   /** Hard-kill every live connection with no DISCONNECT — a broker crash. */
   def dropAllConnections(): Unit =

@@ -207,6 +207,46 @@ class MqttTransportSpec extends SparkSuite {
     } finally { m.stop(); broker.close() }
   }
 
+  test("socket transport QoS 1: PUBACK drains pending; suppressed acks redeliver with DUP") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-qos1",
+      subscribeQos = 1)
+    t.setCallbacks((_, payload) => sink.synchronized { sink += new String(payload, "UTF-8") },
+      _ => ())
+    try {
+      t.connect()
+      t.subscribe(Seq("openchirp/device/+/+"))
+      // QoS-1 delivery: message arrives, transport PUBACKs, broker drains
+      assert(broker.publish("openchirp/device/d1/temp", "21.5", qos = 1) == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      assert(awaitCond()(broker.pendingAckCount == 0), "PUBACK must drain the pending set")
+      // min(publish QoS, granted QoS): a QoS-0 publish stays untracked
+      broker.publish("openchirp/device/d1/temp", "ok")
+      assert(awaitCond()(sink.synchronized(sink.size) == 2))
+      assert(broker.pendingAckCount == 0)
+    } finally { t.disconnect(); broker.close() }
+
+    // suppressed acks: the broker keeps the delivery pending and redelivers
+    // with DUP — at-least-once made visible
+    val broker2 = new MockMqttBroker
+    val sink2 = scala.collection.mutable.ArrayBuffer[String]()
+    val t2 = new SocketMqttTransport("127.0.0.1", broker2.port, "graft-qos1-noack",
+      subscribeQos = 1, autoAck = false)
+    t2.setCallbacks((_, payload) => sink2.synchronized { sink2 += new String(payload, "UTF-8") },
+      _ => ())
+    try {
+      t2.connect()
+      t2.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker2.publish("openchirp/device/d1/temp", "v", qos = 1) == 1)
+      assert(awaitCond()(sink2.synchronized(sink2.size) == 1))
+      assert(broker2.pendingAckCount == 1, "no PUBACK -> still pending")
+      broker2.redeliverPending()
+      assert(awaitCond()(sink2.synchronized(sink2.size) == 2), "DUP redelivery arrives")
+      assert(broker2.pendingAckCount == 1)
+    } finally { t2.disconnect(); broker2.close() }
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport
