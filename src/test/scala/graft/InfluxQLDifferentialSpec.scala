@@ -1,0 +1,254 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import graft.influxql.InfluxQL
+
+/** Randomized differential test: the InfluxQL planner against an exact
+  * in-memory reference interpreter, over the aggregate subset (functions,
+  * expressions, WHERE trees, time buckets with offsets, tags, fills).
+  *
+  * The interpreter mirrors the engine's determinism pins literally —
+  * decimal(38,4)-routed sums, (ts, value) struct tie-breaks for
+  * first/last, per-call fill before expression arithmetic, double
+  * expression trees with leaf casts — so every comparison is bit-exact,
+  * not tolerance-based. 60 seeded random queries over 300 seeded random
+  * points; any mismatch prints the offending query text.
+  */
+class InfluxQLDifferentialSpec extends SparkSuite {
+  import spark.implicits._
+
+  private case class Pt(device: String, ts: Long, value: Double)
+
+  // one interpreted aggregate call; returns Long (count) or Double, null-able
+  private def aggCall(fn: String, rows: Seq[Pt]): Any = fn match {
+    case "count" => rows.size.toLong
+    case "sum" =>
+      if (rows.isEmpty) null
+      else rows.map(p => BigDecimal(p.value).setScale(4, RoundingMode.HALF_UP))
+        .sum.toDouble
+    case "mean" =>
+      if (rows.isEmpty) null
+      else aggCall("sum", rows).asInstanceOf[Double] / rows.size.toDouble
+    case "min" => if (rows.isEmpty) null else rows.map(_.value).min
+    case "max" => if (rows.isEmpty) null else rows.map(_.value).max
+    case "spread" =>
+      if (rows.isEmpty) null else rows.map(_.value).max - rows.map(_.value).min
+    case "first" =>
+      if (rows.isEmpty) null else rows.minBy(p => (p.ts, p.value)).value
+    case "last" =>
+      if (rows.isEmpty) null else rows.maxBy(p => (p.ts, p.value)).value
+  }
+
+  // a generated SELECT item: either the bare call or call <op> literal
+  private case class GItem(fn: String, op: Option[(Char, Double)], alias: String) {
+    def text: String = op match {
+      case None => s"$fn(value) AS $alias"
+      case Some((c, k)) => s"$fn(value) $c $k AS $alias"
+    }
+    // expression evaluation mirrors compileExpr: leaves cast to double
+    def eval(call: Any): Any = op match {
+      case None => call
+      case Some((c, k)) =>
+        if (call == null) null
+        else {
+          val d = call match { case l: Long => l.toDouble; case x: Double => x }
+          c match { case '+' => d + k; case '-' => d - k; case '*' => d * k }
+        }
+    }
+  }
+
+  private sealed trait GCond { def text: String; def holds(p: Pt): Boolean }
+  private case class GTime(op: String, us: Long) extends GCond {
+    def text = s"time $op $us"
+    def holds(p: Pt): Boolean = op match {
+      case ">=" => p.ts >= us; case "<" => p.ts < us
+    }
+  }
+  private case class GTag(eq: Boolean, dev: String) extends GCond {
+    def text = s"device ${if (eq) "=" else "!="} '$dev'"
+    def holds(p: Pt): Boolean = (p.device == dev) == eq
+  }
+  private case class GField(op: String, v: Double) extends GCond {
+    def text = s"value $op $v"
+    def holds(p: Pt): Boolean = op match {
+      case ">" => p.value > v; case "<=" => p.value <= v
+    }
+  }
+  private case class GOr(l: GCond, r: GCond) extends GCond {
+    def text = s"(${l.text} OR ${r.text})"
+    def holds(p: Pt): Boolean = l.holds(p) || r.holds(p)
+  }
+
+  test("60 random aggregate queries match the in-memory reference exactly") {
+    val rnd = new scala.util.Random(20260813L)
+    val devices = Vector("a", "b", "c")
+    val pts: Seq[(String, String, Long, Double)] = (0 until 300).map { _ =>
+      (devices(rnd.nextInt(3)),
+        if (rnd.nextInt(10) == 0) "other" else "m",
+        rnd.nextInt(1000).toLong,
+        math.floor(rnd.nextDouble() * 1000) / 10.0)
+    }
+    val df = pts.toDF("device", "transducer", "ts_us", "value")
+    val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first", "last")
+
+    for (iter <- 0 until 60) {
+      // --- generate one query configuration -----------------------------
+      val nf = 1 + rnd.nextInt(3)
+      val items = (0 until nf).map { i =>
+        val op = if (rnd.nextInt(10) < 3)
+          Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble))
+        else None
+        GItem(funcs(rnd.nextInt(funcs.size)), op, s"f$i")
+      }
+      val groupTime: Option[(Long, Long)] =
+        if (rnd.nextInt(4) == 0) None
+        else {
+          val step = Seq(50L, 100L, 250L)(rnd.nextInt(3))
+          val off = if (rnd.nextBoolean()) 0L else rnd.nextInt(step.toInt).toLong
+          Some((step, off))
+        }
+      val byDevice = rnd.nextInt(3) > 0
+      val fill: String =
+        if (groupTime.isEmpty) "null"
+        else Seq("null", "none", "previous", "linear", "0")(rnd.nextInt(5))
+      // a non-default fill needs both time bounds; generate them then
+      val needBounds = fill != "null" && fill != "none"
+      val lo = rnd.nextInt(300).toLong
+      val hi = lo + 100 + rnd.nextInt(600)
+      val timeConds: Seq[GCond] =
+        if (needBounds || rnd.nextInt(3) == 0) Seq(GTime(">=", lo), GTime("<", hi))
+        else Nil
+      val otherConds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
+        def simple(): GCond = rnd.nextInt(2) match {
+          case 0 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case _ =>
+            if (rnd.nextBoolean()) GField(">", math.floor(rnd.nextDouble() * 1000) / 10.0)
+            else GField("<=", math.floor(rnd.nextDouble() * 1000) / 10.0)
+        }
+        if (rnd.nextInt(4) == 0) GOr(simple(), simple()) else simple()
+      }
+      val conds = timeConds ++ otherConds
+
+      val sb = new StringBuilder("SELECT ")
+      sb ++= items.map(_.text).mkString(", ")
+      sb ++= " FROM m"
+      if (conds.nonEmpty) sb ++= " WHERE " + conds.map(_.text).mkString(" AND ")
+      val groups =
+        groupTime.map { case (s, o) => if (o == 0) s"time($s)" else s"time($s, $o)" }.toSeq ++
+          (if (byDevice) Seq("device") else Nil)
+      if (groups.nonEmpty) sb ++= " GROUP BY " + groups.mkString(", ")
+      if (groupTime.nonEmpty && fill != "null") sb ++= s" FILL($fill)"
+      val text = sb.toString
+
+      // --- engine -------------------------------------------------------
+      val cols = (groupTime.map(_ => "time").toSeq ++
+        (if (byDevice) Seq("device") else Nil)) ++ items.map(_.alias)
+      val engine = InfluxQL.run(df, text).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+
+      // --- reference interpreter ---------------------------------------
+      val filtered = pts.collect {
+        case (d, "m", t, v) if conds.forall(_.holds(Pt(d, t, v))) => Pt(d, t, v)
+      }
+      def bucketOf(t: Long): Long = groupTime match {
+        case Some((step, off)) => t - Math.floorMod(t - off, step)
+        case None => 0L
+      }
+      val expected: Set[Seq[Any]] = groupTime match {
+        case None if !byDevice =>
+          // global aggregate: always one row
+          Set(items.map(it => it.eval(aggCall(it.fn, filtered))))
+        case None =>
+          filtered.groupBy(_.device).map { case (d, rs) =>
+            d +: items.map(it => it.eval(aggCall(it.fn, rs)))
+          }.toSet
+        case Some((step, off)) =>
+          val grouped = filtered.groupBy(p => (bucketOf(p.ts), p.device))
+          val seriesKeys: Seq[String] =
+            if (byDevice) grouped.keys.map(_._2).toSeq.distinct.sorted
+            // tagless: one series keyed by the measurement — but the
+            // skeleton only densifies series that exist in the grouped
+            // result, so an empty selection yields no rows at all
+            else if (filtered.nonEmpty) Seq("m")
+            else Nil
+          def rowsAt(b: Long, s: String): Seq[Pt] =
+            if (byDevice) grouped.getOrElse((b, s), Nil)
+            else filtered.filter(p => bucketOf(p.ts) == b)
+          val buckets: Seq[Long] =
+            if (timeConds.nonEmpty) {
+              val bLo = lo - Math.floorMod(lo - off, step)
+              val bHi = hi - 1 - Math.floorMod(hi - 1 - off, step)
+              (bLo to bHi by step)
+            } else grouped.keys.map(_._1).toSeq.distinct.sorted
+          val out = Set.newBuilder[Seq[Any]]
+          for (s <- seriesKeys) {
+            // per-CALL values along the bucket series (fill acts here,
+            // before expression arithmetic — the engine's sequencing)
+            // fill(none) never densifies; fill(null) only inside explicit
+            // bounds — otherwise empty buckets simply don't exist
+            val densify = fill match {
+              case "none" => false
+              case "null" => timeConds.nonEmpty
+              case _ => true // the generator guarantees bounds here
+            }
+            val callVals: Seq[Seq[Any]] = buckets.map { b =>
+              val rs = rowsAt(b, s)
+              if (rs.isEmpty && densify) items.map(_ => null)
+              else if (rs.isEmpty) null // no skeleton: row dropped below
+              else items.map(it => aggCall(it.fn, rs))
+            }
+            val filled: Seq[Option[Seq[Any]]] = fill match {
+              case "none" | "null" => callVals.map(Option(_))
+              case "0" => callVals.map(vs => Some(
+                vs.zip(items).map { case (v, it) =>
+                  if (v != null) v else if (it.fn == "count") 0L else 0.0
+                }))
+              case "previous" =>
+                var prev: Seq[Any] = items.map(_ => null)
+                callVals.map { vs =>
+                  if (vs.exists(_ != null)) { prev = vs; Some(vs) } else Some(prev)
+                }
+              case "linear" =>
+                // every column promotes to double; empty buckets take the
+                // straight line between observed neighbors
+                val asD: Seq[Seq[Any]] = callVals.map(vs => vs.map {
+                  case null => null
+                  case l: Long => l.toDouble
+                  case d: Double => d
+                })
+                buckets.indices.map { i =>
+                  if (asD(i).exists(_ != null)) Some(asD(i))
+                  else {
+                    val pb = (i - 1 to 0 by -1).find(j => asD(j).exists(_ != null))
+                    val nb = (i + 1 until buckets.size).find(j => asD(j).exists(_ != null))
+                    Some((pb, nb) match {
+                      case (Some(p0), Some(n0)) =>
+                        items.indices.map { c =>
+                          val pv = asD(p0)(c).asInstanceOf[Double]
+                          val nv = asD(n0)(c).asInstanceOf[Double]
+                          pv + (nv - pv) *
+                            ((buckets(i) - buckets(p0)).toDouble /
+                              (buckets(n0) - buckets(p0)).toDouble)
+                        }
+                      case _ => items.map(_ => null)
+                    })
+                  }
+                }
+            }
+            for ((b, vsOpt) <- buckets.zip(filled); vs <- vsOpt) {
+              val projected = items.zipWithIndex.map { case (it, c) => it.eval(vs(c)) }
+              out += (if (byDevice) b +: s +: projected else b +: projected)
+            }
+          }
+          out.result()
+      }
+
+      assert(engine == expected,
+        s"""differential mismatch (iter $iter)
+           |QUERY: $text
+           |ENGINE-ONLY: ${(engine -- expected).take(5)}
+           |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
+    }
+  }
+}
