@@ -452,6 +452,21 @@ object InfluxQL {
         FCall(inner.copy(transform = Some(lower), targ = targ))
       } else if ((AggFuncs ++ TopBottomFuncs).contains(lower) && p.sym("(")) {
         FCall(parseAggBody(p, lower))
+      } else if (lower == "holt_winters" && p.sym("(")) {
+        // holt_winters(agg(field), N, S): N forecast points; S is the
+        // seasonal pattern length — only S = 0 (no seasonality) is
+        // supported, the deterministic fixed-coefficient variant
+        val inner = parseAggCall(p)
+        p.expectSym(",")
+        val nFc = p.num()
+        if (nFc < 1 || nFc != math.floor(nFc)) p.fail("holt_winters N must be a positive integer")
+        p.expectSym(",")
+        val season = p.num()
+        if (season != 0)
+          p.fail("holt_winters seasonality is not supported (S must be 0) — " +
+            "InfluxQL fits seasonal coefficients with an optimizer no two engines reproduce")
+        p.expectSym(")")
+        FCall(inner.copy(transform = Some("holt_winters"), targ = Some(nFc.toLong)))
       } else if (lower == ElapsedFunc && p.sym("(")) {
         val arg = p.ident()
         val unit = if (p.sym(",")) (p.next() match {
@@ -619,6 +634,10 @@ object InfluxQL {
         throw new IllegalArgumentException(
           "InfluxQL: top()/bottom() does not combine with GROUP BY time()")
     }
+    if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))) &&
+        (q.fields.size > 1 || q.fields.head.bareCall.isEmpty))
+      throw new IllegalArgumentException(
+        "InfluxQL: holt_winters() must be the only SELECT field — it returns forecast points")
     if (q.fields.exists(_.calls.exists(_.func == ElapsedFunc))) {
       if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
         throw new IllegalArgumentException(
@@ -823,6 +842,8 @@ object InfluxQL {
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       return out(planTopBottom(df, q))
+    if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
+      return out(planHoltWinters(df, q))
 
     // each DISTINCT call computes once under an internal name; the final
     // projection compiles every item's expression over those columns (a
@@ -1129,6 +1150,50 @@ object InfluxQL {
           .filter(col("__rk") <= n).select(out: _*)
       }
     applyRowRange(applySeriesLimit(picked, q), q)
+  }
+
+  /** holt_winters(agg, N, 0): N forecast points per series beyond its last
+    * bucket — the fixed-coefficient Holt linear method on the bucketed
+    * aggregate series, the same pinned kernel as
+    * [[graft.operators.TimeSeriesOps.holtForecast]] (integer EMA level +
+    * EMA trend over first differences, n=4 depth=10, quantize-then-int64
+    * discipline, oracle-exact). Fill runs first, so the forecast sees the
+    * same series InfluxDB would feed it. One window shuffle on the series
+    * key; the horizon fan-out runs on |series| rows only.
+    */
+  private def planHoltWinters(df: DataFrame, q: Query): DataFrame = {
+    import graft.operators.TimeSeriesOps.exponentialMovingAverage
+    val it = q.fields.head
+    val f = it.bareCall.get
+    val step = q.groupTimeUs.get
+    val horizons = 1 to f.targ.get.toInt
+    val bucket = (col("ts_us") -
+      pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))).as("time")
+    val partCols = if (q.groupTags.isEmpty) Seq("transducer") else q.groupTags
+    val keys = bucket +: partCols.map(col)
+    val inner = f.copy(transform = None, targ = None)
+    val grouped = df.groupBy(keys: _*).agg(aggExpr(inner).as("__c0"))
+    val filled = applyFill(grouped, q, step, partCols, Seq("__c0"))
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+    val wDesc = Window.partitionBy(partCols.map(col): _*).orderBy(col("time").desc)
+    val c = col("__c0").cast("double")
+    val smoothed = filled
+      .withColumn("__d", c - lag(c, 1).over(w))
+      .select(partCols.map(col) ++ Seq(col("time"),
+        exponentialMovingAverage(c, w, n = 4, depth = 10).as("__lvl"),
+        // a first bucket has no difference: zero trend, not 0/0
+        when(lag(c, 1).over(w).isNotNull,
+          exponentialMovingAverage(col("__d"), w, n = 4, depth = 10))
+          .otherwise(lit(0.0)).as("__trd"),
+        row_number().over(wDesc).as("__rn")): _*)
+    val res = smoothed.filter(col("__rn") === 1)
+      .select(partCols.map(col) ++ Seq(col("time"), col("__lvl"), col("__trd"),
+        explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+      .select(((col("time") + col("__h") * lit(step)).as("time") +:
+        q.groupTags.map(col)) :+
+        (col("__lvl") + col("__h") * col("__trd")).as(it.outName): _*)
+      .orderBy(col("time").asc +: q.groupTags.map(col(_).asc): _*)
+    applyRowRange(applySeriesLimit(res, q), q)
   }
 
   /** elapsed(): each point's distance to its series predecessor in whole

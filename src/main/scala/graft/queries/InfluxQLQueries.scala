@@ -182,6 +182,15 @@ object InfluxQLQueries {
           |GROUP BY time(1d, 6h), device""".stripMargin)
     }),
 
+    // holt_winters(mean(value), 3, 0): three forecast points per device
+    // beyond its last daily bucket — the fixed-coefficient Holt kernel
+    // (integer EMA level + EMA trend over first differences) on the
+    // bucketed aggregate series
+    "q_influxql_holt" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        "SELECT holt_winters(mean(value), 3, 0) FROM click GROUP BY time(1d), device")
+    }),
+
     // selector/percentile functions, ISO time literals, aliases,
     // fill(previous), ORDER BY time DESC and LIMIT — one statement
     "q_influxql_selectors" -> ((s, dir) => {
@@ -419,6 +428,37 @@ object InfluxQLQueries {
          |         FROM devs, UNNEST(generate_series(0, 30)) AS t(o))
          |SELECT s.time, s.device, b.c, b.mv
          |FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device""".stripMargin,
+
+    "q_influxql_holt" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      def num(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag($u, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      def den(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |d AS (SELECT *, CAST(floor(mv * 1000000.0) AS BIGINT) AS vu,
+         |    CAST(floor((mv - lag(mv) OVER
+         |      (PARTITION BY device ORDER BY time)) * 1000000.0) AS BIGINT) AS du
+         |  FROM b),
+         |e AS (SELECT device, time,
+         |    CAST((${num("vu")}) AS DOUBLE) / CAST((${den("vu")}) AS DOUBLE) / 1000000.0 AS lvl,
+         |    CAST((${num("du")}) AS DOUBLE) / CAST((${den("du")}) AS DOUBLE) / 1000000.0 AS trd,
+         |    row_number() OVER (PARTITION BY device ORDER BY time DESC) AS rn
+         |  FROM d WINDOW w AS (PARTITION BY device ORDER BY time)),
+         |lastp AS (SELECT device, time, lvl,
+         |    CASE WHEN isnan(trd) THEN 0.0 ELSE trd END AS trd
+         |  FROM e WHERE rn = 1)
+         |SELECT time + CAST(h AS BIGINT) * 86400000000 AS time, device,
+         |  lvl + CAST(h AS BIGINT) * trd AS holt_winters
+         |FROM lastp, UNNEST([1, 2, 3]) AS u(h)""".stripMargin
+    },
 
     "q_influxql_selectors" ->
       s"""WITH $ptsSql,

@@ -453,6 +453,31 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("offset"))
   }
 
+  test("holt_winters() forecasts N points per series beyond the last bucket") {
+    val df = pts(
+      ("a", "m", 2L, 1.0), ("a", "m", 12L, 2.0), ("a", "m", 23L, 3.0),
+      ("b", "m", 5L, 10.0))
+    val got = InfluxQL.run(df,
+      "SELECT holt_winters(mean(value), 2, 0) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double)].collect().toSeq
+    val (a, b) = got.partition(_._2 == "a")
+    // single-bucket series: zero trend, forecast = the level = the value
+    assert(b == Seq((10L, "b", 10.0), (20L, "b", 10.0)))
+    // linear series (diffs all 1): trend is exactly 1, so consecutive
+    // forecasts differ by exactly 1 and continue past the last bucket (20)
+    assert(a.map(_._1) == Seq(30L, 40L))
+    // (lvl + 2t) - (lvl + t) is one ulp shy of t in IEEE; structural check
+    assert(math.abs(a(1)._3 - a(0)._3 - 1.0) < 1e-12)
+    assert(a(0)._3 > 3.0 && a(0)._3 < 4.0, "level is a trailing weighted mean < last+trend")
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT holt_winters(mean(value), 2, 4) FROM m GROUP BY time(10u)")
+      .contains("seasonality"))
+    assert(bad("SELECT holt_winters(mean(value), 2, 0) FROM m").contains("GROUP BY time"))
+    assert(bad("SELECT holt_winters(mean(value), 2, 0), count(value) FROM m GROUP BY time(10u)")
+      .contains("only SELECT field"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
