@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
   *
   *   SELECT field [, field ...] [INTO target]
-  *   FROM (measurement | '/regex/' | '(' select ')')
-  *                                    (regex: per-measurement series,
+  *   FROM (measurement [',' measurement ...] | '/regex/' | '(' select ')')
+  *                                    (a list or regex keeps each
+  *                                     measurement its own series,
   *                                     surfaced as a `measurement` column;
   *                                     subquery: the inner result is the
   *                                     outer query's point source)
@@ -302,7 +303,18 @@ object InfluxQL {
         p.expectSym(")")
         if (sub.into.nonEmpty) p.fail("INTO does not apply inside a subquery")
         ("", false, Some(sub))
-      case _ => (p.ident(), false, None)
+      case _ =>
+        val ms = Seq.newBuilder[String]
+        ms += p.ident()
+        while (p.sym(",")) ms += p.ident()
+        ms.result() match {
+          case Seq(one) => (one, false, None)
+          case many =>
+            // FROM m1, m2: each measurement stays its own series — the
+            // same semantics as a regex FROM, so desugar to one
+            (many.map(java.util.regex.Pattern.quote)
+              .mkString("^(?:", "|", ")$"), true, None)
+        }
     }
 
     val conds = Seq.newBuilder[Cond]

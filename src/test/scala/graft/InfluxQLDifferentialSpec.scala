@@ -12,7 +12,7 @@ import graft.influxql.InfluxQL
   * decimal(38,4)-routed sums, (ts, value) struct tie-breaks for
   * first/last, per-call fill before expression arithmetic, double
   * expression trees with leaf casts — so every comparison is bit-exact,
-  * not tolerance-based. 60 seeded random queries over 300 seeded random
+  * not tolerance-based. 80 seeded random queries over 300 seeded random
   * points; any mismatch prints the offending query text.
   */
 class InfluxQLDifferentialSpec extends SparkSuite {
@@ -21,7 +21,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
   private case class Pt(device: String, ts: Long, value: Double)
 
   // one interpreted aggregate call; returns Long (count) or Double, null-able
-  private def aggCall(fn: String, rows: Seq[Pt]): Any = fn match {
+  private def aggCall(fn: String, pct: Option[Int], rows: Seq[Pt]): Any = fn match {
     case "count" => rows.size.toLong
     case "sum" =>
       if (rows.isEmpty) null
@@ -29,7 +29,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         .sum.toDouble
     case "mean" =>
       if (rows.isEmpty) null
-      else aggCall("sum", rows).asInstanceOf[Double] / rows.size.toDouble
+      else aggCall("sum", None, rows).asInstanceOf[Double] / rows.size.toDouble
     case "min" => if (rows.isEmpty) null else rows.map(_.value).min
     case "max" => if (rows.isEmpty) null else rows.map(_.value).max
     case "spread" =>
@@ -38,13 +38,46 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       if (rows.isEmpty) null else rows.minBy(p => (p.ts, p.value)).value
     case "last" =>
       if (rows.isEmpty) null else rows.maxBy(p => (p.ts, p.value)).value
+    case "median" => aggCall("percentile", Some(50), rows)
+    case "percentile" =>
+      // Spark's Percentile interpolation formula, operation for operation:
+      // v[lo]·(hi - pos) + v[hi]·(pos - lo) — algebraically the type-7
+      // lerp but a DIFFERENT IEEE tree than v[lo] + frac·(v[hi]-v[lo])
+      if (rows.isEmpty) null
+      else {
+        val vs = rows.map(_.value).sorted
+        val pos = (pct.get / 100.0) * (vs.size - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        if (lo == hi) vs(lo) else vs(lo) * (hi - pos) + vs(hi) * (pos - lo)
+      }
+    case "stddev" =>
+      // exact integer moments of 1e-6-quantized values, one double
+      // conversion per moment, then a fixed IEEE tree (the engine's pin)
+      if (rows.size < 2) null
+      else {
+        val vu = rows.map(p => BigInt(math.floor(p.value * 1000000.0).toLong))
+        val n = rows.size.toLong
+        val nd = n.toDouble
+        val s1 = BigDecimal(vu.sum).toDouble
+        val s2 = BigDecimal(vu.map(u => u * u).sum).toDouble
+        math.sqrt((nd * s2 - s1 * s1) / (n * (n - 1)).toDouble) / 1000000.0
+      }
+    case "mode" =>
+      // most frequent value; equally frequent ties pick the SMALLEST value
+      if (rows.isEmpty) null
+      else rows.groupBy(_.value).view.mapValues(_.size).toSeq
+        .maxBy { case (v, c) => (c, -v) }._1
   }
 
   // a generated SELECT item: either the bare call or call <op> literal
-  private case class GItem(fn: String, op: Option[(Char, Double)], alias: String) {
+  private case class GItem(fn: String, pct: Option[Int], op: Option[(Char, Double)],
+                           alias: String) {
+    private def call: String =
+      pct.fold(s"$fn(value)")(p => s"$fn(value, $p)")
     def text: String = op match {
-      case None => s"$fn(value) AS $alias"
-      case Some((c, k)) => s"$fn(value) $c $k AS $alias"
+      case None => s"$call AS $alias"
+      case Some((c, k)) => s"$call $c $k AS $alias"
     }
     // expression evaluation mirrors compileExpr: leaves cast to double
     def eval(call: Any): Any = op match {
@@ -80,7 +113,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     def holds(p: Pt): Boolean = l.holds(p) || r.holds(p)
   }
 
-  test("60 random aggregate queries match the in-memory reference exactly") {
+  test("80 random aggregate queries match the in-memory reference exactly") {
     val rnd = new scala.util.Random(20260813L)
     val devices = Vector("a", "b", "c")
     val pts: Seq[(String, String, Long, Double)] = (0 until 300).map { _ =>
@@ -90,16 +123,19 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         math.floor(rnd.nextDouble() * 1000) / 10.0)
     }
     val df = pts.toDF("device", "transducer", "ts_us", "value")
-    val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first", "last")
+    val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first",
+      "last", "median", "percentile", "stddev", "mode")
 
-    for (iter <- 0 until 60) {
+    for (iter <- 0 until 80) {
       // --- generate one query configuration -----------------------------
       val nf = 1 + rnd.nextInt(3)
       val items = (0 until nf).map { i =>
         val op = if (rnd.nextInt(10) < 3)
           Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble))
         else None
-        GItem(funcs(rnd.nextInt(funcs.size)), op, s"f$i")
+        val fn = funcs(rnd.nextInt(funcs.size))
+        val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
+        GItem(fn, pct, op, s"f$i")
       }
       val groupTime: Option[(Long, Long)] =
         if (rnd.nextInt(4) == 0) None
@@ -158,10 +194,10 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       val expected: Set[Seq[Any]] = groupTime match {
         case None if !byDevice =>
           // global aggregate: always one row
-          Set(items.map(it => it.eval(aggCall(it.fn, filtered))))
+          Set(items.map(it => it.eval(aggCall(it.fn, it.pct, filtered))))
         case None =>
           filtered.groupBy(_.device).map { case (d, rs) =>
-            d +: items.map(it => it.eval(aggCall(it.fn, rs)))
+            d +: items.map(it => it.eval(aggCall(it.fn, it.pct, rs)))
           }.toSet
         case Some((step, off)) =>
           val grouped = filtered.groupBy(p => (bucketOf(p.ts), p.device))
@@ -196,8 +232,11 @@ class InfluxQLDifferentialSpec extends SparkSuite {
               val rs = rowsAt(b, s)
               if (rs.isEmpty && densify) items.map(_ => null)
               else if (rs.isEmpty) null // no skeleton: row dropped below
-              else items.map(it => aggCall(it.fn, rs))
+              else items.map(it => aggCall(it.fn, it.pct, rs))
             }
+            // fills act PER COLUMN on any null — an empty bucket nulls every
+            // column, but a single-point bucket's stddev is null inside an
+            // observed bucket and fills exactly the same way in the engine
             val filled: Seq[Option[Seq[Any]]] = fill match {
               case "none" | "null" => callVals.map(Option(_))
               case "0" => callVals.map(vs => Some(
@@ -205,35 +244,37 @@ class InfluxQLDifferentialSpec extends SparkSuite {
                   if (v != null) v else if (it.fn == "count") 0L else 0.0
                 }))
               case "previous" =>
-                var prev: Seq[Any] = items.map(_ => null)
+                val prev = Array.fill[Any](items.size)(null)
                 callVals.map { vs =>
-                  if (vs.exists(_ != null)) { prev = vs; Some(vs) } else Some(prev)
+                  Some(vs.zipWithIndex.map { case (v, c) =>
+                    if (v != null) { prev(c) = v; v } else prev(c)
+                  })
                 }
               case "linear" =>
-                // every column promotes to double; empty buckets take the
-                // straight line between observed neighbors
+                // every column promotes to double; null cells take the
+                // straight line between that COLUMN's observed neighbors
                 val asD: Seq[Seq[Any]] = callVals.map(vs => vs.map {
                   case null => null
                   case l: Long => l.toDouble
                   case d: Double => d
                 })
                 buckets.indices.map { i =>
-                  if (asD(i).exists(_ != null)) Some(asD(i))
-                  else {
-                    val pb = (i - 1 to 0 by -1).find(j => asD(j).exists(_ != null))
-                    val nb = (i + 1 until buckets.size).find(j => asD(j).exists(_ != null))
-                    Some((pb, nb) match {
-                      case (Some(p0), Some(n0)) =>
-                        items.indices.map { c =>
+                  Some(items.indices.map { c =>
+                    if (asD(i)(c) != null) asD(i)(c)
+                    else {
+                      val pb = (i - 1 to 0 by -1).find(j => asD(j)(c) != null)
+                      val nb = (i + 1 until buckets.size).find(j => asD(j)(c) != null)
+                      (pb, nb) match {
+                        case (Some(p0), Some(n0)) =>
                           val pv = asD(p0)(c).asInstanceOf[Double]
                           val nv = asD(n0)(c).asInstanceOf[Double]
                           pv + (nv - pv) *
                             ((buckets(i) - buckets(p0)).toDouble /
                               (buckets(n0) - buckets(p0)).toDouble)
-                        }
-                      case _ => items.map(_ => null)
-                    })
-                  }
+                        case _ => null
+                      }
+                    }
+                  })
                 }
             }
             for ((b, vsOpt) <- buckets.zip(filled); vs <- vsOpt) {

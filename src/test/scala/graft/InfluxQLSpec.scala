@@ -247,6 +247,20 @@ class InfluxQLSpec extends SparkSuite {
       parse("SELECT value FROM m WHERE device > 'a'")).getMessage.contains("= and !="))
   }
 
+  test("FROM m1, m2 keeps each measurement its own series") {
+    val df = pts(
+      ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
+      ("a", "hum", 3L, 50.0), ("a", "pressure", 4L, 900.0))
+    val got = InfluxQL.run(df, "SELECT count(value) FROM temp, hum GROUP BY time(10u)")
+      .select(col("measurement"), col("count")).as[(String, Long)].collect().toSet
+    assert(got == Set(("temp", 2L), ("hum", 1L)))
+    // quoting: a name with regex metacharacters matches literally only
+    val meta = pts(("a", "t.p", 1L, 1.0), ("a", "txp", 2L, 2.0))
+    val lit = InfluxQL.run(meta, "SELECT value FROM txp, nothing")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(lit == Seq((2L, "txp", 2.0)))
+  }
+
   test("regex FROM groups per measurement; INTO commits to a TxLogTable") {
     val df = pts(
       ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
