@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *
   *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL)
   *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
+  *   EXPLAIN select                    (the real Spark physical plan)
   *
   *   SELECT field [, field ...] [INTO target]
   *   FROM (measurement [',' measurement ...] | '/regex/' | '(' select ')')
@@ -670,7 +671,17 @@ object InfluxQL {
     */
   def run(points: DataFrame, text: String): DataFrame =
     if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
-    else {
+    else if (text.trim.toUpperCase.startsWith("EXPLAIN ")) {
+      // InfluxDB's EXPLAIN, answered with the real physical plan: one
+      // row per line of Spark's formatted explain — the user sees the
+      // pushed filters, broadcasts, and codegen spans their query gets
+      val inner = run(points, text.trim.drop("EXPLAIN".length).trim)
+      val lines = inner.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .split("\n").toList
+      import org.apache.spark.sql.Encoders
+      points.sparkSession.createDataset(lines)(Encoders.STRING).toDF("plan")
+    } else {
       val q = parse(text)
       if (q.into.nonEmpty)
         throw new IllegalArgumentException(

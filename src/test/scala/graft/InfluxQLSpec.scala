@@ -247,6 +247,13 @@ class InfluxQLSpec extends SparkSuite {
       parse("SELECT value FROM m WHERE device > 'a'")).getMessage.contains("= and !="))
   }
 
+  test("EXPLAIN returns the physical plan of the statement it wraps") {
+    val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0))
+    val plan = InfluxQL.run(df, "EXPLAIN SELECT mean(value) FROM m GROUP BY device")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("HashAggregate"), s"expected an aggregate plan:\n$plan")
+  }
+
   test("FROM m1, m2 keeps each measurement its own series") {
     val df = pts(
       ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
