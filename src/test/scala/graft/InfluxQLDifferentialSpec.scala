@@ -70,11 +70,20 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         .maxBy { case (v, c) => (c, -v) }._1
   }
 
-  // a generated SELECT item: either the bare call or call <op> literal
+  // a generated SELECT item: a call, optionally transform-wrapped,
+  // optionally combined with a literal
   private case class GItem(fn: String, pct: Option[Int], op: Option[(Char, Double)],
-                           alias: String) {
-    private def call: String =
-      pct.fold(s"$fn(value)")(p => s"$fn(value, $p)")
+                           alias: String, tf: Option[(String, Long)] = None) {
+    private def call: String = {
+      val inner = pct.fold(s"$fn(value)")(p => s"$fn(value, $p)")
+      tf match {
+        case None => inner
+        case Some(("moving_average", k)) => s"moving_average($inner, $k)"
+        case Some(("derivative", u)) => s"derivative($inner, ${u}u)"
+        case Some(("non_negative_derivative", u)) => s"non_negative_derivative($inner, ${u}u)"
+        case Some((t, _)) => s"$t($inner)"
+      }
+    }
     def text: String = op match {
       case None => s"$call AS $alias"
       case Some((c, k)) => s"$call $c $k AS $alias"
@@ -87,6 +96,54 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         else {
           val d = call match { case l: Long => l.toDouble; case x: Double => x }
           c match { case '+' => d + k; case '-' => d - k; case '*' => d * k }
+        }
+    }
+  }
+
+  /** Apply one InfluxQL transformation along a series of (bucket, value)
+    * pairs — the literal mirror of the engine's window formulas: operands
+    * cast to double, kernels on floor(c·1e6) decimals summed exactly,
+    * nulls propagating through two-operand forms and skipped by the
+    * running/frame sums.
+    */
+  private def applyTf(tf: String, targ: Long, buckets: Seq[Long],
+                      vals: Seq[Any]): Seq[Any] = {
+    val c: Seq[Any] = vals.map {
+      case null => null
+      case l: Long => l.toDouble
+      case d: Double => d
+    }
+    def vu(i: Int): Option[BigInt] = c(i) match {
+      case null => None
+      case d: Double => Some(BigInt(math.floor(d * 1000000.0).toLong))
+    }
+    tf match {
+      case "derivative" | "non_negative_derivative" =>
+        c.indices.map { i =>
+          if (i == 0 || c(i) == null || c(i - 1) == null) null
+          else {
+            val d = (c(i).asInstanceOf[Double] - c(i - 1).asInstanceOf[Double]) /
+              ((buckets(i) - buckets(i - 1)).toDouble / targ.toDouble)
+            if (tf == "non_negative_derivative" && d < 0) null else d
+          }
+        }
+      case "difference" =>
+        c.indices.map { i =>
+          if (i == 0 || c(i) == null || c(i - 1) == null) null
+          else c(i).asInstanceOf[Double] - c(i - 1).asInstanceOf[Double]
+        }
+      case "cumulative_sum" =>
+        var seen = false
+        var run = BigInt(0)
+        c.indices.map { i =>
+          vu(i).foreach { u => seen = true; run += u }
+          if (!seen) null else BigDecimal(run).toDouble / 1000000.0
+        }
+      case "moving_average" =>
+        c.indices.map { i =>
+          val frame = (math.max(0, i - targ.toInt + 1) to i).flatMap(vu)
+          if (frame.isEmpty) null
+          else BigDecimal(frame.sum).toDouble / frame.size.toDouble / 1000000.0
         }
     }
   }
@@ -128,15 +185,6 @@ class InfluxQLDifferentialSpec extends SparkSuite {
 
     for (iter <- 0 until 80) {
       // --- generate one query configuration -----------------------------
-      val nf = 1 + rnd.nextInt(3)
-      val items = (0 until nf).map { i =>
-        val op = if (rnd.nextInt(10) < 3)
-          Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble))
-        else None
-        val fn = funcs(rnd.nextInt(funcs.size))
-        val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
-        GItem(fn, pct, op, s"f$i")
-      }
       val groupTime: Option[(Long, Long)] =
         if (rnd.nextInt(4) == 0) None
         else {
@@ -144,6 +192,24 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           val off = if (rnd.nextBoolean()) 0L else rnd.nextInt(step.toInt).toLong
           Some((step, off))
         }
+      val nf = 1 + rnd.nextInt(3)
+      val items = (0 until nf).map { i =>
+        val op = if (rnd.nextInt(10) < 3)
+          Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble))
+        else None
+        val fn = funcs(rnd.nextInt(funcs.size))
+        val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
+        // transformations ride the bucket series: only with GROUP BY time
+        val tf = if (groupTime.isEmpty || rnd.nextInt(4) != 0) None
+          else rnd.nextInt(5) match {
+            case 0 => Some(("derivative", Seq(10L, 50L, 100L)(rnd.nextInt(3))))
+            case 1 => Some(("non_negative_derivative", Seq(10L, 50L)(rnd.nextInt(2))))
+            case 2 => Some(("difference", 0L))
+            case 3 => Some(("cumulative_sum", 0L))
+            case _ => Some(("moving_average", (2 + rnd.nextInt(4)).toLong))
+          }
+        GItem(fn, pct, op, s"f$i", tf)
+      }
       val byDevice = rnd.nextInt(3) > 0
       val fill: String =
         if (groupTime.isEmpty) "null"
@@ -277,9 +343,21 @@ class InfluxQLDifferentialSpec extends SparkSuite {
                   })
                 }
             }
-            for ((b, vsOpt) <- buckets.zip(filled); vs <- vsOpt) {
-              val projected = items.zipWithIndex.map { case (it, c) => it.eval(vs(c)) }
-              out += (if (byDevice) b +: s +: projected else b +: projected)
+            // transforms run over the KEPT (post-fill) bucket series, per
+            // column — exactly the engine's window-after-fill sequencing
+            val kept = buckets.zip(filled).collect { case (b, Some(vs)) => (b, vs) }
+            val keptB = kept.map(_._1)
+            val colVals: Seq[Seq[Any]] = items.indices.map { c =>
+              val col0 = kept.map(_._2(c))
+              items(c).tf match {
+                case None => col0
+                case Some((t, targ)) => applyTf(t, targ, keptB, col0)
+              }
+            }
+            for (i <- kept.indices) {
+              val projected = items.indices.map(c => items(c).eval(colVals(c)(i)))
+              out += (if (byDevice) keptB(i) +: s +: projected
+                      else keptB(i) +: projected)
             }
           }
           out.result()
