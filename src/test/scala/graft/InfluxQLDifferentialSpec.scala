@@ -170,15 +170,20 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     def holds(p: Pt): Boolean = l.holds(p) || r.holds(p)
   }
 
+  private val devices = Vector("a", "b", "c")
+  private val fixture: Seq[(String, String, Long, Double)] = {
+    val r = new scala.util.Random(777L)
+    (0 until 300).map { _ =>
+      (devices(r.nextInt(3)),
+        if (r.nextInt(10) == 0) "other" else "m",
+        r.nextInt(1000).toLong,
+        math.floor(r.nextDouble() * 1000) / 10.0)
+    }
+  }
+
   test("80 random aggregate queries match the in-memory reference exactly") {
     val rnd = new scala.util.Random(20260813L)
-    val devices = Vector("a", "b", "c")
-    val pts: Seq[(String, String, Long, Double)] = (0 until 300).map { _ =>
-      (devices(rnd.nextInt(3)),
-        if (rnd.nextInt(10) == 0) "other" else "m",
-        rnd.nextInt(1000).toLong,
-        math.floor(rnd.nextDouble() * 1000) / 10.0)
-    }
+    val pts = fixture
     val df = pts.toDF("device", "transducer", "ts_us", "value")
     val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first",
       "last", "median", "percentile", "stddev", "mode")
@@ -368,6 +373,63 @@ class InfluxQLDifferentialSpec extends SparkSuite {
            |QUERY: $text
            |ENGINE-ONLY: ${(engine -- expected).take(5)}
            |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
+    }
+  }
+
+  test("raw, top/bottom, and elapsed queries match the reference") {
+    val rnd = new scala.util.Random(424242L)
+    val pts = fixture
+    val df = pts.toDF("device", "transducer", "ts_us", "value")
+    val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
+
+    for (iter <- 0 until 30) {
+      val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => GTime(if (rnd.nextBoolean()) ">=" else "<", rnd.nextInt(1000).toLong)
+          case 1 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case _ => GField(if (rnd.nextBoolean()) ">" else "<=",
+            math.floor(rnd.nextDouble() * 1000) / 10.0)
+        }
+      }
+      val whereTxt = if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
+      val kept = mPts.filter(p => conds.forall(_.holds(p)))
+
+      rnd.nextInt(3) match {
+        case 0 => // raw expression projection
+          val k = (1 + rnd.nextInt(9)).toDouble
+          val engine = InfluxQL.run(df, s"SELECT value * $k + 1 AS v FROM m$whereTxt")
+            .as[(Long, Double)].collect().toSeq.sorted
+          val expected = kept.map(p => (p.ts, p.value * k + 1.0)).sorted
+          assert(engine == expected, s"raw mismatch (iter $iter) k=$k$whereTxt")
+        case 1 => // top/bottom, global or per device
+          val n = 1 + rnd.nextInt(5)
+          val (fn, desc) = if (rnd.nextBoolean()) ("top", true) else ("bottom", false)
+          if (rnd.nextBoolean()) {
+            val engine = InfluxQL.run(df, s"SELECT $fn(value, $n) FROM m$whereTxt")
+              .as[(Long, Double)].collect().toSeq.sorted
+            val ordered = kept.sortBy(p => (if (desc) -p.value else p.value, p.ts))
+            val expected = ordered.take(n).map(p => (p.ts, p.value)).sorted
+            assert(engine == expected, s"$fn global mismatch (iter $iter)$whereTxt")
+          } else {
+            val engine = InfluxQL.run(df,
+              s"SELECT $fn(value, $n) FROM m$whereTxt GROUP BY device")
+              .as[(Long, String, Double)].collect().toSeq.sorted
+            val expected = kept.groupBy(_.device).toSeq.flatMap { case (d, rs) =>
+              rs.sortBy(p => (if (desc) -p.value else p.value, p.ts))
+                .take(n).map(p => (p.ts, d, p.value))
+            }.sorted
+            assert(engine == expected, s"$fn grouped mismatch (iter $iter)$whereTxt")
+          }
+        case _ => // elapsed with a random unit
+          val unit = Seq(1L, 5L, 20L)(rnd.nextInt(3))
+          val engine = InfluxQL.run(df, s"SELECT elapsed(value, ${unit}u) FROM m$whereTxt")
+            .as[(Long, Long)].collect().toSeq.sorted
+          val ordered = kept.sortBy(p => (p.ts, p.value))
+          val expected = ordered.zip(ordered.drop(1)).map { case (a, b) =>
+            (b.ts, math.floor((b.ts - a.ts).toDouble / unit.toDouble).toLong)
+          }.sorted
+          assert(engine == expected, s"elapsed mismatch (iter $iter) unit=$unit$whereTxt")
+      }
     }
   }
 }
