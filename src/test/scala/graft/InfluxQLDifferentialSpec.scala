@@ -432,4 +432,80 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       }
     }
   }
+
+  test("subquery re-aggregation matches the reference, nulls and all") {
+    val rnd = new scala.util.Random(99991L)
+    val pts = fixture
+    val df = pts.toDF("device", "transducer", "ts_us", "value")
+    val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
+    val innerFns = Vector("count", "sum", "mean", "min", "max", "spread",
+      "first", "last", "median", "stddev", "mode")
+    // outer functions restricted to the null-transparent set: the inner
+    // skeleton emits null rows (empty day-buckets) the outer aggregates
+    // must IGNORE — while a bucket whose inner rows are all null still
+    // exists, with count 0 and null everything else
+    val outerFns = Vector("count", "sum", "mean", "min", "max")
+
+    for (iter <- 0 until 25) {
+      val fn1 = innerFns(rnd.nextInt(innerFns.size))
+      val fn2 = outerFns(rnd.nextInt(outerFns.size))
+      val step1 = Seq(50L, 100L)(rnd.nextInt(2))
+      val step2 = Seq(100L, 250L, 500L)(rnd.nextInt(3))
+      val bounded = rnd.nextBoolean()
+      val lo = rnd.nextInt(300).toLong
+      val hi = lo + 100 + rnd.nextInt(500)
+      val innerWhere = if (bounded) s" WHERE time >= $lo AND time < $hi" else ""
+      val text =
+        s"""SELECT $fn2(x) AS y FROM
+           |(SELECT $fn1(value) AS x FROM m$innerWhere GROUP BY time($step1), device)
+           |GROUP BY time($step2)""".stripMargin
+      val engine = InfluxQL.run(df, text)
+        .select("time", "y").collect().map(r => (r.getLong(0), r.get(1))).toSet
+
+      // reference: inner bucket series incl skeleton nulls, then re-bucket
+      val kept = mPts.filter(p => !bounded || (p.ts >= lo && p.ts < hi))
+      def b1(t: Long) = t - Math.floorMod(t, step1)
+      val grouped = kept.groupBy(p => (b1(p.ts), p.device))
+      val innerRows: Seq[(Long, Any)] =
+        if (!bounded) grouped.toSeq.map { case ((b, _), rs) => (b, aggCall(fn1, None, rs)) }
+        else if (kept.isEmpty) Nil
+        else {
+          val bLo = lo - Math.floorMod(lo, step1)
+          val bHi = hi - 1 - Math.floorMod(hi - 1, step1)
+          val series = grouped.keys.map(_._2).toSeq.distinct
+          for (d <- series; b <- bLo to bHi by step1)
+            yield (b, grouped.get((b, d)).map(aggCall(fn1, None, _)).orNull)
+        }
+      val expected: Set[(Long, Any)] = innerRows
+        .groupBy { case (t, _) => t - Math.floorMod(t, step2) }
+        .map { case (b2, rows) =>
+          val raw = rows.map(_._2).filter(_ != null)
+          val xs = raw.map { case l: Long => l.toDouble; case d: Double => d }
+          val y: Any = fn2 match {
+            case "count" => raw.size.toLong
+            case "sum" =>
+              if (xs.isEmpty) null
+              else xs.map(BigDecimal(_).setScale(4, RoundingMode.HALF_UP)).sum.toDouble
+            case "mean" =>
+              if (xs.isEmpty) null
+              else xs.map(BigDecimal(_).setScale(4, RoundingMode.HALF_UP))
+                .sum.toDouble / xs.size.toDouble
+            case "min" | "max" =>
+              // min/max keep the inner column's native type: a count stays long
+              if (raw.isEmpty) null
+              else if (fn1 == "count") {
+                val ls = raw.map(_.asInstanceOf[Long])
+                if (fn2 == "min") ls.min else ls.max
+              } else if (fn2 == "min") xs.min else xs.max
+          }
+          (b2, y)
+        }.toSet
+
+      assert(engine == expected,
+        s"""subquery mismatch (iter $iter)
+           |QUERY: $text
+           |ENGINE-ONLY: ${(engine -- expected).take(5)}
+           |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
+    }
+  }
 }
