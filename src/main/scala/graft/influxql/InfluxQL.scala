@@ -105,7 +105,8 @@ object InfluxQL {
     */
   final case class Field(func: String, arg: String, pct: Option[Double],
                          transform: Option[String] = None,
-                         targ: Option[Long] = None) {
+                         targ: Option[Long] = None,
+                         seasonal: Option[Long] = None) {
     def defaultName: String = transform.getOrElse(func)
   }
 
@@ -467,19 +468,22 @@ object InfluxQL {
         FCall(parseAggBody(p, lower))
       } else if (lower == "holt_winters" && p.sym("(")) {
         // holt_winters(agg(field), N, S): N forecast points; S is the
-        // seasonal pattern length — only S = 0 (no seasonality) is
-        // supported, the deterministic fixed-coefficient variant
+        // seasonal pattern length in buckets (0 = no seasonality). Both
+        // variants are the deterministic fixed-coefficient method —
+        // InfluxQL fits its coefficients with an optimizer no two engines
+        // reproduce; here S > 0 adds an additive per-phase seasonal index
+        // (the same integer EMA kernel over residuals).
         val inner = parseAggCall(p)
         p.expectSym(",")
         val nFc = p.num()
         if (nFc < 1 || nFc != math.floor(nFc)) p.fail("holt_winters N must be a positive integer")
         p.expectSym(",")
         val season = p.num()
-        if (season != 0)
-          p.fail("holt_winters seasonality is not supported (S must be 0) — " +
-            "InfluxQL fits seasonal coefficients with an optimizer no two engines reproduce")
+        if (season < 0 || season > 1000 || season != math.floor(season))
+          p.fail("holt_winters S must be an integer in [0, 1000]")
         p.expectSym(")")
-        FCall(inner.copy(transform = Some("holt_winters"), targ = Some(nFc.toLong)))
+        FCall(inner.copy(transform = Some("holt_winters"), targ = Some(nFc.toLong),
+          seasonal = Some(season.toLong)))
       } else if (lower == ElapsedFunc && p.sym("(")) {
         val arg = p.ident()
         val unit = if (p.sym(",")) (p.next() match {
@@ -1175,14 +1179,19 @@ object InfluxQL {
     applyRowRange(applySeriesLimit(picked, q), q)
   }
 
-  /** holt_winters(agg, N, 0): N forecast points per series beyond its last
-    * bucket — the fixed-coefficient Holt linear method on the bucketed
-    * aggregate series, the same pinned kernel as
+  /** holt_winters(agg, N, S): N forecast points per series beyond its last
+    * bucket — the fixed-coefficient Holt method on the bucketed aggregate
+    * series, the same pinned kernel as
     * [[graft.operators.TimeSeriesOps.holtForecast]] (integer EMA level +
     * EMA trend over first differences, n=4 depth=10, quantize-then-int64
-    * discipline, oracle-exact). Fill runs first, so the forecast sees the
-    * same series InfluxDB would feed it. One window shuffle on the series
-    * key; the horizon fan-out runs on |series| rows only.
+    * discipline, oracle-exact). S > 0 adds ADDITIVE seasonality: each
+    * bucket's phase is its grid index mod S, the seasonal index is the
+    * same EMA kernel over the level residuals along each (series, phase)
+    * sub-series, and a forecast adds its target phase's latest index.
+    * Fill runs first, so the forecast sees the same series InfluxDB would
+    * feed it. One window shuffle on the series key (plus one on
+    * series×phase when seasonal); the horizon fan-out and the phase
+    * lookup join run on |series|·S rows only.
     */
   private def planHoltWinters(df: DataFrame, q: Query): DataFrame = {
     import graft.operators.TimeSeriesOps.exponentialMovingAverage
@@ -1190,11 +1199,12 @@ object InfluxQL {
     val f = it.bareCall.get
     val step = q.groupTimeUs.get
     val horizons = 1 to f.targ.get.toInt
+    val season = f.seasonal.getOrElse(0L)
     val bucket = (col("ts_us") -
       pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))).as("time")
     val partCols = if (q.groupTags.isEmpty) Seq("transducer") else q.groupTags
     val keys = bucket +: partCols.map(col)
-    val inner = f.copy(transform = None, targ = None)
+    val inner = f.copy(transform = None, targ = None, seasonal = None)
     val grouped = df.groupBy(keys: _*).agg(aggExpr(inner).as("__c0"))
     val filled = applyFill(grouped, q, step, partCols, Seq("__c0"))
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
@@ -1202,19 +1212,57 @@ object InfluxQL {
     val c = col("__c0").cast("double")
     val smoothed = filled
       .withColumn("__d", c - lag(c, 1).over(w))
-      .select(partCols.map(col) ++ Seq(col("time"),
-        exponentialMovingAverage(c, w, n = 4, depth = 10).as("__lvl"),
-        // a first bucket has no difference: zero trend, not 0/0
-        when(lag(c, 1).over(w).isNotNull,
-          exponentialMovingAverage(col("__d"), w, n = 4, depth = 10))
-          .otherwise(lit(0.0)).as("__trd"),
-        row_number().over(wDesc).as("__rn")): _*)
-    val res = smoothed.filter(col("__rn") === 1)
-      .select(partCols.map(col) ++ Seq(col("time"), col("__lvl"), col("__trd"),
-        explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+      .withColumn("__lvl", exponentialMovingAverage(c, w, n = 4, depth = 10))
+      // a first bucket has no difference: zero trend, not 0/0
+      .withColumn("__trd", when(lag(c, 1).over(w).isNotNull,
+        exponentialMovingAverage(col("__d"), w, n = 4, depth = 10))
+        .otherwise(lit(0.0)))
+      .withColumn("__rn", row_number().over(wDesc))
+    val fanBase =
+      if (season == 0)
+        smoothed.filter(col("__rn") === 1)
+          .select(partCols.map(col) ++ Seq(col("time"), col("__lvl"), col("__trd"),
+            explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+      else {
+        // additive seasonality: each bucket's phase is its index on the
+        // grid mod S; the seasonal index is the SAME integer EMA kernel
+        // over the level residuals, along each (series, phase) sub-series.
+        // Forecast buckets look up the latest index of THEIR phase — a
+        // join on |series|·S rows, never data-sized.
+        val phase = pmod(((col("time") - lit(q.groupTimeOffsetUs)) / lit(step))
+          .cast("long"), lit(season))
+        val wp = Window.partitionBy((partCols :+ "__ph").map(col): _*)
+          .orderBy(col("time"))
+        val wpDesc = Window.partitionBy((partCols :+ "__ph").map(col): _*)
+          .orderBy(col("time").desc)
+        val seasonal = smoothed
+          .withColumn("__ph", phase)
+          .withColumn("__r", c - col("__lvl"))
+          .withColumn("__s", exponentialMovingAverage(col("__r"), wp, n = 4, depth = 10))
+          .withColumn("__rnp", row_number().over(wpDesc))
+        val seasons = seasonal.filter(col("__rnp") === 1)
+          .select((partCols :+ "__ph").map(col) :+ col("__s"): _*)
+        val fan = seasonal.filter(col("__rn") === 1)
+          .select(partCols.map(col) ++ Seq(col("time"), col("__ph"),
+            col("__lvl"), col("__trd"),
+            explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+          .withColumn("__fph", pmod(col("__ph") + col("__h"), lit(season)))
+          .drop("__ph")
+        // a phase never observed in the series has no index: seasonal 0
+        // (as does an all-null phase, whose massless kernel is NaN)
+        fan.join(
+          broadcast(seasons.withColumnRenamed("__ph", "__fph")),
+          partCols :+ "__fph", "left")
+          .withColumn("__sv", coalesce(nanvl(col("__s"), lit(0.0)), lit(0.0)))
+      }
+    // the seasonless tree stays exactly lvl + h·trd (no + 0.0 — it would
+    // be a different IEEE expression than the pinned oracle's)
+    val forecast =
+      if (season == 0) col("__lvl") + col("__h") * col("__trd")
+      else col("__lvl") + col("__h") * col("__trd") + col("__sv")
+    val res = fanBase
       .select(((col("time") + col("__h") * lit(step)).as("time") +:
-        q.groupTags.map(col)) :+
-        (col("__lvl") + col("__h") * col("__trd")).as(it.outName): _*)
+        q.groupTags.map(col)) :+ forecast.as(it.outName): _*)
       .orderBy(col("time").asc +: q.groupTags.map(col(_).asc): _*)
     applyRowRange(applySeriesLimit(res, q), q)
   }

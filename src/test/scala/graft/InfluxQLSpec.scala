@@ -492,11 +492,37 @@ class InfluxQLSpec extends SparkSuite {
     assert(a(0)._3 > 3.0 && a(0)._3 < 4.0, "level is a trailing weighted mean < last+trend")
     def bad(s: String): String =
       intercept[IllegalArgumentException](parse(s)).getMessage
-    assert(bad("SELECT holt_winters(mean(value), 2, 4) FROM m GROUP BY time(10u)")
-      .contains("seasonality"))
+    assert(bad("SELECT holt_winters(mean(value), 0, 0) FROM m GROUP BY time(10u)")
+      .contains("positive integer"))
     assert(bad("SELECT holt_winters(mean(value), 2, 0) FROM m").contains("GROUP BY time"))
     assert(bad("SELECT holt_winters(mean(value), 2, 0), count(value) FROM m GROUP BY time(10u)")
       .contains("only SELECT field"))
+  }
+
+  test("holt_winters seasonality: per-phase residual index rides the forecast") {
+    // constant series: level = the constant exactly, residuals 0, any S —
+    // every forecast is exactly the constant
+    val const = pts((0 until 8).map(i => ("a", "m", i * 10L, 5.5)): _*)
+    val flat = InfluxQL.run(const,
+      "SELECT holt_winters(mean(value), 3, 4) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(flat == Seq((80L, "a", 5.5), (90L, "a", 5.5), (100L, "a", 5.5)))
+    // alternating series 10,20,10,20...: with S=2 the phase indexes absorb
+    // the oscillation the level EMA smooths over — the forecast for a
+    // "20" phase must exceed the one for a "10" phase; seasonless S=0
+    // cannot tell them apart (trend is near zero, forecasts ~monotone)
+    val alt = pts((0 until 8).map(i =>
+      ("a", "m", i * 10L, if (i % 2 == 0) 10.0 else 20.0)): _*)
+    val seasonal = InfluxQL.run(alt,
+      "SELECT holt_winters(mean(value), 2, 2) FROM m GROUP BY time(10u), device")
+      .select(col("time"), col("holt_winters")).as[(Long, Double)].collect().toMap
+    // last bucket 70 held 20 (phase 1); forecast 80 is phase 0 ("10"s),
+    // forecast 90 is phase 1 ("20"s)
+    assert(seasonal(90L) - seasonal(80L) > 5.0,
+      s"seasonal separation missing: $seasonal")
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT holt_winters(mean(value), 2, 2000) FROM m GROUP BY time(10u)"))
+      .getMessage.contains("[0, 1000]"))
   }
 
   test("planner: global (tagless) aggregate and whole-query limit") {
