@@ -168,10 +168,17 @@ object InfluxQL {
     "last", "median", "percentile", "spread", "stddev", "mode")
 
   /** InfluxQL transformations — each wraps an inner aggregate and runs as a
-    * window over the (densified) bucket series.
+    * window over the (densified) bucket series, OR takes a bare field and
+    * runs per series over the raw points (`SELECT derivative(value) FROM m`).
     */
   val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "cumulative_sum", "moving_average")
+
+  /** Pseudo-function marking a transformation operand as a RAW field
+    * (`derivative(value)` with no inner aggregate): the transform plans
+    * per-series over the raw points instead of the bucket series.
+    */
+  val RawOperand = "raw"
 
   /** Row selectors: `top(field, N)` / `bottom(field, N)` return the N
     * extreme POINTS (with their own times) rather than one value per group.
@@ -444,7 +451,7 @@ object InfluxQL {
       val name = p.ident()
       val lower = name.toLowerCase
       if (TransformFuncs.contains(lower) && p.sym("(")) {
-        val inner = parseAggCall(p)
+        val inner = parseAggCall(p, allowRaw = true)
         val targ: Option[Long] = lower match {
           case "derivative" | "non_negative_derivative" =>
             // the rate unit; InfluxQL's default is per second
@@ -506,14 +513,16 @@ object InfluxQL {
   }
 
   /** `func '(' field [',' num] ')'` — an aggregate call used as a transform
-    * operand.
+    * operand. With `allowRaw`, a bare identifier (no following paren) is a
+    * RAW field operand instead (`derivative(value)` — the core dashboard
+    * idiom); holt_winters keeps the aggregate-only rule.
     */
-  private def parseAggCall(p: P): Field = {
+  private def parseAggCall(p: P, allowRaw: Boolean = false): Field = {
     val name = p.ident()
-    if (!AggFuncs.contains(name.toLowerCase))
-      p.fail(s"transformations take an aggregate argument, got '$name'")
-    p.expectSym("(")
-    parseAggBody(p, name.toLowerCase)
+    val lower = name.toLowerCase
+    if (AggFuncs.contains(lower) && p.sym("(")) parseAggBody(p, lower)
+    else if (allowRaw) Field(RawOperand, name, None)
+    else p.fail(s"transformations take an aggregate argument, got '$name'")
   }
 
   private def parseAggBody(p: P, fn: String): Field = {
@@ -640,9 +649,19 @@ object InfluxQL {
         !(q.fields.exists(_.isAgg) && (q.groupTags.nonEmpty || q.groupStar || q.fromRegex)))
       throw new IllegalArgumentException(
         "InfluxQL: SLIMIT/SOFFSET select series — they need GROUP BY tags (or *)")
-    if (q.fields.exists(_.calls.exists(_.transform.nonEmpty)) && q.groupTimeUs.isEmpty)
+    val (rawT, aggT) = q.fields.flatMap(_.calls).filter(_.transform.nonEmpty)
+      .partition(_.func == RawOperand)
+    if (aggT.nonEmpty && q.groupTimeUs.isEmpty)
       throw new IllegalArgumentException(
-        "InfluxQL: transformations need GROUP BY time() — they run over the bucket series")
+        "InfluxQL: transformations over aggregates need GROUP BY time() — they run over the bucket series")
+    if (rawT.nonEmpty) {
+      if (q.groupTimeUs.nonEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: GROUP BY time() transformations take an aggregate argument (e.g. derivative(mean(value), 1h))")
+      if (q.fields.exists(_.calls.exists(f => f.transform.isEmpty || f.func != RawOperand)))
+        throw new IllegalArgumentException(
+          "InfluxQL: cannot mix raw-series transformations with aggregates in one SELECT")
+    }
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func)))) {
       if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
         throw new IllegalArgumentException(
@@ -867,6 +886,8 @@ object InfluxQL {
     if (q.fields.exists(_.calls.exists(_.func == ElapsedFunc)))
       return planElapsed(df, q)
     if (q.fields.forall(!_.isAgg)) return planRaw(df, q)
+    if (q.fields.exists(_.calls.exists(_.func == RawOperand)))
+      return out(planRawTransform(df, q))
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       return out(planTopBottom(df, q))
     if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
@@ -893,7 +914,12 @@ object InfluxQL {
         val grouped = projectItems(
           joinModes(base, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),
           q.groupTags.map(col))
-        out(applyRowRange(applySeriesLimit(grouped, q), q))
+        // LIMIT/OFFSET page over a pinned order (group tags asc) — an
+        // unordered page would be nondeterministic across runs/engines
+        val ordered =
+          if (q.groupTags.isEmpty) grouped
+          else grouped.orderBy(q.groupTags.map(col(_).asc): _*)
+        out(applyRowRange(applySeriesLimit(ordered, q), q))
       case Some(step) =>
         // epoch-aligned bucket start (shifted by the time() offset), exact
         // integer arithmetic — pmod keeps it right even left of the offset
@@ -1281,11 +1307,82 @@ object InfluxQL {
     val head =
       if (q.fromRegex) Seq(col("ts_us").as("time"), col("transducer").as("measurement"))
       else Seq(col("ts_us").as("time"))
-    val res = df.filter(col(f.arg).isNotNull)
+    val sel = df.filter(col(f.arg).isNotNull)
       .withColumn("__e", floor(d.cast("double") / lit(unit.toDouble)).cast("long"))
       .filter(col("__e").isNotNull)
       .select(head :+ col("__e").as(q.fields.head.outName): _*)
-      .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
+    // equal-timestamp rows tie-break on the remaining output columns so
+    // OFFSET/LIMIT paging is deterministic (the module's pinned discipline)
+    val tie = sel.columns.filter(_ != "time").map(col(_).asc)
+    val res = sel.orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*)
+    applyRowRange(res, q)
+  }
+
+  /** Raw-series transformations — `derivative(value[, unit])`,
+    * `difference(value)`, `moving_average(value, N)`,
+    * `cumulative_sum(value)` directly over the raw points of each series
+    * (no GROUP BY time()), the core InfluxQL idiom for counters. Same
+    * kernels as the bucketed path ([[applyTransforms]]) but windowed per
+    * (measurement, tags) series over raw points ordered by
+    * (ts, operand values) — the module's pinned tie-break, so paging and
+    * lag() are deterministic cross-engine. Emission follows InfluxDB: the
+    * first point of a series has no derivative/difference, a
+    * moving_average(N) emits from the Nth point; rows where EVERY
+    * transformed field is null drop from the output.
+    *
+    * Scale: one window shuffle on the series key; the time predicates
+    * pushed in [[plan]] still reach the parquet scan.
+    */
+  private def planRawTransform(df: DataFrame, q: Query): DataFrame = {
+    val calls = q.fields.flatMap(_.calls).distinct
+    val intName: Map[Field, String] =
+      calls.zipWithIndex.map { case (f, i) => f -> s"__c$i" }.toMap
+    val args = calls.map(_.arg).distinct
+    val partCols = ("transducer" +: q.groupTags).distinct
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("ts_us").asc +: args.map(col(_).asc): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def kernel(f: Field): Column = {
+      val c = col(f.arg).cast("double")
+      val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
+      f.transform.get match {
+        case tf @ ("derivative" | "non_negative_derivative") =>
+          // duplicate-timestamp points have no defined rate: Δt = 0 emits
+          // null (InfluxDB never sees the case — its storage collapses
+          // duplicate timestamps; raw parquet points can carry them)
+          val dt = (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double")
+          val dv = when(dt =!= 0.0,
+            (c - lag(c, 1).over(w)) / (dt / lit(f.targ.get.toDouble)))
+          if (tf == "derivative") dv
+          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
+        case "difference" => c - lag(c, 1).over(w)
+        case "cumulative_sum" =>
+          // 1e-6-quantized int64/decimal running sum: order-independent,
+          // one double conversion at the end (the bucketed path's pin)
+          sum(vu).over(cum).cast("double") / lit(1000000.0)
+        case "moving_average" =>
+          val n = f.targ.get.toInt
+          val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+          when(count(c).over(frame) >= n,
+            sum(vu).over(frame).cast("double") / lit(n.toDouble) / lit(1000000.0))
+        case other => throw new IllegalArgumentException(s"unsupported raw transform $other")
+      }
+    }
+    // groupTags already carries `transducer` for regex FROM (resolve());
+    // the caller's out() renames it to `measurement` after paging
+    val computed = df
+      .filter(args.map(col(_).isNotNull).reduce(_ && _))
+      .select((col("ts_us") +: partCols.map(col)) ++
+        calls.map(f => kernel(f).as(intName(f))): _*)
+      // InfluxDB's emission rule: a row appears only if some field emitted
+      .filter(calls.map(f => col(intName(f)).isNotNull).reduce(_ || _))
+    val sel = computed.select(
+      (col("ts_us").as("time") +: q.groupTags.map(col)) ++
+        q.fields.map(it => compileItem(it.expr, f => col(intName(f))).as(it.outName)): _*)
+    val tie = sel.columns.filter(_ != "time").map(col(_).asc)
+    val res = applySeriesLimit(sel, q).orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*)
     applyRowRange(res, q)
   }
 
@@ -1296,8 +1393,12 @@ object InfluxQL {
     val noCalls: Field => Column =
       f => throw new IllegalArgumentException(s"unexpected aggregate ${f.func}")
     val cols = head ++ q.fields.map(it => compileItem(it.expr, noCalls).as(it.outName))
-    val out = df.select(cols: _*)
-      .orderBy(if (q.timeDesc) col("time").desc else col("time").asc)
+    val sel = df.select(cols: _*)
+    // tie-break equal timestamps on the remaining output columns: paged raw
+    // scans must return the same rows on every run and engine
+    val tie = sel.columns.filter(_ != "time").map(col(_).asc)
+    val out = sel.orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*)
     applyRowRange(out, q)
   }
 
@@ -1358,6 +1459,15 @@ object InfluxQL {
     val off = q.groupTimeOffsetUs
     val bLo = lo - Math.floorMod(lo - off, step)
     val bHi = hi - 1 - Math.floorMod(hi - 1 - off, step)
+    // max-select-buckets guard: the skeleton is ONE sequence() array per
+    // series row before the explode, so an unbounded range would build a
+    // multi-million-element array in a single row (executor OOM). Fail
+    // fast like InfluxDB instead (TimeSeriesOps.MaxFillBuckets).
+    val nBuckets = (bHi - bLo) / step + 1
+    require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
+      s"fill skeleton of $nBuckets buckets exceeds max " +
+        s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets); " +
+        "widen GROUP BY time() or narrow the WHERE time range")
     val skeleton = grouped.select(partCols.map(col): _*).distinct()
       .select(
         (partCols.map(col) :+

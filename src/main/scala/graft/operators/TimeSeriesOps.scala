@@ -91,6 +91,26 @@ object TimeSeriesOps {
     * per series key (explode of a bounded sequence — no driver loop); the
     * fill is a last-ignoreNulls window. One shuffle on the series key.
     */
+  /** Hard cap on the densified skeleton length (buckets per series). The
+    * skeleton materializes as ONE `sequence()` array per series row before
+    * exploding, so an unbounded range (a year at 1s = 31M buckets) would
+    * build a 31M-element array in a single row — executor OOM. InfluxDB
+    * guards the same way (`max-select-buckets`); we fail fast with the
+    * count in the message instead of dying mid-stage.
+    */
+  val MaxFillBuckets: Long = 1L << 20
+
+  /** Bucket count of a [fromUs, untilUs) range at stepUs, overflow-safe
+    * (Long end to end — a wide range with a small step overflowed the old
+    * `.toInt`, silently truncating the skeleton) and capped. */
+  private[graft] def fillBucketCount(fromUs: Long, untilUs: Long, stepUs: Long): Long = {
+    val n = (untilUs - fromUs - 1) / stepUs + 1 // ceil without additive overflow
+    require(n <= MaxFillBuckets,
+      s"gap-fill skeleton of $n buckets exceeds max $MaxFillBuckets " +
+        "(max-select-buckets guard); widen the step or narrow the range")
+    n
+  }
+
   def gapFillLocf(df: DataFrame, key: Column, tsUs: Column, value: Column,
                   fromUs: Long, untilUs: Long, stepUs: Long): DataFrame = {
     require(untilUs > fromUs && stepUs > 0, "empty or inverted gap-fill range")
@@ -101,7 +121,7 @@ object TimeSeriesOps {
       .agg(sum(value.cast("decimal(38,4)")).cast("double").as("bucket_sum"))
     // ceil: a trailing partial bucket still belongs to the skeleton (floor
     // would silently drop its data in the join below)
-    val nBuckets = ((untilUs - fromUs + stepUs - 1) / stepUs).toInt
+    val nBuckets = fillBucketCount(fromUs, untilUs, stepUs)
     val skeleton = bucketed.select(col("series_key")).distinct()
       .select(col("series_key"),
         explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))
@@ -137,7 +157,7 @@ object TimeSeriesOps {
       .groupBy(key.as("series_key"),
         (floor((tsUs - lit(fromUs)) / lit(stepUs)).cast("long")).as("bucket"))
       .agg(sum(value.cast("decimal(38,4)")).cast("double").as("bucket_sum"))
-    val nBuckets = ((untilUs - fromUs + stepUs - 1) / stepUs).toInt
+    val nBuckets = fillBucketCount(fromUs, untilUs, stepUs)
     val skeleton = bucketed.select(col("series_key")).distinct()
       .select(col("series_key"),
         explode(sequence(lit(0L), lit(nBuckets - 1L))).as("bucket"))

@@ -165,6 +165,22 @@ object InfluxQLQueries {
           |GROUP BY time(1w)""".stripMargin)
     }),
 
+    // raw-series transformations: derivative/difference/moving_average/
+    // cumulative_sum directly over the raw points per (measurement, device)
+    // series — no GROUP BY time(); first points emit null and drop only
+    // when EVERY field is null (cumulative_sum keeps them alive)
+    "q_influxql_raw_transform" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT derivative(value, 1m) AS rate,
+          |       non_negative_derivative(value, 1m) AS nnrate,
+          |       difference(value) AS diff,
+          |       moving_average(value, 4) AS ma4,
+          |       cumulative_sum(value) AS cs
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY device""".stripMargin)
+    }),
+
     // elapsed(): whole-unit gaps to the series predecessor, first point
     // dropped — one window per measurement series
     "q_influxql_elapsed" -> ((s, dir) => {
@@ -411,6 +427,32 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 4)) AS t(o))
          |SELECT s.time, a.mdm, a.mxm
          |FROM skel s LEFT JOIN a ON s.time = a.wtime""".stripMargin,
+
+    "q_influxql_raw_transform" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1704672000000000
+         |      AND value IS NOT NULL),
+         |t AS (SELECT ts_us AS time, device,
+         |    CASE WHEN ts_us > lag(ts_us) OVER w THEN (value - lag(value) OVER w)
+         |      / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 60000000.0) END AS rate,
+         |    value - lag(value) OVER w AS diff,
+         |    CASE WHEN count(value) OVER ma >= 4 THEN
+         |      CAST(sum(CAST(floor(value * 1000000.0) AS DECIMAL(38,0))) OVER ma AS DOUBLE)
+         |        / 4.0 / 1000000.0 END AS ma4,
+         |    CAST(sum(CAST(floor(value * 1000000.0) AS DECIMAL(38,0))) OVER cum AS DOUBLE)
+         |      / 1000000.0 AS cs
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY device ORDER BY ts_us, value),
+         |    ma AS (PARTITION BY device ORDER BY ts_us, value
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         |    cum AS (PARTITION BY device ORDER BY ts_us, value ROWS UNBOUNDED PRECEDING))
+         |SELECT time, device, rate,
+         |  CASE WHEN rate < 0 THEN NULL ELSE rate END AS nnrate,
+         |  diff, ma4, cs
+         |FROM t
+         |WHERE rate IS NOT NULL OR diff IS NOT NULL OR ma4 IS NOT NULL
+         |   OR cs IS NOT NULL""".stripMargin,
 
     "q_influxql_elapsed" ->
       s"""WITH $ptsSql,

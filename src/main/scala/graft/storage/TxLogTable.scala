@@ -289,7 +289,14 @@ class TxLogTable(spark: SparkSession, path: String) {
     Files.createDirectories(logDir)
     val next = base.map(_ + 1).getOrElse(0L)
     writeCommitFile(logDir, next, renderEntry(LogEntry(next, op, dirs, txn)))
-    if (next > 0 && next % TxnCheckpointInterval == 0) writeTxnCheckpoint(next)
+    // The commit is durable once the link above lands. The checkpoint is an
+    // optimization; if IT fails (disk full, permissions) the commit must
+    // still report success — a caller retrying an "apparent failure" here
+    // would double-append past its txn fence.
+    if (next > 0 && next % TxnCheckpointInterval == 0) {
+      try writeTxnCheckpoint(next)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     next
   }
 

@@ -246,7 +246,9 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
 
   override def subscribe(filters: Seq[String]): Unit = {
     val s = session.getOrElse(throw new IllegalStateException("subscribe before connect"))
-    val pid = (nextPid.incrementAndGet() & 0xfffe) + 1 // 1..65535, never 0
+    // 1..65535, never 0; ids only repeat after 65535 allocations (the &0xfffe
+    // form collided every other id, silently merging two in-flight entries).
+    val pid = Math.floorMod(nextPid.getAndIncrement(), 0xffff) + 1
     val q = new ArrayBlockingQueue[Seq[Int]](1)
     s.pendingSubacks.put(pid, q)
     try {
@@ -401,7 +403,7 @@ class MockMqttBroker {
         val dqos = math.min(qos, g)
         try {
           if (dqos >= 1) {
-            val pid = (cs.nextPid.incrementAndGet() & 0xfffe) + 1
+            val pid = Math.floorMod(cs.nextPid.getAndIncrement(), 0xffff) + 1
             cs.pendingAcks.put(pid, (topic, payload))
             cs.send(encodePublish(topic, payload, qos = 1, packetId = pid))
           } else cs.send(encodePublish(topic, payload))

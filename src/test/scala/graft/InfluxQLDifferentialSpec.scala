@@ -433,6 +433,118 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("raw-series transformations match the reference") {
+    val rnd = new scala.util.Random(5150505L)
+    val pts = fixture
+    val df = pts.toDF("device", "transducer", "ts_us", "value")
+    val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
+    val tfs = Vector("derivative", "non_negative_derivative", "difference",
+      "cumulative_sum", "moving_average")
+
+    // the engine's raw kernels, literally: per-series points ordered by
+    // (ts, value), operands in double, quantized decimal running/frame sums,
+    // moving_average emitting only once its frame is full
+    def kernel(tf: String, targ: Long, s: IndexedSeq[Pt]): Seq[Any] = {
+      val c = s.map(_.value)
+      def vu(i: Int): BigInt = BigInt(math.floor(c(i) * 1000000.0).toLong)
+      tf match {
+        case "derivative" | "non_negative_derivative" =>
+          s.indices.map { i =>
+            if (i == 0 || s(i).ts == s(i - 1).ts) null // Δt = 0: no defined rate
+            else {
+              val d = (c(i) - c(i - 1)) /
+                ((s(i).ts - s(i - 1).ts).toDouble / targ.toDouble)
+              if (tf == "non_negative_derivative" && d < 0) null else d
+            }
+          }
+        case "difference" =>
+          s.indices.map(i => if (i == 0) null else c(i) - c(i - 1))
+        case "cumulative_sum" =>
+          var run = BigInt(0)
+          s.indices.map { i => run += vu(i); BigDecimal(run).toDouble / 1000000.0 }
+        case "moving_average" =>
+          s.indices.map { i =>
+            if (i < targ.toInt - 1) null
+            else {
+              val frame = ((i - targ.toInt + 1) to i).map(vu)
+              BigDecimal(frame.sum).toDouble / targ.toDouble / 1000000.0
+            }
+          }
+      }
+    }
+
+    for (iter <- 0 until 30) {
+      val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => GTime(if (rnd.nextBoolean()) ">=" else "<", rnd.nextInt(1000).toLong)
+          case 1 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case _ => GField(if (rnd.nextBoolean()) ">" else "<=",
+            math.floor(rnd.nextDouble() * 1000) / 10.0)
+        }
+      }
+      val whereTxt = if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
+      val byDevice = rnd.nextBoolean()
+      val items = (0 until 1 + rnd.nextInt(2)).map { i =>
+        val tf = tfs(rnd.nextInt(tfs.size))
+        val targ = tf match {
+          case "derivative" | "non_negative_derivative" => Seq(10L, 50L, 100L)(rnd.nextInt(3))
+          case "moving_average" => (2 + rnd.nextInt(4)).toLong
+          case _ => 0L
+        }
+        val op = if (rnd.nextInt(10) < 3)
+          Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble)) else None
+        (tf, targ, op, s"f$i")
+      }
+      def callTxt(tf: String, targ: Long): String = tf match {
+        case "derivative" | "non_negative_derivative" => s"$tf(value, ${targ}u)"
+        case "moving_average" => s"moving_average(value, $targ)"
+        case t => s"$t(value)"
+      }
+      val sel = items.map { case (tf, targ, op, a) =>
+        val c = callTxt(tf, targ)
+        op match { case None => s"$c AS $a"; case Some((o, k)) => s"$c $o $k AS $a" }
+      }.mkString(", ")
+      val text = s"SELECT $sel FROM m$whereTxt" +
+        (if (byDevice) " GROUP BY device" else "")
+
+      val cols = (Seq("time") ++ (if (byDevice) Seq("device") else Nil)) ++ items.map(_._4)
+      val engine = InfluxQL.run(df, text).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+
+      val kept = mPts.filter(p => conds.forall(_.holds(p)))
+      val series: Seq[(String, IndexedSeq[Pt])] =
+        if (byDevice) kept.groupBy(_.device).view
+          .mapValues(_.sortBy(p => (p.ts, p.value)).toIndexedSeq).toSeq
+        else Seq("m" -> kept.sortBy(p => (p.ts, p.value)).toIndexedSeq)
+      val expected = Set.newBuilder[Seq[Any]]
+      for ((d, s) <- series) {
+        val colVals = items.map { case (tf, targ, _, _) => kernel(tf, targ, s) }
+        for (i <- s.indices) {
+          val row = items.indices.map(c => colVals(c)(i))
+          // InfluxDB's emission rule: the row exists iff some field emitted
+          if (row.exists(_ != null)) {
+            val projected = items.indices.map { c =>
+              (items(c)._3, row(c)) match {
+                case (None, v) => v
+                case (_, null) => null
+                case (Some((o, k)), v) =>
+                  val dd = v.asInstanceOf[Double]
+                  o match { case '+' => dd + k; case '-' => dd - k; case '*' => dd * k }
+              }
+            }
+            expected += (if (byDevice) s(i).ts +: d +: projected
+                         else s(i).ts +: projected)
+          }
+        }
+      }
+      assert(engine == expected.result(),
+        s"""raw-transform mismatch (iter $iter)
+           |QUERY: $text
+           |ENGINE-ONLY: ${(engine -- expected.result()).take(5)}
+           |EXPECTED-ONLY: ${(expected.result() -- engine).take(5)}""".stripMargin)
+    }
+  }
+
   test("subquery re-aggregation matches the reference, nulls and all") {
     val rnd = new scala.util.Random(99991L)
     val pts = fixture

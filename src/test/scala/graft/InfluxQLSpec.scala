@@ -525,6 +525,48 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("[0, 1000]"))
   }
 
+  test("fill skeleton rejects a range above the max-select-buckets cap") {
+    val df = pts(("a", "m", 0L, 1.0), ("a", "m", 500L, 2.0))
+    // a year at 1s = ~31.5M buckets: must fail FAST (before any stage runs),
+    // not OOM an executor materializing one 31M-element sequence() row
+    val e = intercept[IllegalArgumentException] {
+      InfluxQL.run(df,
+        """SELECT mean(value) FROM m
+          |WHERE time >= '2024-01-01' AND time < '2025-01-01'
+          |GROUP BY time(1s) FILL(previous)""".stripMargin)
+    }
+    assert(e.getMessage.contains("max-select-buckets"))
+    // the same range at a coarse step stays fine
+    val ok = InfluxQL.run(df,
+      """SELECT mean(value) FROM m
+        |WHERE time >= 0 AND time < 1000 GROUP BY time(100) FILL(previous)""".stripMargin)
+    assert(ok.count() == 10)
+  }
+
+  test("raw-series transformations: planner surface and validation") {
+    val df = pts(
+      ("a", "m", 0L, 1.0), ("a", "m", 100L, 3.0), ("a", "m", 200L, 2.0),
+      ("b", "m", 0L, 10.0), ("b", "m", 50L, 20.0))
+    // derivative per device series: (Δv)/(Δt/unit); first point drops
+    val d = InfluxQL.run(df,
+      "SELECT derivative(value, 100u) AS r FROM m GROUP BY device")
+      .select("time", "device", "r").as[(Long, String, Double)].collect().sorted
+    assert(d.toSeq == Seq((50L, "b", 20.0), (100L, "a", 2.0), (200L, "a", -1.0)))
+    // cumulative_sum keeps every point alive (no all-null drop)
+    val cs = InfluxQL.run(df, "SELECT cumulative_sum(value) AS cs FROM m GROUP BY device")
+    assert(cs.count() == 5)
+    // GROUP BY time() still demands an aggregate operand
+    val e1 = intercept[IllegalArgumentException] {
+      InfluxQL.run(df, "SELECT derivative(value) FROM m GROUP BY time(100)")
+    }
+    assert(e1.getMessage.contains("aggregate argument"))
+    // raw transforms don't mix with aggregates in one SELECT
+    val e2 = intercept[IllegalArgumentException] {
+      InfluxQL.run(df, "SELECT derivative(value), mean(value) FROM m")
+    }
+    assert(e2.getMessage.contains("cannot mix"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")

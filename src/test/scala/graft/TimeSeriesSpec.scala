@@ -95,6 +95,22 @@ class TimeSeriesSpec extends SparkSuite {
     assert(single(2L).contains(3.0) && (0L to 5L).filterNot(_ == 2L).forall(single(_).isEmpty))
   }
 
+  test("gap fill skeleton: Long-safe bucket count, capped fail-fast") {
+    val df = Seq((1L, 15L, 2.0)).toDF("k", "ts", "v")
+    // a range/step pair whose bucket count overflows Int must fail loudly
+    // (the old .toInt silently truncated to a wrong — even empty — skeleton)
+    val e = intercept[IllegalArgumentException] {
+      TimeSeriesOps.gapFillLocf(df, col("k"), col("ts"), col("v"),
+        fromUs = 0L, untilUs = Long.MaxValue / 2, stepUs = 1L)
+    }
+    assert(e.getMessage.contains("max-select-buckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeriesOps.gapFillLinear(df, col("k"), col("ts"), col("v"),
+        fromUs = 0L, untilUs = (TimeSeriesOps.MaxFillBuckets + 1) * 10L, stepUs = 10L)
+    }
+    assert(e2.getMessage.contains("max-select-buckets"))
+  }
+
   test("integral: trapezoid area per series, first point contributes no segment") {
     val df = Seq((7L, 0L, 1.0), (7L, 1000000L, 3.0), (7L, 3000000L, 5.0),
       (8L, 0L, 2.0)).toDF("k", "ts_us", "v")
