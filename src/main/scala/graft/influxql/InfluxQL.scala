@@ -162,7 +162,8 @@ object InfluxQL {
                          groupStar: Boolean = false, into: Option[String] = None,
                          fromRegex: Boolean = false, offset: Option[Int] = None,
                          slimit: Option[Int] = None, soffset: Option[Int] = None,
-                         fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L)
+                         fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L,
+                         tz: Option[String] = None)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -394,10 +395,23 @@ object InfluxQL {
     val offset = if (p.kw("OFFSET")) Some(nat("OFFSET")) else None
     val slimit = if (p.kw("SLIMIT")) Some(nat("SLIMIT")) else None
     val soffset = if (p.kw("SOFFSET")) Some(nat("SOFFSET")) else None
+    // tz('Zone/Name') — InfluxQL's trailing timezone clause: GROUP BY time
+    // buckets align to LOCAL wall-clock midnights/steps, DST-aware
+    val tz: Option[String] = if (p.kw("TZ")) {
+      p.expectSym("(")
+      val z = p.next() match {
+        case TStr(s, _) => s
+        case t => p.fail(s"tz() takes a quoted IANA zone, got '${t.raw}'")
+      }
+      p.expectSym(")")
+      try java.time.ZoneId.of(z)
+      catch { case _: java.time.DateTimeException => p.fail(s"unknown time zone '$z'") }
+      Some(z)
+    } else None
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
-      offset, slimit, soffset, fromSub, groupTimeOffset)
+      offset, slimit, soffset, fromSub, groupTimeOffset, tz)
     validate(q)
     q
   }
@@ -662,6 +676,14 @@ object InfluxQL {
         throw new IllegalArgumentException(
           "InfluxQL: cannot mix raw-series transformations with aggregates in one SELECT")
     }
+    if (q.tz.nonEmpty) {
+      if (q.groupTimeUs.isEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: tz() shifts GROUP BY time() buckets — it needs a time() grouping")
+      if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
+        throw new IllegalArgumentException(
+          "InfluxQL: tz() does not combine with holt_winters() — forecast steps are bucket-uniform")
+    }
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func)))) {
       if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
         throw new IllegalArgumentException(
@@ -922,9 +944,20 @@ object InfluxQL {
         out(applyRowRange(applySeriesLimit(ordered, q), q))
       case Some(step) =>
         // epoch-aligned bucket start (shifted by the time() offset), exact
-        // integer arithmetic — pmod keeps it right even left of the offset
-        val bucket = (col("ts_us") -
-          pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))).as("time")
+        // integer arithmetic — pmod keeps it right even left of the offset.
+        // With tz(), truncation happens in the zone's WALL clock (DST-aware:
+        // a local midnight is a different instant either side of a
+        // transition) and the bucket surfaces as the UTC instant of that
+        // local bucket start — InfluxDB's rule.
+        val bucket = (q.tz match {
+          case Some(zone) =>
+            val wall = unix_micros(from_utc_timestamp(
+              timestamp_micros(col("ts_us")), zone))
+            val bWall = wall - pmod(wall - lit(q.groupTimeOffsetUs), lit(step))
+            unix_micros(to_utc_timestamp(timestamp_micros(bWall), zone))
+          case None =>
+            col("ts_us") - pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))
+        }).as("time")
         // a TAGLESS query is still one series — keyed by its measurement.
         // Grouping and windowing on the real `transducer` attribute (constant
         // under the FROM filter, but an attribute Catalyst cannot fold) keeps
@@ -1457,8 +1490,22 @@ object InfluxQL {
     if (q.fill == FillNull && fillBoundsOpt(q).isEmpty) return grouped
     val (lo, hi) = fillBounds(q)
     val off = q.groupTimeOffsetUs
-    val bLo = lo - Math.floorMod(lo - off, step)
-    val bHi = hi - 1 - Math.floorMod(hi - 1 - off, step)
+    // with tz() the skeleton densifies in the zone's WALL clock (uniform
+    // steps there, non-uniform instants across DST) and each wall bucket
+    // converts back to its UTC instant — matching the grouped bucket ids
+    def wallUs(us: Long, zone: java.time.ZoneId): Long = {
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      us + zone.getRules.getOffset(inst).getTotalSeconds * 1000000L
+    }
+    val (loT, hiT) = q.tz match {
+      case Some(z) =>
+        val zone = java.time.ZoneId.of(z)
+        (wallUs(lo, zone), wallUs(hi - 1, zone))
+      case None => (lo, hi - 1)
+    }
+    val bLo = loT - Math.floorMod(loT - off, step)
+    val bHi = hiT - Math.floorMod(hiT - off, step)
     // max-select-buckets guard: the skeleton is ONE sequence() array per
     // series row before the explode, so an unbounded range would build a
     // multi-million-element array in a single row (executor OOM). Fail
@@ -1468,10 +1515,16 @@ object InfluxQL {
       s"fill skeleton of $nBuckets buckets exceeds max " +
         s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets); " +
         "widen GROUP BY time() or narrow the WHERE time range")
+    val timeCol = q.tz match {
+      case Some(z) =>
+        unix_micros(to_utc_timestamp(timestamp_micros(col("__wall")), z)).as("time")
+      case None => col("__wall").as("time")
+    }
     val skeleton = grouped.select(partCols.map(col): _*).distinct()
       .select(
         (partCols.map(col) :+
-          explode(sequence(lit(bLo), lit(bHi), lit(step))).as("time")): _*)
+          explode(sequence(lit(bLo), lit(bHi), lit(step))).as("__wall")): _*)
+      .select((partCols.map(col) :+ timeCol): _*)
     val joined = skeleton.join(grouped, "time" +: partCols, "left")
 
     def series = Window.partitionBy(partCols.map(col): _*)

@@ -165,6 +165,18 @@ object InfluxQLQueries {
           |GROUP BY time(1w)""".stripMargin)
     }),
 
+    // tz(): GROUP BY time(1d) buckets align to LOCAL midnights in the given
+    // IANA zone (Lord Howe's +11:00 January offset exercises a half-hour
+    // base zone), with the fill skeleton densified in wall-clock space;
+    // output times are the UTC instants of the local bucket starts
+    "q_influxql_tz" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS c, mean(value) AS mv FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device FILL(previous)
+          |TZ('Australia/Lord_Howe')""".stripMargin)
+    }),
+
     // raw-series transformations: derivative/difference/moving_average/
     // cumulative_sum directly over the raw points per (measurement, device)
     // series — no GROUP BY time(); first points emit null and drop only
@@ -427,6 +439,31 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 4)) AS t(o))
          |SELECT s.time, a.mdm, a.mxm
          |FROM skel s LEFT JOIN a ON s.time = a.wtime""".stripMargin,
+
+    "q_influxql_tz" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT
+         |    epoch_us(timezone('Australia/Lord_Howe', make_timestamptz(ts_us)))
+         |      - epoch_us(timezone('Australia/Lord_Howe', make_timestamptz(ts_us)))
+         |        % 86400000000 AS bwall,
+         |    device, count(value) AS c,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS bwall
+         |         FROM devs, UNNEST(generate_series(0, 30)) AS t(o)),
+         |j AS (SELECT epoch_us(timezone('Australia/Lord_Howe',
+         |        make_timestamp(s.bwall))) AS time,
+         |    s.device, b.c, b.mv
+         |  FROM skel s LEFT JOIN b ON s.bwall = b.bwall AND s.device = b.device)
+         |SELECT time, device,
+         |  last_value(c IGNORE NULLS) OVER pb AS c,
+         |  last_value(mv IGNORE NULLS) OVER pb AS mv
+         |FROM j
+         |WINDOW pb AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
     "q_influxql_raw_transform" ->
       s"""WITH $ptsSql,

@@ -567,6 +567,56 @@ class InfluxQLSpec extends SparkSuite {
     assert(e2.getMessage.contains("cannot mix"))
   }
 
+  test("tz(): GROUP BY time(1d) buckets at DST-aware local midnights") {
+    def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // America/Chicago 2024: spring-forward Mar 10 (23h local day, midnight
+    // 06:00Z -> next midnight 05:00Z), fall-back Nov 3 (25h local day)
+    val df = pts(
+      ("a", "m", us("2024-03-09T12:00:00Z"), 1.0), // Mar 9 local
+      ("a", "m", us("2024-03-10T23:00:00Z"), 2.0), // Mar 10 18:00 CDT
+      ("a", "m", us("2024-03-11T06:00:00Z"), 3.0), // Mar 11 01:00 CDT
+      ("a", "m", us("2024-11-03T06:30:00Z"), 4.0), // Nov 3 01:30 CDT
+      ("a", "m", us("2024-11-04T05:30:00Z"), 5.0)) // Nov 3 23:30 CST (25h day)
+    val got = InfluxQL.run(df,
+      "SELECT count(value) AS c FROM m GROUP BY time(1d) TZ('America/Chicago')")
+      .select("time", "c").as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      us("2024-03-09T06:00:00Z") -> 1L,
+      us("2024-03-10T06:00:00Z") -> 1L, // the 23-hour day
+      us("2024-03-11T05:00:00Z") -> 1L, // CDT midnight is 05:00Z
+      us("2024-11-03T05:00:00Z") -> 2L)) // both points inside the 25-hour day
+    // validation: tz() shifts time() buckets only
+    val e = intercept[IllegalArgumentException] {
+      InfluxQL.run(df, "SELECT count(value) FROM m GROUP BY device TZ('America/Chicago')")
+    }
+    assert(e.getMessage.contains("time()"))
+    val e2 = intercept[IllegalArgumentException] {
+      InfluxQL.run(df, "SELECT count(value) FROM m GROUP BY time(1d) TZ('Not/AZone')")
+    }
+    assert(e2.getMessage.contains("unknown time zone"))
+  }
+
+  test("tz(): the fill skeleton densifies in wall-clock space") {
+    def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // two points straddling spring-forward; FILL(previous) over local days
+    val df = pts(
+      ("a", "m", us("2024-03-09T12:00:00Z"), 10.0),
+      ("a", "m", us("2024-03-12T12:00:00Z"), 20.0))
+    val got = InfluxQL.run(df,
+      s"""SELECT max(value) AS m FROM m
+         |WHERE time >= ${us("2024-03-09T06:00:00Z")}
+         |  AND time < ${us("2024-03-13T05:00:00Z")}
+         |GROUP BY time(1d) FILL(previous) TZ('America/Chicago')""".stripMargin)
+      .select("time", "m").as[(Long, Double)].collect().toMap
+    // four local days; the two empty middles carry the previous value and
+    // the bucket instants hop 06:00Z -> 05:00Z across the transition
+    assert(got == Map(
+      us("2024-03-09T06:00:00Z") -> 10.0,
+      us("2024-03-10T06:00:00Z") -> 10.0,
+      us("2024-03-11T05:00:00Z") -> 10.0,
+      us("2024-03-12T05:00:00Z") -> 20.0))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
