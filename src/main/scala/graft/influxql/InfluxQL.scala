@@ -514,6 +514,23 @@ object InfluxQL {
         }) else 1L
         p.expectSym(")")
         FCall(Field(ElapsedFunc, arg, None, targ = Some(unit)))
+      } else if (lower == "sample" && p.sym("(")) {
+        // sample(field, N): N deterministic hash-order points per series
+        // (the SampleOps discipline — never rand(); stable across runs,
+        // retries, and engines)
+        val arg = p.ident()
+        if (!p.sym(",")) p.fail("sample(field, N) needs N")
+        val n = p.num()
+        if (n < 1 || n != math.floor(n)) p.fail("sample N must be a positive integer")
+        p.expectSym(")")
+        FCall(Field("sample", arg, Some(n)))
+      } else if (lower == "distinct" && p.sym("(")) {
+        // raw distinct(field) selector: unique values per series at time 0
+        // (InfluxDB's ungrouped-distinct rule); count(distinct()) parses
+        // separately in parseAggBody
+        val arg = p.ident()
+        p.expectSym(")")
+        FCall(Field("distinct", arg, None))
       } else if (ScalarFuncs.contains(lower) && p.sym("(")) {
         val args = Seq.newBuilder[FExpr]
         args += parseExpr(p)
@@ -675,6 +692,16 @@ object InfluxQL {
       if (q.fields.exists(_.calls.exists(f => f.transform.isEmpty || f.func != RawOperand)))
         throw new IllegalArgumentException(
           "InfluxQL: cannot mix raw-series transformations with aggregates in one SELECT")
+    }
+    for (fn <- Seq("sample", "distinct")) {
+      if (q.fields.exists(_.calls.exists(_.func == fn))) {
+        if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
+          throw new IllegalArgumentException(
+            s"InfluxQL: $fn() must be the only SELECT field — it returns points, not a value")
+        if (q.groupTimeUs.nonEmpty)
+          throw new IllegalArgumentException(
+            s"InfluxQL: $fn() does not combine with GROUP BY time()")
+      }
     }
     if (q.tz.nonEmpty) {
       if (q.groupTimeUs.isEmpty)
@@ -912,6 +939,10 @@ object InfluxQL {
       return out(planRawTransform(df, q))
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       return out(planTopBottom(df, q))
+    if (q.fields.exists(_.calls.exists(_.func == "sample")))
+      return out(planSample(df, q))
+    if (q.fields.exists(_.calls.exists(_.func == "distinct")))
+      return out(planDistinct(df, q))
     if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
       return out(planHoltWinters(df, q))
 
@@ -1350,6 +1381,48 @@ object InfluxQL {
     val res = sel.orderBy(
       (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*)
     applyRowRange(res, q)
+  }
+
+  /** sample(field, N): N points per (measurement, tags) series, picked by
+    * deterministic md5-derived hash order over the point time (the
+    * SampleOps discipline — a pure function of the data, never `rand()`,
+    * so the kept set is a stable uniform sample that survives retries and
+    * dataset growth, and the DuckDB oracle reproduces it exactly). One
+    * rank window per series; WindowGroupLimit prunes it to the top N per
+    * partition — never a full per-group sort of the output.
+    */
+  private def planSample(df: DataFrame, q: Query): DataFrame = {
+    val f = q.fields.head.bareCall.get
+    val n = f.pct.get.toInt
+    val partCols = ("transducer" +: q.groupTags).distinct
+    val h = graft.operators.TextOps.hash60(col("ts_us").cast("string"))
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(h.asc, col("ts_us").asc, col(f.arg).asc)
+    val res = df.filter(col(f.arg).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .select((col("ts_us").as("time") +: q.groupTags.map(col)) :+
+        col(f.arg).as(q.fields.head.outName): _*)
+    val tie = res.columns.filter(_ != "time").map(col(_).asc)
+    applyRowRange(applySeriesLimit(res, q).orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*), q)
+  }
+
+  /** Raw distinct(field) selector: the unique values of a field per
+    * (tags) group, surfaced at time 0 — InfluxDB's rule for an ungrouped
+    * distinct (there is no single source point to take a time from). One
+    * partial+final hash aggregate; no window, no skew.
+    */
+  private def planDistinct(df: DataFrame, q: Query): DataFrame = {
+    val outName = q.fields.head.outName
+    val f = q.fields.head.bareCall.get
+    val res = df.filter(col(f.arg).isNotNull)
+      .select(q.groupTags.map(col) :+ col(f.arg).as(outName): _*)
+      .distinct()
+      .select((lit(0L).as("time") +: q.groupTags.map(col)) :+ col(outName): _*)
+    val tie = res.columns.filter(_ != "time").map(col(_).asc)
+    applyRowRange(applySeriesLimit(res, q).orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*), q)
   }
 
   /** Raw-series transformations — `derivative(value[, unit])`,

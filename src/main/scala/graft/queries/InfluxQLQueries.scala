@@ -193,6 +193,24 @@ object InfluxQLQueries {
           |GROUP BY device""".stripMargin)
     }),
 
+    // sample(value, N): N deterministic hash-order points per device series
+    // (md5-derived over the point time — never rand(), oracle-reproducible)
+    "q_influxql_sample" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT sample(value, 3) FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY device""".stripMargin)
+    }),
+
+    // raw distinct(value) selector: unique values per device at time 0
+    // (InfluxDB's ungrouped-distinct rule)
+    "q_influxql_distinct" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT distinct(value) FROM purchase
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY device""".stripMargin)
+    }),
+
     // elapsed(): whole-unit gaps to the series predecessor, first point
     // dropped — one window per measurement series
     "q_influxql_elapsed" -> ((s, dir) => {
@@ -490,6 +508,25 @@ object InfluxQLQueries {
          |FROM t
          |WHERE rate IS NOT NULL OR diff IS NOT NULL OR ma4 IS NOT NULL
          |   OR cs IS NOT NULL""".stripMargin,
+
+    "q_influxql_sample" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'view'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1704672000000000
+         |      AND value IS NOT NULL),
+         |r AS (SELECT ts_us AS time, device, value,
+         |    row_number() OVER (PARTITION BY device
+         |      ORDER BY ('0x' || substr(md5(CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT,
+         |        ts_us, value) AS rk
+         |  FROM f)
+         |SELECT time, device, value AS sample FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_influxql_distinct" ->
+      s"""WITH $ptsSql
+         |SELECT DISTINCT CAST(0 AS BIGINT) AS time, device, value AS "distinct"
+         |FROM pts WHERE transducer = 'purchase'
+         |  AND ts_us >= 1704067200000000 AND ts_us < 1704672000000000
+         |  AND value IS NOT NULL""".stripMargin,
 
     "q_influxql_elapsed" ->
       s"""WITH $ptsSql,

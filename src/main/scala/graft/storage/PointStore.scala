@@ -72,6 +72,39 @@ object PointStore {
       .filter(col("p_date") >= to_date(lit(from)) && col("p_date") <= to_date(lit(to)))
       .filter(col("ts") >= lit(from).cast("timestamp") && col("ts") < lit(to).cast("timestamp"))
 
+  /** Retention expiry on the date-partitioned layout: DROP whole
+    * `p_date=<d>` partition directories strictly before `cutoffDate`
+    * (ISO yyyy-MM-dd). Pure directory deletes — no data is read or
+    * rewritten, which is the whole point of partitioning telemetry by
+    * date: at 100 TB, aging out a day is one rmdir per partition, not a
+    * table rewrite. Sub-day precision belongs to the ACID layer
+    * ([[TxLogTable.expireOlderThan]]); this is the bulk age-out path.
+    * Returns the dropped partition names.
+    */
+  def expirePartitionsBefore(path: String, cutoffDate: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = java.time.LocalDate.parse(cutoffDate)
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val parts = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val dropped = parts.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("p_date=") &&
+        (try java.time.LocalDate.parse(n.stripPrefix("p_date=")).isBefore(cutoff)
+         catch { case _: java.time.format.DateTimeParseException => false })
+    }
+    dropped.foreach { p =>
+      val files = java.nio.file.Files.walk(p)
+      try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally files.close()
+    }
+    dropped.map(_.getFileName.toString)
+  }
+
   /** The same device probe over a CONTINUOUSLY-ingested ACID point table
     * whose stats index is maintained in lockstep by
     * [[graft.streaming.StreamingIngest.startIndexedAppendSink]]: prune the

@@ -153,6 +153,58 @@ class TxLogTable(spark: SparkSession, path: String) {
     commit("merge", Seq(dir), base)
   }
 
+  /** Retention/TTL expiry: drop every row whose `tsCol` is strictly below
+    * `cutoff` (a long in the column's own unit — ns for the point store),
+    * committed as one snapshot rewrite. The InfluxDB retention-policy
+    * contract the reference's layout exists to serve
+    * (influx_service.py:183-200 writes ns times so data can age out).
+    *
+    * Directory-granular, which is what makes it a first-class operation at
+    * 100 TB: each data directory classifies by its [min, max] of `tsCol` —
+    *   - wholly below the cutoff: DROPPED from the snapshot (pure metadata,
+    *     the directory is never read; [[vacuum]] reclaims it later),
+    *   - wholly at/above: carried over untouched,
+    *   - straddling: rewritten with the filter (cost ∝ boundary data only).
+    * For time-ordered ingest (appends arrive roughly by time, compaction
+    * folds neighbors) almost every expired directory is a pure drop, so
+    * steady-state expiry cost is O(one boundary directory) regardless of
+    * table size. Rows with a null `tsCol` survive — they have no age.
+    * Commits as op "expire" (a rewrite: [[appendsBetween]] ranges crossing
+    * it refuse, exactly like delete/compact).
+    */
+  def expireOlderThan(tsCol: String, cutoff: Long): Long = {
+    val base = Some(version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path")))
+    val dirs = readEntry(base.get).dirs
+    // per-directory [min, max] — a column-pruned scan of tsCol only.
+    // min/max ignore nulls, so a dir also reports whether null-ts rows
+    // exist: those survive expiry and block the pure-drop shortcut.
+    val classified = dirs.map { d =>
+      val mm = spark.read.parquet(root.resolve(d).toString)
+        .agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long"),
+          count(lit(1)), count(col(tsCol))).head()
+      val hasNullTs = mm.getLong(2) != mm.getLong(3)
+      val cls =
+        if (mm.isNullAt(0)) "keep" // empty or all-null ts: nothing to age
+        else if (mm.getLong(1) < cutoff) { if (hasNullTs) "rewrite" else "drop" }
+        else if (mm.getLong(0) >= cutoff) "keep"
+        else "rewrite"
+      (d, cls)
+    }
+    if (classified.forall(_._2 == "keep")) return base.get // nothing expired
+    val kept = classified.collect { case (d, "keep") => d }
+    val straddling = classified.collect { case (d, "rewrite") => d }
+    val rewritten =
+      if (straddling.isEmpty) Nil
+      else {
+        val filtered = spark.read
+          .parquet(straddling.map(d => root.resolve(d).toString): _*)
+          .filter(col(tsCol).isNull || col(tsCol) >= cutoff)
+        Seq(writeDataDir(filtered))
+      }
+    commit("expire", kept ++ rewritten, base)
+  }
+
   private def dedupKeys(tagged: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
     val order = orderCol.map(c => Seq(col(c).desc, col("__src").desc))
       .getOrElse(Seq(col("__src").desc))

@@ -567,6 +567,25 @@ class InfluxQLSpec extends SparkSuite {
     assert(e2.getMessage.contains("cannot mix"))
   }
 
+  test("sample() picks deterministic hash-order points; distinct() emits at time 0") {
+    val df = pts(
+      ("a", "m", 10L, 1.0), ("a", "m", 20L, 2.0), ("a", "m", 30L, 2.0),
+      ("a", "m", 40L, 3.0), ("b", "m", 10L, 5.0))
+    val s1 = InfluxQL.run(df, "SELECT sample(value, 2) FROM m GROUP BY device")
+      .select("time", "device", "sample").as[(Long, String, Double)].collect().toSet
+    val s2 = InfluxQL.run(df, "SELECT sample(value, 2) FROM m GROUP BY device")
+      .select("time", "device", "sample").as[(Long, String, Double)].collect().toSet
+    assert(s1 == s2, "hash-order sample is stable across runs")
+    assert(s1.count(_._2 == "a") == 2 && s1.count(_._2 == "b") == 1)
+    val d = InfluxQL.run(df, "SELECT distinct(value) FROM m")
+      .select("time", "distinct").as[(Long, Double)].collect().toSet
+    assert(d == Set((0L, 1.0), (0L, 2.0), (0L, 3.0), (0L, 5.0)))
+    val e = intercept[IllegalArgumentException] {
+      InfluxQL.run(df, "SELECT sample(value, 2), mean(value) FROM m")
+    }
+    assert(e.getMessage.contains("only SELECT field"))
+  }
+
   test("tz(): GROUP BY time(1d) buckets at DST-aware local midnights") {
     def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
     // America/Chicago 2024: spring-forward Mar 10 (23h local day, midnight

@@ -31,6 +31,32 @@ class StorageSpec extends SparkSuite {
     assert(ranged.count() == expected)
   }
 
+  test("point store: retention expiry drops whole date partitions, no rewrite") {
+    val path = Files.createTempDirectory("pointstore_ttl").toString + "/points"
+    val points = Tables.events(spark, sf)
+      .select(concat(lit("dev"), col("user_id")).as("device_id"),
+        col("event_type").as("transducer"), col("ts"), col("value").as("num"))
+    PointStore.write(points, path)
+    val before = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // remember a surviving file's mtime to prove nothing was rewritten
+    val keptDir = new java.io.File(path, "p_date=2024-01-20")
+    val mtimes = keptDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    val dropped = PointStore.expirePartitionsBefore(path, "2024-01-10")
+    assert(dropped.toSet == before.filter(_ < "p_date=2024-01-10"), s"dropped $dropped")
+    val after = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(after == before -- dropped)
+    // surviving partitions untouched (pure directory deletes)
+    assert(keptDir.listFiles().map(f => f.getName -> f.lastModified()).toMap == mtimes)
+    // the table still reads, and only post-cutoff dates remain
+    val minDate = spark.read.parquet(path).agg(min(col("p_date"))).head().getDate(0)
+    assert(minDate.toString >= "2024-01-10")
+    // idempotent: a second run drops nothing
+    assert(PointStore.expirePartitionsBefore(path, "2024-01-10").isEmpty)
+  }
+
   test("bucketed tables join with no exchange (co-located layout)") {
     import graft.storage.BucketedStore
     val base = Files.createTempDirectory("bucketed").toString

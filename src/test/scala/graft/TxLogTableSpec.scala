@@ -240,6 +240,45 @@ class TxLogTableSpec extends SparkSuite {
     assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
+  test("expireOlderThan: whole-dir drops are pure metadata, straddlers rewrite") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    // three append dirs: wholly-old, straddling, wholly-new
+    t.append(Seq((10L, "old1"), (20L, "old2")).toDF("ts", "v"))
+    t.append(Seq((90L, "mid-old"), (110L, "mid-new")).toDF("ts", "v"))
+    t.append(Seq((200L, "new1"), (210L, "new2")).toDF("ts", "v"))
+    val dirsBefore = t.dirPaths(t.version.get).toSet
+    val v = t.expireOlderThan("ts", 100L)
+    assert(t.read().as[(Long, String)].collect().toSet ==
+      Set((110L, "mid-new"), (200L, "new1"), (210L, "new2")))
+    val dirsAfter = t.dirPaths(v).toSet
+    // the wholly-new dir carried over UNTOUCHED (same physical dir), the
+    // wholly-old dir vanished from the snapshot, the straddler was replaced
+    assert(dirsAfter.intersect(dirsBefore).size == 1, "exactly the wholly-new dir survives")
+    assert(dirsAfter.size == 2, "kept dir + one rewritten boundary dir")
+    // pre-expiry version still time-travels until vacuum
+    assert(t.readVersion(2L).count() == 6)
+    // vacuum (grace 0: no writer in flight) reclaims the dropped dirs
+    val removed = t.vacuum(retainMillis = 0L)
+    assert(removed.nonEmpty)
+    assert(t.read().count() == 3)
+    // nothing expired -> same version, no empty commit
+    assert(t.expireOlderThan("ts", 50L) == v)
+    // expiry is a rewrite: an append-only feed crossing it must refuse
+    t.append(Seq((300L, "post")).toDF("ts", "v"))
+    val e = intercept[IllegalStateException] { t.appendsBetween(2L, v + 1) }
+    assert(e.getMessage.contains("not appends"))
+  }
+
+  test("expireOlderThan: null timestamps have no age and survive") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((Some(10L), "a"), (None, "ageless")).toDF("ts", "v"))
+    t.append(Seq((Some(150L), "b")).toDF("ts", "v"))
+    t.expireOlderThan("ts", 100L)
+    assert(t.read().as[(Option[Long], String)].collect().toSet ==
+      Set((None, "ageless"), (Some(150L), "b")))
+  }
+
   test("log entry roundtrip") {
     val e = TxLogTable.LogEntry(7L, "merge", Seq("d-aa", "d-bb"))
     assert(TxLogTable.parseEntry(TxLogTable.renderEntry(e)) == e)
