@@ -1432,8 +1432,12 @@ object InfluxQL {
     * kernels as the bucketed path ([[applyTransforms]]) but windowed per
     * (measurement, tags) series over raw points ordered by
     * (ts, operand values) — the module's pinned tie-break, so paging and
-    * lag() are deterministic cross-engine. Emission follows InfluxDB: the
-    * first point of a series has no derivative/difference, a
+    * lag() are deterministic cross-engine. Emission follows InfluxDB: each
+    * field transforms over ITS OWN non-null points (a row where `a` is
+    * null but `b` is set still advances `b`'s series — `ignoreNulls`
+    * lags/conditional sums make every kernel see only that field's
+    * subsequence) and emits only at those points; results merge by time.
+    * The first point of a field has no derivative/difference, a
     * moving_average(N) emits from the Nth point; rows where EVERY
     * transformed field is null drop from the output.
     *
@@ -1452,33 +1456,48 @@ object InfluxQL {
     def kernel(f: Field): Column = {
       val c = col(f.arg).cast("double")
       val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
-      f.transform.get match {
+      // previous point OF THIS FIELD: ignoreNulls lag skips rows where the
+      // operand is absent, so each field walks its own subsequence even
+      // when other SELECT operands interleave on different rows
+      def prevVal: Column = lag(c, 1, null, true).over(w)
+      def prevTs: Column =
+        lag(when(c.isNotNull, col("ts_us")), 1, null, true).over(w)
+      val out = f.transform.get match {
         case tf @ ("derivative" | "non_negative_derivative") =>
           // duplicate-timestamp points have no defined rate: Δt = 0 emits
           // null (InfluxDB never sees the case — its storage collapses
           // duplicate timestamps; raw parquet points can carry them)
-          val dt = (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast("double")
+          val dt = (col("ts_us") - prevTs).cast("double")
           val dv = when(dt =!= 0.0,
-            (c - lag(c, 1).over(w)) / (dt / lit(f.targ.get.toDouble)))
+            (c - prevVal) / (dt / lit(f.targ.get.toDouble)))
           if (tf == "derivative") dv
           else when(dv < 0, lit(null).cast("double")).otherwise(dv)
-        case "difference" => c - lag(c, 1).over(w)
+        case "difference" => c - prevVal
         case "cumulative_sum" =>
           // 1e-6-quantized int64/decimal running sum: order-independent,
-          // one double conversion at the end (the bucketed path's pin)
+          // one double conversion at the end (the bucketed path's pin);
+          // sum() skips null vu, so the running sum is per-field already
           sum(vu).over(cum).cast("double") / lit(1000000.0)
         case "moving_average" =>
+          // per-field frame-of-N emulated on the shared window: S = this
+          // field's running sum, lag(S, n, ignoreNulls) = S at the n-th
+          // previous point of THIS field, so S - lagS = sum of the last n
+          // values of the field regardless of interleaved other-field rows
           val n = f.targ.get.toInt
-          val frame = w.rowsBetween(-(n - 1), Window.currentRow)
-          when(count(c).over(frame) >= n,
-            sum(vu).over(frame).cast("double") / lit(n.toDouble) / lit(1000000.0))
+          val s = sum(vu).over(cum)
+          val lagS = lag(when(c.isNotNull, s), n, null, true).over(w)
+          when(count(c).over(cum) >= n,
+            (s - coalesce(lagS, lit(0).cast("decimal(38,0)"))).cast("double") /
+              lit(n.toDouble) / lit(1000000.0))
         case other => throw new IllegalArgumentException(s"unsupported raw transform $other")
       }
+      // a field emits only at its own points
+      when(c.isNotNull, out)
     }
     // groupTags already carries `transducer` for regex FROM (resolve());
     // the caller's out() renames it to `measurement` after paging
     val computed = df
-      .filter(args.map(col(_).isNotNull).reduce(_ && _))
+      .filter(args.map(col(_).isNotNull).reduce(_ || _))
       .select((col("ts_us") +: partCols.map(col)) ++
         calls.map(f => kernel(f).as(intName(f))): _*)
       // InfluxDB's emission rule: a row appears only if some field emitted
@@ -1593,10 +1612,22 @@ object InfluxQL {
         unix_micros(to_utc_timestamp(timestamp_micros(col("__wall")), z)).as("time")
       case None => col("__wall").as("time")
     }
+    // a wall bucket start inside a spring-forward gap (e.g. 02:00 on the
+    // transition day with time(1h)) does not exist locally: to_utc resolves
+    // it forward onto the NEXT bucket's instant, which would duplicate that
+    // skeleton row. Keep only wall values that round-trip utc→wall — a
+    // map-side filter, no extra shuffle (vs dropDuplicates)
+    val wallExists: Column = q.tz match {
+      case Some(z) =>
+        unix_micros(from_utc_timestamp(
+          to_utc_timestamp(timestamp_micros(col("__wall")), z), z)) === col("__wall")
+      case None => lit(true)
+    }
     val skeleton = grouped.select(partCols.map(col): _*).distinct()
       .select(
         (partCols.map(col) :+
           explode(sequence(lit(bLo), lit(bHi), lit(step))).as("__wall")): _*)
+      .filter(wallExists)
       .select((partCols.map(col) :+ timeCol): _*)
     val joined = skeleton.join(grouped, "time" +: partCols, "left")
 

@@ -545,6 +545,115 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("multi-field raw transforms walk each field's own non-null points") {
+    // ADVICE r5: SELECT derivative(a), difference(b) with interleaved nulls
+    // must compute each field over its own subsequence and merge by time —
+    // a row with a null but b set still advances b's lag neighbor.
+    val rnd = new scala.util.Random(61606060L)
+    val tfs = Vector("derivative", "non_negative_derivative", "difference",
+      "cumulative_sum", "moving_average")
+
+    def kernel(tf: String, targ: Long,
+               s: IndexedSeq[(Long, Double)]): Seq[Any] = {
+      val c = s.map(_._2)
+      def vu(i: Int): BigInt = BigInt(math.floor(c(i) * 1000000.0).toLong)
+      tf match {
+        case "derivative" | "non_negative_derivative" =>
+          s.indices.map { i =>
+            if (i == 0 || s(i)._1 == s(i - 1)._1) null
+            else {
+              val d = (c(i) - c(i - 1)) /
+                ((s(i)._1 - s(i - 1)._1).toDouble / targ.toDouble)
+              if (tf == "non_negative_derivative" && d < 0) null else d
+            }
+          }
+        case "difference" =>
+          s.indices.map(i => if (i == 0) null else c(i) - c(i - 1))
+        case "cumulative_sum" =>
+          var run = BigInt(0)
+          s.indices.map { i => run += vu(i); BigDecimal(run).toDouble / 1000000.0 }
+        case "moving_average" =>
+          s.indices.map { i =>
+            if (i < targ.toInt - 1) null
+            else {
+              val frame = ((i - targ.toInt + 1) to i).map(vu)
+              BigDecimal(frame.sum).toDouble / targ.toDouble / 1000000.0
+            }
+          }
+      }
+    }
+
+    for (iter <- 0 until 30) {
+      // globally distinct timestamps: no duplicate-ts tie-break to model
+      val allTs = rnd.shuffle((0 until 2000).toVector).take(120)
+      val rows: Seq[(String, String, Long, Option[Double], Option[Double])] =
+        allTs.map { t =>
+          def v() = Some(math.floor(rnd.nextDouble() * 1000) / 10.0)
+          val (a, b) = (rnd.nextInt(10) < 6, rnd.nextInt(10) < 6) match {
+            case (false, false) => (v(), None) // at least one field per row
+            case (ha, hb) => (if (ha) v() else None, if (hb) v() else None)
+          }
+          (devices(rnd.nextInt(3)), "m", t.toLong, a, b)
+        }
+      val df = rows.toDF("device", "transducer", "ts_us", "a", "b")
+      val byDevice = rnd.nextBoolean()
+      val items = Seq("a", "b").map { arg =>
+        val tf = tfs(rnd.nextInt(tfs.size))
+        val targ = tf match {
+          case "derivative" | "non_negative_derivative" => Seq(10L, 50L, 100L)(rnd.nextInt(3))
+          case "moving_average" => (2 + rnd.nextInt(4)).toLong
+          case _ => 0L
+        }
+        (tf, targ, arg)
+      }
+      val sel = items.map { case (tf, targ, arg) =>
+        val c = tf match {
+          case "derivative" | "non_negative_derivative" => s"$tf($arg, ${targ}u)"
+          case "moving_average" => s"moving_average($arg, $targ)"
+          case t => s"$t($arg)"
+        }
+        s"$c AS f_$arg"
+      }.mkString(", ")
+      val text = s"SELECT $sel FROM m" + (if (byDevice) " GROUP BY device" else "")
+
+      val cols = (Seq("time") ++ (if (byDevice) Seq("device") else Nil)) ++
+        items.map("f_" + _._3)
+      val engine = InfluxQL.run(df, text).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+
+      val series: Seq[(String, Seq[(String, String, Long, Option[Double], Option[Double])])] =
+        if (byDevice) rows.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toSeq
+        else Seq("m" -> rows.sortBy(_._3))
+      val expected = Set.newBuilder[Seq[Any]]
+      for ((d, s) <- series) {
+        val sIdx = s.toIndexedSeq
+        // per field: kernel over the compacted non-null subsequence, then
+        // scatter results back to the originating row positions
+        val colVals: Seq[Array[Any]] = items.map { case (tf, targ, arg) =>
+          val get: ((String, String, Long, Option[Double], Option[Double])) => Option[Double] =
+            if (arg == "a") _._4 else _._5
+          val defined = sIdx.indices.filter(i => get(sIdx(i)).isDefined)
+          val sub = defined.map(i => (sIdx(i)._3, get(sIdx(i)).get)).toIndexedSeq
+          val vals = kernel(tf, targ, sub)
+          val out = Array.fill[Any](sIdx.size)(null)
+          defined.zipWithIndex.foreach { case (pos, j) => out(pos) = vals(j) }
+          out
+        }
+        for (i <- sIdx.indices) {
+          val row = items.indices.map(c => colVals(c)(i))
+          if (row.exists(_ != null))
+            expected += (if (byDevice) sIdx(i)._3 +: d +: row
+                         else sIdx(i)._3 +: row)
+        }
+      }
+      assert(engine == expected.result(),
+        s"""multi-field raw-transform mismatch (iter $iter)
+           |QUERY: $text
+           |ENGINE-ONLY: ${(engine -- expected.result()).take(5)}
+           |EXPECTED-ONLY: ${(expected.result() -- engine).take(5)}""".stripMargin)
+    }
+  }
+
   test("subquery re-aggregation matches the reference, nulls and all") {
     val rnd = new scala.util.Random(99991L)
     val pts = fixture

@@ -636,6 +636,31 @@ class InfluxQLSpec extends SparkSuite {
       us("2024-03-12T05:00:00Z") -> 20.0))
   }
 
+  test("tz(): hourly fill skeleton skips the spring-forward gap bucket") {
+    def us(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // America/Chicago 2024-03-10: 02:00 local does not exist (clock jumps
+    // 02:00 -> 03:00). time(1h) across the transition must emit ONE bucket
+    // per real local hour — the phantom 02:00 wall start resolves forward
+    // onto 03:00's instant and must not duplicate that row
+    val df = pts(
+      ("a", "m", us("2024-03-10T07:30:00Z"), 1.0), // 01:30 CST
+      ("a", "m", us("2024-03-10T09:30:00Z"), 2.0)) // 04:30 CDT
+    val got = InfluxQL.run(df,
+      s"""SELECT count(value) AS c FROM m
+         |WHERE time >= ${us("2024-03-10T07:00:00Z")}
+         |  AND time < ${us("2024-03-10T10:00:00Z")}
+         |GROUP BY time(1h) FILL(null) TZ('America/Chicago')""".stripMargin)
+      .select("time", "c").as[(Long, Option[Long])].collect().toSeq
+    // local hours 01:00 (CST, 07:00Z), 03:00 (CDT, 08:00Z — empty, and the
+    // phantom 02:00 wall start resolves onto this same instant), and 04:00
+    // (CDT, 09:00Z) — exactly three buckets, no duplicate 08:00Z row
+    assert(got.sortBy(_._1) == Seq(
+      us("2024-03-10T07:00:00Z") -> Some(1L),
+      us("2024-03-10T08:00:00Z") -> None,
+      us("2024-03-10T09:00:00Z") -> Some(1L)))
+    assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
