@@ -177,6 +177,19 @@ object InfluxQLQueries {
           |TZ('Australia/Lord_Howe')""".stripMargin)
     }),
 
+    // tz() across a real DST transition: Pacific/Fiji ended DST on
+    // 2024-01-14 (03:00 local falls back to 02:00 — a 25-hour local day
+    // INSIDE the queried window), so the daily bucket instants hop
+    // 11:00Z -> 12:00Z mid-range; pins the wall-clock skeleton's DST
+    // arithmetic end-to-end against the oracle, not only in local specs
+    "q_influxql_tz_dst" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS c, max(value) AS mx FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device FILL(previous)
+          |TZ('Pacific/Fiji')""".stripMargin)
+    }),
+
     // raw-series transformations: derivative/difference/moving_average/
     // cumulative_sum directly over the raw points per (measurement, device)
     // series — no GROUP BY time(); first points emit null and drop only
@@ -480,6 +493,29 @@ object InfluxQLQueries {
          |SELECT time, device,
          |  last_value(c IGNORE NULLS) OVER pb AS c,
          |  last_value(mv IGNORE NULLS) OVER pb AS mv
+         |FROM j
+         |WINDOW pb AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_influxql_tz_dst" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'view'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT
+         |    epoch_us(timezone('Pacific/Fiji', make_timestamptz(ts_us)))
+         |      - epoch_us(timezone('Pacific/Fiji', make_timestamptz(ts_us)))
+         |        % 86400000000 AS bwall,
+         |    device, count(value) AS c, max(value) AS mx
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS bwall
+         |         FROM devs, UNNEST(generate_series(0, 30)) AS t(o)),
+         |j AS (SELECT epoch_us(timezone('Pacific/Fiji',
+         |        make_timestamp(s.bwall))) AS time,
+         |    s.device, b.c, b.mx
+         |  FROM skel s LEFT JOIN b ON s.bwall = b.bwall AND s.device = b.device)
+         |SELECT time, device,
+         |  last_value(c IGNORE NULLS) OVER pb AS c,
+         |  last_value(mx IGNORE NULLS) OVER pb AS mx
          |FROM j
          |WINDOW pb AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
