@@ -74,22 +74,40 @@ object PointStore {
 
   /** Retention expiry on the date-partitioned layout: DROP whole
     * `p_date=<d>` partition directories strictly before `cutoffDate`
-    * (ISO yyyy-MM-dd). Pure directory deletes — no data is read or
-    * rewritten, which is the whole point of partitioning telemetry by
-    * date: at 100 TB, aging out a day is one rmdir per partition, not a
+    * (ISO yyyy-MM-dd). Pure directory renames+deletes — no data is read
+    * or rewritten, which is the whole point of partitioning telemetry by
+    * date: at 100 TB, aging out a day is one rename per partition, not a
     * table rewrite. Sub-day precision belongs to the ACID layer
     * ([[TxLogTable.expireOlderThan]]); this is the bulk age-out path.
     * Returns the dropped partition names.
+    *
+    * Crash safety: each partition is first RENAMED to a `_expired-*`
+    * tombstone (atomic on POSIX; the `_` prefix hides it from Spark's
+    * partition discovery), then deleted recursively — a crash mid-delete
+    * never leaves a directory that still parses as a live, partially
+    * deleted partition, and leftover tombstones are swept on the next
+    * call. Concurrency contract: a SCAN ALREADY PLANNED over an expiring
+    * partition races the rename and can fail with FileNotFoundException —
+    * run bulk age-out in a maintenance window, or put readers behind the
+    * ACID layer ([[TxLogTable]] snapshots) when expiry must be online.
     */
   def expirePartitionsBefore(path: String, cutoffDate: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val cutoff = java.time.LocalDate.parse(cutoffDate)
     val dir = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val files = java.nio.file.Files.walk(p)
+      try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally files.close()
+    }
     val parts = {
       val s = java.nio.file.Files.list(dir)
       try s.iterator().asScala.toVector finally s.close()
     }
+    // sweep tombstones a previous crashed run left behind (idempotent)
+    parts.filter(_.getFileName.toString.startsWith("_expired-")).foreach(deleteTree)
     val dropped = parts.filter { p =>
       val n = p.getFileName.toString
       n.startsWith("p_date=") &&
@@ -97,10 +115,12 @@ object PointStore {
          catch { case _: java.time.format.DateTimeParseException => false })
     }
     dropped.foreach { p =>
-      val files = java.nio.file.Files.walk(p)
-      try files.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-      finally files.close()
+      // no '=' in the tombstone name: Spark only hides '_'-prefixed paths
+      // when the name contains no '=' (else it parses as a partition dir)
+      val tomb = p.resolveSibling(
+        s"_expired-${p.getFileName.toString.replace('=', '-')}-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.move(p, tomb) // atomic same-dir rename: the
+      deleteTree(tomb)                  // partition vanishes in one step
     }
     dropped.map(_.getFileName.toString)
   }

@@ -176,19 +176,34 @@ class TxLogTable(spark: SparkSession, path: String) {
     val base = Some(version.getOrElse(
       throw new IllegalStateException(s"no committed version at $path")))
     val dirs = readEntry(base.get).dirs
-    // per-directory [min, max] — a column-pruned scan of tsCol only.
-    // min/max ignore nulls, so a dir also reports whether null-ts rows
-    // exist: those survive expiry and block the pure-drop shortcut.
+    // per-directory [min, max] in ONE column-pruned job over every data
+    // dir, grouped by the file's parent directory — not a sequential
+    // driver loop of per-dir jobs (at thousands of commit dirs that is
+    // thousands of serial job launches; this is one scan whose group
+    // count is the dir count, a bounded control-plane collect). min/max
+    // ignore nulls, so a dir also reports whether null-ts rows exist:
+    // those survive expiry and block the pure-drop shortcut.
+    val statsByDir: Map[String, (Option[Long], Option[Long], Boolean)] =
+      spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
+        .groupBy(element_at(split(input_file_name(), "/"), -2).as("__dir"))
+        .agg(min(col(tsCol)).cast("long").as("mn"),
+          max(col(tsCol)).cast("long").as("mx"),
+          count(lit(1)).as("n"), count(col(tsCol)).as("nts"))
+        .collect()
+        .map(r => r.getString(0) -> (
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3) != r.getLong(4))).toMap
     val classified = dirs.map { d =>
-      val mm = spark.read.parquet(root.resolve(d).toString)
-        .agg(min(col(tsCol)).cast("long"), max(col(tsCol)).cast("long"),
-          count(lit(1)), count(col(tsCol))).head()
-      val hasNullTs = mm.getLong(2) != mm.getLong(3)
-      val cls =
-        if (mm.isNullAt(0)) "keep" // empty or all-null ts: nothing to age
-        else if (mm.getLong(1) < cutoff) { if (hasNullTs) "rewrite" else "drop" }
-        else if (mm.getLong(0) >= cutoff) "keep"
-        else "rewrite"
+      // a dir absent from the stats is empty: nothing to age out
+      val cls = statsByDir.get(d) match {
+        case None | Some((None, _, _)) => "keep" // empty or all-null ts
+        case Some((Some(mn), Some(mx), hasNullTs)) =>
+          if (mx < cutoff) { if (hasNullTs) "rewrite" else "drop" }
+          else if (mn >= cutoff) "keep"
+          else "rewrite"
+        case Some((Some(_), None, _)) => "keep" // unreachable: max null iff min null
+      }
       (d, cls)
     }
     if (classified.forall(_._2 == "keep")) return base.get // nothing expired

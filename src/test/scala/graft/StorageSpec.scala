@@ -57,6 +57,32 @@ class StorageSpec extends SparkSuite {
     assert(PointStore.expirePartitionsBefore(path, "2024-01-10").isEmpty)
   }
 
+  test("point store: expiry tombstones hide crashed half-deletes from readers") {
+    val path = Files.createTempDirectory("pointstore_tomb").toString + "/points"
+    val points = Tables.events(spark, sf)
+      .select(concat(lit("dev"), col("user_id")).as("device_id"),
+        col("event_type").as("transducer"), col("ts"), col("value").as("num"))
+    PointStore.write(points, path)
+    val full = spark.read.parquet(path).count()
+    // simulate a crash mid-delete: a partition renamed to its tombstone but
+    // not yet removed (exactly the state expirePartitionsBefore's rename
+    // step leaves if the process dies before deleteTree)
+    val victim = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("p_date=")).min
+    val vDir = java.nio.file.Paths.get(path, victim)
+    val vCount = spark.read.parquet(path)
+      .filter(col("p_date") === victim.stripPrefix("p_date=")).count()
+    java.nio.file.Files.move(vDir,
+      vDir.resolveSibling(s"_expired-${victim.replace('=', '-')}-crash"))
+    // a fresh scan sees a consistent table: the tombstone is invisible (no
+    // live-looking partial partition), only the renamed partition is gone
+    assert(spark.read.parquet(path).count() == full - vCount)
+    // the next expiry call sweeps the leftover tombstone even when its own
+    // cutoff drops nothing
+    PointStore.expirePartitionsBefore(path, "1970-01-01")
+    assert(!new java.io.File(path).listFiles().exists(_.getName.startsWith("_expired-")))
+  }
+
   test("bucketed tables join with no exchange (co-located layout)") {
     import graft.storage.BucketedStore
     val base = Files.createTempDirectory("bucketed").toString

@@ -279,6 +279,42 @@ class TxLogTableSpec extends SparkSuite {
       Set((None, "ageless"), (Some(150L), "b")))
   }
 
+  test("expireOlderThan: classification is one job, not one per directory") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // r5 'weak' fix: the [min,max] classification must be a single union
+    // scan grouped by parent dir — O(dirs) sequential driver jobs do not
+    // survive a 100x commit history. Pin: the number of Spark jobs a
+    // keep-only expiry launches is IDENTICAL for a 2-dir and a 10-dir
+    // table (job count independent of directory count).
+    def jobsFor(nDirs: Int): Int = {
+      val t = new TxLogTable(spark, tmp())
+      (0 until nDirs).foreach { i =>
+        t.append(Seq((200L + i, s"v$i")).toDF("ts", "v"))
+      }
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val v = t.expireOlderThan("ts", 100L) // everything keeps: no commit
+        assert(v == t.version.get)
+        // listener bus is async: wait until the count is stable
+        var last = -1; var stable = 0
+        val deadline = System.nanoTime() + 10000000000L
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val c = n.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val few = jobsFor(2)
+    val many = jobsFor(10)
+    assert(many == few, s"expiry job count grew with dir count: $few -> $many")
+  }
+
   test("log entry roundtrip") {
     val e = TxLogTable.LogEntry(7L, "merge", Seq("d-aa", "d-bb"))
     assert(TxLogTable.parseEntry(TxLogTable.renderEntry(e)) == e)
