@@ -661,6 +661,65 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("retention DDL: CREATE/ALTER/SHOW/DROP round-trip the policy store") {
+    val root = java.nio.file.Files.createTempDirectory("retention").toString
+    def rp(text: String) =
+      InfluxQL.runRetention(spark, text, root)
+        .as[(String, String, Long, Long, Boolean)].collect().toSeq
+
+    // empty store: SHOW answers, not throws
+    assert(rp("SHOW RETENTION POLICIES") == Nil)
+    assert(rp("CREATE RETENTION POLICY keep30 ON telemetry DURATION 30d REPLICATION 2 DEFAULT") ==
+      Seq(("telemetry", "keep30", 30L * 86400000000L, 2L, true)))
+    // second policy; DEFAULT moves atomically off the first
+    assert(rp("CREATE RETENTION POLICY keep7 ON telemetry DURATION 1w DEFAULT").toSet ==
+      Set(("telemetry", "keep7", 7L * 86400000000L, 1L, true),
+        ("telemetry", "keep30", 30L * 86400000000L, 2L, false)))
+    // other dbs don't leak into ON <db>
+    rp("CREATE RETENTION POLICY forever ON other DURATION INF")
+    assert(rp("SHOW RETENTION POLICIES ON telemetry").map(_._2).toSet == Set("keep7", "keep30"))
+    assert(rp("SHOW RETENTION POLICIES").size == 3)
+    assert(rp("SHOW RETENTION POLICIES ON other") ==
+      Seq(("other", "forever", -1L, 1L, false)))
+    // ALTER updates in place
+    assert(rp("ALTER RETENTION POLICY keep7 ON telemetry DURATION 14d DEFAULT").toSet
+      .contains(("telemetry", "keep7", 14L * 86400000000L, 1L, true)))
+    assert(rp("DROP RETENTION POLICY keep30 ON telemetry").map(_._2) == Seq("keep7"))
+    // validation: the 1h floor and missing DURATION
+    val e = intercept[IllegalArgumentException](
+      rp("CREATE RETENTION POLICY tiny ON telemetry DURATION 30m"))
+    assert(e.getMessage.contains(">= 1h"))
+    val e2 = intercept[IllegalArgumentException](
+      rp("CREATE RETENTION POLICY nodur ON telemetry DEFAULT"))
+    assert(e2.getMessage.contains("DURATION"))
+  }
+
+  test("retention DDL: the default policy drives expiry on a points table") {
+    val root = java.nio.file.Files.createTempDirectory("retention_enf").toString
+    val table = new graft.storage.TxLogTable(spark, s"$root/points")
+    val dayUs = 86400000000L
+    val nowUs = 1706659200000000L // 2024-01-31
+    table.append(Seq(
+      ("dev1", "m", (nowUs - 40 * dayUs) * 1000L, 1.0),  // 40 days old
+      ("dev1", "m", (nowUs - 5 * dayUs) * 1000L, 2.0),   // 5 days old
+      ("dev2", "m", (nowUs - 1 * dayUs) * 1000L, 3.0)    // 1 day old
+    ).toDF("device", "transducer", "ts_ns", "value"))
+
+    // no finite default policy yet: enforcement is a no-op
+    assert(InfluxQL.enforceRetention(spark, table, "ts_ns", root, "telemetry",
+      nowUs, _ * 1000L).isEmpty)
+    InfluxQL.runRetention(spark,
+      "CREATE RETENTION POLICY keep30 ON telemetry DURATION 30d DEFAULT", root)
+    val v = InfluxQL.enforceRetention(spark, table, "ts_ns", root, "telemetry",
+      nowUs, _ * 1000L)
+    assert(v.nonEmpty)
+    assert(table.read().select("value").as[Double].collect().toSet == Set(2.0, 3.0))
+    // INF default: cutoff is None, nothing further expires
+    InfluxQL.runRetention(spark,
+      "ALTER RETENTION POLICY keep30 ON telemetry DURATION INF DEFAULT", root)
+    assert(InfluxQL.retentionCutoffUs(spark, root, "telemetry", nowUs).isEmpty)
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
