@@ -654,6 +654,94 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("36 seeded management statements round-trip the ACID points table") {
+    // r5 gap: the differential net covered only SELECT shapes. This drives
+    // seeded SHOW / DELETE / DROP MEASUREMENT statements against a live
+    // TxLogTable plus an exact in-memory model — every mutation re-compares
+    // the full table, every SHOW re-compares the metadata surface.
+    val rnd = new scala.util.Random(90909090L)
+    val root = java.nio.file.Files.createTempDirectory("mgmt_diff").toString
+    val table = new graft.storage.TxLogTable(spark, root + "/pts")
+    val devs = Vector("a", "b", "c")
+    val meas = Vector("m1", "m2", "m3")
+    def randPts(n: Int): Vector[(String, String, Long, Double)] =
+      Vector.fill(n)((devs(rnd.nextInt(3)), meas(rnd.nextInt(3)),
+        rnd.nextInt(1000).toLong, math.floor(rnd.nextDouble() * 1000) / 10.0))
+    var model = randPts(150)
+    table.append(model.toDF("device", "transducer", "ts_us", "value"))
+    def dfNow = table.read()
+    def tableRows = dfNow.as[(String, String, Long, Double)].collect().toVector
+
+    sealed trait MCond { def text: String; def holds(p: (String, String, Long, Double)): Boolean }
+    case class MTime(op: String, us: Long) extends MCond {
+      def text = s"time $op $us"
+      def holds(p: (String, String, Long, Double)): Boolean = op match {
+        case ">" => p._3 > us; case ">=" => p._3 >= us
+        case "<" => p._3 < us; case "<=" => p._3 <= us
+      }
+    }
+    case class MTag(eq: Boolean, dev: String) extends MCond {
+      def text = s"device ${if (eq) "=" else "!="} '$dev'"
+      def holds(p: (String, String, Long, Double)): Boolean = (p._1 == dev) == eq
+    }
+    def randCond(): MCond = rnd.nextInt(2) match {
+      case 0 => MTime(Seq(">", ">=", "<", "<=")(rnd.nextInt(4)), rnd.nextInt(1000).toLong)
+      case _ => MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
+    }
+
+    for (iter <- 0 until 36) {
+      rnd.nextInt(6) match {
+        case 0 => // SHOW MEASUREMENTS
+          val got = InfluxQL.run(dfNow, "SHOW MEASUREMENTS").as[String].collect().toSeq
+          assert(got == model.map(_._2).distinct.sorted, s"iter $iter MEASUREMENTS")
+        case 1 => // SHOW SERIES
+          val got = InfluxQL.run(dfNow, "SHOW SERIES").as[String].collect().toSeq
+          val want = model.map(p => s"${p._2},device=${p._1}").distinct.sorted
+          assert(got == want, s"iter $iter SERIES")
+        case 2 => // SHOW TAG VALUES
+          val got = InfluxQL.run(dfNow, "SHOW TAG VALUES WITH KEY = device")
+            .as[(String, String)].collect().toSeq
+          val want = model.map(_._1).distinct.sorted.map(("device", _))
+          assert(got == want, s"iter $iter TAG VALUES")
+        case 3 => // DELETE FROM <m|/re/> [WHERE ...]
+          val (fromTxt, fromPred): (String, String => Boolean) =
+            if (rnd.nextBoolean()) {
+              val m = meas(rnd.nextInt(3)); (m, (_: String) == m)
+            } else {
+              val re = s"m[${1 + rnd.nextInt(2)}${2 + rnd.nextInt(2)}]"
+              (s"/$re/", (s: String) => re.r.findFirstIn(s).nonEmpty)
+            }
+          val conds = Vector.fill(rnd.nextInt(3))(randCond())
+          val whereTxt =
+            if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
+          val survives = model.filterNot(p =>
+            fromPred(p._2) && conds.forall(_.holds(p)))
+          if (survives.nonEmpty) { // keep the table non-degenerate
+            InfluxQL.runDelete(table, s"DELETE FROM $fromTxt$whereTxt")
+            model = survives
+            assert(tableRows.sorted == model.sorted, s"iter $iter DELETE $fromTxt$whereTxt")
+          }
+        case 4 => // DROP MEASUREMENT
+          val m = meas(rnd.nextInt(3))
+          val survives = model.filterNot(_._2 == m)
+          if (survives.nonEmpty) {
+            InfluxQL.runDelete(table, s"DROP MEASUREMENT $m")
+            model = survives
+            assert(tableRows.sorted == model.sorted, s"iter $iter DROP $m")
+          }
+        case 5 => // append fresh points: state keeps evolving mid-sequence
+          val fresh = randPts(30)
+          table.append(fresh.toDF("device", "transducer", "ts_us", "value"))
+          model = model ++ fresh
+          assert(tableRows.sorted == model.sorted, s"iter $iter APPEND")
+      }
+    }
+    // field conditions stay rejected on the management path
+    val e = intercept[IllegalArgumentException](
+      InfluxQL.runDelete(table, "DELETE FROM m1 WHERE value > 5"))
+    assert(e.getMessage.contains("field"))
+  }
+
   test("subquery re-aggregation matches the reference, nulls and all") {
     val rnd = new scala.util.Random(99991L)
     val pts = fixture
