@@ -257,14 +257,32 @@ object MultimodalOps {
     AviCodec.synth(w, h, usPerFrame = 33333, frames = frames, raw = true)
   }
 
+  /** Deterministic MJPEG video fixture: an AVI whose `00dc` frame chunks
+    * are REAL baseline JPEGs ([[JpegCodec.encodeGray]], unit quant) of
+    * per-8x8-block-constant frames — the one JPEG family whose decode is
+    * bit-exact (DC-only blocks), so the pixel features downstream are
+    * closed-form recomputable by the oracle like the DIB fixture's.
+    */
+  def synthVideoMjpeg(docId: Long): Array[Byte] = {
+    val w = 8 * (2 + docId % 3).toInt
+    val h = 8 * (2 + docId % 2).toInt
+    val n = (3 + docId % 4).toInt
+    val frames = (0 until n).map { k =>
+      JpegCodec.encodeGray(w, h,
+        (x, y) => (((x / 8) * 37 + (y / 8) * 59 + k * 17 + docId * 13) % 256).toInt)
+    }
+    AviCodec.synth(w, h, usPerFrame = 33333, frames = frames) // 00dc chunks
+  }
+
   /** REAL video frame-payload decode: the AVI container index locates every
-    * `stride`-th frame and — for uncompressed `00db` frames — the payload
-    * is pixel-decoded with the BMP row machinery (feature-extract + pooled
-    * thumbnail per frame). This closes the multimodal family's last codec
-    * seam for the uncompressed format; compressed (`00dc`) payloads remain
-    * codec territory and dead-letter here rather than fake a decode.
-    * One output row per sampled frame; corrupt containers or frames whose
-    * payload size does not match the header geometry dead-letter.
+    * `stride`-th frame and pixel-decodes the payload — uncompressed `00db`
+    * DIB frames through the BMP row machinery, MJPEG `00dc` frames (JPEG
+    * magic) through the baseline-JPEG codec ([[JpegCodec]]), with the
+    * identical feature contract (gray = r+g+b, integer-pooled thumbnail).
+    * Frames that are neither (other compressed codecs), JPEGs whose
+    * dimensions contradict the container header, progressive JPEGs, and
+    * corrupt payloads all DEAD-LETTER (`ok = false`) rather than fake a
+    * decode. One output row per sampled frame.
     */
   def decodeVideoPixels(media: Dataset[MediaRow], stride: Int = 2,
                         poolSize: Int = 4): Dataset[VideoPixels] = {
@@ -277,16 +295,32 @@ object MultimodalOps {
           val rs = BmpCodec.rowSize(info.width)
           (0 until info.nFrames by stride).iterator.map { k =>
             val (off, len) = info.frames(k)
-            if (len != rs * info.height)
-              VideoPixels(m.doc_id, ok = false,
-                err = s"frame $k payload $len bytes != DIB geometry ${rs * info.height}",
-                info.width, info.height, k, 0.0, Seq.empty)
-            else {
+            def deadLetter(msg: String) = VideoPixels(m.doc_id, ok = false,
+              err = msg, info.width, info.height, k, 0.0, Seq.empty)
+            if (len == rs * info.height) {
               val (meanLum, thumb) = BmpCodec.dibFeatures(
                 m.payload, off, info.width, info.height, topDown = false, poolSize)
               VideoPixels(m.doc_id, ok = true, err = "",
                 info.width, info.height, k, meanLum, thumb.toSeq)
-            }
+            } else if (len >= 2 && (m.payload(off) & 0xff) == 0xFF &&
+                (m.payload(off + 1) & 0xff) == 0xD8) {
+              try {
+                val img = JpegCodec.decode(
+                  java.util.Arrays.copyOfRange(m.payload, off, off + len))
+                if (img.width != info.width || img.height != info.height)
+                  deadLetter(s"frame $k JPEG is ${img.width}x${img.height}, " +
+                    s"container declares ${info.width}x${info.height}")
+                else {
+                  val (meanLum, thumb) = JpegCodec.features(img, poolSize)
+                  VideoPixels(m.doc_id, ok = true, err = "",
+                    info.width, info.height, k, meanLum, thumb.toSeq)
+                }
+              } catch {
+                case e: JpegCodec.MalformedJpeg =>
+                  deadLetter(s"frame $k MalformedJpeg: ${e.getMessage}")
+              }
+            } else deadLetter(
+              s"frame $k payload $len bytes: not DIB geometry ${rs * info.height}, not JPEG")
           }
         } catch {
           case scala.util.control.NonFatal(e) =>

@@ -479,6 +479,24 @@ object PipelineQueries {
           md5(concat_ws("_", col("thumb").cast("array<string>"))).as("thumb_md5"))
     }),
 
+    // REAL compressed-codec gate, video: every 2nd MJPEG (00dc) frame is
+    // located via the container index and decoded through the ACTUAL
+    // baseline-JPEG pipeline — Huffman entropy decode, dequant, IDCT. The
+    // fixture frames are per-8x8-block-constant (DC-only, unit quant), the
+    // one JPEG family that decodes bit-exactly, so the oracle recomputes
+    // the features closed-form with no JPEG in DuckDB — the sides agree
+    // only if the whole entropy-coded roundtrip is faithful
+    "q_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideoMjpeg(id), "video"))
+      MultimodalOps.decodeVideoPixels(media, stride = 2).toDF()
+        .filter(col("ok"))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"), col("mean_lum"),
+          md5(concat_ws("_", col("thumb").cast("array<string>"))).as("thumb_md5"))
+    }),
+
     // REAL codec gate, all modalities: each document's payload is genuine
     // container bytes (BMP / WAV / AVI per doc_id % 3) and every output
     // column is DECODER-derived — dimensions from the BMP/AVI headers,
@@ -676,6 +694,27 @@ object PipelineQueries {
         |    least((x * 255) // (w - 1), 255)
         |      + least(((y + k) * 255) // (h - 1), 255)
         |      + CASE WHEN ((x // 2) + (y // 2) + doc_id + k) % 2 = 0 THEN 32 ELSE 0 END AS gray,
+        |    least((y * 4) // h, 3) * 4 + least((x * 4) // w, 3) AS cell
+        |  FROM fr, UNNEST(generate_series(0, w - 1)) AS t(x),
+        |    UNNEST(generate_series(0, h - 1)) AS u(y)),
+        |cells AS (SELECT doc_id, k, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2, 3),
+        |thumbs AS (SELECT doc_id, k,
+        |    md5(string_agg(CAST(tv AS VARCHAR), '_' ORDER BY cell)) AS thumb_md5
+        |  FROM cells GROUP BY 1, 2),
+        |lum AS (SELECT doc_id, k, CAST(min(w) AS INTEGER) AS width, CAST(min(h) AS INTEGER) AS height,
+        |    CAST(sum(gray) AS DOUBLE) / (3.0 * min(w) * min(h)) AS mean_lum
+        |  FROM px GROUP BY 1, 2)
+        |SELECT l.doc_id, CAST(l.k AS INTEGER) AS frame_idx, l.width, l.height,
+        |  l.mean_lum, t.thumb_md5
+        |FROM lum l JOIN thumbs t ON l.doc_id = t.doc_id AND l.k = t.k""".stripMargin,
+
+    "q_video_mjpeg" ->
+      """WITH ids AS (SELECT doc_id, CAST(8 * (2 + doc_id % 3) AS BIGINT) AS w,
+        |    CAST(8 * (2 + doc_id % 2) AS BIGINT) AS h, CAST(3 + doc_id % 4 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 6 = 3),
+        |fr AS (SELECT doc_id, w, h, k FROM ids, UNNEST(generate_series(0, nf - 1, 2)) AS t(k)),
+        |px AS (SELECT doc_id, w, h, k, x, y,
+        |    3 * (((x // 8) * 37 + (y // 8) * 59 + k * 17 + doc_id * 13) % 256) AS gray,
         |    least((y * 4) // h, 3) * 4 + least((x * 4) // w, 3) AS cell
         |  FROM fr, UNNEST(generate_series(0, w - 1)) AS t(x),
         |    UNNEST(generate_series(0, h - 1)) AS u(y)),

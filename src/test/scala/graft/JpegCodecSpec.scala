@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.JpegCodec
+import graft.operators.JpegCodec.MalformedJpeg
+
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def gray(img: JpegCodec.JpegImage, x: Int, y: Int): Int =
+    img.rgb(y * img.width + x) & 0xff // grayscale: r == g == b
+
+  test("per-8x8-block-constant grayscale roundtrips BIT-EXACTLY under unit quant") {
+    // the fixture contract behind the q_video_mjpeg oracle: a constant
+    // block's DCT is DC-only, the DC path is integer all the way, so
+    // encode -> Huffman -> decode -> IDCT reproduces every pixel exactly
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val w = 8 * (2 + rnd.nextInt(4))
+      val h = 8 * (1 + rnd.nextInt(4))
+      val blocks = Array.fill((h / 8) * (w / 8))(rnd.nextInt(256))
+      def px(x: Int, y: Int): Int = blocks((y / 8) * (w / 8) + (x / 8))
+      val img = JpegCodec.decode(JpegCodec.encodeGray(w, h, px))
+      assert(img.width == w && img.height == h && img.nComponents == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(img, x, y) == px(x, y), s"trial $trial pixel ($x,$y)")
+    }
+  }
+
+  test("general grayscale roundtrip stays within the quantization error bound") {
+    val (w, h) = (40, 24) // non-MCU-aligned width exercises edge replication
+    def px(x: Int, y: Int): Int =
+      ((x * 255 / (w - 1)) + (if (((x / 2) + (y / 2)) % 2 == 0) 32 else 0)).min(255)
+    val img = JpegCodec.decode(JpegCodec.encodeGray(w, h, px))
+    assert(img.width == w && img.height == h)
+    // unit quant: per-coefficient rounding error <= 0.5, worst-case spatial
+    // error <= 0.5 * 64 * 0.25 = 8; in practice far below
+    val errs = for (y <- 0 until h; x <- 0 until w) yield math.abs(gray(img, x, y) - px(x, y))
+    assert(errs.max <= 8, s"max err ${errs.max}")
+    assert(errs.sum.toDouble / errs.size <= 1.5, s"mean err ${errs.sum.toDouble / errs.size}")
+  }
+
+  test("4:4:4 color roundtrip recovers RGB within combined rounding bounds") {
+    val (w, h) = (24, 16)
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 255 / (w - 1)).min(255), ((y * 255) / (h - 1)).min(255), (x * y) % 256)
+    val img = JpegCodec.decode(JpegCodec.encodeColor(w, h, px))
+    assert(img.nComponents == 3)
+    val errs = for (y <- 0 until h; x <- 0 until w) yield {
+      val p = img.rgb(y * img.width + x)
+      val (r, g, b) = px(x, y)
+      math.abs(((p >> 16) & 0xff) - r) max math.abs(((p >> 8) & 0xff) - g) max
+        math.abs((p & 0xff) - b)
+    }
+    assert(errs.max <= 10, s"max channel err ${errs.max}")
+  }
+
+  test("4:2:0 subsampled roundtrip: solid color is near-exact, MCU geometry holds") {
+    val (w, h) = (20, 12) // forces 2x2-sampled MCU padding on both axes
+    val img = JpegCodec.decode(JpegCodec.encodeColor(w, h, (_, _) => (80, 160, 96),
+      subsample420 = true))
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.rgb(y * img.width + x)
+      assert(math.abs(((p >> 16) & 0xff) - 80) <= 3 &&
+        math.abs(((p >> 8) & 0xff) - 160) <= 3 && math.abs((p & 0xff) - 96) <= 3,
+        s"pixel ($x,$y) = 0x$p%06X")
+    }
+  }
+
+  test("progressive (SOF2) dead-letters instead of decoding") {
+    val bytes = JpegCodec.encodeGray(16, 16, (_, _) => 100)
+    // flip the SOF0 marker to SOF2: same payload, progressive declaration
+    val idx = bytes.indices.find(i =>
+      (bytes(i) & 0xff) == 0xFF && (bytes(i + 1) & 0xff) == 0xC0).get
+    bytes(idx + 1) = 0xC2.toByte
+    val e = intercept[MalformedJpeg](JpegCodec.decode(bytes))
+    assert(e.getMessage.contains("progressive"))
+  }
+
+  test("truncated and corrupt payloads dead-letter") {
+    val bytes = JpegCodec.encodeGray(32, 32, (x, y) => (x * y) % 256)
+    intercept[MalformedJpeg](JpegCodec.decode(bytes.take(bytes.length / 2)))
+    intercept[MalformedJpeg](JpegCodec.decode(Array[Byte](1, 2, 3, 4, 5)))
+    intercept[MalformedJpeg](JpegCodec.decode(Array.fill[Byte](64)(0xFF.toByte)))
+  }
+}

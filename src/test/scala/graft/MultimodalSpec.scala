@@ -180,6 +180,51 @@ class MultimodalSpec extends SparkSuite {
     assert(corrupt.length == 1 && !corrupt.head.ok && corrupt.head.frame_idx == -1)
   }
 
+  test("video MJPEG (00dc) frames decode through the baseline-JPEG codec") {
+    import graft.operators.{AviCodec, JpegCodec}
+    // the deterministic fixture: every sampled frame of every doc decodes,
+    // and the features equal the closed-form block arithmetic (the same
+    // formula the q_video_mjpeg oracle computes in SQL)
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 30)
+      .as[Long].map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideoMjpeg(id), "video"))
+    val decoded = MultimodalOps.decodeVideoPixels(media, stride = 2).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.ok),
+      decoded.filterNot(_.ok).map(d => s"${d.doc_id}: ${d.err}").mkString("; "))
+    val d3 = decoded.find(d => d.doc_id == 3L && d.frame_idx == 2).get
+    val (w3, h3) = (8 * (2 + 3 % 3), 8 * (2 + 3 % 2)) // doc 3: 16x24
+    assert(d3.width == w3 && d3.height == h3)
+    val grays = for (y <- 0 until h3; x <- 0 until w3)
+      yield 3L * (((x / 8) * 37 + (y / 8) * 59 + 2 * 17 + 3 * 13) % 256)
+    assert(d3.mean_lum == grays.sum.toDouble / (3.0 * w3 * h3))
+
+    // a progressive frame dead-letters; the good frame beside it still decodes
+    val good = JpegCodec.encodeGray(16, 16, (_, _) => 50)
+    val prog = good.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xFF && (prog(i + 1) & 0xff) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    val mixed = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(1L, AviCodec.synth(16, 16, 33333, Seq(good, prog)),
+        "video")).toDS(), stride = 1).collect().sortBy(_.frame_idx)
+    assert(mixed.length == 2)
+    assert(mixed(0).ok && mixed(0).mean_lum == 50.0)
+    assert(!mixed(1).ok && mixed(1).err.contains("progressive"))
+
+    // a JPEG whose dimensions contradict the container header dead-letters
+    val contra = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(2L, AviCodec.synth(32, 32, 33333, Seq(good)),
+        "video")).toDS(), stride = 1).collect()
+    assert(contra.length == 1 && !contra.head.ok &&
+      contra.head.err.contains("container declares"))
+
+    // a truncated JPEG frame dead-letters with the codec's error
+    val trunc = MultimodalOps.decodeVideoPixels(
+      Seq(MultimodalOps.MediaRow(4L, AviCodec.synth(16, 16, 33333,
+        Seq(java.util.Arrays.copyOf(good, good.length / 2))), "video")).toDS(),
+      stride = 1).collect()
+    assert(trunc.length == 1 && !trunc.head.ok && trunc.head.err.contains("MalformedJpeg"))
+  }
+
   test("distributed image decode: real parsing per partition, corrupt rows dead-letter") {
     val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 40)
       .as[Long]
