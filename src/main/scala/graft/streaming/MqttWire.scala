@@ -18,6 +18,7 @@ import scala.collection.mutable.ArrayBuffer
 object MqttWireCodec {
 
   val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
+  val PUBREC = 5; val PUBREL = 6; val PUBCOMP = 7
   val SUBSCRIBE = 8; val SUBACK = 9
   val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
 
@@ -64,10 +65,10 @@ object MqttWireCodec {
     frame(CONNACK, 0, Array((if (sessionPresent) 1 else 0).toByte, returnCode.toByte))
 
   /** SUBSCRIBE (reserved flags 0b0010 per spec); one entry per filter at
-    * the requested QoS (0 or 1).
+    * the requested QoS (0, 1 or 2).
     */
   def encodeSubscribe(packetId: Int, filters: Seq[String], qos: Int = 0): Array[Byte] = {
-    require(qos == 0 || qos == 1, s"unsupported QoS $qos")
+    require(qos >= 0 && qos <= 2, s"unsupported QoS $qos")
     frame(SUBSCRIBE, 2, pid2(packetId) ++ filters.toArray.flatMap(f => utf8(f) :+ qos.toByte))
   }
 
@@ -80,7 +81,7 @@ object MqttWireCodec {
     */
   def encodePublish(topic: String, payload: Array[Byte], qos: Int = 0,
                     packetId: Int = 0, dup: Boolean = false): Array[Byte] = {
-    require(qos == 0 || qos == 1, s"unsupported QoS $qos")
+    require(qos >= 0 && qos <= 2, s"unsupported QoS $qos")
     val flags = (if (dup) 8 else 0) | (qos << 1)
     val mid = if (qos >= 1) pid2(packetId) else Array.empty[Byte]
     frame(PUBLISH, flags, utf8(topic) ++ mid ++ payload)
@@ -88,6 +89,14 @@ object MqttWireCodec {
 
   /** PUBACK: the QoS-1 receiver's acknowledgement (MQTT 3.4). */
   def encodePuback(packetId: Int): Array[Byte] = frame(PUBACK, 0, pid2(packetId))
+
+  /** QoS-2 handshake packets (MQTT 3.5/3.6/3.7): PUBREC acknowledges
+    * receipt, PUBREL (reserved flags 0b0010) releases the packet id,
+    * PUBCOMP completes — together the exactly-once delivery protocol.
+    */
+  def encodePubrec(packetId: Int): Array[Byte] = frame(PUBREC, 0, pid2(packetId))
+  def encodePubrel(packetId: Int): Array[Byte] = frame(PUBREL, 2, pid2(packetId))
+  def encodePubcomp(packetId: Int): Array[Byte] = frame(PUBCOMP, 0, pid2(packetId))
 
   def encodePingReq(): Array[Byte] = frame(PINGREQ, 0, Array.empty)
   def encodePingResp(): Array[Byte] = frame(PINGRESP, 0, Array.empty)
@@ -143,16 +152,23 @@ object MqttWireCodec {
   * [[MqttConnectionManager]] drives reconnect/resubscribe on top,
   * unchanged from the in-process transport.
   */
-/** @param subscribeQos requested subscription QoS: 0 (fire-and-forget) or
+/** @param subscribeQos requested subscription QoS:
+  *                     0 (fire-and-forget);
   *                     1 (at-least-once — each inbound QoS-1 PUBLISH is
   *                     PUBACKed after the message callback returns, so a
   *                     crash before the callback completes leaves the
   *                     message unacked and the broker redelivers it with
   *                     DUP; duplicates are the downstream offset-log /
   *                     txn-fence layers' job, exactly like a replayed
-  *                     micro-batch)
-  * @param autoAck     test seam: false suppresses PUBACKs to exercise
-  *                    broker redelivery
+  *                     micro-batch);
+  *                     2 (exactly-once — the receiver half of the
+  *                     PUBREC/PUBREL/PUBCOMP handshake, MQTT 4.3.3: the
+  *                     callback fires on first receipt of a packet id,
+  *                     redeliveries of the same unreleased id are dropped
+  *                     by the in-flight set, and the id is forgotten only
+  *                     on PUBREL — so the session never double-delivers)
+  * @param autoAck     test seam: false suppresses PUBACK/PUBREC to
+  *                    exercise broker redelivery
   */
 class SocketMqttTransport(host: String, port: Int, clientId: String,
                           ioTimeoutMs: Int = 10000, subscribeQos: Int = 0,
@@ -168,6 +184,9 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
     val out = socket.getOutputStream
     @volatile var closing = false // deliberate disconnect: EOF is not "lost"
     val pendingSubacks = new ConcurrentHashMap[Int, ArrayBlockingQueue[Seq[Int]]]()
+    // QoS-2 packet ids received but not yet PUBRELed: the dedup set that
+    // makes redelivered PUBLISHes of an in-flight id a no-op (MQTT 4.3.3)
+    val inboundQos2 = ConcurrentHashMap.newKeySet[Int]()
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
 
@@ -207,17 +226,34 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
             case PUBLISH =>
               val qos = (p.flags >> 1) & 3
               val (topic, consumed) = readUtf8(p.body, 0)
-              // a QoS-1 delivery carries a packet id between topic and payload
+              // a QoS >= 1 delivery carries a packet id between topic and payload
               val off = if (qos >= 1) consumed + 2 else consumed
-              onMessage(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
-              // ack AFTER the callback: at-least-once, never at-most-once
-              if (qos >= 1 && autoAck) s.send(encodePuback(readPid(p.body, consumed)))
+              if (qos == 2) {
+                val pid = readPid(p.body, consumed)
+                // deliver on FIRST receipt only: a redelivered PUBLISH of an
+                // id still in flight (we PUBRECed, broker missed it or is
+                // retrying) must not reach the callback twice
+                if (s.inboundQos2.add(pid))
+                  onMessage(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
+                if (autoAck) s.send(encodePubrec(pid))
+              } else {
+                onMessage(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
+                // ack AFTER the callback: at-least-once, never at-most-once
+                if (qos >= 1 && autoAck) s.send(encodePuback(readPid(p.body, consumed)))
+              }
+            case PUBREL =>
+              // release the id (it may recur for a future message) and
+              // complete the handshake; unknown ids still PUBCOMP (4.3.3's
+              // idempotent responder rule)
+              val pid = readPid(p.body, 0)
+              s.inboundQos2.remove(pid)
+              s.send(encodePubcomp(pid))
             case SUBACK =>
               val pid = readPid(p.body, 0)
               val codes: Seq[Int] = p.body.drop(2).toSeq.map(_ & 0xff)
               Option(s.pendingSubacks.get(pid)).foreach(_.offer(codes))
             case PINGRESP => ()
-            case _ => () // packets a QoS-0 subscriber never receives
+            case _ => () // packets this subscriber never receives
           }
         }
       }
@@ -307,6 +343,14 @@ class MockMqttBroker {
     val nextPid = new AtomicInteger(0)
     // QoS-1 deliveries awaiting PUBACK: pid -> (topic, payload)
     val pendingAcks = new ConcurrentHashMap[Int, (String, Array[Byte])]()
+    // QoS-2 sender state (MQTT 4.3.3): deliveries awaiting PUBREC carry
+    // the message (PUBLISH redelivers with DUP); ids awaiting PUBCOMP
+    // carry nothing (only PUBREL redelivers)
+    val pendingRecs = new ConcurrentHashMap[Int, (String, Array[Byte])]()
+    val pendingComps = ConcurrentHashMap.newKeySet[Int]()
+    // QoS-2 receiver state for client-to-broker publishes: ids routed but
+    // not yet PUBRELed (drop re-sent PUBLISHes of an in-flight id)
+    val inboundQos2 = ConcurrentHashMap.newKeySet[Int]()
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
 
@@ -357,7 +401,7 @@ class MockMqttBroker {
             var off = 2
             while (off < p.body.length) {
               val (f, c) = readUtf8(p.body, off)
-              val reqQos = math.min(p.body(off + c) & 0xff, 1) // grant at most 1
+              val reqQos = math.min(p.body(off + c) & 0xff, 2) // grant at most 2
               off += c + 1
               fs += ((f, reqQos))
             }
@@ -368,14 +412,33 @@ class MockMqttBroker {
               cs.filters.synchronized { cs.filters ++= fs }
               cs.send(encodeSuback(pid, fs.map(_._2).toSeq))
             }
-          case PUBLISH => // client-to-broker publish: ack if QoS 1, then route
+          case PUBLISH => // client-to-broker publish: ack per QoS, then route
             val qos = (p.flags >> 1) & 3
             val (topic, c) = readUtf8(p.body, 0)
             val off = if (qos >= 1) c + 2 else c
-            if (qos >= 1) cs.send(encodePuback(readPid(p.body, c)))
-            publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+            if (qos == 2) {
+              val pid = readPid(p.body, c)
+              // route on first receipt only; PUBREC either way
+              if (cs.inboundQos2.add(pid))
+                publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+              cs.send(encodePubrec(pid))
+            } else {
+              if (qos == 1) cs.send(encodePuback(readPid(p.body, c)))
+              publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+            }
           case PUBACK =>
             cs.pendingAcks.remove(readPid(p.body, 0))
+          case PUBREC => // outbound QoS-2 leg 2: stop PUBLISH retries, release
+            val pid = readPid(p.body, 0)
+            cs.pendingRecs.remove(pid)
+            cs.pendingComps.add(pid)
+            cs.send(encodePubrel(pid))
+          case PUBREL => // inbound QoS-2 leg 3: forget the id, complete
+            val pid = readPid(p.body, 0)
+            cs.inboundQos2.remove(pid)
+            cs.send(encodePubcomp(pid))
+          case PUBCOMP => // outbound QoS-2 leg 4: handshake done
+            cs.pendingComps.remove(readPid(p.body, 0))
           case PINGREQ => cs.send(encodePingResp())
           case DISCONNECT => live = false
           case _ => ()
@@ -402,7 +465,11 @@ class MockMqttBroker {
       granted.foreach { g =>
         val dqos = math.min(qos, g)
         try {
-          if (dqos >= 1) {
+          if (dqos == 2) {
+            val pid = Math.floorMod(cs.nextPid.getAndIncrement(), 0xffff) + 1
+            cs.pendingRecs.put(pid, (topic, payload))
+            cs.send(encodePublish(topic, payload, qos = 2, packetId = pid))
+          } else if (dqos == 1) {
             val pid = Math.floorMod(cs.nextPid.getAndIncrement(), 0xffff) + 1
             cs.pendingAcks.put(pid, (topic, payload))
             cs.send(encodePublish(topic, payload, qos = 1, packetId = pid))
@@ -419,21 +486,33 @@ class MockMqttBroker {
   def publish(topic: String, payload: String, qos: Int): Int =
     publish(topic, payload.getBytes("UTF-8"), qos)
 
-  /** Unacked QoS-1 deliveries across all sessions (0 = everything acked). */
+  /** In-flight deliveries across all sessions (0 = every handshake done):
+    * QoS-1 awaiting PUBACK, plus QoS-2 awaiting PUBREC or PUBCOMP.
+    */
   def pendingAckCount: Int = {
     var n = 0
-    sessions.forEach(cs => n += cs.pendingAcks.size)
+    sessions.forEach(cs =>
+      n += cs.pendingAcks.size + cs.pendingRecs.size + cs.pendingComps.size)
     n
   }
 
-  /** Resend every unacked QoS-1 delivery with DUP set — the broker's
-    * retry timer, as an explicit test hook so redelivery is deterministic.
+  /** Resend every in-flight delivery — the broker's retry timer, as an
+    * explicit test hook so redelivery is deterministic: unacked QoS-1 and
+    * un-PUBRECed QoS-2 PUBLISHes go out with DUP; ids awaiting PUBCOMP
+    * resend only PUBREL (the message itself is already released, 4.3.3).
     */
   def redeliverPending(): Unit =
     sessions.forEach { cs =>
       cs.pendingAcks.forEach { (pid, tp) =>
         try cs.send(encodePublish(tp._1, tp._2, qos = 1, packetId = pid, dup = true))
         catch { case _: Exception => () }
+      }
+      cs.pendingRecs.forEach { (pid, tp) =>
+        try cs.send(encodePublish(tp._1, tp._2, qos = 2, packetId = pid, dup = true))
+        catch { case _: Exception => () }
+      }
+      cs.pendingComps.forEach { pid =>
+        try cs.send(encodePubrel(pid)) catch { case _: Exception => () }
       }
     }
 

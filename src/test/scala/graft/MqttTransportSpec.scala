@@ -247,6 +247,70 @@ class MqttTransportSpec extends SparkSuite {
     } finally { t2.disconnect(); broker2.close() }
   }
 
+  test("socket transport QoS 2: four-leg handshake completes, redelivery never double-delivers") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-qos2",
+      subscribeQos = 2)
+    t.setCallbacks((_, payload) => sink.synchronized { sink += new String(payload, "UTF-8") },
+      _ => ())
+    try {
+      t.connect()
+      t.subscribe(Seq("openchirp/device/+/+"))
+      // full PUBLISH -> PUBREC -> PUBREL -> PUBCOMP cycle: delivered once,
+      // broker's in-flight state drains to zero
+      assert(broker.publish("openchirp/device/d1/temp", "21.5", qos = 2) == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      assert(awaitCond()(broker.pendingAckCount == 0),
+        "PUBREC/PUBREL/PUBCOMP must drain the in-flight state")
+      assert(sink.synchronized(sink.size) == 1, "exactly one delivery after handshake")
+      // several messages in sequence each deliver exactly once
+      (0 until 5).foreach(i => broker.publish("openchirp/device/d1/temp", s"m$i", qos = 2))
+      assert(awaitCond()(sink.synchronized(sink.size) == 6))
+      assert(awaitCond()(broker.pendingAckCount == 0))
+      assert(sink.synchronized(sink.toSeq).drop(1) == (0 until 5).map(i => s"m$i"))
+    } finally { t.disconnect(); broker.close() }
+
+    // suppressed PUBREC: the broker retries the PUBLISH with DUP, and the
+    // receiver's in-flight set drops every retry — exactly-once even
+    // though the wire carried the message three times
+    val broker2 = new MockMqttBroker
+    val sink2 = scala.collection.mutable.ArrayBuffer[String]()
+    val t2 = new SocketMqttTransport("127.0.0.1", broker2.port, "graft-qos2-norec",
+      subscribeQos = 2, autoAck = false)
+    t2.setCallbacks((_, payload) => sink2.synchronized { sink2 += new String(payload, "UTF-8") },
+      _ => ())
+    try {
+      t2.connect()
+      t2.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker2.publish("openchirp/device/d1/temp", "v", qos = 2) == 1)
+      assert(awaitCond()(sink2.synchronized(sink2.size) == 1))
+      assert(broker2.pendingAckCount == 1, "no PUBREC -> PUBLISH still in flight")
+      broker2.redeliverPending()
+      broker2.redeliverPending()
+      Thread.sleep(150) // give wrong double deliveries a chance to surface
+      assert(sink2.synchronized(sink2.size) == 1,
+        "redelivered PUBLISH of an in-flight id must not reach the callback")
+      assert(broker2.pendingAckCount == 1)
+    } finally { t2.disconnect(); broker2.close() }
+
+    // min(publish QoS, granted QoS): a QoS-2 publish to a QoS-1 subscriber
+    // downgrades to the PUBACK path
+    val broker3 = new MockMqttBroker
+    val sink3 = scala.collection.mutable.ArrayBuffer[String]()
+    val t3 = new SocketMqttTransport("127.0.0.1", broker3.port, "graft-qos2-down",
+      subscribeQos = 1)
+    t3.setCallbacks((_, payload) => sink3.synchronized { sink3 += new String(payload, "UTF-8") },
+      _ => ())
+    try {
+      t3.connect()
+      t3.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker3.publish("openchirp/device/d1/temp", "w", qos = 2) == 1)
+      assert(awaitCond()(sink3.synchronized(sink3.size) == 1))
+      assert(awaitCond()(broker3.pendingAckCount == 0), "downgraded to QoS 1, PUBACK drains")
+    } finally { t3.disconnect(); broker3.close() }
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport
