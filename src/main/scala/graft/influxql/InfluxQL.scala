@@ -981,49 +981,84 @@ object InfluxQL {
   /** SHOW metadata statements — the discovery half of the dialect
     * (InfluxDB clients issue these before any SELECT): MEASUREMENTS and
     * TAG VALUES are distinct-scans (one partial+final aggregate);
-    * TAG KEYS / FIELD KEYS answer from the schema alone, no scan at all.
+    * TAG KEYS / FIELD KEYS answer from the schema alone, no scan at all;
+    * the CARDINALITY forms reduce to a single count (exact, InfluxDB's
+    * `EXACT` semantics — a one-row partial+final countDistinct, no
+    * sketch); list-shaped statements take LIMIT/OFFSET paging over their
+    * deterministic order.
     */
   def planShow(points: DataFrame, text: String): DataFrame = {
     val p = new P(tokenize(text))
     val spark = points.sparkSession
     import org.apache.spark.sql.Encoders
+    def paged(df: DataFrame): DataFrame = {
+      // LIMIT/OFFSET over the statement's own deterministic ORDER BY
+      val lim = if (p.kw("LIMIT")) Some(p.num().toInt) else None
+      val off = if (p.kw("OFFSET")) Some(p.num().toInt) else None
+      val d = off.map(df.offset).getOrElse(df)
+      lim.map(d.limit).getOrElse(d)
+    }
     def finish(df: DataFrame): DataFrame = {
       if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
       df
     }
+    def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("count"))
+    def seriesKeys: DataFrame = points.select(concat_ws(",",
+      col("transducer") +: tagColumns(points).map(t =>
+        concat(lit(t + "="), col(t))): _*).as("key")).distinct()
+    def tagKey(): String = {
+      p.expectKw("WITH"); p.expectKw("KEY"); p.expectSym("=")
+      val k = p.next() match {
+        case TIdent(s) => s
+        case TStr(s, _) => s
+        case t => p.fail(s"expected tag key, got '${t.raw}'")
+      }
+      if (!tagColumns(points).contains(k)) p.fail(s"unknown tag key '$k'")
+      k
+    }
+    def fieldKeys = points.schema.fields
+      .filter(f => !Reserved.contains(f.name) &&
+        f.dataType != org.apache.spark.sql.types.StringType)
+      .map(f => (f.name, f.dataType.typeName)).toList.sorted
     p.expectKw("SHOW")
     if (p.kw("MEASUREMENTS"))
-      finish(points.select(col("transducer").as("name")).distinct().orderBy(col("name")))
-    else if (p.kw("SERIES"))
-      // series keys in InfluxDB's line format: measurement,tag=value,...
-      finish(points.select(concat_ws(",",
-        col("transducer") +: tagColumns(points).map(t =>
-          concat(lit(t + "="), col(t))): _*).as("key"))
-        .distinct().orderBy(col("key")))
-    else if (p.kw("TAG")) {
+      finish(paged(points.select(col("transducer").as("name"))
+        .distinct().orderBy(col("name"))))
+    else if (p.kw("MEASUREMENT")) {
+      p.expectKw("CARDINALITY")
+      finish(count1(points.select("transducer").distinct()))
+    } else if (p.kw("SERIES")) {
+      if (p.kw("CARDINALITY")) finish(count1(seriesKeys))
+      else finish(paged(seriesKeys.orderBy(col("key"))))
+    } else if (p.kw("TAG")) {
       if (p.kw("KEYS"))
         finish(spark.createDataset(tagColumns(points).toList)(Encoders.STRING).toDF("tagKey"))
-      else if (p.kw("VALUES")) {
-        p.expectKw("WITH"); p.expectKw("KEY"); p.expectSym("=")
-        val k = p.next() match {
-          case TIdent(s) => s
-          case TStr(s, _) => s
-          case t => p.fail(s"expected tag key, got '${t.raw}'")
+      else if (p.kw("KEY")) {
+        p.expectKw("CARDINALITY")
+        finish(spark.createDataset(Seq(tagColumns(points).size.toLong))(
+          Encoders.scalaLong).toDF("count"))
+      } else if (p.kw("VALUES")) {
+        if (p.kw("CARDINALITY")) {
+          val k = tagKey()
+          finish(count1(points.select(col(k)).distinct()))
+        } else {
+          val k = tagKey()
+          finish(paged(points.select(lit(k).as("key"), col(k).as("value"))
+            .distinct().orderBy(col("value"))))
         }
-        if (!tagColumns(points).contains(k)) p.fail(s"unknown tag key '$k'")
-        finish(points.select(lit(k).as("key"), col(k).as("value"))
-          .distinct().orderBy(col("value")))
-      } else p.fail("expected KEYS or VALUES after SHOW TAG")
+      } else p.fail("expected KEYS, KEY CARDINALITY or VALUES after SHOW TAG")
     } else if (p.kw("FIELD")) {
-      p.expectKw("KEYS")
-      val fields = points.schema.fields
-        .filter(f => !Reserved.contains(f.name) &&
-          f.dataType != org.apache.spark.sql.types.StringType)
-        .map(f => (f.name, f.dataType.typeName)).toList.sorted
-      finish(spark.createDataset(fields)(
-        Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("fieldKey", "fieldType"))
+      if (p.kw("KEYS"))
+        finish(spark.createDataset(fieldKeys)(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("fieldKey", "fieldType"))
+      else if (p.kw("KEY")) {
+        p.expectKw("CARDINALITY")
+        finish(spark.createDataset(Seq(fieldKeys.size.toLong))(
+          Encoders.scalaLong).toDF("count"))
+      } else p.fail("expected KEYS or KEY CARDINALITY after SHOW FIELD")
     } else p.fail(
-      "unsupported SHOW statement (MEASUREMENTS, SERIES, TAG KEYS, TAG VALUES, FIELD KEYS)")
+      "unsupported SHOW statement (MEASUREMENTS, SERIES, TAG KEYS, TAG VALUES, " +
+        "FIELD KEYS, or their CARDINALITY forms)")
   }
 
   def plan(points: DataFrame, q: Query): DataFrame = {

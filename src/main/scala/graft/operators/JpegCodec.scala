@@ -529,7 +529,8 @@ object JpegCodec {
 
   private def writeMarkers(out: ByteArrayOutputStream, quantTables: Seq[Array[Int]],
                            width: Int, height: Int,
-                           comps: Seq[(Int, Int, Int, Int)]): Unit = {
+                           comps: Seq[(Int, Int, Int, Int)],
+                           restartInterval: Int = 0): Unit = {
     def m(b: Int): Unit = { out.write(0xFF); out.write(b) }
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     m(0xD8) // SOI
@@ -537,6 +538,7 @@ object JpegCodec {
       m(0xDB); u16(2 + 65); out.write(i) // Pq=0 (8-bit), Tq=i
       for (k <- 0 until 64) out.write(qt(Zigzag(k)))
     }
+    if (restartInterval > 0) { m(0xDD); u16(4); u16(restartInterval) }
     m(0xC0); u16(8 + comps.size * 3); out.write(8); u16(height); u16(width)
     out.write(comps.size)
     comps.foreach { case (id, h, v, tq) =>
@@ -612,26 +614,39 @@ object JpegCodec {
     Array.tabulate(64)(i => math.round(b(i) / qt(i)).toInt)
   }
 
-  /** Baseline grayscale JPEG from a pixel function (x, y) -> 0..255. */
+  /** Baseline grayscale JPEG from a pixel function (x, y) -> 0..255.
+    * `restartInterval > 0` writes a DRI segment and inserts byte-aligned
+    * RSTn markers every that-many MCUs with DC predictors reset (T.81
+    * F.1.2.2.1) — exercises the decoder's restart machinery.
+    */
   def encodeGray(width: Int, height: Int, px: (Int, Int) => Int,
-                 quant: Array[Int] = UnitQuant): Array[Byte] = {
+                 quant: Array[Int] = UnitQuant, restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= MaxDim && height <= MaxDim)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
     val plane = Array.tabulate(width * height)(i => px(i % width, i / width) & 0xff)
     val out = new ByteArrayOutputStream()
-    writeMarkers(out, Seq(quant), width, height, Seq((1, 1, 1, 0)))
+    writeMarkers(out, Seq(quant), width, height, Seq((1, 1, 1, 0)), restartInterval)
     val codes = (buildCodes(DcSpec._1, DcSpec._2), buildCodes(AcSpec._1, AcSpec._2))
-    val w = new BitWriter(out)
+    var w = new BitWriter(out)
     var dcPred = 0
     val bw = (width + 7) / 8; val bh = (height + 7) / 8
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        dcPred = encodeBlockCoefs(w,
-          blockCoefs(plane, width, height, bx * 8, by * 8, quant), dcPred, codes)
-        bx += 1
+    var sinceRst = 0
+    var rstIdx = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      if (restartInterval > 0 && sinceRst == restartInterval) {
+        w.flush() // byte-align, then the marker
+        out.write(0xFF); out.write(0xD0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        sinceRst = 0
+        dcPred = 0
+        w = new BitWriter(out)
       }
-      by += 1
+      val bx = mcu % bw; val by = mcu / bw
+      dcPred = encodeBlockCoefs(w,
+        blockCoefs(plane, width, height, bx * 8, by * 8, quant), dcPred, codes)
+      sinceRst += 1
+      mcu += 1
     }
     w.flush()
     out.write(0xFF); out.write(0xD9) // EOI

@@ -654,7 +654,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
-  test("36 seeded management statements round-trip the ACID points table") {
+  test("40 seeded management statements round-trip the ACID points table") {
     // r5 gap: the differential net covered only SELECT shapes. This drives
     // seeded SHOW / DELETE / DROP MEASUREMENT statements against a live
     // TxLogTable plus an exact in-memory model — every mutation re-compares
@@ -689,8 +689,8 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       case _ => MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
     }
 
-    for (iter <- 0 until 36) {
-      rnd.nextInt(6) match {
+    for (iter <- 0 until 40) {
+      rnd.nextInt(8) match {
         case 0 => // SHOW MEASUREMENTS
           val got = InfluxQL.run(dfNow, "SHOW MEASUREMENTS").as[String].collect().toSeq
           assert(got == model.map(_._2).distinct.sorted, s"iter $iter MEASUREMENTS")
@@ -734,12 +734,81 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           table.append(fresh.toDF("device", "transducer", "ts_us", "value"))
           model = model ++ fresh
           assert(tableRows.sorted == model.sorted, s"iter $iter APPEND")
+        case 6 => // exact CARDINALITY forms
+          def one(q: String): Long = InfluxQL.run(dfNow, q).as[Long].collect().head
+          assert(one("SHOW MEASUREMENT CARDINALITY") ==
+            model.map(_._2).distinct.size.toLong, s"iter $iter MEAS CARD")
+          assert(one("SHOW SERIES CARDINALITY") ==
+            model.map(p => (p._2, p._1)).distinct.size.toLong, s"iter $iter SERIES CARD")
+          assert(one("SHOW TAG VALUES CARDINALITY WITH KEY = device") ==
+            model.map(_._1).distinct.size.toLong, s"iter $iter TAGV CARD")
+        case 7 => // SHOW paging windows the deterministic order
+          val lim = 1 + rnd.nextInt(3)
+          val off = rnd.nextInt(3)
+          val got = InfluxQL.run(dfNow, s"SHOW MEASUREMENTS LIMIT $lim OFFSET $off")
+            .as[String].collect().toSeq
+          assert(got == model.map(_._2).distinct.sorted.slice(off, off + lim),
+            s"iter $iter SHOW paging LIMIT $lim OFFSET $off")
       }
     }
     // field conditions stay rejected on the management path
     val e = intercept[IllegalArgumentException](
       InfluxQL.runDelete(table, "DELETE FROM m1 WHERE value > 5"))
     assert(e.getMessage.contains("field"))
+  }
+
+  test("30 seeded retention-DDL statements round-trip the policy store") {
+    val rnd = new scala.util.Random(31313131L)
+    val root = java.nio.file.Files.createTempDirectory("rp_diff").toString
+    val dbs = Vector("telemetry", "metrics")
+    val names = Vector("p1", "p2", "p3")
+    val durs = Vector(3600000000L, 86400000000L, 7L * 86400000000L, -1L)
+    def durTxt(us: Long): String = us match {
+      case -1L => "INF"
+      case 3600000000L => "1h"
+      case 86400000000L => "1d"
+      case _ => "1w"
+    }
+    // model: (db, name) -> (duration_us, replica, default)
+    var model = Map.empty[(String, String), (Long, Long, Boolean)]
+    def modelShow(db: Option[String]): Seq[(String, String, Long, Long, Boolean)] =
+      model.toSeq.map { case ((d, n), (u, r, df)) => (d, n, u, r, df) }
+        .filter(t => db.forall(_ == t._1)).sortBy(t => (t._1, t._2))
+    for (iter <- 0 until 30) {
+      val db = dbs(rnd.nextInt(2))
+      val name = names(rnd.nextInt(3))
+      rnd.nextInt(4) match {
+        case 0 | 1 => // CREATE / ALTER (same upsert semantics)
+          val verb = if (rnd.nextBoolean()) "CREATE" else "ALTER"
+          val dur = durs(rnd.nextInt(4))
+          val repl = 1L + rnd.nextInt(3)
+          val dflt = rnd.nextBoolean()
+          InfluxQL.runRetention(spark,
+            s"$verb RETENTION POLICY $name ON $db DURATION ${durTxt(dur)} " +
+              s"REPLICATION $repl${if (dflt) " DEFAULT" else ""}", root)
+          if (dflt) model = model.map { case (k @ (d, _), v) =>
+            k -> (if (d == db) v.copy(_3 = false) else v)
+          }
+          model += (db, name) -> (dur, repl, dflt)
+        case 2 => // DROP (possibly of a policy that never existed)
+          InfluxQL.runRetention(spark,
+            s"DROP RETENTION POLICY $name ON $db", root)
+          model -= ((db, name))
+        case 3 => // SHOW, with or without ON
+          val on = if (rnd.nextBoolean()) Some(db) else None
+          val got = InfluxQL.runRetention(spark,
+            s"SHOW RETENTION POLICIES${on.map(" ON " + _).getOrElse("")}", root)
+            .as[(String, String, Long, Long, Boolean)].collect().toSeq
+          assert(got == modelShow(on), s"iter $iter SHOW${on.getOrElse("")}")
+      }
+      // every mutation's returned SHOW matches the model too
+      val all = InfluxQL.runRetention(spark, "SHOW RETENTION POLICIES", root)
+        .as[(String, String, Long, Long, Boolean)].collect().toSeq
+      assert(all == modelShow(None), s"iter $iter full-store drift")
+      // invariant: at most one default per db
+      assert(all.groupBy(_._1).values.forall(_.count(_._5) <= 1),
+        s"iter $iter two defaults in one db")
+    }
   }
 
   test("subquery re-aggregation matches the reference, nulls and all") {

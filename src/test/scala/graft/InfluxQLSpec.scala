@@ -661,6 +661,31 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("SHOW CARDINALITY forms and SHOW paging") {
+    val df = pts(
+      ("a", "temp", 1L, 1.0), ("b", "temp", 2L, 2.0), ("a", "hum", 3L, 3.0),
+      ("c", "temp", 4L, 4.0), ("b", "hum", 5L, 5.0))
+    def one(q: String): Long =
+      InfluxQL.run(df, q).as[Long].collect().head
+    assert(one("SHOW MEASUREMENT CARDINALITY") == 2L) // temp, hum
+    assert(one("SHOW SERIES CARDINALITY") == 5L) // 5 distinct (m, device) pairs
+    assert(one("SHOW TAG KEY CARDINALITY") == 1L) // device
+    assert(one("SHOW TAG VALUES CARDINALITY WITH KEY = device") == 3L) // a b c
+    assert(one("SHOW FIELD KEY CARDINALITY") == 1L) // value
+    // paging over the deterministic order
+    assert(InfluxQL.run(df, "SHOW MEASUREMENTS LIMIT 1").as[String].collect().toSeq ==
+      Seq("hum"))
+    assert(InfluxQL.run(df, "SHOW MEASUREMENTS LIMIT 1 OFFSET 1").as[String].collect().toSeq ==
+      Seq("temp"))
+    assert(InfluxQL.run(df, "SHOW SERIES LIMIT 2 OFFSET 2").as[String].collect().toSeq ==
+      Seq("temp,device=a", "temp,device=b"))
+    assert(InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = device LIMIT 2")
+      .as[(String, String)].collect().toSeq == Seq(("device", "a"), ("device", "b")))
+    // unknown forms still fail loudly
+    val e = intercept[IllegalArgumentException](InfluxQL.run(df, "SHOW SHARDS"))
+    assert(e.getMessage.contains("unsupported SHOW"))
+  }
+
   test("retention DDL: CREATE/ALTER/SHOW/DROP round-trip the policy store") {
     val root = java.nio.file.Files.createTempDirectory("retention").toString
     def rp(text: String) =

@@ -67,6 +67,31 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("restart markers: DRI + RSTn cycle decodes identically to the plain scan") {
+    val (w, h) = (48, 16) // 6x2 blocks: the RST index wraps within one image
+    def px(x: Int, y: Int): Int =
+      ((x * 255 / (w - 1)) + (if ((x / 8 + y / 8) % 2 == 0) 16 else 0)).min(255)
+    val plain = JpegCodec.decode(JpegCodec.encodeGray(w, h, px))
+    for (interval <- Seq(1, 3)) {
+      val rst = JpegCodec.decode(JpegCodec.encodeGray(w, h, px, restartInterval = interval))
+      assert(rst.rgb.sameElements(plain.rgb),
+        s"interval $interval decoded differently from the plain scan")
+    }
+    // block-constant + restarts stays bit-exact end to end
+    val bc = JpegCodec.decode(
+      JpegCodec.encodeGray(w, h, (x, y) => (x / 8) * 20 + (y / 8) * 50, restartInterval = 2))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gray(bc, x, y) == (x / 8) * 20 + (y / 8) * 50)
+    // a MISSING restart marker (stream says DRI but no RST follows) fails
+    // loudly instead of desynchronizing silently
+    val broken = JpegCodec.encodeGray(w, h, px, restartInterval = 1)
+    val rstPos = broken.indices.find(i => (broken(i) & 0xff) == 0xFF &&
+      (broken(i + 1) & 0xff) >= 0xD0 && (broken(i + 1) & 0xff) <= 0xD7).get
+    broken(rstPos + 1) = 0xD5.toByte // wrong sequence number (expected RST0)
+    val e = intercept[MalformedJpeg](JpegCodec.decode(broken))
+    assert(e.getMessage.contains("RST"))
+  }
+
   test("progressive (SOF2) dead-letters instead of decoding") {
     val bytes = JpegCodec.encodeGray(16, 16, (_, _) => 100)
     // flip the SOF0 marker to SOF2: same payload, progressive declaration
