@@ -89,6 +89,8 @@ object InfluxQL {
   sealed trait Cond
   final case class TimeCond(op: String, us: Long) extends Cond
   final case class TagCond(tag: String, eq: Boolean, value: String) extends Cond
+  /** `tag =~ /re/` / `tag !~ /re/` — InfluxQL's regex tag predicates. */
+  final case class TagRegexCond(tag: String, matches: Boolean, re: String) extends Cond
   /** Numeric comparison on a field column (`value > 5`). */
   final case class FieldCond(field: String, op: String, v: Double) extends Cond
   /** Disjunction of AND-branches (`(a AND b) OR c`); time bounds inside a
@@ -219,7 +221,7 @@ object InfluxQL {
     "w" -> 7L * 86400000000L)
 
   private val tokenRe =
-    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|[(),*=<>+/-]))""".r
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/-]))""".r
 
   private def tokenize(text: String): Seq[Tok] = {
     var pos = 0
@@ -244,13 +246,15 @@ object InfluxQL {
           else if (m.group(9) != null) push(TIdent(m.group(9)))
           else if (m.group(10) != null) {
             // `/.../` is a regex literal only where one can appear — right
-            // after FROM; anywhere else `/` is the division operator (so
-            // `sum(a)/2 FROM /m/` doesn't swallow `2 FROM ` as a regex)
-            val afterFrom = last.exists {
+            // after FROM or a =~/!~ match operator; anywhere else `/` is
+            // the division operator (so `sum(a)/2 FROM /m/` doesn't
+            // swallow `2 FROM ` as a regex)
+            val regexPosition = last.exists {
               case TIdent(s) => s.equalsIgnoreCase("FROM")
+              case TSym("=~") | TSym("!~") => true
               case _ => false
             }
-            if (afterFrom) push(TRegex(m.group(11), m.group(10)))
+            if (regexPosition) push(TRegex(m.group(11), m.group(10)))
             else { push(TSym("/")); pos += m.start(10) + 1 - m.end }
           }
           else push(TSym(m.group(12)))
@@ -625,11 +629,14 @@ object InfluxQL {
       TimeCond(op, us)
     } else {
       val op = p.next() match {
-        case TSym(s) if Set("=", "!=", "<>", "<", "<=", ">", ">=").contains(s) =>
+        case TSym(s) if Set("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~").contains(s) =>
           if (s == "<>") "!=" else s
         case t => p.fail(s"expected comparison after '$lhs', got '${t.raw}'")
       }
-      p.next() match {
+      if (op == "=~" || op == "!~") p.next() match {
+        case TRegex(re, _) => TagRegexCond(lhs, op == "=~", re)
+        case t => p.fail(s"expected /regex/ after $op, got '${t.raw}'")
+      } else p.next() match {
         case TStr(s, _) =>
           if (op != "=" && op != "!=")
             p.fail(s"tag '$lhs' only supports = and != (got $op)")
@@ -1395,6 +1402,10 @@ object InfluxQL {
     case TimeCond(op, _) => throw new IllegalArgumentException(s"bad time op $op")
     case TagCond(tag, true, v) => col(tag) === v
     case TagCond(tag, false, v) => col(tag) =!= v
+    // rlike is UNANCHORED substring search in both Spark and InfluxDB —
+    // the two dialects agree without wrapping the pattern
+    case TagRegexCond(tag, true, re) => col(tag).rlike(re)
+    case TagRegexCond(tag, false, re) => !col(tag).rlike(re)
     case FieldCond(f, "=", v) => col(f) === v
     case FieldCond(f, "!=", v) => col(f) =!= v
     case FieldCond(f, "<", v) => col(f) < v

@@ -115,6 +115,18 @@ object InfluxQLQueries {
           |GROUP BY time(1d)""".stripMargin)
     }),
 
+    // regex tag predicates: `device =~ /re/` keeps matching series and
+    // `!~` drops them (everyday InfluxQL); rlike is unanchored substring
+    // search in Spark AND DuckDB's regexp_matches, so the oracle mirrors
+    // the pattern verbatim
+    "q_influxql_tag_regex" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS c, mean(value) AS mv FROM purchase
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |  AND device =~ /dev[2-5]$/ AND device !~ /dev3/
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     // expression engine over aggregates: binary arithmetic between calls,
     // scalar functions (IEEE-exact ones only, the oracle must mirror
     // bit-for-bit), literals, and count(distinct()) — shared calls
@@ -437,6 +449,22 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 29)) AS t(o))
          |SELECT s.time, b.cnt, b.mv
          |FROM skel s LEFT JOIN b ON s.time = b.time""".stripMargin,
+
+    "q_influxql_tag_regex" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'purchase'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000
+         |      AND regexp_matches(device, 'dev[2-5]$$')
+         |      AND NOT regexp_matches(device, 'dev3')),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device, count(value) AS c,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM f),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, s.device, b.c, b.mv
+         |FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device""".stripMargin,
 
     "q_influxql_slimit" ->
       s"""WITH $ptsSql,

@@ -684,9 +684,15 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       def text = s"device ${if (eq) "=" else "!="} '$dev'"
       def holds(p: (String, String, Long, Double)): Boolean = (p._1 == dev) == eq
     }
-    def randCond(): MCond = rnd.nextInt(2) match {
+    case class MTagRe(matches: Boolean, re: String) extends MCond {
+      def text = s"device ${if (matches) "=~" else "!~"} /$re/"
+      def holds(p: (String, String, Long, Double)): Boolean =
+        re.r.findFirstIn(p._1).nonEmpty == matches
+    }
+    def randCond(): MCond = rnd.nextInt(3) match {
       case 0 => MTime(Seq(">", ">=", "<", "<=")(rnd.nextInt(4)), rnd.nextInt(1000).toLong)
-      case _ => MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
+      case 1 => MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
+      case _ => MTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3)))
     }
 
     for (iter <- 0 until 40) {

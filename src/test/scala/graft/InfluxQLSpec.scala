@@ -661,6 +661,29 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("regex tag predicates: =~ keeps matching series, !~ drops them") {
+    val df = pts(
+      ("dev1", "m", 1L, 1.0), ("dev2", "m", 2L, 2.0), ("dev3", "m", 3L, 3.0),
+      ("dev12", "m", 4L, 4.0), ("other", "m", 5L, 5.0))
+    val got = InfluxQL.run(df,
+      "SELECT count(value) AS c FROM m WHERE device =~ /dev[1-3]$/ GROUP BY device")
+      .select("device", "c").as[(String, Long)].collect().toSet
+    assert(got == Set(("dev1", 1L), ("dev2", 1L), ("dev3", 1L))) // dev12, other out
+    val neg = InfluxQL.run(df,
+      "SELECT count(value) AS c FROM m WHERE device !~ /dev/ GROUP BY device")
+      .select("device", "c").as[(String, Long)].collect().toSet
+    assert(neg == Set(("other", 1L)))
+    // `/` stays division everywhere except after FROM and =~/!~
+    val mixed = InfluxQL.run(df,
+      "SELECT sum(value) / 2 AS h FROM m WHERE device =~ /dev[12]$/")
+      .select("h").as[Double].collect().toSeq
+    assert(mixed == Seq((1.0 + 2.0) / 2))
+    // parse errors stay loud
+    val e = intercept[IllegalArgumentException](
+      parse("SELECT value FROM m WHERE device =~ 'notaregex'"))
+    assert(e.getMessage.contains("regex"))
+  }
+
   test("SHOW CARDINALITY forms and SHOW paging") {
     val df = pts(
       ("a", "temp", 1L, 1.0), ("b", "temp", 2L, 2.0), ("a", "hum", 3L, 3.0),
