@@ -165,7 +165,7 @@ object InfluxQL {
                          fromRegex: Boolean = false, offset: Option[Int] = None,
                          slimit: Option[Int] = None, soffset: Option[Int] = None,
                          fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L,
-                         tz: Option[String] = None)
+                         tz: Option[String] = None, selectStar: Boolean = false)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -301,10 +301,18 @@ object InfluxQL {
     q
   }
 
+  /** Clock behind `now()` — inject a fixed value in specs (the oracle
+    * gate never uses now(): wall time is inherently un-oracle-able).
+    */
+  @volatile var nowClockUs: () => Long = () => System.currentTimeMillis() * 1000L
+
   private def parseQuery(p: P): Query = {
     p.expectKw("SELECT")
     val fields = Seq.newBuilder[Item]
-    do fields += parseItem(p) while (p.sym(","))
+    // SELECT * — the star expands against the live schema in resolve()
+    // (alphabetical non-reserved columns, InfluxDB's rule)
+    val selectStar = p.sym("*")
+    if (!selectStar) do fields += parseItem(p) while (p.sym(","))
     val into = if (p.kw("INTO")) Some(p.ident()) else None
     p.expectKw("FROM")
     val (measurement, fromRegex, fromSub) = p.peek match {
@@ -415,7 +423,7 @@ object InfluxQL {
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
-      offset, slimit, soffset, fromSub, groupTimeOffset, tz)
+      offset, slimit, soffset, fromSub, groupTimeOffset, tz, selectStar)
     validate(q)
     q
   }
@@ -624,6 +632,23 @@ object InfluxQL {
       val us = p.next() match {
         case TNum(v, raw) if v == math.floor(v) => v.toLong
         case TStr(s, _) => parseIsoUs(s, p)
+        case TIdent(s) if s.equalsIgnoreCase("now") =>
+          // now() [± dur [± dur ...]] — the everyday InfluxQL time anchor;
+          // the clock reads ONCE here, so both bounds of a
+          // `time > now() - 1d AND time < now()` pair see the same instant
+          p.expectSym("("); p.expectSym(")")
+          var t = nowClockUs()
+          var cont = true
+          while (cont) {
+            def dur(): Long = p.next() match {
+              case TDur(d, _) => d
+              case tk => p.fail(s"expected duration after now() ±, got '${tk.raw}'")
+            }
+            if (p.sym("-")) t -= dur()
+            else if (p.sym("+")) t += dur()
+            else cont = false
+          }
+          t
         case t => p.fail(s"expected time literal, got '${t.raw}'")
       }
       TimeCond(op, us)
@@ -660,7 +685,8 @@ object InfluxQL {
     }
 
   private def validate(q: Query): Unit = {
-    if (q.fields.isEmpty) throw new IllegalArgumentException("InfluxQL: empty SELECT")
+    if (q.fields.isEmpty && !q.selectStar)
+      throw new IllegalArgumentException("InfluxQL: empty SELECT")
     q.fields.foreach { it =>
       if (it.calls.nonEmpty && it.refs.nonEmpty)
         throw new IllegalArgumentException(
@@ -967,7 +993,14 @@ object InfluxQL {
     * joins the grouping keys and surfaces as a `measurement` column.
     */
   private def resolve(points: DataFrame, q0: Query): Query = {
-    val q1 = if (q0.groupStar) q0.copy(groupTags = tagColumns(points)) else q0
+    // SELECT *: every non-reserved column (tags AND fields), name order —
+    // InfluxDB's expansion; raw projection only (aggregates name fields)
+    val qs =
+      if (q0.selectStar)
+        q0.copy(fields = points.columns.toSeq
+          .filterNot(Reserved.contains).sorted.map(c => Item(FRef(c), None)))
+      else q0
+    val q1 = if (qs.groupStar) qs.copy(groupTags = tagColumns(points)) else qs
     if (q1.fromRegex && q1.fields.exists(_.isAgg))
       q1.copy(groupTags = "transducer" +: q1.groupTags)
     else q1

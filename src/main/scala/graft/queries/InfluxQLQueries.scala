@@ -115,6 +115,15 @@ object InfluxQLQueries {
           |GROUP BY time(1d)""".stripMargin)
     }),
 
+    // SELECT * — the everyday inspection query: star expands against the
+    // live schema (alphabetical non-reserved columns) with paged raw output
+    "q_influxql_star" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT * FROM purchase
+          |WHERE time >= '2024-01-01' AND time < '2024-01-05'
+          |LIMIT 200""".stripMargin)
+    }),
+
     // regex tag predicates: `device =~ /re/` keeps matching series and
     // `!~` drops them (everyday InfluxQL); rlike is unanchored substring
     // search in Spark AND DuckDB's regexp_matches, so the oracle mirrors
@@ -449,6 +458,13 @@ object InfluxQLQueries {
          |         FROM UNNEST(generate_series(0, 29)) AS t(o))
          |SELECT s.time, b.cnt, b.mv
          |FROM skel s LEFT JOIN b ON s.time = b.time""".stripMargin,
+
+    "q_influxql_star" ->
+      s"""WITH $ptsSql
+         |SELECT ts_us AS time, device, value FROM pts
+         |WHERE transducer = 'purchase'
+         |  AND ts_us >= 1704067200000000 AND ts_us < 1704412800000000
+         |ORDER BY time, device, value LIMIT 200""".stripMargin,
 
     "q_influxql_tag_regex" ->
       s"""WITH $ptsSql,

@@ -661,6 +661,33 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("SELECT * expands alphabetically; now() anchors time bounds") {
+    val df = pts(("b", "m", 10L, 2.0), ("a", "m", 5L, 1.0), ("a", "other", 7L, 9.0))
+    val star = InfluxQL.run(df, "SELECT * FROM m")
+    assert(star.columns.toSeq == Seq("time", "device", "value"))
+    assert(star.as[(Long, String, Double)].collect().toSeq ==
+      Seq((5L, "a", 1.0), (10L, "b", 2.0)))
+    // star + WHERE + LIMIT, the everyday inspection query
+    assert(InfluxQL.run(df, "SELECT * FROM m WHERE device = 'b' LIMIT 1")
+      .as[(Long, String, Double)].collect().toSeq == Seq((10L, "b", 2.0)))
+
+    val saved = InfluxQL.nowClockUs
+    try {
+      InfluxQL.nowClockUs = () => 12L
+      // time >= now() - 7u = 5: keeps both m points
+      assert(InfluxQL.run(df, "SELECT value FROM m WHERE time >= now() - 7u")
+        .as[(Long, Double)].collect().toSeq == Seq((5L, 1.0), (10L, 2.0)))
+      // chained arithmetic reads the clock once: now() - 7u + 5u = 10
+      assert(InfluxQL.run(df, "SELECT value FROM m WHERE time >= now() - 7u + 5u")
+        .as[(Long, Double)].collect().toSeq == Seq((10L, 2.0)))
+      assert(InfluxQL.run(df, "SELECT value FROM m WHERE time < now()")
+        .as[(Long, Double)].collect().toSeq == Seq((5L, 1.0), (10L, 2.0)))
+    } finally InfluxQL.nowClockUs = saved
+    val e = intercept[IllegalArgumentException](
+      parse("SELECT value FROM m WHERE time >= now() - 5"))
+    assert(e.getMessage.contains("duration"))
+  }
+
   test("regex tag predicates: =~ keeps matching series, !~ drops them") {
     val df = pts(
       ("dev1", "m", 1L, 1.0), ("dev2", "m", 2L, 2.0), ("dev3", "m", 3L, 3.0),
