@@ -23,7 +23,8 @@ object AviCodec {
 
   final case class AviInfo(width: Int, height: Int, usPerFrame: Int,
                            nFrames: Int, durationUs: Long,
-                           frames: Seq[(Int, Int)]) // (offset, length) per video frame
+                           frames: Seq[(Int, Int)], // (offset, length) per video frame
+                           codec: String = "") // strh fccHandler (e.g. "MJPG"), "" if absent
 
   final class MalformedAvi(msg: String) extends RuntimeException(msg)
 
@@ -33,13 +34,18 @@ object AviCodec {
     * `raw = true` writes `00db` (uncompressed DIB) frame chunks — the
     * variant whose payloads [[graft.operators.BmpCodec.dibFeatures]] can
     * genuinely pixel-decode; the default `00dc` marks compressed payloads.
+    * A non-empty `fourcc` (e.g. "MJPG") also writes a `LIST strl`/`strh`
+    * video stream header declaring the codec, as real muxers do.
     */
   def synth(width: Int, height: Int, usPerFrame: Int, frames: Seq[Array[Byte]],
-            raw: Boolean = false): Array[Byte] = {
+            raw: Boolean = false, fourcc: String = ""): Array[Byte] = {
     require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty)
+    require(fourcc.isEmpty || fourcc.length == 4, s"fourcc must be 4 chars: '$fourcc'")
     def pad(n: Int) = n + (n & 1)
     val avihLen = 56
-    val hdrlLen = 4 + 8 + avihLen                 // 'hdrl' + avih chunk
+    val strhLen = 56
+    val strlLen = if (fourcc.isEmpty) 0 else 8 + (4 + 8 + strhLen) // LIST hdr + 'strl' + strh
+    val hdrlLen = 4 + 8 + avihLen + strlLen       // 'hdrl' + avih chunk [+ strl list]
     val moviLen = 4 + frames.map(f => 8 + pad(f.length)).sum
     val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
     val buf = ByteBuffer.allocate(8 + riffLen).order(ByteOrder.LITTLE_ENDIAN)
@@ -50,6 +56,16 @@ object AviCodec {
     buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
       .putInt(frames.length).putInt(0).putInt(1).putInt(0)
       .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+    if (fourcc.nonEmpty) {
+      tag("LIST"); buf.putInt(4 + 8 + strhLen); tag("strl")
+      tag("strh"); buf.putInt(strhLen)
+      tag("vids"); tag(fourcc)                    // fccType + fccHandler
+      buf.putInt(0).putInt(0).putInt(0)           // flags, prio+lang, initialFrames
+        .putInt(usPerFrame).putInt(1000000)       // scale/rate: rate/scale = fps
+        .putInt(0).putInt(frames.length)          // start, length (frames)
+        .putInt(0).putInt(-1).putInt(0)           // bufSize, quality, sampleSize
+        .putInt(0).putInt(0)                      // rcFrame
+    }
     tag("LIST"); buf.putInt(moviLen); tag("movi")
     frames.foreach { f =>
       tag(if (raw) "00db" else "00dc"); buf.putInt(f.length); buf.put(f)
@@ -82,6 +98,7 @@ object AviCodec {
     }
 
     var header: Option[(Int, Int, Int, Int)] = None // (usPerFrame, totalFrames, w, h)
+    var codec = ""
     val frames = ArrayBuffer[(Int, Int)]()
 
     walkChunks(12, bytes.length, "top-level") {
@@ -94,6 +111,15 @@ object AviCodec {
                 if (hlen < 40) fail(s"avih too short: $hlen")
                 header = Some((buf.getInt(hOff), buf.getInt(hOff + 16),
                   buf.getInt(hOff + 32), buf.getInt(hOff + 36)))
+              case ("LIST", sOff, slen) if slen >= 4 && ascii(sOff, 4) == "strl" =>
+                // stream header list: the VIDEO stream's fccHandler names
+                // the frame codec (MJPG, DIB , ...), as real muxers write it
+                walkChunks(sOff + 4, sOff + slen, "strl") {
+                  case ("strh", hOff, hlen) if hlen >= 8 &&
+                      ascii(hOff, 4) == "vids" && codec.isEmpty =>
+                    codec = ascii(hOff + 4, 4).trim
+                  case _ => ()
+                }
               case _ => ()
             }
           case "movi" =>
@@ -116,7 +142,8 @@ object AviCodec {
       fail(s"avih declares $total frames but movi holds ${frames.size} — " +
         "a truncated or inconsistent file must not silently under-report")
     AviInfo(w, h, usPerFrame, frames.size,
-      durationUs = frames.size.toLong * usPerFrame, frames = frames.toSeq)
+      durationUs = frames.size.toLong * usPerFrame, frames = frames.toSeq,
+      codec = codec)
   }
 
   /** Raw bytes of frame `k` (payload stays opaque — codec territory). */

@@ -271,7 +271,8 @@ object MultimodalOps {
       JpegCodec.encodeGray(w, h,
         (x, y) => (((x / 8) * 37 + (y / 8) * 59 + k * 17 + docId * 13) % 256).toInt)
     }
-    AviCodec.synth(w, h, usPerFrame = 33333, frames = frames) // 00dc chunks
+    // 00dc chunks with the real muxer shape: strh declares fccHandler MJPG
+    AviCodec.synth(w, h, usPerFrame = 33333, frames = frames, fourcc = "MJPG")
   }
 
   /** REAL video frame-payload decode: the AVI container index locates every

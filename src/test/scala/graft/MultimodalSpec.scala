@@ -190,6 +190,10 @@ class MultimodalSpec extends SparkSuite {
     val decoded = MultimodalOps.decodeVideoPixels(media, stride = 2).collect()
     assert(decoded.nonEmpty && decoded.forall(_.ok),
       decoded.filterNot(_.ok).map(d => s"${d.doc_id}: ${d.err}").mkString("; "))
+    // the container's strh declares the codec like a real muxer; the DIB
+    // fixture has no stream header and reports none
+    assert(AviCodec.decode(MultimodalOps.synthVideoMjpeg(3L)).codec == "MJPG")
+    assert(AviCodec.decode(MultimodalOps.synthVideoDib(3L)).codec == "")
     val d3 = decoded.find(d => d.doc_id == 3L && d.frame_idx == 2).get
     val (w3, h3) = (8 * (2 + 3 % 3), 8 * (2 + 3 % 2)) // doc 3: 16x24
     assert(d3.width == w3 && d3.height == h3)
