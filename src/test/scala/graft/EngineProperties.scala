@@ -22,6 +22,42 @@ object EngineProperties extends Properties("graft") {
     s
   }
 
+  // --- baseline JPEG codec: randomized roundtrip laws ----------------------
+
+  private val blockImageGen: Gen[(Int, Int, Array[Int])] = for {
+    bw <- Gen.chooseNum(1, 6)
+    bh <- Gen.chooseNum(1, 5)
+    blocks <- Gen.listOfN(bw * bh, Gen.chooseNum(0, 255))
+  } yield (bw * 8, bh * 8, blocks.toArray)
+
+  property("jpeg: block-constant images roundtrip bit-exactly") =
+    forAll(blockImageGen) { case (w, h, blocks) =>
+      import graft.operators.JpegCodec
+      def px(x: Int, y: Int): Int = blocks((y / 8) * (w / 8) + (x / 8))
+      val img = JpegCodec.decode(JpegCodec.encodeGray(w, h, px))
+      img.width == w && img.height == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          (img.rgb(y * img.width + x) & 0xff) == px(x, y)))
+    }
+
+  private val anyImageGen: Gen[(Int, Int, Long)] = for {
+    w <- Gen.chooseNum(8, 50) // non-multiple-of-8 sizes exercise edge blocks
+    h <- Gen.chooseNum(8, 40)
+    seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+  } yield (w, h, seed)
+
+  property("jpeg: arbitrary images stay within the unit-quant error bound") =
+    forAll(anyImageGen) { case (w, h, seed) =>
+      import graft.operators.JpegCodec
+      def px(x: Int, y: Int): Int = // deterministic pseudo-noise, full range
+        (((x * 2654435761L + y * 40503L + seed) >>> 16) & 0xff).toInt
+      val img = JpegCodec.decode(JpegCodec.encodeGray(w, h, px))
+      // per-coefficient quant error <= 0.5 -> spatial error <= 8 worst-case
+      img.width == w && img.height == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          math.abs((img.rgb(y * img.width + x) & 0xff) - px(x, y)) <= 8))
+    }
+
   // --- inference precedence vs. a pure-Scala reference model ---------------
 
   private val payloadGen: Gen[String] = Gen.oneOf(
