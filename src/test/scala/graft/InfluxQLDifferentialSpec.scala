@@ -165,6 +165,10 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       case ">" => p.value > v; case "<=" => p.value <= v
     }
   }
+  private case class GTagRe(matches: Boolean, re: String) extends GCond {
+    def text = s"device ${if (matches) "=~" else "!~"} /$re/"
+    def holds(p: Pt): Boolean = re.r.findFirstIn(p.device).nonEmpty == matches
+  }
   private case class GOr(l: GCond, r: GCond) extends GCond {
     def text = s"(${l.text} OR ${r.text})"
     def holds(p: Pt): Boolean = l.holds(p) || r.holds(p)
@@ -227,8 +231,9 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         if (needBounds || rnd.nextInt(3) == 0) Seq(GTime(">=", lo), GTime("<", hi))
         else Nil
       val otherConds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
-        def simple(): GCond = rnd.nextInt(2) match {
+        def simple(): GCond = rnd.nextInt(3) match {
           case 0 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case 1 => GTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3)))
           case _ =>
             if (rnd.nextBoolean()) GField(">", math.floor(rnd.nextDouble() * 1000) / 10.0)
             else GField("<=", math.floor(rnd.nextDouble() * 1000) / 10.0)
