@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
   *             | top|bottom   (N extreme points, sole field, no time buckets)
   *             | elapsed      (time to the series predecessor, raw-only)
-  *   xform  := derivative|non_negative_derivative|difference|cumulative_sum|moving_average
+  *   xform  := derivative|non_negative_derivative|difference|non_negative_difference|cumulative_sum|moving_average
   *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
   *           | pow|atan2
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
@@ -175,7 +175,7 @@ object InfluxQL {
     * runs per series over the raw points (`SELECT derivative(value) FROM m`).
     */
   val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
-    "difference", "cumulative_sum", "moving_average")
+    "difference", "non_negative_difference", "cumulative_sum", "moving_average")
 
   /** Pseudo-function marking a transformation operand as a RAW field
     * (`derivative(value)` with no inner aggregate): the transform plans
@@ -1678,7 +1678,10 @@ object InfluxQL {
             (c - prevVal) / (dt / lit(f.targ.get.toDouble)))
           if (tf == "derivative") dv
           else when(dv < 0, lit(null).cast("double")).otherwise(dv)
-        case "difference" => c - prevVal
+        case tf @ ("difference" | "non_negative_difference") =>
+          val dv = c - prevVal
+          if (tf == "difference") dv
+          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
         case "cumulative_sum" =>
           // 1e-6-quantized int64/decimal running sum: order-independent,
           // one double conversion at the end (the bucketed path's pin);
@@ -1905,7 +1908,10 @@ object InfluxQL {
               lit(f.targ.get.toDouble))
           if (tf == "derivative") dv
           else when(dv < 0, lit(null).cast("double")).otherwise(dv)
-        case "difference" => c - lag(c, 1).over(w)
+        case tf @ ("difference" | "non_negative_difference") =>
+          val dv = c - lag(c, 1).over(w)
+          if (tf == "difference") dv
+          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
         case "cumulative_sum" =>
           sum(vu).over(cum).cast("double") / lit(1000000.0)
         case "moving_average" =>

@@ -220,6 +220,7 @@ object InfluxQLQueries {
         """SELECT derivative(value, 1m) AS rate,
           |       non_negative_derivative(value, 1m) AS nnrate,
           |       difference(value) AS diff,
+          |       non_negative_difference(value) AS nndiff,
           |       moving_average(value, 4) AS ma4,
           |       cumulative_sum(value) AS cs
           |FROM click
@@ -584,7 +585,9 @@ object InfluxQLQueries {
          |    cum AS (PARTITION BY device ORDER BY ts_us, value ROWS UNBOUNDED PRECEDING))
          |SELECT time, device, rate,
          |  CASE WHEN rate < 0 THEN NULL ELSE rate END AS nnrate,
-         |  diff, ma4, cs
+         |  diff,
+         |  CASE WHEN diff < 0 THEN NULL ELSE diff END AS nndiff,
+         |  ma4, cs
          |FROM t
          |WHERE rate IS NOT NULL OR diff IS NOT NULL OR ma4 IS NOT NULL
          |   OR cs IS NOT NULL""".stripMargin,

@@ -127,10 +127,13 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             if (tf == "non_negative_derivative" && d < 0) null else d
           }
         }
-      case "difference" =>
+      case "difference" | "non_negative_difference" =>
         c.indices.map { i =>
           if (i == 0 || c(i) == null || c(i - 1) == null) null
-          else c(i).asInstanceOf[Double] - c(i - 1).asInstanceOf[Double]
+          else {
+            val d = c(i).asInstanceOf[Double] - c(i - 1).asInstanceOf[Double]
+            if (tf == "non_negative_difference" && d < 0) null else d
+          }
         }
       case "cumulative_sum" =>
         var seen = false
@@ -210,11 +213,12 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
         // transformations ride the bucket series: only with GROUP BY time
         val tf = if (groupTime.isEmpty || rnd.nextInt(4) != 0) None
-          else rnd.nextInt(5) match {
+          else rnd.nextInt(6) match {
             case 0 => Some(("derivative", Seq(10L, 50L, 100L)(rnd.nextInt(3))))
             case 1 => Some(("non_negative_derivative", Seq(10L, 50L)(rnd.nextInt(2))))
             case 2 => Some(("difference", 0L))
-            case 3 => Some(("cumulative_sum", 0L))
+            case 3 => Some(("non_negative_difference", 0L))
+            case 4 => Some(("cumulative_sum", 0L))
             case _ => Some(("moving_average", (2 + rnd.nextInt(4)).toLong))
           }
         GItem(fn, pct, op, s"f$i", tf)
@@ -444,7 +448,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val df = pts.toDF("device", "transducer", "ts_us", "value")
     val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
-      "cumulative_sum", "moving_average")
+      "non_negative_difference", "cumulative_sum", "moving_average")
 
     // the engine's raw kernels, literally: per-series points ordered by
     // (ts, value), operands in double, quantized decimal running/frame sums,
@@ -462,8 +466,14 @@ class InfluxQLDifferentialSpec extends SparkSuite {
               if (tf == "non_negative_derivative" && d < 0) null else d
             }
           }
-        case "difference" =>
-          s.indices.map(i => if (i == 0) null else c(i) - c(i - 1))
+        case "difference" | "non_negative_difference" =>
+          s.indices.map { i =>
+            if (i == 0) null
+            else {
+              val d = c(i) - c(i - 1)
+              if (tf == "non_negative_difference" && d < 0) null else d
+            }
+          }
         case "cumulative_sum" =>
           var run = BigInt(0)
           s.indices.map { i => run += vu(i); BigDecimal(run).toDouble / 1000000.0 }
@@ -556,7 +566,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     // a row with a null but b set still advances b's lag neighbor.
     val rnd = new scala.util.Random(61606060L)
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
-      "cumulative_sum", "moving_average")
+      "non_negative_difference", "cumulative_sum", "moving_average")
 
     def kernel(tf: String, targ: Long,
                s: IndexedSeq[(Long, Double)]): Seq[Any] = {
@@ -572,8 +582,14 @@ class InfluxQLDifferentialSpec extends SparkSuite {
               if (tf == "non_negative_derivative" && d < 0) null else d
             }
           }
-        case "difference" =>
-          s.indices.map(i => if (i == 0) null else c(i) - c(i - 1))
+        case "difference" | "non_negative_difference" =>
+          s.indices.map { i =>
+            if (i == 0) null
+            else {
+              val d = c(i) - c(i - 1)
+              if (tf == "non_negative_difference" && d < 0) null else d
+            }
+          }
         case "cumulative_sum" =>
           var run = BigInt(0)
           s.indices.map { i => run += vu(i); BigDecimal(run).toDouble / 1000000.0 }
