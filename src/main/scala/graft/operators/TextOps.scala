@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -129,6 +129,48 @@ object TextOps {
     * detects exact sequences, not bags. Pure fold, no shuffle.
     */
   val RollM: Long = 1000000007L
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
+    * documents are low-quality pretraining data): per document, the
+    * duplicate-bigram and duplicate-trigram fractions (1 − distinct/total)
+    * and the most-frequent-bigram share, plus a `repetitive` verdict at
+    * the conventional thresholds (rep2 > 0.3, top2 > 0.2, rep3 > 0.25).
+    *
+    * Distributed shape: n-grams of both orders explode in ONE pass (order
+    * tag prefixed into the gram key), then two hash aggregations —
+    * (doc, gram) counts, then per-doc conditional sums. Map-side partials
+    * on both; the shuffle key (doc_id, gram) is high-cardinality and
+    * unskewed, so the plan holds at corpus scale. Documents with fewer
+    * than 2 tokens have no bigrams and are absent from the report.
+    */
+  def repetitionReport(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def grams(k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    def tag(k: Int): Column = transform(grams(k), g => concat(lit(s"$k|"), g))
+    val counts = docs
+      .select(col("doc_id"), explode(concat(tag(2), tag(3))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val is2 = substring(col("gram"), 1, 2) === "2|"
+    val sig = counts.groupBy("doc_id").agg(
+      sum(when(is2, col("cnt"))).as("total2"),
+      count(when(is2, lit(1))).as("uniq2"),
+      max(when(is2, col("cnt"))).as("max2"),
+      sum(when(!is2, col("cnt"))).as("total3"),
+      count(when(!is2, lit(1))).as("uniq3"))
+    def frac(a: Column, b: Column) = a.cast("double") / b.cast("double")
+    val rep2 = when(col("total2") > 0, lit(1.0) - frac(col("uniq2"), col("total2")))
+    val top2 = when(col("total2") > 0, frac(col("max2"), col("total2")))
+    val rep3 = when(col("total3") > 0, lit(1.0) - frac(col("uniq3"), col("total3")))
+    sig.select(col("doc_id"),
+      coalesce(col("total2"), lit(0L)).as("n2grams"),
+      rep2.as("rep2"), top2.as("top2_frac"), rep3.as("rep3"),
+      (coalesce(rep2, lit(0.0)) > 0.3 || coalesce(top2, lit(0.0)) > 0.2 ||
+        coalesce(rep3, lit(0.0)) > 0.25).as("repetitive"))
+  }
+
   def rollingFingerprint(text: Column): Column =
     aggregate(
       transform(tokens(lower(trim(text))), t => pmod(hash60(t), lit(RollM))),

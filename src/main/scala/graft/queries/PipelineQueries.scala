@@ -417,6 +417,15 @@ object PipelineQueries {
           md5(col("c.chunk_text")).as("chunk_hash"))
     }),
 
+    // Gopher-style repetition filter: duplicate 2/3-gram fractions + top
+    // bigram share per document, verdict at the conventional thresholds —
+    // one explode pass, two hash aggregations, oracle recomputes the same
+    // n-gram arithmetic with DuckDB list functions
+    "q_text_repetition" -> ((s, dir) => {
+      TextOps.repetitionReport(
+        Tables.documents(s, dir).filter(col("doc_id") % 9 === 0))
+    }),
+
     // order-sensitive rolling (polynomial) fingerprint
     "q_text_rolling_fp" -> ((s, dir) => {
       Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
@@ -684,6 +693,36 @@ object PipelineQueries {
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
 
     "q_ann_pq" -> pqOracleSql(m = 4, kCodes = 8, subLen = 16, topK = 5, iters = 1),
+
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 9 = 0),
+         |g AS (SELECT doc_id,
+         |    list_transform(generate_series(0, len(toks) - 2),
+         |      i -> '2|' || array_to_string(toks[i+1:i+2], ' ')) AS g2,
+         |    list_transform(generate_series(0, len(toks) - 3),
+         |      i -> '3|' || array_to_string(toks[i+1:i+3], ' ')) AS g3
+         |  FROM t),
+         |ex AS (SELECT doc_id, unnest(list_concat(g2, g3)) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |s AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN substr(gram, 1, 2) = '2|' THEN cnt END) AS BIGINT) AS total2,
+         |    CAST(count(CASE WHEN substr(gram, 1, 2) = '2|' THEN 1 END) AS BIGINT) AS uniq2,
+         |    CAST(max(CASE WHEN substr(gram, 1, 2) = '2|' THEN cnt END) AS BIGINT) AS max2,
+         |    CAST(sum(CASE WHEN substr(gram, 1, 2) = '3|' THEN cnt END) AS BIGINT) AS total3,
+         |    CAST(count(CASE WHEN substr(gram, 1, 2) = '3|' THEN 1 END) AS BIGINT) AS uniq3
+         |  FROM c GROUP BY 1),
+         |f AS (SELECT doc_id, coalesce(total2, 0) AS n2grams,
+         |    CASE WHEN total2 > 0
+         |      THEN 1.0 - CAST(uniq2 AS DOUBLE) / CAST(total2 AS DOUBLE) END AS rep2,
+         |    CASE WHEN total2 > 0
+         |      THEN CAST(max2 AS DOUBLE) / CAST(total2 AS DOUBLE) END AS top2_frac,
+         |    CASE WHEN total3 > 0
+         |      THEN 1.0 - CAST(uniq3 AS DOUBLE) / CAST(total3 AS DOUBLE) END AS rep3
+         |  FROM s)
+         |SELECT doc_id, n2grams, rep2, top2_frac, rep3,
+         |  (coalesce(rep2, 0.0) > 0.3 OR coalesce(top2_frac, 0.0) > 0.2
+         |    OR coalesce(rep3, 0.0) > 0.25) AS repetitive
+         |FROM f""".stripMargin,
 
     "q_video_pixels" ->
       """WITH ids AS (SELECT doc_id, CAST(16 + doc_id % 9 AS BIGINT) AS w,

@@ -10,6 +10,27 @@ import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, 
 class CurationSpec extends SparkSuite {
   import spark.implicits._
 
+  test("repetition signals: duplicate n-gram fractions flag repetitious documents") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // 3x "spam spam" bigram, 2x trigram
+      (2L, "a b c d e f"),         // 5 distinct bigrams, top share exactly 0.2
+      (3L, "x y x y x y"),         // "x y" 3 of 5 bigrams
+      (4L, "solo")                 // no bigrams: absent from the report
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionReport(docs)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L), "a 1-token doc has no n-grams to report")
+    val d1 = got(1L)
+    assert(d1._2 == 3L && d1._3.contains(1.0 - 1.0 / 3.0) && d1._4.contains(1.0) &&
+      d1._5.contains(0.5) && d1._6, s"spam doc: $d1")
+    val d2 = got(2L)
+    assert(d2._3.contains(0.0) && d2._4.contains(1.0 / 5.0) && !d2._6,
+      s"diverse doc must pass (top share 0.2 is NOT > 0.2): $d2")
+    val d3 = got(3L)
+    assert(d3._3.contains(1.0 - 2.0 / 5.0) && d3._6, s"alternating doc: $d3")
+  }
+
   test("histogram: bins partition the data with explicit overflow bins") {
     val df = Seq(-5.0, 0.0, 24.9, 25.0, 499.9, 500.0, 777.0).toDF("v")
     val got = TimeSeriesOps.fixedWidthHistogram(df, Seq.empty, col("v"), 0.0, 500.0, 20)
