@@ -77,6 +77,19 @@ class TxLogTable(spark: SparkSession, path: String) {
       base.getOrElse(throw new IllegalStateException(
         s"txn fence ${txn.get} exists but $path has no version"))
     else {
+      // schema drift fails LOUDLY at write time: multi-dir parquet reads
+      // resolve the schema from ONE footer (no mergeSchema), so an append
+      // with different columns/types would silently drop or null columns
+      // on every later read instead of erroring here
+      base.foreach { v =>
+        val cur = readVersion(v).schema
+        val curFields = cur.fields.map(f => (f.name, f.dataType)).toSet
+        val newFields = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+        if (curFields != newFields)
+          throw new IllegalArgumentException(
+            s"append schema ${df.schema.simpleString} does not match table " +
+              s"$path schema ${cur.simpleString}; rewrite via overwrite() to evolve")
+      }
       val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
       val dir = writeDataDir(df)
       commit("append", dirs :+ dir, base, txn)

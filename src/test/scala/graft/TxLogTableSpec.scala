@@ -315,6 +315,29 @@ class TxLogTableSpec extends SparkSuite {
     assert(many == few, s"expiry job count grew with dir count: $few -> $many")
   }
 
+  test("append rejects schema drift instead of silently corrupting reads") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("ts", "v"))
+    // renamed column
+    val e1 = intercept[IllegalArgumentException](
+      t.append(Seq((2L, "b")).toDF("ts", "w")))
+    assert(e1.getMessage.contains("does not match table"))
+    // changed type
+    val e2 = intercept[IllegalArgumentException](
+      t.append(Seq((3L, 4.0)).toDF("ts", "v")))
+    assert(e2.getMessage.contains("does not match table"))
+    // extra column
+    val e3 = intercept[IllegalArgumentException](
+      t.append(Seq((4L, "c", 1)).toDF("ts", "v", "extra")))
+    assert(e3.getMessage.contains("does not match table"))
+    // identical schema in a different column order is the SAME schema
+    t.append(Seq(("d", 5L)).toDF("v", "ts").select("ts", "v"))
+    assert(t.read().count() == 2)
+    // overwrite() is the declared evolution path
+    t.overwrite(Seq((6L, "e", true)).toDF("ts", "v", "flag"))
+    assert(t.read().columns.toSeq == Seq("ts", "v", "flag"))
+  }
+
   test("log entry roundtrip") {
     val e = TxLogTable.LogEntry(7L, "merge", Seq("d-aa", "d-bb"))
     assert(TxLogTable.parseEntry(TxLogTable.renderEntry(e)) == e)
