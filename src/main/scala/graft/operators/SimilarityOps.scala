@@ -67,6 +67,25 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Brute-force L2 (Euclidean) top-k: squared distance from the quantized
+    * identity |q−c|² = |q|² + |c|² − 2·q·c — integer-exact end to end, no
+    * division and no sqrt (the square is monotone, so ranks equal true
+    * Euclidean ranks). Same plan shape as the cosine path: broadcast query
+    * side, one corpus scan, per-query top-k window.
+    */
+  def bruteTopKL2(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", normQ(col("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", normQ(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qn") + col("cn") - lit(2L) * dotQ(col("qv"), col("cv"))).as("dist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Hyperplane-LSH bucket id (nPlanes bits) per vector. Plane signs are
     * md5-derived constants, computed once on the driver and baked into the
     * plan as literal arrays — zero per-row hashing cost; the per-plane dot

@@ -302,6 +302,13 @@ object PipelineQueries {
       SimilarityOps.bruteTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
     }),
 
+    // L2 variant: integer-exact squared distances (|q|^2+|c|^2-2qc), no
+    // division/sqrt anywhere — ranks equal true Euclidean ranks
+    "q_ann_topk_l2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.bruteTopKL2(emb.filter(col("vec_id") < 20), emb, k = 5)
+    }),
+
     // hyperplane-LSH bucket histogram (8 planes over 64 dims)
     "q_ann_lsh_buckets" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -675,6 +682,18 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "q_ann_topk_l2" ->
+      s"""WITH $quantSql,
+         |scored AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(b.nq AS BIGINT) + CAST(a.nq AS BIGINT)
+         |      - 2 * ${dotSql("b.qv", "a.qv")} AS dist2
+         |  FROM n a JOIN n b ON b.vec_id < 20 AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, dist2,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, rk
+         |FROM ranked WHERE rk <= 5""".stripMargin,
 
     "q_ann_lsh_buckets" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,

@@ -27,6 +27,28 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("bruteTopKL2: dist2 equals the direct squared difference, ranks ascend") {
+    val top = SimilarityOps.bruteTopKL2(emb.filter(col("vec_id") < 5), emb, 3)
+    // the |q|^2+|c|^2-2qc identity must equal a literal sum of (q_i-c_i)^2
+    // over the same quantized ints — join back to the raw vectors
+    val qv = emb.select(col("vec_id"), SimilarityOps.quantize(col("embedding")).as("v"))
+    val check = top
+      .join(qv.select(col("vec_id").as("query_id"), col("v").as("a")), "query_id")
+      .join(qv.select(col("vec_id").as("neighbor_id"), col("v").as("b")), "neighbor_id")
+      .withColumn("direct", aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+    assert(check.filter(col("dist2") =!= col("direct")).count() == 0)
+    assert(check.filter(col("dist2") < 0).count() == 0)
+    val byQuery = top.select("query_id", "rk", "dist2")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(byQuery.size == 5)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityOps.brutePairs(emb, 0.4)
       .select("i", "j").as[(Long, Long)].collect().toSet
