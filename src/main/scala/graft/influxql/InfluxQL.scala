@@ -1000,6 +1000,25 @@ object InfluxQL {
         q0.copy(fields = points.columns.toSeq
           .filterNot(Reserved.contains).sorted.map(c => Item(FRef(c), None)))
       else q0
+    // unknown names fail HERE with the schema in hand, not as Spark
+    // analysis errors naming internal columns deep in the plan
+    val known = points.columns.toSet
+    def condNames(c: Cond): Seq[String] = c match {
+      case TagCond(t, _, _) => Seq(t)
+      case TagRegexCond(t, _, _) => Seq(t)
+      case FieldCond(f, _, _) => Seq(f)
+      case OrCond(bs) => bs.flatten.flatMap(condNames)
+      case _ => Nil
+    }
+    val referenced =
+      qs.fields.flatMap(it => it.refs ++ it.calls.map(_.arg)) ++
+        qs.conds.flatMap(condNames) ++ qs.groupTags
+    referenced.distinct.filterNot(known.contains) match {
+      case Nil => ()
+      case bad => throw new IllegalArgumentException(
+        s"InfluxQL: unknown field or tag ${bad.mkString("'", "', '", "'")} " +
+          s"(available: ${known.toSeq.filterNot(Reserved.contains).sorted.mkString(", ")})")
+    }
     val q1 = if (qs.groupStar) qs.copy(groupTags = tagColumns(points)) else qs
     if (q1.fromRegex && q1.fields.exists(_.isAgg))
       q1.copy(groupTags = "transducer" +: q1.groupTags)

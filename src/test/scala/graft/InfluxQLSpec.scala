@@ -661,6 +661,20 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("unknown fields and tags fail with the schema in the message") {
+    val df = pts(("a", "m", 1L, 1.0))
+    def bad(q: String): String =
+      intercept[IllegalArgumentException](InfluxQL.run(df, q)).getMessage
+    assert(bad("SELECT mean(pressure) FROM m").contains("'pressure'"))
+    assert(bad("SELECT mean(pressure) FROM m").contains("available: device, value"))
+    assert(bad("SELECT value FROM m WHERE gadget = 'x'").contains("'gadget'"))
+    assert(bad("SELECT mean(value) FROM m GROUP BY room").contains("'room'"))
+    assert(bad("SELECT derivative(watts, 1m) FROM m GROUP BY device").contains("'watts'"))
+    // valid shapes keep working: refs through expressions and conds
+    assert(InfluxQL.run(df, "SELECT sqrt(mean(value)) FROM m WHERE device = 'a'")
+      .count() == 1)
+  }
+
   test("SELECT * expands alphabetically; now() anchors time bounds") {
     val df = pts(("b", "m", 10L, 2.0), ("a", "m", 5L, 1.0), ("a", "other", 7L, 9.0))
     val star = InfluxQL.run(df, "SELECT * FROM m")
