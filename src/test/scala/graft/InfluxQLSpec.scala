@@ -661,6 +661,19 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.map(_._1).distinct.size == got.size, "duplicate bucket rows")
   }
 
+  test("subquery FROM over a raw-series transform re-aggregates its output") {
+    // the InfluxDB counter idiom: per-series derivative inside, mean outside
+    val df = pts(
+      ("a", "m", 0L, 10.0), ("a", "m", 10L, 30.0),
+      ("b", "m", 0L, 5.0), ("b", "m", 20L, 45.0))
+    val got = InfluxQL.run(df,
+      """SELECT mean(rate) AS mr, count(rate) AS c FROM
+        |(SELECT derivative(value, 1u) AS rate FROM m GROUP BY device)""".stripMargin)
+      .as[(Double, Long)].collect().toSeq
+    // a: (30-10)/10 = 2.0 at ts 10; b: (45-5)/20 = 2.0 at ts 20
+    assert(got == Seq((2.0, 2L)))
+  }
+
   test("unknown fields and tags fail with the schema in the message") {
     val df = pts(("a", "m", 1L, 1.0))
     def bad(q: String): String =
