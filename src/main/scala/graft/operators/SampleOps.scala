@@ -65,6 +65,47 @@ object SampleOps {
     }.otherwise(base)
   }
 
+  /** Data-mixing rates: given per-source integer weights and a global
+    * token budget, the per-source keep rate (ppm) that hits each source's
+    * budget share. INTEGER arithmetic end to end — `target = budget·w div
+    * ΣW`, `rate = min(1e6, target·1e6 div sourceTokens)` — so the rates
+    * are bit-identical on any engine (no double division anywhere). The
+    * pretraining data-mixing step: upweight rare high-quality sources,
+    * downsample the dominant crawl, deterministically.
+    *
+    * One aggregation over the corpus (per-source token totals), one tiny
+    * weight-sum combine (broadcast single row), emits (source, weight,
+    * total_tokens, target_tokens, rate_ppm). `budget·1e6` must fit a long:
+    * budgets up to ~9·10^12 tokens — beyond that, pre-scale the weights.
+    */
+  def mixtureRates(docs: DataFrame, source: String, weight: Column,
+                   nTokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 1000000L,
+      s"budget out of range: $budgetTokens")
+    val totals = docs.groupBy(col(source).as("source"))
+      .agg(max(weight).as("weight"), sum(nTokens).as("total_tokens"))
+    val wSum = totals.agg(sum(col("weight")).as("__wsum"))
+    totals.crossJoin(broadcast(wSum))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight) div __wsum"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000L) div total_tokens")))
+      .drop("__wsum")
+  }
+
+  /** Apply [[mixtureRates]]: keep each document iff its id hash falls under
+    * its source's rate — stable under retries and corpus growth like every
+    * sampler here. Emits the input plus `rate_ppm`.
+    */
+  def mixtureSample(docs: DataFrame, source: String, weight: Column,
+                    id: Column, nTokens: Column, budgetTokens: Long): DataFrame = {
+    val rates = mixtureRates(docs, source, weight, nTokens, budgetTokens)
+      .select(col("source").as("__src"), col("rate_ppm"))
+    docs.join(broadcast(rates), docs(source) === col("__src"))
+      .drop("__src")
+      .filter(hashBucket(id, 1000000) < col("rate_ppm"))
+  }
+
   /** Token-budget sequence packing within each `group`: documents are laid
     * out in `order`, and a document starts a new chunk when the running
     * token total before it has crossed the budget (streaming concat-and-cut

@@ -424,6 +424,21 @@ object PipelineQueries {
           md5(col("c.chunk_text")).as("chunk_hash"))
     }),
 
+    // data mixing: per-source keep rates hitting a token budget's weight
+    // shares — INTEGER arithmetic end to end (budget*w div ΣW, then
+    // target*1e6 div total), hash-Bernoulli keep, so the mixed subset is a
+    // pure function of the corpus and reproduces bit-exactly in DuckDB
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenCount(col("text")))
+        .withColumn("wt", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      SampleOps.mixtureSample(docs, "source", col("wt"), col("doc_id"),
+        col("toks"), budgetTokens = 5000L)
+        .groupBy("source")
+        .agg(min("rate_ppm").as("rate_ppm"), count(lit(1)).as("n_kept"),
+          sum("toks").as("tokens_kept"))
+    }),
+
     // Gopher-style repetition filter: duplicate 2/3-gram fractions + top
     // bigram share per document, verdict at the conventional thresholds —
     // one explode pass, two hash aggregations, oracle recomputes the same
@@ -712,6 +727,22 @@ object PipelineQueries {
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
 
     "q_ann_pq" -> pqOracleSql(m = 4, kCodes = 8, subLen = 16, topK = 5, iters = 1),
+
+    "q_mixture_sample" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS toks FROM documents),
+         |w AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wt,
+         |    CAST(sum(toks) AS BIGINT) AS total FROM t GROUP BY 1),
+         |ws AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+         |r AS (SELECT source, least(1000000,
+         |      (((5000 * wt) // wsum) * 1000000) // total) AS rate_ppm
+         |  FROM w, ws),
+         |k AS (SELECT t.source, t.toks, r.rate_ppm
+         |  FROM t JOIN r ON t.source = r.source
+         |  WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |          % 1000000 < r.rate_ppm)
+         |SELECT source, min(rate_ppm) AS rate_ppm, count(*) AS n_kept,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY 1""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 9 = 0),

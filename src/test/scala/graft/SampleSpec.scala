@@ -6,6 +6,26 @@ import graft.operators.SampleOps
 class SampleSpec extends SparkSuite {
   import spark.implicits._
 
+  test("mixture sampling: integer rates hit weight shares, capped at keep-all") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"src${i % 3}", 10L))
+      .toDF("doc_id", "source", "toks")
+    val wt = substring(col("source"), 4, 10).cast("long") + 1 // 1, 2, 3
+    val rates = SampleOps.mixtureRates(docs, "source", wt, col("toks"), 600L)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // each source: 100 docs x 10 tokens = 1000; wsum 6; budget 600
+    assert(rates("src0") == (("src0", 1L, 1000L, 100L, 100000L)))
+    assert(rates("src1") == (("src1", 2L, 1000L, 200L, 200000L)))
+    assert(rates("src2") == (("src2", 3L, 1000L, 300L, 300000L)))
+    // a budget beyond the corpus caps every rate at keep-all
+    assert(SampleOps.mixtureSample(docs, "source", wt, col("doc_id"), col("toks"),
+      1000000L).count() == 300)
+    // the kept set is a pure function of the inputs
+    def kept() = SampleOps.mixtureSample(docs, "source", wt, col("doc_id"),
+      col("toks"), 600L).select("doc_id").as[Long].collect().toSet
+    val k = kept()
+    assert(k == kept() && k.nonEmpty && k.size < 300)
+  }
+
   test("hash split: deterministic, stable under growth, roughly 80/10/10") {
     val docs = Tables.documents(spark, sf)
     val counts = docs.withColumn("split", SampleOps.splitAssign(col("doc_id")))
