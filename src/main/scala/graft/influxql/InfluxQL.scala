@@ -1080,10 +1080,20 @@ object InfluxQL {
         f.dataType != org.apache.spark.sql.types.StringType)
       .map(f => (f.name, f.dataType.typeName)).toList.sorted
     p.expectKw("SHOW")
-    if (p.kw("MEASUREMENTS"))
-      finish(paged(points.select(col("transducer").as("name"))
-        .distinct().orderBy(col("name"))))
-    else if (p.kw("MEASUREMENT")) {
+    if (p.kw("MEASUREMENTS")) {
+      // WITH MEASUREMENT =~ /re/ (or = m): InfluxDB's discovery filter
+      val base = points.select(col("transducer").as("name")).distinct()
+      val filtered =
+        if (p.kw("WITH")) {
+          p.expectKw("MEASUREMENT")
+          if (p.sym("=~")) p.next() match {
+            case TRegex(re, _) => base.filter(col("name").rlike(re))
+            case t => p.fail(s"expected /regex/ after =~, got '${t.raw}'")
+          } else if (p.sym("=")) base.filter(col("name") === p.ident())
+          else p.fail("expected = or =~ after WITH MEASUREMENT")
+        } else base
+      finish(paged(filtered.orderBy(col("name"))))
+    } else if (p.kw("MEASUREMENT")) {
       p.expectKw("CARDINALITY")
       finish(count1(points.select("transducer").distinct()))
     } else if (p.kw("SERIES")) {
@@ -1091,7 +1101,8 @@ object InfluxQL {
       else finish(paged(seriesKeys.orderBy(col("key"))))
     } else if (p.kw("TAG")) {
       if (p.kw("KEYS"))
-        finish(spark.createDataset(tagColumns(points).toList)(Encoders.STRING).toDF("tagKey"))
+        finish(paged(spark.createDataset(tagColumns(points).toList)(
+          Encoders.STRING).toDF("tagKey").orderBy("tagKey")))
       else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
         finish(spark.createDataset(Seq(tagColumns(points).size.toLong))(
@@ -1108,8 +1119,9 @@ object InfluxQL {
       } else p.fail("expected KEYS, KEY CARDINALITY or VALUES after SHOW TAG")
     } else if (p.kw("FIELD")) {
       if (p.kw("KEYS"))
-        finish(spark.createDataset(fieldKeys)(
-          Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("fieldKey", "fieldType"))
+        finish(paged(spark.createDataset(fieldKeys)(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING))
+          .toDF("fieldKey", "fieldType").orderBy("fieldKey")))
       else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
         finish(spark.createDataset(Seq(fieldKeys.size.toLong))(

@@ -758,6 +758,15 @@ class InfluxQLSpec extends SparkSuite {
       Seq("temp,device=a", "temp,device=b"))
     assert(InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = device LIMIT 2")
       .as[(String, String)].collect().toSeq == Seq(("device", "a"), ("device", "b")))
+    // WITH MEASUREMENT filters (regex and equality)
+    assert(InfluxQL.run(df, "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^t/")
+      .as[String].collect().toSeq == Seq("temp"))
+    assert(InfluxQL.run(df, "SHOW MEASUREMENTS WITH MEASUREMENT = hum")
+      .as[String].collect().toSeq == Seq("hum"))
+    // the KEYS forms page too
+    assert(InfluxQL.run(df, "SHOW FIELD KEYS LIMIT 1").count() == 1)
+    assert(InfluxQL.run(df, "SHOW TAG KEYS LIMIT 5").as[String].collect().toSeq ==
+      Seq("device"))
     // unknown forms still fail loudly
     val e = intercept[IllegalArgumentException](InfluxQL.run(df, "SHOW SHARDS"))
     assert(e.getMessage.contains("unsupported SHOW"))
