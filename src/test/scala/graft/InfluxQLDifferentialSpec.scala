@@ -18,6 +18,12 @@ import graft.influxql.InfluxQL
 class InfluxQLDifferentialSpec extends SparkSuite {
   import spark.implicits._
 
+  // deep-verification knob: scale every seeded loop (default 1x); a
+  // one-off `GRAFT_DIFF_SCALE=5 sbt test` shakes out rare seeds without
+  // making the routine suite slower
+  private val diffScale: Int =
+    sys.env.getOrElse("GRAFT_DIFF_SCALE", "1").toInt.max(1)
+
   private case class Pt(device: String, ts: Long, value: Double)
 
   // one interpreted aggregate call; returns Long (count) or Double, null-able
@@ -195,7 +201,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first",
       "last", "median", "percentile", "stddev", "mode")
 
-    for (iter <- 0 until 80) {
+    for (iter <- 0 until 80 * diffScale) {
       // --- generate one query configuration -----------------------------
       val groupTime: Option[(Long, Long)] =
         if (rnd.nextInt(4) == 0) None
@@ -391,7 +397,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val df = pts.toDF("device", "transducer", "ts_us", "value")
     val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
 
-    for (iter <- 0 until 30) {
+    for (iter <- 0 until 30 * diffScale) {
       val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
         rnd.nextInt(3) match {
           case 0 => GTime(if (rnd.nextBoolean()) ">=" else "<", rnd.nextInt(1000).toLong)
@@ -488,7 +494,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       }
     }
 
-    for (iter <- 0 until 30) {
+    for (iter <- 0 until 30 * diffScale) {
       val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
         rnd.nextInt(3) match {
           case 0 => GTime(if (rnd.nextBoolean()) ">=" else "<", rnd.nextInt(1000).toLong)
@@ -604,7 +610,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       }
     }
 
-    for (iter <- 0 until 30) {
+    for (iter <- 0 until 30 * diffScale) {
       // globally distinct timestamps: no duplicate-ts tie-break to model
       val allTs = rnd.shuffle((0 until 2000).toVector).take(120)
       val rows: Seq[(String, String, Long, Option[Double], Option[Double])] =
@@ -716,7 +722,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       case _ => MTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3)))
     }
 
-    for (iter <- 0 until 40) {
+    for (iter <- 0 until 40 * diffScale) {
       rnd.nextInt(8) match {
         case 0 => // SHOW MEASUREMENTS
           val got = InfluxQL.run(dfNow, "SHOW MEASUREMENTS").as[String].collect().toSeq
@@ -801,7 +807,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     def modelShow(db: Option[String]): Seq[(String, String, Long, Long, Boolean)] =
       model.toSeq.map { case ((d, n), (u, r, df)) => (d, n, u, r, df) }
         .filter(t => db.forall(_ == t._1)).sortBy(t => (t._1, t._2))
-    for (iter <- 0 until 30) {
+    for (iter <- 0 until 30 * diffScale) {
       val db = dbs(rnd.nextInt(2))
       val name = names(rnd.nextInt(3))
       rnd.nextInt(4) match {
@@ -851,7 +857,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     // exists, with count 0 and null everything else
     val outerFns = Vector("count", "sum", "mean", "min", "max")
 
-    for (iter <- 0 until 25) {
+    for (iter <- 0 until 25 * diffScale) {
       val fn1 = innerFns(rnd.nextInt(innerFns.size))
       val fn2 = outerFns(rnd.nextInt(outerFns.size))
       val step1 = Seq(50L, 100L)(rnd.nextInt(2))
