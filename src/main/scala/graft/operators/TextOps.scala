@@ -129,6 +129,27 @@ object TextOps {
     * detects exact sequences, not bags. Pure fold, no shuffle.
     */
   val RollM: Long = 1000000007L
+  /** Strip HTML/markup down to text — the crawl-to-corpus step: drop
+    * script/style blocks wholesale, remove remaining tags, decode the
+    * common entities, collapse whitespace. Map-only column expressions;
+    * every pattern is RE2-compatible (no backreferences, inline (?is)
+    * flags and lazy quantifiers only) so the exact same regexes run in
+    * the DuckDB oracle.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&") // &amp; LAST: no double-decode
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to)) // literal replace, mirrored 1:1 in the oracle
+    }
+    // explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+    // the one divergence that could split the engines on hostile input
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: repetitious
     * documents are low-quality pretraining data): per document, the
     * duplicate-bigram and duplicate-trigram fractions (1 − distinct/total)

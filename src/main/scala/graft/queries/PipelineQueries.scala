@@ -424,6 +424,24 @@ object PipelineQueries {
           md5(col("c.chunk_text")).as("chunk_hash"))
     }),
 
+    // crawl-to-corpus markup stripping: deterministic HTML built around
+    // each document (script/style blocks with <,> inside, tags, entities),
+    // stripped back to text — the md5 gate means both engines ran the
+    // IDENTICAL RE2-compatible regex pipeline over every byte
+    "q_text_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p { margin: 0; }" +
+          "</style><script>var x = 1 < 2 && 3 > 2;</script></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("</p><br/><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;s</div></body></html>"))
+      Tables.documents(s, dir).filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), TextOps.stripMarkup(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_chars"),
+          TextOps.tokenCount(col("clean")).as("n_tokens"))
+    }),
+
     // data mixing: per-source keep rates hitting a token budget's weight
     // shares — INTEGER arithmetic end to end (budget*w div ΣW, then
     // target*1e6 div total), hash-Bernoulli keep, so the mixed subset is a
@@ -727,6 +745,29 @@ object PipelineQueries {
     "q_ann_ivf" -> ivfOracleSql(nCentroids = 8, probes = 2, topK = 3, iters = 2),
 
     "q_ann_pq" -> pqOracleSql(m = 4, kCodes = 8, subLen = 16, topK = 5, iters = 1),
+
+    "q_text_strip_html" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><head><title>d</title><style type="text/css">p { margin: 0; }'
+         |      || '</style><script>var x = 1 < 2 && 3 > 2;</script></head><body><h1>Doc '
+         |      || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text
+         |      || '</p><br/><div>Tom &amp; Jerry &lt;3 &quot;q&quot;&nbsp;&#39;s</div></body></html>'
+         |      AS html
+         |  FROM documents WHERE doc_id % 8 = 0),
+         |s1 AS (SELECT doc_id, regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(t,
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+         |c AS (SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g')) AS clean
+         |  FROM s4)
+         |SELECT doc_id, md5(clean) AS clean_md5,
+         |  CAST(length(clean) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
 
     "q_mixture_sample" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS toks FROM documents),

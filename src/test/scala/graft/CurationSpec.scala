@@ -10,6 +10,23 @@ import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, 
 class CurationSpec extends SparkSuite {
   import spark.implicits._
 
+  test("stripMarkup: scripts/styles drop wholesale, tags go, entities decode once") {
+    val in = Seq(
+      "<p>Hello <b>world</b></p>",
+      "<script>if (a < b && c > d) alert('<p>not a tag</p>');</script>after",
+      "<style>p > a { color: red }</style>kept",
+      "A &amp;amp; B &lt;x&gt; &quot;y&quot;&nbsp;&#39;z&#39;",
+      "  lots\n\nof\t whitespace  "
+    ).toDF("text")
+    val got = in.select(TextOps.stripMarkup(col("text")).as("t")).as[String].collect().toSeq
+    assert(got(0) == "Hello world")
+    assert(got(1) == "after", "script content (with tag-like text) must vanish wholesale")
+    assert(got(2) == "kept")
+    // &amp; decodes LAST: '&amp;amp;' becomes '&amp;' literally, not '&'
+    assert(got(3) == "A &amp; B <x> \"y\" 'z'")
+    assert(got(4) == "lots of whitespace")
+  }
+
   test("repetition signals: duplicate n-gram fractions flag repetitious documents") {
     val docs = Seq(
       (1L, "spam spam spam spam"), // 3x "spam spam" bigram, 2x trigram
