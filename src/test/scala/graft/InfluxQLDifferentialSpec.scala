@@ -724,9 +724,19 @@ class InfluxQLDifferentialSpec extends SparkSuite {
 
     for (iter <- 0 until 40 * diffScale) {
       rnd.nextInt(8) match {
-        case 0 => // SHOW MEASUREMENTS
-          val got = InfluxQL.run(dfNow, "SHOW MEASUREMENTS").as[String].collect().toSeq
-          assert(got == model.map(_._2).distinct.sorted, s"iter $iter MEASUREMENTS")
+        case 0 => // SHOW MEASUREMENTS, sometimes narrowed by WITH MEASUREMENT
+          val (withTxt, pred): (String, String => Boolean) = rnd.nextInt(3) match {
+            case 0 => ("", _ => true)
+            case 1 =>
+              val re = Seq("m[12]", "m1|m3", "2")(rnd.nextInt(3))
+              (s" WITH MEASUREMENT =~ /$re/", m => re.r.findFirstIn(m).nonEmpty)
+            case _ =>
+              val m = meas(rnd.nextInt(3)); (s" WITH MEASUREMENT = $m", _ == m)
+          }
+          val got = InfluxQL.run(dfNow, s"SHOW MEASUREMENTS$withTxt")
+            .as[String].collect().toSeq
+          assert(got == model.map(_._2).distinct.filter(pred).sorted,
+            s"iter $iter MEASUREMENTS$withTxt")
         case 1 => // SHOW SERIES
           val got = InfluxQL.run(dfNow, "SHOW SERIES").as[String].collect().toSeq
           val want = model.map(p => s"${p._2},device=${p._1}").distinct.sorted
