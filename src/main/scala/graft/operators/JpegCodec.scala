@@ -334,7 +334,13 @@ object JpegCodec {
           while (p < end) {
             val pqTq = u8(p)
             if ((pqTq >> 4) != 0) fail("16-bit quant tables unsupported")
-            quant(pqTq & 15) = Array.tabulate(64)(i => u8(p + 1 + i))
+            // The stream carries the table in zigzag scan order (T.81 B.2.4.1);
+            // de-zigzag here so qt is natural (row-major) order like the coef
+            // indices at the use sites — qt(Zigzag(k)) then picks the entry for
+            // scan position k.
+            val tq = new Array[Int](64)
+            for (i <- 0 until 64) tq(Zigzag(i)) = u8(p + 1 + i)
+            quant(pqTq & 15) = tq
             p += 65
           }
           pos += 2 + len

@@ -77,6 +77,11 @@ object SampleOps {
     * weight-sum combine (broadcast single row), emits (source, weight,
     * total_tokens, target_tokens, rate_ppm). `budget·1e6` must fit a long:
     * budgets up to ~9·10^12 tokens — beyond that, pre-scale the weights.
+    * `budget·weight` runs in decimal(38,0) so arbitrarily large long
+    * weights never overflow the product (target ≤ budget always fits); a
+    * source with zero tokens gets an EXPLICIT rate_ppm of 0 — the naive
+    * `div`-by-zero null would be silently swallowed by null-skipping
+    * `least()` into a keep-everything rate of 1e6.
     */
   def mixtureRates(docs: DataFrame, source: String, weight: Column,
                    nTokens: Column, budgetTokens: Long): DataFrame = {
@@ -87,9 +92,11 @@ object SampleOps {
     val wSum = totals.agg(sum(col("weight")).as("__wsum"))
     totals.crossJoin(broadcast(wSum))
       .withColumn("target_tokens",
-        expr(s"(${budgetTokens}L * weight) div __wsum"))
+        expr(s"(cast(${budgetTokens} as decimal(38,0)) * weight) div __wsum"))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(target_tokens * 1000000L) div total_tokens")))
+        when(col("total_tokens") > 0,
+          least(lit(1000000L), expr("(target_tokens * 1000000L) div total_tokens")))
+          .otherwise(lit(0L)))
       .drop("__wsum")
   }
 

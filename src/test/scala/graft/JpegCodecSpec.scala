@@ -67,6 +67,39 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("NON-UNIFORM quant table roundtrips within its quantization bound") {
+    // Regression pin for the DQT zigzag bug: the stream carries quant
+    // tables in zigzag order, and a decoder that forgets to de-zigzag
+    // dequantizes AC coefficient k with Q[Zigzag(Zigzag(k))] instead of
+    // Q[Zigzag(k)]. Unit quant is invariant under any permutation, so only
+    // a non-uniform table catches it (observed maxErr ~226 with the bug).
+    // Table: 1 at DC, growing with scan position — NOT zigzag-symmetric.
+    val qt = Array.tabulate(64)(i => 1 + (i % 5) + i / 16)
+    val (w, h) = (40, 24)
+    def px(x: Int, y: Int): Int =
+      ((x * 255 / (w - 1)) + (if (((x / 2) + (y / 2)) % 2 == 0) 32 else 0)).min(255)
+    val img = JpegCodec.decode(JpegCodec.encodeGray(w, h, px, quant = qt))
+    assert(img.width == w && img.height == h)
+    val errs = for (y <- 0 until h; x <- 0 until w) yield math.abs(gray(img, x, y) - px(x, y))
+    // per-coefficient error <= Q_k/2; the worst table entry here is 8, so
+    // spatial error stays small — far below the ~226 the index bug produced
+    assert(errs.max <= 20, s"max err ${errs.max}")
+    // block-constant + non-uniform table with Q[DC]=1 stays BIT-exact: the
+    // image is DC-only, so every AC entry of the table is irrelevant
+    val bc = JpegCodec.decode(
+      JpegCodec.encodeGray(32, 16, (x, y) => (x / 8) * 13 + (y / 8) * 40, quant = qt))
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(gray(bc, x, y) == (x / 8) * 13 + (y / 8) * 40, s"pixel ($x,$y)")
+    // 4:2:0 color path shares the same dequant: solid color stays near-exact
+    val col = JpegCodec.decode(
+      JpegCodec.encodeColor(20, 12, (_, _) => (80, 160, 96), subsample420 = true, quant = qt))
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val p = col.rgb(y * col.width + x)
+      assert(math.abs(((p >> 16) & 0xff) - 80) <= 6 &&
+        math.abs(((p >> 8) & 0xff) - 160) <= 6 && math.abs((p & 0xff) - 96) <= 6)
+    }
+  }
+
   test("restart markers: DRI + RSTn cycle decodes identically to the plain scan") {
     val (w, h) = (48, 16) // 6x2 blocks: the RST index wraps within one image
     def px(x: Int, y: Int): Int =

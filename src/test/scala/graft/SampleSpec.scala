@@ -26,6 +26,25 @@ class SampleSpec extends SparkSuite {
     assert(k == kept() && k.nonEmpty && k.size < 300)
   }
 
+  test("mixture rates: huge weights never overflow, zero-token source gets rate 0") {
+    // weight near Long.Max: the old long multiply budget*weight wrapped
+    // negative; decimal(38,0) arithmetic keeps target = budget*w div ΣW exact
+    val big = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("doc_id", "source", "toks")
+    val hugeW = when(col("source") === "a", lit(Long.MaxValue / 2)).otherwise(lit(1L))
+    val r1 = SampleOps.mixtureRates(big, "source", hugeW, col("toks"), 1000L)
+      .select("source", "target_tokens", "rate_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(r1("a")._1 == 999L && r1("a")._2 > 0, s"overflowed: ${r1("a")}")
+    assert(r1("b")._1 == 0L)
+    // a zero-token source: the naive div-by-zero null was swallowed by
+    // null-skipping least() into rate 1e6 (keep all); must be an explicit 0
+    val z = Seq((1L, "full", 50L), (2L, "empty", 0L)).toDF("doc_id", "source", "toks")
+    val r2 = SampleOps.mixtureRates(z, "source", lit(1L), col("toks"), 10L)
+      .select("source", "rate_ppm").as[(String, Long)].collect().toMap
+    assert(r2("empty") == 0L, s"zero-token source rate was ${r2("empty")}, not 0")
+    assert(r2("full") == 100000L)
+  }
+
   test("hash split: deterministic, stable under growth, roughly 80/10/10") {
     val docs = Tables.documents(spark, sf)
     val counts = docs.withColumn("split", SampleOps.splitAssign(col("doc_id")))
