@@ -1,0 +1,209 @@
+package graft.influxql
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.storage.TxLogTable
+
+/** The database level of the InfluxQL surface — the statements every real
+  * InfluxDB client issues before any SELECT (the reference service itself
+  * targets one configured database: `influx_service.py:417-418`):
+  *
+  *   CREATE DATABASE <db>        SHOW DATABASES        DROP DATABASE <db>
+  *
+  * plus routing for the fully-qualified FROM forms (`db..m`, `db.rp.m`,
+  * `db../re/`), `ON <db>` on every SHOW statement, and `ON <db>` existence
+  * checks on retention DDL.
+  *
+  * Layout under `root` — every piece is a [[TxLogTable]], so database DDL
+  * carries the same ACID history as the data it governs:
+  *
+  *   <root>/_databases            control plane: one row per database
+  *   <root>/_retention_policies   shared per-(db, policy) rows (runRetention)
+  *   <root>/<db>/points           the db's points table (narrow layout)
+  *   <root>/<db>/<target>         SELECT ... INTO targets for that db
+  *
+  * Semantics follow InfluxDB 1.x:
+  *   - CREATE DATABASE is idempotent; a NEW database gets the `autogen`
+  *     retention policy (DURATION INF, REPLICATION 1, DEFAULT) — re-creating
+  *     an existing database never resets its policies.
+  *   - DROP DATABASE cascades: the db row goes first (the db stops being
+  *     listed), then its retention policies, then its measurement data —
+  *     a crash mid-drop never leaves a listed db with missing metadata.
+  *   - A retention-policy qualifier in FROM is VALIDATED against the policy
+  *     store (unknown rp fails like InfluxDB); storage is per-db, not
+  *     per-rp — policies govern expiry, not placement, in this engine.
+  *
+  * Scale posture: `_databases` and `_retention_policies` are control-plane
+  * tables (rows = number of databases/policies); every data-plane statement
+  * routes to ONE db's points table and plans there — the catalog adds no
+  * join, shuffle, or scan of its own.
+  */
+final class InfluxCatalog(spark: SparkSession, rootDir: String,
+                          val defaultDb: String = "graft") {
+
+  private val NameRe = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def checkName(db: String): String = db match {
+    case NameRe() => db
+    case _ => throw new IllegalArgumentException(
+      s"InfluxQL: invalid database name '$db'")
+  }
+
+  private def dbTable = new TxLogTable(spark, s"$rootDir/_databases")
+
+  /** The db's points table (narrow layout: transducer, ts_us, tags, fields). */
+  def pointsTable(db: String): TxLogTable =
+    new TxLogTable(spark, s"$rootDir/${checkName(db)}/points")
+
+  def databaseNames(): Seq[String] = {
+    val t = dbTable
+    if (t.version.isEmpty) Seq.empty
+    else t.read().select("name").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  def databaseExists(db: String): Boolean = databaseNames().contains(db)
+
+  private def requireDb(db: String): Unit =
+    if (!databaseExists(db))
+      throw new IllegalArgumentException(s"InfluxQL: database not found: $db")
+
+  /** SHOW DATABASES shape: one `name` column, ordered. */
+  def showDatabases(): DataFrame =
+    spark.createDataset(databaseNames().toList)(Encoders.STRING).toDF("name")
+
+  def createDatabase(db: String): DataFrame = {
+    checkName(db)
+    if (!databaseExists(db)) {
+      import spark.implicits._
+      dbTable.merge(Seq(db).toDF("name"), Seq("name"))
+      // a NEW database gets InfluxDB's autogen policy; an existing one
+      // keeps whatever policies it has (CREATE DATABASE is a no-op then)
+      InfluxQL.runRetention(spark,
+        s"CREATE RETENTION POLICY autogen ON $db DURATION INF REPLICATION 1 DEFAULT",
+        rootDir)
+    }
+    showDatabases()
+  }
+
+  def dropDatabase(db: String): DataFrame = {
+    checkName(db)
+    if (databaseExists(db)) {
+      // metadata first: the db stops being listed before anything else
+      dbTable.delete(col("name") === db)
+      val policies = new TxLogTable(spark, s"$rootDir/_retention_policies")
+      if (policies.version.nonEmpty) policies.delete(col("db") === db)
+      deleteTree(Paths.get(s"$rootDir/$db"))
+    }
+    showDatabases()
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  /** Append points into the db's table. The db must exist — InfluxDB
+    * rejects writes to unknown databases rather than auto-creating them.
+    */
+  def writePoints(db: String, df: DataFrame): Long = {
+    requireDb(db)
+    pointsTable(db).append(df)
+  }
+
+  /** The db's points as a DataFrame; a database that exists but holds no
+    * points yet reads as the empty narrow layout (discovery statements
+    * answer empty instead of failing).
+    */
+  def points(db: String): DataFrame = {
+    requireDb(db)
+    val t = pointsTable(db)
+    if (t.version.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String, Long, Double)]
+        .toDF("device", "transducer", "ts_us", "value")
+    } else t.read()
+  }
+
+  /** One statement in, one DataFrame out — the full dialect with database
+    * routing. SELECT plans against the FROM qualifier's db (`defaultDb`
+    * unqualified); SHOW statements honor `ON <db>`; DELETE / DROP
+    * MEASUREMENT mutate `defaultDb` and return the committed version.
+    */
+  def run(text: String): DataFrame = {
+    val t = text.trim
+    val up = t.toUpperCase
+    import spark.implicits._
+    if (up.startsWith("CREATE DATABASE"))
+      createDatabase(identAfter(t, 2))
+    else if (up.startsWith("DROP DATABASE"))
+      dropDatabase(identAfter(t, 2))
+    else if (up.startsWith("SHOW DATABASES")) {
+      require(t.split("\\s+").length == 2, s"trailing input in '$t'")
+      showDatabases()
+    } else if (up.contains("RETENTION POLIC"))
+      InfluxQL.runRetention(spark, t, rootDir, requireDb)
+    else if (up.startsWith("SHOW"))
+      InfluxQL.planShow(points(defaultDb), t, d => points(d))
+    else if (up.startsWith("DELETE") || up.startsWith("DROP MEASUREMENT"))
+      Seq(InfluxQL.runDelete(pointsTable(defaultDb), t)).toDF("version")
+    else if (up.startsWith("EXPLAIN")) {
+      // the real physical plan of the ROUTED query, one row per line —
+      // same shape as InfluxQL.run's EXPLAIN, db-aware
+      val lines = select(t.drop("EXPLAIN".length).trim).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .split("\n").toList
+      spark.createDataset(lines)(Encoders.STRING).toDF("plan")
+    } else {
+      val q = InfluxQL.parse(t)
+      if (q.into.nonEmpty) {
+        val db = q.fromDb.getOrElse(defaultDb)
+        requireDb(db)
+        q.fromRp.foreach(requireRp(db, _))
+        Seq(InfluxQL.runInto(points(db), stripQualifier(t, q), s"$rootDir/$db"))
+          .toDF("version")
+      } else select(t)
+    }
+  }
+
+  /** Plan a SELECT against the db its FROM qualifier routes to. */
+  private def select(text: String): DataFrame = {
+    val q = InfluxQL.parse(text)
+    val db = q.fromDb.getOrElse(defaultDb)
+    requireDb(db)
+    q.fromRp.foreach(requireRp(db, _))
+    InfluxQL.planResolved(points(db), q.copy(fromDb = None, fromRp = None))
+  }
+
+  private def requireRp(db: String, rp: String): Unit = {
+    val policies = new TxLogTable(spark, s"$rootDir/_retention_policies")
+    val known = policies.version.nonEmpty &&
+      policies.read().filter(col("db") === db && col("name") === rp).count() > 0
+    if (!known) throw new IllegalArgumentException(
+      s"InfluxQL: retention policy not found: $rp on $db")
+  }
+
+  /** `CREATE DATABASE x` / `DROP DATABASE x`: the identifier at word `i`. */
+  private def identAfter(t: String, i: Int): String = {
+    val ws = t.split("\\s+")
+    require(ws.length == i + 1, s"expected exactly one database name in '$t'")
+    ws(i)
+  }
+
+  /** Rewrite a qualified FROM to its bare measurement so runInto (which
+    * re-parses) plans the already-routed points. Only the FROM element
+    * carries the qualifier, so a plain text substitution of the first
+    * `db..`/`db.rp.` occurrence after FROM is exact.
+    */
+  private def stripQualifier(t: String, q: InfluxQL.Query): String =
+    q.fromDb match {
+      case None => t
+      case Some(db) =>
+        val rp = q.fromRp.map(r => s"$r.").getOrElse(".")
+        t.replaceFirst(
+          java.util.regex.Pattern.quote(s"$db.$rp"), "")
+    }
+}

@@ -165,7 +165,8 @@ object InfluxQL {
                          fromRegex: Boolean = false, offset: Option[Int] = None,
                          slimit: Option[Int] = None, soffset: Option[Int] = None,
                          fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L,
-                         tz: Option[String] = None, selectStar: Boolean = false)
+                         tz: Option[String] = None, selectStar: Boolean = false,
+                         fromDb: Option[String] = None, fromRp: Option[String] = None)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode")
@@ -221,7 +222,7 @@ object InfluxQL {
     "w" -> 7L * 86400000000L)
 
   private val tokenRe =
-    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/-]))""".r
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/.-]))""".r
 
   private def tokenize(text: String): Seq[Tok] = {
     var pos = 0
@@ -252,6 +253,7 @@ object InfluxQL {
             val regexPosition = last.exists {
               case TIdent(s) => s.equalsIgnoreCase("FROM")
               case TSym("=~") | TSym("!~") => true
+              case TSym(".") => true // db-qualified regex FROM: db../re/
               case _ => false
             }
             if (regexPosition) push(TRegex(m.group(11), m.group(10)))
@@ -315,8 +317,8 @@ object InfluxQL {
     if (!selectStar) do fields += parseItem(p) while (p.sym(","))
     val into = if (p.kw("INTO")) Some(p.ident()) else None
     p.expectKw("FROM")
-    val (measurement, fromRegex, fromSub) = p.peek match {
-      case Some(TRegex(re, _)) => p.next(); (re, true, None)
+    val (measurement, fromRegex, fromSub, fromDb, fromRp) = p.peek match {
+      case Some(TRegex(re, _)) => p.next(); (re, true, None, None, None)
       case Some(TSym("(")) =>
         // subquery FROM: the inner SELECT's output becomes the outer
         // query's point source
@@ -324,18 +326,40 @@ object InfluxQL {
         val sub = parseQuery(p)
         p.expectSym(")")
         if (sub.into.nonEmpty) p.fail("INTO does not apply inside a subquery")
-        ("", false, Some(sub))
+        if (sub.fromDb.nonEmpty)
+          p.fail("database qualifier applies to the top-level FROM only")
+        ("", false, Some(sub), None, None)
       case _ =>
-        val ms = Seq.newBuilder[String]
-        ms += p.ident()
-        while (p.sym(",")) ms += p.ident()
-        ms.result() match {
-          case Seq(one) => (one, false, None)
+        // FROM element, optionally db-qualified (InfluxDB's fully
+        // qualified form): m | db..m | db.rp.m | db../re/ | db.rp./re/
+        def element(): (Option[String], Option[String], String, Boolean) = {
+          val first = p.ident()
+          if (p.sym(".")) {
+            val rp = if (p.sym(".")) None else {
+              val r = p.ident(); p.expectSym("."); Some(r)
+            }
+            p.peek match {
+              case Some(TRegex(re, _)) => p.next(); (Some(first), rp, re, true)
+              case _ => (Some(first), rp, p.ident(), false)
+            }
+          } else (None, None, first, false)
+        }
+        val els = Seq.newBuilder[(Option[String], Option[String], String, Boolean)]
+        els += element()
+        while (p.sym(",")) els += element()
+        val all = els.result()
+        if (all.map(e => (e._1, e._2)).distinct.size > 1)
+          p.fail("all FROM measurements must share one database qualifier")
+        val (db, rp) = (all.head._1, all.head._2)
+        all match {
+          case Seq((_, _, one, isRe)) => (one, isRe, None, db, rp)
           case many =>
+            if (many.exists(_._4))
+              p.fail("a regex FROM cannot be combined with a measurement list")
             // FROM m1, m2: each measurement stays its own series — the
             // same semantics as a regex FROM, so desugar to one
-            (many.map(java.util.regex.Pattern.quote)
-              .mkString("^(?:", "|", ")$"), true, None)
+            (many.map(e => java.util.regex.Pattern.quote(e._3))
+              .mkString("^(?:", "|", ")$"), true, None, db, rp)
         }
     }
 
@@ -423,7 +447,8 @@ object InfluxQL {
 
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
-      offset, slimit, soffset, fromSub, groupTimeOffset, tz, selectStar)
+      offset, slimit, soffset, fromSub, groupTimeOffset, tz, selectStar,
+      fromDb, fromRp)
     validate(q)
     q
   }
@@ -791,6 +816,10 @@ object InfluxQL {
       if (q.into.nonEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: SELECT ... INTO writes a table — use runInto")
+      if (q.fromDb.nonEmpty)
+        throw new IllegalArgumentException(
+          "InfluxQL: a database-qualified FROM routes between databases — " +
+            "run it through an InfluxCatalog")
       planResolved(points, q)
     }
 
@@ -802,7 +831,7 @@ object InfluxQL {
     * fill/transform windows' partitionBy (the zero-unpartitioned-windows
     * pin holds for subquery plans too).
     */
-  private def planResolved(points: DataFrame, q: Query): DataFrame = q.fromSub match {
+  private[influxql] def planResolved(points: DataFrame, q: Query): DataFrame = q.fromSub match {
     case Some(sub) =>
       val adapted = planResolved(points, sub)
         .withColumnRenamed("time", "ts_us")
@@ -887,7 +916,7 @@ object InfluxQL {
     * [[enforceRetention]] for the one-line form.
     */
   def runRetention(spark: org.apache.spark.sql.SparkSession, text: String,
-                   root: String): DataFrame = {
+                   root: String, requireDb: String => Unit = null): DataFrame = {
     import spark.implicits._
     val table = new graft.storage.TxLogTable(spark, s"$root/_retention_policies")
     def policies(): DataFrame =
@@ -905,6 +934,7 @@ object InfluxQL {
     if (p.kw("SHOW")) {
       p.expectKw("RETENTION"); p.expectKw("POLICIES")
       val db = if (p.kw("ON")) Some(p.ident()) else None
+      if (requireDb != null) db.foreach(requireDb)
       if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
       return show(db)
     }
@@ -921,6 +951,7 @@ object InfluxQL {
     }
     p.expectKw("ON")
     val db = p.ident()
+    if (requireDb != null) requireDb(db)
     if (drop) {
       if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
       if (table.version.nonEmpty)
@@ -1046,9 +1077,20 @@ object InfluxQL {
     * sketch); list-shaped statements take LIMIT/OFFSET paging over their
     * deterministic order.
     */
-  def planShow(points: DataFrame, text: String): DataFrame = {
+  def planShow(points0: DataFrame, text: String,
+               pointsFor: String => DataFrame = null): DataFrame = {
     val p = new P(tokenize(text))
-    val spark = points.sparkSession
+    var points = points0
+    val spark = points0.sparkSession
+    // `ON <db>` (InfluxDB's database clause on every SHOW statement):
+    // re-route the statement to that database's points — only meaningful
+    // when a catalog supplies the router
+    def onDb(): Unit = if (p.kw("ON")) {
+      val d = p.ident()
+      if (pointsFor == null)
+        p.fail(s"ON $d names a database — run this through an InfluxCatalog")
+      points = pointsFor(d)
+    }
     import org.apache.spark.sql.Encoders
     def paged(df: DataFrame): DataFrame = {
       // LIMIT/OFFSET over the statement's own deterministic ORDER BY
@@ -1081,6 +1123,7 @@ object InfluxQL {
       .map(f => (f.name, f.dataType.typeName)).toList.sorted
     p.expectKw("SHOW")
     if (p.kw("MEASUREMENTS")) {
+      onDb()
       // WITH MEASUREMENT =~ /re/ (or = m): InfluxDB's discovery filter
       val base = points.select(col("transducer").as("name")).distinct()
       val filtered =
@@ -1095,35 +1138,47 @@ object InfluxQL {
       finish(paged(filtered.orderBy(col("name"))))
     } else if (p.kw("MEASUREMENT")) {
       p.expectKw("CARDINALITY")
+      onDb()
       finish(count1(points.select("transducer").distinct()))
     } else if (p.kw("SERIES")) {
-      if (p.kw("CARDINALITY")) finish(count1(seriesKeys))
+      val card = p.kw("CARDINALITY")
+      onDb()
+      if (card) finish(count1(seriesKeys))
       else finish(paged(seriesKeys.orderBy(col("key"))))
     } else if (p.kw("TAG")) {
-      if (p.kw("KEYS"))
+      if (p.kw("KEYS")) {
+        onDb()
         finish(paged(spark.createDataset(tagColumns(points).toList)(
           Encoders.STRING).toDF("tagKey").orderBy("tagKey")))
-      else if (p.kw("KEY")) {
+      } else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
+        onDb()
         finish(spark.createDataset(Seq(tagColumns(points).size.toLong))(
           Encoders.scalaLong).toDF("count"))
       } else if (p.kw("VALUES")) {
+        // a NULL tag (series without that tag) is not a tag value: InfluxDB
+        // neither lists it nor counts it toward cardinality
         if (p.kw("CARDINALITY")) {
+          onDb()
           val k = tagKey()
-          finish(count1(points.select(col(k)).distinct()))
+          finish(count1(points.select(col(k)).filter(col(k).isNotNull).distinct()))
         } else {
+          onDb()
           val k = tagKey()
-          finish(paged(points.select(lit(k).as("key"), col(k).as("value"))
+          finish(paged(points.filter(col(k).isNotNull)
+            .select(lit(k).as("key"), col(k).as("value"))
             .distinct().orderBy(col("value"))))
         }
       } else p.fail("expected KEYS, KEY CARDINALITY or VALUES after SHOW TAG")
     } else if (p.kw("FIELD")) {
-      if (p.kw("KEYS"))
+      if (p.kw("KEYS")) {
+        onDb()
         finish(paged(spark.createDataset(fieldKeys)(
           Encoders.tuple(Encoders.STRING, Encoders.STRING))
           .toDF("fieldKey", "fieldType").orderBy("fieldKey")))
-      else if (p.kw("KEY")) {
+      } else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
+        onDb()
         finish(spark.createDataset(Seq(fieldKeys.size.toLong))(
           Encoders.scalaLong).toDF("count"))
       } else p.fail("expected KEYS or KEY CARDINALITY after SHOW FIELD")

@@ -225,6 +225,17 @@ class InfluxQLSpec extends SparkSuite {
       InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = nope")).getMessage.contains("unknown tag"))
   }
 
+  test("SHOW TAG VALUES: a NULL tag is neither listed nor counted as cardinality") {
+    // a series without the tag (NULL device) is not a tag value in InfluxDB
+    val df = pts(("a", "temp", 1L, 1.0), ("b", "temp", 2L, 2.0))
+      .union(Seq((Option.empty[String], "temp", 3L, 3.0))
+        .toDF("device", "transducer", "ts_us", "value"))
+    assert(InfluxQL.run(df, "SHOW TAG VALUES WITH KEY = device")
+      .as[(String, String)].collect().toSeq == Seq(("device", "a"), ("device", "b")))
+    assert(InfluxQL.run(df, "SHOW TAG VALUES CARDINALITY WITH KEY = device")
+      .as[Long].collect().head == 2L)
+  }
+
   test("WHERE supports field comparisons and OR with parentheses") {
     val q = parse("SELECT value FROM m WHERE value > 5 AND (device = 'a' OR device = 'b') AND time >= 10")
     assert(q.conds == Seq(
@@ -829,6 +840,86 @@ class InfluxQLSpec extends SparkSuite {
     InfluxQL.runRetention(spark,
       "ALTER RETENTION POLICY keep30 ON telemetry DURATION INF DEFAULT", root)
     assert(InfluxQL.retentionCutoffUs(spark, root, "telemetry", nowUs).isEmpty)
+  }
+
+  test("database DDL: CREATE/SHOW/DROP with autogen policy and cascading drop") {
+    val root = java.nio.file.Files.createTempDirectory("catalog_ddl").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    assert(cat.run("SHOW DATABASES").as[String].collect().isEmpty)
+    assert(cat.run("CREATE DATABASE tele").as[String].collect().toSeq == Seq("tele"))
+    // a NEW database gets InfluxDB's autogen policy (INF, repl 1, default)
+    assert(cat.run("SHOW RETENTION POLICIES ON tele")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq ==
+      Seq(("tele", "autogen", -1L, 1L, true)))
+    cat.run("CREATE DATABASE other")
+    assert(cat.run("SHOW DATABASES").as[String].collect().toSeq == Seq("other", "tele"))
+    // re-CREATE of an existing db is a no-op: custom default stays put
+    cat.run("CREATE RETENTION POLICY keep30 ON tele DURATION 30d DEFAULT")
+    cat.run("CREATE DATABASE tele")
+    assert(cat.run("SHOW RETENTION POLICIES ON tele")
+      .filter(col("is_default")).as[(String, String, Long, Long, Boolean)]
+      .collect().map(_._2).toSeq == Seq("keep30"))
+    // retention DDL on a db that doesn't exist fails like InfluxDB
+    assert(intercept[IllegalArgumentException](
+      cat.run("CREATE RETENTION POLICY p ON ghost DURATION 2h"))
+      .getMessage.contains("database not found"))
+    // cascading drop: db row, its policies, and its data all go
+    cat.writePoints("tele", pts(("a", "temp", 1L, 1.0)))
+    assert(cat.run("SELECT mean(value) FROM temp").as[Double].collect().toSeq == Seq(1.0))
+    assert(cat.run("DROP DATABASE tele").as[String].collect().toSeq == Seq("other"))
+    assert(intercept[IllegalArgumentException](cat.run("SELECT mean(value) FROM temp"))
+      .getMessage.contains("database not found"))
+    assert(InfluxQL.runRetention(spark, "SHOW RETENTION POLICIES", root)
+      .as[(String, String, Long, Long, Boolean)].collect().forall(_._1 == "other"))
+    // recreate: fresh autogen, no resurrected data
+    cat.run("CREATE DATABASE tele")
+    assert(cat.run("SHOW MEASUREMENTS").as[String].collect().isEmpty)
+    // dropping a nonexistent db is a no-op, not an error
+    cat.run("DROP DATABASE ghost")
+  }
+
+  test("database routing: qualified FROM forms, ON <db> SHOW, rp validation") {
+    val root = java.nio.file.Files.createTempDirectory("catalog_route").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "main")
+    cat.run("CREATE DATABASE main")
+    cat.run("CREATE DATABASE aux")
+    cat.writePoints("main", pts(("a", "temp", 1L, 1.0), ("a", "temp", 2L, 2.0)))
+    cat.writePoints("aux", pts(("b", "hum", 1L, 5.0)))
+    // unqualified FROM plans against defaultDb
+    assert(cat.run("SELECT sum(value) FROM temp").as[Double].collect().toSeq == Seq(3.0))
+    // db..m routes; db.rp.m validates the policy; db../re/ works too
+    assert(cat.run("SELECT sum(value) FROM aux..hum").as[Double].collect().toSeq == Seq(5.0))
+    assert(cat.run("SELECT sum(value) FROM aux.autogen.hum").as[Double].collect().toSeq
+      == Seq(5.0))
+    assert(intercept[IllegalArgumentException](
+      cat.run("SELECT sum(value) FROM aux.nope.hum"))
+      .getMessage.contains("retention policy not found"))
+    assert(cat.run("SELECT sum(value) FROM aux../^h/")
+      .as[(String, Double)].collect().toSeq == Seq(("hum", 5.0)))
+    assert(intercept[IllegalArgumentException](
+      cat.run("SELECT sum(value) FROM ghost..m"))
+      .getMessage.contains("database not found"))
+    // mixed qualifiers in one FROM list are rejected
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT sum(value) FROM main..a, aux..b"))
+      .getMessage.contains("share one database qualifier"))
+    // the ON <db> clause on the SHOW family
+    assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
+    assert(cat.run("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("temp"))
+    assert(cat.run("SHOW TAG VALUES ON aux WITH KEY = device")
+      .as[(String, String)].collect().toSeq == Seq(("device", "b")))
+    assert(cat.run("SHOW SERIES CARDINALITY ON aux").as[Long].collect().head == 1L)
+    // a bare InfluxQL.run (no catalog) refuses qualified FROM loudly
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(pts(("a", "m", 1L, 1.0)), "SELECT value FROM db..m"))
+      .getMessage.contains("InfluxCatalog"))
+    // INTO with a qualified FROM lands in THAT db's namespace
+    cat.run("SELECT mean(value) INTO daily FROM aux..hum GROUP BY time(10u)")
+    assert(new graft.storage.TxLogTable(spark, s"$root/aux/daily").read().count() == 1L)
+    // DELETE / DROP MEASUREMENT mutate defaultDb and return the version
+    cat.run("DROP MEASUREMENT temp")
+    assert(cat.run("SHOW MEASUREMENTS").as[String].collect().isEmpty)
+    assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
   }
 
   test("planner: global (tagless) aggregate and whole-query limit") {
