@@ -854,6 +854,94 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("20 seeded database-DDL statements round-trip the catalog") {
+    // CREATE/DROP DATABASE, SHOW DATABASES, qualified FROM routing, ON-db
+    // discovery, and retention-policy interaction (autogen on create,
+    // cascade on drop) against an exact in-memory model of the catalog
+    val rnd = new scala.util.Random(70707070L)
+    val root = java.nio.file.Files.createTempDirectory("db_diff").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "d1")
+    val dbNames = Vector("d1", "d2", "d3")
+    val devs = Vector("a", "b")
+    val meas = Vector("m1", "m2")
+    var dbs = Set.empty[String]
+    var pts = Map.empty[String, Vector[(String, String, Long, Double)]]
+    // (db, policy) -> (duration_us, replica, default)
+    var pols = Map.empty[(String, String), (Long, Long, Boolean)]
+    def polShow(db: Option[String]): Seq[(String, String, Long, Long, Boolean)] =
+      pols.toSeq.map { case ((d, n), (u, r, f)) => (d, n, u, r, f) }
+        .filter(t => db.forall(_ == t._1)).sortBy(t => (t._1, t._2))
+    def pick(): String = dbs.toSeq.sorted.apply(rnd.nextInt(dbs.size))
+    def randPts(n: Int): Vector[(String, String, Long, Double)] =
+      Vector.fill(n)((devs(rnd.nextInt(2)), meas(rnd.nextInt(2)),
+        rnd.nextInt(100).toLong, rnd.nextInt(100).toDouble))
+    for (iter <- 0 until 20 * diffScale) {
+      rnd.nextInt(7) match {
+        case 0 => // CREATE DATABASE: idempotent; autogen only when NEW
+          val db = dbNames(rnd.nextInt(3))
+          cat.run(s"CREATE DATABASE $db")
+          if (!dbs(db)) { dbs += db; pols += (db, "autogen") -> (-1L, 1L, true) }
+        case 1 => // DROP DATABASE (sometimes of one that doesn't exist)
+          val db = dbNames(rnd.nextInt(3))
+          cat.run(s"DROP DATABASE $db")
+          dbs -= db; pts -= db
+          pols = pols.filterNot(_._1._1 == db)
+        case 2 =>
+          assert(cat.run("SHOW DATABASES").as[String].collect().toSeq ==
+            dbs.toSeq.sorted, s"iter $iter SHOW DATABASES")
+        case 3 if dbs.nonEmpty => // write points into a random live db
+          val db = pick()
+          val fresh = randPts(10)
+          cat.writePoints(db, fresh.toDF("device", "transducer", "ts_us", "value"))
+          pts += db -> (pts.getOrElse(db, Vector.empty) ++ fresh)
+        case 4 if dbs.nonEmpty => // qualified SELECT routes to THAT db
+          val db = pick()
+          val m = meas(rnd.nextInt(2))
+          val want = pts.getOrElse(db, Vector.empty).count(_._2 == m).toLong
+          val got = cat.run(s"SELECT count(value) FROM $db..$m")
+            .as[Long].collect().toSeq
+          assert(got == (if (want == 0) Nil else Seq(want)),
+            s"iter $iter SELECT $db..$m")
+        case 5 if dbs.nonEmpty => // ON-db discovery answers from that db only
+          val db = pick()
+          val rows = pts.getOrElse(db, Vector.empty)
+          assert(cat.run(s"SHOW MEASUREMENTS ON $db").as[String].collect().toSeq ==
+            rows.map(_._2).distinct.sorted, s"iter $iter SHOW MEAS ON $db")
+          assert(cat.run(s"SHOW TAG VALUES ON $db WITH KEY = device")
+            .as[(String, String)].collect().toSeq ==
+            rows.map(_._1).distinct.sorted.map(("device", _)),
+            s"iter $iter TAG VALUES ON $db")
+        case 6 if dbs.nonEmpty => // retention DDL threads the db check
+          val db = pick()
+          val name = Seq("p1", "p2")(rnd.nextInt(2))
+          val (durTxt, durUs) =
+            Seq(("1d", 86400000000L), ("INF", -1L))(rnd.nextInt(2))
+          val dflt = rnd.nextBoolean()
+          cat.run(s"CREATE RETENTION POLICY $name ON $db DURATION $durTxt" +
+            (if (dflt) " DEFAULT" else ""))
+          if (dflt) pols = pols.map { case (k @ (d, _), v) =>
+            k -> (if (d == db) v.copy(_3 = false) else v)
+          }
+          pols += (db, name) -> (durUs, 1L, dflt)
+          assert(cat.run(s"SHOW RETENTION POLICIES ON $db")
+            .as[(String, String, Long, Long, Boolean)].collect().toSeq ==
+            polShow(Some(db)), s"iter $iter RP ON $db")
+        case _ => // statements against missing databases fail loudly
+          val ghost = dbNames.find(!dbs(_))
+          ghost.foreach { g =>
+            assert(intercept[IllegalArgumentException](
+              cat.run(s"SELECT count(value) FROM $g..m1"))
+              .getMessage.contains("database not found"), s"iter $iter ghost $g")
+          }
+      }
+      // invariant every iteration: the full policy store holds exactly the
+      // live dbs' policies (DROP DATABASE cascaded, nothing leaked)
+      assert(InfluxQL.runRetention(spark, "SHOW RETENTION POLICIES", root)
+        .as[(String, String, Long, Long, Boolean)].collect().toSeq ==
+        polShow(None), s"iter $iter policy-store drift")
+    }
+  }
+
   test("subquery re-aggregation matches the reference, nulls and all") {
     val rnd = new scala.util.Random(99991L)
     val pts = fixture
