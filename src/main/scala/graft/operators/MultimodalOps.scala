@@ -9,21 +9,23 @@ import org.apache.spark.sql.functions._
   * The AUDIO and IMAGE decode paths are REAL: [[WavCodec]] parses RIFF/WAVE
   * PCM containers and [[BmpCodec]] parses uncompressed 24-bit BMPs with
   * integer average-pooled thumbnails (decode → feature-extract → resize) —
-  * and VIDEO container parsing is REAL too ([[AviCodec]]: RIFF/AVI headers
-  * + the movi frame index, so frame sampling slices true container frames)
-  * — all pure JVM byte arithmetic, no native codecs, run per-partition
-  * with dead-letter routing for corrupt payloads ([[decodeAudio]] /
-  * [[decodeImages]] / [[decodeVideos]], unified in [[decodeMeta]] which
-  * dispatches each row to ITS modality's real codec). Video frame PAYLOADS
-  * decode genuinely for the uncompressed `00db` format
-  * ([[decodeVideoPixels]]: container index → DIB pixel parse per sampled
-  * frame); the one remaining STUB is compressed (`00dc`) frame payloads —
-  * compressed-codec math isn't expressible as plain byte parsing, so
-  * [[decodeVideos]] content-hashes those where production would decode.
-  * Everything around the codecs is the same Spark shape — schema,
-  * per-partition batched iteration (the Scala analogue of `mapInPandas`),
-  * columnar metadata extraction — so a production codec changes one
-  * function, exactly as the WAV/BMP/AVI paths demonstrate.
+  * and VIDEO decode is REAL end to end: [[AviCodec]] parses RIFF/AVI
+  * headers + the movi frame index (frame sampling slices true container
+  * frames), uncompressed `00db` DIB frames pixel-decode through the BMP
+  * row machinery, and MJPEG `00dc` frames pixel-decode through a
+  * from-scratch ITU-T T.81 baseline-JPEG codec ([[JpegCodec]]) — all pure
+  * JVM byte arithmetic, no native codecs, run per-partition with
+  * dead-letter routing for corrupt payloads ([[decodeAudio]] /
+  * [[decodeImages]] / [[decodeVideos]] / [[decodeVideoPixels]], unified in
+  * [[decodeMeta]] which dispatches each row to ITS modality's real codec).
+  * [[decodeVideos]] is the metadata/fingerprint path: its per-frame feature
+  * is a content hash, but JPEG frames still decode for validation (their
+  * SOF dimensions must match the container header). Other compressed
+  * codecs (H.264 etc.) dead-letter rather than fake a decode. Everything
+  * around the codecs is the same Spark shape — schema, per-partition
+  * batched iteration (the Scala analogue of `mapInPandas`), columnar
+  * metadata extraction — so adding a codec changes one function, exactly
+  * as the WAV/BMP/AVI/JPEG paths demonstrate.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect);
   * decode is a narrow per-partition map, so it parallelizes with the scan
@@ -210,8 +212,13 @@ object MultimodalOps {
   /** REAL video container decode: AVI header + movi frame index parsed
     * per-partition; every `stride`-th frame is sliced from the container
     * and content-hashed (the frame-sampling shape over true container
-    * frames). Frame PAYLOAD decoding stays stubbed — the hash stands in
-    * for the codec call. Corrupt containers dead-letter (`ok = false`).
+    * frames; the hash is the content FEATURE of this metadata path —
+    * [[decodeVideoPixels]] is the pixel path). MJPEG frames (JPEG SOI
+    * magic) additionally decode through [[JpegCodec]] for validation: a
+    * frame whose SOF dimensions contradict the container header, or that
+    * fails to decode, dead-letters the row instead of fingerprinting bytes
+    * that no real decoder could play. Opaque payloads of OTHER codecs just
+    * hash. Corrupt containers dead-letter (`ok = false`).
     */
   def decodeVideos(media: Dataset[MediaRow], stride: Int = 2): Dataset[VideoDecoded] = {
     require(stride > 0, "stride must be positive")
@@ -220,11 +227,34 @@ object MultimodalOps {
       rows.map { m =>
         try {
           val info = AviCodec.decode(m.payload)
-          val hashes = (0 until info.nFrames by stride).map(k =>
-            org.apache.commons.codec.digest.DigestUtils.md5Hex(
-              AviCodec.frameBytes(m.payload, info, k)))
-          VideoDecoded(m.doc_id, ok = true, err = "",
-            info.width, info.height, info.nFrames, info.durationUs, hashes)
+          val idxs = (0 until info.nFrames by stride).toSeq
+          val badJpeg = idxs.iterator.map { k =>
+            val (off, len) = info.frames(k)
+            if (len >= 2 && (m.payload(off) & 0xff) == 0xFF &&
+                (m.payload(off + 1) & 0xff) == 0xD8) {
+              try {
+                val img = JpegCodec.decode(
+                  java.util.Arrays.copyOfRange(m.payload, off, off + len))
+                if (img.width != info.width || img.height != info.height)
+                  Some(s"frame $k JPEG is ${img.width}x${img.height}, " +
+                    s"container declares ${info.width}x${info.height}")
+                else None
+              } catch {
+                case e: JpegCodec.MalformedJpeg =>
+                  Some(s"frame $k MalformedJpeg: ${e.getMessage}")
+              }
+            } else None
+          }.collectFirst { case Some(msg) => msg }
+          badJpeg match {
+            case Some(msg) => VideoDecoded(m.doc_id, ok = false, err = msg,
+              info.width, info.height, info.nFrames, info.durationUs, Seq.empty)
+            case None =>
+              val hashes = idxs.map(k =>
+                org.apache.commons.codec.digest.DigestUtils.md5Hex(
+                  AviCodec.frameBytes(m.payload, info, k)))
+              VideoDecoded(m.doc_id, ok = true, err = "",
+                info.width, info.height, info.nFrames, info.durationUs, hashes)
+          }
         } catch {
           case scala.util.control.NonFatal(e) =>
             VideoDecoded(m.doc_id, ok = false,

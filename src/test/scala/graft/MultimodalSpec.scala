@@ -146,6 +146,36 @@ class MultimodalSpec extends SparkSuite {
     assert(ok.find(_.doc_id == 2L).get.sampled_hashes.head == localHash)
   }
 
+  test("metadata path validates MJPEG frames through the real JPEG codec") {
+    import graft.operators.{AviCodec, JpegCodec}
+    // MJPEG fixture rows decode: container dims CONFIRMED by each sampled
+    // frame's SOF, hashes present (the hash stays the content feature)
+    val media = Tables.documents(spark, sf).select(col("doc_id")).filter(col("doc_id") < 12)
+      .as[Long].map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthVideoMjpeg(id), "video"))
+    val decoded = MultimodalOps.decodeVideos(media, stride = 2).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.ok),
+      decoded.filterNot(_.ok).map(d => s"${d.doc_id}: ${d.err}").mkString("; "))
+    decoded.foreach { d =>
+      val (w, h) = (8 * (2 + d.doc_id % 3).toInt, 8 * (2 + d.doc_id % 2).toInt)
+      assert(d.width == w && d.height == h, s"doc ${d.doc_id} dims")
+      assert(d.sampled_hashes.length == (d.n_frames + 1) / 2)
+    }
+    // a JPEG whose SOF contradicts the container header dead-letters the
+    // row instead of fingerprinting an unplayable stream
+    val good = JpegCodec.encodeGray(16, 16, (_, _) => 50)
+    val contra = MultimodalOps.decodeVideos(
+      Seq(MultimodalOps.MediaRow(2L, AviCodec.synth(32, 32, 33333, Seq(good)),
+        "video")).toDS(), stride = 1).collect()
+    assert(contra.length == 1 && !contra.head.ok &&
+      contra.head.err.contains("container declares"))
+    // a truncated JPEG frame dead-letters with the codec's error
+    val trunc = MultimodalOps.decodeVideos(
+      Seq(MultimodalOps.MediaRow(4L, AviCodec.synth(16, 16, 33333,
+        Seq(java.util.Arrays.copyOf(good, good.length / 2))), "video")).toDS(),
+      stride = 1).collect()
+    assert(trunc.length == 1 && !trunc.head.ok && trunc.head.err.contains("MalformedJpeg"))
+  }
+
   test("video frame-payload pixel decode: DIB frames decode, mismatched geometry dead-letters") {
     // a 2x2 single-frame DIB video with hand-computable pixels:
     // px(x,y) = (x*255, y*255, checker) -> gray values known in closed form
