@@ -32,6 +32,50 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("""\w+|[^\w\s]""")).cast("long")
 
+  /** The fixed merges table driving [[bpeSegment]] / [[bpeTokenCount]]:
+    * REAL byte-pair encoding in miniature — an ordered vocabulary of
+    * (left, right) merge rules over lowercase letters, English-bigram
+    * shaped so it genuinely compresses the corpus. Rule order is the
+    * rule PRIORITY, exactly like a production merges.txt; later rules
+    * build on earlier merges ("t h"→"th" before "th e"→"the").
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "in" -> "g", "an" -> "d", "o" -> "u",
+    "e" -> "s", "o" -> "r", "s" -> "t", "e" -> "d", "a" -> "r", "a" -> "l")
+
+  /** BPE segmentation as ONE codegen'd expression chain, no UDF. The text
+    * renders as one `|<sym><space>` cell per letter (non-letters become
+    * word boundaries: an extra space no rule pattern can cross), then each
+    * merge rule (x, y) applies as a single global string replace of
+    * `"|x |y "` with `"|xy "` — which IS the BPE rule step: leftmost-first,
+    * non-overlapping, and boundary-safe because every symbol carries its
+    * own `|` prefix and space suffix (a pattern can never match a partial
+    * symbol). The merges are compiled into the plan as literals — cheaper
+    * than a broadcast lookup, and constant-folded by Catalyst.
+    *
+    * Deterministic and engine-portable: the same regexp_replace + replace
+    * chain unrolls in the DuckDB oracle verbatim (q_text_bpe).
+    */
+  def bpeSegment(text: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+    require(merges.forall { case (x, y) =>
+      (x + y).forall(c => c >= 'a' && c <= 'z') }, "BPE symbols must be [a-z]")
+    val rendered = regexp_replace(
+      regexp_replace(lower(text), "[^a-z]", " "), "([a-z])", "|$1 ")
+    merges.foldLeft(rendered) { case (acc, (x, y)) =>
+      replace(acc, lit(s"|$x |$y "), lit(s"|$x$y "))
+    }
+  }
+
+  /** BPE token count under [[BpeMerges]]: one `|` per emitted token. The
+    * real-tokenizer budget for [[SampleOps.packChunks]] / mixture shares —
+    * map-only, stays inside whole-stage codegen at any scale.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)] = BpeMerges): Column = {
+    val seg = bpeSegment(text, merges)
+    (length(seg) - length(replace(seg, lit("|"), lit("")))).cast("long")
+  }
+
   /** Stopword lists per language for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "on"),

@@ -457,6 +457,18 @@ object PipelineQueries {
           sum("toks").as("tokens_kept"))
     }),
 
+    // real merge-table BPE: segmentation + token counts as ONE codegen'd
+    // replace-chain expression (no UDF); the oracle unrolls the identical
+    // merge steps in DuckDB SQL, so a single mis-applied rule anywhere in
+    // the chain breaks the segment md5
+    "q_text_bpe" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          md5(TextOps.bpeSegment(col("text"))).as("seg_md5"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+          TextOps.tokenCount(col("text")).as("n_ws"))
+    }),
+
     // Gopher-style repetition filter: duplicate 2/3-gram fractions + top
     // bigram share per document, verdict at the conventional thresholds —
     // one explode pass, two hash aggregations, oracle recomputes the same
@@ -784,6 +796,21 @@ object PipelineQueries {
          |SELECT source, min(rate_ppm) AS rate_ppm, count(*) AS n_kept,
          |  CAST(sum(toks) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY 1""".stripMargin,
+
+    "q_text_bpe" -> {
+      // the SAME merge chain, unrolled: one replace() per rule in table
+      // order over the |sym -rendered text
+      val seg = TextOps.BpeMerges.foldLeft(
+        """regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), """ +
+          """'([a-z])', '|\1 ', 'g')""") {
+        case (acc, (x, y)) => s"replace($acc, '|$x |$y ', '|$x$y ')"
+      }
+      s"""WITH seg AS (SELECT doc_id, $seg AS s, text FROM documents WHERE doc_id % 7 = 0)
+         |SELECT doc_id, md5(s) AS seg_md5,
+         |  CAST(length(s) - length(replace(s, '|', '')) AS BIGINT) AS n_bpe,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws
+         |FROM seg""".stripMargin
+    },
 
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 9 = 0),

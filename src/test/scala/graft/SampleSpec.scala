@@ -71,6 +71,48 @@ class SampleSpec extends SparkSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("BPE: expression chain matches an independent encoder; packing uses its budgets") {
+    import graft.operators.TextOps
+    // reference: classic list-based BPE — per word, apply each merge rule
+    // in table order, leftmost-first, non-overlapping
+    def refBpe(text: String): Seq[String] =
+      text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        for ((x, y) <- TextOps.BpeMerges) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              out += x + y; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+    // handcrafted chains: th+e and an+d need their prior merges
+    assert(refBpe("theand") == Seq("the", "and"))
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val got = docs.select(col("doc_id"), col("text"),
+      TextOps.bpeTokenCount(col("text")).as("n")).as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    got.foreach { case (id, text, n) =>
+      assert(n == refBpe(text).length.toLong, s"doc $id BPE count") }
+    // the merges genuinely compress: fewer tokens than letters somewhere
+    assert(got.exists { case (_, t, n) => n < t.count(_.isLetter) })
+    // packing on BPE budgets: chunk boundaries from the expression equal
+    // boundaries recomputed from the reference encoder's counts
+    val packed = SampleOps.packChunks(
+      docs.withColumn("n", TextOps.bpeTokenCount(col("text"))),
+      lit("all"), col("doc_id"), col("n"), 500L)
+      .select("doc_id", "chunk").as[(Long, Long)].collect().toMap
+    var run = 0L
+    val want = got.map { case (id, text, _) =>
+      val c = run / 500L; run += refBpe(text).length.toLong; id -> c
+    }.toMap
+    assert(packed == want)
+  }
+
   test("pack chunks: per-group windows, chunk ids contiguous from zero per source") {
     val docs = Tables.documents(spark, sf)
       .withColumn("n_tok", graft.operators.TextOps.tokenCount(col("text")))
