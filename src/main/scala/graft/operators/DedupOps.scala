@@ -173,16 +173,33 @@ object DedupOps {
     * the min of its own and its neighbors' labels; fixpoint after at most
     * `diameter` rounds. Each round is one shuffle on node id — no driver
     * state beyond the convergence counter; each round's labels are eagerly
-    * localCheckpoint-ed so lineage (and Catalyst planning cost) stays
-    * flat round-over-round.
+    * checkpointed so lineage (and Catalyst planning cost) stays flat
+    * round-over-round.
+    *
+    * `checkpointDir = None` (default) uses `localCheckpoint`: blocks live
+    * in executor storage — fastest, right for local / interactive runs,
+    * but a lost executor loses blocks with no lineage to recompute them.
+    * `Some(dir)` switches every round to a RELIABLE `checkpoint` into
+    * `dir` (HDFS/object store on a cluster): each round survives executor
+    * loss, the posture a 1000-executor multi-hour CC job needs.
     * Returns (node, component) where component = min node id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        // setCheckpointDir resolves to a fresh UUID subdir; only (re)set
+        // when unset or pointed elsewhere so repeated calls share one root
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint(true)
+      .withColumn("component", col("node")).transform(ckpt)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -193,11 +210,11 @@ object DedupOps {
       val step = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        // localCheckpoint, NOT persist: persist keeps the LOGICAL plan
+        // checkpoint, NOT persist: persist keeps the LOGICAL plan
         // growing (round N nests all N-1 predecessors; Catalyst analysis
         // goes super-linear), the checkpoint cuts lineage to the
         // materialized blocks so per-round planning stays O(1)
-        .localCheckpoint(true)
+        .transform(ckpt)
       // pointer jumping: also take the label OF the current label
       // (component <= node always holds, so label[label[node]] only ever
       // shrinks). This halves the remaining propagation distance per round
@@ -209,7 +226,7 @@ object DedupOps {
           least(col("component"), coalesce(col("__grand"), col("component"))).as("component"),
           (least(col("component"), coalesce(col("__grand"), col("component"))) < col("__old"))
             .cast("long").as("__moved"))
-        .localCheckpoint(true)
+        .transform(ckpt)
       val changed = next.agg(coalesce(sum(col("__moved")), lit(0L))).head.getLong(0)
       labels.unpersist()
       step.unpersist()

@@ -87,6 +87,27 @@ class DedupSpec extends SparkSuite {
     assert(cc.length == n && cc.forall(_._2 == 0L))
   }
 
+  test("connected components: reliable checkpoint path writes to the dir and matches local") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    try {
+      // multi-round shape (path graph) so the reliable branch checkpoints
+      // repeatedly, not just the seed labels
+      val pairs = (0 until 12).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
+      val reliable = DedupOps.connectedComponents(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      val local = DedupOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(reliable == local && reliable.values.forall(_ == 0L))
+      // the rounds really went through the reliable store, not block manager
+      def rddFiles(p: java.io.File): Long =
+        if (p.isFile) { if (p.getName.startsWith("part-")) 1L else 0L }
+        else Option(p.listFiles).map(_.map(rddFiles).sum).getOrElse(0L)
+      assert(rddFiles(new java.io.File(dir)) > 0, "no checkpoint part files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      ()
+    }
+  }
+
   test("shingling skips documents shorter than n tokens") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = DedupOps.shingles(df, "doc_id", "text", 3)
