@@ -57,9 +57,14 @@ object MqttWireCodec {
   private def pid2(id: Int): Array[Byte] =
     Array(((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
 
-  /** CONNECT: protocol "MQTT" level 4, clean session, no will/auth. */
-  def encodeConnect(clientId: String, keepAliveSecs: Int = 0): Array[Byte] =
-    frame(CONNECT, 0, utf8("MQTT") ++ Array[Byte](4, 2) ++ pid2(keepAliveSecs) ++ utf8(clientId))
+  /** CONNECT: protocol "MQTT" level 4, no will/auth. Connect-flags bit 1
+    * (MQTT 3.1.2.4) selects clean session (true, the default) vs resuming
+    * a broker-side persistent session keyed by client id.
+    */
+  def encodeConnect(clientId: String, keepAliveSecs: Int = 0,
+                    cleanSession: Boolean = true): Array[Byte] =
+    frame(CONNECT, 0, utf8("MQTT") ++
+      Array[Byte](4, if (cleanSession) 2 else 0) ++ pid2(keepAliveSecs) ++ utf8(clientId))
 
   def encodeConnack(sessionPresent: Boolean, returnCode: Int): Array[Byte] =
     frame(CONNACK, 0, Array((if (sessionPresent) 1 else 0).toByte, returnCode.toByte))
@@ -77,12 +82,16 @@ object MqttWireCodec {
     frame(SUBACK, 0, pid2(packetId) ++ codes.toArray.map(_.toByte))
 
   /** PUBLISH: topic, then (QoS >= 1 only) a packet id, then the payload.
-    * Flags per MQTT 3.3.1: bit 3 = DUP (a redelivery), bits 1-2 = QoS.
+    * Flags per MQTT 3.3.1: bit 3 = DUP (a redelivery), bits 1-2 = QoS,
+    * bit 0 = RETAIN (broker keeps it as the topic's last known value;
+    * set on deliveries that answer a new subscription from the retained
+    * store, clear on normal fan-out — MQTT 3.3.1.3).
     */
   def encodePublish(topic: String, payload: Array[Byte], qos: Int = 0,
-                    packetId: Int = 0, dup: Boolean = false): Array[Byte] = {
+                    packetId: Int = 0, dup: Boolean = false,
+                    retain: Boolean = false): Array[Byte] = {
     require(qos >= 0 && qos <= 2, s"unsupported QoS $qos")
-    val flags = (if (dup) 8 else 0) | (qos << 1)
+    val flags = (if (dup) 8 else 0) | (qos << 1) | (if (retain) 1 else 0)
     val mid = if (qos >= 1) pid2(packetId) else Array.empty[Byte]
     frame(PUBLISH, flags, utf8(topic) ++ mid ++ payload)
   }
@@ -169,26 +178,46 @@ object MqttWireCodec {
   *                     on PUBREL — so the session never double-delivers)
   * @param autoAck     test seam: false suppresses PUBACK/PUBREC to
   *                    exercise broker redelivery
+  * @param cleanSession true (default) starts every connect from a clean
+  *                    broker-side session; false asks the broker to keep
+  *                    subscriptions and in-flight QoS 1/2 state across
+  *                    disconnects (MQTT 3.1.2.4) — on reconnect the CONNACK
+  *                    session-present bit (exposed as [[sessionPresent]])
+  *                    reports whether state was resumed, in which case no
+  *                    resubscribe is needed and the broker redelivers
+  *                    whatever was in flight
   */
 class SocketMqttTransport(host: String, port: Int, clientId: String,
                           ioTimeoutMs: Int = 10000, subscribeQos: Int = 0,
-                          autoAck: Boolean = true) extends MqttTransport {
+                          autoAck: Boolean = true,
+                          cleanSession: Boolean = true) extends MqttTransport {
   import MqttWireCodec._
 
   @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
   @volatile private var onLost: Throwable => Unit = _ => ()
   @volatile private var session: Option[Session] = None
+  @volatile private var lastSessionPresent = false
   private val nextPid = new AtomicInteger(0)
+  // QoS-2 packet ids received but not yet PUBRELed: the dedup set that
+  // makes redelivered PUBLISHes of an in-flight id a no-op (MQTT 4.3.3).
+  // Held at TRANSPORT level, not per socket session: a persistent session's
+  // exactly-once guarantee spans reconnects (the broker re-sends the
+  // PUBLISH with DUP on resume; a per-socket set would deliver it twice).
+  // A clean-session connect wipes it — new session, fresh state (4.1).
+  private val inboundQos2 = ConcurrentHashMap.newKeySet[Int]()
 
   private final class Session(val socket: Socket) {
     val out = socket.getOutputStream
     @volatile var closing = false // deliberate disconnect: EOF is not "lost"
     val pendingSubacks = new ConcurrentHashMap[Int, ArrayBlockingQueue[Seq[Int]]]()
-    // QoS-2 packet ids received but not yet PUBRELed: the dedup set that
-    // makes redelivered PUBLISHes of an in-flight id a no-op (MQTT 4.3.3)
-    val inboundQos2 = ConcurrentHashMap.newKeySet[Int]()
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
+
+  /** Did the last CONNACK resume a broker-side persistent session? When
+    * true, subscriptions are already in place and in-flight QoS 1/2
+    * deliveries are being replayed — the caller may skip resubscribe.
+    */
+  def sessionPresent: Boolean = lastSessionPresent
 
   override def connect(): Unit = {
     if (session.isDefined) throw new IllegalStateException("already connected")
@@ -199,11 +228,13 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
     val in = sock.getInputStream
     val s = new Session(sock)
     try {
-      s.send(encodeConnect(clientId))
+      s.send(encodeConnect(clientId, cleanSession = cleanSession))
       val ack = readPacket(in).getOrElse(throw new EOFException("closed before CONNACK"))
       if (ack.ptype != CONNACK) throw new IOException(s"expected CONNACK, got type ${ack.ptype}")
       if (ack.body.length < 2) throw new MalformedPacket("short CONNACK")
       if (ack.body(1) != 0) throw new IOException(s"CONNECT refused rc=${ack.body(1)}")
+      lastSessionPresent = (ack.body(0) & 1) != 0
+      if (cleanSession) inboundQos2.clear() // fresh session, no carried state
     } catch {
       case e: Throwable => try sock.close() catch { case _: Exception => () }; throw e
     }
@@ -233,7 +264,7 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
                 // deliver on FIRST receipt only: a redelivered PUBLISH of an
                 // id still in flight (we PUBRECed, broker missed it or is
                 // retrying) must not reach the callback twice
-                if (s.inboundQos2.add(pid))
+                if (inboundQos2.add(pid))
                   onMessage(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length))
                 if (autoAck) s.send(encodePubrec(pid))
               } else {
@@ -246,7 +277,7 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
               // complete the handshake; unknown ids still PUBCOMP (4.3.3's
               // idempotent responder rule)
               val pid = readPid(p.body, 0)
-              s.inboundQos2.remove(pid)
+              inboundQos2.remove(pid)
               s.send(encodePubcomp(pid))
             case SUBACK =>
               val pid = readPid(p.body, 0)
@@ -316,8 +347,12 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
   * the zero-egress stand-in for a production broker, so the WIRE transport
   * is exercised end-to-end: accept loop, CONNECT/CONNACK handshake with
   * protocol validation, per-session subscription state, wildcard-routed
-  * QoS-0 fan-out, and fault injection (refused connects, rejected
-  * subscribes, hard connection drops) for the reconnect machinery.
+  * QoS-0 fan-out, persistent sessions (clean-session=0: subscriptions +
+  * in-flight QoS 1/2 state survive disconnects, CONNACK session-present on
+  * resume, offline QoS >= 1 messages queued — MQTT 3.1.2.4), retained
+  * messages (last value per topic replayed to new subscriptions — 3.3.1.3),
+  * and fault injection (refused connects, rejected subscribes, hard
+  * connection drops) for the reconnect machinery.
   */
 class MockMqttBroker {
   import MqttWireCodec._
@@ -327,6 +362,11 @@ class MockMqttBroker {
   private val refusals = new AtomicInteger(0)
   private val subFailures = new AtomicInteger(0)
   private val sessions = ConcurrentHashMap.newKeySet[ClientSession]()
+  // clean-session=0 state by client id, surviving socket death; dropped
+  // only when the same client id reconnects with clean-session=1
+  private val persistent = new ConcurrentHashMap[String, SessionState]()
+  // last retained message per topic: payload + its publish QoS
+  private val retained = new ConcurrentHashMap[String, (Array[Byte], Int)]()
   private val subscribeLog = ArrayBuffer[Seq[String]]()
 
   def port: Int = server.getLocalPort
@@ -337,8 +377,13 @@ class MockMqttBroker {
   /** Reject the next `n` SUBSCRIBE packets with 0x80 return codes. */
   def failNextSubscribes(n: Int): Unit = subFailures.set(n)
 
-  private final class ClientSession(val socket: Socket) {
-    val out = socket.getOutputStream
+  /** The session-scoped half of a client: everything MQTT says outlives
+    * the network connection for a persistent session (3.1.2.4) —
+    * subscriptions, the packet-id counter, sender/receiver in-flight
+    * QoS state, and the queue of QoS >= 1 messages that matched while no
+    * socket was attached. A clean session gets a fresh one per connect.
+    */
+  private final class SessionState {
     val filters = ArrayBuffer[(String, Int)]() // (filter, granted QoS)
     val nextPid = new AtomicInteger(0)
     // QoS-1 deliveries awaiting PUBACK: pid -> (topic, payload)
@@ -351,6 +396,13 @@ class MockMqttBroker {
     // QoS-2 receiver state for client-to-broker publishes: ids routed but
     // not yet PUBRELed (drop re-sent PUBLISHes of an in-flight id)
     val inboundQos2 = ConcurrentHashMap.newKeySet[Int]()
+    // QoS >= 1 messages that matched this session's filters while it had
+    // no live socket: (topic, payload, delivery QoS), drained on resume
+    val offlineQueue = new java.util.concurrent.ConcurrentLinkedQueue[(String, Array[Byte], Int)]()
+  }
+
+  private final class ClientSession(val socket: Socket, val state: SessionState) {
+    val out = socket.getOutputStream
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
 
@@ -375,11 +427,26 @@ class MockMqttBroker {
           if (refusals.getAndUpdate(n => math.max(0, n - 1)) > 0) { sock.close(); return }
           val (proto, c) = readUtf8(p.body, 0)
           val level = p.body(c)
+          val cleanFlag = (p.body(c + 1) & 2) != 0 // connect flags, 3.1.2.4
+          val (clientId, _) = readUtf8(p.body, c + 4) // flags byte + 2 keepalive bytes
           val rc = if (proto == "MQTT" && level == 4) 0 else 1 // unacceptable protocol
-          val cs = new ClientSession(sock)
-          cs.send(encodeConnack(sessionPresent = false, rc))
+          // clean session: discard any stored state for this id and start
+          // fresh; persistent: resume stored state (session-present) or
+          // create-and-store on first contact
+          val (state, present) =
+            if (cleanFlag) { persistent.remove(clientId); (new SessionState, false) }
+            else {
+              val fresh = new SessionState
+              persistent.putIfAbsent(clientId, fresh) match {
+                case null => (fresh, false) // first contact: stored, not resumed
+                case prior => (prior, true)
+              }
+            }
+          val cs = new ClientSession(sock, state)
+          cs.send(encodeConnack(sessionPresent = present, rc))
           if (rc != 0) { sock.close(); return }
           sessions.add(cs)
+          if (present) resumeSession(cs)
           try sessionLoop(cs, in)
           finally { sessions.remove(cs); try sock.close() catch { case _: Exception => () } }
         case _ => sock.close() // first packet must be CONNECT (MQTT 3.1.1-0-1)
@@ -409,36 +476,56 @@ class MockMqttBroker {
             if (subFailures.getAndUpdate(n => math.max(0, n - 1)) > 0)
               cs.send(encodeSuback(pid, fs.map(_ => 0x80).toSeq))
             else {
-              cs.filters.synchronized { cs.filters ++= fs }
+              // upsert, not append: a persistent session resubscribing the
+              // same filter REPLACES it (MQTT 3.8.4), never duplicates it
+              cs.state.filters.synchronized {
+                fs.foreach { case (f, g) =>
+                  val i = cs.state.filters.indexWhere(_._1 == f)
+                  if (i >= 0) cs.state.filters.remove(i)
+                  cs.state.filters += ((f, g))
+                }
+              }
               cs.send(encodeSuback(pid, fs.map(_._2).toSeq))
+              // retained replay (3.3.1.3): each new/refreshed subscription
+              // receives the last retained message per matching topic, with
+              // the RETAIN flag set, at min(stored QoS, granted QoS)
+              fs.foreach { case (f, g) =>
+                retained.forEach { (topic, pq) =>
+                  if (topic.matches(MqttBus.patternToRegex(f)))
+                    deliverTo(cs, topic, pq._1, math.min(pq._2, g), retainFlag = true)
+                }
+              }
             }
           case PUBLISH => // client-to-broker publish: ack per QoS, then route
             val qos = (p.flags >> 1) & 3
+            val retainFlag = (p.flags & 1) != 0
             val (topic, c) = readUtf8(p.body, 0)
             val off = if (qos >= 1) c + 2 else c
             if (qos == 2) {
               val pid = readPid(p.body, c)
               // route on first receipt only; PUBREC either way
-              if (cs.inboundQos2.add(pid))
-                publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+              if (cs.state.inboundQos2.add(pid))
+                publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length),
+                  qos, retainFlag)
               cs.send(encodePubrec(pid))
             } else {
               if (qos == 1) cs.send(encodePuback(readPid(p.body, c)))
-              publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length), qos)
+              publish(topic, java.util.Arrays.copyOfRange(p.body, off, p.body.length),
+                qos, retainFlag)
             }
           case PUBACK =>
-            cs.pendingAcks.remove(readPid(p.body, 0))
+            cs.state.pendingAcks.remove(readPid(p.body, 0))
           case PUBREC => // outbound QoS-2 leg 2: stop PUBLISH retries, release
             val pid = readPid(p.body, 0)
-            cs.pendingRecs.remove(pid)
-            cs.pendingComps.add(pid)
+            cs.state.pendingRecs.remove(pid)
+            cs.state.pendingComps.add(pid)
             cs.send(encodePubrel(pid))
           case PUBREL => // inbound QoS-2 leg 3: forget the id, complete
             val pid = readPid(p.body, 0)
-            cs.inboundQos2.remove(pid)
+            cs.state.inboundQos2.remove(pid)
             cs.send(encodePubcomp(pid))
           case PUBCOMP => // outbound QoS-2 leg 4: handshake done
-            cs.pendingComps.remove(readPid(p.body, 0))
+            cs.state.pendingComps.remove(readPid(p.body, 0))
           case PINGREQ => cs.send(encodePingResp())
           case DISCONNECT => live = false
           case _ => ()
@@ -455,30 +542,82 @@ class MockMqttBroker {
     * DUP. Returns the number of sessions delivered to (QoS 0: disconnected
     * clients simply miss the message).
     */
-  def publish(topic: String, payload: Array[Byte], qos: Int = 0): Int = {
+  def publish(topic: String, payload: Array[Byte], qos: Int = 0,
+              retain: Boolean = false): Int = {
+    if (retain) {
+      // a retained empty payload CLEARS the topic's retained value (3.3.1.3)
+      if (payload.isEmpty) retained.remove(topic)
+      else retained.put(topic, (payload, qos))
+    }
     var n = 0
+    val liveStates = ConcurrentHashMap.newKeySet[SessionState]()
     sessions.forEach { cs =>
-      val granted = cs.filters.synchronized(
-        cs.filters.collect {
+      liveStates.add(cs.state)
+      val granted = cs.state.filters.synchronized(
+        cs.state.filters.collect {
           case (f, g) if topic.matches(MqttBus.patternToRegex(f)) => g
         }.maxOption)
       granted.foreach { g =>
-        val dqos = math.min(qos, g)
-        try {
-          if (dqos == 2) {
-            val pid = Math.floorMod(cs.nextPid.getAndIncrement(), 0xffff) + 1
-            cs.pendingRecs.put(pid, (topic, payload))
-            cs.send(encodePublish(topic, payload, qos = 2, packetId = pid))
-          } else if (dqos == 1) {
-            val pid = Math.floorMod(cs.nextPid.getAndIncrement(), 0xffff) + 1
-            cs.pendingAcks.put(pid, (topic, payload))
-            cs.send(encodePublish(topic, payload, qos = 1, packetId = pid))
-          } else cs.send(encodePublish(topic, payload))
-          n += 1
-        } catch { case _: Exception => () } // session died mid-send
+        try { deliverTo(cs, topic, payload, math.min(qos, g), retainFlag = false); n += 1 }
+        catch { case _: Exception => () } // session died mid-send
+      }
+    }
+    // detached persistent sessions: queue QoS >= 1 matches for delivery on
+    // resume (3.1.2.4's "store further QoS 1 and QoS 2 messages"); QoS 0
+    // is dropped exactly like a real broker
+    persistent.forEach { (_, st) =>
+      if (!liveStates.contains(st)) {
+        val granted = st.filters.synchronized(
+          st.filters.collect {
+            case (f, g) if topic.matches(MqttBus.patternToRegex(f)) => g
+          }.maxOption)
+        granted.foreach { g =>
+          val dqos = math.min(qos, g)
+          if (dqos >= 1) st.offlineQueue.add((topic, payload, dqos))
+        }
       }
     }
     n
+  }
+
+  /** One delivery to one live session at `dqos`, tracking QoS 1/2 in-flight
+    * state in the session (persistent sessions carry it across sockets).
+    */
+  private def deliverTo(cs: ClientSession, topic: String, payload: Array[Byte],
+                        dqos: Int, retainFlag: Boolean): Unit = {
+    if (dqos == 2) {
+      val pid = Math.floorMod(cs.state.nextPid.getAndIncrement(), 0xffff) + 1
+      cs.state.pendingRecs.put(pid, (topic, payload))
+      cs.send(encodePublish(topic, payload, qos = 2, packetId = pid, retain = retainFlag))
+    } else if (dqos == 1) {
+      val pid = Math.floorMod(cs.state.nextPid.getAndIncrement(), 0xffff) + 1
+      cs.state.pendingAcks.put(pid, (topic, payload))
+      cs.send(encodePublish(topic, payload, qos = 1, packetId = pid, retain = retainFlag))
+    } else cs.send(encodePublish(topic, payload, retain = retainFlag))
+  }
+
+  /** On persistent-session resume: retransmit every in-flight delivery
+    * (MQTT 4.4 — reconnect is the one MANDATED retransmission point:
+    * un-PUBACKed QoS 1 and un-PUBRECed QoS 2 PUBLISHes with DUP, PUBREL
+    * for ids awaiting PUBCOMP), then drain the offline queue as fresh
+    * deliveries — all without the client re-subscribing.
+    */
+  private def resumeSession(cs: ClientSession): Unit = {
+    val st = cs.state
+    try {
+      st.pendingAcks.forEach { (pid, tp) =>
+        cs.send(encodePublish(tp._1, tp._2, qos = 1, packetId = pid, dup = true))
+      }
+      st.pendingRecs.forEach { (pid, tp) =>
+        cs.send(encodePublish(tp._1, tp._2, qos = 2, packetId = pid, dup = true))
+      }
+      st.pendingComps.forEach(pid => cs.send(encodePubrel(pid)))
+      var m = st.offlineQueue.poll()
+      while (m != null) {
+        deliverTo(cs, m._1, m._2, m._3, retainFlag = false)
+        m = st.offlineQueue.poll()
+      }
+    } catch { case _: Exception => () } // session died mid-resume
   }
 
   def publish(topic: String, payload: String): Int = publish(topic, payload.getBytes("UTF-8"))
@@ -486,13 +625,17 @@ class MockMqttBroker {
   def publish(topic: String, payload: String, qos: Int): Int =
     publish(topic, payload.getBytes("UTF-8"), qos)
 
-  /** In-flight deliveries across all sessions (0 = every handshake done):
-    * QoS-1 awaiting PUBACK, plus QoS-2 awaiting PUBREC or PUBCOMP.
+  /** In-flight deliveries across all sessions — live AND detached
+    * persistent ones (0 = every handshake done): QoS-1 awaiting PUBACK,
+    * plus QoS-2 awaiting PUBREC or PUBCOMP.
     */
   def pendingAckCount: Int = {
+    val states = ConcurrentHashMap.newKeySet[SessionState]()
+    sessions.forEach(cs => states.add(cs.state))
+    persistent.forEach((_, st) => states.add(st))
     var n = 0
-    sessions.forEach(cs =>
-      n += cs.pendingAcks.size + cs.pendingRecs.size + cs.pendingComps.size)
+    states.forEach(st =>
+      n += st.pendingAcks.size + st.pendingRecs.size + st.pendingComps.size)
     n
   }
 
@@ -503,15 +646,15 @@ class MockMqttBroker {
     */
   def redeliverPending(): Unit =
     sessions.forEach { cs =>
-      cs.pendingAcks.forEach { (pid, tp) =>
+      cs.state.pendingAcks.forEach { (pid, tp) =>
         try cs.send(encodePublish(tp._1, tp._2, qos = 1, packetId = pid, dup = true))
         catch { case _: Exception => () }
       }
-      cs.pendingRecs.forEach { (pid, tp) =>
+      cs.state.pendingRecs.forEach { (pid, tp) =>
         try cs.send(encodePublish(tp._1, tp._2, qos = 2, packetId = pid, dup = true))
         catch { case _: Exception => () }
       }
-      cs.pendingComps.forEach { pid =>
+      cs.state.pendingComps.forEach { pid =>
         try cs.send(encodePubrel(pid)) catch { case _: Exception => () }
       }
     }

@@ -311,6 +311,136 @@ class MqttTransportSpec extends SparkSuite {
     } finally { t3.disconnect(); broker3.close() }
   }
 
+  test("persistent session QoS 1: crash -> reconnect redelivers in-flight, no resubscribe") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    // autoAck=false keeps the delivery in flight across the crash
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-persist1",
+      subscribeQos = 1, autoAck = false, cleanSession = false)
+    t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+    try {
+      t.connect()
+      assert(!t.sessionPresent, "first contact stores, never resumes")
+      t.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker.publish("openchirp/device/d1/temp", "v".getBytes("UTF-8"), qos = 1) == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      assert(broker.pendingAckCount == 1)
+      broker.dropAllConnections() // broker-side crash, no DISCONNECT
+      assert(awaitCond()(broker.sessionCount == 0 && !t.isConnected))
+      assert(broker.pendingAckCount == 1, "in-flight state must survive the socket")
+      t.connect() // resume: NO subscribe call follows
+      assert(t.sessionPresent, "CONNACK must report the resumed session")
+      assert(awaitCond()(sink.synchronized(sink.size) == 2),
+        "un-PUBACKed delivery redelivered on resume without resubscribe")
+      assert(broker.subscriptionHistory.size == 1, "exactly one SUBSCRIBE ever sent")
+      // a new publish still routes via the persisted subscription
+      assert(broker.publish("openchirp/device/d2/hum", "w".getBytes("UTF-8"), qos = 1) == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 3))
+    } finally { t.disconnect(); broker.close() }
+  }
+
+  test("persistent session QoS 2: redelivery across reconnect stays exactly-once") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-persist2",
+      subscribeQos = 2, autoAck = false, cleanSession = false)
+    t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+    try {
+      t.connect()
+      t.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker.publish("openchirp/device/d1/temp", "v".getBytes("UTF-8"), qos = 2) == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      assert(broker.pendingAckCount == 1, "no PUBREC -> PUBLISH in flight")
+      broker.dropAllConnections()
+      assert(awaitCond()(broker.sessionCount == 0 && !t.isConnected))
+      t.connect()
+      assert(t.sessionPresent)
+      // the broker re-sends the PUBLISH with DUP on resume; the receiver's
+      // in-flight set also survived the reconnect, so the callback must
+      // NOT fire a second time — exactly-once across the crash
+      assert(awaitCond()(broker.sessionCount == 1))
+      Thread.sleep(200) // give a wrong double delivery a chance to surface
+      assert(sink.synchronized(sink.size) == 1)
+      assert(broker.pendingAckCount == 1)
+    } finally { t.disconnect(); broker.close() }
+  }
+
+  test("persistent session: QoS >= 1 published while offline is queued, delivered on resume") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-offline",
+      subscribeQos = 1, cleanSession = false)
+    t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+    try {
+      t.connect()
+      t.subscribe(Seq("openchirp/device/+/+"))
+      t.disconnect() // clean detach; the session itself persists
+      assert(awaitCond()(broker.sessionCount == 0))
+      // no live delivery (returns 0), but the detached session queues it...
+      assert(broker.publish("openchirp/device/d1/temp", "q1".getBytes("UTF-8"), qos = 1) == 0)
+      // ...while a QoS-0 publish is dropped exactly like a real broker
+      assert(broker.publish("openchirp/device/d1/temp", "q0".getBytes("UTF-8"), qos = 0) == 0)
+      t.connect()
+      assert(t.sessionPresent)
+      assert(awaitCond()(sink.synchronized(sink.toSeq) == Seq("q1")),
+        "queued QoS-1 message delivered on resume, QoS-0 one dropped")
+      assert(awaitCond()(broker.pendingAckCount == 0), "resume delivery PUBACKed normally")
+    } finally { t.disconnect(); broker.close() }
+  }
+
+  test("retained messages: replay to new subscribers, latest wins, empty payload clears") {
+    val broker = new MockMqttBroker
+    try {
+      broker.publish("openchirp/device/d1/temp", "21.5".getBytes("UTF-8"), qos = 1, retain = true)
+      // subscriber arriving AFTER the publish still receives the value
+      val sink = scala.collection.mutable.ArrayBuffer[String]()
+      val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-ret1", subscribeQos = 1)
+      t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+      t.connect(); t.subscribe(Seq("openchirp/device/+/+"))
+      assert(awaitCond()(sink.synchronized(sink.toSeq) == Seq("21.5")))
+      assert(awaitCond()(broker.pendingAckCount == 0)) // retained replay acked per QoS
+      t.disconnect()
+      // latest retained value wins; an empty retained payload clears it
+      broker.publish("openchirp/device/d1/temp", "22.0".getBytes("UTF-8"), retain = true)
+      val sink2 = scala.collection.mutable.ArrayBuffer[String]()
+      val t2 = new SocketMqttTransport("127.0.0.1", broker.port, "graft-ret2")
+      t2.setCallbacks((_, p) => sink2.synchronized { sink2 += new String(p, "UTF-8") }, _ => ())
+      t2.connect(); t2.subscribe(Seq("openchirp/device/d1/temp"))
+      assert(awaitCond()(sink2.synchronized(sink2.toSeq) == Seq("22.0")))
+      t2.disconnect()
+      broker.publish("openchirp/device/d1/temp", Array.empty[Byte], retain = true)
+      val sink3 = scala.collection.mutable.ArrayBuffer[String]()
+      val t3 = new SocketMqttTransport("127.0.0.1", broker.port, "graft-ret3")
+      t3.setCallbacks((_, p) => sink3.synchronized { sink3 += new String(p, "UTF-8") }, _ => ())
+      t3.connect(); t3.subscribe(Seq("openchirp/device/#"))
+      Thread.sleep(150)
+      assert(sink3.synchronized(sink3.isEmpty), "cleared retained value must not replay")
+      t3.disconnect()
+    } finally broker.close()
+  }
+
+  test("clean-session reconnect discards persistent state") {
+    val broker = new MockMqttBroker
+    try {
+      val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-clean",
+        subscribeQos = 1, cleanSession = false)
+      t.setCallbacks((_, _) => (), _ => ())
+      t.connect(); t.subscribe(Seq("openchirp/device/+/+")); t.disconnect()
+      broker.publish("openchirp/device/d1/temp", "lost".getBytes("UTF-8"), qos = 1)
+      // same client id back with clean-session=1: stored state must go
+      val t2 = new SocketMqttTransport("127.0.0.1", broker.port, "graft-clean")
+      val sink = scala.collection.mutable.ArrayBuffer[String]()
+      t2.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+      t2.connect()
+      assert(!t2.sessionPresent, "clean session must never resume")
+      Thread.sleep(150)
+      assert(sink.synchronized(sink.isEmpty), "queued state discarded with the session")
+      assert(broker.publish("x/y", "n".getBytes("UTF-8"), qos = 1) == 0,
+        "old subscription discarded too")
+      t2.disconnect()
+    } finally broker.close()
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport
