@@ -2,6 +2,7 @@ package graft
 
 import scala.math.BigDecimal.RoundingMode
 
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import graft.influxql.InfluxQL
 
 /** Randomized differential test: the InfluxQL planner against an exact
@@ -1013,6 +1014,101 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       assert(engine == expected,
         s"""subquery mismatch (iter $iter)
            |QUERY: $text
+           |ENGINE-ONLY: ${(engine -- expected).take(5)}
+           |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
+    }
+  }
+
+  test("20 seeded continuous queries: streamed MERGE output equals the interpreter's closed buckets") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the incremental subset runContinuous accepts: single-pass aggregates,
+    // GROUP BY time(d[, off])[, device], tag/field WHERE trees — each seed
+    // drives random points through a MemoryStream into the ACID target
+    // table and replays the same buckets in the in-memory interpreter
+    val fns = Vector("count", "sum", "mean", "min", "max", "first", "last",
+      "spread", "stddev")
+    val devices = Vector("a", "b", "c")
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in us
+    val root = java.nio.file.Files.createTempDirectory("cq_diff").toString
+    for (seed <- 0 until 20 * diffScale) {
+      val rnd = new scala.util.Random(7000L + seed)
+      val n = 30 + rnd.nextInt(40)
+      val pts: Vector[(String, String, Long, Double)] = Vector.fill(n) {
+        (devices(rnd.nextInt(3)), if (rnd.nextInt(4) == 0) "other" else "m",
+          base + rnd.nextInt(6000).toLong * 1000000L,
+          math.floor(rnd.nextDouble() * 1000) / 10.0)
+      }
+      val items = (0 until 1 + rnd.nextInt(3)).map { i =>
+        val op = if (rnd.nextInt(3) == 0)
+          Some((Seq('+', '-', '*')(rnd.nextInt(3)), (rnd.nextInt(19) + 1).toDouble))
+        else None
+        GItem(fns(rnd.nextInt(fns.size)), None, op, s"f$i")
+      }
+      val byDevice = rnd.nextBoolean()
+      val stepUs = Seq(300L, 600L, 1200L)(rnd.nextInt(3)) * 1000000L
+      val offUs = if (rnd.nextInt(3) == 0) 60000000L * (1 + rnd.nextInt(4)) else 0L
+      val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
+        def simple(): GCond = rnd.nextInt(3) match {
+          case 0 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case 1 => GTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3)))
+          case _ =>
+            if (rnd.nextBoolean()) GField(">", math.floor(rnd.nextDouble() * 1000) / 10.0)
+            else GField("<=", math.floor(rnd.nextDouble() * 1000) / 10.0)
+        }
+        if (rnd.nextInt(4) == 0) GOr(simple(), simple()) else simple()
+      }
+      val matched = pts.collect {
+        case (d, "m", t, v) if conds.forall(_.holds(Pt(d, t, v))) => Pt(d, t, v)
+      }
+      val whereTxt =
+        if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
+      val timeTxt =
+        if (offUs == 0) s"time(${stepUs}u)" else s"time(${stepUs}u, ${offUs}u)"
+      val ddl =
+        s"""CREATE CONTINUOUS QUERY cq$seed ON db BEGIN
+           |SELECT ${items.map(_.text).mkString(", ")} INTO t$seed FROM m$whereTxt
+           |GROUP BY $timeTxt${if (byDevice) ", device" else ""} END""".stripMargin
+
+      // the flush sentinel: a COPY of a matched point 10 days out — it
+      // passes the same filters, so it advances the watermark past every
+      // real bucket; its own (still-open) bucket is exactly what the
+      // append-mode contract withholds, on both sides of the comparison
+      val sentinel = matched.headOption.map(p =>
+        (p.device, "m", base + 864000L * 1000000L, p.value))
+
+      val in = MemoryStream[(String, String, Long, Double)]
+      val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = InfluxQL.startContinuousQuery(points, ddl, root,
+        checkpoint = s"$root/cp$seed", lateness = "0 seconds",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        in.addData(pts ++ sentinel)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // --- reference interpreter: closed buckets only --------------------
+      val all = matched ++ sentinel.map(s => Pt(s._1, s._3, s._4))
+      val wm = all.map(_.ts).maxOption.getOrElse(Long.MinValue)
+      def bucketOf(t: Long): Long = t - Math.floorMod(t - offUs, stepUs)
+      val expected: Set[Seq[Any]] = all.groupBy(p =>
+          (bucketOf(p.ts), if (byDevice) p.device else ""))
+        .collect { case ((b, d), rs) if b + stepUs <= wm =>
+          (b +: (if (byDevice) Seq(d) else Nil)) ++
+            items.map(it => it.eval(aggCall(it.fn, it.pct, rs)))
+        }.toSet
+
+      val table = new graft.storage.TxLogTable(spark, s"$root/db/t$seed")
+      val engine: Set[Seq[Any]] =
+        if (table.version.isEmpty) Set.empty
+        else {
+          val cols = "time" +: (if (byDevice) Seq("device") else Nil) ++: items.map(_.alias)
+          table.read().select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+        }
+      assert(engine == expected,
+        s"""continuous-query mismatch (seed $seed)
+           |DDL: $ddl
            |ENGINE-ONLY: ${(engine -- expected).take(5)}
            |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
     }
