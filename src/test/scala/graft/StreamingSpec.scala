@@ -417,6 +417,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming wide view: watermark EVICTS dedup + agg state, not just closes rows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device_id", "transducer", "ts_us", "num")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val wide = StreamingIngest.wideViewStream(points, "1 minute")
+    val q = wide.writeStream.format("memory").queryName("wide_state_out")
+      .outputMode("append").start()
+    try {
+      // 20 open keys x 2 transducers: 40 dedup rows + 20 agg groups in state
+      val t0 = us("2024-01-01 00:00:00")
+      in.addData((0 until 20).flatMap(i => Seq(
+        (s"d$i", "temp", t0 + i, 1.0), (s"d$i", "hum", t0 + i, 2.0))): _*)
+      q.processAllAvailable()
+      def stateRows: Seq[Long] = q.lastProgress.stateOperators.map(_.numRowsTotal).toSeq
+      val before = stateRows
+      assert(before.sum >= 60L, s"open keys must be IN state, got $before")
+      // advance the watermark far past t0: the 100 TB posture claim is that
+      // state is bounded by the lateness horizon, so every closed row must
+      // LEAVE the store, not linger behind the emitted output
+      in.addData(("flush", "temp", us("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("wide_state_out").count() == 20, "all closed keys emitted")
+      val after = stateRows
+      assert(after.sum <= 4L,
+        s"watermark must evict closed state rows: before=$before after=$after")
+    } finally q.stop()
+  }
+
   test("CDC -> MERGE-maintained registry table -> ingest semi-join (R11 closes into R6)") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
