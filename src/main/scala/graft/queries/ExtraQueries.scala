@@ -65,22 +65,33 @@ object ExtraQueries {
     // emits booleans — both sides deterministically produce `true`, giving
     // the sketches a full rows+schema+hash gate while still exercising them.
     // Exact n_users is also emitted (bit-comparable across engines).
+    // Mixing countDistinct with non-distinct aggregates forces Catalyst
+    // into an Expand-based plan that replays the scan per aggregate group
+    // (measured 12.6s vs 1.8s at sf0.1). Split into one distinct agg and
+    // one plain agg, rejoined by broadcast on the tiny group key.
     "q_approx_aggs" -> ((s, dir) => {
-      val spread = max(col("value")) - min(col("value"))
-      Tables.events(s, dir)
-        .groupBy("event_type")
+      val ev = Tables.events(s, dir)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("__nd"))
+      val rest = ev.groupBy("event_type")
         .agg(
-          countDistinct(col("user_id")).as("n_users"),
           // rsd 0.01: the default 0.05 makes a 5% bound a ~1-sigma check
           // that fails ~1/3 of the time once the HLL leaves its near-exact
           // sparse regime (observed at sf0.1); at rsd 0.01 the same bound
           // is 5 sigma
-          (abs(approx_count_distinct(col("user_id"), 0.01) - countDistinct(col("user_id")))
-            <= lit(0.05) * countDistinct(col("user_id"))).as("users_ok"),
-          (abs(percentile_approx(col("value"), lit(0.5), lit(1000))
-            - expr("percentile(value, 0.5)")) <= lit(0.05) * spread).as("p50_ok"),
-          (abs(percentile_approx(col("value"), lit(0.95), lit(1000))
-            - expr("percentile(value, 0.95)")) <= lit(0.05) * spread).as("p95_ok"))
+          approx_count_distinct(col("user_id"), 0.01).as("__and"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("__ap50"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("__ap95"),
+          expr("percentile(value, 0.5)").as("__p50"),
+          expr("percentile(value, 0.95)").as("__p95"),
+          (max(col("value")) - min(col("value"))).as("__spread"))
+      rest.join(broadcast(exact), "event_type")
+        .select(
+          col("event_type"),
+          col("__nd").as("n_users"),
+          (abs(col("__and") - col("__nd")) <= lit(0.05) * col("__nd")).as("users_ok"),
+          (abs(col("__ap50") - col("__p50")) <= lit(0.05) * col("__spread")).as("p50_ok"),
+          (abs(col("__ap95") - col("__p95")) <= lit(0.05) * col("__spread")).as("p95_ok"))
     }),
 
     // ACID MERGE upsert through the transaction-log table: seed a keyed
