@@ -224,6 +224,107 @@ object TimeSeriesOps {
     num.cast("double") / den.cast("double") / lit(1000000.0)
   }
 
+  /** Integer kernel for truncated Wilder smoothing (α = 1/n): weight_j =
+    * ((n-1)/n)^j scaled by n^(depth-1) so every coefficient is an exact
+    * integer. The α factor itself is dropped — RSI consumes these kernels
+    * only as a gain/loss RATIO, where it cancels.
+    */
+  def wilderCoefficients(n: Int, depth: Int): Seq[Long] = {
+    require(n > 1 && depth > 0, "need n > 1 and depth > 0")
+    require(BigInt(n).pow(depth) * 2 < (BigInt(1) << 32),
+      s"Wilder kernel (n=$n, depth=$depth) overflows the int64 budget")
+    (0 until depth).map(j =>
+      (BigInt(n - 1).pow(j) * BigInt(n).pow(depth - 1 - j)).toLong)
+  }
+
+  /** InfluxQL `relative_strength_index(n)` over a pre-computed quantized
+    * diff column (1e-6 int64 units, null at each series head): truncated
+    * Wilder-smoothed average gain vs average loss,
+    * RSI = 100·G/(G+L). Both averages share the same kernel mass, so the
+    * normalization cancels and the whole computation is int64 until one
+    * IEEE multiply + divide. Pinned determinism semantics: rows whose
+    * trailing kernel has zero mass (series head) yield null; a flat window
+    * (G = L = 0) yields the neutral 50.
+    */
+  def relativeStrengthIndex(du: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                            n: Int, depth: Int): Column = {
+    val cs = wilderCoefficients(n, depth)
+    val gain = when(du > 0, du).otherwise(lit(0L))
+    val loss = when(du < 0, -du).otherwise(lit(0L))
+    def ksum(x: Column) = cs.zipWithIndex.map { case (c, j) =>
+      coalesce(lag(x, j).over(w) * lit(c), lit(0L))
+    }.reduce(_ + _)
+    val mass = cs.zipWithIndex.map { case (c, j) =>
+      when(lag(du, j).over(w).isNotNull, lit(c)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val g = ksum(gain)
+    val l = ksum(loss)
+    when(mass > 0,
+      when(g + l === 0, lit(50.0))
+        .otherwise((lit(100.0) * g.cast("double")) / (g + l).cast("double")))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** InfluxQL `chande_momentum_oscillator(n)` over quantized values and
+    * their diffs: CMO = 100·(ΣU − ΣD)/(ΣU + ΣD) across the trailing n
+    * diffs — pure rolling int64 sums, one IEEE multiply + divide. Pinned
+    * semantics: rows without a full n-diff trailing window (lag(v, n)
+    * absent) yield null; an all-flat window yields 0.
+    */
+  def chandeMomentumOscillator(vu: Column, du: Column,
+                               w: org.apache.spark.sql.expressions.WindowSpec,
+                               n: Int): Column = {
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val up = sum(when(du > 0, du).otherwise(lit(0L))).over(frame)
+    val down = sum(when(du < 0, -du).otherwise(lit(0L))).over(frame)
+    when(lag(vu, n).over(w).isNotNull,
+      when(up + down === 0, lit(0.0))
+        .otherwise((lit(100.0) * (up - down).cast("double")) / (up + down).cast("double")))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** InfluxQL `kaufmans_efficiency_ratio(n)` over quantized values and
+    * their diffs: KER = |v_t − v_{t−n}| / Σ_{j<n}|diff_{t−j}| — direction
+    * over volatility across the trailing n diffs, int64 until one IEEE
+    * division. Pinned semantics: no full window → null; zero volatility
+    * → 0 (the InfluxDB convention for a perfectly flat window).
+    */
+  def kaufmansEfficiencyRatio(vu: Column, du: Column,
+                              w: org.apache.spark.sql.expressions.WindowSpec,
+                              n: Int): Column = {
+    val vol = sum(abs(du)).over(w.rowsBetween(-(n - 1), 0))
+    val dir = abs(vu - lag(vu, n).over(w))
+    when(lag(vu, n).over(w).isNotNull,
+      when(vol === 0, lit(0.0))
+        .otherwise(dir.cast("double") / vol.cast("double")))
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Staged EMA smoothing for the DEMA/TEMA/TRIX family: adds columns
+    * `e1..e<stages>` where each stage is the truncated-kernel EMA of the
+    * previous stage's output, re-quantized (floor·1e6) before re-entering
+    * the integer kernel — every stage is therefore bit-exact cross-engine.
+    * One shuffle on the series key; Catalyst chains the per-stage Window
+    * operators over the same sort order.
+    */
+  def emaStages(df: DataFrame, key: Column, tsUs: Column, value: Column,
+                n: Int, depth: Int, stages: Int,
+                tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(stages >= 1 && stages <= 3, "1..3 smoothing stages")
+    val tbNames = tieBreak.indices.map(i => s"__tb$i")
+    val w = Window.partitionBy(col("series_key"))
+      .orderBy(col("ts_us") +: tbNames.map(col): _*)
+    var cur = df.select(
+      key.as("series_key") +: tsUs.as("ts_us") +: value.as("value") +:
+        tieBreak.zip(tbNames).map { case (c, nm) => c.as(nm) }: _*)
+    var src: Column = col("value")
+    for (k <- 1 to stages) {
+      cur = cur.withColumn(s"e$k", exponentialMovingAverage(src, w, n, depth))
+      src = col(s"e$k")
+    }
+    cur
+  }
+
   /** InfluxQL `holt_winters(h, ...)`-style forecast — the fixed-coefficient
     * variant of Holt's linear method: the LEVEL is the truncated-kernel
     * integer EMA of the values and the TREND the same kernel over first

@@ -236,6 +236,47 @@ object ExtraQueries {
             col("value"), w, n = 4, depth = 10).as("ema4"))
     }),
 
+    // InfluxQL technical-analysis indicators over raw series: Chande
+    // momentum, Kaufman efficiency ratio (rolling int64 diff sums) and
+    // truncated-Wilder RSI — all integer until one IEEE multiply+divide
+    "q_ts_ta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("series_key"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 15)
+        .select(col("user_id").as("series_key"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), floor(col("value") * lit(1000000.0)).as("vu"))
+        .withColumn("du", col("vu") - lag(col("vu"), 1).over(w))
+        .select(col("series_key"), col("ts_us"),
+          graft.operators.TimeSeriesOps.chandeMomentumOscillator(
+            col("vu"), col("du"), w, n = 5).as("cmo5"),
+          graft.operators.TimeSeriesOps.kaufmansEfficiencyRatio(
+            col("vu"), col("du"), w, n = 5).as("ker5"),
+          graft.operators.TimeSeriesOps.relativeStrengthIndex(
+            col("du"), w, n = 4, depth = 10).as("rsi4"))
+    }),
+
+    // InfluxQL double/triple EMA + TRIX: staged truncated-kernel EMAs,
+    // each stage re-quantized before re-entering the integer kernel
+    "q_ts_tema" -> ((s, dir) => {
+      graft.operators.TimeSeriesOps.emaStages(
+        Tables.events(s, dir).filter(col("user_id") < 15),
+        col("user_id"), unix_micros(col("ts")), col("value"),
+        n = 4, depth = 10, stages = 3, tieBreak = Seq(col("event_id")))
+        .select(col("series_key"), col("ts_us"),
+          (lit(2.0) * col("e1") - col("e2")).as("dema4"),
+          (lit(3.0) * col("e1") - lit(3.0) * col("e2") + col("e3")).as("tema4"),
+          {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("series_key"))
+              .orderBy(col("ts_us"), col("__tb0"))
+            val prev = lag(col("e3"), 1).over(w)
+            when(prev.isNotNull && prev =!= 0.0,
+              (lit(100.0) * (col("e3") - prev)) / prev)
+              .otherwise(lit(null).cast("double")).as("trix4")
+          })
+    }),
+
     // InfluxQL holt_winters(): fixed-coefficient Holt forecast — EMA-kernel
     // level + EMA-kernel trend over first differences, horizons 1..3 from
     // each series' last point
@@ -491,6 +532,87 @@ object ExtraQueries {
          |  CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) / 1000000.0 AS ema4
          |FROM t
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+    },
+
+    "q_ts_ta" -> {
+      val cs = graft.operators.TimeSeriesOps.wilderCoefficients(4, 10)
+      val g = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag(gn, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      val l = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag(ls, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      val mass = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag(du, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu
+         |  FROM events WHERE user_id < 15),
+         |d AS (SELECT *,
+         |    vu - lag(vu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS du
+         |  FROM t),
+         |d2 AS (SELECT *,
+         |    CASE WHEN du > 0 THEN du ELSE 0 END AS gn,
+         |    CASE WHEN du < 0 THEN -du ELSE 0 END AS ls
+         |  FROM d),
+         |s AS (SELECT *,
+         |    CAST(sum(gn) OVER wf AS BIGINT) AS up,
+         |    CAST(sum(ls) OVER wf AS BIGINT) AS down,
+         |    CAST(sum(abs(du)) OVER wf AS BIGINT) AS vol,
+         |    lag(vu, 5) OVER w AS v5,
+         |    CAST(($g) AS BIGINT) AS gk,
+         |    CAST(($l) AS BIGINT) AS lk,
+         |    CAST(($mass) AS BIGINT) AS mass
+         |  FROM d2
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |    wf AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id AS series_key, ts_us,
+         |  CASE WHEN v5 IS NOT NULL THEN
+         |    CASE WHEN up + down = 0 THEN 0.0
+         |      ELSE (100.0 * CAST(up - down AS DOUBLE)) / CAST(up + down AS DOUBLE) END
+         |    ELSE NULL END AS cmo5,
+         |  CASE WHEN v5 IS NOT NULL THEN
+         |    CASE WHEN vol = 0 THEN 0.0
+         |      ELSE CAST(abs(vu - v5) AS DOUBLE) / CAST(vol AS DOUBLE) END
+         |    ELSE NULL END AS ker5,
+         |  CASE WHEN mass > 0 THEN
+         |    CASE WHEN gk + lk = 0 THEN 50.0
+         |      ELSE (100.0 * CAST(gk AS DOUBLE)) / CAST(gk + lk AS DOUBLE) END
+         |    ELSE NULL END AS rsi4
+         |FROM s""".stripMargin
+    },
+
+    "q_ts_tema" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      def ema(u: String) = {
+        val num = cs.zipWithIndex.map { case (c, j) =>
+          s"coalesce(lag($u, $j) OVER w * $c, 0)"
+        }.mkString(" + ")
+        val den = cs.zipWithIndex.map { case (c, j) =>
+          s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) / 1000000.0"
+      }
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS vu
+         |  FROM events WHERE user_id < 15),
+         |s1 AS (SELECT user_id, event_id, ts_us, ${ema("vu")} AS e1
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |q1 AS (SELECT *, CAST(floor(e1 * 1000000.0) AS BIGINT) AS u1 FROM s1),
+         |s2 AS (SELECT user_id, event_id, ts_us, e1, ${ema("u1")} AS e2
+         |  FROM q1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |q2 AS (SELECT *, CAST(floor(e2 * 1000000.0) AS BIGINT) AS u2 FROM s2),
+         |s3 AS (SELECT user_id, event_id, ts_us, e1, e2, ${ema("u2")} AS e3
+         |  FROM q2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |f AS (SELECT *, lag(e3) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS p3
+         |  FROM s3)
+         |SELECT user_id AS series_key, ts_us,
+         |  2.0 * e1 - e2 AS dema4,
+         |  3.0 * e1 - 3.0 * e2 + e3 AS tema4,
+         |  CASE WHEN p3 IS NOT NULL AND p3 <> 0.0
+         |    THEN (100.0 * (e3 - p3)) / p3 ELSE NULL END AS trix4
+         |FROM f""".stripMargin
     },
 
     "q_ts_holt" -> {

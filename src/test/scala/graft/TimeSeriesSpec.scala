@@ -21,6 +21,76 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got(2L) > (1.0 + 2.0 + 4.0) / 3 && got(2L) < 4.0)
   }
 
+  test("chande momentum + kaufman efficiency: rolling diff sums, pinned edge semantics") {
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 2.0), (1L, 4L, 5.0),
+                 (2L, 0L, 2.0), (2L, 1L, 2.0), (2L, 2L, 2.0)).toDF("k", "ts", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+    val base = df.select(col("k"), col("ts"), floor(col("v") * lit(1000000.0)).as("vu"))
+      .withColumn("du", col("vu") - lag(col("vu"), 1).over(w))
+    val got = base.select(col("k"), col("ts"),
+        TimeSeriesOps.chandeMomentumOscillator(col("vu"), col("du"), w, n = 2).as("cmo"),
+        TimeSeriesOps.kaufmansEfficiencyRatio(col("vu"), col("du"), w, n = 2).as("ker"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+         Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got((1L, 0L)) == (None, None), "no full window -> null")
+    assert(got((1L, 1L)) == (None, None))
+    // diffs +2, -1: U=2 D=1 -> 100*(2-1)/3; dir |2-1|=1 over vol 3
+    assert(math.abs(got((1L, 2L))._1.get - 100.0 / 3) < 1e-9)
+    assert(math.abs(got((1L, 2L))._2.get - 1.0 / 3) < 1e-12)
+    // diffs -1, 0: U=0 D=1 -> -100; dir |2-3|=1 over vol 1
+    assert(got((1L, 3L))._1.get == -100.0 && got((1L, 3L))._2.get == 1.0)
+    // diffs 0, +3: all-up window -> +100; straight move -> KER 1
+    assert(got((1L, 4L))._1.get == 100.0 && got((1L, 4L))._2.get == 1.0)
+    // flat series: 0/0 pinned to 0.0 on both indicators
+    assert(got((2L, 2L)) == (Some(0.0), Some(0.0)))
+  }
+
+  test("relative strength index: truncated Wilder kernel, flat window pins 50") {
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 1.5), (1L, 3L, 3.0),
+                 (2L, 0L, 2.0), (2L, 1L, 2.0)).toDF("k", "ts", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+    val got = df.select(col("k"), col("ts"), floor(col("v") * lit(1000000.0)).as("vu"))
+      .withColumn("du", col("vu") - lag(col("vu"), 1).over(w))
+      .select(col("k"), col("ts"),
+        TimeSeriesOps.relativeStrengthIndex(col("du"), w, n = 4, depth = 10).as("rsi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got((1L, 0L)).isEmpty, "series head has no diff evidence")
+    assert(got((1L, 1L)).get == 100.0, "only gains -> 100")
+    // Wilder weights (3/4)^j: G = 0.75*1, L = 1*0.5 -> 100*0.75/1.25
+    assert(math.abs(got((1L, 2L)).get - 60.0) < 1e-9)
+    // G = 1.5 + (9/16)*1, L = (3/4)*0.5 -> 100*2.0625/2.4375
+    assert(math.abs(got((1L, 3L)).get - 100.0 * 2.0625 / 2.4375) < 1e-9)
+    assert(got((2L, 1L)).get == 50.0, "flat window pins the neutral 50")
+  }
+
+  test("ema stages: each stage is the EMA of the re-quantized previous stage") {
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 4.0)).toDF("k", "ts", "v")
+    val staged = TimeSeriesOps.emaStages(df, col("k"), col("ts"), col("v"),
+      n = 4, depth = 10, stages = 3)
+    val rows = staged.orderBy(col("ts")).collect()
+    val e1 = rows.map(_.getAs[Double]("e1"))
+    val e2 = rows.map(_.getAs[Double]("e2"))
+    val e3 = rows.map(_.getAs[Double]("e3"))
+    // stage 1 equals the plain EMA
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"))
+    val plain = df.select(col("ts"),
+        TimeSeriesOps.exponentialMovingAverage(col("v"), w, 4, 10).as("e"))
+      .orderBy(col("ts")).collect().map(_.getDouble(1))
+    assert(e1.sameElements(plain))
+    // stage 2 equals the kernel applied to floor(e1*1e6) by hand
+    val cs = TimeSeriesOps.emaCoefficients(4, 10)
+    def kernel(us: Seq[Long], t: Int): Double = {
+      val terms = (0 until math.min(t + 1, cs.length)).map(j => (cs(j) * us(t - j), cs(j)))
+      terms.map(_._1).sum.toDouble / terms.map(_._2).sum.toDouble / 1e6
+    }
+    val u1 = e1.map(x => math.floor(x * 1e6).toLong)
+    (0 to 2).foreach(t => assert(e2(t) == kernel(u1, t), s"e2 at $t"))
+    val u2 = e2.map(x => math.floor(x * 1e6).toLong)
+    (0 to 2).foreach(t => assert(e3(t) == kernel(u2, t), s"e3 at $t"))
+  }
+
   test("outlier stats: z-score flags from exact moments, constant series safe") {
     import graft.operators.StatsOps
     val df = Seq((1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 100.0),
