@@ -47,6 +47,10 @@ import org.apache.spark.sql.functions._
   *             | top|bottom   (N extreme points, sole field, no time buckets)
   *             | elapsed      (time to the series predecessor, raw-only)
   *   xform  := derivative|non_negative_derivative|difference|non_negative_difference|cumulative_sum|moving_average
+  *           | exponential_moving_average|double_exponential_moving_average
+  *           | triple_exponential_moving_average|triple_exponential_derivative
+  *           | relative_strength_index|chande_momentum_oscillator
+  *           | kaufmans_efficiency_ratio   (each '(' agg ',' N ')', N >= 2)
   *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
   *           | pow|atan2
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
@@ -175,8 +179,24 @@ object InfluxQL {
     * window over the (densified) bucket series, OR takes a bare field and
     * runs per series over the raw points (`SELECT derivative(value) FROM m`).
     */
+  /** Technical-analysis transformations (InfluxQL's indicator family).
+    * All take `(agg, N)` with N >= 2 and run over the bucket series with
+    * the repo's pinned deterministic kernels: the EMA forms use the
+    * truncated integer kernel at [[graft.operators.TimeSeriesOps.emaDialectDepth]],
+    * RSI the truncated Wilder kernel, CMO/KER rolling int64 diff sums.
+    * Bucket-series null semantics: every indicator emits only at non-null
+    * operand buckets; EMA-family kernels mass-normalize over the PRESENT
+    * buckets in their trailing window (the skip discipline of the frame
+    * sums), diffs through null neighbors are null and contribute nothing,
+    * and CMO/KER additionally require the n-back bucket to be present.
+    */
+  val TaFuncs: Set[String] = Set("exponential_moving_average",
+    "double_exponential_moving_average", "triple_exponential_moving_average",
+    "triple_exponential_derivative", "relative_strength_index",
+    "chande_momentum_oscillator", "kaufmans_efficiency_ratio")
+
   val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
-    "difference", "non_negative_difference", "cumulative_sum", "moving_average")
+    "difference", "non_negative_difference", "cumulative_sum", "moving_average") ++ TaFuncs
 
   /** Pseudo-function marking a transformation operand as a RAW field
     * (`derivative(value)` with no inner aggregate): the transform plans
@@ -515,6 +535,11 @@ object InfluxQL {
             if (!p.sym(",")) p.fail("moving_average(agg, N) needs N")
             val k = p.num()
             if (k < 2 || k != math.floor(k)) p.fail("moving_average N must be an integer >= 2")
+            Some(k.toLong)
+          case ta if TaFuncs.contains(ta) =>
+            if (!p.sym(",")) p.fail(s"$ta(agg, N) needs N")
+            val k = p.num()
+            if (k < 2 || k != math.floor(k)) p.fail(s"$ta N must be an integer >= 2")
             Some(k.toLong)
           case _ =>
             if (p.sym(",")) p.fail(s"$lower() takes one argument")
@@ -1745,6 +1770,50 @@ object InfluxQL {
     val w = Window.partitionBy(partCols.map(col): _*)
       .orderBy(col("ts_us").asc +: args.map(col(_).asc): _*)
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Technical-analysis transforms need materialized intermediates (the
+    // per-field subsequence diff; staged EMA outputs) — a window over a
+    // window is not one expression. Each aux column follows the raw-path
+    // discipline: non-null exactly at the field's own points, ignoreNulls
+    // lags walk the subsequence.
+    def emaSub(src: Column, n: Int, depth: Int): Column = {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(n, depth)
+      val vuS = when(src.isNotNull, floor(src.cast("double") * lit(1000000.0)))
+      def lagJ(j: Int): Column =
+        if (j == 0) vuS else lag(vuS, j, null, ignoreNulls = true).over(w)
+      val num = cs.zipWithIndex.map { case (cf, j) =>
+        coalesce(lagJ(j) * lit(cf), lit(0L))
+      }.reduce(_ + _)
+      val den = cs.zipWithIndex.map { case (cf, j) =>
+        when(lagJ(j).isNotNull, lit(cf)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      num.cast("double") / den.cast("double") / lit(1000000.0)
+    }
+    def withTaColumns(base: DataFrame): DataFrame =
+      calls.filter(f => TaFuncs.contains(f.transform.get)).foldLeft(base) { (d, f) =>
+        val c = col(f.arg).cast("double")
+        val nArg = f.targ.get.toInt
+        val id = intName(f)
+        f.transform.get match {
+          case "relative_strength_index" | "chande_momentum_oscillator" |
+               "kaufmans_efficiency_ratio" =>
+            val vuF = when(c.isNotNull, floor(c * lit(1000000.0)))
+            d.withColumn(s"__du$id",
+              when(c.isNotNull, floor(c * lit(1000000.0)) -
+                lag(vuF, 1, null, ignoreNulls = true).over(w)))
+          case "exponential_moving_average" =>
+            val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
+            d.withColumn(s"__e1$id", when(c.isNotNull, emaSub(c, nArg, depth)))
+          case tf =>
+            val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
+            val stages = if (tf == "double_exponential_moving_average") 2 else 3
+            var dd = d.withColumn(s"__e1$id", when(c.isNotNull, emaSub(c, nArg, depth)))
+            for (k <- 2 to stages)
+              dd = dd.withColumn(s"__e$k$id",
+                when(col(s"__e${k - 1}$id").isNotNull,
+                  emaSub(col(s"__e${k - 1}$id"), nArg, depth)))
+            dd
+        }
+      }
     def kernel(f: Field): Column = {
       val c = col(f.arg).cast("double")
       val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
@@ -1784,6 +1853,70 @@ object InfluxQL {
           when(count(c).over(cum) >= n,
             (s - coalesce(lagS, lit(0).cast("decimal(38,0)"))).cast("double") /
               lit(n.toDouble) / lit(1000000.0))
+        case "exponential_moving_average" => col(s"__e1${intName(f)}")
+        case "double_exponential_moving_average" =>
+          lit(2.0) * col(s"__e1${intName(f)}") - col(s"__e2${intName(f)}")
+        case "triple_exponential_moving_average" =>
+          lit(3.0) * col(s"__e1${intName(f)}") -
+            lit(3.0) * col(s"__e2${intName(f)}") + col(s"__e3${intName(f)}")
+        case "triple_exponential_derivative" =>
+          // percent change of e3 to THIS FIELD's previous point (subsequence
+          // semantics, like prevVal above)
+          val e3 = col(s"__e3${intName(f)}")
+          val prev = lag(when(c.isNotNull, e3), 1, null, true).over(w)
+          when(prev.isNotNull && prev =!= 0.0,
+            (lit(100.0) * (e3 - prev)) / prev).otherwise(lit(null).cast("double"))
+        case "relative_strength_index" =>
+          // truncated Wilder kernel over the field's subsequence diffs; the
+          // only null du inside the subsequence is its head, which carries
+          // no mass — so ignoreNulls lags stay position-aligned
+          val nArg = f.targ.get.toInt
+          val cs = graft.operators.TimeSeriesOps.wilderCoefficients(
+            nArg, graft.operators.TimeSeriesOps.wilderDialectDepth(nArg))
+          val du = col(s"__du${intName(f)}")
+          def lagJ(j: Int): Column =
+            if (j == 0) du else lag(du, j, null, ignoreNulls = true).over(w)
+          val g = cs.zipWithIndex.map { case (cf, j) =>
+            coalesce(when(lagJ(j) > 0, lagJ(j)).otherwise(lit(0L)) * lit(cf), lit(0L))
+          }.reduce(_ + _)
+          val l = cs.zipWithIndex.map { case (cf, j) =>
+            coalesce(when(lagJ(j) < 0, -lagJ(j)).otherwise(lit(0L)) * lit(cf), lit(0L))
+          }.reduce(_ + _)
+          val mass = cs.zipWithIndex.map { case (cf, j) =>
+            when(lagJ(j).isNotNull, lit(cf)).otherwise(lit(0L))
+          }.reduce(_ + _)
+          when(mass > 0,
+            when(g + l === 0, lit(50.0))
+              .otherwise((lit(100.0) * g.cast("double")) / (g + l).cast("double")))
+            .otherwise(lit(null).cast("double"))
+        case tf @ ("chande_momentum_oscillator" | "kaufmans_efficiency_ratio") =>
+          // trailing-n diff sums via the running-sum trick (as moving_average
+          // above); the guard — the field HAS an n-back point — also means
+          // every diff in the window exists, so the sums are over exactly n
+          val nArg = f.targ.get.toInt
+          val du = col(s"__du${intName(f)}")
+          val vuF = when(c.isNotNull, floor(c * lit(1000000.0)))
+          val lagVuN = lag(vuF, nArg, null, true).over(w)
+          def trailing(contrib: Column): Column = {
+            val s = sum(when(c.isNotNull, coalesce(contrib, lit(0L)))).over(cum)
+            s - coalesce(lag(when(c.isNotNull, s), nArg, null, true).over(w), lit(0L))
+          }
+          if (tf == "chande_momentum_oscillator") {
+            val up = trailing(when(du > 0, du).otherwise(lit(0L)))
+            val down = trailing(when(du < 0, -du).otherwise(lit(0L)))
+            when(lagVuN.isNotNull,
+              when(up + down === 0, lit(0.0))
+                .otherwise((lit(100.0) * (up - down).cast("double")) /
+                  (up + down).cast("double")))
+              .otherwise(lit(null).cast("double"))
+          } else {
+            val vol = trailing(abs(du))
+            val dir = abs(floor(c * lit(1000000.0)) - lagVuN)
+            when(lagVuN.isNotNull,
+              when(vol === 0, lit(0.0))
+                .otherwise(dir.cast("double") / vol.cast("double")))
+              .otherwise(lit(null).cast("double"))
+          }
         case other => throw new IllegalArgumentException(s"unsupported raw transform $other")
       }
       // a field emits only at its own points
@@ -1791,8 +1924,8 @@ object InfluxQL {
     }
     // groupTags already carries `transducer` for regex FROM (resolve());
     // the caller's out() renames it to `measurement` after paging
-    val computed = df
-      .filter(args.map(col(_).isNotNull).reduce(_ || _))
+    val computed = withTaColumns(df
+      .filter(args.map(col(_).isNotNull).reduce(_ || _)))
       .select((col("ts_us") +: partCols.map(col)) ++
         calls.map(f => kernel(f).as(intName(f))): _*)
       // InfluxDB's emission rule: a row appears only if some field emitted
@@ -1987,26 +2120,78 @@ object InfluxQL {
       val n = intName(f)
       val c = col(n).cast("double")
       val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
-      val replaced = f.transform.get match {
+      f.transform.get match {
         case tf @ ("derivative" | "non_negative_derivative") =>
           val dv = (c - lag(c, 1).over(w)) /
             ((col("time") - lag(col("time"), 1).over(w)).cast("double") /
               lit(f.targ.get.toDouble))
-          if (tf == "derivative") dv
-          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
+          d.withColumn(n, if (tf == "derivative") dv
+            else when(dv < 0, lit(null).cast("double")).otherwise(dv))
         case tf @ ("difference" | "non_negative_difference") =>
           val dv = c - lag(c, 1).over(w)
-          if (tf == "difference") dv
-          else when(dv < 0, lit(null).cast("double")).otherwise(dv)
+          d.withColumn(n, if (tf == "difference") dv
+            else when(dv < 0, lit(null).cast("double")).otherwise(dv))
         case "cumulative_sum" =>
-          sum(vu).over(cum).cast("double") / lit(1000000.0)
+          d.withColumn(n, sum(vu).over(cum).cast("double") / lit(1000000.0))
         case "moving_average" =>
           val frame = w.rowsBetween(-(f.targ.get.toInt - 1), Window.currentRow)
-          sum(vu).over(frame).cast("double") /
-            count(c).over(frame).cast("double") / lit(1000000.0)
+          d.withColumn(n, sum(vu).over(frame).cast("double") /
+            count(c).over(frame).cast("double") / lit(1000000.0))
+        case tf @ ("exponential_moving_average" | "double_exponential_moving_average" |
+                   "triple_exponential_moving_average" | "triple_exponential_derivative") =>
+          // staged truncated-kernel EMAs (TimeSeriesOps discipline): each
+          // stage re-quantizes inside the kernel, null buckets carry no
+          // mass, and the indicator emits only at non-null operand buckets
+          val nArg = f.targ.get.toInt
+          val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
+          val stages = tf match {
+            case "exponential_moving_average" => 1
+            case "double_exponential_moving_average" => 2
+            case _ => 3
+          }
+          val sn = (1 to stages).map(k => s"__s${k}_$n")
+          var dd = d.withColumn(sn.head, when(c.isNotNull,
+            graft.operators.TimeSeriesOps.exponentialMovingAverage(c, w, nArg, depth)))
+          for (k <- 1 until stages)
+            dd = dd.withColumn(sn(k), when(col(sn(k - 1)).isNotNull,
+              graft.operators.TimeSeriesOps.exponentialMovingAverage(col(sn(k - 1)), w, nArg, depth)))
+          val out = tf match {
+            case "exponential_moving_average" => col(sn(0))
+            case "double_exponential_moving_average" =>
+              lit(2.0) * col(sn(0)) - col(sn(1))
+            case "triple_exponential_moving_average" =>
+              lit(3.0) * col(sn(0)) - lit(3.0) * col(sn(1)) + col(sn(2))
+            case "triple_exponential_derivative" =>
+              // percent change of the triple-smoothed series; the previous
+              // BUCKET's value (positional — nulls propagate, the bucketed
+              // path's two-operand pin)
+              val prev = lag(col(sn(2)), 1).over(w)
+              when(prev.isNotNull && prev =!= 0.0,
+                (lit(100.0) * (col(sn(2)) - prev)) / prev)
+                .otherwise(lit(null).cast("double"))
+          }
+          dd.withColumn(n, when(c.isNotNull, out)).drop(sn: _*)
+        case tf @ ("relative_strength_index" | "chande_momentum_oscillator" |
+                   "kaufmans_efficiency_ratio") =>
+          // diff-based indicators need the quantized bucket-to-bucket diff
+          // materialized first (window-in-window is not expressible); diffs
+          // across a null neighbor are null and contribute nothing
+          val nArg = f.targ.get.toInt
+          val vuL = floor(c * lit(1000000.0))
+          val duN = s"__du_$n"
+          val dd = d.withColumn(duN, vuL - lag(vuL, 1).over(w))
+          val out = tf match {
+            case "relative_strength_index" =>
+              graft.operators.TimeSeriesOps.relativeStrengthIndex(
+                col(duN), w, nArg, graft.operators.TimeSeriesOps.wilderDialectDepth(nArg))
+            case "chande_momentum_oscillator" =>
+              graft.operators.TimeSeriesOps.chandeMomentumOscillator(vuL, col(duN), w, nArg)
+            case "kaufmans_efficiency_ratio" =>
+              graft.operators.TimeSeriesOps.kaufmansEfficiencyRatio(vuL, col(duN), w, nArg)
+          }
+          dd.withColumn(n, when(c.isNotNull, out)).drop(duN)
         case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }
-      d.withColumn(n, replaced)
     }
   }
 

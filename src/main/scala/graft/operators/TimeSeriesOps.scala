@@ -237,6 +237,25 @@ object TimeSeriesOps {
       (BigInt(n - 1).pow(j) * BigInt(n).pow(depth - 1 - j)).toLong)
   }
 
+  /** Kernel depth the InfluxQL dialect uses for `n`-period EMA-family
+    * transforms: the 5n truncation target (mass error (1-a)^5n < 1%)
+    * capped by the integer-coefficient budget of [[emaCoefficients]].
+    * Deterministic in `n` alone, so the differential interpreter and the
+    * oracle SQL derive the identical kernel.
+    */
+  def emaDialectDepth(n: Int): Int = {
+    var d = 1
+    while (d < 5 * n && BigInt(n + 1).pow(d + 1) * 2 < (BigInt(1) << 32)) d += 1
+    d
+  }
+
+  /** [[emaDialectDepth]]'s counterpart for the Wilder (α = 1/n) kernel. */
+  def wilderDialectDepth(n: Int): Int = {
+    var d = 1
+    while (d < 5 * n && BigInt(n).pow(d + 1) * 2 < (BigInt(1) << 32)) d += 1
+    d
+  }
+
   /** InfluxQL `relative_strength_index(n)` over a pre-computed quantized
     * diff column (1e-6 int64 units, null at each series head): truncated
     * Wilder-smoothed average gain vs average loss,

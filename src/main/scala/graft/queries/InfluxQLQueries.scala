@@ -115,6 +115,24 @@ object InfluxQLQueries {
           |GROUP BY time(1d)""".stripMargin)
     }),
 
+    // the technical-analysis transform family over daily buckets: staged
+    // truncated-kernel EMAs (EMA/DEMA/TEMA/TRIX) and the diff-based
+    // indicators (RSI on the Wilder kernel, CMO, KER) — all integer-exact
+    // until their final IEEE multiply+divide, so the whole family hash-gates
+    "q_influxql_ta" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT exponential_moving_average(mean(value), 4) AS ema4,
+          |       double_exponential_moving_average(mean(value), 4) AS dema4,
+          |       triple_exponential_moving_average(mean(value), 4) AS tema4,
+          |       triple_exponential_derivative(mean(value), 4) AS trix4,
+          |       relative_strength_index(mean(value), 4) AS rsi4,
+          |       chande_momentum_oscillator(mean(value), 4) AS cmo4,
+          |       kaufmans_efficiency_ratio(mean(value), 4) AS ker4
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     // SELECT * — the everyday inspection query: star expands against the
     // live schema (alphabetical non-reserved columns) with paged raw output
     "q_influxql_star" -> ((s, dir) => {
@@ -370,6 +388,87 @@ object InfluxQLQueries {
          |WINDOW w AS (PARTITION BY device ORDER BY time),
          |  cum AS (PARTITION BY device ORDER BY time ROWS UNBOUNDED PRECEDING),
          |  ma AS (PARTITION BY device ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_influxql_ta" -> {
+      import graft.operators.TimeSeriesOps
+      val ecs = TimeSeriesOps.emaCoefficients(4, TimeSeriesOps.emaDialectDepth(4))
+      val wcs = TimeSeriesOps.wilderCoefficients(4, TimeSeriesOps.wilderDialectDepth(4))
+      def ema(u: String) = {
+        val num = ecs.zipWithIndex.map { case (c, j) =>
+          s"coalesce(lag($u, $j) OVER w * $c, 0)"
+        }.mkString(" + ")
+        val den = ecs.zipWithIndex.map { case (c, j) =>
+          s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) / 1000000.0"
+      }
+      val gk = wcs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag(gn, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      val lk = wcs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag(ls, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      val mass = wcs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag(du, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      val win = "(PARTITION BY device ORDER BY time)"
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mean_v
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o)),
+         |j AS (SELECT s.time, s.device, CAST(floor(b.mean_v * 1000000.0) AS BIGINT) AS vu
+         |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device),
+         |d AS (SELECT *, vu - lag(vu) OVER $win AS du FROM j),
+         |d2 AS (SELECT *,
+         |    CASE WHEN du > 0 THEN du ELSE 0 END AS gn,
+         |    CASE WHEN du < 0 THEN -du ELSE 0 END AS ls
+         |  FROM d),
+         |s1 AS (SELECT *, CASE WHEN vu IS NOT NULL THEN ${ema("vu")} END AS e1
+         |  FROM d2 WINDOW w AS $win),
+         |q1 AS (SELECT *, CAST(floor(e1 * 1000000.0) AS BIGINT) AS u1 FROM s1),
+         |s2 AS (SELECT *, CASE WHEN u1 IS NOT NULL THEN ${ema("u1")} END AS e2
+         |  FROM q1 WINDOW w AS $win),
+         |q2 AS (SELECT *, CAST(floor(e2 * 1000000.0) AS BIGINT) AS u2 FROM s2),
+         |s3 AS (SELECT *, CASE WHEN u2 IS NOT NULL THEN ${ema("u2")} END AS e3
+         |  FROM q2 WINDOW w AS $win),
+         |fin AS (SELECT *,
+         |    lag(e3) OVER w AS p3,
+         |    lag(vu, 4) OVER w AS v4,
+         |    CAST(sum(gn) OVER wf AS BIGINT) AS up,
+         |    CAST(sum(ls) OVER wf AS BIGINT) AS down,
+         |    CAST(sum(abs(du)) OVER wf AS BIGINT) AS vol,
+         |    CAST(($gk) AS BIGINT) AS gk,
+         |    CAST(($lk) AS BIGINT) AS lk,
+         |    CAST(($mass) AS BIGINT) AS mass
+         |  FROM s3 WINDOW w AS $win,
+         |    wf AS (PARTITION BY device ORDER BY time
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         |SELECT time, device,
+         |  e1 AS ema4,
+         |  CASE WHEN e1 IS NOT NULL THEN 2.0 * e1 - e2 END AS dema4,
+         |  CASE WHEN e1 IS NOT NULL THEN 3.0 * e1 - 3.0 * e2 + e3 END AS tema4,
+         |  CASE WHEN e3 IS NOT NULL AND p3 IS NOT NULL AND p3 <> 0.0
+         |    THEN (100.0 * (e3 - p3)) / p3 END AS trix4,
+         |  CASE WHEN vu IS NOT NULL AND mass > 0 THEN
+         |    CASE WHEN gk + lk = 0 THEN 50.0
+         |      ELSE (100.0 * CAST(gk AS DOUBLE)) / CAST(gk + lk AS DOUBLE) END
+         |    END AS rsi4,
+         |  CASE WHEN vu IS NOT NULL AND v4 IS NOT NULL THEN
+         |    CASE WHEN up + down = 0 THEN 0.0
+         |      ELSE (100.0 * CAST(up - down AS DOUBLE)) / CAST(up + down AS DOUBLE) END
+         |    END AS cmo4,
+         |  CASE WHEN vu IS NOT NULL AND v4 IS NOT NULL THEN
+         |    CASE WHEN vol IS NULL THEN NULL WHEN vol = 0 THEN 0.0
+         |      ELSE CAST(abs(vu - v4) AS DOUBLE) / CAST(vol AS DOUBLE) END
+         |    END AS ker4
+         |FROM fin""".stripMargin
+    },
 
     "q_influxql_regex" ->
       s"""WITH $ptsSql,

@@ -88,6 +88,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         case Some(("moving_average", k)) => s"moving_average($inner, $k)"
         case Some(("derivative", u)) => s"derivative($inner, ${u}u)"
         case Some(("non_negative_derivative", u)) => s"non_negative_derivative($inner, ${u}u)"
+        case Some((t, k)) if InfluxQL.TaFuncs.contains(t) => s"$t($inner, $k)"
         case Some((t, _)) => s"$t($inner)"
       }
     }
@@ -155,6 +156,108 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           if (frame.isEmpty) null
           else BigDecimal(frame.sum).toDouble / frame.size.toDouble / 1000000.0
         }
+      case "exponential_moving_average" | "double_exponential_moving_average" |
+           "triple_exponential_moving_average" | "triple_exponential_derivative" =>
+        // the dialect's truncated integer EMA kernel, staged with per-stage
+        // re-quantization — the literal mirror of applyTransforms
+        import graft.operators.TimeSeriesOps
+        val nArg = targ.toInt
+        val cs = TimeSeriesOps.emaCoefficients(nArg, TimeSeriesOps.emaDialectDepth(nArg))
+        def emaPass(src: Seq[Any]): Seq[Any] = {
+          val us: Seq[Option[Long]] = src.map {
+            case null => None
+            case d: Double => Some(math.floor(d * 1000000.0).toLong)
+          }
+          src.indices.map { i =>
+            if (us(i).isEmpty) null
+            else {
+              val js = cs.indices.filter(j => i - j >= 0 && us(i - j).nonEmpty)
+              val num = js.map(j => BigInt(cs(j)) * us(i - j).get).sum
+              val den = js.map(cs(_)).sum
+              num.toDouble / den.toDouble / 1000000.0
+            }
+          }
+        }
+        val e1 = emaPass(c)
+        lazy val e2 = emaPass(e1)
+        lazy val e3 = emaPass(e2)
+        tf match {
+          case "exponential_moving_average" => e1
+          case "double_exponential_moving_average" =>
+            c.indices.map(i => if (e1(i) == null) null
+              else 2.0 * e1(i).asInstanceOf[Double] - e2(i).asInstanceOf[Double])
+          case "triple_exponential_moving_average" =>
+            c.indices.map(i => if (e1(i) == null) null
+              else 3.0 * e1(i).asInstanceOf[Double] -
+                3.0 * e2(i).asInstanceOf[Double] + e3(i).asInstanceOf[Double])
+          case "triple_exponential_derivative" =>
+            c.indices.map { i =>
+              if (e3(i) == null || i == 0 || e3(i - 1) == null) null
+              else {
+                val prev = e3(i - 1).asInstanceOf[Double]
+                if (prev == 0.0) null
+                else (100.0 * (e3(i).asInstanceOf[Double] - prev)) / prev
+              }
+            }
+        }
+      case "relative_strength_index" | "chande_momentum_oscillator" |
+           "kaufmans_efficiency_ratio" =>
+        import graft.operators.TimeSeriesOps
+        val nArg = targ.toInt
+        val vus: Seq[Option[Long]] = c.map {
+          case null => None
+          case d: Double => Some(math.floor(d * 1000000.0).toLong)
+        }
+        // positional bucket-to-bucket diff: null through a null neighbor
+        val dus: Seq[Option[Long]] = c.indices.map { i =>
+          if (i == 0) None
+          else for (a <- vus(i); b <- vus(i - 1)) yield a - b
+        }
+        tf match {
+          case "relative_strength_index" =>
+            val cs = TimeSeriesOps.wilderCoefficients(
+              nArg, TimeSeriesOps.wilderDialectDepth(nArg))
+            c.indices.map { i =>
+              if (vus(i).isEmpty) null
+              else {
+                var g = BigInt(0); var l = BigInt(0); var mass = 0L
+                cs.indices.foreach { j =>
+                  if (i - j >= 0) dus(i - j).foreach { du =>
+                    if (du > 0) g += BigInt(cs(j)) * du
+                    else if (du < 0) l += BigInt(cs(j)) * (-du)
+                    mass += cs(j)
+                  }
+                }
+                if (mass == 0) null
+                else if (g + l == 0) 50.0
+                else (100.0 * g.toDouble) / (g + l).toDouble
+              }
+            }
+          case "chande_momentum_oscillator" =>
+            c.indices.map { i =>
+              if (vus(i).isEmpty || i - nArg < 0 || vus(i - nArg).isEmpty) null
+              else {
+                val frame = (i - nArg + 1 to i).flatMap(dus)
+                val up = frame.filter(_ > 0).sum
+                val down = frame.filter(_ < 0).map(-_).sum
+                if (up + down == 0) 0.0
+                else (100.0 * (up - down).toDouble) / (up + down).toDouble
+              }
+            }
+          case "kaufmans_efficiency_ratio" =>
+            c.indices.map { i =>
+              if (vus(i).isEmpty || i - nArg < 0 || vus(i - nArg).isEmpty) null
+              else {
+                val frame = (i - nArg + 1 to i).flatMap(dus)
+                if (frame.isEmpty) null
+                else {
+                  val vol = frame.map(_.abs).sum
+                  if (vol == 0) 0.0
+                  else (vus(i).get - vus(i - nArg).get).abs.toDouble / vol.toDouble
+                }
+              }
+            }
+        }
     }
   }
 
@@ -220,13 +323,20 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
         // transformations ride the bucket series: only with GROUP BY time
         val tf = if (groupTime.isEmpty || rnd.nextInt(4) != 0) None
-          else rnd.nextInt(6) match {
+          else rnd.nextInt(13) match {
             case 0 => Some(("derivative", Seq(10L, 50L, 100L)(rnd.nextInt(3))))
             case 1 => Some(("non_negative_derivative", Seq(10L, 50L)(rnd.nextInt(2))))
             case 2 => Some(("difference", 0L))
             case 3 => Some(("non_negative_difference", 0L))
             case 4 => Some(("cumulative_sum", 0L))
-            case _ => Some(("moving_average", (2 + rnd.nextInt(4)).toLong))
+            case 5 => Some(("moving_average", (2 + rnd.nextInt(4)).toLong))
+            case 6 => Some(("exponential_moving_average", (2 + rnd.nextInt(4)).toLong))
+            case 7 => Some(("double_exponential_moving_average", (2 + rnd.nextInt(4)).toLong))
+            case 8 => Some(("triple_exponential_moving_average", (2 + rnd.nextInt(4)).toLong))
+            case 9 => Some(("triple_exponential_derivative", (2 + rnd.nextInt(4)).toLong))
+            case 10 => Some(("relative_strength_index", (2 + rnd.nextInt(4)).toLong))
+            case 11 => Some(("chande_momentum_oscillator", (2 + rnd.nextInt(4)).toLong))
+            case _ => Some(("kaufmans_efficiency_ratio", (2 + rnd.nextInt(4)).toLong))
           }
         GItem(fn, pct, op, s"f$i", tf)
       }
@@ -449,13 +559,78 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  /** The raw-path TA model: truncated integer kernels over a field's
+    * compacted (ts, value) subsequence — the literal mirror of
+    * planRawTransform's ignoreNulls discipline (each field walks only its
+    * own non-null points; diffs/EMA stages live entirely in that space).
+    */
+  private def taRawKernel(tf: String, n: Int,
+                          s: IndexedSeq[(Long, Double)]): Seq[Any] = {
+    import graft.operators.TimeSeriesOps
+    val us: IndexedSeq[Long] = s.map(p => math.floor(p._2 * 1000000.0).toLong)
+    val ecs = TimeSeriesOps.emaCoefficients(n, TimeSeriesOps.emaDialectDepth(n))
+    def emaPass(src: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val uu = src.map(x => math.floor(x * 1000000.0).toLong)
+      src.indices.map { i =>
+        val js = ecs.indices.filter(j => i - j >= 0)
+        val num = js.map(j => BigInt(ecs(j)) * uu(i - j)).sum
+        num.toDouble / js.map(ecs(_)).sum.toDouble / 1000000.0
+      }.toIndexedSeq
+    }
+    lazy val e1 = emaPass(s.map(_._2))
+    lazy val e2 = emaPass(e1)
+    lazy val e3 = emaPass(e2)
+    tf match {
+      case "exponential_moving_average" => e1
+      case "double_exponential_moving_average" =>
+        s.indices.map(i => 2.0 * e1(i) - e2(i))
+      case "triple_exponential_moving_average" =>
+        s.indices.map(i => 3.0 * e1(i) - 3.0 * e2(i) + e3(i))
+      case "triple_exponential_derivative" =>
+        s.indices.map { i =>
+          if (i == 0 || e3(i - 1) == 0.0) null
+          else (100.0 * (e3(i) - e3(i - 1))) / e3(i - 1)
+        }
+      case "relative_strength_index" =>
+        val wcs = TimeSeriesOps.wilderCoefficients(n, TimeSeriesOps.wilderDialectDepth(n))
+        s.indices.map { i =>
+          val js = wcs.indices.filter(j => i - j >= 1)
+          if (js.isEmpty) null
+          else {
+            def d(j: Int): Long = us(i - j) - us(i - j - 1)
+            val g = js.map(j => if (d(j) > 0) BigInt(wcs(j)) * d(j) else BigInt(0)).sum
+            val l = js.map(j => if (d(j) < 0) BigInt(wcs(j)) * -d(j) else BigInt(0)).sum
+            if (g + l == 0) 50.0 else (100.0 * g.toDouble) / (g + l).toDouble
+          }
+        }
+      case "chande_momentum_oscillator" | "kaufmans_efficiency_ratio" =>
+        s.indices.map { i =>
+          if (i < n) null
+          else {
+            val frame = (i - n + 1 to i).map(j => us(j) - us(j - 1))
+            if (tf == "chande_momentum_oscillator") {
+              val up = frame.filter(_ > 0).sum
+              val down = frame.filter(_ < 0).map(-_).sum
+              if (up + down == 0) 0.0
+              else (100.0 * (up - down).toDouble) / (up + down).toDouble
+            } else {
+              val vol = frame.map(math.abs).sum
+              if (vol == 0) 0.0
+              else math.abs(us(i) - us(i - n)).toDouble / vol.toDouble
+            }
+          }
+        }
+    }
+  }
+
   test("raw-series transformations match the reference") {
     val rnd = new scala.util.Random(5150505L)
     val pts = fixture
     val df = pts.toDF("device", "transducer", "ts_us", "value")
     val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
-      "non_negative_difference", "cumulative_sum", "moving_average")
+      "non_negative_difference", "cumulative_sum", "moving_average") ++
+      InfluxQL.TaFuncs.toVector.sorted
 
     // the engine's raw kernels, literally: per-series points ordered by
     // (ts, value), operands in double, quantized decimal running/frame sums,
@@ -492,6 +667,8 @@ class InfluxQLDifferentialSpec extends SparkSuite {
               BigDecimal(frame.sum).toDouble / targ.toDouble / 1000000.0
             }
           }
+        case ta if InfluxQL.TaFuncs.contains(ta) =>
+          taRawKernel(ta, targ.toInt, s.map(p => (p.ts, p.value)))
       }
     }
 
@@ -511,6 +688,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         val targ = tf match {
           case "derivative" | "non_negative_derivative" => Seq(10L, 50L, 100L)(rnd.nextInt(3))
           case "moving_average" => (2 + rnd.nextInt(4)).toLong
+          case ta if InfluxQL.TaFuncs.contains(ta) => (2 + rnd.nextInt(4)).toLong
           case _ => 0L
         }
         val op = if (rnd.nextInt(10) < 3)
@@ -520,6 +698,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       def callTxt(tf: String, targ: Long): String = tf match {
         case "derivative" | "non_negative_derivative" => s"$tf(value, ${targ}u)"
         case "moving_average" => s"moving_average(value, $targ)"
+        case ta if InfluxQL.TaFuncs.contains(ta) => s"$ta(value, $targ)"
         case t => s"$t(value)"
       }
       val sel = items.map { case (tf, targ, op, a) =>
@@ -573,7 +752,8 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     // a row with a null but b set still advances b's lag neighbor.
     val rnd = new scala.util.Random(61606060L)
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
-      "non_negative_difference", "cumulative_sum", "moving_average")
+      "non_negative_difference", "cumulative_sum", "moving_average") ++
+      InfluxQL.TaFuncs.toVector.sorted
 
     def kernel(tf: String, targ: Long,
                s: IndexedSeq[(Long, Double)]): Seq[Any] = {
@@ -608,6 +788,8 @@ class InfluxQLDifferentialSpec extends SparkSuite {
               BigDecimal(frame.sum).toDouble / targ.toDouble / 1000000.0
             }
           }
+        case ta if InfluxQL.TaFuncs.contains(ta) =>
+          taRawKernel(ta, targ.toInt, s)
       }
     }
 
@@ -630,6 +812,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         val targ = tf match {
           case "derivative" | "non_negative_derivative" => Seq(10L, 50L, 100L)(rnd.nextInt(3))
           case "moving_average" => (2 + rnd.nextInt(4)).toLong
+          case ta if InfluxQL.TaFuncs.contains(ta) => (2 + rnd.nextInt(4)).toLong
           case _ => 0L
         }
         (tf, targ, arg)
@@ -638,6 +821,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         val c = tf match {
           case "derivative" | "non_negative_derivative" => s"$tf($arg, ${targ}u)"
           case "moving_average" => s"moving_average($arg, $targ)"
+          case ta if InfluxQL.TaFuncs.contains(ta) => s"$ta($arg, $targ)"
           case t => s"$t($arg)"
         }
         s"$c AS f_$arg"

@@ -158,6 +158,124 @@ class InfluxQLSpec extends SparkSuite {
     assert(nn(20L) == (Some(-5.0), None))
   }
 
+  test("parser: technical-analysis transforms take (agg, N >= 2)") {
+    val q = parse(
+      "SELECT relative_strength_index(mean(value), 14) AS rsi FROM m GROUP BY time(1h)")
+    assert(q.fields == Seq(
+      Item(FCall(Field("mean", "value", None, Some("relative_strength_index"), Some(14L))), Some("rsi"))))
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT exponential_moving_average(mean(value)) FROM m GROUP BY time(1h)")
+      .contains("needs N"))
+    assert(bad("SELECT chande_momentum_oscillator(mean(value), 1) FROM m GROUP BY time(1h)")
+      .contains(">= 2"))
+    assert(bad("SELECT kaufmans_efficiency_ratio(mean(value), 3) FROM m")
+      .contains("GROUP BY time"))
+    // holt_winters keeps the aggregate-only rule even where raw is allowed
+    assert(bad("SELECT holt_winters(value, 3, 0) FROM m GROUP BY time(1h)")
+      .contains("aggregate argument"))
+  }
+
+  test("planner: TA transforms run raw over each series' own points") {
+    // two devices; GROUP BY device keeps each series separate
+    val df = pts(("a", "m", 0L, 1.0), ("a", "m", 10L, 3.0), ("a", "m", 20L, 2.0),
+      ("b", "m", 0L, 10.0), ("b", "m", 10L, 10.0))
+    val got = InfluxQL.run(df,
+      """SELECT exponential_moving_average(value, 2) AS ema,
+        |relative_strength_index(value, 2) AS rsi,
+        |chande_momentum_oscillator(value, 2) AS cmo,
+        |kaufmans_efficiency_ratio(value, 2) AS ker
+        |FROM m GROUP BY device""".stripMargin)
+      .select(col("device"), col("time"), col("ema"), col("rsi"), col("cmo"), col("ker"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // independent model: truncated integer kernel on the raw subsequence
+    val cs = graft.operators.TimeSeriesOps.emaCoefficients(
+      2, graft.operators.TimeSeriesOps.emaDialectDepth(2))
+    def ema(us: Seq[Long], i: Int): Double = {
+      val js = cs.indices.filter(j => i - j >= 0)
+      js.map(j => cs(j).toDouble * us(i - j)).sum / js.map(cs(_).toDouble).sum / 1e6
+    }
+    val ua = Seq(1000000L, 3000000L, 2000000L)
+    assert(got(("a", 0L))._1.contains(ema(ua, 0)))
+    assert(got(("a", 10L))._1.contains(ema(ua, 1)))
+    assert(got(("a", 20L))._1.contains(ema(ua, 2)))
+    assert(got(("b", 0L))._1.contains(10.0), "series b is independent")
+    // RSI: head null; only-gain 100; +2M/-1M Wilder-weighted
+    assert(got(("a", 0L))._2.isEmpty && got(("a", 10L))._2.contains(100.0))
+    assert(got(("b", 10L))._2.contains(50.0), "flat series: zero mass both ways")
+    // CMO/KER need the n-back point: first defined at the 3rd point
+    assert(got(("a", 10L))._3.isEmpty && got(("a", 20L))._3.contains(100.0 / 3))
+    assert(got(("a", 20L))._4.contains(1.0 / 3))
+  }
+
+  test("planner: EMA family over buckets matches the integer-kernel model") {
+    // dense buckets 0/10/20 with single values 1, 2, 4 (mean == value)
+    val df = pts(("a", "m", 0L, 1.0), ("a", "m", 10L, 2.0), ("a", "m", 20L, 4.0))
+    val got = InfluxQL.run(df,
+      """SELECT exponential_moving_average(mean(value), 2) AS ema,
+        |double_exponential_moving_average(mean(value), 2) AS dema,
+        |triple_exponential_moving_average(mean(value), 2) AS tema,
+        |triple_exponential_derivative(mean(value), 2) AS trix
+        |FROM m WHERE time >= 0 AND time < 30 GROUP BY time(10u)""".stripMargin)
+      .select(col("time"), col("ema"), col("dema"), col("tema"), col("trix"))
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // independent integer-kernel model (same IEEE shape as the engine)
+    val cs = graft.operators.TimeSeriesOps.emaCoefficients(
+      2, graft.operators.TimeSeriesOps.emaDialectDepth(2))
+    def emaPass(src: Seq[Option[Double]]): Seq[Option[Double]] = {
+      val us = src.map(_.map(d => math.floor(d * 1e6).toLong))
+      src.indices.map { i =>
+        us(i).map { _ =>
+          val terms = cs.indices.filter(j => i - j >= 0 && us(i - j).nonEmpty)
+          val num = terms.map(j => cs(j) * us(i - j).get).sum
+          val den = terms.map(cs(_)).sum
+          num.toDouble / den.toDouble / 1e6
+        }
+      }
+    }
+    val e1 = emaPass(Seq(Some(1.0), Some(2.0), Some(4.0)))
+    val e2 = emaPass(e1)
+    val e3 = emaPass(e2)
+    assert(got(0L)._1.contains(1.0) && got(10L)._1.contains(1.75))
+    (0 to 2).foreach { i =>
+      val t = i * 10L
+      assert(got(t)._1 == e1(i), s"ema at $t")
+      assert(got(t)._2.contains(2.0 * e1(i).get - e2(i).get), s"dema at $t")
+      assert(got(t)._3.contains(3.0 * e1(i).get - 3.0 * e2(i).get + e3(i).get), s"tema at $t")
+    }
+    assert(got(0L)._4.isEmpty, "trix: no predecessor")
+    assert(got(10L)._4.contains((100.0 * (e3(1).get - e3(0).get)) / e3(0).get))
+  }
+
+  test("planner: RSI/CMO/KER over buckets pin the null-bucket semantics") {
+    // buckets 0..40, bucket 30 empty: values 1, 3, 2, null, 5
+    val df = pts(("a", "m", 0L, 1.0), ("a", "m", 10L, 3.0), ("a", "m", 20L, 2.0),
+      ("a", "m", 40L, 5.0))
+    val got = InfluxQL.run(df,
+      """SELECT relative_strength_index(mean(value), 2) AS rsi,
+        |chande_momentum_oscillator(mean(value), 2) AS cmo,
+        |kaufmans_efficiency_ratio(mean(value), 2) AS ker
+        |FROM m WHERE time >= 0 AND time < 50 GROUP BY time(10u)""".stripMargin)
+      .select(col("time"), col("rsi"), col("cmo"), col("ker"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == (None, None, None), "series head: no diff, no n-back")
+    assert(got(10L)._1.contains(100.0), "only gains -> RSI 100")
+    // diffs +2, -1 with Wilder weights 2^(D-1-j): equal gain and loss mass
+    assert(got(20L)._1.contains(50.0))
+    assert(got(20L)._2.contains(100.0 / 3), "U=2 D=1 over the 2-diff window")
+    assert(got(20L)._3.contains(1.0 / 3), "dir 1 over vol 3")
+    assert(got(30L) == (None, None, None), "empty bucket emits nothing")
+    // bucket 40: diffs to/from the null bucket are null -> RSI falls back to
+    // the older evidence (+2, -1 -> 50), CMO sees zero movement (pinned 0),
+    // KER has no volatility evidence at all (pinned null)
+    assert(got(40L)._1.contains(50.0))
+    assert(got(40L)._2.contains(0.0))
+    assert(got(40L)._3.isEmpty)
+  }
+
   test("planner: raw selection, ORDER BY time DESC, LIMIT") {
     val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("a", "m", 3L, 3.0),
       ("b", "other", 4L, 9.0))
