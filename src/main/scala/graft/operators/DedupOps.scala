@@ -147,22 +147,74 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
     val sh = shingles(docs, idCol, textCol, n).persist() // reused by sigs + verify
-
-    val sigs = minhashSignatures(sh, k)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("_", (0 until r).map(x => col(s"mh${b * r + x}")): _*)).as("bv"))
-    }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val buckets = bandBuckets(minhashSignatures(sh, k), k, bands)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
     verifyJaccard(candidates, sh, tau)
+  }
+
+  /** LSH band buckets of a (doc_id, mh0..mh{k-1}) signature frame:
+    * (doc_id, band, bv) with bv = md5 over the band's signature rows.
+    */
+  def bandBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", (0 until r).map(x => col(s"mh${b * r + x}")): _*)).as("bv"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  /** Persist (or incrementally extend) a MinHash-LSH dedup index: the band
+    * buckets and the shingle inverted index of `docs` append to two
+    * [[graft.storage.TxLogTable]]s under `path`. Calling it again with a
+    * later batch folds that batch in — sketching cost is paid once per
+    * document EVER, which is what makes dedup-at-ingest affordable on a
+    * growing 100 TB corpus (the alternative re-sketches the whole corpus
+    * per batch).
+    */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    val sh = shingles(docs, idCol, textCol, n).persist()
+    new graft.storage.TxLogTable(spark, s"$path/buckets")
+      .append(bandBuckets(minhashSignatures(sh, k), k, bands))
+    new graft.storage.TxLogTable(spark, s"$path/shingles").append(sh)
+    sh.unpersist()
+  }
+
+  /** Near-dup pairs of a NEW batch against a [[buildMinhashIndex]] index
+    * plus within the batch itself: verified `(i, j, jaccard)` with
+    * `i < j` where at least one side is from `newDocs`. The indexed corpus
+    * is never re-shingled or re-sketched — its side of the work is two
+    * table reads; only the batch is sketched, and the candidate join keys
+    * on (band, bv) exactly like the one-shot path. Ids must be disjoint
+    * from the indexed corpus (enforced by the caller's id scheme).
+    */
+  def minhashProbe(newDocs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, bands: Int, tau: Double,
+                   path: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSh = shingles(newDocs, idCol, textCol, n).persist()
+    val newBuckets = bandBuckets(minhashSignatures(newSh, k), k, bands)
+    val idxBuckets = new graft.storage.TxLogTable(spark, s"$path/buckets").read()
+    val all = idxBuckets.unionByName(newBuckets)
+    // a.doc_id =!= b.doc_id (not <): new-vs-old pairs must surface in both
+    // orders here because only the batch side drives the join; least/
+    // greatest canonicalizes, distinct collapses new-vs-new double hits
+    val candidates = newBuckets.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j")).distinct()
+    val allSh = new graft.storage.TxLogTable(spark, s"$path/shingles").read()
+      .unionByName(newSh)
+    verifyJaccard(candidates, allSh, tau)
   }
 
   /** Connected components over an undirected pair list `(i, j)` — the

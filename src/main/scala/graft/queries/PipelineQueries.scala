@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{DedupOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, LmOps, MultimodalOps, SampleOps, SimilarityOps, TextOps}
 
 /** LLM-data-pipeline operators (SURVEY.md §2.4): deduplication (exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine), similarity
@@ -196,6 +196,21 @@ object PipelineQueries {
         .select(col("doc_id") +: feats: _*)
     }),
 
+    // CCNet-style LM quality score: a bigram add-one model trained on the
+    // corpus itself (top-40 vocab, count-desc/token-asc tie-break, OOV ->
+    // <unk>) scores every document's average bigram log-probability. Model
+    // tables are (K+1)-bounded and broadcast; scoring is map-only + one
+    // doc-keyed agg; per-bigram log-probs quantize to int64 so the sum is
+    // order-independent (ONE double conversion, one final IEEE exp)
+    // gated on the exact columns: avg_logprob is integer-quantized all the
+    // way, but the operator's derived perplexity = exp(-avg) differs from
+    // DuckDB by 1 ulp on some inputs (Java Math.exp vs libm) — the one
+    // column the bit-exact gate cannot hold cross-engine
+    "q_lm_perplexity" -> ((s, dir) => {
+      LmOps.lmScore(Tables.documents(s, dir), "doc_id", "text", 40)
+        .select("doc_id", "n_bigrams", "avg_logprob")
+    }),
+
     // corpus n-gram statistics: top-10 bigrams by document frequency.
     // Global top-k is orderBy().limit(k) — plans TakeOrderedAndProject
     // (per-partition bounded heap + tiny driver merge), NOT a global
@@ -252,6 +267,22 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, dir) => {
       DedupOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, k = 12, bands = 6, tau = 0.5)
+    }),
+
+    // incremental dedup against a PERSISTED index: the base corpus
+    // (doc_id % 10 != 0) is sketched once into band-bucket + shingle
+    // TxLogTables; the "new batch" (doc_id % 10 == 0) probes without
+    // re-shingling the base — pairs touching the batch, exact-verified.
+    // The scale story of dedup-at-ingest: sketch cost is per-document-ever
+    "q_dedup_incremental" -> ((s, dir) => {
+      val idx = annIndexPath(dir, "mh_12_6")
+      if (!SimilarityOps.indexExists(s, idx, Seq("buckets", "shingles")))
+        DedupOps.buildMinhashIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3, k = 12, bands = 6, path = idx)
+      DedupOps.minhashProbe(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, k = 12, bands = 6, tau = 0.5, path = idx)
     }),
 
     // SimHash(60-bit) near-dup pairs, Hamming <= 3, 4x15-bit band blocking
@@ -611,6 +642,30 @@ object PipelineQueries {
          |    + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS quality_score
          |FROM t""".stripMargin,
 
+    "q_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |big AS (SELECT doc_id, toks[i] AS prev_raw, toks[i+1] AS cur_raw
+         |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         |uni AS (SELECT unnest(toks) AS tok FROM t),
+         |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1)
+         |  ORDER BY cnt DESC, tok LIMIT 40),
+         |mapped AS (SELECT doc_id, coalesce(vp.tok, '<unk>') AS prev,
+         |    coalesce(vc.tok, '<unk>') AS cur
+         |  FROM big LEFT JOIN vocab vp ON big.prev_raw = vp.tok
+         |  LEFT JOIN vocab vc ON big.cur_raw = vc.tok),
+         |ctx AS (SELECT prev, count(*) AS c1 FROM mapped GROUP BY 1),
+         |pairs AS (SELECT prev, cur, count(*) AS c2 FROM mapped GROUP BY 1, 2),
+         |v AS (SELECT count(*) + 1 AS vn FROM vocab),
+         |lp AS (SELECT doc_id,
+         |    CAST(floor((ln(CAST(c2 AS DOUBLE) + 1.0) -
+         |      ln(CAST(c1 AS DOUBLE) + CAST(vn AS DOUBLE))) * 10000000.0) AS BIGINT) AS lp_q
+         |  FROM mapped JOIN pairs USING (prev, cur) JOIN ctx USING (prev), v),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      / 10000000.0 AS avg_logprob
+         |  FROM lp GROUP BY 1)
+         |SELECT doc_id, n_bigrams, avg_logprob FROM agg""".stripMargin,
+
     "q_text_ngrams" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bg AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
@@ -651,6 +706,28 @@ object PipelineQueries {
          |  FROM sig GROUP BY doc_id, i // 2),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (SELECT c.i, c.j, count(*) AS c
+         |  FROM cand c JOIN sh si ON si.doc_id = c.i
+         |  JOIN sh sj ON sj.doc_id = c.j AND sj.shingle = si.shingle GROUP BY 1, 2)
+         |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
+         |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
+         |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the one-shot minhash pipeline with the candidate space restricted to
+    // pairs touching the "new batch" — exactly what the persisted-index
+    // probe computes (index = base corpus, probe = batch)
+    "q_dedup_incremental" ->
+      s"""WITH $shinglesSql,
+         |h AS (SELECT doc_id, ${hash60Sql("shingle")} % 1000000007 AS h FROM sh),
+         |sig AS (SELECT doc_id, i, min(((7919*i + 17) * h + (104729*i + 31)) % 1000000007) AS mh
+         |  FROM h, UNNEST(generate_series(0, 11)) AS t(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |    md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i)) AS bv
+         |  FROM sig GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |shared AS (SELECT c.i, c.j, count(*) AS c
          |  FROM cand c JOIN sh si ON si.doc_id = c.i

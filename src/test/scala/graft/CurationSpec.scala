@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import graft.operators.{DedupOps, LmOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
 
 /** Data-curation operators: histogram binning, edit-distance verify,
   * decontamination, quotas, stratified sampling, PII redaction, validation,
@@ -151,6 +151,51 @@ class CurationSpec extends SparkSuite {
     assert(row.getAs[Double]("id_unique") == 1.0)
     assert(row.getAs[Double]("v_in_range") == 2.0 / 3.0)
     assert(!row.getAs[Boolean]("chk_complete") && row.getAs[Boolean]("chk_key"))
+  }
+
+  test("bigram LM score: counts, OOV mapping, and the quantized average") {
+    // corpus: doc1 "a b a b c", doc2 "a b", doc3 "z" (one token -> no row)
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // vocab K=2 by (count desc, tok asc): a(3), b(3) -> [a, b]; c,z -> <unk>
+    // mapped bigrams: doc1 (a,b)(b,a)(a,b)(b,<unk>), doc2 (a,b)
+    // ctx: a=3, b=2; pairs: (a,b)=3, (b,a)=1, (b,<unk>)=1; V = 2+1 = 3
+    val got = LmOps.lmScore(docs, "doc_id", "text", 2)
+      .select("doc_id", "n_bigrams", "avg_logprob", "perplexity")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def q(c2: Long, c1: Long): Long =
+      math.floor((math.log(c2 + 1.0) - math.log(c1 + 3.0)) * 1e7).toLong
+    val ab = q(3, 3); val ba = q(1, 2); val bu = q(1, 2)
+    val avg1 = (ab + ba + ab + bu).toDouble / 4.0 / 1e7
+    assert(got(1L)._2 == 4L && got(1L)._3 == avg1)
+    assert(got(1L)._4 == math.exp(-avg1))
+    assert(got(2L)._2 == 1L && got(2L)._3 == ab.toDouble / 1.0 / 1e7)
+    assert(!got.contains(3L), "a one-token document has no bigram evidence")
+    // the common pair (a,b) is likelier than the rare (b,a): scoring ranks
+    // the well-trodden doc2 above doc1
+    assert(got(2L)._3 > got(1L)._3 && got(2L)._4 < got(1L)._4)
+  }
+
+  test("bigram LM incremental scoring: unseen bigrams back off, never crash") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val vocab = LmOps.vocabulary(train, "text", 2)
+    val mapped = LmOps.mappedBigrams(train, "doc_id", "text", vocab)
+    val ctx = mapped.groupBy("prev").agg(count(lit(1)).as("c1"))
+    val pairs = mapped.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    // new docs: "b a" is an unseen pair of seen tokens; "q q" maps wholly
+    // to <unk> whose context count exists ((b,<unk>) trained once)
+    val fresh = Seq((10L, "b a"), (11L, "q q")).toDF("doc_id", "text")
+    val freshMapped = LmOps.mappedBigrams(fresh, "doc_id", "text", vocab)
+    val got = LmOps.scoreAgainst(freshMapped, ctx, pairs, vTypes = 3)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    def q(c2: Long, c1: Long): Long =
+      math.floor((math.log(c2 + 1.0) - math.log(c1 + 3.0)) * 1e7).toLong
+    // ctx: a=3 (a->b x3), b=2 (b->a? no: pairs (a,b)=3, (b,a)=1, (b,c->unk)=1)
+    // train bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b)(b,<unk>)
+    // so ctx a=3, b=2; (b,a) seen once -> q(1,2); (<unk>,<unk>) unseen,
+    // <unk> never a context -> q(0,0)
+    assert(got(10L) == q(1, 2).toDouble / 1.0 / 1e7)
+    assert(got(11L) == q(0, 0).toDouble / 1.0 / 1e7)
   }
 
   test("bm25: term-dense docs outrank, termless docs absent, ranking deterministic") {

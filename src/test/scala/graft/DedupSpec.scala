@@ -108,6 +108,31 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental minhash index: probe equals one-shot pairs touching the batch") {
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    DedupOps.buildMinhashIndex(base, "doc_id", "text", 3, 12, 6, idx)
+    val probed = DedupOps.minhashProbe(batch, "doc_id", "text", 3, 12, 6, 0.5, idx)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // ground truth: the one-shot pipeline over everything, restricted to
+    // pairs with at least one side in the batch
+    val oneShot = DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 12, 6, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(probed == oneShot)
+    assert(probed.nonEmpty, "fixture should contain cross-batch duplicates")
+    // folding the batch in extends the index: a SECOND probe with fresh ids
+    // (clones of batch docs) now pairs against the folded-in batch too
+    DedupOps.buildMinhashIndex(batch, "doc_id", "text", 3, 12, 6, idx)
+    val clones = batch.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val probe2 = DedupOps.minhashProbe(clones, "doc_id", "text", 3, 12, 6, 0.5, idx)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    // every clone must rediscover its original (identical text, J = 1.0)
+    assert(batchIds.forall(id => probe2.contains((id, id + 1000000L))))
+  }
+
   test("shingling skips documents shorter than n tokens") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sh = DedupOps.shingles(df, "doc_id", "text", 3)

@@ -315,6 +315,7 @@ object EngineProperties extends Properties("graft") {
       val t = tf.map {
         case d @ ("derivative" | "non_negative_derivative") => (d, Some(targ.toLong * 1000000L))
         case "moving_average" => ("moving_average", Some(targ.toLong))
+        case ta if TaFuncs.contains(ta) => (ta, Some(targ.toLong))
         case other => (other, None)
       }
       Field(fn, arg, pct, t.map(_._1), t.flatMap(_._2))
