@@ -150,6 +150,27 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_lm_perplexity: model joins broadcast, vocab top-K bounded, no cartesian") {
+    val p = plan("q_lm_perplexity")
+    // vocab = global top-K -> TakeOrderedAndProject (bounded heap, never a
+    // global sort); every model-side join broadcasts its (K+1)-bounded side
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-K is not TOAP:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"model joins are not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM plan:\n$p")
+  }
+
+  test("q_dedup_incremental: probe never re-shingles the indexed corpus") {
+    val p = plan("q_dedup_incremental")
+    // the index side must come from the persisted TxLogTables; the only
+    // documents.parquet work is the batch (cached shingle build) — the base
+    // corpus (9x the batch) is never re-read per probe
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted index:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && !l.contains("ReusedExchange"))
+    assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
+  }
+
   test("q_influxql_where: OR trees leave top-level time pushdown intact") {
     val p = plan("q_influxql_where")
     // the disjunction must not swallow the top-level time conjuncts: the
