@@ -26,6 +26,17 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
 
+# Verify writes a manifest of Spark-side failures (query -> error message);
+# surface it first so a red board names its cause, not just "output missing"
+try:
+    spark_failures = json.load(open(f"{OUTDIR}/failures.json"))
+except Exception:
+    spark_failures = {}
+if spark_failures:
+    print(f"!! Verify reported {len(spark_failures)} Spark-side failures:")
+    for qname, msg in spark_failures.items():
+        print(f"!!   {qname}: {msg.splitlines()[0][:200] if msg else msg}")
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -94,5 +105,7 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"PASS {name}: rows={len(got_rows)} exact")
 
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries pass")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries pass"
+      + (f" ({len(spark_failures)} Spark-side failures — see manifest above)"
+         if spark_failures else ""))
 sys.exit(1 if fails else 0)

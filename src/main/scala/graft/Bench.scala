@@ -20,15 +20,25 @@ object Bench {
     GraftSession.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query must NOT get a timing: an instantly-erroring engine
+    // would otherwise "win" the bench with innocent 0.05 s rows (r8 lesson)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runAll(): Map[String, Double] = {
-      val r = SparkEntry.queries.map { case (name, fn) =>
+      val r = SparkEntry.queries.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces evaluation of every projected expression;
         // count() would let Catalyst prune unused projections, so map-only
         // queries would measure scan+filter only
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+            .next().take(200)
+          errors(name) = msg
+          System.err.println(s"[bench] $name FAILED: $msg")
+          None
+        }
       }
       spark.catalog.clearCache() // queries persist() internal indexes; no cross-run reuse
       System.gc()
@@ -40,14 +50,18 @@ object Bench {
     // which swamps real per-query cost at min-of-2 — a third pass makes
     // round-over-round deltas meaningful
     val passes = Seq(runAll(), runAll(), runAll())
-    val results = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
+    val results = passes.head.keys
+      .filter(k => passes.forall(_.contains(k)))
+      .map(k => k -> passes.map(_(k)).min).toMap
 
     // millisecond precision keeps the single JSON line short enough that
     // the per-query tail survives log truncation
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
+    def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => qstr(k) + ":" + qstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has truncated the
     // per-query tail in past rounds — persist the same line to a file so

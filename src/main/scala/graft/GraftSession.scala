@@ -9,12 +9,18 @@ import org.apache.spark.sql.SparkSession
   * handling), shuffle partitions matched to local cores (would be raised on a
   * real cluster), UTC session time zone for oracle parity.
   *
-  * `spark.sql.legacy.parquet.nanosAsLong=true` is required because the
-  * `events` fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
-  * rejects natively; we read nanos as LONG and truncate to micros ourselves
-  * (see [[Tables.events]]), exactly matching DuckDB's ns->us truncation so
-  * oracle comparisons agree. Mirrors the reference's nanosecond write
-  * precision (influx_service.py:200) while documenting Spark's micro limit.
+  * Two parquet-reader configs pin the fixture timestamp layouts:
+  *   - `spark.sql.parquet.inferTimestampNTZ.enabled=false`: the driver's
+  *     fixtures store TIMESTAMP_MICROS with isAdjustedToUTC=false; reading
+  *     them as plain TimestampType under the UTC session zone is an identity
+  *     re-tag of the stored micros (same longs DuckDB's `epoch_us` sees) and
+  *     keeps `ts` a RAW scan column so time predicates push down — an NTZ
+  *     read would force a cast that blocks pushdown (full scan at 100 TB).
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: a legacy TIMESTAMP(NANOS)
+  *     fixture (the reference writes ns precision, influx_service.py:200) is
+  *     rejected by Spark's reader natively; as LONG we truncate to micros
+  *     ourselves (see [[Tables.events]]), matching DuckDB's ns->us cast.
+  *     Harmless for micros-unit columns.
   */
 object GraftSession {
 
@@ -28,6 +34,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
 
@@ -36,6 +43,7 @@ object GraftSession {
     */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark

@@ -217,10 +217,11 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
-    // §2.2: time-range scan (predicate on the raw ns column -> parquet pushdown)
+    // §2.2: time-range scan (dual-column bound -> the raw one reaches the
+    // parquet scan as a PushedFilter, whichever fixture layout is on disk)
     "q_time_range" -> ((s, dir) => {
       Tables.events(s, dir)
-        .filter(TimeSeriesOps.timeRangeNs(col("ts_ns"), "2024-01-10 00:00:00", "2024-01-12 00:00:00"))
+        .filter(TimeSeriesOps.timeRangeEvents("2024-01-10 00:00:00", "2024-01-12 00:00:00"))
         .groupBy("user_id")
         .agg(count(one).as("n"), dsum(col("value"), 4).as("sum_value"))
     })

@@ -18,11 +18,19 @@ object Verify {
     GraftSession.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
+    // loud failure accounting: a swallowed exception here once hid a 64-query
+    // collapse for two rounds (queries with no output dir simply vanish from
+    // the driver's report) — so track every failure, write a manifest, and
+    // print declared/succeeded/failed counts the round-end sweep can record
+    val declared = SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1))
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    declared.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    println(s"[verify] declared=${declared.size} succeeded=${declared.size - failures.size} " +
+      s"failed=${failures.size}" +
+      (if (failures.nonEmpty) failures.keys.mkString(" [", ", ", "]") else ""))
+    // rc stays 0 either way — the driver's gate must still reach its DuckDB
+    // compare; the manifest + counts (+ check.py, which reads failures.json)
+    // are the loud part
     spark.stop()
   }
 }

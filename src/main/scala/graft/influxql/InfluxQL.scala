@@ -1082,7 +1082,7 @@ object InfluxQL {
   }
 
   /** The reserved (non-tag, non-field) columns of the points layout. */
-  private val Reserved = Set("transducer", "ts_us", "ts_ns")
+  private val Reserved = Set("transducer", "ts_us", "ts_ns", "ts")
 
   /** Tag columns: string-typed and not reserved (`GROUP BY *` expands to
     * these, in name order for deterministic output).
@@ -1223,24 +1223,34 @@ object InfluxQL {
     // result name (resolve() already added transducer to the group tags)
     def out(d: DataFrame): DataFrame =
       if (q.fromRegex) d.withColumnRenamed("transducer", "measurement") else d
-    // `ts_us` is usually DERIVED (ts_ns div 1000 for the nanosecond store),
-    // so a predicate on it cannot reach the parquet scan. When the adapter
-    // also exposes the raw `ts_ns` column, push the EQUIVALENT raw-column
-    // bound alongside (ts_us >= X  <=>  ts_ns >= X*1000 under floor-div
-    // truncation, both non-negative) — that one lands in PushedFilters and
-    // prunes row groups / stats-indexed files, the repo's timeRangeNs
-    // convention. The ts_us predicate stays for exactness; the raw one is
-    // redundant, never wrong.
+    // `ts_us` is DERIVED (unix_micros over the timestamp), so a predicate on
+    // it cannot reach the parquet scan. When the adapter also exposes the
+    // events dual surface (`ts` TIMESTAMP / `ts_ns` LONG — Tables.events),
+    // push the EQUIVALENT bound on BOTH alongside: whichever is the file's
+    // physical column lands in PushedFilters and prunes row groups /
+    // stats-indexed files (ts_us >= X <=> ts_ns >= X*1000 under floor-div
+    // truncation, both non-negative; TimestampType is exactly µs so
+    // ts <= X  <=>  ts < X+1µs). The ts_us predicate stays for exactness;
+    // the raw twins are redundant, never wrong.
     val hasNs = points.columns.contains("ts_ns")
+    val hasTs = points.columns.contains("ts")
     q.conds.foreach { c =>
       df = df.filter(condColumn(c))
       // only TOP-LEVEL time conjuncts get the raw-column twin: a bound
       // inside an OR branch doesn't restrict the scan unconditionally
+      def twin(nsOp: Long => Column, tsOp: Long => Column, us: Long): Unit = {
+        if (hasNs) df = df.filter(nsOp(us))
+        if (hasTs) df = df.filter(tsOp(us))
+      }
       c match {
-        case TimeCond("<", us) if hasNs => df = df.filter(col("ts_ns") < us * 1000L)
-        case TimeCond("<=", us) if hasNs => df = df.filter(col("ts_ns") < (us + 1) * 1000L)
-        case TimeCond(">", us) if hasNs => df = df.filter(col("ts_ns") >= (us + 1) * 1000L)
-        case TimeCond(">=", us) if hasNs => df = df.filter(col("ts_ns") >= us * 1000L)
+        case TimeCond("<", us) =>
+          twin(u => col("ts_ns") < u * 1000L, u => col("ts") < timestamp_micros(lit(u)), us)
+        case TimeCond("<=", us) =>
+          twin(u => col("ts_ns") < (u + 1) * 1000L, u => col("ts") < timestamp_micros(lit(u + 1)), us)
+        case TimeCond(">", us) =>
+          twin(u => col("ts_ns") >= (u + 1) * 1000L, u => col("ts") >= timestamp_micros(lit(u + 1)), us)
+        case TimeCond(">=", us) =>
+          twin(u => col("ts_ns") >= u * 1000L, u => col("ts") >= timestamp_micros(lit(u)), us)
         case _ => ()
       }
     }

@@ -20,10 +20,8 @@ object TimeSeriesOps {
   def timeRange(ts: Column, from: String, to: String): Column =
     ts >= lit(from).cast("timestamp") && ts < lit(to).cast("timestamp")
 
-  /** Time-range predicate on a raw nanosecond-epoch LONG column. The derived
-    * `ts` timestamp is a computed column, so predicates on it cannot reach
-    * the parquet scan; an equivalent bound on the physical `ts_ns` column
-    * does (exact for whole-second bounds, since us = ns div 1000).
+  /** Time-range predicate on a nanosecond-epoch LONG column (exact for
+    * whole-second bounds, since us = ns div 1000).
     */
   def timeRangeNs(tsNs: Column, from: String, to: String): Column = {
     def ns(s: String): Long = // explicit UTC: independent of the JVM default zone
@@ -31,6 +29,17 @@ object TimeSeriesOps {
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     tsNs >= lit(ns(from)) && tsNs < lit(ns(to))
   }
+
+  /** Time-range predicate for the events dual surface (`ts` TIMESTAMP +
+    * `ts_ns` LONG, Tables.events): bounds BOTH columns. Exactly one of the
+    * two is the raw parquet column (layout-dependent — see Tables.events);
+    * its bound lands in PushedFilters and prunes row groups / partitions,
+    * while the derived twin is a redundant-but-exact in-memory predicate.
+    * At 100 TB the pushed bound is the difference between pruning to a few
+    * row groups and scanning the corpus.
+    */
+  def timeRangeEvents(from: String, to: String): Column =
+    timeRange(col("ts"), from, to) && timeRangeNs(col("ts_ns"), from, to)
 
   /** Tumbling time-bucket aggregation: `GROUP BY time(dur)` semantics.
     * Uses Spark's `window()` (epoch-aligned tumbling windows); callers pass

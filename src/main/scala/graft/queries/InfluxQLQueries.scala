@@ -16,9 +16,10 @@ import graft.influxql.InfluxQL
   */
 object InfluxQLQueries {
 
-  /** The narrow-points adapter the front-end queries run over. The raw
-    * `ts_ns` column rides along so the planner's redundant raw-column time
-    * bounds reach the parquet scan (PushedFilters — pinned by
+  /** The narrow-points adapter the front-end queries run over. The events
+    * dual time surface (`ts` TIMESTAMP + `ts_ns` LONG, Tables.events) rides
+    * along so the planner's redundant raw-column time bounds reach the
+    * parquet scan whichever column is physical (PushedFilters — pinned by
     * PlanAuditSpec); `ts_us` is the exact query-time surface.
     */
   def points(s: SparkSession, dir: String): DataFrame =
@@ -26,6 +27,7 @@ object InfluxQLQueries {
       concat(lit("dev"), col("user_id") % 50).as("device"),
       col("event_type").as("transducer"),
       unix_micros(col("ts")).as("ts_us"),
+      col("ts"),
       col("ts_ns"),
       col("value"))
 
