@@ -170,6 +170,144 @@ object MultimodalOps {
     })
   }
 
+  case class ImagePhash(doc_id: Long, ok: Boolean, phash: Long)
+
+  /** Integer DCT-II cosine table, K(u,i) = round(8192·cos((2i+1)uπ/16)).
+    * Hardcoded (not computed at runtime) so the Scala kernel and the DuckDB
+    * oracle share the EXACT same constants — [[dctKSqlValues]] renders this
+    * table into the oracle SQL, a single source of truth.
+    */
+  val DctK: Array[Array[Long]] = Array(
+    Array(8192L, 8192L, 8192L, 8192L, 8192L, 8192L, 8192L, 8192L),
+    Array(8035L, 6811L, 4551L, 1598L, -1598L, -4551L, -6811L, -8035L),
+    Array(7568L, 3135L, -3135L, -7568L, -7568L, -3135L, 3135L, 7568L),
+    Array(6811L, -1598L, -8035L, -4551L, 4551L, 8035L, 1598L, -6811L),
+    Array(5793L, -5793L, -5793L, 5793L, 5793L, -5793L, -5793L, 5793L),
+    Array(4551L, -8035L, 1598L, 6811L, -6811L, -1598L, 8035L, -4551L),
+    Array(3135L, -7568L, 7568L, -3135L, -3135L, 7568L, -7568L, 3135L),
+    Array(1598L, -4551L, 6811L, -8035L, 8035L, -6811L, 4551L, -1598L))
+
+  /** The table as `(u, i, k)` SQL VALUES rows for the oracle. */
+  def dctKSqlValues: String =
+    (for (u <- 0 until 8; i <- 0 until 8) yield s"($u,$i,${DctK(u)(i)})").mkString(", ")
+
+  /** 60-bit perceptual hash of an 8x8 average-pooled grayscale block: 2-D
+    * integer DCT-II (the [[DctK]] table), coefficients 1..60 in row-major
+    * order (DC excluded — it only encodes overall brightness), bit j set
+    * iff coefficient j+1 exceeds the lower median (30th smallest) of the
+    * 60. All-integer arithmetic, so bit-exact against the SQL oracle.
+    * 60 bits = 4 bands x 15, the repo's SimHash banding shape.
+    */
+  def phash60(thumb8: Array[Long]): Long = {
+    require(thumb8.length == 64, s"need an 8x8 block, got ${thumb8.length}")
+    val vals = new Array[Long](60)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val idx = u * 8 + v
+        if (idx >= 1 && idx <= 60) {
+          var s = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { s += thumb8(y * 8 + x) * DctK(u)(y) * DctK(v)(x); x += 1 }
+            y += 1
+          }
+          vals(idx - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    medianSignHash60(vals)
+  }
+
+  /** 60-bit sign hash of 60 integer feature values: bit j set iff value j
+    * exceeds the lower median (30th smallest). Shared by the image pHash
+    * and audio fingerprint; all-integer, so bit-exact against SQL oracles.
+    */
+  def medianSignHash60(vals: Array[Long]): Long = {
+    require(vals.length == 60, s"need 60 values, got ${vals.length}")
+    val med = vals.sorted.apply(29)
+    var h = 0L
+    var j = 0
+    while (j < 60) { if (vals(j) > med) h |= 1L << j; j += 1 }
+    h
+  }
+
+  case class AudioFp(doc_id: Long, ok: Boolean, afp: Long)
+
+  /** Lower median (15th smallest) of a 30-value feature family. */
+  private def lowerMedian30(vals: Array[Long]): Long = {
+    require(vals.length == 30)
+    vals.sorted.apply(14)
+  }
+
+  /** Acoustic fingerprint over the payload column: REAL WAV decode to raw
+    * PCM ([[WavCodec.decodeSamples]]), then a 60-bit contour hash — 30
+    * frame signed sums (the polarity/DC contour, bits 0-29) + 30 frame
+    * lag-1 autocorrelations (the periodicity contour, bits 30-59; frame f
+    * covers samples i with i·30/n = f, a pair (i, i+1) belongs to i's
+    * frame). Each family compares against its OWN lower median — a global
+    * median would let the always-larger autocorrelation family saturate
+    * the threshold and collapse every clip to one hash. Same banded
+    * near-dup shape as [[imagePhash]]: map-only hashing, candidates from a
+    * (band index, band) equi-join, never audio-pairwise.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    implicit val enc = Encoders.product[AudioFp]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try {
+          val s = WavCodec.decodeSamples(m.payload)
+          val n = s.length
+          require(n >= 31, s"too few samples for a 30-frame contour: $n")
+          val sums = new Array[Long](30)
+          val corr = new Array[Long](30)
+          var i = 0
+          while (i < n) {
+            val f = math.min(i * 30 / n, 29)
+            sums(f) += s(i)
+            if (i + 1 < n) corr(f) += s(i).toLong * s(i + 1)
+            i += 1
+          }
+          val medS = lowerMedian30(sums)
+          val medC = lowerMedian30(corr)
+          var h = 0L
+          var j = 0
+          while (j < 30) {
+            if (sums(j) > medS) h |= 1L << j
+            if (corr(j) > medC) h |= 1L << (30 + j)
+            j += 1
+          }
+          AudioFp(m.doc_id, ok = true, h)
+        } catch {
+          case scala.util.control.NonFatal(_) => AudioFp(m.doc_id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** Perceptual image fingerprint over the payload column: REAL BMP decode
+    * to an 8x8 pooled grayscale, then [[phash60]]. Corrupt payloads
+    * dead-letter (`ok = false`), same contract as [[decodeImages]]. The
+    * fingerprint feeds the banded near-dup join (SimHash-style): map-only
+    * here, one equi-join shuffle on (band index, band) downstream — never
+    * an image-pairwise comparison.
+    */
+  def imagePhash(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
+    implicit val enc = Encoders.product[ImagePhash]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        try ImagePhash(m.doc_id, ok = true, phash60(BmpCodec.decode(m.payload, 8).thumb))
+        catch {
+          case scala.util.control.NonFatal(_) => ImagePhash(m.doc_id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
   /** REAL image decode + feature-extract + resize over the payload column:
     * per-partition BMP parsing with integer average-pooled thumbnails
     * ([[BmpCodec.decode]]). Corrupt payloads dead-letter (`ok = false`),

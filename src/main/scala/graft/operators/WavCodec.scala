@@ -39,12 +39,10 @@ object WavCodec {
     buf.array()
   }
 
-  /** Parse a WAV payload and compute signal features (frame count,
-    * duration, RMS, peak). Throws [[MalformedWav]] on anything that is not
-    * a PCM RIFF/WAVE stream — a decode stage must FAIL on corrupt media,
-    * not fabricate features (route failures to the dead-letter side).
+  /** Validated header + data-chunk location shared by [[decode]] and
+    * [[decodeSamples]]: (channels, sampleRate, bits, dataOff, dataLen).
     */
-  def decode(bytes: Array[Byte]): WavInfo = {
+  private def parseChunks(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
     def fail(msg: String) = throw new MalformedWav(msg)
     if (bytes.length < 12) fail(s"too short for a RIFF header: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -80,7 +78,31 @@ object WavCodec {
     if (bits != 8 && bits != 16) fail(s"unsupported bit depth: $bits")
     val bytesPerFrame = channels * (bits / 8)
     if (len % bytesPerFrame != 0) fail(s"data length $len not a multiple of frame size $bytesPerFrame")
+    (channels, rate, bits, off, len)
+  }
 
+  /** Parse a WAV payload and return the raw PCM samples as Ints (16-bit
+    * signed or 8-bit offset-binary re-centered), channel-interleaved —
+    * the decode seam for sample-level features (audio fingerprinting).
+    * Same validation as [[decode]].
+    */
+  def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+    val (_, _, bits, off, len) = parseChunks(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nSamples = len / (bits / 8)
+    Array.tabulate(nSamples)(i =>
+      if (bits == 16) buf.getShort(off + i * 2).toInt
+      else (bytes(off + i) & 0xff) - 128)
+  }
+
+  /** Parse a WAV payload and compute signal features (frame count,
+    * duration, RMS, peak). Throws [[MalformedWav]] on anything that is not
+    * a PCM RIFF/WAVE stream — a decode stage must FAIL on corrupt media,
+    * not fabricate features (route failures to the dead-letter side).
+    */
+  def decode(bytes: Array[Byte]): WavInfo = {
+    val (channels, rate, bits, off, len) = parseChunks(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nSamples = len / (bits / 8)
     var sumSq = 0L
     var peak = 0

@@ -605,8 +605,89 @@ object PipelineQueries {
         .filter(col("ok"))
         .select(col("doc_id"), col("modality"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"), col("duration_us"))
+    }),
+
+    // image near-dup dedup via integer pHash: REAL BMP decode -> 8x8 pooled
+    // grayscale -> integer DCT sign hash (MultimodalOps.phash60) -> 4x15-bit
+    // banded self-join (the SimHash shape) -> Hamming verify on candidates
+    // only. The corpus plants an exact copy of every image under a shifted
+    // id; the oracle recomputes pixels, pooling, DCT (same hardcoded cosine
+    // table) and banding closed-form in SQL. Never image-pairwise: the only
+    // shuffle is the (band index, band) equi-join.
+    "q_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id")).as[Long]
+      val corpus = base.flatMap(id => Seq(
+        MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image"),
+        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthImage(id), "image")))
+      bandedHammingPairs(
+        MultimodalOps.imagePhash(corpus).toDF().filter(col("ok"))
+          .select(col("doc_id"), col("phash").as("h")), maxHamming = 6)
+    }),
+
+    // audio near-dup dedup via acoustic fingerprint: REAL WAV decode ->
+    // 60-bit polarity/periodicity contour hash (MultimodalOps
+    // .audioFingerprint) -> the same 4x15-bit banded join + Hamming verify
+    // as q_image_phash. Exact copies planted under shifted ids; the oracle
+    // recomputes samples, frame contours, per-family medians and banding
+    // closed-form from the square-wave synth parameters.
+    "q_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id")).as[Long]
+      val corpus = base.flatMap(id => Seq(
+        MultimodalOps.MediaRow(id, MultimodalOps.synthWave(id), "audio"),
+        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthWave(id), "audio")))
+      bandedHammingPairs(
+        MultimodalOps.audioFingerprint(corpus).toDF().filter(col("ok"))
+          .select(col("doc_id"), col("afp").as("h")), maxHamming = 6)
+    }),
+
+    // video near-dup dedup via per-frame pHash: REAL AVI container index ->
+    // per-frame DIB pixel decode -> 8x8 pooled grayscale -> the SAME
+    // integer-DCT phash60 as still images -> videos joined on exact frame
+    // hashes (60-bit equi-join, no banding needed at frame granularity) ->
+    // pairs sharing >= 2 distinct frame hashes. Candidates come from the
+    // hash equi-join only — never video-pairwise.
+    "q_video_phash" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 12 === 0)
+        .select(col("doc_id")).as[Long]
+      val corpus = base.flatMap(id => Seq(
+        MultimodalOps.MediaRow(id, MultimodalOps.synthVideoDib(id), "video"),
+        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthVideoDib(id), "video")))
+      val fp = MultimodalOps.decodeVideoPixels(corpus, stride = 1, poolSize = 8)
+        .filter(_.ok)
+        .map(v => (v.doc_id, MultimodalOps.phash60(v.thumb.toArray)))
+        .toDF("doc_id", "phash").distinct()
+      val a = fp.select(col("phash"), col("doc_id").as("doc_a"))
+      val b = fp.select(col("phash"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("phash")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
     })
   )
+
+  /** Banded near-dup candidate join over a 60-bit fingerprint column `h`:
+    * 4x15-bit bands -> (band index, band) equi-join -> distinct pairs ->
+    * Hamming verify on candidates only. The only shuffle is the band
+    * equi-join — never fingerprint-pairwise (the SimHash blocking shape,
+    * shared by the image pHash and audio fingerprint dedup).
+    */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashed.select(col("doc_id"), col("h"),
+      explode(array((0 until 4).map(k => struct(lit(k).as("k"),
+        shiftright(col("h"), 15 * k).bitwiseAND(lit(32767L)).as("band"))): _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.k").as("k"), col("bk.band").as("band"))
+    val a = bands.select(col("k"), col("band"), col("doc_id").as("doc_a"), col("h").as("ha"))
+    val b = bands.select(col("k"), col("band"), col("doc_id").as("doc_b"), col("h").as("hb"))
+    a.join(b, Seq("k", "band")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_text_stats" ->
@@ -1064,6 +1145,113 @@ object PipelineQueries {
         |  FROM px GROUP BY doc_id, w, h)
         |SELECT l.doc_id, l.width, l.height, l.mean_lum, t.thumb_md5
         |FROM lum l JOIN thumbs t ON l.doc_id = t.doc_id""".stripMargin,
+
+    // full closed-form pHash pipeline: pixels -> 8x8 pooling -> 2-D integer
+    // DCT (the SAME hardcoded cosine table as MultimodalOps.DctK, rendered
+    // into the VALUES list) -> sign-vs-lower-median 60-bit hash -> 4x15-bit
+    // bands -> banded self-join -> Hamming. Copies are planted under
+    // doc_id + 1000000 with `src` driving the pixel formula.
+    "q_image_phash" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 10 = 0),
+         |dims AS (SELECT doc_id, src, 16 + src % 17 AS w, 16 + src % 13 AS h FROM ids),
+         |px AS (SELECT doc_id, w, h,
+         |    least((x * 255) // greatest(1, w - 1), 255)
+         |      + least((y * 255) // greatest(1, h - 1), 255)
+         |      + CASE WHEN ((x // 4) + (y // 4) + src) % 2 = 0 THEN 64 ELSE 0 END AS gray,
+         |    least((y * 8) // h, 7) * 8 + least((x * 8) // w, 7) AS cell
+         |  FROM dims, UNNEST(generate_series(0, w - 1)) AS t(x),
+         |    UNNEST(generate_series(0, h - 1)) AS u(y)),
+         |cells AS (SELECT doc_id, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2),
+         |kt(u, i, k) AS (VALUES ${MultimodalOps.dctKSqlValues}),
+         |coef AS (SELECT c.doc_id, ku.u * 8 + kv.u AS idx,
+         |    CAST(sum(c.tv * ku.k * kv.k) AS BIGINT) AS cv
+         |  FROM cells c JOIN kt ku ON ku.i = c.cell // 8 JOIN kt kv ON kv.i = c.cell % 8
+         |  WHERE ku.u * 8 + kv.u BETWEEN 1 AND 60
+         |  GROUP BY 1, 2),
+         |med AS (SELECT doc_id, max(cv) AS med FROM (
+         |    SELECT doc_id, cv, row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+         |    FROM coef) WHERE rn <= 30 GROUP BY 1),
+         |hashes AS (SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN c.cv > m.med THEN 1::BIGINT << (c.idx - 1) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM coef c JOIN med m ON c.doc_id = m.doc_id GROUP BY 1),
+         |bands AS (SELECT doc_id, phash, k, (phash >> (15 * k)) & 32767 AS band
+         |  FROM hashes, UNNEST([0, 1, 2, 3]) AS t(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS ha, b.phash AS hb
+         |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
+
+    // closed-form acoustic-fingerprint pipeline: square-wave samples ->
+    // 30-frame signed-sum + lag-1 autocorrelation contours -> per-family
+    // lower medians (rn <= 15) -> 60-bit hash -> 4x15-bit bands -> banded
+    // self-join -> Hamming. Mirrors MultimodalOps.audioFingerprint bit for
+    // bit; copies planted under doc_id + 1000000 with `src` driving synth.
+    "q_audio_fingerprint" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 8 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 8 = 0),
+        |params AS (SELECT doc_id, 800 + (src % 23) * 37 AS n, 2 + src % 50 AS period,
+        |    1000 + src % 9000 AS amp FROM ids),
+        |smp AS (SELECT doc_id, n, i,
+        |    CASE WHEN ((i // period) % 2) = 0 THEN amp ELSE -amp END AS s,
+        |    least((i * 30) // n, 29) AS f
+        |  FROM params, UNNEST(generate_series(0, n - 1)) AS t(i)),
+        |lagd AS (SELECT doc_id, f, s, lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS s1 FROM smp),
+        |feats AS (
+        |  SELECT doc_id, 0 AS fam, f AS j, CAST(sum(s) AS BIGINT) AS cv FROM smp GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT doc_id, 1, f, CAST(sum(s * s1) AS BIGINT) FROM lagd WHERE s1 IS NOT NULL GROUP BY 1, 3),
+        |med AS (SELECT doc_id, fam, max(cv) AS med FROM (
+        |    SELECT doc_id, fam, cv, row_number() OVER (PARTITION BY doc_id, fam ORDER BY cv) AS rn
+        |    FROM feats) WHERE rn <= 15 GROUP BY 1, 2),
+        |hashes AS (SELECT c.doc_id,
+        |    CAST(sum(CASE WHEN c.cv > m.med THEN 1::BIGINT << (c.fam * 30 + c.j) ELSE 0 END) AS BIGINT) AS h
+        |  FROM feats c JOIN med m ON c.doc_id = m.doc_id AND c.fam = m.fam GROUP BY 1),
+        |bands AS (SELECT doc_id, h, k, (h >> (15 * k)) & 32767 AS band
+        |  FROM hashes, UNNEST([0, 1, 2, 3]) AS t(k)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+        |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
+
+    // closed-form per-frame pHash: the q_image_phash DCT pipeline applied
+    // per (video, frame) over the DIB fixture's pixel formula, then videos
+    // joined on exact frame hashes and kept at >= 2 shared distinct hashes
+    "q_video_phash" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 12 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 12 = 0),
+         |dims AS (SELECT doc_id, src, 16 + src % 9 AS w, 12 + src % 7 AS h, 3 + src % 4 AS n FROM ids),
+         |fr AS (SELECT doc_id, src, w, h, fk FROM dims, UNNEST(generate_series(0, n - 1)) AS t(fk)),
+         |px AS (SELECT doc_id, fk, w, h,
+         |    least((x * 255) // (w - 1), 255)
+         |      + least(((y + fk) * 255) // (h - 1), 255)
+         |      + CASE WHEN ((x // 2) + (y // 2) + src + fk) % 2 = 0 THEN 32 ELSE 0 END AS gray,
+         |    least((y * 8) // h, 7) * 8 + least((x * 8) // w, 7) AS cell
+         |  FROM fr, UNNEST(generate_series(0, w - 1)) AS t(x), UNNEST(generate_series(0, h - 1)) AS u(y)),
+         |cells AS (SELECT doc_id, fk, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2, 3),
+         |kt(u, i, kc) AS (VALUES ${MultimodalOps.dctKSqlValues}),
+         |coef AS (SELECT c.doc_id, c.fk, ku.u * 8 + kv.u AS idx,
+         |    CAST(sum(c.tv * ku.kc * kv.kc) AS BIGINT) AS cv
+         |  FROM cells c JOIN kt ku ON ku.i = c.cell // 8 JOIN kt kv ON kv.i = c.cell % 8
+         |  WHERE ku.u * 8 + kv.u BETWEEN 1 AND 60
+         |  GROUP BY 1, 2, 3),
+         |med AS (SELECT doc_id, fk, max(cv) AS med FROM (
+         |    SELECT doc_id, fk, cv, row_number() OVER (PARTITION BY doc_id, fk ORDER BY cv) AS rn
+         |    FROM coef) WHERE rn <= 30 GROUP BY 1, 2),
+         |hashes AS (SELECT DISTINCT c.doc_id,
+         |    CAST(sum(CASE WHEN c.cv > m.med THEN 1::BIGINT << (c.idx - 1) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM coef c JOIN med m ON c.doc_id = m.doc_id AND c.fk = m.fk GROUP BY c.doc_id, c.fk)
+         |SELECT doc_a, doc_b, n_shared FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM hashes a JOIN hashes b ON a.phash = b.phash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2) WHERE n_shared >= 2""".stripMargin,
 
     "q_video_frames" ->
       """WITH ids AS (SELECT doc_id, CAST(3 + doc_id % 5 AS INTEGER) AS nf

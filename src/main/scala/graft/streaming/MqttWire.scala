@@ -57,14 +57,27 @@ object MqttWireCodec {
   private def pid2(id: Int): Array[Byte] =
     Array(((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
 
-  /** CONNECT: protocol "MQTT" level 4, no will/auth. Connect-flags bit 1
+  /** CONNECT: protocol "MQTT" level 4, no auth. Connect-flags bit 1
     * (MQTT 3.1.2.4) selects clean session (true, the default) vs resuming
-    * a broker-side persistent session keyed by client id.
+    * a broker-side persistent session keyed by client id. An optional will
+    * (topic, payload, QoS, retain — MQTT 3.1.2.5-11) sets flag bit 2 plus
+    * the QoS/retain bits and appends `willTopic willMessage` to the payload
+    * after the client id; the broker publishes it if the connection ends
+    * any way other than a DISCONNECT packet.
     */
   def encodeConnect(clientId: String, keepAliveSecs: Int = 0,
-                    cleanSession: Boolean = true): Array[Byte] =
+                    cleanSession: Boolean = true,
+                    will: Option[(String, Array[Byte], Int, Boolean)] = None): Array[Byte] = {
+    val flags = (if (cleanSession) 2 else 0) | will.map { case (_, _, q, r) =>
+      require(q >= 0 && q <= 2, s"bad will QoS $q")
+      4 | ((q & 3) << 3) | (if (r) 0x20 else 0)
+    }.getOrElse(0)
+    // will message is a 2-byte-length binary, NOT a UTF-8 string (3.1.3.3)
+    val willBytes = will.map { case (t, p, _, _) => utf8(t) ++ pid2(p.length) ++ p }
+      .getOrElse(Array.empty[Byte])
     frame(CONNECT, 0, utf8("MQTT") ++
-      Array[Byte](4, if (cleanSession) 2 else 0) ++ pid2(keepAliveSecs) ++ utf8(clientId))
+      Array[Byte](4, flags.toByte) ++ pid2(keepAliveSecs) ++ utf8(clientId) ++ willBytes)
+  }
 
   def encodeConnack(sessionPresent: Boolean, returnCode: Int): Array[Byte] =
     frame(CONNACK, 0, Array((if (sessionPresent) 1 else 0).toByte, returnCode.toByte))
@@ -186,11 +199,17 @@ object MqttWireCodec {
   *                    reports whether state was resumed, in which case no
   *                    resubscribe is needed and the broker redelivers
   *                    whatever was in flight
+  * @param will        optional last-will (topic, payload, QoS, retain): the
+  *                    broker publishes it when this client's connection dies
+  *                    without a DISCONNECT packet (crash, network drop) and
+  *                    suppresses it on a clean disconnect() — MQTT 3.1.2.5
   */
 class SocketMqttTransport(host: String, port: Int, clientId: String,
                           ioTimeoutMs: Int = 10000, subscribeQos: Int = 0,
                           autoAck: Boolean = true,
-                          cleanSession: Boolean = true) extends MqttTransport {
+                          cleanSession: Boolean = true,
+                          will: Option[(String, Array[Byte], Int, Boolean)] = None)
+    extends MqttTransport {
   import MqttWireCodec._
 
   @volatile private var onMessage: (String, Array[Byte]) => Unit = (_, _) => ()
@@ -228,7 +247,7 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
     val in = sock.getInputStream
     val s = new Session(sock)
     try {
-      s.send(encodeConnect(clientId, cleanSession = cleanSession))
+      s.send(encodeConnect(clientId, cleanSession = cleanSession, will = will))
       val ack = readPacket(in).getOrElse(throw new EOFException("closed before CONNACK"))
       if (ack.ptype != CONNACK) throw new IOException(s"expected CONNACK, got type ${ack.ptype}")
       if (ack.body.length < 2) throw new MalformedPacket("short CONNACK")
@@ -351,6 +370,8 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
   * in-flight QoS 1/2 state survive disconnects, CONNACK session-present on
   * resume, offline QoS >= 1 messages queued — MQTT 3.1.2.4), retained
   * messages (last value per topic replayed to new subscriptions — 3.3.1.3),
+  * will messages (armed at CONNECT, published when a connection ends without
+  * a DISCONNECT packet, discarded on clean close — 3.1.2.5/3.14.4),
   * and fault injection (refused connects, rejected subscribes, hard
   * connection drops) for the reconnect machinery.
   */
@@ -403,6 +424,9 @@ class MockMqttBroker {
 
   private final class ClientSession(val socket: Socket, val state: SessionState) {
     val out = socket.getOutputStream
+    // the connection's will (MQTT 3.1.2.5): armed at CONNECT, cleared by a
+    // clean DISCONNECT; whatever is still armed when the session ends fires
+    @volatile var will: Option[(String, Array[Byte], Int, Boolean)] = None
     def send(bytes: Array[Byte]): Unit = out.synchronized { out.write(bytes); out.flush() }
   }
 
@@ -427,8 +451,19 @@ class MockMqttBroker {
           if (refusals.getAndUpdate(n => math.max(0, n - 1)) > 0) { sock.close(); return }
           val (proto, c) = readUtf8(p.body, 0)
           val level = p.body(c)
-          val cleanFlag = (p.body(c + 1) & 2) != 0 // connect flags, 3.1.2.4
-          val (clientId, _) = readUtf8(p.body, c + 4) // flags byte + 2 keepalive bytes
+          val connFlags = p.body(c + 1) & 0xff
+          val cleanFlag = (connFlags & 2) != 0 // connect flags, 3.1.2.4
+          val (clientId, cidLen) = readUtf8(p.body, c + 4) // flags byte + 2 keepalive bytes
+          // will fields follow the client id when flag bit 2 is set (3.1.3):
+          // topic as UTF-8, message as 2-byte-length binary
+          val willOpt = if ((connFlags & 4) != 0) {
+            var off = c + 4 + cidLen
+            val (wt, wc) = readUtf8(p.body, off); off += wc
+            val wlen = readPid(p.body, off)
+            if (off + 2 + wlen > p.body.length) throw new MalformedPacket("truncated will")
+            Some((wt, java.util.Arrays.copyOfRange(p.body, off + 2, off + 2 + wlen),
+              (connFlags >> 3) & 3, (connFlags & 0x20) != 0))
+          } else None
           val rc = if (proto == "MQTT" && level == 4) 0 else 1 // unacceptable protocol
           // clean session: discard any stored state for this id and start
           // fresh; persistent: resume stored state (session-present) or
@@ -443,12 +478,21 @@ class MockMqttBroker {
               }
             }
           val cs = new ClientSession(sock, state)
+          cs.will = willOpt
           cs.send(encodeConnack(sessionPresent = present, rc))
           if (rc != 0) { sock.close(); return }
           sessions.add(cs)
           if (present) resumeSession(cs)
           try sessionLoop(cs, in)
-          finally { sessions.remove(cs); try sock.close() catch { case _: Exception => () } }
+          finally {
+            // remove BEFORE firing the will so the dying session can't
+            // receive its own last testament
+            sessions.remove(cs)
+            try sock.close() catch { case _: Exception => () }
+            // still armed => the session ended without DISCONNECT (socket
+            // death, protocol error, broker shutdown): publish it (3.1.2.5)
+            cs.will.foreach { case (t, pl, q, r) => publish(t, pl, q, r) }
+          }
         case _ => sock.close() // first packet must be CONNECT (MQTT 3.1.1-0-1)
       }
     } catch {
@@ -527,7 +571,10 @@ class MockMqttBroker {
           case PUBCOMP => // outbound QoS-2 leg 4: handshake done
             cs.state.pendingComps.remove(readPid(p.body, 0))
           case PINGREQ => cs.send(encodePingResp())
-          case DISCONNECT => live = false
+          case DISCONNECT =>
+            // clean close: the will MUST be discarded, not published (3.14.4)
+            cs.will = None
+            live = false
           case _ => ()
         }
       }

@@ -441,6 +441,71 @@ class MqttTransportSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("will message: published to subscribers on ungraceful disconnect") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // watcher subscribed at QoS 1 so a QoS-1 will is delivered at QoS 1
+    val watcher = new SocketMqttTransport("127.0.0.1", broker.port, "graft-watcher",
+      subscribeQos = 1)
+    try {
+      watcher.setCallbacks((topic, payload) => sink.synchronized {
+        sink += ((topic, new String(payload, "UTF-8")))
+      }, _ => ())
+      watcher.connect()
+      watcher.subscribe(Seq("openchirp/status/+"))
+      // dying client: raw socket so the test controls exactly how it ends —
+      // an abrupt close with no DISCONNECT packet, a real crash on the wire
+      val sock = new java.net.Socket("127.0.0.1", broker.port)
+      sock.getOutputStream.write(MqttWireCodec.encodeConnect("graft-doomed",
+        will = Some(("openchirp/status/doomed", "offline".getBytes("UTF-8"), 1, false))))
+      sock.getOutputStream.flush()
+      assert(MqttWireCodec.readPacket(sock.getInputStream)
+        .exists(_.ptype == MqttWireCodec.CONNACK))
+      sock.close() // no DISCONNECT: the broker must fire the will
+      assert(awaitCond()(sink.synchronized(sink.nonEmpty)))
+      assert(sink.synchronized(sink.head) == (("openchirp/status/doomed", "offline")))
+      watcher.disconnect()
+    } finally broker.close()
+  }
+
+  test("will message: suppressed on clean DISCONNECT; retained will persists for late subscribers") {
+    val broker = new MockMqttBroker
+    val sink = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val watcher = new SocketMqttTransport("127.0.0.1", broker.port, "graft-watcher2")
+    try {
+      watcher.setCallbacks((topic, payload) => sink.synchronized {
+        sink += ((topic, new String(payload, "UTF-8")))
+      }, _ => ())
+      watcher.connect()
+      watcher.subscribe(Seq("openchirp/status/+"))
+      // clean exit: transport sends DISCONNECT, the will must NOT fire
+      val polite = new SocketMqttTransport("127.0.0.1", broker.port, "graft-polite",
+        will = Some(("openchirp/status/polite", "offline".getBytes("UTF-8"), 0, false)))
+      polite.connect()
+      polite.disconnect()
+      assert(awaitCond()(broker.sessionCount == 1)) // only the watcher remains
+      Thread.sleep(50) // give a wrong will time to arrive
+      assert(sink.synchronized(sink.isEmpty), s"will fired on clean close: $sink")
+
+      // a RETAINED will is stored like any retained publish: a subscriber
+      // arriving after the crash still learns the device is gone
+      val doomed = new SocketMqttTransport("127.0.0.1", broker.port, "graft-doomed2",
+        will = Some(("openchirp/status/doomed2", "gone".getBytes("UTF-8"), 0, true)))
+      doomed.connect()
+      broker.dropAllConnections() // kills doomed AND watcher: both ungraceful
+      assert(awaitCond()(broker.sessionCount == 0))
+      val late = new SocketMqttTransport("127.0.0.1", broker.port, "graft-late")
+      val lateSink = scala.collection.mutable.ArrayBuffer[String]()
+      late.setCallbacks((_, payload) => lateSink.synchronized {
+        lateSink += new String(payload, "UTF-8")
+      }, _ => ())
+      late.connect()
+      late.subscribe(Seq("openchirp/status/doomed2"))
+      assert(awaitCond()(lateSink.synchronized(lateSink.contains("gone"))))
+      late.disconnect()
+    } finally broker.close()
+  }
+
   test("end-to-end: transport -> offset log -> DSv2 source micro-batches") {
     MqttBus.clear()
     val t = new InProcessTransport

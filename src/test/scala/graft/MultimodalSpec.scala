@@ -17,6 +17,23 @@ class MultimodalSpec extends SparkSuite {
     assert(info.rms == 3000.0 && info.peak == 3000, "constant-magnitude wave: rms == peak == amp")
   }
 
+  test("WAV decodeSamples: raw PCM roundtrips exactly; fingerprint separates clips, not copies") {
+    val samples = Array.tabulate(400)(i => (((i * 37) % 2001) - 1000).toShort)
+    val got = WavCodec.decodeSamples(WavCodec.synth(8000, samples))
+    assert(got.toSeq == samples.map(_.toInt).toSeq, "sample-exact roundtrip")
+    // fingerprint contract: identical bytes hash identically, different
+    // synth parameters (period/amp/length) hash differently
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, MultimodalOps.synthWave(1L), "audio"),
+      MultimodalOps.MediaRow(2L, MultimodalOps.synthWave(1L), "audio"), // copy of 1
+      MultimodalOps.MediaRow(3L, MultimodalOps.synthWave(3L), "audio"))
+    val fp = MultimodalOps.audioFingerprint(spark.createDataset(rows))
+      .collect().sortBy(_.doc_id)
+    assert(fp.forall(_.ok))
+    assert(fp(0).afp == fp(1).afp, "byte-identical clips must collide")
+    assert(fp(0).afp != fp(2).afp, "different synth parameters must separate")
+  }
+
   test("WAV decode: 8-bit and multi-channel payloads parse correctly") {
     // hand-build a stereo PCM8 file: 4 frames, channels (L=128+x, R=128-x)
     val data = Array[Int](138, 118, 148, 108, 128, 128, 228, 28).map(_.toByte)

@@ -171,6 +171,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
   }
 
+  test("fingerprint dedup (image + audio + video): hash equi-joins, never pairwise") {
+    for (q <- Seq("q_image_phash", "q_audio_fingerprint", "q_video_phash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a pairwise join:\n$p")
+    }
+  }
+
   test("q_influxql_where: OR trees leave top-level time pushdown intact") {
     val p = plan("q_influxql_where")
     // the disjunction must not swallow the top-level time conjuncts: the
