@@ -70,4 +70,45 @@ class FixtureSchemaSpec extends SparkSuite {
     // truncation, not rounding: the 777 ns tail drops
     assert(df.filter(unix_micros(col("ts")) === 1704067200000000L).count() == 1)
   }
+
+  test("driver fixtures: every column the engine depends on exists with its type family") {
+    // one named failure per regenerated table beats N anonymous query
+    // failures (the round-8 lesson). Type families, not exact types, so
+    // benign width changes (int32 vs int64) don't false-alarm.
+    def family(dt: DataType): String = dt match {
+      case _: IntegerType | _: LongType | _: ShortType => "int"
+      case _: DoubleType | _: FloatType | _: DecimalType => "num"
+      case _: StringType => "str"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "time"
+      case ArrayType(e, _) => s"array<${family(e)}>"
+      case other => other.typeName
+    }
+    val required: Map[String, Map[String, String]] = Map(
+      "region" -> Map("r_regionkey" -> "int", "r_name" -> "str"),
+      "nation" -> Map("n_nationkey" -> "int", "n_name" -> "str", "n_regionkey" -> "int"),
+      "customer" -> Map("c_custkey" -> "int", "c_nationkey" -> "int",
+        "c_acctbal" -> "num", "c_mktsegment" -> "str"),
+      "supplier" -> Map("s_suppkey" -> "int", "s_nationkey" -> "int", "s_acctbal" -> "num"),
+      "part" -> Map("p_partkey" -> "int", "p_brand" -> "str", "p_type" -> "str",
+        "p_size" -> "int", "p_retailprice" -> "num"),
+      "orders" -> Map("o_orderkey" -> "int", "o_custkey" -> "int",
+        "o_orderstatus" -> "str", "o_totalprice" -> "num",
+        "o_orderdate" -> "time", "o_orderpriority" -> "str"),
+      "lineitem" -> Map("l_orderkey" -> "int", "l_partkey" -> "int",
+        "l_suppkey" -> "int", "l_linenumber" -> "int", "l_quantity" -> "num",
+        "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+        "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "time"),
+      "documents" -> Map("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+        "source" -> "str", "n_chars" -> "int"),
+      "embeddings" -> Map("vec_id" -> "int", "embedding" -> "array<num>",
+        "label" -> "int"))
+    val problems = for {
+      (tbl, cols) <- required.toSeq
+      schema = Tables.table(spark, sf, tbl).schema
+      (name, fam) <- cols.toSeq
+      actual = schema.fields.find(_.name == name).map(f => family(f.dataType))
+      if !actual.contains(fam)
+    } yield s"$tbl.$name: want $fam, got ${actual.getOrElse("MISSING")}"
+    assert(problems.isEmpty, s"fixture drift:\n  ${problems.mkString("\n  ")}")
+  }
 }
