@@ -308,6 +308,66 @@ object MultimodalOps {
     }
   }
 
+  /** 4x15-bit band rows `(doc_id, k, band)` of a `(doc_id, phash)` frame —
+    * the blocking key surface shared by the one-shot banded join and the
+    * persisted index.
+    */
+  def phashBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"),
+      explode(array((0 until 4).map(k => struct(lit(k).as("k"),
+        shiftright(col("phash"), 15 * k).bitwiseAND(lit(32767L)).as("band"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.k").as("k"), col("bk.band").as("band"))
+
+  /** Persist an image-fingerprint index under `path`: the corpus is decoded
+    * and pHashed ONCE into two [[graft.storage.TxLogTable]]s (`hashes` =
+    * (doc_id, phash), `bands` = exploded band rows). Calling again with a
+    * later batch folds it in — decode + DCT cost is paid once per image
+    * EVER, the property that makes image-dedup-at-ingest affordable on a
+    * growing corpus (the alternative re-decodes the whole corpus per batch).
+    */
+  def buildPhashIndex(media: Dataset[MediaRow], path: String): Unit = {
+    val spark = media.sparkSession
+    val hashed = imagePhash(media).toDF().filter(col("ok"))
+      .select(col("doc_id"), col("phash")).persist()
+    new graft.storage.TxLogTable(spark, s"$path/hashes").append(hashed)
+    new graft.storage.TxLogTable(spark, s"$path/bands").append(phashBands(hashed))
+    hashed.unpersist()
+  }
+
+  /** Near-dup pairs of a NEW image batch against a [[buildPhashIndex]]
+    * index plus within the batch itself: `(doc_a, doc_b, hamming)` with
+    * `doc_a < doc_b`, Hamming <= `maxHamming`, at least one side from the
+    * batch. The indexed corpus is never re-decoded or re-hashed — its side
+    * is two table reads; only the batch runs the codec + DCT, and
+    * candidates come from the (band index, band) equi-join exactly like
+    * the one-shot path. Ids must be disjoint from the indexed corpus.
+    */
+  def phashProbe(newMedia: Dataset[MediaRow], path: String,
+                 maxHamming: Int): DataFrame = {
+    val spark = newMedia.sparkSession
+    val newHashed = imagePhash(newMedia).toDF().filter(col("ok"))
+      .select(col("doc_id"), col("phash")).persist()
+    val newBands = phashBands(newHashed)
+    val idxBands = new graft.storage.TxLogTable(spark, s"$path/bands").read()
+    val all = idxBands.unionByName(newBands)
+    // =!= (not <): new-vs-old pairs must surface in both orders because
+    // only the batch side drives the join; least/greatest canonicalizes,
+    // distinct collapses new-vs-new double hits
+    val candidates = newBands.as("a").join(all.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")).distinct()
+    val allHashes = new graft.storage.TxLogTable(spark, s"$path/hashes").read()
+      .unionByName(newHashed)
+    candidates
+      .join(allHashes.select(col("doc_id").as("doc_a"), col("phash").as("ha")), Seq("doc_a"))
+      .join(allHashes.select(col("doc_id").as("doc_b"), col("phash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** REAL image decode + feature-extract + resize over the payload column:
     * per-partition BMP parsing with integer average-pooled thumbnails
     * ([[BmpCodec.decode]]). Corrupt payloads dead-letter (`ok = false`),

@@ -644,6 +644,25 @@ object PipelineQueries {
           .select(col("doc_id"), col("afp").as("h")), maxHamming = 6)
     }),
 
+    // incremental image dedup: fingerprint index built ONCE (decode + DCT
+    // per image paid once ever, persisted as TxLogTables), each new batch
+    // probed against it via the band equi-join — the indexed corpus is
+    // never re-decoded. The image analogue of q_dedup_incremental.
+    "q_image_phash_probe" -> ((s, dir) => {
+      import s.implicits._
+      val idx = annIndexPath(dir, "phash")
+      if (!SimilarityOps.indexExists(s, idx, Seq("hashes", "bands")))
+        MultimodalOps.buildPhashIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id")).as[Long]
+            .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image")),
+          idx)
+      val probe = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthImage(id), "image"))
+      MultimodalOps.phashProbe(probe, idx, maxHamming = 6)
+    }),
+
     // video near-dup dedup via per-frame pHash: REAL AVI container index ->
     // per-frame DIB pixel decode -> 8x8 pooled grayscale -> the SAME
     // integer-DCT phash60 as still images -> videos joined on exact frame
@@ -1182,6 +1201,43 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.phash AS ha, b.phash AS hb
          |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
+
+    // the q_image_phash closed-form pipeline over index (originals, %10)
+    // plus probe batch (%20 under doc_id + 1000000), with candidate pairs
+    // restricted to probe-involving ones — mirrors phashProbe's contract
+    "q_image_phash_probe" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 20 = 0),
+         |dims AS (SELECT doc_id, src, 16 + src % 17 AS w, 16 + src % 13 AS h FROM ids),
+         |px AS (SELECT doc_id, w, h,
+         |    least((x * 255) // greatest(1, w - 1), 255)
+         |      + least((y * 255) // greatest(1, h - 1), 255)
+         |      + CASE WHEN ((x // 4) + (y // 4) + src) % 2 = 0 THEN 64 ELSE 0 END AS gray,
+         |    least((y * 8) // h, 7) * 8 + least((x * 8) // w, 7) AS cell
+         |  FROM dims, UNNEST(generate_series(0, w - 1)) AS t(x),
+         |    UNNEST(generate_series(0, h - 1)) AS u(y)),
+         |cells AS (SELECT doc_id, cell, sum(gray) // count(*) AS tv FROM px GROUP BY 1, 2),
+         |kt(u, i, k) AS (VALUES ${MultimodalOps.dctKSqlValues}),
+         |coef AS (SELECT c.doc_id, ku.u * 8 + kv.u AS idx,
+         |    CAST(sum(c.tv * ku.k * kv.k) AS BIGINT) AS cv
+         |  FROM cells c JOIN kt ku ON ku.i = c.cell // 8 JOIN kt kv ON kv.i = c.cell % 8
+         |  WHERE ku.u * 8 + kv.u BETWEEN 1 AND 60
+         |  GROUP BY 1, 2),
+         |med AS (SELECT doc_id, max(cv) AS med FROM (
+         |    SELECT doc_id, cv, row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+         |    FROM coef) WHERE rn <= 30 GROUP BY 1),
+         |hashes AS (SELECT c.doc_id,
+         |    CAST(sum(CASE WHEN c.cv > m.med THEN 1::BIGINT << (c.idx - 1) ELSE 0 END) AS BIGINT) AS phash
+         |  FROM coef c JOIN med m ON c.doc_id = m.doc_id GROUP BY 1),
+         |bands AS (SELECT doc_id, phash, k, (phash >> (15 * k)) & 32767 AS band
+         |  FROM hashes, UNNEST([0, 1, 2, 3]) AS t(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.phash AS ha, b.phash AS hb
+         |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
 

@@ -171,6 +171,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
   }
 
+  test("q_image_phash_probe: probe never re-decodes the indexed corpus") {
+    val p = plan("q_image_phash_probe")
+    // index side = persisted TxLogTables; the only documents.parquet work
+    // is the probe batch (persisted hash build) — the indexed corpus is
+    // never re-decoded or re-hashed per probe
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted index:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && !l.contains("ReusedExchange"))
+    assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
+  }
+
   test("fingerprint dedup (image + audio + video): hash equi-joins, never pairwise") {
     for (q <- Seq("q_image_phash", "q_audio_fingerprint", "q_video_phash")) {
       val p = plan(q)

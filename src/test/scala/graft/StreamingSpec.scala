@@ -596,4 +596,40 @@ class StreamingSpec extends SparkSuite {
     val vals = spark.read.parquet(out).select("num").as[Double].collect().sorted
     assert(vals.toSeq == Seq(1.0, 2.0))
   }
+
+  test("streaming image dedup-at-ingest: each batch probes, then folds into the persisted index") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.MultimodalOps
+    val in = MemoryStream[Long]
+    val idx = tmp("phash_idx")
+    // existing corpus, indexed once (decode + DCT paid here, never again)
+    MultimodalOps.buildPhashIndex(
+      spark.createDataset(Seq(1L, 2L, 3L))
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image")),
+      idx)
+    val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // stream elements are (newId, contentOf) pairs encoded as newId*1000 + src
+    val q = in.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val media = batch.map(code => MultimodalOps.MediaRow(
+          code / 1000, MultimodalOps.synthImage(code % 1000), "image"))
+        val pairs = MultimodalOps.phashProbe(media, idx, maxHamming = 0)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect()
+        hits.synchronized { hits ++= pairs }
+        MultimodalOps.buildPhashIndex(media, idx) // fold the batch in
+        ()
+      }.start()
+    try {
+      // batch 1: id 101 duplicates corpus image 1, id 102 is fresh content
+      in.addData(101L * 1000 + 1, 102L * 1000 + 44)
+      q.processAllAvailable()
+      assert(hits.synchronized(hits.toSet) == Set((1L, 101L)),
+        s"batch 1 should match only the corpus duplicate: $hits")
+      // batch 2: id 201 duplicates 101 (folded last batch, never re-decoded)
+      in.addData(201L * 1000 + 1)
+      q.processAllAvailable()
+      assert(hits.synchronized(hits.toSet) == Set((1L, 101L), (1L, 201L), (101L, 201L)),
+        s"batch 2 should match both prior copies of the content: $hits")
+    } finally q.stop()
+  }
 }
