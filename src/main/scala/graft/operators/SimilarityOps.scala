@@ -194,6 +194,25 @@ object SimilarityOps {
     assignTo(q, ivfCentroids(q, nCentroids, kmeansIters))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with the deterministic k-means ([[kmeansCentroidsQ]]),
+    * then find near-dup pairs ONLY within each cluster — the cid equi-join
+    * bounds the pair space to cluster size (the SemDeDup sharding that
+    * makes semantic dedup tractable at corpus scale; cross-cluster pairs
+    * are sacrificed by construction, as in the paper). Exact quantized
+    * cosine verifies every candidate. Returns (cid, i, j, cos), i < j,
+    * cos >= tau; a curation pass drops j of each pair (keep-lowest-id).
+    */
+  def semanticDedupPairs(vecs: DataFrame, nCentroids: Int, kmeansIters: Int,
+                         tau: Double): DataFrame = {
+    val assigned = ivfAssignments(vecs, nCentroids, kmeansIters)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.qn"), col("b.qn")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   private def ivfCentroids(q: DataFrame, nCentroids: Int, kmeansIters: Int): DataFrame =
     if (kmeansIters == 0)
       q.filter(col("vec_id") < nCentroids)

@@ -71,7 +71,11 @@ object PipelineQueries {
     * `(s - ((s % n + n) % n)) / n` (exact: numerator divisible, < 2^53),
     * empty clusters carry the previous centroid.
     */
-  private def ivfOracleSql(nCentroids: Int, probes: Int, topK: Int, iters: Int): String = {
+  /** The k-means-iteration + final-assignment CTE prefix shared by the IVF
+    * and semantic-dedup oracles: defines `cents0..cents$iters` and
+    * `assigned` (vec_id, qv, nq, cid) after `iters` unrolled iterations.
+    */
+  private def kmeansAssignedSql(nCentroids: Int, iters: Int): String = {
     val steps = (0 until iters).map { t =>
       s"""kassign$t AS (SELECT vec_id, qv, cid FROM (
          |    SELECT n.vec_id, n.qv, c.cid,
@@ -87,15 +91,19 @@ object PipelineQueries {
          |    CAST(list_sum(list_transform(coalesce(nc.cv, p.cv), x -> x * x)) AS BIGINT) AS cn
          |  FROM cents$t p LEFT JOIN knewc$t nc ON p.cid = nc.cid)""".stripMargin
     }
-    s"""WITH $quantSql,
-       |cents0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < $nCentroids),
+    s"""cents0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < $nCentroids),
        |${steps.mkString(",\n")}${if (iters > 0) "," else ""}
        |assign0 AS (SELECT n.vec_id, n.qv, n.nq, c.cid,
        |    ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} AS ccos
        |  FROM n, cents$iters c),
        |assigned AS (SELECT vec_id, qv, nq, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
-       |    FROM assign0) WHERE crk = 1),
+       |    FROM assign0) WHERE crk = 1)""".stripMargin
+  }
+
+  private def ivfOracleSql(nCentroids: Int, probes: Int, topK: Int, iters: Int): String = {
+    s"""WITH $quantSql,
+       |${kmeansAssignedSql(nCentroids, iters)},
        |queries AS (SELECT vec_id AS query_id, qv AS want_qv, nq AS want_qn
        |  FROM assigned WHERE vec_id >= 100 AND vec_id < 120),
        |probed AS (SELECT query_id, want_qv, want_qn, cid FROM (
@@ -304,6 +312,15 @@ object PipelineQueries {
     // embedding cosine near-dup pairs (exact quantized kernel, all pairs)
     "q_dedup_embedding" -> ((s, dir) => {
       SimilarityOps.brutePairs(Tables.embeddings(s, dir), tau = 0.5)
+    }),
+
+    // SemDeDup-style semantic dedup: deterministic k-means clusters the
+    // embedding space, near-dup pairs are found ONLY within each cluster
+    // (cid equi-join bounds the pair space — the sharding that makes
+    // semantic dedup tractable at corpus scale), exact cosine verify
+    "q_dedup_semantic" -> ((s, dir) => {
+      SimilarityOps.semanticDedupPairs(Tables.embeddings(s, dir),
+        nCentroids = 8, kmeansIters = 2, tau = 0.4)
     }),
 
     // embedding near-dup via the LSH scale path: bucket candidates (8
@@ -839,6 +856,17 @@ object PipelineQueries {
     "q_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |$simhashPairSelect""".stripMargin,
+
+    // the IVF oracle's unrolled k-means + assignment prefix, then
+    // within-cluster pairs with exact quantized cosine — mirrors
+    // SimilarityOps.semanticDedupPairs
+    "q_dedup_semantic" ->
+      s"""WITH $quantSql,
+         |${kmeansAssignedSql(8, 2)}
+         |SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+         |  ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} AS cos
+         |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} >= 0.4""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${simhashCtes()},
