@@ -60,10 +60,19 @@ object PipelineQueries {
   /** Deterministic per-(dataset, index-config) location for a persisted ANN
     * index, so repeated query runs against the same data reuse the build
     * (the build-once / probe-many lifecycle) while different SF dirs get
-    * disjoint indexes.
+    * disjoint indexes. The path is ALSO keyed on the source tables'
+    * generation (size + mtime): a driver-side fixture regeneration must
+    * invalidate every derived index, or a probe would compare a stale
+    * index against a fresh oracle — the same silent-drift class as the
+    * events-layout regeneration that once broke half the query surface.
     */
-  private def annIndexPath(dir: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_ann_idx/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$tag"
+  private def annIndexPath(dir: String, tag: String): String = {
+    val gen = Seq("documents", "embeddings").map { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      s"${f.length}_${f.lastModified}"
+    }.mkString("-").hashCode.toHexString
+    s"${sys.props("java.io.tmpdir")}/graft_ann_idx/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$gen/$tag"
+  }
 
   /** DuckDB oracle for IVF ANN with `iters` unrolled k-means iterations —
     * mirrors [[SimilarityOps.kmeansCentroidsQ]] step for step: max-cos
