@@ -71,6 +71,24 @@ class FixtureSchemaSpec extends SparkSuite {
     assert(df.filter(unix_micros(col("ts")) === 1704067200000000L).count() == 1)
   }
 
+  test("timeRangeEvents boundaries: from-inclusive, to-exclusive, exact at the microsecond") {
+    val dir = java.nio.file.Files.createTempDirectory("fixture_bounds").toString
+    val base = 1704844800000000L // 2024-01-10 00:00:00 UTC in micros
+    // rows 1µs before the lower bound, ON each bound, 1µs before the upper
+    spark.createDataFrame(Seq(
+      (1L, base - 1L), (2L, base), (3L, base + 86400000000L - 1L),
+      (4L, base + 86400000000L))).toDF("event_id", "us")
+      .select(col("event_id"), col("event_id").as("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+      .filter(graft.operators.TimeSeriesOps.timeRangeEvents(
+        "2024-01-10 00:00:00", "2024-01-11 00:00:00"))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L), s"boundary semantics broken: kept $got")
+  }
+
   test("driver fixtures: every column the engine depends on exists with its type family") {
     // one named failure per regenerated table beats N anonymous query
     // failures (the round-8 lesson). Type families, not exact types, so
