@@ -20,18 +20,37 @@ object Bench {
     GraftSession.prepare(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries — a
+    // profiling aid only; the driver never sets it, so driver benches
+    // always cover the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+
     // a failed query must NOT get a timing: an instantly-erroring engine
     // would otherwise "win" the bench with innocent 0.05 s rows (r8 lesson)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runAll(): Map[String, Double] = {
-      val r = SparkEntry.queries.flatMap { case (name, fn) =>
+      val r = selected.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink forces evaluation of every projected expression;
         // count() would let Catalyst prune unused projections, so map-only
         // queries would measure scan+filter only
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // several operators persist() internal frames (shingle indexes,
+          // normalized vectors) and cannot unpersist them — the returned
+          // plan still references the blocks. Left in place they accumulate
+          // across the pass and the storage pressure taxes every later
+          // query (r9: q_contamination 2.9 s -> 10 s under a contended
+          // box). Dropping cache after each query keeps timings independent
+          // of query order; the clear itself runs outside the timed window.
+          spark.catalog.clearCache()
+          Some(name -> dt)
         } catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
             .next().take(200)
@@ -57,7 +76,14 @@ object Bench {
     // millisecond precision keeps the single JSON line short enough that
     // the per-query tail survives log truncation
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
-    def qstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too (a tab in an exception message must not
+    // produce an invalid JSON line) — same contract as Verify's escaper
+    def qstr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => qstr(k) + ":" + qstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

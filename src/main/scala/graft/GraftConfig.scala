@@ -86,6 +86,49 @@ object GraftConfig {
     spark.sparkContext.setLogLevel(
       verbosityToLevel(conf.getOrElse("log_verbosity", "3").toInt))
 
+  /** A trust-only [[javax.net.ssl.SSLContext]] from a PEM/DER certificate
+    * file — the reference's `ssl_location` CA bundle (service.conf:22,
+    * influx_service.py:57-58 `tls_set(ssl_location, ...)`). Every
+    * certificate in the file becomes a trust anchor; there is no client
+    * key (the reference authenticates with username/password over TLS,
+    * not mutual TLS).
+    */
+  def sslContextFromCaFile(path: String): javax.net.ssl.SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = Files.newInputStream(Paths.get(path))
+    val certs = try cf.generateCertificates(in) finally in.close()
+    require(!certs.isEmpty, s"no certificates in $path")
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator(); var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+
+  /** Build the broker transport from the reference's config keys
+    * (service.conf:14-22): `mqtt_broker`/`mqtt_broker_port` for the
+    * endpoint, `client_id` for the session identity, `service_id`/
+    * `password` as CONNECT credentials, `enable_ssl`/`ssl_location` for
+    * TLS. `enable_ssl` parses Python-style booleans (True/False).
+    */
+  def mqttTransport(conf: Map[String, String]): graft.streaming.SocketMqttTransport = {
+    val host = conf.getOrElse("mqtt_broker", "localhost")
+    val port = conf.getOrElse("mqtt_broker_port", "1883").toInt
+    val auth = conf.get("service_id").map(u => (u, conf.getOrElse("password", "")))
+    val ssl =
+      if (conf.get("enable_ssl").exists(v => Set("true", "1", "yes")(v.toLowerCase)))
+        Some(sslContextFromCaFile(conf.getOrElse("ssl_location",
+          throw new IllegalArgumentException("enable_ssl=True requires ssl_location"))))
+      else None
+    new graft.streaming.SocketMqttTransport(host, port,
+      clientId = conf.getOrElse("client_id", "graft"), auth = auth, sslContext = ssl)
+  }
+
   /** One-call entry: load file, build session, set logging. */
   def sessionFromFile(path: String): SparkSession = {
     val conf = load(path)

@@ -325,12 +325,24 @@ object MultimodalOps {
     * EVER, the property that makes image-dedup-at-ingest affordable on a
     * growing corpus (the alternative re-decodes the whole corpus per batch).
     */
-  def buildPhashIndex(media: Dataset[MediaRow], path: String): Unit = {
+  def buildPhashIndex(media: Dataset[MediaRow], path: String,
+                      txn: Option[(String, Long)] = None): Unit = {
     val spark = media.sparkSession
     val hashed = imagePhash(media).toDF().filter(col("ok"))
       .select(col("doc_id"), col("phash")).persist()
-    new graft.storage.TxLogTable(spark, s"$path/hashes").append(hashed)
-    new graft.storage.TxLogTable(spark, s"$path/bands").append(phashBands(hashed))
+    // Two tables, two commits — not atomic together, so the order and the
+    // fence carry the crash-safety story:
+    //   * `bands` commits FIRST. A crash between the commits leaves bands
+    //     committed and hashes absent; the retry (or any unfenced rebuild
+    //     driven by indexExists, which requires BOTH tables) re-appends
+    //     bands — duplicate band rows are harmless because probe candidate
+    //     generation ends in distinct(). `hashes`, whose duplicates WOULD
+    //     duplicate probe output rows, is the single atomic commit point.
+    //   * a streaming foreachBatch caller passes txn = (queryId, batchId):
+    //     a replayed micro-batch is skipped by the TxLogTable fence on
+    //     each table independently, so a crash-retry never double-folds.
+    new graft.storage.TxLogTable(spark, s"$path/bands").append(phashBands(hashed), txn)
+    new graft.storage.TxLogTable(spark, s"$path/hashes").append(hashed, txn)
     hashed.unpersist()
   }
 

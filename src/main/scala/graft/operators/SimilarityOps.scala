@@ -203,11 +203,39 @@ object SimilarityOps {
     * cosine verifies every candidate. Returns (cid, i, j, cos), i < j,
     * cos >= tau; a curation pass drops j of each pair (keep-lowest-id).
     */
+  /** @param maxClusterSize optional skew guard: within-cluster pairs are
+    *        O(cluster²), so one degenerate cluster (a failed clustering
+    *        collapsing everything onto one centroid, or a corpus of
+    *        boilerplate embeddings) turns the cid equi-join into an
+    *        all-pairs cross product. With a cap `m`, clusters larger than
+    *        `m` are hash-salted into ceil(size/m) sub-shards and pairs are
+    *        generated within a (cid, shard) only — fan-out per cluster
+    *        drops from O(size²) to O(size·m). Cross-shard pairs are
+    *        sacrificed by construction, the same trade SemDeDup already
+    *        makes for cross-CLUSTER pairs (and [[graft.operators.DedupOps
+    *        .jaccardPairs]] makes with maxShingleDf); clusters at or under
+    *        the cap land in shard 0 unchanged, so normal inputs produce
+    *        identical results with or without the cap.
+    */
   def semanticDedupPairs(vecs: DataFrame, nCentroids: Int, kmeansIters: Int,
-                         tau: Double): DataFrame = {
-    val assigned = ivfAssignments(vecs, nCentroids, kmeansIters)
+                         tau: Double, maxClusterSize: Option[Long] = None): DataFrame = {
+    val assigned0 = ivfAssignments(vecs, nCentroids, kmeansIters)
+    val assigned = maxClusterSize match {
+      case None => assigned0.withColumn("__shard", lit(0L))
+      case Some(m) =>
+        require(m >= 2, s"maxClusterSize must be >= 2, got $m")
+        // <= nCentroids rows: broadcast, no extra shuffle on the big side
+        val sizes = assigned0.groupBy("cid").agg(count(lit(1)).as("__csz"))
+        assigned0.join(broadcast(sizes), Seq("cid"))
+          .withColumn("__shard",
+            when(col("__csz") > m,
+              pmod(col("vec_id"), ceil(col("__csz").cast("double") / m).cast("long")))
+              .otherwise(lit(0L)))
+          .drop("__csz")
+    }
     assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cid") === col("b.cid") && col("a.__shard") === col("b.__shard") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cid").as("cid"), col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.qn"), col("b.qn")).as("cos"))
       .filter(col("cos") >= tau)

@@ -66,11 +66,51 @@ object PipelineQueries {
     * index against a fresh oracle — the same silent-drift class as the
     * events-layout regeneration that once broke half the query surface.
     */
+  /** The id offset under which media queries plant content copies. The
+    * oracles hard-code the literal 1000000, so it cannot float with the
+    * data — instead the builders assert id-disjointness per fixture dir: a
+    * corpus whose doc_ids reach the shift would make the oracle's
+    * GROUP BY doc_id merge an original with its planted copy while the
+    * Scala side keeps them separate (a silent scale-dependent divergence).
+    * Checked once per (JVM, dir): one column-pruned max() over parquet.
+    */
+  private val mediaShiftChecked = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[queries] def mediaIdShift(s: SparkSession, dir: String): Long = {
+    val shift = 1000000L
+    mediaShiftChecked.computeIfAbsent(dir, { _ =>
+      val mx = Tables.documents(s, dir).agg(max(col("doc_id"))).head.getLong(0)
+      require(mx < shift,
+        s"documents.doc_id max $mx >= planted-copy shift $shift in $dir — " +
+          "copies would collide with corpus ids; raise the shift in BOTH " +
+          "the media query builders and their oracles")
+      mx
+    })
+    shift
+  }
+
   private def annIndexPath(dir: String, tag: String): String = {
-    val gen = Seq("documents", "embeddings").map { t =>
+    // full-width md5 over (length, mtime, head+tail bytes) per source file:
+    // a regenerated fixture with the same byte length inside the same
+    // mtime-granularity tick still flips the key (parquet footers encode
+    // row-group stats, so same-length different-content files differ in
+    // their tail), and a missing fixture fails LOUDLY instead of keying
+    // the index on a phantom 0_0 generation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("documents", "embeddings").foreach { t =>
       val f = new java.io.File(s"$dir/$t.parquet")
-      s"${f.length}_${f.lastModified}"
-    }.mkString("-").hashCode.toHexString
+      require(f.isFile, s"fixture $f is missing — cannot key a persisted index on it")
+      md.update(s"$t:${f.length}:${f.lastModified}:".getBytes("UTF-8"))
+      val in = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(4096L, f.length).toInt)
+        in.readFully(head); md.update(head)
+        if (f.length > 4096L) {
+          val tail = new Array[Byte](math.min(4096L, f.length - 4096L).toInt)
+          in.seek(f.length - tail.length); in.readFully(tail); md.update(tail)
+        }
+      } finally in.close()
+    }
+    val gen = md.digest().map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ann_idx/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$gen/$tag"
   }
 
@@ -633,6 +673,11 @@ object PipelineQueries {
           col("width"), col("height"), col("n_frames"), col("duration_us"))
     }),
 
+    // planted-copy media queries shift copies to doc_id + mediaIdShift(..);
+    // the guard inside asserts the corpus can't collide with the shift
+    // (a fixture grown past 1e6 ids fails loudly instead of silently
+    // merging an original with its planted copy in the oracle's GROUP BY)
+
     // image near-dup dedup via integer pHash: REAL BMP decode -> 8x8 pooled
     // grayscale -> integer DCT sign hash (MultimodalOps.phash60) -> 4x15-bit
     // banded self-join (the SimHash shape) -> Hamming verify on candidates
@@ -642,11 +687,12 @@ object PipelineQueries {
     // shuffle is the (band index, band) equi-join.
     "q_image_phash" -> ((s, dir) => {
       import s.implicits._
+      val shift = mediaIdShift(s, dir)
       val base = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id")).as[Long]
       val corpus = base.flatMap(id => Seq(
         MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image"),
-        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthImage(id), "image")))
+        MultimodalOps.MediaRow(id + shift, MultimodalOps.synthImage(id), "image")))
       bandedHammingPairs(
         MultimodalOps.imagePhash(corpus).toDF().filter(col("ok"))
           .select(col("doc_id"), col("phash").as("h")), maxHamming = 6)
@@ -660,11 +706,12 @@ object PipelineQueries {
     // closed-form from the square-wave synth parameters.
     "q_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
+      val shift = mediaIdShift(s, dir)
       val base = Tables.documents(s, dir).filter(col("doc_id") % 8 === 0)
         .select(col("doc_id")).as[Long]
       val corpus = base.flatMap(id => Seq(
         MultimodalOps.MediaRow(id, MultimodalOps.synthWave(id), "audio"),
-        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthWave(id), "audio")))
+        MultimodalOps.MediaRow(id + shift, MultimodalOps.synthWave(id), "audio")))
       bandedHammingPairs(
         MultimodalOps.audioFingerprint(corpus).toDF().filter(col("ok"))
           .select(col("doc_id"), col("afp").as("h")), maxHamming = 6)
@@ -683,9 +730,10 @@ object PipelineQueries {
             .select(col("doc_id")).as[Long]
             .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image")),
           idx)
+      val shift = mediaIdShift(s, dir)
       val probe = Tables.documents(s, dir).filter(col("doc_id") % 20 === 0)
         .select(col("doc_id")).as[Long]
-        .map(id => MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthImage(id), "image"))
+        .map(id => MultimodalOps.MediaRow(id + shift, MultimodalOps.synthImage(id), "image"))
       MultimodalOps.phashProbe(probe, idx, maxHamming = 6)
     }),
 
@@ -697,11 +745,12 @@ object PipelineQueries {
     // hash equi-join only — never video-pairwise.
     "q_video_phash" -> ((s, dir) => {
       import s.implicits._
+      val shift = mediaIdShift(s, dir)
       val base = Tables.documents(s, dir).filter(col("doc_id") % 12 === 0)
         .select(col("doc_id")).as[Long]
       val corpus = base.flatMap(id => Seq(
         MultimodalOps.MediaRow(id, MultimodalOps.synthVideoDib(id), "video"),
-        MultimodalOps.MediaRow(id + 1000000L, MultimodalOps.synthVideoDib(id), "video")))
+        MultimodalOps.MediaRow(id + shift, MultimodalOps.synthVideoDib(id), "video")))
       val fp = MultimodalOps.decodeVideoPixels(corpus, stride = 1, poolSize = 8)
         .filter(_.ok)
         .map(v => (v.doc_id, MultimodalOps.phash60(v.thumb.toArray)))

@@ -57,26 +57,38 @@ object MqttWireCodec {
   private def pid2(id: Int): Array[Byte] =
     Array(((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
 
-  /** CONNECT: protocol "MQTT" level 4, no auth. Connect-flags bit 1
+  /** CONNECT: protocol "MQTT" level 4. Connect-flags bit 1
     * (MQTT 3.1.2.4) selects clean session (true, the default) vs resuming
     * a broker-side persistent session keyed by client id. An optional will
     * (topic, payload, QoS, retain — MQTT 3.1.2.5-11) sets flag bit 2 plus
     * the QoS/retain bits and appends `willTopic willMessage` to the payload
     * after the client id; the broker publishes it if the connection ends
-    * any way other than a DISCONNECT packet.
+    * any way other than a DISCONNECT packet. Optional credentials
+    * (MQTT 3.1.2.8/9 — the reference's `username_pw_set(service_id,
+    * password)`, influx_service.py:56) set flag bits 7/6 and append
+    * username then password at the END of the payload (3.1.3's field
+    * order: client id, will topic, will message, username, password);
+    * the password is a 2-byte-length BINARY field, not a UTF-8 string.
     */
   def encodeConnect(clientId: String, keepAliveSecs: Int = 0,
                     cleanSession: Boolean = true,
-                    will: Option[(String, Array[Byte], Int, Boolean)] = None): Array[Byte] = {
+                    will: Option[(String, Array[Byte], Int, Boolean)] = None,
+                    auth: Option[(String, Option[Array[Byte]])] = None): Array[Byte] = {
     val flags = (if (cleanSession) 2 else 0) | will.map { case (_, _, q, r) =>
       require(q >= 0 && q <= 2, s"bad will QoS $q")
       4 | ((q & 3) << 3) | (if (r) 0x20 else 0)
+    }.getOrElse(0) | auth.map { case (_, pw) =>
+      0x80 | (if (pw.isDefined) 0x40 else 0) // password without username is invalid (3.1.2-22)
     }.getOrElse(0)
     // will message is a 2-byte-length binary, NOT a UTF-8 string (3.1.3.3)
     val willBytes = will.map { case (t, p, _, _) => utf8(t) ++ pid2(p.length) ++ p }
       .getOrElse(Array.empty[Byte])
+    val authBytes = auth.map { case (u, pw) =>
+      utf8(u) ++ pw.map(p => pid2(p.length) ++ p).getOrElse(Array.empty[Byte])
+    }.getOrElse(Array.empty[Byte])
     frame(CONNECT, 0, utf8("MQTT") ++
-      Array[Byte](4, flags.toByte) ++ pid2(keepAliveSecs) ++ utf8(clientId) ++ willBytes)
+      Array[Byte](4, flags.toByte) ++ pid2(keepAliveSecs) ++ utf8(clientId) ++
+      willBytes ++ authBytes)
   }
 
   def encodeConnack(sessionPresent: Boolean, returnCode: Int): Array[Byte] =
@@ -203,12 +215,27 @@ object MqttWireCodec {
   *                    broker publishes it when this client's connection dies
   *                    without a DISCONNECT packet (crash, network drop) and
   *                    suppresses it on a clean disconnect() — MQTT 3.1.2.5
+  * @param auth        optional (username, password) credentials sent in
+  *                    CONNECT (MQTT 3.1.2.8/9) — the reference's
+  *                    service_id/password pair. A refused CONNACK (rc 4 bad
+  *                    credentials, rc 5 not authorized) fails connect()
+  *                    with the rc in the message and leaves no session.
+  * @param sslContext  when set, the TCP socket is wrapped in TLS (an
+  *                    [[javax.net.ssl.SSLSocket]] from this context, with
+  *                    an explicit handshake before CONNECT so certificate
+  *                    failures surface as connect() errors, not mid-session
+  *                    write errors) — the reference's enable_ssl/
+  *                    ssl_location path (influx_service.py:57-58); build
+  *                    a context from a CA file with
+  *                    [[graft.GraftConfig.sslContextFromCaFile]]
   */
 class SocketMqttTransport(host: String, port: Int, clientId: String,
                           ioTimeoutMs: Int = 10000, subscribeQos: Int = 0,
                           autoAck: Boolean = true,
                           cleanSession: Boolean = true,
-                          will: Option[(String, Array[Byte], Int, Boolean)] = None)
+                          will: Option[(String, Array[Byte], Int, Boolean)] = None,
+                          auth: Option[(String, String)] = None,
+                          sslContext: Option[javax.net.ssl.SSLContext] = None)
     extends MqttTransport {
   import MqttWireCodec._
 
@@ -240,14 +267,24 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
 
   override def connect(): Unit = {
     if (session.isDefined) throw new IllegalStateException("already connected")
-    val sock = new Socket()
+    val sock = sslContext match {
+      case Some(ctx) => ctx.getSocketFactory.createSocket() // unconnected TLS socket
+      case None => new Socket()
+    }
     sock.connect(new InetSocketAddress(host, port), ioTimeoutMs)
     sock.setTcpNoDelay(true)
-    sock.setSoTimeout(ioTimeoutMs) // bound the CONNACK wait
+    sock.setSoTimeout(ioTimeoutMs) // bound the handshake + CONNACK wait
     val in = sock.getInputStream
     val s = new Session(sock)
     try {
-      s.send(encodeConnect(clientId, cleanSession = cleanSession, will = will))
+      // explicit TLS handshake BEFORE any MQTT bytes: an untrusted broker
+      // certificate must fail connect() here, not the first send()
+      sock match {
+        case ssl: javax.net.ssl.SSLSocket => ssl.startHandshake()
+        case _ => ()
+      }
+      s.send(encodeConnect(clientId, cleanSession = cleanSession, will = will,
+        auth = auth.map { case (u, p) => (u, Some(p.getBytes("UTF-8"))) }))
       val ack = readPacket(in).getOrElse(throw new EOFException("closed before CONNACK"))
       if (ack.ptype != CONNACK) throw new IOException(s"expected CONNACK, got type ${ack.ptype}")
       if (ack.body.length < 2) throw new MalformedPacket("short CONNACK")
@@ -372,13 +409,24 @@ class SocketMqttTransport(host: String, port: Int, clientId: String,
   * messages (last value per topic replayed to new subscriptions — 3.3.1.3),
   * will messages (armed at CONNECT, published when a connection ends without
   * a DISCONNECT packet, discarded on clean close — 3.1.2.5/3.14.4),
-  * and fault injection (refused connects, rejected subscribes, hard
-  * connection drops) for the reconnect machinery.
+  * username/password authentication (CONNACK rc 4 bad credentials / rc 5
+  * not authorized — 3.1.4-2/3.2.2.3), optional TLS (pass an
+  * [[javax.net.ssl.SSLContext]] holding the server key), and fault
+  * injection (refused connects, rejected subscribes, hard connection
+  * drops) for the reconnect machinery.
   */
-class MockMqttBroker {
+class MockMqttBroker(sslContext: Option[javax.net.ssl.SSLContext] = None) {
   import MqttWireCodec._
 
-  private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  private val server = sslContext match {
+    case Some(ctx) =>
+      ctx.getServerSocketFactory.createServerSocket(0, 50, InetAddress.getLoopbackAddress)
+    case None => new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  }
+  // when set, CONNECT must carry matching credentials: absent credentials
+  // are refused rc 5 (not authorized), wrong ones rc 4 (bad user name or
+  // password) — the split real brokers (mosquitto) use
+  @volatile private var credentials: Option[Map[String, String]] = None
   @volatile private var running = true
   private val refusals = new AtomicInteger(0)
   private val subFailures = new AtomicInteger(0)
@@ -394,6 +442,14 @@ class MockMqttBroker {
 
   /** Refuse the next `n` connection attempts (socket closed pre-CONNACK). */
   def refuseNextConnects(n: Int): Unit = refusals.set(n)
+
+  /** Require CONNECT credentials from now on: `users` maps username to the
+    * expected password. Connects without credentials get CONNACK rc 5,
+    * wrong credentials rc 4; either way no session is created and any
+    * stored persistent state is left untouched (a failed CONNECT must not
+    * wipe a session it never joined).
+    */
+  def requireCredentials(users: Map[String, String]): Unit = credentials = Some(users)
 
   /** Reject the next `n` SUBSCRIBE packets with 0x80 return codes. */
   def failNextSubscribes(n: Int): Unit = subFailures.set(n)
@@ -456,15 +512,47 @@ class MockMqttBroker {
           val (clientId, cidLen) = readUtf8(p.body, c + 4) // flags byte + 2 keepalive bytes
           // will fields follow the client id when flag bit 2 is set (3.1.3):
           // topic as UTF-8, message as 2-byte-length binary
+          var off = c + 4 + cidLen
           val willOpt = if ((connFlags & 4) != 0) {
-            var off = c + 4 + cidLen
             val (wt, wc) = readUtf8(p.body, off); off += wc
             val wlen = readPid(p.body, off)
             if (off + 2 + wlen > p.body.length) throw new MalformedPacket("truncated will")
-            Some((wt, java.util.Arrays.copyOfRange(p.body, off + 2, off + 2 + wlen),
+            off += 2 + wlen
+            Some((wt, java.util.Arrays.copyOfRange(p.body, off - wlen, off),
               (connFlags >> 3) & 3, (connFlags & 0x20) != 0))
           } else None
-          val rc = if (proto == "MQTT" && level == 4) 0 else 1 // unacceptable protocol
+          // credentials trail the will in the payload (3.1.3): username as
+          // UTF-8 when flag bit 7, password as 2-byte-length binary when
+          // flag bit 6
+          val userOpt = if ((connFlags & 0x80) != 0) {
+            val (u, uc) = readUtf8(p.body, off); off += uc
+            Some(u)
+          } else None
+          val passOpt = if ((connFlags & 0x40) != 0) {
+            val plen = readPid(p.body, off)
+            if (off + 2 + plen > p.body.length) throw new MalformedPacket("truncated password")
+            off += 2 + plen
+            Some(new String(p.body, off - plen, plen, "UTF-8"))
+          } else None
+          val rc =
+            if (proto != "MQTT" || level != 4) 1 // unacceptable protocol
+            else credentials match {
+              case Some(users) => userOpt match {
+                case None => 5 // not authorized: no credentials offered
+                case Some(u) =>
+                  if (users.get(u).exists(p => passOpt.contains(p))) 0
+                  else 4 // bad user name or password
+              }
+              case None => 0
+            }
+          if (rc != 0) {
+            // a refused CONNECT creates no session, arms no will, and must
+            // not touch stored persistent state; session-present is 0 on
+            // every nonzero rc (3.2.2-4)
+            val tmp = new ClientSession(sock, new SessionState)
+            tmp.send(encodeConnack(sessionPresent = false, rc))
+            sock.close(); return
+          }
           // clean session: discard any stored state for this id and start
           // fresh; persistent: resume stored state (session-present) or
           // create-and-store on first contact
@@ -480,7 +568,6 @@ class MockMqttBroker {
           val cs = new ClientSession(sock, state)
           cs.will = willOpt
           cs.send(encodeConnack(sessionPresent = present, rc))
-          if (rc != 0) { sock.close(); return }
           sessions.add(cs)
           if (present) resumeSession(cs)
           try sessionLoop(cs, in)

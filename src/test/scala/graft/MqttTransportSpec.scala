@@ -530,4 +530,141 @@ class MqttTransportSpec extends SparkSuite {
         ("openchirp/device/d2/hum", "2.5")))
     } finally { q.stop(); m.stop() }
   }
+
+  test("CONNECT auth: good creds connect, bad creds rc 4, no creds rc 5, no session either way") {
+    val broker = new MockMqttBroker
+    broker.requireCredentials(Map("svc-1" -> "hunter2"))
+    try {
+      // wrong password: CONNACK rc 4 (bad user name or password)
+      val bad = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-bad",
+        auth = Some(("svc-1", "wrong")))
+      val e4 = intercept[java.io.IOException](bad.connect())
+      assert(e4.getMessage.contains("rc=4"), s"expected rc 4: ${e4.getMessage}")
+      assert(!bad.isConnected && broker.sessionCount == 0, "refused CONNECT leaves no session")
+      // unknown username is the same rc 4 (the broker must not reveal
+      // which half was wrong)
+      val unknown = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-unk",
+        auth = Some(("nobody", "hunter2")))
+      assert(intercept[java.io.IOException](unknown.connect()).getMessage.contains("rc=4"))
+      // no credentials at all: rc 5 (not authorized)
+      val anon = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-anon")
+      val e5 = intercept[java.io.IOException](anon.connect())
+      assert(e5.getMessage.contains("rc=5"), s"expected rc 5: ${e5.getMessage}")
+      assert(broker.sessionCount == 0)
+      // correct credentials: full session, routing works
+      val sink = scala.collection.mutable.ArrayBuffer[String]()
+      val good = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-ok",
+        auth = Some(("svc-1", "hunter2")))
+      good.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+      good.connect()
+      good.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker.publish("openchirp/device/d1/temp", "ok") == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      good.disconnect()
+    } finally broker.close()
+  }
+
+  test("CONNECT auth: persistent-session resume still works under auth; failed auth never wipes it") {
+    val broker = new MockMqttBroker
+    broker.requireCredentials(Map("svc-1" -> "hunter2"))
+    val sink = scala.collection.mutable.ArrayBuffer[String]()
+    val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-persist",
+      subscribeQos = 1, cleanSession = false, auth = Some(("svc-1", "hunter2")))
+    t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+    try {
+      t.connect()
+      assert(!t.sessionPresent)
+      t.subscribe(Seq("openchirp/device/+/+"))
+      t.disconnect()
+      assert(awaitCond()(broker.sessionCount == 0))
+      // an attacker failing auth against the same client id must NOT
+      // disturb the stored session (a failed CONNECT joins nothing)
+      val thief = new SocketMqttTransport("127.0.0.1", broker.port, "graft-auth-persist",
+        cleanSession = true, auth = Some(("svc-1", "wrong")))
+      intercept[java.io.IOException](thief.connect())
+      // offline QoS-1 publish queues against the persisted subscription
+      assert(broker.publish("openchirp/device/d1/temp", "q".getBytes("UTF-8"), qos = 1) == 0)
+      t.connect() // authenticated resume
+      assert(t.sessionPresent, "session survived the failed-auth attempt")
+      assert(awaitCond()(sink.synchronized(sink.size) == 1), "offline message delivered on resume")
+      assert(broker.subscriptionHistory.size == 1, "no resubscribe needed")
+    } finally { t.disconnect(); broker.close() }
+  }
+
+  test("TLS transport: full handshake against a TLS broker, auth + routing over the encrypted session") {
+    // server side: the checked-in self-signed PKCS12 keystore
+    val ksIn = getClass.getResourceAsStream("/mqtt-test-keystore.p12")
+    assert(ksIn != null, "test keystore resource missing")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(ksIn, "graft-test".toCharArray)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graft-test".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val broker = new MockMqttBroker(sslContext = Some(serverCtx))
+    broker.requireCredentials(Map("svc-1" -> "hunter2"))
+    // client side: trust-only context from the exported CA pem, via the
+    // same loader the enable_ssl/ssl_location config path uses
+    val caPem = java.nio.file.Files.createTempFile("mqtt-ca", ".pem")
+    java.nio.file.Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"), caPem,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val clientCtx = GraftConfig.sslContextFromCaFile(caPem.toString)
+    try {
+      // a client that does NOT trust the broker cert fails at connect()
+      // (the explicit pre-CONNECT handshake), never half-opens a session
+      val untrusting = new SocketMqttTransport("127.0.0.1", broker.port, "graft-tls-bad",
+        sslContext = Some(javax.net.ssl.SSLContext.getDefault))
+      intercept[Exception](untrusting.connect())
+      assert(!untrusting.isConnected && broker.sessionCount == 0)
+      // trusting client: handshake, authenticated CONNECT, routed delivery
+      val sink = scala.collection.mutable.ArrayBuffer[String]()
+      val t = new SocketMqttTransport("127.0.0.1", broker.port, "graft-tls",
+        auth = Some(("svc-1", "hunter2")), sslContext = Some(clientCtx))
+      t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+      t.connect()
+      t.subscribe(Seq("openchirp/device/+/+"))
+      assert(broker.publish("openchirp/device/d1/temp", "sealed") == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      assert(sink.synchronized(sink.head) == "sealed")
+      t.disconnect()
+    } finally broker.close()
+  }
+
+  test("config wiring: service.conf keys build an authenticated TLS transport end-to-end") {
+    val ksIn = getClass.getResourceAsStream("/mqtt-test-keystore.p12")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(ksIn, "graft-test".toCharArray)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graft-test".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val broker = new MockMqttBroker(sslContext = Some(serverCtx))
+    broker.requireCredentials(Map("svc-x" -> "pw-x"))
+    val caPem = java.nio.file.Files.createTempFile("mqtt-ca2", ".pem")
+    java.nio.file.Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"), caPem,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      // the reference's service.conf shape (service.conf:14-22)
+      val conf = GraftConfig.parseIni(
+        s"""[DEFAULT]
+           |client_id=mtss_service
+           |service_id=svc-x
+           |password=pw-x
+           |mqtt_broker=127.0.0.1
+           |mqtt_broker_port=${broker.port}
+           |enable_ssl=True
+           |ssl_location=$caPem
+           |""".stripMargin)
+      val t = GraftConfig.mqttTransport(conf)
+      val sink = scala.collection.mutable.ArrayBuffer[String]()
+      t.setCallbacks((_, p) => sink.synchronized { sink += new String(p, "UTF-8") }, _ => ())
+      t.connect()
+      t.subscribe(Seq("#"))
+      assert(broker.publish("openchirp/device/d9/t", "conf-ok") == 1)
+      assert(awaitCond()(sink.synchronized(sink.size) == 1))
+      t.disconnect()
+    } finally broker.close()
+  }
 }

@@ -321,4 +321,24 @@ class MultimodalSpec extends SparkSuite {
     // square waves: rms equals amplitude, amplitude varies by doc
     assert(ok.forall(d => d.rms == 1000.0 + d.doc_id % 9000))
   }
+
+  test("buildPhashIndex txn fence: a replayed fold is skipped on both tables") {
+    val idx = java.nio.file.Files.createTempDirectory("phash_fence").toString
+    def media(ids: Long*) = spark.createDataset(ids.map(id =>
+      MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image")))
+    def counts() = Seq("hashes", "bands").map(t =>
+      new graft.storage.TxLogTable(spark, s"$idx/$t").read().count())
+    MultimodalOps.buildPhashIndex(media(1L, 2L), idx, Some(("fold", 0L)))
+    val first = counts()
+    assert(first == Seq(2L, 8L), s"2 hashes, 4 bands each: $first")
+    // at-least-once replay of the same micro-batch: both appends fenced
+    MultimodalOps.buildPhashIndex(media(1L, 2L), idx, Some(("fold", 0L)))
+    assert(counts() == first, "replayed batch must not double-fold")
+    // and a duplicate-free probe result even after the replay
+    val pairs = MultimodalOps.phashProbe(media(101L), idx, maxHamming = 60)
+    assert(pairs.count() == pairs.distinct().count())
+    // the next batch (higher seq) passes the fence
+    MultimodalOps.buildPhashIndex(media(3L), idx, Some(("fold", 1L)))
+    assert(counts() == Seq(3L, 12L))
+  }
 }

@@ -97,6 +97,33 @@ class SimilaritySpec extends SparkSuite {
     assert(full.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.sameElements(1L to 5L) })
   }
 
+  test("semantic dedup cluster cap: degenerate cluster bounded, normal inputs unchanged") {
+    // normal input: real fixture embeddings across 8 learned clusters —
+    // with every cluster under the cap, results must be IDENTICAL
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("cid", "i", "j", "cos").as[(Long, Long, Long, Double)].collect().toSet
+    val uncapped = collect(SimilarityOps.semanticDedupPairs(emb, 8, 1, tau = 0.5))
+    val capped = collect(SimilarityOps.semanticDedupPairs(emb, 8, 1, tau = 0.5,
+      maxClusterSize = Some(100000L)))
+    assert(capped == uncapped, "a cap no cluster reaches must not change results")
+    // degenerate input: one identical vector repeated -> k-means puts all
+    // N in ONE cluster -> uncapped pair space is N(N-1)/2; the cap
+    // sub-shards it to ceil(N/m) shards of ~m
+    val n = 60; val m = 10L
+    val degen = spark.createDataset((0 until n).map(i => (i.toLong, Array(0.6f, 0.8f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val all = SimilarityOps.semanticDedupPairs(degen, 4, 1, tau = 0.9)
+    assert(all.count() == n.toLong * (n - 1) / 2, "identical vectors: all-pairs without a cap")
+    val sub = SimilarityOps.semanticDedupPairs(degen, 4, 1, tau = 0.9, maxClusterSize = Some(m))
+    val subPairs = sub.select("cid", "i", "j", "cos").as[(Long, Long, Long, Double)].collect()
+    // bounded: ceil(60/10)=6 shards of 10 -> 6 * C(10,2) = 270 pairs, not 1770
+    assert(subPairs.length.toLong == 6L * m * (m - 1) / 2,
+      s"expected 270 within-shard pairs, got ${subPairs.length}")
+    // soundness: every capped pair exists in the uncapped set, same cos
+    val allSet = collect(all)
+    assert(subPairs.forall(allSet.contains), "cap must only DROP pairs, never invent or alter")
+  }
+
   test("multimodal decodeMeta: every row routed through its modality's real codec") {
     val media = Tables.documents(spark, sf).limit(21)
       .select(col("doc_id")).as[Long].map(MultimodalOps.synthMedia)

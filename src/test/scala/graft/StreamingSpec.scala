@@ -610,13 +610,15 @@ class StreamingSpec extends SparkSuite {
     val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     // stream elements are (newId, contentOf) pairs encoded as newId*1000 + src
     val q = in.toDS().writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], batchId: Long) =>
         val media = batch.map(code => MultimodalOps.MediaRow(
           code / 1000, MultimodalOps.synthImage(code % 1000), "image"))
         val pairs = MultimodalOps.phashProbe(media, idx, maxHamming = 0)
           .select("doc_a", "doc_b").as[(Long, Long)].collect()
         hits.synchronized { hits ++= pairs }
-        MultimodalOps.buildPhashIndex(media, idx) // fold the batch in
+        // fold the batch in, fenced on batchId: a foreachBatch replay
+        // must not append the same hashes twice
+        MultimodalOps.buildPhashIndex(media, idx, Some(("phash-fold", batchId)))
         ()
       }.start()
     try {
