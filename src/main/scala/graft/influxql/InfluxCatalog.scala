@@ -12,6 +12,7 @@ import graft.storage.TxLogTable
   * targets one configured database: `influx_service.py:417-418`):
   *
   *   CREATE DATABASE <db>        SHOW DATABASES        DROP DATABASE <db>
+  *   SHOW QUERIES                KILL QUERY <qid>      (via [[QueryRegistry]])
   *
   * plus routing for the fully-qualified FROM forms (`db..m`, `db.rp.m`,
   * `db../re/`), `ON <db>` on every SHOW statement, and `ON <db>` existence
@@ -43,6 +44,9 @@ import graft.storage.TxLogTable
   */
 final class InfluxCatalog(spark: SparkSession, rootDir: String,
                           val defaultDb: String = "graft") {
+
+  /** Running-statement registry behind SHOW QUERIES / KILL QUERY. */
+  val queryRegistry = new QueryRegistry
 
   private val NameRe = "[A-Za-z_][A-Za-z0-9_]*".r
   private def checkName(db: String): String = db match {
@@ -131,7 +135,8 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
   /** One statement in, one DataFrame out — the full dialect with database
     * routing. SELECT plans against the FROM qualifier's db (`defaultDb`
     * unqualified); SHOW statements honor `ON <db>`; DELETE / DROP
-    * MEASUREMENT mutate `defaultDb` and return the committed version.
+    * MEASUREMENT / DROP SERIES mutate `defaultDb` and return the committed
+    * version.
     */
   def run(text: String): DataFrame = {
     val t = text.trim
@@ -146,9 +151,22 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       showDatabases()
     } else if (up.contains("RETENTION POLIC"))
       InfluxQL.runRetention(spark, t, rootDir, requireDb)
-    else if (up.startsWith("SHOW"))
+    else if (up.startsWith("SHOW QUERIES")) {
+      require(t.split("\\s+").length == 2, s"trailing input in '$t'")
+      queryRegistry.list(spark)
+    } else if (up.startsWith("KILL QUERY")) {
+      val ws = t.split("\\s+")
+      require(ws.length == 3, s"KILL QUERY needs exactly one query id in '$t'")
+      val qid = try ws(2).toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"InfluxQL KILL QUERY: query id must be a number, got '${ws(2)}'")
+      }
+      queryRegistry.kill(spark, qid)
+      Seq(qid).toDF("killed")
+    } else if (up.startsWith("SHOW"))
       InfluxQL.planShow(points(defaultDb), t, d => points(d))
-    else if (up.startsWith("DELETE") || up.startsWith("DROP MEASUREMENT"))
+    else if (up.startsWith("DELETE") || up.startsWith("DROP MEASUREMENT") ||
+             up.startsWith("DROP SERIES"))
       Seq(InfluxQL.runDelete(pointsTable(defaultDb), t)).toDF("version")
     else if (up.startsWith("EXPLAIN")) {
       // the real physical plan of the ROUTED query, one row per line —
@@ -168,6 +186,19 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       } else select(t)
     }
   }
+
+  /** [[run]], executed under the [[queryRegistry]]: the statement is
+    * listed by SHOW QUERIES while its Spark jobs run and is cancellable by
+    * KILL QUERY (the job group covers every job the statement submits).
+    * Returns the already-materialized result as a local DataFrame — the
+    * execution window, not the plan, is what the registry tracks.
+    */
+  def execute(text: String): DataFrame =
+    queryRegistry.track(spark, text.trim, defaultDb) {
+      val df = run(text)
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    }
 
   /** Plan a SELECT against the db its FROM qualifier routes to. */
   private def select(text: String): DataFrame = {

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   *
   *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL)
   *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
+  *     | DROP SERIES [FROM m] [WHERE tag-conds]
   *   EXPLAIN select                    (the real Spark physical plan)
   *
   *   SELECT field [, field ...] [INTO target]
@@ -880,17 +881,46 @@ object InfluxQL {
       .append(planResolved(points, q))
   }
 
-  /** `DELETE FROM <measurement|/regex/> [WHERE ...]` and
-    * `DROP MEASUREMENT <m>` — the InfluxDB retention-management statements,
-    * committed as row-level deletes on the ACID points table (one rewrite
-    * commit; time travel keeps every pre-delete version readable, the
-    * engine's audit answer to a destructive statement). InfluxDB likewise
-    * restricts DELETE predicates to time bounds and tag equality — field
-    * conditions are rejected. Returns the committed version.
+  /** `DELETE FROM <measurement|/regex/> [WHERE ...]`,
+    * `DROP MEASUREMENT <m>` and
+    * `DROP SERIES [FROM <measurement|/regex/>] [WHERE <tag conds>]` — the
+    * InfluxDB data-management statements, committed as row-level deletes on
+    * the ACID points table (one rewrite commit; time travel keeps every
+    * pre-delete version readable, the engine's audit answer to a
+    * destructive statement). InfluxDB likewise restricts DELETE predicates
+    * to time bounds and tag equality — field conditions are rejected — and
+    * DROP SERIES further rejects time intervals (its WHERE clause selects
+    * whole series, so only tag conditions are legal; reference
+    * `influx_service.py` manages series lifecycle this way via the InfluxDB
+    * admin API). Returns the committed version.
     */
   def runDelete(table: graft.storage.TxLogTable, text: String): Long = {
     val p = new P(tokenize(text))
     if (p.kw("DROP")) {
+      if (p.kw("SERIES")) {
+        // DROP SERIES deletes every point of the matched series. InfluxDB
+        // requires at least one of FROM / WHERE (a bare DROP SERIES would
+        // wipe the database and is rejected there too).
+        val from: Option[Column] = if (p.kw("FROM")) Some(p.peek match {
+          case Some(TRegex(re, _)) => p.next(); col("transducer").rlike(re)
+          case _ => col("transducer") === p.ident()
+        }) else None
+        val conds = if (p.kw("WHERE")) parseWhere(p) else Nil
+        if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+        if (from.isEmpty && conds.isEmpty) p.fail(
+          "DROP SERIES needs FROM <measurement> and/or WHERE <tag conditions>")
+        def tagsOnly(c: Cond): Unit = c match {
+          case TimeCond(_, _) => throw new IllegalArgumentException(
+            "InfluxQL DROP SERIES: time intervals are not supported in the WHERE clause")
+          case FieldCond(f, _, _) => throw new IllegalArgumentException(
+            s"InfluxQL DROP SERIES: only tag conditions are supported (got field '$f')")
+          case OrCond(bs) => bs.foreach(_.foreach(tagsOnly))
+          case _ => ()
+        }
+        conds.foreach(tagsOnly)
+        val pred = (from.toSeq ++ conds.map(condColumn)).reduce(_ && _)
+        return table.delete(pred)
+      }
       p.expectKw("MEASUREMENT")
       val m = p.ident()
       if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")

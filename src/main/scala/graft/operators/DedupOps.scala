@@ -335,8 +335,16 @@ object DedupOps {
     * two-stage shape. Emits (i, j, hamming, lev, sim) with
     * sim = 1 - lev/max(len_i, len_j) for sim >= minSim.
     *
-    * At 100 TB also pass Spark's bounded `levenshtein(l, r, threshold)` via
-    * a max-distance cutoff: the DP early-exits once the bound is exceeded.
+    * For `minSim > 0` the DP runs in Spark's BOUNDED threshold form
+    * (`Levenshtein(l, r, Some(bound))`): any pair whose true distance
+    * exceeds `ceil((1-minSim)·max_len)+1` cannot pass the sim filter, so
+    * the kernel early-exits at the bound (O(len·bound) instead of
+    * O(len²) per pair — the 100 TB path, since near-dup thresholds keep
+    * the bound a small fraction of the text length). The +1 slack puts
+    * the bound strictly above every distance that could pass the filter
+    * even under worst-case FP rounding of the bound itself, so the
+    * surviving rows and their exact distances are bit-identical to the
+    * unbounded form (asserted by CurationSpec).
     *
     * Unicode caveat: Spark's levenshtein counts CODEPOINTS while DuckDB's
     * counts BYTES, so the q_edit_distance oracle is only bit-exact on
@@ -358,16 +366,28 @@ object DedupOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // stage the levenshtein behind an aliased projection so it is computed
     // once per pair for the derived similarity, not re-evaluated per use
+    val maxLen = greatest(length(col("ti.text")), length(col("tj.text")))
+    val lev: Column =
+      if (minSim > 0.0) {
+        val bound = (ceil(lit(1.0 - minSim) * maxLen) + lit(1)).cast("int")
+        org.apache.spark.sql.graft.shim.column(
+          org.apache.spark.sql.catalyst.expressions.Levenshtein(
+            org.apache.spark.sql.graft.shim.toExpression(col("ti.text")),
+            org.apache.spark.sql.graft.shim.toExpression(col("tj.text")),
+            Some(org.apache.spark.sql.graft.shim.toExpression(bound))))
+      } else levenshtein(col("ti.text"), col("tj.text"))
     val scored = spread
       .select(col("i"), col("j"), col("hamming"),
-        levenshtein(col("ti.text"), col("tj.text")).cast("long").as("lev"),
-        greatest(length(col("ti.text")), length(col("tj.text"))).cast("double").as("__max_len"))
+        lev.cast("long").as("lev"), maxLen.cast("double").as("__max_len"))
       .select(col("i"), col("j"), col("hamming"), col("lev"),
         (lit(1.0) - col("lev").cast("double") / col("__max_len")).as("sim"))
     // sim is always in [0, 1] (lev <= max_len), so a non-positive threshold
     // is vacuous — skipping it keeps the plan at exactly ONE DP per pair
-    // (a Filter would be pushed through the projection and re-evaluate it)
-    if (minSim > 0.0) scored.filter(col("sim") >= minSim) else scored
+    // (a Filter would be pushed through the projection and re-evaluate it).
+    // lev >= 0 drops the bounded kernel's -1 over-threshold marker rows —
+    // exactly the rows the sim filter would drop (proof in the doc above).
+    if (minSim > 0.0) scored.filter(col("lev") >= 0L && col("sim") >= minSim)
+    else scored
   }
 
   /** 60-bit SimHash over distinct tokens: bit j of the signature is set when

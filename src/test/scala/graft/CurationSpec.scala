@@ -74,6 +74,43 @@ class CurationSpec extends SparkSuite {
       "unrelated doc must not appear in candidate pairs")
   }
 
+  test("edit distance: the bounded-threshold kernel (minSim > 0) matches the unbounded form") {
+    // minSim > 0 switches editDistancePairs onto Spark's early-exit
+    // Levenshtein(l, r, threshold) — the 100 TB path. The surviving rows
+    // and their exact distances must be bit-identical to filtering the
+    // unbounded result, on the real fixture corpus.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") % 9 === 0)
+    val unAll = DedupOps.editDistancePairs(docs, "doc_id", "text",
+        maxHamming = 3, minSim = 0.0)
+      .select("i", "j", "hamming", "lev", "sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(unAll.nonEmpty, "fixture corpus must produce candidate pairs")
+    // sweep thresholds that exercise both regimes (all/most pairs marked
+    // -1 over-threshold, and a threshold at least one pair survives)
+    val sims = unAll.map(_._5).filterNot(_.isNaN)
+    for (minSim <- Seq(0.5, 0.9, sims.max)) {
+      val bounded = DedupOps.editDistancePairs(docs, "doc_id", "text",
+          maxHamming = 3, minSim = minSim)
+        .select("i", "j", "hamming", "lev", "sim")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(bounded == unAll.filter(_._5 >= minSim).toSet,
+        s"bounded kernel diverged from unbounded at minSim=$minSim")
+    }
+    assert(unAll.exists(_._5 >= sims.max),
+      "the max-sim threshold must keep at least one pair")
+    // boundary exactness: sim EXACTLY equal to minSim must survive the
+    // bounded form with the same exact distance. Same distinct-token set
+    // -> identical simhash -> the candidate pair is proposed regardless of
+    // string distance, so the DP actually decides.
+    val edge = Seq((1L, "aa bb"), (2L, "bb aa")).toDF("doc_id", "text")
+    val un = DedupOps.editDistancePairs(edge, "doc_id", "text", 3, minSim = 0.0)
+      .select("lev", "sim").as[(Long, Double)].collect().head
+    assert(un._1 > 0L, s"edge pair must have a nonzero distance, got $un")
+    val b = DedupOps.editDistancePairs(edge, "doc_id", "text", 3, minSim = un._2)
+      .select("lev", "sim").as[(Long, Double)].collect().toSeq
+    assert(b == Seq(un), s"sim == minSim must survive the bounded form, got $b vs $un")
+  }
+
   test("contamination: n-gram overlap against the train index, clean docs report 0") {
     val train = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),        // 5-grams: {w1..w5, w2..w6}

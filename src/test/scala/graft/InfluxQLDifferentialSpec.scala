@@ -985,6 +985,70 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     assert(e.getMessage.contains("field"))
   }
 
+  test("10 seeded DROP SERIES statements round-trip the ACID points table") {
+    // Same exact-model harness as the management loop, driving the one
+    // remaining data-management statement: DROP SERIES selects whole
+    // series by measurement and/or tag (never time or field — those stay
+    // rejected, matching InfluxDB).
+    val rnd = new scala.util.Random(80808080L)
+    val root = java.nio.file.Files.createTempDirectory("dropser_diff").toString
+    val table = new graft.storage.TxLogTable(spark, root + "/pts")
+    val devs = Vector("a", "b", "c")
+    val meas = Vector("m1", "m2", "m3")
+    def randPts(n: Int): Vector[(String, String, Long, Double)] =
+      Vector.fill(n)((devs(rnd.nextInt(3)), meas(rnd.nextInt(3)),
+        rnd.nextInt(1000).toLong, math.floor(rnd.nextDouble() * 1000) / 10.0))
+    var model = randPts(120)
+    table.append(model.toDF("device", "transducer", "ts_us", "value"))
+    def tableRows = table.read().as[(String, String, Long, Double)].collect().toVector
+
+    for (iter <- 0 until 10 * diffScale) {
+      // FROM (ident | regex | absent), WHERE (tag eq/ne | tag regex | OR
+      // of two tag conds | absent) — at least one present
+      val (fromTxt, fromPred): (String, String => Boolean) = rnd.nextInt(3) match {
+        case 0 => val m = meas(rnd.nextInt(3)); (s" FROM $m", (_: String) == m)
+        case 1 =>
+          val re = s"m[${1 + rnd.nextInt(2)}${2 + rnd.nextInt(2)}]"
+          (s" FROM /$re/", (s: String) => re.r.findFirstIn(s).nonEmpty)
+        case _ => ("", (_: String) => true)
+      }
+      val (whereTxt, wherePred): (String, String => Boolean) =
+        rnd.nextInt(if (fromTxt.isEmpty) 3 else 4) match {
+          case 0 =>
+            val d = devs(rnd.nextInt(3)); val eq = rnd.nextBoolean()
+            (s" WHERE device ${if (eq) "=" else "!="} '$d'",
+              (s: String) => (s == d) == eq)
+          case 1 =>
+            val re = Seq("[ab]", "a|c", "b")(rnd.nextInt(3))
+            val m = rnd.nextBoolean()
+            (s" WHERE device ${if (m) "=~" else "!~"} /$re/",
+              (s: String) => re.r.findFirstIn(s).nonEmpty == m)
+          case 2 =>
+            val d1 = devs(rnd.nextInt(3)); val d2 = devs(rnd.nextInt(3))
+            (s" WHERE device = '$d1' OR device = '$d2'",
+              (s: String) => s == d1 || s == d2)
+          case _ => ("", (_: String) => true)
+        }
+      val survives = model.filterNot(p => fromPred(p._2) && wherePred(p._1))
+      InfluxQL.runDelete(table, s"DROP SERIES$fromTxt$whereTxt")
+      model = survives
+      assert(tableRows.sorted == model.sorted,
+        s"iter $iter DROP SERIES$fromTxt$whereTxt")
+      if (model.size < 40) { // keep the table populated mid-sequence
+        val fresh = randPts(60)
+        table.append(fresh.toDF("device", "transducer", "ts_us", "value"))
+        model = model ++ fresh
+      }
+    }
+    // time and field predicates stay rejected on DROP SERIES
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(table, "DROP SERIES FROM m1 WHERE time < 100"))
+      .getMessage.contains("time"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(table, "DROP SERIES WHERE value > 5"))
+      .getMessage.contains("field"))
+  }
+
   test("30 seeded retention-DDL statements round-trip the policy store") {
     val rnd = new scala.util.Random(31313131L)
     val root = java.nio.file.Files.createTempDirectory("rp_diff").toString

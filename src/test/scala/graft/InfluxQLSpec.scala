@@ -526,6 +526,37 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("field"))
   }
 
+  test("DROP SERIES deletes by measurement and/or tag, rejecting time and field predicates") {
+    val root = java.nio.file.Files.createTempDirectory("influxdropser").toString
+    val t = new graft.storage.TxLogTable(spark, s"$root/points")
+    t.append(pts(
+      ("a", "temp", 10L, 1.0), ("a", "temp", 20L, 2.0), ("b", "temp", 30L, 3.0),
+      ("a", "hum", 40L, 4.0), ("b", "hum", 50L, 5.0), ("c", "co2", 60L, 6.0)))
+    def left = t.read().select("transducer", "device").distinct()
+      .as[(String, String)].collect().toSet
+    // tag-only WHERE across all measurements: device 'a' series go
+    InfluxQL.runDelete(t, "DROP SERIES WHERE device = 'a'")
+    assert(left == Set(("temp", "b"), ("hum", "b"), ("co2", "c")))
+    // FROM + WHERE: only the (hum, b) series goes
+    InfluxQL.runDelete(t, "DROP SERIES FROM hum WHERE device = 'b'")
+    assert(left == Set(("temp", "b"), ("co2", "c")))
+    // FROM only (regex): every series of matching measurements goes
+    val v = InfluxQL.runDelete(t, "DROP SERIES FROM /^(temp|co2)$/")
+    assert(t.read().count() == 0L)
+    // still auditable: the pre-drop version reads
+    assert(t.readVersion(v - 1).count() == 2L)
+    // InfluxDB semantics: time intervals and field conditions are rejected,
+    // and a bare DROP SERIES (whole-db wipe) is rejected
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(t, "DROP SERIES FROM temp WHERE time < 25"))
+      .getMessage.contains("time"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(t, "DROP SERIES FROM temp WHERE value > 2"))
+      .getMessage.contains("field"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.runDelete(t, "DROP SERIES")).getMessage.contains("FROM"))
+  }
+
   test("subquery FROM: the inner SELECT feeds the outer query") {
     val df = pts(
       ("a", "m", 1L, 2.0), ("a", "m", 5L, 4.0), ("a", "m", 11L, 6.0),
@@ -1034,10 +1065,74 @@ class InfluxQLSpec extends SparkSuite {
     // INTO with a qualified FROM lands in THAT db's namespace
     cat.run("SELECT mean(value) INTO daily FROM aux..hum GROUP BY time(10u)")
     assert(new graft.storage.TxLogTable(spark, s"$root/aux/daily").read().count() == 1L)
-    // DELETE / DROP MEASUREMENT mutate defaultDb and return the version
+    // DELETE / DROP MEASUREMENT / DROP SERIES mutate defaultDb and return
+    // the version
+    cat.run("DROP SERIES FROM temp WHERE device = 'zzz'") // no-op match
+    assert(cat.run("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("temp"))
     cat.run("DROP MEASUREMENT temp")
     assert(cat.run("SHOW MEASUREMENTS").as[String].collect().isEmpty)
     assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
+  }
+
+  test("SHOW QUERIES lists running statements; KILL QUERY cancels the job group") {
+    val root = java.nio.file.Files.createTempDirectory("influxkill").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db", pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0)))
+    // idle: nothing running
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+    // execute() registers for the execution window and deregisters after
+    val done = cat.execute("SELECT sum(value) FROM m")
+    assert(done.as[Double].collect().toSeq == Seq(3.0))
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+    // in-flight: a tracked statement is visible with its text and db
+    cat.queryRegistry.track(spark, "SELECT sum(value) FROM m", "db") {
+      val rows = cat.run("SHOW QUERIES")
+        .select("query", "database").as[(String, String)].collect().toSeq
+      assert(rows == Seq(("SELECT sum(value) FROM m", "db")))
+      val durs = cat.run("SHOW QUERIES").select("duration_us").as[Long].collect()
+      assert(durs.forall(_ >= 0L))
+    }
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+    // KILL QUERY cancels a long-running planned query mid-execution: an
+    // effectively-unbounded points scan planned by the InfluxQL planner,
+    // executed under the registry from another thread
+    val bigPts = spark.range(0L, 40000000000L).selectExpr(
+      "concat('d', id % 3) AS device", "'m' AS transducer",
+      "id AS ts_us", "cast(id % 100 as double) AS value")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      cat.queryRegistry.track(spark, "SELECT count(value) FROM m", "db") {
+        InfluxQL.run(bigPts, "SELECT count(value) FROM m").collect()
+      }
+    }
+    // wait until the statement is listed AND its Spark jobs are live
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var qid = -1L
+    while (qid < 0 && System.nanoTime() < deadline) {
+      val ids = cat.run("SHOW QUERIES").select("qid").as[Long].collect()
+      ids.headOption.filter(q => spark.sparkContext.statusTracker
+        .getJobIdsForGroup(cat.queryRegistry.groupId(q)).nonEmpty)
+        .foreach(q => qid = q)
+      if (qid < 0) Thread.sleep(50)
+    }
+    try {
+      assert(qid >= 0, "tracked query never started its Spark jobs")
+      cat.run(s"KILL QUERY $qid")
+      val err = intercept[Exception](Await.result(fut, 60.seconds))
+      assert(err.getMessage.toLowerCase.contains("cancel"),
+        s"expected job-cancellation failure, got: ${err.getMessage}")
+    } finally if (qid >= 0) // never leave a 40B-row scan running on failure
+      spark.sparkContext.cancelJobGroup(cat.queryRegistry.groupId(qid))
+    // the killed statement deregistered on its failure path
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+    // unknown / finished qids fail loudly, like InfluxDB
+    assert(intercept[IllegalArgumentException](cat.run(s"KILL QUERY $qid"))
+      .getMessage.contains("no such query"))
+    assert(intercept[IllegalArgumentException](cat.run("KILL QUERY abc"))
+      .getMessage.contains("number"))
   }
 
   test("planner: global (tagless) aggregate and whole-query limit") {
