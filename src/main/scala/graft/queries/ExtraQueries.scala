@@ -20,19 +20,32 @@ object ExtraQueries {
 
   private val one = lit(1)
 
-  /** Materialize a (small, dimension-sized) result computed from scratch
-    * files under `tmpRoot`, then delete the scratch tree so repeated
-    * invocations don't litter the temp filesystem.
+  /** Materialize a result computed from scratch files under `tmpRoot`,
+    * then delete the scratch tree so repeated invocations don't litter the
+    * temp filesystem. Fully distributed: the result is WRITTEN to its own
+    * parquet dir (executor-parallel, any result size — never a driver
+    * collect) and read back from there once the inputs are gone; result
+    * dirs are swept by a JVM shutdown hook, so nothing outlives the
+    * process.
     */
-  private def materializeAndClean(s: SparkSession, out: DataFrame,
-                                  tmpRoot: java.nio.file.Path): DataFrame = {
-    val rows = out.collect()
-    val result = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    val st = java.nio.file.Files.walk(tmpRoot)
+  private val resultDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val resultSweeper: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => resultDirs.forEach(deleteTree(_))))
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val st = java.nio.file.Files.walk(root)
     try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
       .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     finally st.close()
-    result
+  }
+  private def materializeAndClean(s: SparkSession, out: DataFrame,
+                                  tmpRoot: java.nio.file.Path): DataFrame = {
+    resultSweeper
+    val resultDir = java.nio.file.Files.createTempDirectory("graft_result")
+    resultDirs.add(resultDir)
+    out.write.mode("overwrite").parquet(s"$resultDir/r")
+    deleteTree(tmpRoot)
+    s.read.parquet(s"$resultDir/r")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
