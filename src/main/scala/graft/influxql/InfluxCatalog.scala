@@ -151,6 +151,11 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       showDatabases()
     } else if (up.contains("RETENTION POLIC"))
       InfluxQL.runRetention(spark, t, rootDir, requireDb)
+    else if (up.startsWith("CREATE USER") || up.startsWith("DROP USER") ||
+             up.startsWith("SET PASSWORD") || up.startsWith("GRANT") ||
+             up.startsWith("REVOKE") || up.startsWith("SHOW USERS") ||
+             up.startsWith("SHOW GRANTS"))
+      InfluxAuth.run(spark, rootDir, t)
     else if (up.startsWith("SHOW QUERIES")) {
       require(t.split("\\s+").length == 2, s"trailing input in '$t'")
       queryRegistry.list(spark)
@@ -185,6 +190,62 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
           .toDF("version")
       } else select(t)
     }
+  }
+
+  /** Authenticated + authorized [[run]] — the enforcement half of
+    * [[InfluxAuth]]'s user store (the reference service always connects
+    * with credentials, `influx_service.py:417-421`; this is the engine
+    * side that makes those credentials MEAN something). The statement
+    * classes map onto InfluxDB 1.x's authorization matrix:
+    *
+    *   - admin only: database / retention / user DDL, KILL QUERY
+    *   - WRITE on the routed db: SELECT ... INTO
+    *   - WRITE on the default db: DELETE, DROP MEASUREMENT, DROP SERIES
+    *   - READ on the routed db: SELECT, EXPLAIN, the SHOW family
+    *   - any authenticated user: SHOW DATABASES, SHOW QUERIES (InfluxDB
+    *     filters these per-user; this engine admits the listing —
+    *     documented simplification, the data path stays gated)
+    *
+    * Admins pass every check. Authentication failure and authorization
+    * failure are distinct, loud errors.
+    */
+  def runAs(user: String, password: String, text: String): DataFrame = {
+    if (!InfluxAuth.authenticate(spark, rootDir, user, password))
+      throw new IllegalArgumentException(
+        s"InfluxQL: authentication failed for user $user")
+    val t = text.trim
+    val up = t.toUpperCase
+    def deny(what: String): Nothing = throw new IllegalArgumentException(
+      s"InfluxQL: user $user is not authorized ($what required)")
+    def needAdmin(): Unit =
+      if (!InfluxAuth.isAdmin(spark, rootDir, user)) deny("admin")
+    def needOn(db: String, priv: String): Unit =
+      if (!InfluxAuth.authorized(spark, rootDir, user, db, priv))
+        deny(s"$priv on $db")
+    val admin = Seq("CREATE DATABASE", "DROP DATABASE", "CREATE USER",
+      "DROP USER", "SET PASSWORD", "GRANT", "REVOKE", "SHOW USERS",
+      "SHOW GRANTS", "KILL QUERY")
+    val openMeta = Seq("SHOW DATABASES", "SHOW QUERIES")
+    if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC"))
+      needAdmin()
+    else if (up.startsWith("DELETE") || up.startsWith("DROP"))
+      needOn(defaultDb, "WRITE")
+    else if (up.startsWith("SHOW"))
+      // ON <db> routes the SHOW family; default db otherwise
+      "(?i)\\bON\\s+(\\w+)".r.findFirstMatchIn(t) match {
+        case Some(m) => needOn(m.group(1), "READ")
+        case None if openMeta.exists(up.startsWith) => ()
+        case None => needOn(defaultDb, "READ")
+      }
+    else if (!openMeta.exists(up.startsWith)) {
+      // SELECT / EXPLAIN: the FROM qualifier routes the db
+      val sel = if (up.startsWith("EXPLAIN")) t.drop("EXPLAIN".length).trim else t
+      val q = InfluxQL.parse(sel)
+      val db = q.fromDb.getOrElse(defaultDb)
+      needOn(db, "READ")
+      if (q.into.nonEmpty) needOn(db, "WRITE")
+    }
+    run(t)
   }
 
   /** [[run]], executed under the [[queryRegistry]]: the statement is

@@ -229,13 +229,13 @@ object InfluxQL {
 
   // ---------- tokenizer ----------
 
-  private sealed trait Tok { def raw: String }
-  private final case class TIdent(raw: String) extends Tok
-  private final case class TNum(v: Double, raw: String) extends Tok
-  private final case class TStr(s: String, raw: String) extends Tok
-  private final case class TDur(us: Long, raw: String) extends Tok
-  private final case class TRegex(re: String, raw: String) extends Tok
-  private final case class TSym(raw: String) extends Tok
+  private[influxql] sealed trait Tok { def raw: String }
+  private[influxql] final case class TIdent(raw: String) extends Tok
+  private[influxql] final case class TNum(v: Double, raw: String) extends Tok
+  private[influxql] final case class TStr(s: String, raw: String) extends Tok
+  private[influxql] final case class TDur(us: Long, raw: String) extends Tok
+  private[influxql] final case class TRegex(re: String, raw: String) extends Tok
+  private[influxql] final case class TSym(raw: String) extends Tok
 
   private val durUnitsUs = Map("ns" -> -1L /* sub-us: rejected below */ ,
     "u" -> 1L, "us" -> 1L, "ms" -> 1000L, "s" -> 1000000L,
@@ -245,7 +245,7 @@ object InfluxQL {
   private val tokenRe =
     """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/.-]))""".r
 
-  private def tokenize(text: String): Seq[Tok] = {
+  private[influxql] def tokenize(text: String): Seq[Tok] = {
     var pos = 0
     var last: Option[Tok] = None
     val out = Seq.newBuilder[Tok]
@@ -289,7 +289,7 @@ object InfluxQL {
 
   // ---------- parser (recursive descent over the token list) ----------
 
-  private final class P(toks: Seq[Tok]) {
+  private[influxql] final class P(toks: Seq[Tok]) {
     private var i = 0
     def done: Boolean = i >= toks.length
     def peek: Option[Tok] = toks.lift(i)

@@ -1135,6 +1135,99 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("number"))
   }
 
+  test("user management: CREATE/DROP USER, GRANT/REVOKE lattice, SHOW USERS/GRANTS") {
+    val root = java.nio.file.Files.createTempDirectory("influxusers").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    def users = cat.run("SHOW USERS").as[(String, Boolean)].collect().toSeq
+    def grants(u: String) = cat.run(s"SHOW GRANTS FOR $u")
+      .as[(String, String)].collect().toSeq
+    assert(users.isEmpty)
+    cat.run("CREATE USER admin WITH PASSWORD 'root_pw' WITH ALL PRIVILEGES")
+    cat.run("CREATE USER svc WITH PASSWORD 'svc_pw'")
+    assert(users == Seq(("admin", true), ("svc", false)))
+    // duplicate create / missing-user operations fail loudly
+    assert(intercept[IllegalArgumentException](
+      cat.run("CREATE USER svc WITH PASSWORD 'x'")).getMessage.contains("exists"))
+    assert(intercept[IllegalArgumentException](
+      cat.run("DROP USER ghost")).getMessage.contains("not found"))
+    assert(intercept[IllegalArgumentException](
+      cat.run("SHOW GRANTS FOR ghost")).getMessage.contains("not found"))
+    // GRANT replaces the held privilege; REVOKE walks the 1.x lattice
+    cat.run("GRANT READ ON db TO svc")
+    assert(grants("svc") == Seq(("db", "READ")))
+    cat.run("GRANT ALL ON db TO svc")
+    assert(grants("svc") == Seq(("db", "ALL PRIVILEGES")))
+    cat.run("REVOKE WRITE ON db FROM svc")
+    assert(grants("svc") == Seq(("db", "READ")))
+    cat.run("REVOKE WRITE ON db FROM svc") // not held: no-op
+    assert(grants("svc") == Seq(("db", "READ")))
+    cat.run("REVOKE READ ON db FROM svc")
+    assert(grants("svc").isEmpty)
+    // admin flag toggles via the no-ON form
+    cat.run("GRANT ALL PRIVILEGES TO svc")
+    assert(users == Seq(("admin", true), ("svc", true)))
+    cat.run("REVOKE ALL PRIVILEGES FROM svc")
+    assert(users == Seq(("admin", true), ("svc", false)))
+    assert(intercept[IllegalArgumentException](
+      cat.run("GRANT READ TO svc")).getMessage.contains("ALL"))
+    // authentication: password checks, SET PASSWORD rotates
+    import graft.influxql.InfluxAuth
+    assert(InfluxAuth.authenticate(spark, root, "svc", "svc_pw"))
+    assert(!InfluxAuth.authenticate(spark, root, "svc", "wrong"))
+    cat.run("SET PASSWORD FOR svc = 'new_pw'")
+    assert(InfluxAuth.authenticate(spark, root, "svc", "new_pw"))
+    assert(!InfluxAuth.authenticate(spark, root, "svc", "svc_pw"))
+    // DROP USER cascades grants
+    cat.run("GRANT READ ON db TO svc")
+    cat.run("DROP USER svc")
+    assert(users == Seq(("admin", true)))
+    cat.run("CREATE USER svc WITH PASSWORD 'svc_pw'")
+    assert(grants("svc").isEmpty, "recreated user must not inherit old grants")
+  }
+
+  test("runAs enforces the authorization matrix per statement class") {
+    val root = java.nio.file.Files.createTempDirectory("influxauthz").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db", pts(("a", "temp", 10L, 1.0), ("b", "temp", 20L, 2.0)))
+    cat.run("CREATE USER admin WITH PASSWORD 'root_pw' WITH ALL PRIVILEGES")
+    cat.run("CREATE USER reader WITH PASSWORD 'r_pw'")
+    cat.run("CREATE USER writer WITH PASSWORD 'w_pw'")
+    cat.run("GRANT READ ON db TO reader")
+    cat.run("GRANT ALL ON db TO writer")
+    def denied(u: String, pw: String, stmt: String): String =
+      intercept[IllegalArgumentException](cat.runAs(u, pw, stmt)).getMessage
+    // bad credentials never reach authorization
+    assert(denied("reader", "wrong", "SELECT value FROM temp")
+      .contains("authentication failed"))
+    assert(denied("ghost", "x", "SHOW DATABASES").contains("authentication failed"))
+    // READ grants SELECT + SHOW on the db, nothing destructive
+    assert(cat.runAs("reader", "r_pw", "SELECT sum(value) FROM temp")
+      .as[Double].collect().toSeq == Seq(3.0))
+    assert(cat.runAs("reader", "r_pw", "SHOW MEASUREMENTS")
+      .as[String].collect().toSeq == Seq("temp"))
+    assert(denied("reader", "r_pw", "DELETE FROM temp WHERE device = 'a'")
+      .contains("WRITE"))
+    assert(denied("reader", "r_pw", "DROP SERIES FROM temp").contains("WRITE"))
+    assert(denied("reader", "r_pw",
+      "SELECT mean(value) INTO agg FROM temp GROUP BY time(10u)").contains("WRITE"))
+    assert(denied("reader", "r_pw", "CREATE DATABASE other").contains("admin"))
+    assert(denied("reader", "r_pw", "SHOW USERS").contains("admin"))
+    // open metadata for any authenticated user
+    assert(cat.runAs("reader", "r_pw", "SHOW DATABASES").collect().nonEmpty)
+    assert(cat.runAs("reader", "r_pw", "SHOW QUERIES").collect().isEmpty)
+    // WRITE covers the data-management statements on the db
+    cat.runAs("writer", "w_pw", "DELETE FROM temp WHERE device = 'a'")
+    assert(cat.run("SELECT count(value) FROM temp").as[Long].collect().toSeq == Seq(1L))
+    assert(denied("writer", "w_pw", "DROP DATABASE db").contains("admin"))
+    // admin passes everything
+    assert(cat.runAs("admin", "root_pw", "SHOW USERS").collect().length == 3)
+    cat.runAs("admin", "root_pw", "CREATE DATABASE other")
+    assert(cat.runAs("admin", "root_pw", "SHOW DATABASES")
+      .as[String].collect().toSet == Set("db", "other"))
+  }
+
   test("planner: global (tagless) aggregate and whole-query limit") {
     val df = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 3.0))
     val got = InfluxQL.run(df, "SELECT mean(value), count(value) FROM m")
