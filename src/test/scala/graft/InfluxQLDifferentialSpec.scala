@@ -1049,6 +1049,94 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       .getMessage.contains("field"))
   }
 
+  test("30 seeded user-management statements round-trip the auth store") {
+    // The GRANT-replaces / REVOKE-lattice semantics live in tiny
+    // conditionals — exactly the kind randomized sequences shake out.
+    // Exact in-memory model: users(name -> (pwHash, admin)),
+    // grants((user, db) -> privilege).
+    import graft.influxql.InfluxAuth
+    val rnd = new scala.util.Random(42424242L)
+    val root = java.nio.file.Files.createTempDirectory("auth_diff").toString
+    val names = Vector("u1", "u2", "u3")
+    val dbs = Vector("dba", "dbb")
+    val privs = Vector("READ", "WRITE", "ALL")
+    var users = Map.empty[String, (String, Boolean)]
+    var grants = Map.empty[(String, String), String]
+    def runA(text: String) = InfluxAuth.run(spark, root, text)
+    def checkAll(ctx: String): Unit = {
+      val gotUsers = runA("SHOW USERS").as[(String, Boolean)].collect().toSeq
+      assert(gotUsers == users.toSeq.map { case (u, (_, a)) => (u, a) }.sortBy(_._1),
+        s"$ctx SHOW USERS")
+      for (u <- names if users.contains(u)) {
+        val got = runA(s"SHOW GRANTS FOR $u").as[(String, String)].collect().toSeq
+        val want = grants.collect { case ((`u`, db), p) =>
+          (db, if (p == "ALL") "ALL PRIVILEGES" else p) }.toSeq.sortBy(_._1)
+        assert(got == want, s"$ctx SHOW GRANTS FOR $u")
+      }
+    }
+    for (iter <- 0 until 30 * diffScale) {
+      val u = names(rnd.nextInt(names.size))
+      rnd.nextInt(6) match {
+        case 0 => // CREATE USER (error if exists)
+          val admin = rnd.nextBoolean()
+          val stmt = s"CREATE USER $u WITH PASSWORD 'pw$iter'" +
+            (if (admin) " WITH ALL PRIVILEGES" else "")
+          if (users.contains(u))
+            assert(intercept[IllegalArgumentException](runA(stmt))
+              .getMessage.contains("exists"), s"iter $iter CREATE dup")
+          else {
+            runA(stmt)
+            users += u -> (InfluxAuth.hashPassword(u, s"pw$iter"), admin)
+          }
+        case 1 => // DROP USER cascades grants (error if missing)
+          if (!users.contains(u))
+            assert(intercept[IllegalArgumentException](runA(s"DROP USER $u"))
+              .getMessage.contains("not found"), s"iter $iter DROP missing")
+          else {
+            runA(s"DROP USER $u")
+            users -= u
+            grants = grants.filterNot(_._1._1 == u)
+          }
+        case 2 => // SET PASSWORD
+          if (users.contains(u)) {
+            runA(s"SET PASSWORD FOR $u = 'npw$iter'")
+            users += u -> (InfluxAuth.hashPassword(u, s"npw$iter"), users(u)._2)
+            assert(InfluxAuth.authenticate(spark, root, u, s"npw$iter"),
+              s"iter $iter rotated password must authenticate")
+          }
+        case 3 => // GRANT p ON db: replaces the held privilege
+          val db = dbs(rnd.nextInt(2)); val p = privs(rnd.nextInt(3))
+          val stmt = s"GRANT $p ON $db TO $u"
+          if (!users.contains(u))
+            assert(intercept[IllegalArgumentException](runA(stmt))
+              .getMessage.contains("not found"), s"iter $iter GRANT missing user")
+          else { runA(stmt); grants += (u, db) -> p }
+        case 4 => // REVOKE p ON db: the downgrade lattice
+          val db = dbs(rnd.nextInt(2)); val p = privs(rnd.nextInt(3))
+          if (users.contains(u)) {
+            runA(s"REVOKE $p ON $db FROM $u")
+            grants.get((u, db)) match {
+              case Some(c) if c == p || p == "ALL" => grants -= ((u, db))
+              case Some("ALL") =>
+                grants += (u, db) -> (if (p == "READ") "WRITE" else "READ")
+              case _ => ()
+            }
+          }
+        case 5 => // admin flag toggle via the no-ON form
+          val grant = rnd.nextBoolean()
+          val stmt = if (grant) s"GRANT ALL PRIVILEGES TO $u"
+                     else s"REVOKE ALL PRIVILEGES FROM $u"
+          if (users.contains(u)) {
+            runA(stmt)
+            users += u -> (users(u)._1, grant)
+          }
+      }
+      checkAll(s"iter $iter")
+    }
+    // the model exercised both branches at least once
+    assert(users.nonEmpty, "seeded run must end with live users")
+  }
+
   test("30 seeded retention-DDL statements round-trip the policy store") {
     val rnd = new scala.util.Random(31313131L)
     val root = java.nio.file.Files.createTempDirectory("rp_diff").toString
