@@ -38,6 +38,16 @@ object CurationQueries {
         "doc_id", "text", maxHamming = 3, minSim = 0.0)
     }),
 
+    // the bounded-kernel path (minSim > 0): Spark's early-exit
+    // Levenshtein(l, r, threshold) with a per-row bound, gated against
+    // DuckDB's unbounded levenshtein + the same sim filter — proves the
+    // bound never changes a surviving row's exact distance
+    "q_edit_distance_bounded" -> ((s, dir) => {
+      DedupOps.editDistancePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", maxHamming = 3, minSim = 0.3)
+    }),
+
     // benchmark decontamination: 5-gram overlap of each eval doc (id%10=7)
     // against the training corpus via a shingle-hash inverted index
     "q_contamination" -> ((s, dir) => {
@@ -138,6 +148,19 @@ object CurationQueries {
          |JOIN documents b ON b.doc_id = p.j
          |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
          |      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) >= 0.0""".stripMargin,
+
+    "q_edit_distance_bounded" ->
+      s"""WITH ${simhashCtes("WHERE doc_id % 9 = 0")},
+         |pairs AS ($simhashPairSelect)
+         |SELECT p.i, p.j, p.hamming,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS sim
+         |FROM pairs p
+         |JOIN documents a ON a.doc_id = p.i
+         |JOIN documents b ON b.doc_id = p.j
+         |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) >= 0.3""".stripMargin,
 
     "q_contamination" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
