@@ -1132,11 +1132,19 @@ object InfluxQL {
     * sketch); list-shaped statements take LIMIT/OFFSET paging over their
     * deterministic order.
     */
-  def planShow(points0: DataFrame, text: String,
+  def planShow(points0: => DataFrame, text: String,
                pointsFor: String => DataFrame = null): DataFrame = {
     val p = new P(tokenize(text))
-    var points = points0
-    val spark = points0.sparkSession
+    // The default points resolve LAZILY: `SHOW ... ON <db>` must work even
+    // when the session's default database does not exist (InfluxDB has no
+    // server-side default-db coupling — found by the 3x-scale seeded
+    // db-DDL differential: drop the default db, then SHOW ON a live one)
+    var routed: Option[DataFrame] = None
+    def points: DataFrame = {
+      if (routed.isEmpty) routed = Some(points0)
+      routed.get
+    }
+    def spark = points.sparkSession
     // `ON <db>` (InfluxDB's database clause on every SHOW statement):
     // re-route the statement to that database's points — only meaningful
     // when a catalog supplies the router
@@ -1144,7 +1152,7 @@ object InfluxQL {
       val d = p.ident()
       if (pointsFor == null)
         p.fail(s"ON $d names a database — run this through an InfluxCatalog")
-      points = pointsFor(d)
+      routed = Some(pointsFor(d))
     }
     import org.apache.spark.sql.Encoders
     def paged(df: DataFrame): DataFrame = {

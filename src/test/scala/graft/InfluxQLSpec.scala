@@ -1072,6 +1072,12 @@ class InfluxQLSpec extends SparkSuite {
     cat.run("DROP MEASUREMENT temp")
     assert(cat.run("SHOW MEASUREMENTS").as[String].collect().isEmpty)
     assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
+    // SHOW ... ON <db> must not require the session's DEFAULT db to exist
+    // (InfluxDB has no server-side default-db coupling; regression from the
+    // 3x-scale seeded db-DDL differential)
+    cat.run("DROP DATABASE main")
+    assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
+    assert(cat.run("SHOW SERIES CARDINALITY ON aux").as[Long].collect().head == 1L)
   }
 
   test("SHOW QUERIES lists running statements; KILL QUERY cancels the job group") {
