@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.Ingest
+import graft.storage.TxLogTable
+import graft.streaming._
+
+/** The runnable service — the engine's answer to
+  * `python influx_service.py service.conf` (reference startup sequence,
+  * influx_service.py:407-446; SURVEY §3.4). One main composes every piece
+  * the reference runs as one process:
+  *
+  *   1. config + logging (R18/R19, [[GraftConfig]])
+  *   2. MQTT connect + subscribe with auth/TLS from config; the connection
+  *      manager re-subscribes on every reconnect (R1, influx_service.py:66-76)
+  *   3. registry snapshot bootstrap over REST (`load_devices`, R12)
+  *   4. five streaming queries off the one MQTT log source:
+  *      - control: service events -> registry CDC MERGE (R11, REST-enriched)
+  *      - data: parse -> infer -> registry semi-join -> ACID indexed append
+  *        (R3-R9; exactly-once via batch-id transaction fence)
+  *      - dead-letter: unroutable topics quarantined, replayable (R3)
+  *      - status: windowed points-written/device counts published to the
+  *        status topic (R10/R15, influx_service.py:310-322)
+  *      - auto-create: unseen (device, transducer) keys POSTed once (R14)
+  *   5. graceful shutdown on SIGTERM: stop queries, disconnect (R17)
+  *
+  * The points land in [[graft.influxql.InfluxCatalog]]'s layout
+  * (`<data_dir>/<db>/points`), so the live service table is immediately
+  * queryable through the InfluxQL dialect — the two halves of the
+  * reference deployment (storage service + query API) in one engine.
+  *
+  * Delivery semantics upgrade, deliberate: the reference loses queued
+  * messages on crash (at-most-once, influx_service.py:54, 210-212); here
+  * every sink is checkpointed and the ACID append is fenced per batch id,
+  * so a replayed micro-batch is a no-op (exactly-once table effect).
+  *
+  * `--once` runs every query with Trigger.AvailableNow and exits when the
+  * backlog drains — the testable drill mode ServiceMainSpec drives
+  * end-to-end against the in-process transport.
+  */
+object ServiceMain {
+
+  /** Everything the running service owns; [[stop]] tears it down in order. */
+  final case class Handles(spark: SparkSession,
+                           manager: MqttConnectionManager,
+                           queries: Seq[StreamingQuery])
+
+  /** Topic layout, derived from service_id exactly like the reference
+    * (influx_service.py:387-389).
+    */
+  def statusTopic(serviceId: String): String =
+    s"openchirp/service/$serviceId/status"
+  def eventsTopic(serviceId: String): String =
+    s"openchirp/service/$serviceId/thing/events"
+  val dataTopics = "openchirp/device/+/+"
+
+  def main(args: Array[String]): Unit = {
+    val once = args.contains("--once")
+    val confPath = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("service.conf")
+    val conf = GraftConfig.load(confPath)
+    val spark = GraftConfig.sessionBuilder(conf).getOrCreate()
+    GraftConfig.configureLogging(spark, conf)
+    GraftSession.prepare(spark)
+    // no broker configured -> in-process transport (offline drills); a
+    // deployment sets mqtt_broker (+ service_id/password, enable_ssl) and
+    // gets the real socket transport with CONNECT auth and TLS
+    val transport: MqttTransport =
+      if (conf.contains("mqtt_broker")) GraftConfig.mqttTransport(conf)
+      else new InProcessTransport
+    val rest = conf.get("rest_url").map(u => new RestRegistryClient(u))
+    val h = start(spark, conf, transport, rest,
+      trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
+    sys.addShutdownHook(stop(h)) // R17
+    if (once) {
+      h.queries.foreach(_.awaitTermination())
+      stop(h)
+    } else spark.streams.awaitAnyTermination()
+  }
+
+  /** Wire and start the whole service; callers own the returned handles.
+    * Separated from [[main]] so tests drive the identical composition with
+    * an in-process transport, a mock REST server, and AvailableNow.
+    */
+  def start(spark: SparkSession, conf: Map[String, String],
+            transport: MqttTransport,
+            rest: Option[RestRegistryClient],
+            publish: StatusPublisher.Publish = StatusPublisher.busPublish,
+            trigger: Trigger = Trigger.ProcessingTime(0)): Handles = {
+    import spark.implicits._
+    val serviceId = conf.getOrElse("service_id", "graft")
+    val db = conf.getOrElse("influx_database", "openchirp") // INFLUX_DATABASE, :383
+    val dataDir = conf.getOrElse("data_dir", "graft_data")
+    val evTopic = eventsTopic(serviceId)
+    def cp(name: String) = s"$dataDir/_checkpoints/$name"
+
+    // the data table lives in the InfluxQL catalog's layout; CREATE
+    // DATABASE is idempotent (re-runs never reset anything)
+    val catalog = new graft.influxql.InfluxCatalog(spark, dataDir, db)
+    catalog.run(s"CREATE DATABASE $db")
+    val pointsTable = catalog.pointsTable(db)
+    val statsTable = new TxLogTable(spark, s"$dataDir/$db/points_stats")
+    val registryPath = s"$dataDir/registry"
+    val catalogPath = s"$dataDir/transducer_catalog"
+    def registryTable = new TxLogTable(spark, registryPath)
+
+    // 1. connect + subscribe (events first, like the reference's startup;
+    // on every reconnect the manager re-issues both subscriptions)
+    val manager = new MqttConnectionManager(transport, Seq(evTopic, dataTopics))
+    manager.start()
+
+    // 2. registry snapshot bootstrap (`load_devices`): things list + each
+    // device's transducers over REST, merged by event time — a CDC event
+    // racing the snapshot resolves by asOfUs, whichever lands first
+    rest.foreach { r =>
+      val nowUs = System.currentTimeMillis() * 1000L
+      val snap = r.serviceThings(serviceId).map { id =>
+        RegistryCdc.RegistrySnapshot(id, r.deviceTransducers(id),
+          active = true, asOfUs = nowUs)
+      }
+      if (snap.nonEmpty) TxLogTable.retryOnConflict() {
+        registryTable.merge(snap.toDF(), keys = Seq("deviceId"),
+          orderCol = Some("asOfUs")); ()
+      }
+    }
+
+    // 3. ONE offset-indexed MQTT log source; each query routes its slice
+    val msgs = spark.readStream
+      .format("graft.streaming.MqttLikeSource")
+      .option("topics", "#")
+      .load()
+      .withColumn("payload", col("payload").cast("string"))
+
+    // control plane: `{action, thing:{id}}` events -> registry MERGE.
+    // REST enrichment is driver-side per micro-batch — control-plane
+    // volume (the reference does one GET per event too, :322-341). An
+    // event may carry its transducer list inline (engine extension for
+    // offline drills); otherwise it comes from REST; delete needs neither.
+    val controlQ = msgs.filter(col("topic") === evTopic)
+      .select(col("payload"), unix_micros(col("ts")).as("ts_us"))
+      .writeStream
+      .option("checkpointLocation", cp("control"))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val evs = batch.collect().toSeq.flatMap { row =>
+          val payload = row.getString(0)
+          val tsUs = row.getLong(1)
+          val action = """"action"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(payload).map(_.group(1))
+          val id = """"thing"\s*:\s*\{[^}]*"id"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(payload).map(_.group(1))
+          val inline = """(?s)"transducers"\s*:\s*\[(.*?)\]""".r
+            .findFirstMatchIn(payload).map(m =>
+              """"name"\s*:\s*"([^"]*)"""".r.findAllMatchIn(m.group(1))
+                .map(_.group(1).toLowerCase).toSeq)
+          (action, id) match {
+            case (Some(a), Some(d)) =>
+              val tds =
+                if (a == "delete") Nil
+                else inline.orElse(rest.map(_.deviceTransducers(d))).getOrElse(Nil)
+              Some(RegistryCdc.ServiceEvent(d, a, tds, tsUs))
+            case _ => None // malformed event: logged by absence, not fatal
+          }
+        }
+        if (evs.nonEmpty) {
+          val snap = RegistryCdc.replayBatch(spark.createDataset(evs))
+          TxLogTable.retryOnConflict() {
+            registryTable.merge(snap.toDF(), keys = Seq("deviceId"),
+              orderCol = Some("asOfUs")); ()
+          }
+        }
+      }
+      .start()
+
+    // data plane: parse + infer stream-side (map-only), registry semi-join
+    // per BATCH against the current dimension (a stream-static join would
+    // freeze the registry at stream start), fenced ACID append + stats
+    // index — exactly-once under replay
+    val parsed = Ingest.inferTypes(Ingest.parseTopic(
+      msgs.filter(Ingest.dataTopicFilter)))
+    val dataQ = StreamingIngest.startIndexedAppendSink(
+      parsed, pointsTable, statsTable, appId = s"service-$serviceId",
+      checkpoint = cp("points"), trigger = trigger,
+      // ts_us alongside ts: the InfluxQL planner's time column, so the
+      // live service table answers dialect queries with no adapter
+      perBatch = b => Ingest.narrowPoints(Ingest.registryFilter(
+          b, RegistryMaintenance.activeDevices(spark, registryPath)))
+        .withColumn("ts_us", unix_micros(col("ts"))))
+
+    // dead-letter: everything that routes nowhere, kept replayable
+    val dlQ = StreamingIngest.startDeadLetterSink(msgs, evTopic,
+      s"$dataDir/dead_letter", cp("dead_letter"), trigger)
+
+    // status: the reference's 10-minute points-written/#devices payload
+    // (PUBLISH_STATS_INTERVAL=600); the stats pipeline keys on the
+    // bootstrap registry — status is an operational gauge, not the gate
+    // the per-batch data join is
+    val statusPoints = StreamingIngest.pointsStream(msgs,
+      RegistryMaintenance.activeDevices(spark, registryPath))
+    val statusQ = StatusPublisher.start(
+      StreamingIngest.statusCounts(statusPoints,
+        interval = conf.getOrElse("stats_interval", "10 minutes")),
+      statusTopic(serviceId), publish, cp("status"), trigger)
+
+    // auto-create: unseen (device, transducer) keys POST once, idempotent
+    val autoQ = AutoCreate.start(statusPoints, catalogPath, cp("autocreate"),
+      rest.map(_.createFn).getOrElse((_, _) => ()), trigger)
+
+    Handles(spark, manager, Seq(controlQ, dataQ, dlQ, statusQ, autoQ))
+  }
+
+  /** R17 — graceful shutdown: stop every query (checkpoints make the next
+    * start resume exactly-once), then disconnect the broker session.
+    */
+  def stop(h: Handles): Unit = {
+    h.queries.foreach { q =>
+      try if (q.isActive) q.stop()
+      catch { case _: Exception => () } // already terminated: fine
+    }
+    h.manager.stop()
+  }
+}

@@ -109,6 +109,24 @@ class RestRegistryClient(baseUrl: String,
 
   /** Adapter for the [[AutoCreate]] seam. */
   def createFn: AutoCreate.CreateFn = (d, t) => createTransducer(d, t)
+
+  /** R12 — the ids of the things linked to the service:
+    * `GET /service/<sid>/things` returns a JSON array of thing documents;
+    * the reference reads each element's `id` and then loads that device's
+    * transducers via [[getDevice]] (`load_devices`,
+    * influx_service.py:344-362). Returns Nil on 404 (service not found /
+    * nothing linked) like the lookup path.
+    */
+  def serviceThings(serviceId: String): Seq[String] = {
+    val r = send(request("GET", s"/service/$serviceId/things", None))
+    r.statusCode() match {
+      case c if c >= 200 && c < 300 =>
+        """"id"\s*:\s*"([^"]*)"""".r.findAllMatchIn(r.body()).map(_.group(1)).toSeq
+      case 404 => Nil
+      case c => throw new java.io.IOException(
+        s"GET service/$serviceId/things -> HTTP $c: ${r.body()}")
+    }
+  }
 }
 
 object RestRegistryClient {

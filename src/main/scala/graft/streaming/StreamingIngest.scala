@@ -107,11 +107,17 @@ object StreamingIngest {
   def startIndexedAppendSink(points: DataFrame, table: graft.storage.TxLogTable,
                              statsTable: graft.storage.TxLogTable, appId: String,
                              checkpoint: String, nFilesPerBatch: Int = 4,
-                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                             trigger: Trigger = Trigger.AvailableNow(),
+                             perBatch: DataFrame => DataFrame = identity): StreamingQuery =
     points.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // perBatch re-resolves batch-time state (e.g. the CURRENT registry
+        // dimension for the semi-join — stream-static joins freeze the
+        // static side at stream definition, exactly what a live registry
+        // must not do)
+        val batch = perBatch(batch0)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           graft.storage.TxLogTable.retryOnConflict() {
