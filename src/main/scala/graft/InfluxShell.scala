@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.influxql.InfluxCatalog
+
+/** Interactive shell over the InfluxQL surface — the engine's `influx`
+  * CLI (the client a reference deployment's users actually type into).
+  *
+  * Usage: `runMain graft.InfluxShell <data_dir> [db] [--user u --password p]`
+  *
+  * Reads one statement per line from stdin (blank lines and `--`/`#`
+  * comments skipped), executes it through an [[InfluxCatalog]] — with
+  * [[InfluxCatalog.runAs]] enforcement when credentials are given, plain
+  * [[InfluxCatalog.run]] otherwise — and prints an aligned table. Errors
+  * print and the loop continues (a typo must not kill the session).
+  * `exit` / `quit` leave.
+  *
+  * Statements run under the catalog's [[graft.influxql.QueryRegistry]], so
+  * a second shell on the same session sees them in SHOW QUERIES and can
+  * KILL QUERY them mid-flight.
+  */
+object InfluxShell {
+
+  /** Render up to `max` rows as an aligned text table (header, rule, rows,
+    * and a truncation note when the result is larger). Null prints as
+    * empty, like the influx CLI.
+    */
+  def render(df: DataFrame, max: Int = 100): String = {
+    val cols = df.columns
+    val rows = df.limit(max + 1).collect()
+    val shown = rows.take(max).map(_.toSeq.map {
+      case null => ""
+      case v => v.toString
+    })
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: shown.map(_(i).length)).max
+    }
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString(" | ")
+    val sb = new StringBuilder
+    sb ++= line(cols.toIndexedSeq) += '\n'
+    sb ++= widths.map("-" * _).mkString("-+-") += '\n'
+    shown.foreach(r => { sb ++= line(r) += '\n' })
+    if (rows.length > max) sb ++= s"... (showing first $max rows)\n"
+    sb ++= s"(${math.min(rows.length, max)} row${if (shown.length == 1) "" else "s"})"
+    sb.result()
+  }
+
+  /** Execute one statement and return the printable outcome — the REPL
+    * body, separated so specs drive it without a terminal.
+    */
+  def process(cat: InfluxCatalog, stmt: String,
+              creds: Option[(String, String)] = None): String =
+    try {
+      val df = creds match {
+        case Some((u, pw)) => cat.runAs(u, pw, stmt)
+        case None => cat.execute(stmt)
+      }
+      render(df)
+    } catch {
+      case e: Exception =>
+        s"ERR: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"
+    }
+
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--"))
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val dataDir = positional.headOption.getOrElse("graft_data")
+    val db = positional.lift(1).getOrElse("openchirp")
+    val creds = for (u <- flag("--user"); p <- flag("--password")) yield (u, p)
+    val spark = GraftSession.builder("graft-shell", "32")
+      .master("local[32]").getOrCreate()
+    GraftSession.prepare(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val cat = new InfluxCatalog(spark, dataDir, db)
+    println(s"graft InfluxQL shell — data: $dataDir, db: $db (exit to quit)")
+    Iterator.continually(scala.io.StdIn.readLine("> "))
+      .takeWhile(l => l != null && !Set("exit", "quit")(l.trim.toLowerCase))
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("--") && !l.startsWith("#"))
+      .foreach(stmt => println(process(cat, stmt, creds)))
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+/** The shell's statement loop body ([[InfluxShell.process]]/render),
+  * driven without a terminal: result rendering, error containment, and
+  * credentialed enforcement.
+  */
+class InfluxShellSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("process renders results, contains errors, and enforces credentials") {
+    val root = java.nio.file.Files.createTempDirectory("shell").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db",
+      Seq(("a", "temp", 10L, 1.5), ("b", "temp", 20L, 2.5), ("a", "hum", 30L, 3.0))
+        .toDF("device", "transducer", "ts_us", "value"))
+
+    // a SELECT renders as an aligned table with header + rule + count
+    val sel = InfluxShell.process(cat, "SELECT sum(value) FROM temp")
+    assert(sel.contains("sum"), s"header missing in:\n$sel")
+    assert(sel.contains("4.0"), s"value missing in:\n$sel")
+    assert(sel.endsWith("(1 row)"), s"row count missing in:\n$sel")
+
+    // SHOW statements flow through the same path
+    val meas = InfluxShell.process(cat, "SHOW MEASUREMENTS")
+    assert(meas.contains("temp") && meas.contains("hum"))
+    assert(meas.endsWith("(2 rows)"))
+
+    // nulls print empty, like the influx CLI
+    val fill = InfluxShell.process(cat,
+      "SELECT mean(value) AS m FROM temp WHERE time >= 0 AND time < 40 GROUP BY time(10u)")
+    assert(fill.contains("m"), fill)
+
+    // errors are contained: the loop must survive a typo
+    val err = InfluxShell.process(cat, "SELEKT broken")
+    assert(err.startsWith("ERR:"), err)
+    val err2 = InfluxShell.process(cat, "SELECT nosuch FROM temp")
+    assert(err2.startsWith("ERR:"), err2)
+
+    // truncation note past the row cap
+    val big = (0 until 150).map(i => ("d", "m", i.toLong, i.toDouble))
+      .toDF("device", "transducer", "ts_us", "value")
+    cat.writePoints("db", big)
+    val raw = InfluxShell.process(cat, "SELECT value FROM m")
+    assert(raw.contains("showing first 100 rows"), raw.takeRight(120))
+
+    // credentialed mode goes through runAs: denial is an ERR, not a crash
+    cat.run("CREATE USER reader WITH PASSWORD 'pw'")
+    cat.run("GRANT READ ON db TO reader")
+    val ok = InfluxShell.process(cat, "SELECT sum(value) FROM temp",
+      creds = Some(("reader", "pw")))
+    assert(ok.endsWith("(1 row)"), ok)
+    val deny = InfluxShell.process(cat, "DROP MEASUREMENT temp",
+      creds = Some(("reader", "pw")))
+    assert(deny.startsWith("ERR:") && deny.contains("WRITE"), deny)
+    val badpw = InfluxShell.process(cat, "SELECT sum(value) FROM temp",
+      creds = Some(("reader", "nope")))
+    assert(badpw.startsWith("ERR:") && badpw.contains("authentication"), badpw)
+
+    // an uncredentialed statement runs under the query registry (execute):
+    // nothing should linger in SHOW QUERIES afterwards
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+  }
+}
