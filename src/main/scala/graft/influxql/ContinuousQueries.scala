@@ -1,0 +1,104 @@
+package graft.influxql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.storage.TxLogTable
+import InfluxQL.{tokenize, P}
+
+/** The continuous-query REGISTRY — the management half of InfluxDB's CQ
+  * surface ([[InfluxQL.startContinuousQuery]] is the execution half):
+  *
+  *   CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select INTO ...> END
+  *   SHOW CONTINUOUS QUERIES                      (db, name, query)
+  *   DROP CONTINUOUS QUERY <name> ON <db>
+  *
+  * Definitions persist in a control-plane [[TxLogTable]] at
+  * `<root>/_continuous_queries` (rows = number of CQs), so they survive
+  * restarts the way InfluxDB's meta store does; [[startAll]] turns every
+  * registered definition for a db into its running watermarked stream —
+  * the restart path a deployment calls after [[graft.ServiceMain]]-style
+  * startup. Semantics follow InfluxDB 1.x: CREATE validates the inner
+  * SELECT (must have INTO and GROUP BY time) and fails on a duplicate
+  * name; DROP fails on a missing one.
+  */
+object ContinuousQueries {
+
+  private def table(spark: SparkSession, root: String) =
+    new TxLogTable(spark, s"$root/_continuous_queries")
+
+  private def defs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, root)
+    if (t.version.isEmpty) Seq.empty[(String, String, String)].toDF("db", "name", "query")
+    else t.read()
+  }
+
+  /** SHOW shape: (db, name, query) ordered by (db, name). */
+  def show(spark: SparkSession, root: String): DataFrame =
+    defs(spark, root).select("db", "name", "query").orderBy("db", "name")
+
+  /** Parse + execute one CQ management statement; every form returns the
+    * refreshed SHOW CONTINUOUS QUERIES surface.
+    */
+  def run(spark: SparkSession, root: String, text: String,
+          requireDb: String => Unit = null): DataFrame = {
+    import spark.implicits._
+    val p = new P(tokenize(text))
+    if (p.kw("SHOW")) {
+      p.expectKw("CONTINUOUS"); p.expectKw("QUERIES")
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      return show(spark, root)
+    }
+    val create = p.kw("CREATE")
+    if (!create && !p.kw("DROP"))
+      p.fail("expected CREATE, DROP or SHOW CONTINUOUS QUER...")
+    p.expectKw("CONTINUOUS"); p.expectKw("QUERY")
+    val name = p.ident()
+    p.expectKw("ON")
+    val db = p.ident()
+    if (requireDb != null) requireDb(db)
+    val exists = defs(spark, root)
+      .filter(col("db") === db && col("name") === name).limit(1).count() > 0
+    if (!create) {
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      if (!exists) throw new IllegalArgumentException(
+        s"InfluxQL: continuous query not found: $name on $db")
+      table(spark, root).delete(col("db") === db && col("name") === name)
+      return show(spark, root)
+    }
+    p.expectKw("BEGIN")
+    val q = InfluxQL.parseQuery(p)
+    p.expectKw("END")
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    // validate what the execution half will need, at DDL time — a CQ that
+    // can never start must fail at CREATE, not at restart
+    if (q.into.isEmpty) p.fail("continuous query needs SELECT ... INTO")
+    if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
+    if (exists) throw new IllegalArgumentException(
+      s"InfluxQL: continuous query already exists: $name on $db")
+    table(spark, root).append(
+      Seq((db, name, text.trim)).toDF("db", "name", "query"))
+    show(spark, root)
+  }
+
+  /** Start every registered CQ for `db` as its watermarked streaming MERGE
+    * (checkpoint per CQ under `<root>/_checkpoints/cq_<db>_<name>`, so a
+    * restart resumes each stream exactly-once). Returns (name, query)
+    * handles; callers own stopping them.
+    */
+  def startAll(spark: SparkSession, root: String, db: String,
+               streamPoints: DataFrame, lateness: String = "1 minute",
+               trigger: Trigger = Trigger.AvailableNow()): Seq[(String, StreamingQuery)] = {
+    import spark.implicits._
+    defs(spark, root).filter(col("db") === db)
+      .select("name", "query").as[(String, String)].collect().toSeq
+      .sortBy(_._1)
+      .map { case (name, ddl) =>
+        name -> InfluxQL.startContinuousQuery(streamPoints, ddl, root,
+          checkpoint = s"$root/_checkpoints/cq_${db}_$name",
+          lateness = lateness, trigger = trigger)
+      }
+  }
+}

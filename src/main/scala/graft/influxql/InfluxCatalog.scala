@@ -151,6 +151,8 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       showDatabases()
     } else if (up.contains("RETENTION POLIC"))
       InfluxQL.runRetention(spark, t, rootDir, requireDb)
+    else if (up.contains("CONTINUOUS QUER"))
+      ContinuousQueries.run(spark, rootDir, t, requireDb)
     else if (up.startsWith("CREATE USER") || up.startsWith("DROP USER") ||
              up.startsWith("SET PASSWORD") || up.startsWith("GRANT") ||
              up.startsWith("REVOKE") || up.startsWith("SHOW USERS") ||
@@ -226,7 +228,8 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       "DROP USER", "SET PASSWORD", "GRANT", "REVOKE", "SHOW USERS",
       "SHOW GRANTS", "KILL QUERY")
     val openMeta = Seq("SHOW DATABASES", "SHOW QUERIES")
-    if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC"))
+    if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC") ||
+        up.contains("CONTINUOUS QUER")) // CQ DDL is admin in InfluxDB 1.x
       needAdmin()
     else if (up.startsWith("DELETE") || up.startsWith("DROP"))
       needOn(defaultDb, "WRITE")

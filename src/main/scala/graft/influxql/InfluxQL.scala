@@ -329,7 +329,7 @@ object InfluxQL {
     */
   @volatile var nowClockUs: () => Long = () => System.currentTimeMillis() * 1000L
 
-  private def parseQuery(p: P): Query = {
+  private[influxql] def parseQuery(p: P): Query = {
     p.expectKw("SELECT")
     val fields = Seq.newBuilder[Item]
     // SELECT * — the star expands against the live schema in resolve()

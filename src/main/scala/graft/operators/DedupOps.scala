@@ -382,11 +382,20 @@ object DedupOps {
       .select(col("i"), col("j"), col("hamming"), col("lev"),
         (lit(1.0) - col("lev").cast("double") / col("__max_len")).as("sim"))
     // sim is always in [0, 1] (lev <= max_len), so a non-positive threshold
-    // is vacuous — skipping it keeps the plan at exactly ONE DP per pair
-    // (a Filter would be pushed through the projection and re-evaluate it).
-    // lev >= 0 drops the bounded kernel's -1 over-threshold marker rows —
-    // exactly the rows the sim filter would drop (proof in the doc above).
-    if (minSim > 0.0) scored.filter(col("lev") >= 0L && col("sim") >= minSim)
+    // is vacuous — skipping it keeps the plan at exactly ONE DP per pair.
+    // With a threshold, the filter must NOT see the raw expression: Catalyst
+    // substitutes the alias and pushes the predicate below the repartition
+    // into the join stage, where AQE's byte-based coalescing has already
+    // folded the (small-in-bytes) candidates onto ~1 task — every DP then
+    // runs serially (measured 19x on 32 cores at sf0.1). Materializing the
+    // scored candidates (pair-bounded, tiny) pins each DP to exactly one
+    // evaluation in the spread projection; the filter reads the cached
+    // column. lev >= 0 drops the bounded kernel's -1 over-threshold marker
+    // rows — exactly the rows the sim filter would drop (proof in the doc
+    // above).
+    if (minSim > 0.0)
+      scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .filter(col("lev") >= 0L && col("sim") >= minSim)
     else scored
   }
 

@@ -1141,6 +1141,59 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("number"))
   }
 
+  test("continuous-query registry: CREATE validates + persists, SHOW lists, startAll runs, DROP removes") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("cqreg").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    val ddl1 = "CREATE CONTINUOUS QUERY cq1 ON db BEGIN SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u) END"
+    val ddl2 = "CREATE CONTINUOUS QUERY cq2 ON db BEGIN SELECT count(value) AS c INTO agg2 FROM m GROUP BY time(10u) END"
+    val shown = cat.run(ddl1).as[(String, String, String)].collect().toSeq
+    assert(shown == Seq(("db", "cq1", ddl1)))
+    cat.run(ddl2)
+    assert(cat.run("SHOW CONTINUOUS QUERIES").as[(String, String, String)]
+      .collect().toSeq.map(_._2) == Seq("cq1", "cq2"))
+    // duplicates and un-startable definitions fail AT CREATE
+    assert(intercept[IllegalArgumentException](cat.run(ddl1))
+      .getMessage.contains("exists"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY bad ON db BEGIN SELECT mean(value) FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("INTO"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY bad ON db BEGIN SELECT mean(value) INTO t FROM m END"))
+      .getMessage.contains("time"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY x ON nodb BEGIN SELECT mean(value) INTO t FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("not found"))
+    // startAll: every registered CQ becomes its running stream
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val handles = graft.influxql.ContinuousQueries.startAll(spark, root, "db",
+      points, lateness = "0 seconds",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    assert(handles.map(_._1) == Seq("cq1", "cq2"))
+    try {
+      in.addData(
+        ("a", "m", 1L, 1.0), ("a", "m", 5L, 3.0), ("a", "m", 15L, 10.0),
+        ("a", "m", 1000000L, 0.0)) // sentinel: closes every real bucket
+      handles.foreach(_._2.processAllAvailable())
+    } finally handles.foreach(_._2.stop())
+    val agg = new graft.storage.TxLogTable(spark, s"$root/db/agg").read()
+      .select("time", "m").as[(Long, Double)].collect().toMap
+    assert(agg == Map(0L -> 2.0, 10L -> 10.0))
+    val agg2 = new graft.storage.TxLogTable(spark, s"$root/db/agg2").read()
+      .select("time", "c").as[(Long, Long)].collect().toMap
+    assert(agg2 == Map(0L -> 2L, 10L -> 1L))
+    // DROP removes exactly one definition; a missing one fails loudly
+    cat.run("DROP CONTINUOUS QUERY cq1 ON db")
+    assert(cat.run("SHOW CONTINUOUS QUERIES").as[(String, String, String)]
+      .collect().toSeq.map(_._2) == Seq("cq2"))
+    assert(intercept[IllegalArgumentException](
+      cat.run("DROP CONTINUOUS QUERY cq1 ON db")).getMessage.contains("not found"))
+  }
+
   test("user management: CREATE/DROP USER, GRANT/REVOKE lattice, SHOW USERS/GRANTS") {
     val root = java.nio.file.Files.createTempDirectory("influxusers").toString
     val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
