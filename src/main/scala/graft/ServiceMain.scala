@@ -25,6 +25,9 @@ import graft.streaming._
   *      - status: windowed points-written/device counts published to the
   *        status topic (R10/R15, influx_service.py:310-322)
   *      - auto-create: unseen (device, transducer) keys POSTed once (R14)
+  *      plus one watermarked downsample stream per continuous query
+  *      registered in [[graft.influxql.ContinuousQueries]] (InfluxDB's CQ
+  *      service runs registered CQs the same way)
   *   5. graceful shutdown on SIGTERM: stop queries, disconnect (R17)
   *
   * The points land in [[graft.influxql.InfluxCatalog]]'s layout
@@ -209,7 +212,15 @@ object ServiceMain {
     val autoQ = AutoCreate.start(statusPoints, catalogPath, cp("autocreate"),
       rest.map(_.createFn).getOrElse((_, _) => ()), trigger)
 
-    Handles(spark, manager, Seq(controlQ, dataQ, dlQ, statusQ, autoQ))
+    // registered continuous queries start with the service (InfluxDB runs
+    // its CQ service the same way): each downsamples the registry-filtered
+    // point stream into its ACID target, resuming from its own checkpoint
+    val cqQs = graft.influxql.ContinuousQueries.startAll(spark, dataDir, db,
+      statusPoints.withColumn("ts_us", unix_micros(col("ts"))),
+      lateness = conf.getOrElse("cq_lateness", "1 minute"), trigger = trigger)
+
+    Handles(spark, manager,
+      Seq(controlQ, dataQ, dlQ, statusQ, autoQ) ++ cqQs.map(_._2))
   }
 
   /** R17 — graceful shutdown: stop every query (checkpoints make the next

@@ -21,7 +21,8 @@ class ServiceMainSpec extends SparkSuite {
       "service_id" -> "svc1",
       "data_dir" -> dir,
       "influx_database" -> "oc",
-      "stats_interval" -> "1 minute")
+      "stats_interval" -> "1 minute",
+      "cq_lateness" -> "0 seconds")
     val ev = ServiceMain.eventsTopic("svc1")
     var published = Vector.empty[(String, String)]
     def runOnce(): Unit = {
@@ -33,7 +34,13 @@ class ServiceMainSpec extends SparkSuite {
       finally ServiceMain.stop(h)
     }
 
-    // phase 1: control-plane only — d1 registers with inline transducers
+    // phase 1: control-plane only — d1 registers with inline transducers;
+    // a continuous query registers through the catalog (the service starts
+    // it on every subsequent run, like InfluxDB's CQ service)
+    val cat0 = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+    cat0.run("CREATE DATABASE oc")
+    cat0.run("CREATE CONTINUOUS QUERY down ON oc BEGIN " +
+      "SELECT count(num) AS c INTO cnt FROM temp GROUP BY time(10u) END")
     MqttBus.publish(ev,
       """{"action":"new","thing":{"id":"d1","transducers":[{"name":"Temp"},{"name":"Hum"}]}}""")
     runOnce()
@@ -72,19 +79,34 @@ class ServiceMainSpec extends SparkSuite {
       .as[(String, String)].collect().toSet
     assert(catalogKeys == Set(("d1", "temp"), ("d1", "mode")))
 
+    // phase 2b/2c: two more temp points with EXPLICIT future event times —
+    // each run's batch emits CQ windows closed by the PREVIOUS batch's
+    // watermark, so after 2c every phase-2/2b bucket is deterministically
+    // closed (2c's own bucket stays open, append-mode contract)
+    val farUs = System.currentTimeMillis() * 1000L
+    MqttBus.publish("openchirp/device/d1/Temp", "30.0".getBytes("UTF-8"),
+      farUs + 120L * 1000000L)
+    runOnce()
+    MqttBus.publish("openchirp/device/d1/Temp", "40.0".getBytes("UTF-8"),
+      farUs + 240L * 1000000L)
+    runOnce()
+    val cnt = new graft.storage.TxLogTable(spark, s"$dir/oc/cnt").read()
+      .select("c").as[Long].collect()
+    assert(cnt.toSeq == Seq(1L, 1L),
+      s"CQ must have downsampled the phase-2 and 2b temp points (2c's own " +
+        s"bucket stays open under the append-mode contract), got ${cnt.toSeq}")
+
     // phase 3 (restart again): delete d1, then more data — now dropped
     MqttBus.publish(ev, """{"action":"delete","thing":{"id":"d1"}}""")
     runOnce()
     MqttBus.publish("openchirp/device/d1/Temp", "22.5")
     runOnce()
-    assert(cat.points("oc").count() == 2L,
+    assert(cat.points("oc").count() == 4L,
       "post-delete data must not land (registry gate is per batch)")
 
-    // restarts never double-applied: the fenced sink means the four runs
-    // above appended the one non-empty data batch exactly once — the
-    // table's whole history is that single commit (version numbering
-    // starts at 0)
-    assert(cat.pointsTable("oc").version.contains(0L),
-      s"expected exactly one commit, got version ${cat.pointsTable("oc").version}")
+    // restarts never double-applied: the fenced sink committed exactly one
+    // append per non-empty data batch (phases 2, 2b, 2c) — versions 0..2
+    assert(cat.pointsTable("oc").version.contains(2L),
+      s"expected exactly three commits, got version ${cat.pointsTable("oc").version}")
   }
 }
