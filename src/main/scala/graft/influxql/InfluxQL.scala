@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   *   SHOW MEASUREMENTS | SHOW SERIES | SHOW TAG KEYS
   *     | SHOW TAG VALUES WITH KEY = key | SHOW FIELD KEYS
   *
-  *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL)
+  *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL;
+  *     SHOW CONTINUOUS QUERIES / DROP CONTINUOUS QUERY via the
+  *     [[ContinuousQueries]] registry)
   *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
   *     | DROP SERIES [FROM m] [WHERE tag-conds]
   *   EXPLAIN select                    (the real Spark physical plan)
