@@ -1325,7 +1325,20 @@ object InfluxQL {
         val tagCols = q.groupTags.map(col)
         val base =
           if (aggFs.isEmpty) None
-          else if (q.groupTags.isEmpty) Some(df.agg(aggExprs.head, aggExprs.tail: _*))
+          else if (q.groupTags.isEmpty) {
+            // InfluxDB answers EMPTY (no row) when no matching point
+            // carries any queried field — a global count over zero points
+            // is no rows, not one 0-row. A grouped aggregate gets this for
+            // free (no input -> no groups); the GLOBAL Spark agg always
+            // emits one row, so it carries a hidden presence count and
+            // drops the row when every queried field was absent. (Found by
+            // the 5x-scale seeded db-DDL differential: SELECT count(value)
+            // against a measurement with no points.)
+            val present = aggFs.map(f => count(col(f.arg))).reduce(_ + _)
+            val guarded = aggExprs :+ present.as("__present")
+            Some(df.agg(guarded.head, guarded.tail: _*)
+              .filter(col("__present") > 0).drop("__present"))
+          }
           else Some(df.groupBy(tagCols: _*).agg(aggExprs.head, aggExprs.tail: _*))
         val grouped = projectItems(
           joinModes(base, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),

@@ -1293,4 +1293,18 @@ class InfluxQLSpec extends SparkSuite {
       .as[(Double, Long)].collect().toSeq
     assert(got == Seq((2.0, 2L)))
   }
+
+  test("planner: a global aggregate over zero matching points answers EMPTY, not one 0-row") {
+    // InfluxDB returns no rows when nothing matches — found by the
+    // 5x-scale seeded db-DDL differential (SELECT count(value) against a
+    // pointless measurement)
+    val df = pts(("a", "m", 1L, 1.0))
+    assert(InfluxQL.run(df, "SELECT count(value) FROM nope").collect().isEmpty)
+    assert(InfluxQL.run(df, "SELECT mean(value), sum(value) FROM m WHERE time > 99")
+      .collect().isEmpty)
+    assert(InfluxQL.run(df, "SELECT count(value) + 1 FROM nope").collect().isEmpty)
+    // ...and a matching point still answers exactly one row
+    assert(InfluxQL.run(df, "SELECT count(value) FROM m").as[Long].collect().toSeq
+      == Seq(1L))
+  }
 }
