@@ -176,7 +176,7 @@ object InfluxQL {
                          fromDb: Option[String] = None, fromRp: Option[String] = None)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
-    "last", "median", "percentile", "spread", "stddev", "mode")
+    "last", "median", "percentile", "spread", "stddev", "mode", "integral")
 
   /** InfluxQL transformations — each wraps an inner aggregate and runs as a
     * window over the (densified) bucket series, OR takes a bare field and
@@ -630,6 +630,18 @@ object InfluxQL {
       val arg = p.ident()
       p.expectSym(")"); p.expectSym(")")
       return Field("count_distinct", arg, None)
+    }
+    // integral(field [, unit-duration]) — the unit rides the pct slot as
+    // exact microseconds (targ is reserved for a wrapping transform's own
+    // parameter, e.g. derivative(integral(v), 1h))
+    if (fn == "integral") {
+      val arg = p.ident()
+      val unit = if (p.sym(",")) (p.next() match {
+        case TDur(us, _) => us
+        case t => p.fail(s"integral unit must be a duration, got '${t.raw}'")
+      }) else 1000000L
+      p.expectSym(")")
+      return Field("integral", arg, Some(unit.toDouble))
     }
     val arg = p.ident()
     val pct = if (p.sym(",")) Some(p.num()) else None
@@ -1315,7 +1327,8 @@ object InfluxQL {
     val calls = q.fields.flatMap(_.calls).distinct
     val intName: Map[Field, String] =
       calls.zipWithIndex.map { case (f, i) => f -> s"__c$i" }.toMap
-    val (modeFs, aggFs) = calls.partition(_.func == "mode")
+    val (modeFs, rest1) = calls.partition(_.func == "mode")
+    val (integralFs, aggFs) = rest1.partition(_.func == "integral")
     val aggExprs = aggFs.map(f => aggExpr(f).as(intName(f)))
     def projectItems(d: DataFrame, head: Seq[Column]): DataFrame =
       d.select(head ++ q.fields.map(it =>
@@ -1340,8 +1353,11 @@ object InfluxQL {
               .filter(col("__present") > 0).drop("__present"))
           }
           else Some(df.groupBy(tagCols: _*).agg(aggExprs.head, aggExprs.tail: _*))
+        val seriesCols = if (q.groupTags.isEmpty) Seq("transducer") else q.groupTags
+        val withIntegrals = joinIntegrals(base,
+          integralFs.map(f => f -> intName(f)), df, seriesCols, None, q.groupTags)
         val grouped = projectItems(
-          joinModes(base, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),
+          joinModes(withIntegrals, modeFs.map(f => f -> intName(f)), df, tagCols, q.groupTags),
           q.groupTags.map(col))
         // LIMIT/OFFSET page over a pinned order (group tags asc) — an
         // unordered page would be nondeterministic across runs/engines
@@ -1356,15 +1372,15 @@ object InfluxQL {
         // a local midnight is a different instant either side of a
         // transition) and the bucket surfaces as the UTC instant of that
         // local bucket start — InfluxDB's rule.
-        val bucket = (q.tz match {
+        def bucketOf(c: Column): Column = q.tz match {
           case Some(zone) =>
-            val wall = unix_micros(from_utc_timestamp(
-              timestamp_micros(col("ts_us")), zone))
+            val wall = unix_micros(from_utc_timestamp(timestamp_micros(c), zone))
             val bWall = wall - pmod(wall - lit(q.groupTimeOffsetUs), lit(step))
             unix_micros(to_utc_timestamp(timestamp_micros(bWall), zone))
           case None =>
-            col("ts_us") - pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step))
-        }).as("time")
+            c - pmod(c - lit(q.groupTimeOffsetUs), lit(step))
+        }
+        val bucket = bucketOf(col("ts_us")).as("time")
         // a TAGLESS query is still one series — keyed by its measurement.
         // Grouping and windowing on the real `transducer` attribute (constant
         // under the FROM filter, but an attribute Catalyst cannot fold) keeps
@@ -1376,7 +1392,10 @@ object InfluxQL {
         val base =
           if (aggFs.isEmpty) None
           else Some(df.groupBy(keys: _*).agg(aggExprs.head, aggExprs.tail: _*))
-        val grouped = joinModes(base, modeFs.map(f => f -> intName(f)), df,
+        val withIntegrals = joinIntegrals(base,
+          integralFs.map(f => f -> intName(f)), df, partCols,
+          Some(bucketOf _), "time" +: partCols)
+        val grouped = joinModes(withIntegrals, modeFs.map(f => f -> intName(f)), df,
           keys, "time" +: partCols)
         // fills and transforms act on the CALL columns (per-aggregate, the
         // pinned sequencing: fill feeds LOCF'd values into a derivative);
@@ -1503,8 +1522,8 @@ object InfluxQL {
         "InfluxQL continuous query: raw fields cannot run incrementally — " +
           "single-pass aggregates only")
     val banned = q.fields.flatMap(_.calls).filter(f => f.transform.nonEmpty ||
-      Set("percentile", "median", "mode", "top", "bottom", "count_distinct")
-        .contains(f.func))
+      Set("percentile", "median", "mode", "top", "bottom", "count_distinct",
+        "integral").contains(f.func))
     if (banned.nonEmpty)
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
@@ -1582,6 +1601,59 @@ object InfluxQL {
     * arbitrary; the engine's q_ts_mode pins the same rule) — encoded as a
     * struct max over (count, -value).
     */
+  /** integral(f [, unit]): trapezoid area under each series' non-null
+    * point subsequence divided by the unit (default 1s) — not a hash
+    * aggregate, so it computes as a per-series window pass (consecutive
+    * non-null points pair via an ignoreNulls lag) plus one grouped sum,
+    * joined back onto the other aggregates like mode.
+    *
+    * GROUP BY time() pins the engine's rule: a segment contributes to the
+    * bucket containing BOTH its endpoints (cross-bucket segments drop, no
+    * boundary interpolation); a group with points for the field but no
+    * segment answers 0.0; a group whose points all lack the field is
+    * absent (left-join null when other aggregates are present).
+    * Determinism: points order by (ts, value); per-segment areas evaluate
+    * in a fixed IEEE tree ((v+pv)/2 * (dt_us/unit_us)), floor-quantize at
+    * 1e-6, and sum as int64 — order-independent and cross-engine exact;
+    * the final value is one division by 1e6.
+    */
+  private def joinIntegrals(base: Option[DataFrame], fs: Seq[(Field, String)],
+                            df: DataFrame, seriesCols: Seq[String],
+                            bucketOf: Option[Column => Column],
+                            keyNames: Seq[String]): Option[DataFrame] =
+    fs.foldLeft(base) { case (acc, (f, name)) =>
+      val v = col(f.arg)
+      val w = Window.partitionBy(seriesCols.map(col): _*)
+        .orderBy(col("ts_us").asc, v.asc)
+      val prev = lag(when(v.isNotNull,
+        struct(col("ts_us").as("t"), v.as("v"))), 1, null, ignoreNulls = true).over(w)
+      val unitUs = f.pct.getOrElse(1000000.0)
+      val dt = (col("ts_us") - prev.getField("t")).cast("double")
+      val trap = (v + prev.getField("v")) / lit(2.0) * (dt / lit(unitUs))
+      val sameBucket = bucketOf.map(b => b(prev.getField("t")) === b(col("ts_us")))
+        .getOrElse(lit(true))
+      val seg = when(v.isNotNull && prev.isNotNull && sameBucket,
+        floor(trap * lit(1000000.0)).cast("long"))
+      val keyExprs: Seq[Column] = bucketOf match {
+        case Some(b) => b(col("ts_us")).as("time") +: seriesCols.map(col)
+        case None => keyNames.map(col)
+      }
+      val aggd = df.select((col("ts_us") +: v +: seriesCols.map(col)) :+ seg.as("__seg"): _*)
+        .groupBy(keyExprs: _*)
+        .agg((coalesce(sum(col("__seg")), lit(0L)).cast("double") / lit(1000000.0)).as(name),
+          count(v).as("__ipresent"))
+        .filter(col("__ipresent") > 0).drop("__ipresent")
+      acc match {
+        case None => Some(aggd)
+        case Some(a) if keyNames.isEmpty =>
+          // global + other aggregates: a keyless left join (both sides are
+          // at most one row after the presence filters)
+          Some(a.withColumn("__k", lit(1))
+            .join(aggd.withColumn("__k", lit(1)), Seq("__k"), "left_outer").drop("__k"))
+        case Some(a) => Some(a.join(aggd, keyNames, "left_outer"))
+      }
+    }
+
   private def joinModes(base: Option[DataFrame], modeFs: Seq[(Field, String)],
                         df: DataFrame, keys: Seq[Column],
                         keyNames: Seq[String]): DataFrame =

@@ -446,4 +446,62 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Exact duplicated-substring spans (the ExactSubstr dedup of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed shuffle-first instead of suffix-array-first): for every
+    * document, the maximal character ranges every position of which is
+    * covered by some length-`minLen` window whose content occurs >= 2 times
+    * across the corpus (counting same-document repeats, as the paper does).
+    *
+    * A substring of length >= minLen is duplicated iff all of its
+    * length-minLen windows are duplicated, so the union of duplicated
+    * windows — merged as gaps-and-islands over window start offsets, with
+    * an island break when the next duplicated offset no longer overlaps or
+    * touches the previous window's coverage (gap > minLen) — yields exactly
+    * the maximal duplicated spans. Offsets are 0-based; spans are
+    * half-open [span_start, span_end).
+    *
+    * Scale shape: one generate-and-project pass emits (hash60(window),
+    * doc_id, offset) rows — 24 bytes per character position regardless of
+    * minLen, the honest cost of exact-substring dedup (a suffix array is
+    * likewise O(total chars)); one shuffle on the 60-bit content hash
+    * (hash-uniform, skew-free) counts occurrences; the island merge is a
+    * per-document window pass keyed by doc_id (corpus-cardinality key).
+    * The 60-bit md5-derived hash keeps results engine-deterministic;
+    * birthday collisions become plausible only past ~2^30 distinct
+    * windows — at that corpus scale widen the key to the full md5.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val t = col(textCol)
+    val windows = docs
+      .select(col(idCol).as("doc_id"), t.as("txt"))
+      .select(col("doc_id"),
+        explode(when(length(col("txt")) >= minLen,
+          sequence(lit(0), length(col("txt")) - minLen)).otherwise(array())).as("off"),
+        col("txt"))
+      .select(col("doc_id"), col("off").cast("long").as("off"),
+        hash60(substring(col("txt"), col("off") + 1, lit(minLen))).as("wh"))
+    // occurrence count as a window over the hash partition: ONE exchange of
+    // the (wh, doc_id, off) rows and ONE generate+md5 pass — a groupBy+join
+    // formulation shuffles the same rows twice and recomputes the explode
+    // (measured 2x slower at sf0.1); partial aggregation cannot compress
+    // this key (most window hashes are unique)
+    val dupOffsets = windows
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("wh")))
+      .filter(col("df") >= 2).select("doc_id", "off")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("off")
+    val withBreak = dupOffsets.withColumn("brk",
+      when(lag(col("off"), 1).over(byDoc).isNull ||
+        col("off") - lag(col("off"), 1).over(byDoc) > minLen, 1L).otherwise(0L))
+    val withIsland = withBreak.withColumn("isl",
+      sum(col("brk")).over(byDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    withIsland.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("off")).as("span_start"), (max(col("off")) + minLen).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
 }

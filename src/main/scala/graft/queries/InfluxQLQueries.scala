@@ -172,6 +172,19 @@ object InfluxQLQueries {
           |GROUP BY time(1d), device""".stripMargin)
     }),
 
+    // integral(): trapezoid area under each series' curve per daily bucket
+    // (whole-bucket segments only, the engine's pinned boundary rule) at
+    // two units, joined beside a hash aggregate — a window pass + grouped
+    // int64 sum, bit-exact through the 1e-6 floor quantization
+    "q_influxql_integral" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT integral(value) AS integ, integral(value, 1h) AS integ_h,
+          |       count(value) AS cnt
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device FILL(none)""".stripMargin)
+    }),
+
     // raw (per-point) expressions ride the scan projection beside a field
     // predicate — no aggregation, no shuffle beyond the output sort
     "q_influxql_raw" -> ((s, dir) => {
@@ -539,6 +552,32 @@ object InfluxQLQueries {
          |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
          |SELECT s.time, s.device, e.norm, e.rootsum, e.dist50, e.cnt2, e.uniq
          |FROM skel s LEFT JOIN e ON s.time = e.time AND s.device = e.device""".stripMargin,
+
+    // integral mirrors the engine pin: lag over (ts, value) per device,
+    // segments kept only when both endpoints share the daily bucket,
+    // per-segment 1e-6 floor quantization, int64 sum, one final division
+    "q_influxql_integral" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |seg AS (SELECT device, ts_us - ts_us % 86400000000 AS time, ts_us, value,
+         |    lag(ts_us) OVER w AS pt, lag(value) OVER w AS pv
+         |  FROM f WINDOW w AS (PARTITION BY device ORDER BY ts_us, value)),
+         |u AS (SELECT device, time, value,
+         |    CASE WHEN pt IS NOT NULL AND pt - pt % 86400000000 = time
+         |      THEN CAST(floor((value + pv) / 2.0
+         |        * (CAST(ts_us - pt AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)
+         |    END AS u1,
+         |    CASE WHEN pt IS NOT NULL AND pt - pt % 86400000000 = time
+         |      THEN CAST(floor((value + pv) / 2.0
+         |        * (CAST(ts_us - pt AS DOUBLE) / 3600000000.0) * 1000000.0) AS BIGINT)
+         |    END AS u2
+         |  FROM seg)
+         |SELECT time, device,
+         |  CAST(coalesce(sum(u1), 0) AS DOUBLE) / 1000000.0 AS integ,
+         |  CAST(coalesce(sum(u2), 0) AS DOUBLE) / 1000000.0 AS integ_h,
+         |  count(value) AS cnt
+         |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q_influxql_raw" ->
       s"""WITH $ptsSql

@@ -342,6 +342,13 @@ object PipelineQueries {
         "doc_id", "text", n = 3, k = 12, bands = 6, tau = 0.5, path = idx)
     }),
 
+    // exact duplicated-substring spans (ExactSubstr dedup, Lee et al. 2022):
+    // maximal char ranges covered by length-30 windows occurring >= 2 times
+    // corpus-wide; one content-hash shuffle, never doc-pairwise
+    "q_dedup_substring" -> ((s, dir) => {
+      DedupOps.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 30)
+    }),
+
     // SimHash(60-bit) near-dup pairs, Hamming <= 3, 4x15-bit band blocking
     "q_dedup_simhash" -> ((s, dir) => {
       DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
@@ -914,6 +921,25 @@ object PipelineQueries {
     "q_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |$simhashPairSelect""".stripMargin,
+
+    // duplicated-window offsets (length-30 windows with corpus count >= 2)
+    // merged gaps-and-islands into maximal half-open spans — mirrors
+    // DedupOps.duplicateSpans including the hash60 window key
+    "q_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, CAST(t.i AS BIGINT) AS off,
+         |    ${hash60Sql("substr(text, t.i + 1, 30)")} AS wh
+         |  FROM documents, UNNEST(generate_series(0, length(text) - 30)) AS t(i)),
+         |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+         |o AS (SELECT w.doc_id, w.off FROM w JOIN d USING (wh)),
+         |b AS (SELECT doc_id, off,
+         |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+         |      OR off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) > 30
+         |    THEN 1 ELSE 0 END AS brk FROM o),
+         |g AS (SELECT doc_id, off, sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+         |    ROWS UNBOUNDED PRECEDING) AS isl FROM b)
+         |SELECT doc_id, min(off) AS span_start, max(off) + 30 AS span_end,
+         |  max(off) + 30 - min(off) AS span_len
+         |FROM g GROUP BY doc_id, isl""".stripMargin,
 
     // the IVF oracle's unrolled k-means + assignment prefix, then
     // within-cluster pairs with exact quantized cosine — mirrors

@@ -1307,4 +1307,70 @@ class InfluxQLSpec extends SparkSuite {
     assert(InfluxQL.run(df, "SELECT count(value) FROM m").as[Long].collect().toSeq
       == Seq(1L))
   }
+
+  test("planner: integral() trapezoids per series, default 1s unit and explicit unit") {
+    val df = pts(("a", "m", 0L, 2.0), ("a", "m", 1000000L, 4.0), ("a", "m", 3000000L, 1.0))
+    // segments: (2+4)/2 * 1s = 3.0 ; (4+1)/2 * 2s = 5.0
+    assert(InfluxQL.run(df, "SELECT integral(value) FROM m").as[Double].collect().toSeq
+      == Seq(8.0))
+    // unit 2s halves the time factor: 1.5 + 2.5
+    assert(InfluxQL.run(df, "SELECT integral(value, 2s) FROM m").as[Double].collect().toSeq
+      == Seq(4.0))
+    // a single point has no segment: 0.0, not null and not empty
+    assert(InfluxQL.run(df, "SELECT integral(value) FROM m WHERE time >= 3000000")
+      .as[Double].collect().toSeq == Seq(0.0))
+    // zero matching points answer EMPTY like any global aggregate
+    assert(InfluxQL.run(df, "SELECT integral(value) FROM m WHERE time > 9000000")
+      .collect().isEmpty)
+  }
+
+  test("planner: integral() per tag group pairs each series' own points") {
+    val df = pts(
+      ("a", "m", 0L, 1.0), ("a", "m", 2000000L, 3.0),   // (1+3)/2 * 2s = 4.0
+      ("b", "m", 0L, 10.0), ("b", "m", 1000000L, 10.0)) // (10+10)/2 * 1s = 10.0
+    val got = InfluxQL.run(df, "SELECT integral(value) FROM m GROUP BY device")
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("a", 4.0), ("b", 10.0)))
+  }
+
+  test("planner: integral() under GROUP BY time keeps only whole-bucket segments") {
+    val df = pts(("a", "m", 0L, 2.0), ("a", "m", 1000000L, 4.0), ("a", "m", 3000000L, 1.0))
+    // bucket 0s holds ts 0 and 1s (segment 3.0); the 1s->3s segment crosses
+    // into bucket 2s and drops; bucket 2s has one point -> 0.0
+    val got = InfluxQL.run(df,
+      "SELECT integral(value) FROM m WHERE time >= 0 AND time < 4000000 GROUP BY time(2s) FILL(none)")
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((0L, 3.0), (2000000L, 0.0)))
+    // mixed with a hash aggregate: integral joins back per bucket
+    val mixed = InfluxQL.run(df,
+      "SELECT count(value), integral(value) FROM m WHERE time >= 0 AND time < 4000000 GROUP BY time(2s) FILL(none)")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mixed == Set((0L, 2L, 3.0), (2000000L, 1L, 0.0)))
+  }
+
+  test("planner: integral() composes with the expression engine and transforms") {
+    val df = pts(("a", "m", 0L, 2.0), ("a", "m", 1000000L, 4.0))
+    assert(InfluxQL.run(df, "SELECT integral(value) * 2 + 1 AS x FROM m")
+      .as[Double].collect().toSeq == Seq(7.0))
+    // derivative of the bucketed integral: one bucket only, so the
+    // derivative is null at the first bucket (the pinned transform rule:
+    // the row stays, the value is null)
+    assert(InfluxQL.run(df,
+      "SELECT derivative(integral(value), 1s) FROM m WHERE time >= 0 AND time < 2000000 GROUP BY time(2s)")
+      .as[(Long, Option[Double])].collect().toSeq == Seq((0L, None)))
+  }
+
+  test("parser: integral unit must be a duration; CQ rejects integral") {
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](parse(s)).getMessage
+    assert(bad("SELECT integral(value, 5) FROM m").contains("duration"))
+    val cqErr = intercept[IllegalArgumentException] {
+      InfluxQL.runContinuous(
+        spark.readStream.format("rate").load()
+          .selectExpr("'a' AS device", "'m' AS transducer",
+            "unix_micros(timestamp) AS ts_us", "CAST(value AS DOUBLE) AS value"),
+        "SELECT integral(value) INTO tgt FROM m GROUP BY time(1m)", "10 seconds")
+    }
+    assert(cqErr.getMessage.contains("integral"))
+  }
 }
