@@ -10,7 +10,8 @@ import InfluxQL.{tokenize, P}
 /** The continuous-query REGISTRY — the management half of InfluxDB's CQ
   * surface ([[InfluxQL.startContinuousQuery]] is the execution half):
   *
-  *   CREATE CONTINUOUS QUERY <name> ON <db> BEGIN <select INTO ...> END
+  *   CREATE CONTINUOUS QUERY <name> ON <db>
+  *     [RESAMPLE [EVERY <dur>] [FOR <dur>]] BEGIN <select INTO ...> END
   *   SHOW CONTINUOUS QUERIES                      (db, name, query)
   *   DROP CONTINUOUS QUERY <name> ON <db>
   *
@@ -68,6 +69,7 @@ object ContinuousQueries {
       table(spark, root).delete(col("db") === db && col("name") === name)
       return show(spark, root)
     }
+    val rs = InfluxQL.parseResample(p)
     p.expectKw("BEGIN")
     val q = InfluxQL.parseQuery(p)
     p.expectKw("END")
@@ -76,6 +78,7 @@ object ContinuousQueries {
     // can never start must fail at CREATE, not at restart
     if (q.into.isEmpty) p.fail("continuous query needs SELECT ... INTO")
     if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
+    InfluxQL.validateResample(p, rs, q)
     if (exists) throw new IllegalArgumentException(
       s"InfluxQL: continuous query already exists: $name on $db")
     table(spark, root).append(

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * Supported grammar (case-insensitive keywords):
   * {{{
   *   SHOW MEASUREMENTS | SHOW SERIES | SHOW TAG KEYS
-  *     | SHOW TAG VALUES WITH KEY = key | SHOW FIELD KEYS
+  *     | SHOW TAG VALUES WITH KEY (= k | != k | =~ /re/ | !~ /re/ | IN (k, ...))
+  *     | SHOW FIELD KEYS
   *
   *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL;
   *     SHOW CONTINUOUS QUERIES / DROP CONTINUOUS QUERY via the
@@ -1184,15 +1185,55 @@ object InfluxQL {
     def seriesKeys: DataFrame = points.select(concat_ws(",",
       col("transducer") +: tagColumns(points).map(t =>
         concat(lit(t + "="), col(t))): _*).as("key")).distinct()
-    def tagKey(): String = {
-      p.expectKw("WITH"); p.expectKw("KEY"); p.expectSym("=")
-      val k = p.next() match {
+    /** `WITH KEY = k | != k | =~ /re/ | !~ /re/ | IN (k1, k2, ...)` — the
+      * full InfluxDB key-selector grammar. Named keys must exist (loud,
+      * like the rest of the resolver); regex forms FILTER the key list and
+      * may legitimately select nothing. Key-name regexes match unanchored,
+      * the same rlike semantics as tag-value regex predicates.
+      */
+    def tagKeys(): Seq[String] = {
+      p.expectKw("WITH"); p.expectKw("KEY")
+      val all = tagColumns(points)
+      def one(): String = p.next() match {
         case TIdent(s) => s
         case TStr(s, _) => s
         case t => p.fail(s"expected tag key, got '${t.raw}'")
       }
-      if (!tagColumns(points).contains(k)) p.fail(s"unknown tag key '$k'")
-      k
+      def knownOne(): String = {
+        val k = one()
+        if (!all.contains(k)) p.fail(s"unknown tag key '$k'")
+        k
+      }
+      def re(): java.util.regex.Pattern = p.next() match {
+        case TRegex(r, _) => java.util.regex.Pattern.compile(r)
+        case t => p.fail(s"expected /regex/, got '${t.raw}'")
+      }
+      if (p.sym("=~")) { val r = re(); all.filter(k => r.matcher(k).find()) }
+      else if (p.sym("!~")) { val r = re(); all.filterNot(k => r.matcher(k).find()) }
+      else if (p.sym("!=")) { val k = knownOne(); all.filterNot(_ == k) }
+      else if (p.sym("=")) Seq(knownOne())
+      else if (p.kw("IN")) {
+        p.expectSym("(")
+        val ks = Seq.newBuilder[String]
+        ks += knownOne()
+        while (p.sym(",")) ks += knownOne()
+        p.expectSym(")")
+        ks.result().distinct
+      }
+      else p.fail("expected =, !=, =~, !~ or IN after WITH KEY")
+    }
+    /** The selected keys' (key, value) pairs stacked in ONE scan (explode
+      * of a per-row struct array, never a per-key rescan), null tag values
+      * dropped per InfluxDB, distinct.
+      */
+    def tagKeyValues(ks: Seq[String]): DataFrame = {
+      if (ks.isEmpty)
+        return spark.createDataset(List.empty[(String, String)])(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("key", "value")
+      points.select(explode(array(ks.map(k =>
+          struct(lit(k).as("key"), col(k).as("value"))): _*)).as("kv"))
+        .select(col("kv.key").as("key"), col("kv.value").as("value"))
+        .filter(col("value").isNotNull).distinct()
     }
     def fieldKeys = points.schema.fields
       .filter(f => !Reserved.contains(f.name) &&
@@ -1237,14 +1278,13 @@ object InfluxQL {
         // neither lists it nor counts it toward cardinality
         if (p.kw("CARDINALITY")) {
           onDb()
-          val k = tagKey()
-          finish(count1(points.select(col(k)).filter(col(k).isNotNull).distinct()))
+          // cardinality over the selected keys = distinct (key, value)
+          // pairs, matching the list form's row count
+          finish(count1(tagKeyValues(tagKeys())))
         } else {
           onDb()
-          val k = tagKey()
-          finish(paged(points.filter(col(k).isNotNull)
-            .select(lit(k).as("key"), col(k).as("value"))
-            .distinct().orderBy(col("value"))))
+          finish(paged(tagKeyValues(tagKeys())
+            .orderBy(col("key"), col("value"))))
         }
       } else p.fail("expected KEYS, KEY CARDINALITY or VALUES after SHOW TAG")
     } else if (p.kw("FIELD")) {
@@ -1568,28 +1608,71 @@ object InfluxQL {
     * effect, the reference's resample contract influx_service.py:183-209
     * without its per-message HTTP round-trip).
     */
+  /** `RESAMPLE [EVERY <dur>] [FOR <dur>]` between `ON <db>` and `BEGIN`
+    * (InfluxDB's CQ scheduling clause; at least one of the two). The
+    * streaming mapping: EVERY is the processing-time trigger interval —
+    * how often buckets re-evaluate — and FOR is the watermark delay: a
+    * bucket stays open (late points still fold in, the MERGE sink
+    * converges) until event time passes bucket end + FOR, the event-time
+    * face of InfluxDB's "recompute the trailing FOR window each run".
+    * InfluxDB's validation rule holds: FOR must cover at least one full
+    * GROUP BY time interval.
+    */
+  final case class Resample(everyUs: Option[Long], forUs: Option[Long])
+
+  private[influxql] def parseResample(p: P): Resample = {
+    if (!p.kw("RESAMPLE")) return Resample(None, None)
+    def dur(): Long = p.next() match {
+      case TDur(us, _) => us
+      case t => p.fail(s"expected a duration, got '${t.raw}'")
+    }
+    val every = if (p.kw("EVERY")) Some(dur()) else None
+    val forU = if (p.kw("FOR")) Some(dur()) else None
+    if (every.isEmpty && forU.isEmpty)
+      p.fail("RESAMPLE needs EVERY <dur> and/or FOR <dur>")
+    Resample(every, forU)
+  }
+
+  private[influxql] def validateResample(p: P, rs: Resample, q: Query): Unit =
+    for (f <- rs.forUs; step <- q.groupTimeUs)
+      if (f < step) p.fail(
+        "RESAMPLE FOR must be at least the GROUP BY time interval " +
+          s"(FOR ${f}us < time ${step}us)")
+
   def startContinuousQuery(streamPoints: DataFrame, ddl: String, root: String,
                            checkpoint: String, lateness: String,
                            trigger: org.apache.spark.sql.streaming.Trigger =
                              org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
     val p = new P(tokenize(ddl))
     p.expectKw("CREATE"); p.expectKw("CONTINUOUS"); p.expectKw("QUERY")
     p.ident() // the CQ name: identity lives in the checkpoint + target table
     p.expectKw("ON")
     val db = p.ident()
+    val rs = parseResample(p)
     p.expectKw("BEGIN")
     val q = parseQuery(p)
     p.expectKw("END")
     if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    validateResample(p, rs, q)
     val target = q.into.getOrElse(p.fail("continuous query needs SELECT ... INTO"))
-    val sel = runContinuousParsed(streamPoints, q.copy(into = None), lateness)
+    // FOR overrides the default watermark delay; EVERY overrides the
+    // trigger — except an AvailableNow drain (--once maintenance runs
+    // process the backlog regardless of the CQ's schedule)
+    val effLateness = rs.forUs.map(us => s"$us microseconds").getOrElse(lateness)
+    val effTrigger = rs.everyUs match {
+      case Some(us) if trigger != Trigger.AvailableNow() =>
+        Trigger.ProcessingTime(math.max(1L, us / 1000L))
+      case _ => trigger
+    }
+    val sel = runContinuousParsed(streamPoints, q.copy(into = None), effLateness)
     val tags = (if (q.fromRegex) Seq("measurement") else Nil) ++ q.groupTags
     val table = new graft.storage.TxLogTable(
       streamPoints.sparkSession, s"$root/$db/$target")
     graft.streaming.StreamingIngest.startMergeSink(
       sel, table, keys = "time" +: tags, orderCol = "time",
-      checkpoint = checkpoint, trigger = trigger)
+      checkpoint = checkpoint, trigger = effTrigger)
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an

@@ -354,6 +354,34 @@ class InfluxQLSpec extends SparkSuite {
       .as[Long].collect().head == 2L)
   }
 
+  test("SHOW TAG VALUES WITH KEY: !=, =~, !~ and IN select key sets in one scan") {
+    val df = Seq(
+      ("a", "s1", "temp", 1L, 1.0), ("b", "s1", "temp", 2L, 2.0),
+      ("a", "s2", "hum", 3L, 3.0))
+      .toDF("device", "site", "transducer", "ts_us", "value")
+    def got(s: String) = InfluxQL.run(df, s).as[(String, String)].collect().toSeq
+    val all = Seq(("device", "a"), ("device", "b"), ("site", "s1"), ("site", "s2"))
+    assert(got("SHOW TAG VALUES WITH KEY IN (device, site)") == all)
+    assert(got("SHOW TAG VALUES WITH KEY != device") ==
+      Seq(("site", "s1"), ("site", "s2")))
+    assert(got("SHOW TAG VALUES WITH KEY =~ /dev/") ==
+      Seq(("device", "a"), ("device", "b")))
+    assert(got("SHOW TAG VALUES WITH KEY !~ /dev/") ==
+      Seq(("site", "s1"), ("site", "s2")))
+    // a regex selecting no keys answers empty, not an error
+    assert(got("SHOW TAG VALUES WITH KEY =~ /nomatch/").isEmpty)
+    // cardinality counts distinct (key, value) pairs over the selection
+    assert(InfluxQL.run(df, "SHOW TAG VALUES CARDINALITY WITH KEY IN (device, site)")
+      .as[Long].collect().head == 4L)
+    // paging rides the (key, value) order
+    assert(got("SHOW TAG VALUES WITH KEY IN (device, site) LIMIT 2 OFFSET 1") ==
+      Seq(("device", "b"), ("site", "s1")))
+    // named keys stay loud: unknown key in IN fails like = does
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW TAG VALUES WITH KEY IN (device, nope)"))
+      .getMessage.contains("unknown tag"))
+  }
+
   test("WHERE supports field comparisons and OR with parentheses") {
     val q = parse("SELECT value FROM m WHERE value > 5 AND (device = 'a' OR device = 'b') AND time >= 10")
     assert(q.conds == Seq(
@@ -1166,6 +1194,15 @@ class InfluxQLSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](cat.run(
       "CREATE CONTINUOUS QUERY x ON nodb BEGIN SELECT mean(value) INTO t FROM m GROUP BY time(10u) END"))
       .getMessage.contains("not found"))
+    // RESAMPLE validates at CREATE: FOR must cover the GROUP BY interval
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY bad ON db RESAMPLE FOR 5u BEGIN SELECT mean(value) INTO t FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("at least the GROUP BY"))
+    val ddlRs = "CREATE CONTINUOUS QUERY cq3 ON db RESAMPLE EVERY 1h FOR 20u BEGIN SELECT max(value) AS mx INTO agg3 FROM m GROUP BY time(10u) END"
+    cat.run(ddlRs)
+    assert(cat.run("SHOW CONTINUOUS QUERIES").as[(String, String, String)]
+      .collect().toSeq.map(_._2) == Seq("cq1", "cq2", "cq3"))
+    cat.run("DROP CONTINUOUS QUERY cq3 ON db")
     // startAll: every registered CQ becomes its running stream
     val in = MemoryStream[(String, String, Long, Double)]
     val points = in.toDF().toDF("device", "transducer", "ts_us", "value")

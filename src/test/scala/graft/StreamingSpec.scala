@@ -169,6 +169,66 @@ class StreamingSpec extends SparkSuite {
         root, tmp("cq_cp2"), "1 minute")).getMessage.contains("INTO"))
   }
 
+  test("CQ RESAMPLE: FOR widens the watermark; EVERY yields to an AvailableNow drain") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_rs")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+      """CREATE CONTINUOUS QUERY temp_rs ON telemetry RESAMPLE FOR 30m BEGIN
+        |SELECT mean(value), count(value) INTO temp_rs FROM temp
+        |GROUP BY time(10m), device END""".stripMargin,
+      root, checkpoint = tmp("cq_rs_cp"), lateness = "1 minute",
+      trigger = Trigger.ProcessingTime(0))
+    val table = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_rs")
+    try {
+      in.addData(
+        ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+        ("d1", "temp", us("2024-01-01 00:02:00"), 4.0),
+        ("d1", "temp", us("2024-01-01 00:25:00"), 7.0))
+      q.processAllAvailable()
+      // default 1m lateness would have closed bucket 00:00 (watermark
+      // 00:24 >= 00:10); FOR 30m keeps it open (watermark < 0)
+      assert(table.version.isEmpty || table.read().count() == 0,
+        "FOR must keep the bucket open")
+      in.addData(("d1", "temp", us("2024-01-01 00:45:00"), 1.0))
+      q.processAllAvailable()
+      // watermark 00:15 closes exactly bucket 00:00
+      val got = table.read().select("time", "device", "mean", "count")
+        .as[(Long, String, Double, Long)].collect().toSeq
+      assert(got == Seq((us("2024-01-01 00:00:00"), "d1", 3.0, 2L)))
+    } finally q.stop()
+    // EVERY maps to a ProcessingTime trigger but must NOT stall an
+    // AvailableNow drain (--once maintenance runs ignore the schedule)
+    val in2 = MemoryStream[(String, String, Long, Double)]
+    val points2 = in2.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    in2.addData(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 6.0),
+      ("d1", "temp", us("2024-01-01 01:00:00"), 1.0)) // closes bucket 00:00
+    val q2 = graft.influxql.InfluxQL.startContinuousQuery(points2,
+      """CREATE CONTINUOUS QUERY temp_ev ON telemetry RESAMPLE EVERY 1h FOR 10m BEGIN
+        |SELECT count(value) INTO temp_ev FROM temp GROUP BY time(10m), device END""".stripMargin,
+      root, checkpoint = tmp("cq_rs_cp2"), lateness = "1 minute")
+    try q2.awaitTermination() finally q2.stop()
+    val drained = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_ev")
+      .read().select("time", "device", "count")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(drained == Seq((us("2024-01-01 00:00:00"), "d1", 1L)))
+    // validation: FOR below the GROUP BY interval fails at parse time
+    assert(intercept[IllegalArgumentException](
+      graft.influxql.InfluxQL.startContinuousQuery(points2,
+        """CREATE CONTINUOUS QUERY x ON db RESAMPLE FOR 5m BEGIN
+          |SELECT mean(value) INTO x FROM temp GROUP BY time(10m) END""".stripMargin,
+        root, tmp("cq_rs_cp3"), "1 minute")).getMessage.contains("at least the GROUP BY"))
+    assert(intercept[IllegalArgumentException](
+      graft.influxql.InfluxQL.startContinuousQuery(points2,
+        """CREATE CONTINUOUS QUERY x ON db RESAMPLE BEGIN
+          |SELECT mean(value) INTO x FROM temp GROUP BY time(10m) END""".stripMargin,
+        root, tmp("cq_rs_cp4"), "1 minute")).getMessage.contains("EVERY <dur> and/or FOR"))
+  }
+
   test("registry CDC applies new/update/delete in event-time order per device") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
