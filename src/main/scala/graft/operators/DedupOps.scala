@@ -504,4 +504,40 @@ object DedupOps {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
   }
+
+  /** Excise every duplicated span (the cleanup half of ExactSubstr dedup —
+    * Lee et al. cut the spans out rather than drop whole documents):
+    * (doc_id, clean, n_spans, removed_chars) for EVERY document, clean =
+    * the original with [[duplicateSpans]] ranges removed.
+    *
+    * Reconstruction is the inter-span gaps in order plus the tail — a
+    * per-document window pass over the spans (already disjoint and
+    * strictly separated by construction) and one map-side string fold;
+    * documents without spans pass through on the left join.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           minLen: Int): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, minLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val pieces = spans
+      .withColumn("prev_end", coalesce(lag(col("span_end"), 1).over(w), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        array_sort(collect_list(struct(col("span_start"), col("prev_end")))).as("gaps"),
+        max(col("span_end")).as("last_end"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("removed_chars"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .join(pieces, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("gaps").isNull, col("txt")).otherwise(concat(
+          array_join(transform(col("gaps"), g =>
+            substring(col("txt"), (g.getField("prev_end") + 1).cast("int"),
+              (g.getField("span_start") - g.getField("prev_end")).cast("int"))), ""),
+          substring(col("txt"), (col("last_end") + 1).cast("int"),
+            (length(col("txt")) - col("last_end")).cast("int")))).as("clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+  }
 }

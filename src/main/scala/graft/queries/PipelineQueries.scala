@@ -19,6 +19,24 @@ object PipelineQueries {
   // DuckDB fragments shared across oracles (also used by CurationQueries)
   private[queries] val toksSql = "string_split(text, ' ')"
   private[queries] def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  // the ExactSubstr spans pipeline as a reusable CTE chain ending in
+  // `spans(doc_id, span_start, span_end, span_len)` — shared by
+  // q_dedup_substring and q_dedup_substring_clean
+  private val substringSpansSql =
+    s"""w AS (SELECT doc_id, CAST(t.i AS BIGINT) AS off,
+       |    ${hash60Sql("substr(text, t.i + 1, 30)")} AS wh
+       |  FROM documents, UNNEST(generate_series(0, length(text) - 30)) AS t(i)),
+       |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+       |o AS (SELECT w.doc_id, w.off FROM w JOIN d USING (wh)),
+       |b AS (SELECT doc_id, off,
+       |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+       |      OR off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) > 30
+       |    THEN 1 ELSE 0 END AS brk FROM o),
+       |g AS (SELECT doc_id, off, sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+       |    ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+       |spans AS (SELECT doc_id, min(off) AS span_start, max(off) + 30 AS span_end,
+       |  max(off) + 30 - min(off) AS span_len FROM g GROUP BY doc_id, isl)""".stripMargin
   private val shinglesSql =
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
@@ -347,6 +365,14 @@ object PipelineQueries {
     // corpus-wide; one content-hash shuffle, never doc-pairwise
     "q_dedup_substring" -> ((s, dir) => {
       DedupOps.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 30)
+    }),
+
+    // the cleanup half of ExactSubstr dedup: duplicated spans excised from
+    // every document; cleaned text compared by md5 (the q_pii_redact rule)
+    "q_dedup_substring_clean" -> ((s, dir) => {
+      DedupOps.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", minLen = 30)
+        .select(col("doc_id"), length(col("clean")).cast("long").as("clean_len"),
+          col("removed_chars"), col("n_spans"), md5(col("clean")).as("clean_md5"))
     }),
 
     // SimHash(60-bit) near-dup pairs, Hamming <= 3, 4x15-bit band blocking
@@ -926,20 +952,32 @@ object PipelineQueries {
     // merged gaps-and-islands into maximal half-open spans — mirrors
     // DedupOps.duplicateSpans including the hash60 window key
     "q_dedup_substring" ->
-      s"""WITH w AS (SELECT doc_id, CAST(t.i AS BIGINT) AS off,
-         |    ${hash60Sql("substr(text, t.i + 1, 30)")} AS wh
-         |  FROM documents, UNNEST(generate_series(0, length(text) - 30)) AS t(i)),
-         |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
-         |o AS (SELECT w.doc_id, w.off FROM w JOIN d USING (wh)),
-         |b AS (SELECT doc_id, off,
-         |    CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
-         |      OR off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) > 30
-         |    THEN 1 ELSE 0 END AS brk FROM o),
-         |g AS (SELECT doc_id, off, sum(brk) OVER (PARTITION BY doc_id ORDER BY off
-         |    ROWS UNBOUNDED PRECEDING) AS isl FROM b)
-         |SELECT doc_id, min(off) AS span_start, max(off) + 30 AS span_end,
-         |  max(off) + 30 - min(off) AS span_len
-         |FROM g GROUP BY doc_id, isl""".stripMargin,
+      s"""WITH $substringSpansSql
+         |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
+
+    // the spans pipeline, then reconstruction: inter-span gaps in order
+    // plus the tail — mirrors DedupOps.removeDuplicateSpans
+    "q_dedup_substring_clean" ->
+      s"""WITH $substringSpansSql,
+         |pe AS (SELECT doc_id, span_start, span_end, span_len,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+         |  FROM spans),
+         |a AS (SELECT p.doc_id,
+         |    string_agg(substr(d.text, CAST(p.prev_end + 1 AS INTEGER),
+         |      CAST(p.span_start - p.prev_end AS INTEGER)), '' ORDER BY p.span_start) AS kept,
+         |    max(p.span_end) AS last_end,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(p.span_len) AS BIGINT) AS removed_chars
+         |  FROM pe p JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1),
+         |c AS (SELECT d.doc_id,
+         |    CASE WHEN a.doc_id IS NULL THEN d.text
+         |      ELSE a.kept || substr(d.text, CAST(a.last_end + 1 AS INTEGER)) END AS clean,
+         |    coalesce(a.n_spans, 0) AS n_spans,
+         |    coalesce(a.removed_chars, 0) AS removed_chars
+         |  FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id)
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len, removed_chars,
+         |  n_spans, md5(clean) AS clean_md5
+         |FROM c""".stripMargin,
 
     // the IVF oracle's unrolled k-means + assignment prefix, then
     // within-cluster pairs with exact quantized cosine — mirrors

@@ -173,6 +173,25 @@ class DedupSpec extends SparkSuite {
     assert(DedupOps.duplicateSpans(df, "doc_id", "text", minLen = 10).count() == 0)
   }
 
+  test("remove duplicate spans: cleaned text is the original minus the exact ranges") {
+    val shared = "0123456789abcdefghijABCDEFGHIJklmnopqrst" // 40 chars
+    val d1 = "XXXXXXXX" + shared + "YYYYYYYY"   // span [8, 48)
+    val d2 = "PPPPPPPPPP" + shared + "QQQQ"     // span [10, 50)
+    val d3 = "totally unrelated content with no repeats at all here"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(df, "doc_id", "text", minLen = 10)
+      .select("doc_id", "clean", "n_spans", "removed_chars")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "XXXXXXXX" + "YYYYYYYY", 1L, 40L)))
+    assert(got(2L) == ((2L, "PPPPPPPPPP" + "QQQQ", 1L, 40L)))
+    assert(got(3L) == ((3L, d3, 0L, 0L)))
+    // a fully-duplicated document cleans to the empty string
+    val dup = Seq((1L, "ABCDEFGHIJKL"), (2L, "ABCDEFGHIJKL")).toDF("doc_id", "text")
+    val cleaned = DedupOps.removeDuplicateSpans(dup, "doc_id", "text", minLen = 12)
+      .select("clean").as[String].collect().toSeq
+    assert(cleaned == Seq("", ""))
+  }
+
   test("duplicate spans: adjacent duplicated windows at gap == minLen merge into one span") {
     // offsets p and p+minLen touch ([p, p+L) and [p+L, p+2L) are contiguous)
     // so they must merge even though the windows do not overlap
