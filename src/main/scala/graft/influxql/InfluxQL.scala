@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *   SHOW MEASUREMENTS | SHOW SERIES | SHOW TAG KEYS
   *     | SHOW TAG VALUES WITH KEY (= k | != k | =~ /re/ | !~ /re/ | IN (k, ...))
   *     | SHOW FIELD KEYS
+  *     (SERIES / TAG KEYS / TAG VALUES / FIELD KEYS and their CARDINALITY
+  *      forms take `FROM m | /re/` — the per-measurement discovery filter;
+  *      TAG/FIELD KEYS then answer by presence scan instead of schema;
+  *      every SHOW except FIELD KEYS also takes `WHERE` tag trees, the
+  *      scan-backed ones time bounds too — field predicates rejected)
   *
   *   CREATE CONTINUOUS QUERY name ON db BEGIN select END   (streaming DDL;
   *     SHOW CONTINUOUS QUERIES / DROP CONTINUOUS QUERY via the
@@ -553,23 +558,29 @@ object InfluxQL {
         FCall(inner.copy(transform = Some(lower), targ = targ))
       } else if ((AggFuncs ++ TopBottomFuncs).contains(lower) && p.sym("(")) {
         FCall(parseAggBody(p, lower))
-      } else if (lower == "holt_winters" && p.sym("(")) {
+      } else if ((lower == "holt_winters" || lower == "holt_winters_with_fit")
+          && p.sym("(")) {
         // holt_winters(agg(field), N, S): N forecast points; S is the
         // seasonal pattern length in buckets (0 = no seasonality). Both
         // variants are the deterministic fixed-coefficient method —
         // InfluxQL fits its coefficients with an optimizer no two engines
         // reproduce; here S > 0 adds an additive per-phase seasonal index
         // (the same integer EMA kernel over residuals).
+        // holt_winters_with_fit additionally emits the model's in-sample
+        // value at every bucket BEFORE the forecasts — pinned as the
+        // kernel's smoothed level (+ the bucket's own phase index when
+        // seasonal); buckets ahead of the series' first value have no
+        // kernel mass and emit nothing.
         val inner = parseAggCall(p)
         p.expectSym(",")
         val nFc = p.num()
-        if (nFc < 1 || nFc != math.floor(nFc)) p.fail("holt_winters N must be a positive integer")
+        if (nFc < 1 || nFc != math.floor(nFc)) p.fail(s"$lower N must be a positive integer")
         p.expectSym(",")
         val season = p.num()
         if (season < 0 || season > 1000 || season != math.floor(season))
-          p.fail("holt_winters S must be an integer in [0, 1000]")
+          p.fail(s"$lower S must be an integer in [0, 1000]")
         p.expectSym(")")
-        FCall(inner.copy(transform = Some("holt_winters"), targ = Some(nFc.toLong),
+        FCall(inner.copy(transform = Some(lower), targ = Some(nFc.toLong),
           seasonal = Some(season.toLong)))
       } else if (lower == ElapsedFunc && p.sym("(")) {
         val arg = p.ident()
@@ -806,7 +817,7 @@ object InfluxQL {
       if (q.groupTimeUs.isEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: tz() shifts GROUP BY time() buckets — it needs a time() grouping")
-      if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
+      if (q.fields.exists(_.calls.exists(_.transform.exists(_.startsWith("holt_winters")))))
         throw new IllegalArgumentException(
           "InfluxQL: tz() does not combine with holt_winters() — forecast steps are bucket-uniform")
     }
@@ -818,7 +829,7 @@ object InfluxQL {
         throw new IllegalArgumentException(
           "InfluxQL: top()/bottom() does not combine with GROUP BY time()")
     }
-    if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))) &&
+    if (q.fields.exists(_.calls.exists(_.transform.exists(_.startsWith("holt_winters")))) &&
         (q.fields.size > 1 || q.fields.head.bareCall.isEmpty))
       throw new IllegalArgumentException(
         "InfluxQL: holt_winters() must be the only SELECT field — it returns forecast points")
@@ -1169,6 +1180,46 @@ object InfluxQL {
         p.fail(s"ON $d names a database — run this through an InfluxCatalog")
       routed = Some(pointsFor(d))
     }
+    // `FROM m | /re/` (InfluxDB's per-measurement SHOW filter): restricts
+    // the scanned points; statements that otherwise answer from the schema
+    // alone (TAG KEYS / FIELD KEYS) switch to a presence scan under FROM
+    var fromCond: Option[Column] = None
+    def fromClause(): Unit = if (p.kw("FROM")) {
+      fromCond = Some(p.next() match {
+        case TIdent(m) => col("transducer") === m
+        case TStr(m, _) => col("transducer") === m
+        case TRegex(re, _) => col("transducer").rlike(re)
+        case t => p.fail(s"expected measurement or /regex/, got '${t.raw}'")
+      })
+    }
+    /** `WHERE` on SHOW statements (InfluxDB's meta-query filter): tag
+      * =/!=/=~/!~ trees (OR/parens) everywhere, `time` bounds only on the
+      * scan-backed statements (SERIES / TAG KEYS / TAG VALUES — InfluxDB
+      * rejects time on SHOW MEASUREMENTS), field predicates always
+      * rejected (meta queries never read field values). Unknown tag names
+      * fail loudly like the rest of the resolver.
+      */
+    var whereCond: Option[Column] = None
+    def whereClause(allowTime: Boolean = true): Unit = if (p.kw("WHERE")) {
+      val conds = parseWhere(p)
+      val tags = tagColumns(points).toSet
+      def check(c: Cond): Unit = c match {
+        case FieldCond(f, _, _) =>
+          p.fail(s"SHOW WHERE supports tag and time predicates only, not field '$f'")
+        case TimeCond(_, _) if !allowTime =>
+          p.fail("this SHOW statement does not support time in WHERE")
+        case TagCond(t, _, _) if !tags.contains(t) => p.fail(s"unknown tag '$t'")
+        case TagRegexCond(t, _, _) if !tags.contains(t) => p.fail(s"unknown tag '$t'")
+        case OrCond(bs) => bs.foreach(_.foreach(check))
+        case _ => ()
+      }
+      conds.foreach(check)
+      whereCond = Some(conds.map(condColumn).reduce(_ && _))
+    }
+    def scanPoints: DataFrame =
+      Seq(fromCond, whereCond).flatten.foldLeft(points)(_ filter _)
+    // FROM or WHERE both demote schema-answered statements to a scan
+    def scoped: Boolean = fromCond.nonEmpty || whereCond.nonEmpty
     import org.apache.spark.sql.Encoders
     def paged(df: DataFrame): DataFrame = {
       // LIMIT/OFFSET over the statement's own deterministic ORDER BY
@@ -1182,7 +1233,7 @@ object InfluxQL {
       df
     }
     def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("count"))
-    def seriesKeys: DataFrame = points.select(concat_ws(",",
+    def seriesKeys: DataFrame = scanPoints.select(concat_ws(",",
       col("transducer") +: tagColumns(points).map(t =>
         concat(lit(t + "="), col(t))): _*).as("key")).distinct()
     /** `WITH KEY = k | != k | =~ /re/ | !~ /re/ | IN (k1, k2, ...)` — the
@@ -1230,10 +1281,23 @@ object InfluxQL {
       if (ks.isEmpty)
         return spark.createDataset(List.empty[(String, String)])(
           Encoders.tuple(Encoders.STRING, Encoders.STRING)).toDF("key", "value")
-      points.select(explode(array(ks.map(k =>
+      scanPoints.select(explode(array(ks.map(k =>
           struct(lit(k).as("key"), col(k).as("value"))): _*)).as("kv"))
         .select(col("kv.key").as("key"), col("kv.value").as("value"))
         .filter(col("value").isNotNull).distinct()
+    }
+    /** Under a FROM filter, TAG/FIELD KEYS switch from schema-answered to
+      * a presence scan: a key exists on a measurement iff some scanned row
+      * carries a non-null value for it — one single-row aggregate, the
+      * boolean collect is control-plane-bounded (one flag per column).
+      */
+    def presentKeys(ks: Seq[String]): Seq[String] = {
+      if (ks.isEmpty) return Nil
+      val row = scanPoints.agg(
+        max(col(ks.head).isNotNull).as(ks.head),
+        ks.tail.map(k => max(col(k).isNotNull).as(k)): _*).collect()(0)
+      ks.zipWithIndex.filter { case (_, i) => !row.isNullAt(i) && row.getBoolean(i) }
+        .map(_._1)
     }
     def fieldKeys = points.schema.fields
       .filter(f => !Reserved.contains(f.name) &&
@@ -1243,60 +1307,91 @@ object InfluxQL {
     if (p.kw("MEASUREMENTS")) {
       onDb()
       // WITH MEASUREMENT =~ /re/ (or = m): InfluxDB's discovery filter
-      val base = points.select(col("transducer").as("name")).distinct()
-      val filtered =
+      val nameFilter: Option[Column] =
         if (p.kw("WITH")) {
           p.expectKw("MEASUREMENT")
           if (p.sym("=~")) p.next() match {
-            case TRegex(re, _) => base.filter(col("name").rlike(re))
+            case TRegex(re, _) => Some(col("name").rlike(re))
             case t => p.fail(s"expected /regex/ after =~, got '${t.raw}'")
-          } else if (p.sym("=")) base.filter(col("name") === p.ident())
+          } else if (p.sym("=")) Some(col("name") === p.ident())
           else p.fail("expected = or =~ after WITH MEASUREMENT")
-        } else base
-      finish(paged(filtered.orderBy(col("name"))))
+        } else None
+      // WHERE keeps measurements with at least one matching row (tag
+      // predicates only; InfluxDB rejects time here)
+      whereClause(allowTime = false)
+      val base = scanPoints.select(col("transducer").as("name")).distinct()
+      finish(paged(nameFilter.map(base.filter).getOrElse(base)
+        .orderBy(col("name"))))
     } else if (p.kw("MEASUREMENT")) {
       p.expectKw("CARDINALITY")
       onDb()
-      finish(count1(points.select("transducer").distinct()))
+      whereClause(allowTime = false)
+      finish(count1(scanPoints.select("transducer").distinct()))
     } else if (p.kw("SERIES")) {
       val card = p.kw("CARDINALITY")
       onDb()
+      fromClause()
+      whereClause()
       if (card) finish(count1(seriesKeys))
       else finish(paged(seriesKeys.orderBy(col("key"))))
     } else if (p.kw("TAG")) {
       if (p.kw("KEYS")) {
         onDb()
-        finish(paged(spark.createDataset(tagColumns(points).toList)(
+        fromClause()
+        whereClause()
+        // schema-answered without FROM/WHERE (no scan); presence-scanned
+        // under either
+        val ks = if (!scoped) tagColumns(points)
+          else presentKeys(tagColumns(points))
+        finish(paged(spark.createDataset(ks.toList)(
           Encoders.STRING).toDF("tagKey").orderBy("tagKey")))
       } else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
         onDb()
-        finish(spark.createDataset(Seq(tagColumns(points).size.toLong))(
+        fromClause()
+        whereClause()
+        val n = if (!scoped) tagColumns(points).size
+          else presentKeys(tagColumns(points)).size
+        finish(spark.createDataset(Seq(n.toLong))(
           Encoders.scalaLong).toDF("count"))
       } else if (p.kw("VALUES")) {
         // a NULL tag (series without that tag) is not a tag value: InfluxDB
         // neither lists it nor counts it toward cardinality
         if (p.kw("CARDINALITY")) {
           onDb()
+          fromClause()
+          val ks = tagKeys()
+          whereClause()
           // cardinality over the selected keys = distinct (key, value)
           // pairs, matching the list form's row count
-          finish(count1(tagKeyValues(tagKeys())))
+          finish(count1(tagKeyValues(ks)))
         } else {
           onDb()
-          finish(paged(tagKeyValues(tagKeys())
+          fromClause()
+          val ks = tagKeys()
+          whereClause()
+          finish(paged(tagKeyValues(ks)
             .orderBy(col("key"), col("value"))))
         }
       } else p.fail("expected KEYS, KEY CARDINALITY or VALUES after SHOW TAG")
     } else if (p.kw("FIELD")) {
+      def scopedFieldKeys(): List[(String, String)] = {
+        fromClause()
+        if (!scoped) fieldKeys
+        else {
+          val present = presentKeys(fieldKeys.map(_._1)).toSet
+          fieldKeys.filter(f => present.contains(f._1))
+        }
+      }
       if (p.kw("KEYS")) {
         onDb()
-        finish(paged(spark.createDataset(fieldKeys)(
+        finish(paged(spark.createDataset(scopedFieldKeys())(
           Encoders.tuple(Encoders.STRING, Encoders.STRING))
           .toDF("fieldKey", "fieldType").orderBy("fieldKey")))
       } else if (p.kw("KEY")) {
         p.expectKw("CARDINALITY")
         onDb()
-        finish(spark.createDataset(Seq(fieldKeys.size.toLong))(
+        finish(spark.createDataset(Seq(scopedFieldKeys().size.toLong))(
           Encoders.scalaLong).toDF("count"))
       } else p.fail("expected KEYS or KEY CARDINALITY after SHOW FIELD")
     } else p.fail(
@@ -1358,7 +1453,7 @@ object InfluxQL {
       return out(planSample(df, q))
     if (q.fields.exists(_.calls.exists(_.func == "distinct")))
       return out(planDistinct(df, q))
-    if (q.fields.exists(_.calls.exists(_.transform.contains("holt_winters"))))
+    if (q.fields.exists(_.calls.exists(_.transform.exists(_.startsWith("holt_winters")))))
       return out(planHoltWinters(df, q))
 
     // each DISTINCT call computes once under an internal name; the final
@@ -1743,7 +1838,14 @@ object InfluxQL {
     modeFs.foldLeft(base) { case (acc, (f, name)) =>
       val freq = df.groupBy(keys :+ col(f.arg).as("__mv"): _*)
         .agg(count(lit(1)).as("__mc"))
-      val m = freq.groupBy(keyNames.map(col): _*)
+      // the GLOBAL form groups by a constant and drops it: zero matching
+      // points then yield zero groups (EMPTY, per InfluxDB) where a true
+      // global aggregate would fabricate one null row
+      val m = if (keyNames.isEmpty)
+        freq.groupBy(lit(1).as("__g"))
+          .agg((-max(struct(col("__mc").as("c"), (-col("__mv")).as("nv")))
+            .getField("nv")).as(name)).drop("__g")
+      else freq.groupBy(keyNames.map(col): _*)
         .agg((-max(struct(col("__mc").as("c"), (-col("__mv")).as("nv")))
           .getField("nv")).as(name))
       Some(acc.fold(m)(a => if (keyNames.isEmpty) a.crossJoin(m) else a.join(m, keyNames)))
@@ -1885,11 +1987,36 @@ object InfluxQL {
     val forecast =
       if (season == 0) col("__lvl") + col("__h") * col("__trd")
       else col("__lvl") + col("__h") * col("__trd") + col("__sv")
-    val res = fanBase
+    val fanRes = fanBase
       .select(((col("time") + col("__h") * lit(step)).as("time") +:
         q.groupTags.map(col)) :+ forecast.as(it.outName): _*)
-      .orderBy(col("time").asc +: q.groupTags.map(col(_).asc): _*)
-    applyRowRange(applySeriesLimit(res, q), q)
+    // holt_winters_with_fit: the in-sample rows ride ahead of the
+    // forecasts — pinned as the kernel's smoothed level at each bucket
+    // (plus the bucket's OWN phase index when seasonal); a bucket with no
+    // trailing kernel mass (before the series' first value) has no fit
+    val res =
+      if (!f.transform.contains("holt_winters_with_fit")) fanRes
+      else {
+        val fitVal =
+          if (season == 0) col("__lvl")
+          else col("__lvl") + coalesce(nanvl(col("__s"), lit(0.0)), lit(0.0))
+        val fitSrc =
+          if (season == 0) smoothed
+          else {
+            val phase = pmod(((col("time") - lit(q.groupTimeOffsetUs)) / lit(step))
+              .cast("long"), lit(season))
+            val wp = Window.partitionBy((partCols :+ "__ph").map(col): _*)
+              .orderBy(col("time"))
+            smoothed.withColumn("__ph", phase)
+              .withColumn("__r", c - col("__lvl"))
+              .withColumn("__s", exponentialMovingAverage(col("__r"), wp, n = 4, depth = 10))
+          }
+        val fits = fitSrc.filter(!isnan(col("__lvl")))
+          .select((col("time") +: q.groupTags.map(col)) :+ fitVal.as(it.outName): _*)
+        fits.unionAll(fanRes)
+      }
+    applyRowRange(applySeriesLimit(
+      res.orderBy(col("time").asc +: q.groupTags.map(col(_).asc): _*), q), q)
   }
 
   /** elapsed(): each point's distance to its series predecessor in whole

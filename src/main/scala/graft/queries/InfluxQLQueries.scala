@@ -305,6 +305,16 @@ object InfluxQLQueries {
         "SELECT holt_winters(mean(value), 3, 0) FROM click GROUP BY time(1d), device")
     }),
 
+    // holt_winters_with_fit(mean(value), 3, 0): the in-sample smoothed
+    // level at every observed bucket (fill(none) keeps the grid to the
+    // observed buckets, so the oracle mirrors without a skeleton), then
+    // the three forecasts
+    "q_influxql_holt_fit" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT holt_winters_with_fit(mean(value), 3, 0) FROM click
+          |GROUP BY time(1d), device fill(none)""".stripMargin)
+    }),
+
     // holt_winters(mean(value), 4, 7): weekly ADDITIVE seasonality over
     // daily buckets — per-(device, weekday-phase) residual EMA indexes
     // ride the level + trend forecast
@@ -804,6 +814,39 @@ object InfluxQLQueries {
          |  FROM e WHERE rn = 1)
          |SELECT time + CAST(h AS BIGINT) * 86400000000 AS time, device,
          |  lvl + CAST(h AS BIGINT) * trd AS holt_winters
+         |FROM lastp, UNNEST([1, 2, 3]) AS u(h)""".stripMargin
+    },
+
+    "q_influxql_holt_fit" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      def num(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag($u, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      def den(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |d AS (SELECT *, CAST(floor(mv * 1000000.0) AS BIGINT) AS vu,
+         |    CAST(floor((mv - lag(mv) OVER
+         |      (PARTITION BY device ORDER BY time)) * 1000000.0) AS BIGINT) AS du
+         |  FROM b),
+         |e AS (SELECT device, time,
+         |    CAST((${num("vu")}) AS DOUBLE) / CAST((${den("vu")}) AS DOUBLE) / 1000000.0 AS lvl,
+         |    CAST((${num("du")}) AS DOUBLE) / CAST((${den("du")}) AS DOUBLE) / 1000000.0 AS trd,
+         |    row_number() OVER (PARTITION BY device ORDER BY time DESC) AS rn
+         |  FROM d WINDOW w AS (PARTITION BY device ORDER BY time)),
+         |lastp AS (SELECT device, time, lvl,
+         |    CASE WHEN isnan(trd) THEN 0.0 ELSE trd END AS trd
+         |  FROM e WHERE rn = 1)
+         |SELECT time, device, lvl AS holt_winters_with_fit FROM e
+         |UNION ALL
+         |SELECT time + CAST(h AS BIGINT) * 86400000000 AS time, device,
+         |  lvl + CAST(h AS BIGINT) * trd AS holt_winters_with_fit
          |FROM lastp, UNNEST([1, 2, 3]) AS u(h)""".stripMargin
     },
 

@@ -75,6 +75,21 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       if (rows.isEmpty) null
       else rows.groupBy(_.value).view.mapValues(_.size).toSeq
         .maxBy { case (v, c) => (c, -v) }._1
+    case "integral" =>
+      // the engine's pin operation for operation: points ordered by
+      // (ts, value), per-segment fixed IEEE tree (v+pv)/2 * (dt/unit),
+      // floor-quantized at 1e-6, int64 sum, ONE final division; a lone
+      // point has no segment and answers 0.0 (pct carries the unit in us)
+      if (rows.isEmpty) null
+      else {
+        val unit = pct.map(_.toDouble).getOrElse(1000000.0)
+        val s = rows.sortBy(p => (p.ts, p.value))
+        val u = s.sliding(2).collect { case Seq(a, b) =>
+          math.floor((b.value + a.value) / 2.0 *
+            ((b.ts - a.ts).toDouble / unit) * 1000000.0).toLong
+        }.sum
+        u.toDouble / 1000000.0
+      }
   }
 
   // a generated SELECT item: a call, optionally transform-wrapped,
@@ -82,7 +97,10 @@ class InfluxQLDifferentialSpec extends SparkSuite {
   private case class GItem(fn: String, pct: Option[Int], op: Option[(Char, Double)],
                            alias: String, tf: Option[(String, Long)] = None) {
     private def call: String = {
-      val inner = pct.fold(s"$fn(value)")(p => s"$fn(value, $p)")
+      // integral's second argument is a DURATION (unit), not a number
+      val inner =
+        if (fn == "integral") pct.fold("integral(value)")(u => s"integral(value, ${u}u)")
+        else pct.fold(s"$fn(value)")(p => s"$fn(value, $p)")
       tf match {
         case None => inner
         case Some(("moving_average", k)) => s"moving_average($inner, $k)"
@@ -303,7 +321,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val pts = fixture
     val df = pts.toDF("device", "transducer", "ts_us", "value")
     val funcs = Vector("count", "sum", "mean", "min", "max", "spread", "first",
-      "last", "median", "percentile", "stddev", "mode")
+      "last", "median", "percentile", "stddev", "mode", "integral")
 
     for (iter <- 0 until 80 * diffScale) {
       // --- generate one query configuration -----------------------------
@@ -320,7 +338,11 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           Some(("+-*".charAt(rnd.nextInt(3)), (1 + rnd.nextInt(50)).toDouble))
         else None
         val fn = funcs(rnd.nextInt(funcs.size))
-        val pct = if (fn == "percentile") Some(rnd.nextInt(101)) else None
+        val pct = if (fn == "percentile") Some(rnd.nextInt(101))
+          // integral draws its unit (in us) through the same slot
+          else if (fn == "integral" && rnd.nextBoolean())
+            Some(Seq(10, 50, 100, 250)(rnd.nextInt(4)))
+          else None
         // transformations ride the bucket series: only with GROUP BY time
         val tf = if (groupTime.isEmpty || rnd.nextInt(4) != 0) None
           else rnd.nextInt(13) match {
@@ -390,8 +412,10 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       }
       val expected: Set[Seq[Any]] = groupTime match {
         case None if !byDevice =>
-          // global aggregate: always one row
-          Set(items.map(it => it.eval(aggCall(it.fn, it.pct, filtered))))
+          // a global aggregate over ZERO matching points answers EMPTY
+          // (the engine's presence-filter rule, per InfluxDB)
+          if (filtered.isEmpty) Set.empty
+          else Set(items.map(it => it.eval(aggCall(it.fn, it.pct, filtered))))
         case None =>
           filtered.groupBy(_.device).map { case (d, rs) =>
             d +: items.map(it => it.eval(aggCall(it.fn, it.pct, rs)))
@@ -906,6 +930,17 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       case 1 => MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
       case _ => MTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3)))
     }
+    // an optional SHOW ... WHERE draw (AND conjunctions; tag-only when the
+    // statement rejects time, e.g. SHOW MEASUREMENTS)
+    def showWhere(allowTime: Boolean): (String, ((String, String, Long, Double)) => Boolean) = {
+      val conds = Vector.fill(rnd.nextInt(3))(
+        if (allowTime) randCond()
+        else if (rnd.nextBoolean()) MTag(rnd.nextBoolean(), devs(rnd.nextInt(3)))
+        else MTagRe(rnd.nextBoolean(), Seq("[ab]", "a|c", "b")(rnd.nextInt(3))))
+      if (conds.isEmpty) ("", _ => true)
+      else (" WHERE " + conds.map(_.text).mkString(" AND "),
+        p => conds.forall(_.holds(p)))
+    }
 
     for (iter <- 0 until 40 * diffScale) {
       rnd.nextInt(8) match {
@@ -918,19 +953,43 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             case _ =>
               val m = meas(rnd.nextInt(3)); (s" WITH MEASUREMENT = $m", _ == m)
           }
-          val got = InfluxQL.run(dfNow, s"SHOW MEASUREMENTS$withTxt")
+          val (whereTxt, rowPred) = showWhere(allowTime = false)
+          val got = InfluxQL.run(dfNow, s"SHOW MEASUREMENTS$withTxt$whereTxt")
             .as[String].collect().toSeq
-          assert(got == model.map(_._2).distinct.filter(pred).sorted,
-            s"iter $iter MEASUREMENTS$withTxt")
-        case 1 => // SHOW SERIES
-          val got = InfluxQL.run(dfNow, "SHOW SERIES").as[String].collect().toSeq
-          val want = model.map(p => s"${p._2},device=${p._1}").distinct.sorted
-          assert(got == want, s"iter $iter SERIES")
-        case 2 => // SHOW TAG VALUES
-          val got = InfluxQL.run(dfNow, "SHOW TAG VALUES WITH KEY = device")
+          assert(got == model.filter(rowPred).map(_._2).distinct.filter(pred).sorted,
+            s"iter $iter MEASUREMENTS$withTxt$whereTxt")
+        case 1 => // SHOW SERIES [FROM m | /re/]
+          val (fromTxt, pred): (String, String => Boolean) = rnd.nextInt(3) match {
+            case 0 => ("", _ => true)
+            case 1 => val m = meas(rnd.nextInt(3)); (s" FROM $m", _ == m)
+            case _ =>
+              val re = Seq("m[12]", "m1|m3")(rnd.nextInt(2))
+              (s" FROM /$re/", (s: String) => re.r.findFirstIn(s).nonEmpty)
+          }
+          val (whereTxt, rowPred) = showWhere(allowTime = true)
+          val got = InfluxQL.run(dfNow, s"SHOW SERIES$fromTxt$whereTxt")
+            .as[String].collect().toSeq
+          val want = model.filter(p => pred(p._2) && rowPred(p))
+            .map(p => s"${p._2},device=${p._1}").distinct.sorted
+          assert(got == want, s"iter $iter SERIES$fromTxt$whereTxt")
+        case 2 => // SHOW TAG VALUES [FROM m] WITH KEY <selector>
+          val (fromTxt, fromPred): (String, String => Boolean) =
+            if (rnd.nextBoolean()) ("", _ => true)
+            else { val m = meas(rnd.nextInt(3)); (s" FROM $m", _ == m) }
+          val (selTxt, selectsDevice): (String, Boolean) = rnd.nextInt(4) match {
+            case 0 => ("= device", true)
+            case 1 => ("IN (device)", true)
+            case 2 => ("=~ /dev/", true)
+            case _ => ("!~ /dev/", false) // selects no key: empty, not error
+          }
+          val (whereTxt, rowPred) = showWhere(allowTime = true)
+          val got = InfluxQL.run(dfNow,
+            s"SHOW TAG VALUES$fromTxt WITH KEY $selTxt$whereTxt")
             .as[(String, String)].collect().toSeq
-          val want = model.map(_._1).distinct.sorted.map(("device", _))
-          assert(got == want, s"iter $iter TAG VALUES")
+          val want = if (!selectsDevice) Nil
+            else model.filter(p => fromPred(p._2) && rowPred(p)).map(_._1)
+              .distinct.sorted.map(("device", _))
+          assert(got == want, s"iter $iter TAG VALUES$fromTxt WITH KEY $selTxt$whereTxt")
         case 3 => // DELETE FROM <m|/re/> [WHERE ...]
           val (fromTxt, fromPred): (String, String => Boolean) =
             if (rnd.nextBoolean()) {

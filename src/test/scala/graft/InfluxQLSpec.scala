@@ -382,6 +382,84 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("unknown tag"))
   }
 
+  test("SHOW ... FROM scopes discovery to one measurement (or a regex)") {
+    // site is set only on temp rows; hum rows carry a null site tag and a
+    // null value field-sibling would not exist — presence scanning must
+    // separate the two measurements
+    val df = Seq(
+      ("a", Some("s1"), "temp", 1L, 1.0), ("b", Some("s1"), "temp", 2L, 2.0),
+      ("a", Option.empty[String], "hum", 3L, 3.0))
+      .toDF("device", "site", "transducer", "ts_us", "value")
+    assert(InfluxQL.run(df, "SHOW SERIES FROM temp").as[String].collect().toSeq ==
+      Seq("temp,device=a,site=s1", "temp,device=b,site=s1"))
+    assert(InfluxQL.run(df, "SHOW SERIES CARDINALITY FROM /h/").as[Long]
+      .collect().head == 1L)
+    // TAG KEYS without FROM answer from the schema; FROM presence-scans
+    assert(InfluxQL.run(df, "SHOW TAG KEYS").as[String].collect().toSeq ==
+      Seq("device", "site"))
+    assert(InfluxQL.run(df, "SHOW TAG KEYS FROM hum").as[String].collect().toSeq ==
+      Seq("device"))
+    assert(InfluxQL.run(df, "SHOW TAG KEY CARDINALITY FROM hum").as[Long]
+      .collect().head == 1L)
+    assert(InfluxQL.run(df, "SHOW TAG VALUES FROM temp WITH KEY = device")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("device", "a"), ("device", "b")))
+    assert(InfluxQL.run(df, "SHOW TAG VALUES CARDINALITY FROM hum WITH KEY IN (device, site)")
+      .as[Long].collect().head == 1L)
+    assert(InfluxQL.run(df, "SHOW FIELD KEYS FROM temp")
+      .as[(String, String)].collect().toSeq == Seq(("value", "double")))
+    // a FROM selecting no rows answers empty / zero, never errors
+    assert(InfluxQL.run(df, "SHOW FIELD KEYS FROM nope").collect().isEmpty)
+    assert(InfluxQL.run(df, "SHOW FIELD KEY CARDINALITY FROM nope").as[Long]
+      .collect().head == 0L)
+    assert(InfluxQL.run(df, "SHOW TAG KEYS FROM nope").collect().isEmpty)
+  }
+
+  test("SHOW ... WHERE filters discovery by tag conditions and time bounds") {
+    val df = Seq(
+      ("a", Some("s1"), "temp", 1000000L, 1.0),
+      ("b", Some("s2"), "temp", 2000000L, 2.0),
+      ("a", Option.empty[String], "hum", 3000000L, 3.0))
+      .toDF("device", "site", "transducer", "ts_us", "value")
+    assert(InfluxQL.run(df, "SHOW SERIES WHERE device = 'a'")
+      .as[String].collect().toSeq ==
+      Seq("hum,device=a", "temp,device=a,site=s1"))
+    // OR trees and regex tag predicates ride the same WHERE grammar
+    assert(InfluxQL.run(df, "SHOW SERIES WHERE site =~ /s/ AND device = 'b'")
+      .as[String].collect().toSeq == Seq("temp,device=b,site=s2"))
+    assert(InfluxQL.run(df,
+      "SHOW MEASUREMENTS WHERE device = 'b' OR site = 's1'")
+      .as[String].collect().toSeq == Seq("temp"))
+    assert(InfluxQL.run(df, "SHOW MEASUREMENT CARDINALITY WHERE device = 'a'")
+      .as[Long].collect().head == 2L)
+    // time bounds restrict the scan on the scan-backed statements
+    assert(InfluxQL.run(df, "SHOW SERIES WHERE time >= 2000000")
+      .as[String].collect().toSeq ==
+      Seq("hum,device=a", "temp,device=b,site=s2"))
+    assert(InfluxQL.run(df, "SHOW TAG KEYS WHERE time >= 3000000")
+      .as[String].collect().toSeq == Seq("device"))
+    assert(InfluxQL.run(df,
+      "SHOW TAG VALUES WITH KEY = device WHERE site = 's1'")
+      .as[(String, String)].collect().toSeq == Seq(("device", "a")))
+    assert(InfluxQL.run(df,
+      "SHOW TAG VALUES CARDINALITY FROM temp WITH KEY IN (device, site) WHERE device != 'a'")
+      .as[Long].collect().head == 2L)
+    // FROM and WHERE compose; paging still applies after both
+    assert(InfluxQL.run(df, "SHOW SERIES FROM temp WHERE device = 'a' LIMIT 1")
+      .as[String].collect().toSeq == Seq("temp,device=a,site=s1"))
+    // rejections: field predicates anywhere, time on MEASUREMENTS,
+    // unknown tags
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW SERIES WHERE value > 1"))
+      .getMessage.contains("field"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW MEASUREMENTS WHERE time > 1000000"))
+      .getMessage.contains("time"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW SERIES WHERE nope = 'x'"))
+      .getMessage.contains("unknown tag"))
+  }
+
   test("WHERE supports field comparisons and OR with parentheses") {
     val q = parse("SELECT value FROM m WHERE value > 5 AND (device = 'a' OR device = 'b') AND time >= 10")
     assert(q.conds == Seq(
@@ -711,6 +789,40 @@ class InfluxQLSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](
       parse("SELECT holt_winters(mean(value), 2, 2000) FROM m GROUP BY time(10u)"))
       .getMessage.contains("[0, 1000]"))
+  }
+
+  test("holt_winters_with_fit emits in-sample smoothed levels before the forecasts") {
+    val df = pts(("a", "m", 2L, 1.0), ("a", "m", 12L, 2.0), ("a", "m", 23L, 3.0))
+    val fit = InfluxQL.run(df,
+      "SELECT holt_winters_with_fit(mean(value), 2, 0) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double)].collect().toSeq
+    // 3 in-sample buckets, then the 2 forecasts, time-ordered
+    assert(fit.map(_._1) == Seq(0L, 10L, 20L, 30L, 40L))
+    // a one-point kernel answers the point itself
+    assert(fit(0)._3 == 1.0)
+    // in-sample fits are the pinned integer-EMA level of the bucket series
+    val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+    def lvl(vs: Seq[Double]): Double = {
+      val vu = vs.map(v => math.floor(v * 1e6).toLong)
+      val num = vu.reverse.zip(cs).map { case (v, c) => v * c }.sum
+      val den = vu.reverse.zip(cs).map(_._2).sum
+      num.toDouble / den.toDouble / 1e6
+    }
+    assert(fit(1)._3 == lvl(Seq(1.0, 2.0)))
+    assert(fit(2)._3 == lvl(Seq(1.0, 2.0, 3.0)))
+    // the forecast tail is exactly the plain holt_winters answer
+    val plain = InfluxQL.run(df,
+      "SELECT holt_winters(mean(value), 2, 0) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(fit.drop(3) == plain)
+    // seasonal with_fit on a constant series: every fit (level + own-phase
+    // index) and the forecast are exactly the constant
+    val const = pts((0 until 6).map(i => ("a", "m", i * 10L, 5.5)): _*)
+    val sfit = InfluxQL.run(const,
+      "SELECT holt_winters_with_fit(mean(value), 1, 3) FROM m GROUP BY time(10u), device")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(sfit.map(_._1) == (0 until 7).map(i => i * 10L))
+    assert(sfit.forall(_._3 == 5.5), sfit.toString)
   }
 
   test("fill skeleton rejects a range above the max-select-buckets cap") {
@@ -1343,6 +1455,12 @@ class InfluxQLSpec extends SparkSuite {
     // ...and a matching point still answers exactly one row
     assert(InfluxQL.run(df, "SELECT count(value) FROM m").as[Long].collect().toSeq
       == Seq(1L))
+    // mode's two-level aggregation follows the same rule (global form
+    // groups by a dropped constant, so zero points yield zero groups)
+    assert(InfluxQL.run(df, "SELECT mode(value) FROM nope").collect().isEmpty)
+    assert(InfluxQL.run(df, "SELECT mode(value), count(value) FROM nope").collect().isEmpty)
+    assert(InfluxQL.run(df, "SELECT mode(value) FROM m").as[Double].collect().toSeq
+      == Seq(1.0))
   }
 
   test("planner: integral() trapezoids per series, default 1s unit and explicit unit") {
