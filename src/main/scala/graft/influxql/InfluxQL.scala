@@ -60,6 +60,8 @@ import org.apache.spark.sql.functions._
   *           | triple_exponential_moving_average|triple_exponential_derivative
   *           | relative_strength_index|chande_momentum_oscillator
   *           | kaufmans_efficiency_ratio   (each '(' agg ',' N ')', N >= 2)
+  *           | kaufmans_adaptive_moving_average   (bucketed path only — its
+  *             smoothing constant is data-dependent, a true recursion)
   *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
   *           | pow|atan2
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
@@ -202,7 +204,8 @@ object InfluxQL {
   val TaFuncs: Set[String] = Set("exponential_moving_average",
     "double_exponential_moving_average", "triple_exponential_moving_average",
     "triple_exponential_derivative", "relative_strength_index",
-    "chande_momentum_oscillator", "kaufmans_efficiency_ratio")
+    "chande_momentum_oscillator", "kaufmans_efficiency_ratio",
+    "kaufmans_adaptive_moving_average")
 
   val TransformFuncs: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "cumulative_sum", "moving_average") ++ TaFuncs
@@ -2148,6 +2151,10 @@ object InfluxQL {
           case "exponential_moving_average" =>
             val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
             d.withColumn(s"__e1$id", when(c.isNotNull, emaSub(c, nArg, depth)))
+          case "kaufmans_adaptive_moving_average" =>
+            throw new IllegalArgumentException(
+              "InfluxQL: kaufmans_adaptive_moving_average runs on GROUP BY " +
+                "time() buckets — add a time() grouping")
           case tf =>
             val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
             val stages = if (tf == "double_exponential_moving_average") 2 else 3
@@ -2516,6 +2523,31 @@ object InfluxQL {
                 .otherwise(lit(null).cast("double"))
           }
           dd.withColumn(n, when(c.isNotNull, out)).drop(sn: _*)
+        case "kaufmans_adaptive_moving_average" =>
+          // KAMA is the one TA recurrence whose smoothing constant is
+          // data-dependent per step: sc = (er·(2/3 − 2/31) + 2/31)² with
+          // er the trailing efficiency ratio (InfluxDB's fast=2 / slow=30
+          // constants). sc computes per bucket on the KER int64 machinery;
+          // the recursion itself runs as kamaScan's per-series O(1)-state
+          // partition scan (one repartition on the series key, join back
+          // on (series, time)). Buckets without a defined ratio emit null
+          // and do not advance the state; the first ratio-bearing bucket
+          // seeds with its own value.
+          val nArg = f.targ.get.toInt
+          val pN = s"__p_$n"
+          val duN = s"__du_$n"
+          val scN = s"__sc_$n"
+          val dd = d.withColumnRenamed(n, pN)
+          val cP = col(pN).cast("double")
+          val vuP = floor(cP * lit(1000000.0))
+          val er = graft.operators.TimeSeriesOps.kaufmansEfficiencyRatio(
+            vuP, col(duN), w, nArg)
+          val sct = er * lit(2.0 / 3.0 - 2.0 / 31.0) + lit(2.0 / 31.0)
+          val dd2 = dd.withColumn(duN, vuP - lag(vuP, 1).over(w))
+            .withColumn(scN, when(cP.isNotNull, sct * sct))
+          graft.operators.TimeSeriesOps.kamaScan(
+            dd2, partCols, "time", pN, scN, n)
+            .drop(duN, scN, pN)
         case tf @ ("relative_strength_index" | "chande_momentum_oscillator" |
                    "kaufmans_efficiency_ratio") =>
           // diff-based indicators need the quantized bucket-to-bucket diff

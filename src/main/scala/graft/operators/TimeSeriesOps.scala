@@ -353,6 +353,71 @@ object TimeSeriesOps {
     cur
   }
 
+  /** Kaufman's adaptive moving average — the one TA recurrence whose
+    * smoothing constant is DATA-DEPENDENT per step (sc = (er·(2/3 − 2/31)
+    * + 2/31)², er the trailing efficiency ratio), so it cannot unroll to a
+    * fixed window kernel like [[exponentialMovingAverage]]. The honest
+    * shape is the sequential per-series recursion InfluxDB itself runs:
+    * one shuffle partitions by series, a partition-local sort orders each
+    * series by time, and a single O(1)-state linear scan folds
+    * kama' = kama + sc·(price − kama) — the classic
+    * repartition→sortWithinPartitions→mapPartitions pattern, no per-series
+    * buffering, so a 100 TB corpus streams through.
+    *
+    * Pinned determinism semantics (the oracle mirrors them step by step —
+    * the recursion is a fixed IEEE tree, bit-exact cross-engine):
+    *   - rows whose `sc` is null (no defined efficiency ratio yet, or a
+    *     ratio interrupted by a null neighbor) emit null and do NOT
+    *     advance the state;
+    *   - the first sc-defined row of a series seeds kama with its own
+    *     price;
+    *   - every later sc-defined row folds the recursion.
+    *
+    * Input columns: `keys` identify the series, `timeCol` (long) orders
+    * it, `priceCol`/`scCol` are doubles (null-price rows are dropped —
+    * the indicator emits only at present buckets). Returns (keys...,
+    * timeCol, outCol) for a left join back onto the bucket grid.
+    */
+  def kamaScan(df: DataFrame, keys: Seq[String], timeCol: String,
+               priceCol: String, scCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // \u0001-separated composite key; a null tag encodes as \u0002 so a
+    // series with an absent tag never merges with one tagged ""
+    val seriesKey = concat_ws("\u0001", keys.map(k =>
+      coalesce(col(k).cast("string"), lit("\u0002"))): _*)
+    val keyed = df
+      .filter(col(priceCol).isNotNull)
+      .select(
+        seriesKey.as("_1"),
+        col(timeCol).cast("long").as("_2"),
+        col(priceCol).cast("double").as("_3"),
+        col(scCol).cast("double").as("_4"))
+      .as[(String, Long, Double, Option[Double])]
+    val scanned = keyed
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var kama: java.lang.Double = null
+        it.map { case (k, t, p, sc) =>
+          if (k != curKey) { curKey = k; kama = null }
+          val out: Option[Double] = sc match {
+            case Some(s) =>
+              if (kama == null) kama = p
+              else kama = kama + s * (p - kama)
+              Some(kama.doubleValue)
+            case None => None
+          }
+          (k, t, out)
+        }
+      }
+      .toDF("__kama_k", timeCol, outCol)
+    df.withColumn("__kama_k", seriesKey)
+      .join(scanned, Seq("__kama_k", timeCol), "left")
+      .drop("__kama_k")
+  }
+
   /** InfluxQL `holt_winters(h, ...)`-style forecast — the fixed-coefficient
     * variant of Holt's linear method: the LEVEL is the truncated-kernel
     * integer EMA of the values and the TREND the same kernel over first

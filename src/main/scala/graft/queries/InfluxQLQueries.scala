@@ -148,6 +148,19 @@ object InfluxQLQueries {
     // `!~` drops them (everyday InfluxQL); rlike is unanchored substring
     // search in Spark AND DuckDB's regexp_matches, so the oracle mirrors
     // the pattern verbatim
+    // kaufmans_adaptive_moving_average(mean(value), 4): the one TA
+    // recurrence with a DATA-DEPENDENT smoothing constant — sc per bucket
+    // from the KER machinery, then a true per-series recursion (kamaScan's
+    // repartition→sort→O(1)-state scan); the oracle replays the identical
+    // IEEE step sequence with a recursive CTE
+    "q_influxql_kama" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT kaufmans_adaptive_moving_average(mean(value), 4) AS kama4
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     "q_influxql_tag_regex" -> ((s, dir) => {
       InfluxQL.run(points(s, dir),
         """SELECT count(value) AS c, mean(value) AS mv FROM purchase
@@ -493,6 +506,49 @@ object InfluxQLQueries {
          |      ELSE CAST(abs(vu - v4) AS DOUBLE) / CAST(vol AS DOUBLE) END
          |    END AS ker4
          |FROM fin""".stripMargin
+    },
+
+    "q_influxql_kama" -> {
+      val win = "(PARTITION BY device ORDER BY time)"
+      // sc = (er·(2/3 − 2/31) + 2/31)² — the constant subexpressions are
+      // WRITTEN as arithmetic (not printed decimals) so DuckDB folds the
+      // identical IEEE doubles the Scala compiler folded
+      s"""WITH RECURSIVE $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |devs AS (SELECT DISTINCT device FROM b),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o)),
+         |j AS (SELECT s.time, s.device, b.mv,
+         |    CAST(floor(b.mv * 1000000.0) AS BIGINT) AS vu
+         |  FROM skel s LEFT JOIN b ON s.time = b.time AND s.device = b.device),
+         |d AS (SELECT *, vu - lag(vu) OVER $win AS du FROM j),
+         |e AS (SELECT *,
+         |    lag(vu, 4) OVER w AS v4,
+         |    CAST(sum(abs(du)) OVER (PARTITION BY device ORDER BY time
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS vol
+         |  FROM d WINDOW w AS $win),
+         |er AS (SELECT *,
+         |    CASE WHEN v4 IS NOT NULL THEN
+         |      CASE WHEN vol IS NULL THEN NULL WHEN vol = 0 THEN 0.0
+         |        ELSE CAST(abs(vu - v4) AS DOUBLE) / CAST(vol AS DOUBLE) END
+         |      END AS r
+         |  FROM e),
+         |sct AS (SELECT *, r * (2.0/3.0 - 2.0/31.0) + 2.0/31.0 AS t0 FROM er),
+         |scr AS (SELECT device, time, mv, t0 * t0 AS sc,
+         |    row_number() OVER $win AS rn
+         |  FROM sct WHERE mv IS NOT NULL AND t0 IS NOT NULL),
+         |k AS (
+         |  SELECT device, time, rn, mv AS kama FROM scr WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.device, s.time, s.rn, k.kama + s.sc * (s.mv - k.kama)
+         |  FROM scr s JOIN k ON s.device = k.device AND s.rn = k.rn + 1)
+         |SELECT j.time, j.device, k.kama AS kama4
+         |FROM j LEFT JOIN k ON j.device = k.device AND j.time = k.time""".stripMargin
     },
 
     "q_influxql_regex" ->

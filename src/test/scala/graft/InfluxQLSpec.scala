@@ -276,6 +276,43 @@ class InfluxQLSpec extends SparkSuite {
     assert(got(40L)._3.isEmpty)
   }
 
+  test("planner: kaufmans_adaptive_moving_average recursion over buckets") {
+    // monotone 1..5, n=2: the ratio first exists at bucket 2 (needs an
+    // n-back value); the seed is that bucket's own value, er = 1 after
+    val df = pts(("a", "m", 0L, 1.0), ("a", "m", 10L, 2.0), ("a", "m", 20L, 3.0),
+      ("a", "m", 30L, 4.0), ("a", "m", 40L, 5.0))
+    val got = InfluxQL.run(df,
+      "SELECT kaufmans_adaptive_moving_average(mean(value), 2) AS kama FROM m GROUP BY time(10u)")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(0L).isEmpty && got(10L).isEmpty)
+    assert(got(20L).contains(3.0), "first ratio-bearing bucket seeds with its value")
+    val sc = { val t = 1.0 * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0; t * t }
+    val k3 = 3.0 + sc * (4.0 - 3.0)
+    val k4 = k3 + sc * (5.0 - k3)
+    assert(got(30L).contains(k3))
+    assert(got(40L).contains(k4))
+    // constant series: er = 0, sc = (2/31)², the recursion never moves
+    val const = pts((0 until 5).map(i => ("b", "m", i * 10L, 7.25)): _*)
+    val flat = InfluxQL.run(const,
+      "SELECT kaufmans_adaptive_moving_average(mean(value), 2) AS kama FROM m GROUP BY time(10u)")
+      .as[(Long, Option[Double])].collect().toMap
+    assert((2 until 5).forall(i => flat(i * 10L).contains(7.25)))
+    // an empty bucket interrupts the ratio (KER null): the bucket after it
+    // emits nothing and does NOT advance the recursion state
+    val gap = pts(("a", "m", 0L, 1.0), ("a", "m", 10L, 2.0), ("a", "m", 20L, 3.0),
+      ("a", "m", 40L, 5.0))
+    val g = InfluxQL.run(gap,
+      """SELECT kaufmans_adaptive_moving_average(mean(value), 2) AS kama
+        |FROM m WHERE time >= 0 AND time < 50 GROUP BY time(10u)""".stripMargin)
+      .as[(Long, Option[Double])].collect().toMap
+    assert(g(20L).contains(3.0))
+    assert(g(40L).isEmpty, "ratio interrupted by the empty bucket")
+    // the raw path (no GROUP BY time) rejects loudly
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SELECT kaufmans_adaptive_moving_average(value, 2) FROM m"))
+      .getMessage.contains("GROUP BY time"))
+  }
+
   test("planner: raw selection, ORDER BY time DESC, LIMIT") {
     val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("a", "m", 3L, 3.0),
       ("b", "other", 4L, 9.0))
