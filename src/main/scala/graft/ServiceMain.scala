@@ -219,8 +219,22 @@ object ServiceMain {
       statusPoints.withColumn("ts_us", unix_micros(col("ts"))),
       lateness = conf.getOrElse("cq_lateness", "1 minute"), trigger = trigger)
 
+    // registered subscriptions fan every ingested point out to their
+    // destinations as line protocol (InfluxDB's subscriber service); the
+    // registry re-reads each batch, so CREATE SUBSCRIPTION takes effect
+    // without a restart. Executor-side publishing rides the in-process
+    // bus — the same fabric the service's own MQTT loop consumes. The
+    // numeric face of the narrow layout is what forwards (line protocol's
+    // value field); bool points ride as 1/0, string payloads stay local.
+    val subQ = graft.influxql.Subscriptions.start(
+      statusPoints.select(col("device_id").as("device"), col("transducer"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(col("num"), col("bool").cast("double")).as("value"))
+        .filter(col("value").isNotNull),
+      db, dataDir, checkpoint = cp("subscriptions"), trigger = trigger)
+
     Handles(spark, manager,
-      Seq(controlQ, dataQ, dlQ, statusQ, autoQ) ++ cqQs.map(_._2))
+      Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2))
   }
 
   /** R17 — graceful shutdown: stop every query (checkpoints make the next

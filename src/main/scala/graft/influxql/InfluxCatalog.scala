@@ -132,6 +132,97 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     } else t.read()
   }
 
+  /** The db's default retention policy name (`autogen` when none is
+    * registered — the seed policy every new database gets).
+    */
+  private def defaultRp(db: String): String = {
+    val policies = new TxLogTable(spark, s"$rootDir/_retention_policies")
+    if (policies.version.isEmpty) "autogen"
+    else policies.read()
+      .filter(col("db") === db && col("is_default") === true)
+      .select("name").collect().headOption.map(_.getString(0)).getOrElse("autogen")
+  }
+
+  /** SHOW SHARDS — the storage-operational statement (InfluxDB's shard
+    * listing): one row per committed immutable data directory of each
+    * database's points table, the engine's shard unit. start/end times
+    * come from a column-pruned min/max over each dir (footer-stats-sized
+    * work, bounded by the shard count — a control-plane statement, never a
+    * data-plane scan of all columns). Shard groups are 1:1 with shards
+    * here (single-node replication-1 layout), so shard_group = id.
+    */
+  def showShards(): DataFrame = {
+    import spark.implicits._
+    var id = 0L
+    val rows = for {
+      db <- databaseNames()
+      t = pointsTable(db)
+      v <- t.version.toSeq
+      rp = defaultRp(db)
+      dir <- t.dirPaths(v)
+    } yield {
+      id += 1
+      val stats = spark.read.parquet(dir)
+        .agg(min(col("ts_us")), max(col("ts_us")), count(lit(1))).head
+      val bytes = {
+        val p = Paths.get(dir)
+        val walk = Files.walk(p)
+        try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+        finally walk.close()
+      }
+      (id, db, rp, id,
+        if (stats.isNullAt(0)) None else Some(stats.getLong(0)),
+        if (stats.isNullAt(1)) None else Some(stats.getLong(1)),
+        stats.getLong(2), bytes)
+    }
+    rows.toDF("id", "database", "retention_policy", "shard_group",
+      "start_time", "end_time", "points", "bytes")
+  }
+
+  /** SHOW SHARD GROUPS: the grouping level of [[showShards]] — 1:1 with
+    * shards in this engine's layout.
+    */
+  def showShardGroups(): DataFrame =
+    showShards().select("shard_group", "database", "retention_policy",
+      "start_time", "end_time")
+
+  /** SHOW STATS: per-database storage counters — measurements, series,
+    * points, shards — one aggregate per database (InfluxDB reads its
+    * in-memory monitors; this engine answers exactly from the tables).
+    */
+  def showStats(): DataFrame = {
+    import spark.implicits._
+    val rows = databaseNames().map { db =>
+      val t = pointsTable(db)
+      if (t.version.isEmpty) (db, 0L, 0L, 0L, 0L)
+      else {
+        val pts = t.read()
+        val tagCols = InfluxQL.tagColumns(pts)
+        val seriesKey = concat_ws(",",
+          col("transducer") +: tagCols.map(tc => concat(lit(tc + "="), col(tc))): _*)
+        val s = pts.agg(
+          countDistinct(col("transducer")),
+          countDistinct(seriesKey),
+          count(lit(1))).head
+        (db, s.getLong(0), s.getLong(1), s.getLong(2),
+          t.dirPaths(t.version.get).size.toLong)
+      }
+    }
+    rows.toDF("database", "measurements", "series", "points", "shards")
+  }
+
+  /** SHOW DIAGNOSTICS: build/runtime facts as (name, value) rows. */
+  def showDiagnostics(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("engine", "graft"),
+      ("sparkVersion", spark.version),
+      ("scalaVersion", scala.util.Properties.versionNumberString),
+      ("javaVersion", sys.props.getOrElse("java.version", "unknown")),
+      ("defaultDatabase", defaultDb),
+      ("root", rootDir)).toDF("name", "value")
+  }
+
   /** One statement in, one DataFrame out — the full dialect with database
     * routing. SELECT plans against the FROM qualifier's db (`defaultDb`
     * unqualified); SHOW statements honor `ON <db>`; DELETE / DROP
@@ -153,12 +244,28 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       InfluxQL.runRetention(spark, t, rootDir, requireDb)
     else if (up.contains("CONTINUOUS QUER"))
       ContinuousQueries.run(spark, rootDir, t, requireDb)
+    else if (up.contains("SUBSCRIPTION"))
+      Subscriptions.run(spark, rootDir, t, (db, rp) => {
+        requireDb(db); requireRp(db, rp)
+      })
     else if (up.startsWith("CREATE USER") || up.startsWith("DROP USER") ||
              up.startsWith("SET PASSWORD") || up.startsWith("GRANT") ||
              up.startsWith("REVOKE") || up.startsWith("SHOW USERS") ||
              up.startsWith("SHOW GRANTS"))
       InfluxAuth.run(spark, rootDir, t)
-    else if (up.startsWith("SHOW QUERIES")) {
+    else if (up.startsWith("SHOW SHARD GROUPS")) {
+      require(t.split("\\s+").length == 3, s"trailing input in '$t'")
+      showShardGroups()
+    } else if (up.startsWith("SHOW SHARDS")) {
+      require(t.split("\\s+").length == 2, s"trailing input in '$t'")
+      showShards()
+    } else if (up.startsWith("SHOW STATS")) {
+      require(t.split("\\s+").length == 2, s"trailing input in '$t'")
+      showStats()
+    } else if (up.startsWith("SHOW DIAGNOSTICS")) {
+      require(t.split("\\s+").length == 2, s"trailing input in '$t'")
+      showDiagnostics()
+    } else if (up.startsWith("SHOW QUERIES")) {
       require(t.split("\\s+").length == 2, s"trailing input in '$t'")
       queryRegistry.list(spark)
     } else if (up.startsWith("KILL QUERY")) {
@@ -226,10 +333,13 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
         deny(s"$priv on $db")
     val admin = Seq("CREATE DATABASE", "DROP DATABASE", "CREATE USER",
       "DROP USER", "SET PASSWORD", "GRANT", "REVOKE", "SHOW USERS",
-      "SHOW GRANTS", "KILL QUERY")
+      "SHOW GRANTS", "KILL QUERY",
+      // cluster-operational monitoring is admin-only in InfluxDB 1.x
+      "SHOW SHARD", "SHOW STATS", "SHOW DIAGNOSTICS")
     val openMeta = Seq("SHOW DATABASES", "SHOW QUERIES")
     if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC") ||
-        up.contains("CONTINUOUS QUER")) // CQ DDL is admin in InfluxDB 1.x
+        up.contains("CONTINUOUS QUER") || // CQ DDL is admin in InfluxDB 1.x
+        up.contains("SUBSCRIPTION"))      // as is subscription DDL
       needAdmin()
     else if (up.startsWith("DELETE") || up.startsWith("DROP"))
       needOn(defaultDb, "WRITE")

@@ -1,0 +1,173 @@
+package graft.influxql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.storage.TxLogTable
+import InfluxQL.{tokenize, P, TStr}
+
+/** InfluxDB 1.x SUBSCRIPTIONS — the write fan-out surface (InfluxDB
+  * forwards every point written to a database to each subscription's
+  * destinations; Kapacitor is the canonical subscriber):
+  *
+  *   CREATE SUBSCRIPTION <name> ON <db>.<rp> DESTINATIONS ALL|ANY 'dest' [, 'dest' ...]
+  *   SHOW SUBSCRIPTIONS                    (db, retention_policy, name, mode, destinations)
+  *   DROP SUBSCRIPTION <name> ON <db>.<rp>
+  *
+  * Definitions persist in a control-plane [[TxLogTable]] at
+  * `<root>/_subscriptions` (rows = number of subscriptions), like the CQ
+  * and retention registries. Semantics follow InfluxDB 1.x: the (db, rp)
+  * pair must exist, a duplicate name per (db, rp) fails at CREATE, DROP of
+  * a missing subscription fails loudly, mode is ALL (every destination
+  * receives every point) or ANY (each point goes to exactly one
+  * destination — pinned here as a deterministic content hash, the
+  * reproducible face of InfluxDB's round-robin balancing).
+  *
+  * The execution half ([[start]]) is a streaming fan-out: each micro-batch
+  * re-reads the registry (a new subscription takes effect without a
+  * restart, as in InfluxDB) and publishes every point as line protocol
+  * from the EXECUTORS — `foreachPartition` with a per-partition publisher,
+  * never a driver-side collect, so the fan-out scales with the write path
+  * it mirrors.
+  */
+object Subscriptions {
+
+  /** Destinations joined for storage/SHOW. InfluxDB renders the list as a
+    * single bracketed string; a comma never appears inside a destination
+    * URL's authority, and CREATE re-splits on the same separator.
+    */
+  private val DestSep = ", "
+
+  private def table(spark: SparkSession, root: String) =
+    new TxLogTable(spark, s"$root/_subscriptions")
+
+  private def defs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, root)
+    if (t.version.isEmpty)
+      Seq.empty[(String, String, String, String, String)]
+        .toDF("db", "retention_policy", "name", "mode", "destinations")
+    else t.read()
+  }
+
+  /** SHOW shape: (db, retention_policy, name, mode, destinations). */
+  def show(spark: SparkSession, root: String): DataFrame =
+    defs(spark, root).orderBy("db", "retention_policy", "name")
+
+  /** Parse + execute one subscription management statement; every form
+    * returns the refreshed SHOW SUBSCRIPTIONS surface. `requireRp`
+    * validates the (db, rp) pair against the catalog/retention stores.
+    */
+  def run(spark: SparkSession, root: String, text: String,
+          requireRp: (String, String) => Unit = (_, _) => ()): DataFrame = {
+    import spark.implicits._
+    val p = new P(tokenize(text))
+    if (p.kw("SHOW")) {
+      p.expectKw("SUBSCRIPTIONS")
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      return show(spark, root)
+    }
+    val create = p.kw("CREATE")
+    if (!create && !p.kw("DROP"))
+      p.fail("expected CREATE, DROP or SHOW SUBSCRIPTION...")
+    p.expectKw("SUBSCRIPTION")
+    val name = p.next() match {
+      case TStr(s, _) => s
+      case t => t.raw // bare identifier form
+    }
+    p.expectKw("ON")
+    val db = p.ident()
+    p.expectSym(".")
+    val rp = p.ident()
+    requireRp(db, rp)
+    val exists = defs(spark, root).filter(
+      col("db") === db && col("retention_policy") === rp &&
+        col("name") === name).limit(1).count() > 0
+    if (!create) {
+      if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+      if (!exists) throw new IllegalArgumentException(
+        s"InfluxQL: subscription not found: $name on $db.$rp")
+      table(spark, root).delete(
+        col("db") === db && col("retention_policy") === rp && col("name") === name)
+      return show(spark, root)
+    }
+    p.expectKw("DESTINATIONS")
+    val mode =
+      if (p.kw("ALL")) "ALL"
+      else if (p.kw("ANY")) "ANY"
+      else p.fail("expected ALL or ANY after DESTINATIONS")
+    def dest(): String = p.next() match {
+      case TStr(s, _) =>
+        if (s.contains(DestSep.trim)) p.fail(s"destination may not contain ','")
+        s
+      case t => p.fail(s"expected quoted destination, got '${t.raw}'")
+    }
+    val dests = Seq.newBuilder[String]
+    dests += dest()
+    while (p.sym(",")) dests += dest()
+    if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
+    if (exists) throw new IllegalArgumentException(
+      s"InfluxQL: subscription already exists: $name on $db.$rp")
+    table(spark, root).append(Seq((db, rp, name, mode, dests.result().mkString(DestSep)))
+      .toDF("db", "retention_policy", "name", "mode", "destinations"))
+    show(spark, root)
+  }
+
+  /** One narrow-layout point as InfluxDB line protocol
+    * (`measurement,device=d value=v <ns>`) — the wire shape a subscriber
+    * like Kapacitor expects.
+    */
+  def lineProtocol(transducer: String, device: String, tsUs: Long, value: Double): String =
+    s"$transducer,device=$device value=$value ${tsUs * 1000L}"
+
+  /** The destination index an ANY-mode point lands on: a deterministic
+    * content hash (reproducible across retries — the pinned stand-in for
+    * InfluxDB's round-robin balancer, which is arrival-order-dependent).
+    */
+  def anyIndex(transducer: String, device: String, tsUs: Long, nDests: Int): Int = {
+    val h = java.util.Objects.hash(transducer, device, java.lang.Long.valueOf(tsUs))
+    math.floorMod(h, nDests)
+  }
+
+  /** Start the write fan-out for `db`: every micro-batch of the narrow
+    * points stream re-reads the registry and publishes each point to its
+    * subscription destinations from the executors (per-partition publisher
+    * via `publishFactory`, serialized to the tasks — the in-process bus by
+    * default, a real MQTT/UDP client in a deployment).
+    */
+  def start(points: DataFrame, db: String, root: String,
+            publishFactory: () => (String, String) => Unit =
+              () => (dest, payload) => graft.streaming.MqttBus.publish(dest, payload),
+            checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = points.sparkSession
+    points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // control-plane read: one row per subscription for this db
+        val subs = defs(spark, root).filter(col("db") === db)
+          .select("mode", "destinations").collect()
+          .map(r => (r.getString(0), r.getString(1).split(DestSep).toSeq))
+          .toSeq
+        if (subs.nonEmpty) {
+          val factory = publishFactory
+          batch.select("transducer", "device", "ts_us", "value")
+            .foreachPartition { rows: Iterator[Row] =>
+              val publish = factory()
+              rows.foreach { r =>
+                val (m, d, ts, v) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+                val line = lineProtocol(m, d, ts, v)
+                subs.foreach { case (mode, dests) =>
+                  if (mode == "ALL") dests.foreach(publish(_, line))
+                  else publish(dests(anyIndex(m, d, ts, dests.size)), line)
+                }
+              }
+            }
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -1318,6 +1318,88 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("number"))
   }
 
+  test("subscriptions: DDL registry; SHOW SHARDS/SHARD GROUPS/STATS/DIAGNOSTICS") {
+    val root = java.nio.file.Files.createTempDirectory("catalog_subs").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    assert(cat.run("SHOW SUBSCRIPTIONS").collect().isEmpty)
+    cat.run("CREATE SUBSCRIPTION sub0 ON tele.autogen DESTINATIONS ALL 'mq/s0', 'mq/s1'")
+    cat.run("CREATE SUBSCRIPTION sub1 ON tele.autogen DESTINATIONS ANY 'udp://h1:9'")
+    assert(cat.run("SHOW SUBSCRIPTIONS").as[(String, String, String, String, String)]
+      .collect().toSeq == Seq(
+        ("tele", "autogen", "sub0", "ALL", "mq/s0, mq/s1"),
+        ("tele", "autogen", "sub1", "ANY", "udp://h1:9")))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE SUBSCRIPTION sub0 ON tele.autogen DESTINATIONS ALL 'x'"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE SUBSCRIPTION s2 ON tele.ghost DESTINATIONS ALL 'x'"))
+      .getMessage.contains("retention policy not found"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE SUBSCRIPTION s2 ON ghost.autogen DESTINATIONS ALL 'x'"))
+      .getMessage.contains("database not found"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE SUBSCRIPTION s2 ON tele.autogen DESTINATIONS SOME 'x'"))
+      .getMessage.contains("ALL or ANY"))
+    assert(intercept[IllegalArgumentException](cat.run(
+      "DROP SUBSCRIPTION nope ON tele.autogen"))
+      .getMessage.contains("not found"))
+    cat.run("DROP SUBSCRIPTION sub1 ON tele.autogen")
+    assert(cat.run("SHOW SUBSCRIPTIONS").count() == 1)
+    // shards = the points table's committed immutable data dirs
+    cat.writePoints("tele", pts(("a", "temp", 10L, 1.0), ("b", "temp", 20L, 2.0)))
+    cat.writePoints("tele", pts(("a", "hum", 30L, 3.0)))
+    val shards = cat.run("SHOW SHARDS")
+      .as[(Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    assert(shards.size == 2, "two appends = two data dirs = two shards")
+    assert(shards.map(_._7).sum == 3 && shards.forall(_._8 > 0))
+    assert(shards.map(s => (s._2, s._3)).distinct == Seq(("tele", "autogen")))
+    assert(shards.map(s => (s._5.get, s._6.get)).toSet == Set((10L, 20L), (30L, 30L)))
+    assert(cat.run("SHOW SHARD GROUPS").count() == 2)
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L)))
+    val diag = cat.run("SHOW DIAGNOSTICS").as[(String, String)].collect().toMap
+    assert(diag("sparkVersion") == spark.version && diag("engine") == "graft")
+  }
+
+  test("subscriptions: streaming fan-out publishes line protocol per mode") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.influxql.Subscriptions
+    val root = java.nio.file.Files.createTempDirectory("subs_stream").toString
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    cat.run(s"CREATE SUBSCRIPTION fanAll ON tele.autogen DESTINATIONS ALL 'sub$tag/a', 'sub$tag/b'")
+    cat.run(s"CREATE SUBSCRIPTION fanAny ON tele.autogen DESTINATIONS ANY 'sub$tag/c', 'sub$tag/d'")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val p1 = ("a", "temp", 5L, 1.5)
+    val p2 = ("b", "temp", 6L, 2.5)
+    in.addData(p1, p2)
+    val before = graft.streaming.MqttBus.size
+    val q = Subscriptions.start(
+      in.toDF.toDF("device", "transducer", "ts_us", "value"), "tele", root,
+      checkpoint = s"$root/_ck_subs")
+    q.awaitTermination()
+    val got = graft.streaming.MqttBus.slice(before, graft.streaming.MqttBus.size)
+      .filter(_._1.startsWith(s"sub$tag/"))
+      .map(m => (m._1, new String(m._2, "UTF-8")))
+    def line(p: (String, String, Long, Double)) =
+      Subscriptions.lineProtocol(p._2, p._1, p._3, p._4)
+    assert(line(p1) == "temp,device=a value=1.5 5000")
+    // ALL: both destinations carry both points
+    for (d <- Seq("a", "b"); p <- Seq(p1, p2))
+      assert(got.contains((s"sub$tag/$d", line(p))), s"missing ALL $d ${line(p)}")
+    // ANY: each point lands exactly once, on its deterministic destination
+    for (p <- Seq(p1, p2)) {
+      val dest = Seq("c", "d")(Subscriptions.anyIndex(p._2, p._1, p._3, 2))
+      assert(got.count(m => m._2 == line(p) && m._1.endsWith("/c") || m._2 == line(p) && m._1.endsWith("/d")) == 1)
+      assert(got.contains((s"sub$tag/$dest", line(p))))
+    }
+    assert(got.size == 6, s"4 ALL + 2 ANY messages, got $got")
+  }
+
   test("continuous-query registry: CREATE validates + persists, SHOW lists, startAll runs, DROP removes") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

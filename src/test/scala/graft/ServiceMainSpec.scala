@@ -41,6 +41,9 @@ class ServiceMainSpec extends SparkSuite {
     cat0.run("CREATE DATABASE oc")
     cat0.run("CREATE CONTINUOUS QUERY down ON oc BEGIN " +
       "SELECT count(num) AS c INTO cnt FROM temp GROUP BY time(10u) END")
+    // a subscription registers through the catalog; the service fans every
+    // ingested numeric point out to it (InfluxDB's subscriber service)
+    cat0.run("CREATE SUBSCRIPTION fwd ON oc.autogen DESTINATIONS ALL 'subsvc/dest'")
     MqttBus.publish(ev,
       """{"action":"new","thing":{"id":"d1","transducers":[{"name":"Temp"},{"name":"Hum"}]}}""")
     runOnce()
@@ -78,6 +81,12 @@ class ServiceMainSpec extends SparkSuite {
     val catalogKeys = spark.read.parquet(s"$dir/transducer_catalog")
       .as[(String, String)].collect().toSet
     assert(catalogKeys == Set(("d1", "temp"), ("d1", "mode")))
+    // the subscription forwarded d1's numeric point as line protocol;
+    // the string-typed mode point stays local (numeric face only)
+    val fwd = MqttBus.slice(0, MqttBus.size).filter(_._1 == "subsvc/dest")
+      .map(m => new String(m._2, "UTF-8"))
+    assert(fwd.exists(_.startsWith("temp,device=d1 value=21.5 ")), s"got $fwd")
+    assert(!fwd.exists(_.startsWith("mode,")), s"got $fwd")
 
     // phase 2b/2c: two more temp points with EXPLICIT future event times —
     // each run's batch emits CQ windows closed by the PREVIOUS batch's
