@@ -1236,6 +1236,16 @@ object InfluxQL {
       df
     }
     def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("count"))
+    // InfluxDB's `[EXACT] CARDINALITY`: every cardinality here IS exact
+    // (one countDistinct, no sketch), so EXACT is accepted and a lone
+    // EXACT without CARDINALITY is loud
+    def expectCard(): Unit = { p.kw("EXACT"); p.expectKw("CARDINALITY") }
+    def optCard(): Boolean = {
+      val e = p.kw("EXACT")
+      val c = p.kw("CARDINALITY")
+      if (e && !c) p.fail("expected CARDINALITY after EXACT")
+      c
+    }
     def seriesKeys: DataFrame = scanPoints.select(concat_ws(",",
       col("transducer") +: tagColumns(points).map(t =>
         concat(lit(t + "="), col(t))): _*).as("key")).distinct()
@@ -1326,12 +1336,12 @@ object InfluxQL {
       finish(paged(nameFilter.map(base.filter).getOrElse(base)
         .orderBy(col("name"))))
     } else if (p.kw("MEASUREMENT")) {
-      p.expectKw("CARDINALITY")
+      expectCard()
       onDb()
       whereClause(allowTime = false)
       finish(count1(scanPoints.select("transducer").distinct()))
     } else if (p.kw("SERIES")) {
-      val card = p.kw("CARDINALITY")
+      val card = optCard()
       onDb()
       fromClause()
       whereClause()
@@ -1349,7 +1359,7 @@ object InfluxQL {
         finish(paged(spark.createDataset(ks.toList)(
           Encoders.STRING).toDF("tagKey").orderBy("tagKey")))
       } else if (p.kw("KEY")) {
-        p.expectKw("CARDINALITY")
+        expectCard()
         onDb()
         fromClause()
         whereClause()
@@ -1360,7 +1370,7 @@ object InfluxQL {
       } else if (p.kw("VALUES")) {
         // a NULL tag (series without that tag) is not a tag value: InfluxDB
         // neither lists it nor counts it toward cardinality
-        if (p.kw("CARDINALITY")) {
+        if (optCard()) {
           onDb()
           fromClause()
           val ks = tagKeys()
@@ -1392,7 +1402,7 @@ object InfluxQL {
           Encoders.tuple(Encoders.STRING, Encoders.STRING))
           .toDF("fieldKey", "fieldType").orderBy("fieldKey")))
       } else if (p.kw("KEY")) {
-        p.expectKw("CARDINALITY")
+        expectCard()
         onDb()
         finish(spark.createDataset(Seq(scopedFieldKeys().size.toLong))(
           Encoders.scalaLong).toDF("count"))

@@ -219,7 +219,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             }
         }
       case "relative_strength_index" | "chande_momentum_oscillator" |
-           "kaufmans_efficiency_ratio" =>
+           "kaufmans_efficiency_ratio" | "kaufmans_adaptive_moving_average" =>
         import graft.operators.TimeSeriesOps
         val nArg = targ.toInt
         val vus: Seq[Option[Long]] = c.map {
@@ -273,6 +273,36 @@ class InfluxQLDifferentialSpec extends SparkSuite {
                   if (vol == 0) 0.0
                   else (vus(i).get - vus(i - nArg).get).abs.toDouble / vol.toDouble
                 }
+              }
+            }
+          case "kaufmans_adaptive_moving_average" =>
+            // the efficiency ratio exactly as above, then the pinned
+            // recursion: a null-ratio bucket emits null WITHOUT advancing
+            // the state; the first ratio-bearing bucket seeds with its
+            // own (double) value
+            val A = 2.0 / 3.0 - 2.0 / 31.0
+            val B = 2.0 / 31.0
+            var kama: java.lang.Double = null
+            c.indices.map { i =>
+              val er: Option[Double] =
+                if (vus(i).isEmpty || i - nArg < 0 || vus(i - nArg).isEmpty) None
+                else {
+                  val frame = (i - nArg + 1 to i).flatMap(dus)
+                  if (frame.isEmpty) None
+                  else {
+                    val vol = frame.map(_.abs).sum
+                    Some(if (vol == 0) 0.0
+                      else (vus(i).get - vus(i - nArg).get).abs.toDouble / vol.toDouble)
+                  }
+                }
+              er match {
+                case Some(r) =>
+                  val t = r * A + B
+                  val sc = t * t
+                  if (kama == null) kama = c(i).asInstanceOf[Double]
+                  else kama = kama + sc * (c(i).asInstanceOf[Double] - kama)
+                  kama
+                case None => null
               }
             }
         }
@@ -345,7 +375,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           else None
         // transformations ride the bucket series: only with GROUP BY time
         val tf = if (groupTime.isEmpty || rnd.nextInt(4) != 0) None
-          else rnd.nextInt(13) match {
+          else rnd.nextInt(14) match {
             case 0 => Some(("derivative", Seq(10L, 50L, 100L)(rnd.nextInt(3))))
             case 1 => Some(("non_negative_derivative", Seq(10L, 50L)(rnd.nextInt(2))))
             case 2 => Some(("difference", 0L))
@@ -358,7 +388,8 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             case 9 => Some(("triple_exponential_derivative", (2 + rnd.nextInt(4)).toLong))
             case 10 => Some(("relative_strength_index", (2 + rnd.nextInt(4)).toLong))
             case 11 => Some(("chande_momentum_oscillator", (2 + rnd.nextInt(4)).toLong))
-            case _ => Some(("kaufmans_efficiency_ratio", (2 + rnd.nextInt(4)).toLong))
+            case 12 => Some(("kaufmans_efficiency_ratio", (2 + rnd.nextInt(4)).toLong))
+            case _ => Some(("kaufmans_adaptive_moving_average", (2 + rnd.nextInt(4)).toLong))
           }
         GItem(fn, pct, op, s"f$i", tf)
       }
@@ -655,6 +686,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
       "non_negative_difference", "cumulative_sum", "moving_average") ++
       InfluxQL.TaFuncs.toVector.sorted
+        .filterNot(_ == "kaufmans_adaptive_moving_average") // bucketed-only
 
     // the engine's raw kernels, literally: per-series points ordered by
     // (ts, value), operands in double, quantized decimal running/frame sums,
@@ -778,6 +810,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     val tfs = Vector("derivative", "non_negative_derivative", "difference",
       "non_negative_difference", "cumulative_sum", "moving_average") ++
       InfluxQL.TaFuncs.toVector.sorted
+        .filterNot(_ == "kaufmans_adaptive_moving_average") // bucketed-only
 
     def kernel(tf: String, targ: Long,
                s: IndexedSeq[(Long, Double)]): Seq[Any] = {

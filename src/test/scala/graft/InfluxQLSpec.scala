@@ -445,6 +445,21 @@ class InfluxQLSpec extends SparkSuite {
       .as[Long].collect().head == 1L)
     assert(InfluxQL.run(df, "SHOW FIELD KEYS FROM temp")
       .as[(String, String)].collect().toSeq == Seq(("value", "double")))
+    // InfluxDB's EXACT CARDINALITY spelling: accepted (every cardinality
+    // here IS exact); EXACT without CARDINALITY is loud
+    assert(InfluxQL.run(df, "SHOW SERIES EXACT CARDINALITY FROM /h/").as[Long]
+      .collect().head == 1L)
+    assert(InfluxQL.run(df, "SHOW TAG KEY EXACT CARDINALITY FROM hum").as[Long]
+      .collect().head == 1L)
+    assert(InfluxQL.run(df, "SHOW MEASUREMENT EXACT CARDINALITY").as[Long]
+      .collect().head == 2L)
+    assert(InfluxQL.run(df, "SHOW TAG VALUES EXACT CARDINALITY WITH KEY = device")
+      .as[Long].collect().head == 2L)
+    assert(InfluxQL.run(df, "SHOW FIELD KEY EXACT CARDINALITY").as[Long]
+      .collect().head == 1L)
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SHOW SERIES EXACT FROM temp"))
+      .getMessage.contains("CARDINALITY after EXACT"))
     // a FROM selecting no rows answers empty / zero, never errors
     assert(InfluxQL.run(df, "SHOW FIELD KEYS FROM nope").collect().isEmpty)
     assert(InfluxQL.run(df, "SHOW FIELD KEY CARDINALITY FROM nope").as[Long]
