@@ -2,7 +2,7 @@ package graft.influxql
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.storage.TxLogTable
@@ -221,6 +221,18 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       ("javaVersion", sys.props.getOrElse("java.version", "unknown")),
       ("defaultDatabase", defaultDb),
       ("root", rootDir)).toDF("name", "value")
+  }
+
+  /** InfluxDB's /write face: parse line-protocol lines, append the narrow
+    * numeric points to the db (one fenced-free append — callers wanting
+    * exactly-once pass through their own TxLogTable txn), and return the
+    * committed version plus the malformed complement (the caller's 400s —
+    * kept replayable, the dead-letter discipline).
+    */
+  def writeLineProtocol(db: String, lines: Dataset[String]): (Long, Dataset[LpError]) = {
+    requireDb(db)
+    val v = pointsTable(db).append(LineProtocol.narrowPoints(lines))
+    (v, LineProtocol.errors(lines))
   }
 
   /** One statement in, one DataFrame out — the full dialect with database

@@ -1,0 +1,201 @@
+package graft.influxql
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One parsed line-protocol point, fields exploded to the engine's
+  * tri-column value variant (exactly one of num/bool/str non-null — the
+  * same discipline as Ingest.inferTypes). Top-level public for the
+  * product encoder.
+  */
+case class LpPoint(measurement: String, tags: Map[String, String],
+                   field: String, num: Option[Double], bool: Option[Boolean],
+                   str: Option[String], ts_ns: Option[Long])
+
+/** A line that failed to parse, kept replayable (the dead-letter
+  * discipline of the MQTT ingest path).
+  */
+case class LpError(line: String, error: String)
+
+/** InfluxDB line protocol — the wire format every InfluxDB client
+  * (including the reference service's influxdb-python, which renders it
+  * under `write_points`, influx_service.py:230) actually sends:
+  *
+  *   measurement[,tag=v[,tag=v...]] field=value[,field=value...] [ts_ns]
+  *
+  * Full 1.x escaping rules: `\,` `\ ` in measurements; `\,` `\=` `\ ` in
+  * tag keys/values and field keys; string field values in double quotes
+  * with `\"` and `\\`; field value types float (default), integer
+  * (`42i`), boolean (t/T/true/True/TRUE and the f counterparts), string.
+  * Timestamps are nanoseconds. A `#` first character comments the line
+  * out; blank lines skip.
+  *
+  * [[parse]] is map-only (one `flatMap` per partition — the codec-seam
+  * pattern: byte-level grammar a Catalyst expression can't express), so
+  * it scales with the write path; malformed lines surface through
+  * [[errors]] instead of failing the batch.
+  */
+object LineProtocol {
+
+  /** Parse one line into its exploded field points.
+    * Left = parse error message.
+    */
+  def parseLine(line: String): Either[String, Seq[LpPoint]] = {
+    val s = line
+    var i = 0
+    def err(m: String) = Left(s"$m at ${i} in line")
+    if (s.isEmpty || s.charAt(0) == '#') return Right(Nil)
+    // --- measurement (escapes: \, and \space) --------------------------
+    val meas = new StringBuilder
+    while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ' ') {
+      if (s.charAt(i) == '\\' && i + 1 < s.length &&
+          (s.charAt(i + 1) == ',' || s.charAt(i + 1) == ' ')) {
+        meas += s.charAt(i + 1); i += 2
+      } else { meas += s.charAt(i); i += 1 }
+    }
+    if (meas.isEmpty) return err("empty measurement")
+    // --- tags (escapes: \, \= \space in keys and values) ---------------
+    def ident(stopEq: Boolean): String = {
+      val b = new StringBuilder
+      while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ' ' &&
+             (!stopEq || s.charAt(i) != '=')) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length &&
+            ",= ".indexOf(s.charAt(i + 1)) >= 0) {
+          b += s.charAt(i + 1); i += 2
+        } else { b += s.charAt(i); i += 1 }
+      }
+      b.result()
+    }
+    var tags = Map.empty[String, String]
+    while (i < s.length && s.charAt(i) == ',') {
+      i += 1
+      val k = ident(stopEq = true)
+      if (k.isEmpty) return err("empty tag key")
+      if (i >= s.length || s.charAt(i) != '=') return err(s"tag '$k' needs =value")
+      i += 1
+      val v = ident(stopEq = true)
+      if (v.isEmpty) return err(s"empty value for tag '$k'")
+      if (tags.contains(k)) return err(s"duplicate tag key '$k'")
+      tags += (k -> v)
+    }
+    if (i >= s.length || s.charAt(i) != ' ') return err("expected space before fields")
+    while (i < s.length && s.charAt(i) == ' ') i += 1
+    // --- fields ---------------------------------------------------------
+    var fields = Vector.empty[(String, Option[Double], Option[Boolean], Option[String])]
+    var more = true
+    while (more) {
+      val k = ident(stopEq = true)
+      if (k.isEmpty) return err("empty field key")
+      if (i >= s.length || s.charAt(i) != '=') return err(s"field '$k' needs =value")
+      i += 1
+      if (i >= s.length) return err(s"field '$k' has no value")
+      val fv: Either[String, (Option[Double], Option[Boolean], Option[String])] =
+        if (s.charAt(i) == '"') {
+          // string value: \" and \\ escapes, anything else literal
+          i += 1
+          val b = new StringBuilder
+          var closed = false
+          while (i < s.length && !closed) {
+            val c = s.charAt(i)
+            if (c == '\\' && i + 1 < s.length &&
+                (s.charAt(i + 1) == '"' || s.charAt(i + 1) == '\\')) {
+              b += s.charAt(i + 1); i += 2
+            } else if (c == '"') { closed = true; i += 1 }
+            else { b += c; i += 1 }
+          }
+          if (!closed) Left("unterminated string value")
+          else Right((None, None, Some(b.result())))
+        } else {
+          val start = i
+          while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ' ') i += 1
+          val raw = s.substring(start, i)
+          raw match {
+            case "t" | "T" | "true" | "True" | "TRUE" => Right((None, Some(true), None))
+            case "f" | "F" | "false" | "False" | "FALSE" => Right((None, Some(false), None))
+            case r if r.endsWith("i") =>
+              try Right((Some(r.dropRight(1).toLong.toDouble), None, None))
+              catch { case _: NumberFormatException => Left(s"bad integer '$r'") }
+            case r =>
+              try Right((Some(r.toDouble), None, None))
+              catch { case _: NumberFormatException => Left(s"bad value '$r'") }
+          }
+        }
+      fv match {
+        case Left(m) => return Left(m)
+        case Right((n, bo, st)) =>
+          if (fields.exists(_._1 == k)) return err(s"duplicate field key '$k'")
+          fields :+= ((k, n, bo, st))
+      }
+      if (i < s.length && s.charAt(i) == ',') { i += 1 }
+      else more = false
+    }
+    // --- optional nanosecond timestamp ---------------------------------
+    var ts: Option[Long] = None
+    if (i < s.length) {
+      if (s.charAt(i) != ' ') return err("expected space before timestamp")
+      while (i < s.length && s.charAt(i) == ' ') i += 1
+      if (i < s.length) {
+        val raw = s.substring(i).trim
+        try ts = Some(raw.toLong)
+        catch { case _: NumberFormatException => return Left(s"bad timestamp '$raw'") }
+      }
+    }
+    Right(fields.map { case (k, n, bo, st) =>
+      LpPoint(meas.result(), tags, k, n, bo, st, ts)
+    })
+  }
+
+  /** Render one point back to line protocol (the inverse of [[parseLine]]
+    * for a single-field point; [[Subscriptions.lineProtocol]] is the
+    * narrow-layout fast path). Used by the roundtrip property tests.
+    */
+  def render(p: LpPoint): String = {
+    // 1.x rule: backslash is NOT itself escaped in identifiers (only in
+    // string field values) — the protocol's own trailing-backslash
+    // ambiguity, preserved as-is
+    def escTag(x: String) = x.replace(",", "\\,")
+      .replace("=", "\\=").replace(" ", "\\ ")
+    def escMeas(x: String) = x.replace(",", "\\,").replace(" ", "\\ ")
+    val tags = p.tags.toSeq.sortBy(_._1)
+      .map { case (k, v) => s",${escTag(k)}=${escTag(v)}" }.mkString
+    val v = (p.num, p.bool, p.str) match {
+      case (Some(n), _, _) => n.toString
+      case (_, Some(b), _) => b.toString
+      case (_, _, Some(sv)) => "\"" + sv.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case _ => "0"
+    }
+    s"${escMeas(p.measurement)}$tags ${escTag(p.field)}=$v${p.ts_ns.map(" " + _).getOrElse("")}"
+  }
+
+  /** Distributed parse: one flatMap over the lines (map-only, no shuffle);
+    * malformed lines are DROPPED here — pair with [[errors]] to quarantine
+    * them (the two sides partition the input exactly).
+    */
+  def parse(lines: Dataset[String]): Dataset[LpPoint] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(l => parseLine(l).getOrElse(Nil))
+  }
+
+  /** The malformed complement of [[parse]]: (line, error) rows. */
+  def errors(lines: Dataset[String]): Dataset[LpError] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap(l => parseLine(l).left.toOption.map(e => LpError(l, e)))
+  }
+
+  /** Parsed points in the engine's narrow InfluxQL layout — measurement →
+    * transducer, the `device` tag → the device column (the reference's own
+    * topic convention), numeric-or-boolean values → `value` double,
+    * timestamps → µs. Non-numeric (string) fields and device-less points
+    * drop; route [[errors]] and the full [[parse]] output elsewhere when
+    * they matter.
+    */
+  def narrowPoints(lines: Dataset[String]): DataFrame =
+    parse(lines).toDF()
+      .select(
+        element_at(col("tags"), "device").as("device"),
+        col("measurement").as("transducer"),
+        (col("ts_ns") / 1000L).cast("long").as("ts_us"),
+        coalesce(col("num"), col("bool").cast("double")).as("value"))
+      .filter(col("device").isNotNull && col("value").isNotNull &&
+        col("ts_us").isNotNull)
+}

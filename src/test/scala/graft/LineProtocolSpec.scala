@@ -1,0 +1,135 @@
+package graft
+
+import graft.influxql.{InfluxQL, LineProtocol, LpPoint, Subscriptions}
+
+class LineProtocolSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(line: String): LpPoint = {
+    val r = LineProtocol.parseLine(line)
+    assert(r.isRight, s"$line -> $r")
+    assert(r.toOption.get.size == 1, s"$line -> $r")
+    r.toOption.get.head
+  }
+  private def bad(line: String): String = {
+    val r = LineProtocol.parseLine(line)
+    assert(r.isLeft, s"$line parsed: $r")
+    r.swap.toOption.get
+  }
+
+  test("parseLine: the 1.x grammar — types, tags, timestamps, multi-field") {
+    assert(one("cpu value=0.64") ==
+      LpPoint("cpu", Map.empty, "value", Some(0.64), None, None, None))
+    assert(one("cpu,host=h1,region=eu value=2 1556813561098000000") ==
+      LpPoint("cpu", Map("host" -> "h1", "region" -> "eu"), "value",
+        Some(2.0), None, None, Some(1556813561098000000L)))
+    // integer suffix, booleans in every 1.x spelling, strings
+    assert(one("m v=42i").num.contains(42.0))
+    for (t <- Seq("t", "T", "true", "True", "TRUE"))
+      assert(one(s"m v=$t").bool.contains(true), t)
+    for (f <- Seq("f", "F", "false", "False", "FALSE"))
+      assert(one(s"m v=$f").bool.contains(false), f)
+    assert(one("""m v="hello world"""").str.contains("hello world"))
+    assert(one("m v=-1.5e3").num.contains(-1500.0))
+    // multi-field explodes to one row per field, sharing tags + ts
+    val multi = LineProtocol.parseLine("m,host=a used=1,free=2i,up=t 99").toOption.get
+    assert(multi.map(p => (p.field, p.num, p.bool)) == Seq(
+      ("used", Some(1.0), None), ("free", Some(2.0), None), ("up", None, Some(true))))
+    assert(multi.forall(p => p.tags == Map("host" -> "a") && p.ts_ns.contains(99L)))
+    // comments and blank lines vanish
+    assert(LineProtocol.parseLine("# a comment").toOption.get.isEmpty)
+    assert(LineProtocol.parseLine("").toOption.get.isEmpty)
+  }
+
+  test("parseLine: escaping — measurements, tag keys/values, field keys, strings") {
+    assert(one("""we\,ather temp=1""").measurement == "we,ather")
+    assert(one("""we\ ather temp=1""").measurement == "we ather")
+    val p = one("""m,ta\=g=va\,l\ ue fi\=eld=3""")
+    assert(p.tags == Map("ta=g" -> "va,l ue") && p.field == "fi=eld")
+    assert(one("""m v="say \"hi\" \\ there"""").str.contains("""say "hi" \ there"""))
+    // a backslash before a non-delimiter stays literal (1.x rule)
+    assert(one("""m,t=a\b v=1""").tags == Map("t" -> "a\\b"))
+  }
+
+  test("parseLine: malformed lines answer errors, never throw") {
+    assert(bad(" v=1").contains("empty measurement"))
+    assert(bad("m").contains("space before fields"))
+    assert(bad("m,=x v=1").contains("empty tag key"))
+    assert(bad("m,t v=1").contains("needs =value"))
+    assert(bad("m,t=1,t=2 v=1").contains("duplicate tag"))
+    assert(bad("m v=1,v=2").contains("duplicate field"))
+    assert(bad("m v=").contains("no value"))
+    assert(bad("m v=abc").contains("bad value"))
+    assert(bad("m v=12xi").contains("bad integer"))
+    assert(bad("""m v="open""").contains("unterminated"))
+    assert(bad("m v=1 notatime").contains("bad timestamp"))
+  }
+
+  test("render -> parseLine roundtrips under seeded randomized escaping") {
+    val rnd = new scala.util.Random(4242)
+    // identifier alphabet includes every escapable delimiter; no trailing
+    // backslash (the protocol's own ambiguity, preserved as-is)
+    def ident(): String = {
+      val cs = "ab9,= _" // comma, equals, space all require escapes
+      val s = (0 until 1 + rnd.nextInt(6)).map(_ => cs(rnd.nextInt(cs.length))).mkString
+      if (s.endsWith("\\")) s + "x" else s
+    }
+    def strVal(): String = {
+      val cs = "a\"\\ ,=" // quote and backslash exercise the string escapes
+      (0 until rnd.nextInt(8)).map(_ => cs(rnd.nextInt(cs.length))).mkString
+    }
+    for (it <- 0 until 300) {
+      val tags = (0 until rnd.nextInt(3)).map(i => (s"${ident()}$i", ident())).toMap
+      val p0 = LpPoint(ident(), tags, ident(),
+        None, None, None, if (rnd.nextBoolean()) Some(rnd.nextLong()) else None)
+      val p = rnd.nextInt(3) match {
+        case 0 => p0.copy(num = Some(math.floor(rnd.nextDouble() * 1e6) / 1e3))
+        case 1 => p0.copy(bool = Some(rnd.nextBoolean()))
+        case _ => p0.copy(str = Some(strVal()))
+      }
+      val line = LineProtocol.render(p)
+      val back = LineProtocol.parseLine(line)
+      assert(back == Right(Seq(p)), s"iter $it: $p -> $line -> $back")
+    }
+  }
+
+  test("distributed parse + errors partition the lines; narrow layout queries") {
+    val lines = Seq(
+      "temp,device=d1 value=21.5 5000000000",
+      "temp,device=d2 value=23.0 6000000000",
+      "hum,device=d1 value=40 7000000000",
+      "note,device=d1 value=\"text only\" 8000000000", // string: not narrow
+      "temp value=9 9000000000",                        // no device tag: not narrow
+      "broken line here").toDS()
+    assert(LineProtocol.parse(lines).count() == 5)
+    val errs = LineProtocol.errors(lines).collect()
+    assert(errs.map(_.line).toSeq == Seq("broken line here"), errs.toSeq.toString)
+    val narrow = LineProtocol.narrowPoints(lines)
+    assert(narrow.as[(String, String, Long, Double)].collect().toSet == Set(
+      ("d1", "temp", 5000000L, 21.5), ("d2", "temp", 6000000L, 23.0),
+      ("d1", "hum", 7000000L, 40.0)))
+    // the InfluxQL dialect plans straight over the parsed narrow layout
+    assert(InfluxQL.run(narrow, "SELECT count(value) FROM temp")
+      .as[Long].collect().toSeq == Seq(2L))
+    // the subscription fan-out's rendering parses back to the same point
+    val rt = LineProtocol.parseLine(
+      Subscriptions.lineProtocol("temp", "d1", 5000000L, 21.5)).toOption.get
+    assert(rt == Seq(LpPoint("temp", Map("device" -> "d1"), "value",
+      Some(21.5), None, None, Some(5000000000L))))
+  }
+
+  test("catalog writeLineProtocol: InfluxDB's /write face end to end") {
+    val root = java.nio.file.Files.createTempDirectory("lp_write").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    val (v, errs) = cat.writeLineProtocol("tele", Seq(
+      "temp,device=d1 value=20 1000000000",
+      "temp,device=d1 value=22 2000000000",
+      "garbage!").toDS())
+    assert(v == 0L && errs.count() == 1)
+    assert(cat.run("SELECT mean(value) FROM temp").as[Double].collect().toSeq == Seq(21.0))
+    assert(intercept[IllegalArgumentException](
+      cat.writeLineProtocol("ghost", Seq("m v=1").toDS()))
+      .getMessage.contains("database not found"))
+  }
+}
