@@ -151,17 +151,25 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     * data-plane scan of all columns). Shard groups are 1:1 with shards
     * here (single-node replication-1 layout), so shard_group = id.
     */
-  def showShards(): DataFrame = {
-    import spark.implicits._
+  /** The (id, db, absolute data dir) enumeration [[showShards]] numbers —
+    * shared with [[dropShard]] so `DROP SHARD <id>` resolves exactly the
+    * listed id. Ids are positional in the CURRENT listing (re-list after a
+    * drop — InfluxDB's ids are meta-store-stable, this engine's are the
+    * live dir order, documented pin).
+    */
+  private def shardDirs(): Seq[(Long, String, String)] = {
     var id = 0L
-    val rows = for {
+    for {
       db <- databaseNames()
       t = pointsTable(db)
       v <- t.version.toSeq
-      rp = defaultRp(db)
       dir <- t.dirPaths(v)
-    } yield {
-      id += 1
+    } yield { id += 1; (id, db, dir) }
+  }
+
+  def showShards(): DataFrame = {
+    import spark.implicits._
+    val rows = shardDirs().map { case (id, db, dir) =>
       val stats = spark.read.parquet(dir)
         .agg(min(col("ts_us")), max(col("ts_us")), count(lit(1))).head
       val bytes = {
@@ -170,13 +178,26 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
         try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
         finally walk.close()
       }
-      (id, db, rp, id,
+      (id, db, defaultRp(db), id,
         if (stats.isNullAt(0)) None else Some(stats.getLong(0)),
         if (stats.isNullAt(1)) None else Some(stats.getLong(1)),
         stats.getLong(2), bytes)
     }
     rows.toDF("id", "database", "retention_policy", "shard_group",
       "start_time", "end_time", "points", "bytes")
+  }
+
+  /** DROP SHARD <id>: remove the listed data directory from its table's
+    * snapshot — an O(1) metadata commit ([[TxLogTable.removeDirs]]), time
+    * travel keeps the pre-drop versions. Stale stats-index rows for the
+    * dropped files are harmless: reads derive from the commit's dir list,
+    * never from the advisory index.
+    */
+  def dropShard(id: Long): DataFrame = {
+    val entry = shardDirs().find(_._1 == id).getOrElse(
+      throw new IllegalArgumentException(s"InfluxQL: shard not found: $id"))
+    pointsTable(entry._2).removeDirs(Set(entry._3))
+    showShards()
   }
 
   /** SHOW SHARD GROUPS: the grouping level of [[showShards]] — 1:1 with
@@ -271,6 +292,14 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     } else if (up.startsWith("SHOW SHARDS")) {
       require(t.split("\\s+").length == 2, s"trailing input in '$t'")
       showShards()
+    } else if (up.startsWith("DROP SHARD")) {
+      val ws = t.split("\\s+")
+      require(ws.length == 3, s"DROP SHARD needs exactly one shard id in '$t'")
+      val id = try ws(2).toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"InfluxQL DROP SHARD: shard id must be a number, got '${ws(2)}'")
+      }
+      dropShard(id)
     } else if (up.startsWith("SHOW STATS")) {
       require(t.split("\\s+").length == 2, s"trailing input in '$t'")
       showStats()
@@ -346,8 +375,9 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     val admin = Seq("CREATE DATABASE", "DROP DATABASE", "CREATE USER",
       "DROP USER", "SET PASSWORD", "GRANT", "REVOKE", "SHOW USERS",
       "SHOW GRANTS", "KILL QUERY",
-      // cluster-operational monitoring is admin-only in InfluxDB 1.x
-      "SHOW SHARD", "SHOW STATS", "SHOW DIAGNOSTICS")
+      // cluster-operational monitoring + shard management are admin-only
+      // in InfluxDB 1.x
+      "SHOW SHARD", "SHOW STATS", "SHOW DIAGNOSTICS", "DROP SHARD")
     val openMeta = Seq("SHOW DATABASES", "SHOW QUERIES")
     if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC") ||
         up.contains("CONTINUOUS QUER") || // CQ DDL is admin in InfluxDB 1.x

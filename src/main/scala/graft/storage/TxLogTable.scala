@@ -146,6 +146,29 @@ class TxLogTable(spark: SparkSession, path: String) {
     commit("delete", Seq(dir), base)
   }
 
+  /** Shard-level drop (InfluxQL DROP SHARD): publish a snapshot whose dir
+    * list excludes the named data directories (absolute paths, as
+    * [[dirPaths]] lists them). O(1) metadata — no rewrite, no scan; time
+    * travel keeps the dropped dirs readable at earlier versions and vacuum
+    * reclaims them once unreferenced. Dropping every remaining dir commits
+    * an empty schema-preserving overwrite instead, so the snapshot stays
+    * readable. Unknown paths are loud.
+    */
+  def removeDirs(absPaths: Set[String]): Long = {
+    val base = version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val cur = readEntry(base).dirs
+    def abs(d: String): String = root.resolve(d).toString
+    val unknown = absPaths -- cur.map(abs).toSet
+    require(unknown.isEmpty,
+      s"not data dirs of version $base: ${unknown.mkString(", ")}")
+    val kept = cur.filterNot(d => absPaths.contains(abs(d)))
+    if (kept.isEmpty) {
+      val dir = writeDataDir(readVersion(base).limit(0))
+      commit("dropshard", Seq(dir), Some(base))
+    } else commit("dropshard", kept, Some(base))
+  }
+
   /** MERGE upsert by `keys`: for each key, one surviving row. With
     * `orderCol`, the row with the greatest order value wins (ties prefer
     * the update) — replaying the same updates batch is then idempotent,

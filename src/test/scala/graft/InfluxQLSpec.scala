@@ -1376,6 +1376,24 @@ class InfluxQLSpec extends SparkSuite {
       .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L)))
     val diag = cat.run("SHOW DIAGNOSTICS").as[(String, String)].collect().toMap
     assert(diag("sparkVersion") == spark.version && diag("engine") == "graft")
+    // DROP SHARD removes ONE committed dir as an O(1) metadata commit
+    val dropId = shards.find(_._5.contains(10L)).get._1
+    cat.run(s"DROP SHARD $dropId")
+    assert(cat.points("tele").as[(String, String, Long, Double)].collect().toSeq ==
+      Seq(("a", "hum", 30L, 3.0)), "only the second append's point survives")
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 1L, 1L, 1L, 1L)))
+    // time travel still reads the pre-drop snapshot
+    assert(cat.pointsTable("tele").readVersion(1L).count() == 3)
+    assert(intercept[IllegalArgumentException](cat.run("DROP SHARD 99"))
+      .getMessage.contains("shard not found"))
+    // dropping the LAST shard leaves an empty, still-readable table
+    val lastId = cat.run("SHOW SHARDS").as[
+      (Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().head._1
+    cat.run(s"DROP SHARD $lastId")
+    assert(cat.points("tele").count() == 0)
+    assert(cat.run("SELECT count(value) FROM temp").collect().isEmpty)
   }
 
   test("subscriptions: streaming fan-out publishes line protocol per mode") {

@@ -18,6 +18,28 @@ class TxLogTableSpec extends SparkSuite {
     assert(t.read().as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("removeDirs drops whole data dirs as O(1) metadata; history survives") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.append(Seq((2L, "b")).toDF("k", "v"))
+    val dirs = t.dirPaths(t.version.get)
+    assert(dirs.size == 2)
+    t.removeDirs(Set(dirs.head))
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // the pre-drop snapshot stays time-travel-readable
+    assert(t.readVersion(1L).count() == 2)
+    // unknown dirs are loud
+    assert(intercept[IllegalArgumentException](
+      t.removeDirs(Set(dirs.head + "_nope"))).getMessage.contains("not data dirs"))
+    // removing the LAST dir leaves an empty, schema-preserving snapshot
+    t.removeDirs(t.dirPaths(t.version.get).toSet)
+    assert(t.read().count() == 0)
+    assert(t.read().columns.toSeq == Seq("k", "v"))
+    // the O(delta) append feed refuses ranges crossing the drop (rewrite)
+    assert(intercept[IllegalStateException](t.appendsBetween(1L, 3L))
+      .getMessage.contains("not appends"))
+  }
+
   test("merge upserts by key; stale updates lose by order column") {
     val t = new TxLogTable(spark, tmp())
     t.append(Seq((1L, "old", 100L), (2L, "keep", 100L)).toDF("k", "v", "ts"))
