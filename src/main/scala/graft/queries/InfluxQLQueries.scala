@@ -328,6 +328,15 @@ object InfluxQLQueries {
           |GROUP BY time(1d), device fill(none)""".stripMargin)
     }),
 
+    // the seasonal face of with_fit: in-sample rows carry the level PLUS
+    // the bucket's own weekday-phase index (massless/NaN indexes ride as
+    // 0), then the forecasts
+    "q_influxql_holt_fit_seasonal" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT holt_winters_with_fit(mean(value), 2, 7) FROM click
+          |GROUP BY time(1d), device fill(none)""".stripMargin)
+    }),
+
     // holt_winters(mean(value), 4, 7): weekly ADDITIVE seasonality over
     // daily buckets — per-(device, weekday-phase) residual EMA indexes
     // ride the level + trend forecast
@@ -904,6 +913,59 @@ object InfluxQLQueries {
          |SELECT time + CAST(h AS BIGINT) * 86400000000 AS time, device,
          |  lvl + CAST(h AS BIGINT) * trd AS holt_winters_with_fit
          |FROM lastp, UNNEST([1, 2, 3]) AS u(h)""".stripMargin
+    },
+
+    "q_influxql_holt_fit_seasonal" -> {
+      val cs = graft.operators.TimeSeriesOps.emaCoefficients(4, 10)
+      def num(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"coalesce(lag($u, $j) OVER w * $c, 0)"
+      }.mkString(" + ")
+      def den(u: String) = cs.zipWithIndex.map { case (c, j) =>
+        s"CASE WHEN lag($u, $j) OVER w IS NOT NULL THEN $c ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+         |      / CAST(count(value) AS DOUBLE) AS mv
+         |  FROM f GROUP BY 1, 2),
+         |d AS (SELECT *, CAST(floor(mv * 1000000.0) AS BIGINT) AS vu,
+         |    CAST(floor((mv - lag(mv) OVER
+         |      (PARTITION BY device ORDER BY time)) * 1000000.0) AS BIGINT) AS du,
+         |    (time // 86400000000) % 7 AS ph
+         |  FROM b),
+         |e AS (SELECT device, time, ph, mv,
+         |    CAST((${num("vu")}) AS DOUBLE) / CAST((${den("vu")}) AS DOUBLE) / 1000000.0 AS lvl,
+         |    CAST((${num("du")}) AS DOUBLE) / CAST((${den("du")}) AS DOUBLE) / 1000000.0 AS trd,
+         |    row_number() OVER (PARTITION BY device ORDER BY time DESC) AS rn
+         |  FROM d WINDOW w AS (PARTITION BY device ORDER BY time)),
+         |r AS (SELECT device, time, ph,
+         |    CAST(floor((mv - lvl) * 1000000.0) AS BIGINT) AS ru
+         |  FROM e),
+         |sx AS (SELECT device, time, ph,
+         |    CAST((${num("ru")}) AS DOUBLE) / CAST((${den("ru")}) AS DOUBLE) / 1000000.0 AS sv,
+         |    row_number() OVER (PARTITION BY device, ph ORDER BY time DESC) AS rnp
+         |  FROM r WINDOW w AS (PARTITION BY device, ph ORDER BY time)),
+         |seasons AS (SELECT device, ph,
+         |    CASE WHEN isnan(sv) THEN 0.0 ELSE sv END AS sv
+         |  FROM sx WHERE rnp = 1),
+         |lastp AS (SELECT device, time, ph, lvl,
+         |    CASE WHEN isnan(trd) THEN 0.0 ELSE trd END AS trd
+         |  FROM e WHERE rn = 1),
+         |fan AS (SELECT l.device, l.time, l.lvl, l.trd, u.h,
+         |    (l.ph + u.h) % 7 AS fph
+         |  FROM lastp l, UNNEST([1, 2]) AS u(h))
+         |SELECT e.time, e.device,
+         |  e.lvl + (CASE WHEN s2.sv IS NULL OR isnan(s2.sv) THEN 0.0 ELSE s2.sv END)
+         |    AS holt_winters_with_fit
+         |FROM e JOIN sx s2 ON s2.device = e.device AND s2.time = e.time
+         |WHERE NOT isnan(e.lvl)
+         |UNION ALL
+         |SELECT fan.time + CAST(fan.h AS BIGINT) * 86400000000 AS time, fan.device,
+         |  fan.lvl + CAST(fan.h AS BIGINT) * fan.trd + COALESCE(se.sv, 0.0)
+         |    AS holt_winters_with_fit
+         |FROM fan LEFT JOIN seasons se
+         |  ON fan.device = se.device AND fan.fph = se.ph""".stripMargin
     },
 
     "q_influxql_holt_seasonal" -> {
