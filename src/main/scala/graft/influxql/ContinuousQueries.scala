@@ -77,6 +77,8 @@ object ContinuousQueries {
     // validate what the execution half will need, at DDL time — a CQ that
     // can never start must fail at CREATE, not at restart
     if (q.into.isEmpty) p.fail("continuous query needs SELECT ... INTO")
+    if (q.into.contains(":MEASUREMENT"))
+      p.fail("continuous queries need a named INTO target, not :MEASUREMENT")
     if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
     InfluxQL.validateResample(p, rs, q)
     if (exists) throw new IllegalArgumentException(

@@ -254,7 +254,7 @@ object InfluxQL {
     "w" -> 7L * 86400000000L)
 
   private val tokenRe =
-    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/.-]))""".r
+    """\s*(?:('([^']*)')|("([^"]*)")|((\d+)(ns|us|u|ms|s|m|h|d|w)\b)|(\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)|(/([^/]+)/)|(<=|>=|!=|<>|=~|!~|[(),*=<>+/.:-]))""".r
 
   private[influxql] def tokenize(text: String): Seq[Tok] = {
     var pos = 0
@@ -347,7 +347,15 @@ object InfluxQL {
     // (alphabetical non-reserved columns, InfluxDB's rule)
     val selectStar = p.sym("*")
     if (!selectStar) do fields += parseItem(p) while (p.sym(","))
-    val into = if (p.kw("INTO")) Some(p.ident()) else None
+    // `INTO :MEASUREMENT` (InfluxDB's backreference): each source
+    // measurement writes into a target of its own name
+    val into = if (p.kw("INTO")) Some(
+      if (p.sym(":")) {
+        val k = p.ident()
+        if (!k.equalsIgnoreCase("MEASUREMENT"))
+          p.fail(s"expected :MEASUREMENT, got :$k")
+        ":MEASUREMENT"
+      } else p.ident()) else None
     p.expectKw("FROM")
     val (measurement, fromRegex, fromSub, fromDb, fromRp) = p.peek match {
       case Some(TRegex(re, _)) => p.next(); (re, true, None, None, None)
@@ -906,8 +914,25 @@ object InfluxQL {
     val q = parse(text)
     val target = q.into.getOrElse(throw new IllegalArgumentException(
       "InfluxQL: runInto needs a SELECT ... INTO statement"))
-    new graft.storage.TxLogTable(points.sparkSession, s"$root/$target")
-      .append(planResolved(points, q))
+    def table(name: String) =
+      new graft.storage.TxLogTable(points.sparkSession, s"$root/$name")
+    if (target != ":MEASUREMENT") return table(target).append(planResolved(points, q))
+    // the backreference: a plain FROM writes back under its own name; a
+    // regex FROM splits the result by its `measurement` column into one
+    // append per source measurement (the InfluxDB downsample-everything
+    // idiom) — the driver loop runs over the DISTINCT measurement names, a
+    // control-plane-bounded set, with the planned result persisted once.
+    // Returns the number of target tables committed.
+    if (!q.fromRegex) { table(q.measurement).append(planResolved(points, q)); return 1L }
+    val res = planResolved(points, q).persist()
+    try {
+      val names = res.select("measurement").distinct()
+        .collect().map(_.getString(0)).sorted
+      names.foreach { m =>
+        table(m).append(res.filter(col("measurement") === m).drop("measurement"))
+      }
+      names.length.toLong
+    } finally res.unpersist()
   }
 
   /** `DELETE FROM <measurement|/regex/> [WHERE ...]`,
@@ -1765,6 +1790,9 @@ object InfluxQL {
     if (!p.done) p.fail(s"trailing input from '${p.next().raw}'")
     validateResample(p, rs, q)
     val target = q.into.getOrElse(p.fail("continuous query needs SELECT ... INTO"))
+    if (target == ":MEASUREMENT")
+      p.fail("continuous queries need a named INTO target, not :MEASUREMENT " +
+        "(the streaming MERGE commits to one table)")
     // FOR overrides the default watermark delay; EVERY overrides the
     // trigger — except an AvailableNow drain (--once maintenance runs
     // process the backlog regardless of the CQ's schedule)

@@ -580,6 +580,31 @@ class InfluxQLSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](InfluxQL.run(df,
       "SELECT mean(value) INTO x FROM temp GROUP BY time(10u)"))
       .getMessage.contains("runInto"))
+    // INTO :MEASUREMENT backreference: regex FROM splits per measurement,
+    // each into a target of its own name (the downsample-everything idiom)
+    val n = InfluxQL.runInto(df,
+      "SELECT mean(value) INTO :MEASUREMENT FROM /^(temp|hum)$/ GROUP BY time(10u), device",
+      root)
+    assert(n == 2L, "two source measurements = two target tables")
+    assert(new graft.storage.TxLogTable(spark, s"$root/temp").read()
+      .select("time", "device", "mean").as[(Long, String, Double)]
+      .collect().toSeq == Seq((0L, "a", 3.0)))
+    assert(new graft.storage.TxLogTable(spark, s"$root/hum").read()
+      .select("mean").as[Double].collect().toSeq == Seq(50.0))
+    // plain FROM writes back under its own name
+    InfluxQL.runInto(df,
+      "SELECT max(value) INTO :MEASUREMENT FROM pressure GROUP BY time(10u)", root)
+    assert(new graft.storage.TxLogTable(spark, s"$root/pressure").read()
+      .select("max").as[Double].collect().toSeq == Seq(900.0))
+    // a bad backreference name is loud
+    assert(intercept[IllegalArgumentException](
+      parse("SELECT mean(value) INTO :NOPE FROM temp GROUP BY time(10u)"))
+      .getMessage.contains(":MEASUREMENT"))
+    // continuous queries reject the backreference at CREATE
+    assert(intercept[IllegalArgumentException](
+      graft.influxql.ContinuousQueries.run(spark, root,
+        "CREATE CONTINUOUS QUERY c ON db BEGIN SELECT mean(value) INTO :MEASUREMENT FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("named INTO target"))
   }
 
   test("expressions: arithmetic over aggregates with standard precedence") {
