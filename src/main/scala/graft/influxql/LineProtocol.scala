@@ -194,7 +194,10 @@ object LineProtocol {
       .select(
         element_at(col("tags"), "device").as("device"),
         col("measurement").as("transducer"),
-        (col("ts_ns") / 1000L).cast("long").as("ts_us"),
+        // INTEGER division: `/` on longs is IEEE double division, which
+        // loses precision above 2^53 — i.e. for every real nanosecond
+        // epoch (1.7e18 in 2024 has a 256 ns ulp)
+        expr("ts_ns div 1000").as("ts_us"),
         coalesce(col("num"), col("bool").cast("double")).as("value"))
       .filter(col("device").isNotNull && col("value").isNotNull &&
         col("ts_us").isNotNull)

@@ -135,6 +135,11 @@ object Subscriptions {
     * subscription destinations from the executors (per-partition publisher
     * via `publishFactory`, serialized to the tasks — the in-process bus by
     * default, a real MQTT/UDP client in a deployment).
+    *
+    * Delivery is AT-LEAST-ONCE: a replayed micro-batch (crash between
+    * publish and checkpoint) re-publishes its points — the same contract
+    * as InfluxDB's UDP/HTTP subscription writer and MQTT QoS 1;
+    * subscribers dedup on (series, timestamp) if they need exactly-once.
     */
   def start(points: DataFrame, db: String, root: String,
             publishFactory: () => (String, String) => Unit =

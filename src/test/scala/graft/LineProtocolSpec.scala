@@ -108,6 +108,11 @@ class LineProtocolSpec extends SparkSuite {
     assert(narrow.as[(String, String, Long, Double)].collect().toSet == Set(
       ("d1", "temp", 5000000L, 21.5), ("d2", "temp", 6000000L, 23.0),
       ("d1", "hum", 7000000L, 40.0)))
+    // a REAL nanosecond epoch is above 2^53: the µs conversion must be
+    // integer division, never the IEEE double `/` (256 ns ulp up there)
+    val big = LineProtocol.narrowPoints(
+      Seq("temp,device=d9 value=1 1700000000123456789").toDS())
+    assert(big.select("ts_us").as[Long].collect().toSeq == Seq(1700000000123456L))
     // the InfluxQL dialect plans straight over the parsed narrow layout
     assert(InfluxQL.run(narrow, "SELECT count(value) FROM temp")
       .as[Long].collect().toSeq == Seq(2L))
