@@ -719,6 +719,9 @@ object InfluxQL {
       }
       val us = p.next() match {
         case TNum(v, raw) if v == math.floor(v) => v.toLong
+        // duration-style epoch literal (InfluxDB's `time >= 1434059627s`):
+        // the unit scales the epoch offset, already in µs here
+        case TDur(d, _) => d
         case TStr(s, _) => parseIsoUs(s, p)
         case TIdent(s) if s.equalsIgnoreCase("now") =>
           // now() [± dur [± dur ...]] — the everyday InfluxQL time anchor;

@@ -518,6 +518,10 @@ class InfluxQLSpec extends SparkSuite {
       FieldCond("value", ">", 5.0),
       OrCond(Seq(Seq(TagCond("device", eq = true, "a")), Seq(TagCond("device", eq = true, "b")))),
       TimeCond(">=", 10L)))
+    // duration-style epoch literals scale by their unit (InfluxDB's
+    // `time >= 1434059627s` form)
+    assert(parse("SELECT value FROM m WHERE time >= 2s AND time < 3m").conds ==
+      Seq(TimeCond(">=", 2000000L), TimeCond("<", 180000000L)))
     // AND binds tighter than OR
     val q2 = parse("SELECT value FROM m WHERE device = 'a' AND value > 1 OR value < 0")
     assert(q2.conds == Seq(OrCond(Seq(
