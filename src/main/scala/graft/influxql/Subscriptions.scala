@@ -74,7 +74,8 @@ object Subscriptions {
     p.expectKw("SUBSCRIPTION")
     val name = p.next() match {
       case TStr(s, _) => s
-      case t => t.raw // bare identifier form
+      case InfluxQL.TIdent(s) => s
+      case t => p.fail(s"expected subscription name, got '${t.raw}'")
     }
     p.expectKw("ON")
     val db = p.ident()

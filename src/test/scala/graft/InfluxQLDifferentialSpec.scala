@@ -976,7 +976,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
 
     for (iter <- 0 until 40 * diffScale) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // SHOW MEASUREMENTS, sometimes narrowed by WITH MEASUREMENT
           val (withTxt, pred): (String, String => Boolean) = rnd.nextInt(3) match {
             case 0 => ("", _ => true)
@@ -1069,6 +1069,24 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             .as[String].collect().toSeq
           assert(got == model.map(_._2).distinct.sorted.slice(off, off + lim),
             s"iter $iter SHOW paging LIMIT $lim OFFSET $off")
+        case _ => // TAG/FIELD KEYS under FROM/WHERE: presence-scanned
+          val m = meas(rnd.nextInt(3))
+          val has = model.exists(_._2 == m)
+          assert(InfluxQL.run(dfNow, s"SHOW TAG KEYS FROM $m")
+            .as[String].collect().toSeq == (if (has) Seq("device") else Nil),
+            s"iter $iter TAG KEYS FROM $m")
+          assert(InfluxQL.run(dfNow, s"SHOW FIELD KEYS FROM $m")
+            .as[(String, String)].collect().toSeq ==
+            (if (has) Seq(("value", "double")) else Nil),
+            s"iter $iter FIELD KEYS FROM $m")
+          assert(InfluxQL.run(dfNow, s"SHOW TAG KEY CARDINALITY FROM $m")
+            .as[Long].collect().head == (if (has) 1L else 0L),
+            s"iter $iter TAG KEY CARD FROM $m")
+          val d = devs(rnd.nextInt(3))
+          val hasDev = model.exists(_._1 == d)
+          assert(InfluxQL.run(dfNow, s"SHOW TAG KEYS WHERE device = '$d'")
+            .as[String].collect().toSeq == (if (hasDev) Seq("device") else Nil),
+            s"iter $iter TAG KEYS WHERE device=$d")
       }
     }
     // field conditions stay rejected on the management path
