@@ -1610,8 +1610,18 @@ class InfluxQLSpec extends SparkSuite {
     cat.runAs("writer", "w_pw", "DELETE FROM temp WHERE device = 'a'")
     assert(cat.run("SELECT count(value) FROM temp").as[Long].collect().toSeq == Seq(1L))
     assert(denied("writer", "w_pw", "DROP DATABASE db").contains("admin"))
+    // operational monitoring + shard/subscription management: admin-only
+    assert(denied("reader", "r_pw", "SHOW SHARDS").contains("admin"))
+    assert(denied("reader", "r_pw", "SHOW STATS").contains("admin"))
+    assert(denied("writer", "w_pw", "SHOW DIAGNOSTICS").contains("admin"))
+    assert(denied("writer", "w_pw", "DROP SHARD 1").contains("admin"))
+    assert(denied("reader", "r_pw",
+      "CREATE SUBSCRIPTION s ON db.autogen DESTINATIONS ALL 'x'").contains("admin"))
+    assert(denied("reader", "r_pw", "SHOW SUBSCRIPTIONS").contains("admin"))
     // admin passes everything
     assert(cat.runAs("admin", "root_pw", "SHOW USERS").collect().length == 3)
+    assert(cat.runAs("admin", "root_pw", "SHOW SHARDS").collect().nonEmpty)
+    assert(cat.runAs("admin", "root_pw", "SHOW DIAGNOSTICS").collect().nonEmpty)
     cat.runAs("admin", "root_pw", "CREATE DATABASE other")
     assert(cat.runAs("admin", "root_pw", "SHOW DATABASES")
       .as[String].collect().toSet == Set("db", "other"))

@@ -93,6 +93,24 @@ class LineProtocolSpec extends SparkSuite {
     }
   }
 
+  test("parseLine never throws: 500 seeded random byte strings answer Either") {
+    val rnd = new scala.util.Random(1313L)
+    val alphabet = "abc,= \\\"0129i.#\t" + "é世"
+    for (it <- 0 until 500) {
+      val line = (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // the contract is the Either, never an exception
+      val r = try LineProtocol.parseLine(line) catch {
+        case e: Throwable => fail(s"iter $it threw on '$line': $e")
+      }
+      // and whatever parses must re-render into something parseable
+      r.foreach(_.foreach { p =>
+        assert(LineProtocol.parseLine(LineProtocol.render(p)).isRight,
+          s"iter $it rendered unparseable: $p")
+      })
+    }
+  }
+
   test("distributed parse + errors partition the lines; narrow layout queries") {
     val lines = Seq(
       "temp,device=d1 value=21.5 5000000000",
