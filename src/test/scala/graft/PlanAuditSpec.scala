@@ -231,4 +231,14 @@ class PlanAuditSpec extends SparkSuite {
     // one Exchange for the groupBy is expected; the semi-join must not add one
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q_influxql_kama: recursion scan joins back without a cartesian") {
+    // the kamaScan pattern: sc per bucket via windows, one repartition on
+    // the series key for the sequential scan, equi-join back on
+    // (series, time) — never a nested-loop/cartesian pair space
+    val p = plan("q_influxql_kama")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("MapPartitions"), "the recursion runs as a partition scan")
+  }
 }
