@@ -153,19 +153,20 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     */
   /** The (id, db, absolute data dir) enumeration [[showShards]] numbers —
     * shared with [[dropShard]] so `DROP SHARD <id>` resolves exactly the
-    * listed id. Ids are positional in the CURRENT listing (re-list after a
-    * drop — InfluxDB's ids are meta-store-stable, this engine's are the
-    * live dir order, documented pin).
+    * listed id. Ids are STABLE, not positional: md5 of (db, dir basename)
+    * — the basename is an immutable per-commit UUID — so the id an
+    * operator reads from SHOW SHARDS resolves to the same directory even
+    * if concurrent commits (streaming appends, compaction) change the
+    * live dir order in between (InfluxDB's ids are likewise
+    * meta-store-stable).
     */
-  private def shardDirs(): Seq[(Long, String, String)] = {
-    var id = 0L
+  private def shardDirs(): Seq[(Long, String, String)] =
     for {
       db <- databaseNames()
       t = pointsTable(db)
       v <- t.version.toSeq
       dir <- t.dirPaths(v)
-    } yield { id += 1; (id, db, dir) }
-  }
+    } yield (InfluxCatalog.shardId(db, dir), db, dir)
 
   def showShards(): DataFrame = {
     import spark.implicits._
@@ -248,12 +249,19 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     * numeric points to the db (one fenced-free append — callers wanting
     * exactly-once pass through their own TxLogTable txn), and return the
     * committed version plus the malformed complement (the caller's 400s —
-    * kept replayable, the dead-letter discipline).
+    * kept replayable, the dead-letter discipline) plus the well-formed
+    * points the narrow layout cannot hold (string field / no device tag) —
+    * nothing is lost invisibly. Timestamp-less points get write-receipt
+    * server time, like InfluxDB.
     */
-  def writeLineProtocol(db: String, lines: Dataset[String]): (Long, Dataset[LpError]) = {
+  def writeLineProtocol(db: String,
+                        lines: Dataset[String]): LpWriteResult = {
     requireDb(db)
-    val v = pointsTable(db).append(LineProtocol.narrowPoints(lines))
-    (v, LineProtocol.errors(lines))
+    val serverTsUs = System.currentTimeMillis() * 1000L
+    val v = pointsTable(db).append(
+      LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs)))
+    LpWriteResult(v, LineProtocol.errors(lines),
+      LineProtocol.narrowDropped(lines, serverTsAssigned = true))
   }
 
   /** One statement in, one DataFrame out — the full dialect with database
@@ -273,11 +281,11 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     else if (up.startsWith("SHOW DATABASES")) {
       require(t.split("\\s+").length == 2, s"trailing input in '$t'")
       showDatabases()
-    } else if (up.contains("RETENTION POLIC"))
+    } else if (InfluxCatalog.isRetentionStmt(up))
       InfluxQL.runRetention(spark, t, rootDir, requireDb)
-    else if (up.contains("CONTINUOUS QUER"))
+    else if (InfluxCatalog.isCqStmt(up))
       ContinuousQueries.run(spark, rootDir, t, requireDb)
-    else if (up.contains("SUBSCRIPTION"))
+    else if (InfluxCatalog.isSubscriptionStmt(up))
       Subscriptions.run(spark, rootDir, t, (db, rp) => {
         requireDb(db); requireRp(db, rp)
       })
@@ -336,8 +344,8 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
         val db = q.fromDb.getOrElse(defaultDb)
         requireDb(db)
         q.fromRp.foreach(requireRp(db, _))
-        Seq(InfluxQL.runInto(points(db), stripQualifier(t, q), s"$rootDir/$db"))
-          .toDF("version")
+        InfluxQL.runInto(points(db), stripQualifier(t, q), s"$rootDir/$db")
+          .toDF("target", "version")
       } else select(t)
     }
   }
@@ -379,9 +387,9 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
       // in InfluxDB 1.x
       "SHOW SHARD", "SHOW STATS", "SHOW DIAGNOSTICS", "DROP SHARD")
     val openMeta = Seq("SHOW DATABASES", "SHOW QUERIES")
-    if (admin.exists(up.startsWith) || up.contains("RETENTION POLIC") ||
-        up.contains("CONTINUOUS QUER") || // CQ DDL is admin in InfluxDB 1.x
-        up.contains("SUBSCRIPTION"))      // as is subscription DDL
+    if (admin.exists(up.startsWith) || InfluxCatalog.isRetentionStmt(up) ||
+        InfluxCatalog.isCqStmt(up) || // CQ DDL is admin in InfluxDB 1.x
+        InfluxCatalog.isSubscriptionStmt(up)) // as is subscription DDL
       needAdmin()
     else if (up.startsWith("DELETE") || up.startsWith("DROP"))
       needOn(defaultDb, "WRITE")
@@ -453,4 +461,41 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
         t.replaceFirst(
           java.util.regex.Pattern.quote(s"$db.$rp"), "")
     }
+}
+
+object InfluxCatalog {
+  /** Statement-family routing is by PREFIX, never `contains`: a SELECT
+    * whose measurement, tag, or string literal merely mentions
+    * "subscription" (a perfectly plausible business word) must reach the
+    * SELECT planner, not the subscription DDL parser — and must not demand
+    * admin under [[InfluxCatalog.runAs]]. `up` is the trimmed,
+    * upper-cased statement.
+    */
+  private[influxql] def isRetentionStmt(up: String): Boolean =
+    up.startsWith("CREATE RETENTION POLICY") ||
+      up.startsWith("ALTER RETENTION POLICY") ||
+      up.startsWith("DROP RETENTION POLICY") ||
+      up.startsWith("SHOW RETENTION POLICIES")
+
+  private[influxql] def isCqStmt(up: String): Boolean =
+    up.startsWith("CREATE CONTINUOUS QUERY") ||
+      up.startsWith("DROP CONTINUOUS QUERY") ||
+      up.startsWith("SHOW CONTINUOUS QUERIES")
+
+  private[influxql] def isSubscriptionStmt(up: String): Boolean =
+    up.startsWith("CREATE SUBSCRIPTION") ||
+      up.startsWith("DROP SUBSCRIPTION") ||
+      up.startsWith("SHOW SUBSCRIPTIONS")
+
+  /** Stable shard id: the low 63 bits of md5(db + "/" + dir basename).
+    * The basename is an immutable commit UUID, so the id never shifts
+    * under concurrent commits; collisions across a deployment's shard
+    * count (thousands) are negligible at 63 bits.
+    */
+  private[influxql] def shardId(db: String, dir: String): Long = {
+    val name = Paths.get(dir).getFileName.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$db/$name".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(md).getLong & Long.MaxValue
+  }
 }

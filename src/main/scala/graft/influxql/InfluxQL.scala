@@ -910,31 +910,34 @@ object InfluxQL {
   /** `SELECT ... INTO target`: plan the query and append its result to the
     * [[graft.storage.TxLogTable]] at `root/<target>` — the batch half of
     * the InfluxDB downsample-and-store contract (the streaming half is
-    * [[runContinuous]]). Returns the committed version; reruns append
-    * again, exactly like re-issuing the InfluxDB statement.
+    * [[runContinuous]]). Returns one (target table, committed version) pair
+    * per table written: a named INTO and a plain-FROM `:MEASUREMENT`
+    * backreference commit exactly one; a regex-FROM backreference splits
+    * the result by its `measurement` column into one append per source
+    * measurement (the InfluxDB downsample-everything idiom), one pair each
+    * — the fan-out count is the sequence length, never conflated with a
+    * version. Reruns append again, exactly like re-issuing the InfluxDB
+    * statement. The regex driver loop runs over the DISTINCT measurement
+    * names, a control-plane-bounded set, with the planned result persisted
+    * once.
     */
-  def runInto(points: DataFrame, text: String, root: String): Long = {
+  def runInto(points: DataFrame, text: String, root: String): Seq[(String, Long)] = {
     val q = parse(text)
     val target = q.into.getOrElse(throw new IllegalArgumentException(
       "InfluxQL: runInto needs a SELECT ... INTO statement"))
     def table(name: String) =
       new graft.storage.TxLogTable(points.sparkSession, s"$root/$name")
-    if (target != ":MEASUREMENT") return table(target).append(planResolved(points, q))
-    // the backreference: a plain FROM writes back under its own name; a
-    // regex FROM splits the result by its `measurement` column into one
-    // append per source measurement (the InfluxDB downsample-everything
-    // idiom) — the driver loop runs over the DISTINCT measurement names, a
-    // control-plane-bounded set, with the planned result persisted once.
-    // Returns the number of target tables committed.
-    if (!q.fromRegex) { table(q.measurement).append(planResolved(points, q)); return 1L }
+    if (target != ":MEASUREMENT")
+      return Seq(target -> table(target).append(planResolved(points, q)))
+    if (!q.fromRegex)
+      return Seq(q.measurement -> table(q.measurement).append(planResolved(points, q)))
     val res = planResolved(points, q).persist()
     try {
       val names = res.select("measurement").distinct()
         .collect().map(_.getString(0)).sorted
-      names.foreach { m =>
-        table(m).append(res.filter(col("measurement") === m).drop("measurement"))
+      names.toSeq.map { m =>
+        m -> table(m).append(res.filter(col("measurement") === m).drop("measurement"))
       }
-      names.length.toLong
     } finally res.unpersist()
   }
 

@@ -17,6 +17,15 @@ case class LpPoint(measurement: String, tags: Map[String, String],
   */
 case class LpError(line: String, error: String)
 
+/** [[InfluxCatalog.writeLineProtocol]]'s full accounting: the committed
+  * version, the malformed lines (parse failures → the caller's 400s), and
+  * the well-formed points the narrow layout cannot hold (string field or
+  * device-less → the caller's dead letters). Every input line lands in
+  * exactly one of {appended, errors, dropped}.
+  */
+case class LpWriteResult(version: Long, errors: Dataset[LpError],
+                         dropped: Dataset[LpPoint])
+
 /** InfluxDB line protocol — the wire format every InfluxDB client
   * (including the reference service's influxdb-python, which renders it
   * under `write_points`, influx_service.py:230) actually sends:
@@ -36,6 +45,9 @@ case class LpError(line: String, error: String)
   * [[errors]] instead of failing the batch.
   */
 object LineProtocol {
+
+  /** Largest long magnitude a double represents exactly (2^53). */
+  val MaxExactLong: Long = 1L << 53
 
   /** Parse one line into its exploded field points.
     * Left = parse error message.
@@ -113,8 +125,16 @@ object LineProtocol {
             case "t" | "T" | "true" | "True" | "TRUE" => Right((None, Some(true), None))
             case "f" | "F" | "false" | "False" | "FALSE" => Right((None, Some(false), None))
             case r if r.endsWith("i") =>
-              try Right((Some(r.dropRight(1).toLong.toDouble), None, None))
-              catch { case _: NumberFormatException => Left(s"bad integer '$r'") }
+              try {
+                val l = r.dropRight(1).toLong
+                // The engine's value column is a double; InfluxDB stores
+                // int64 exactly. Inside ±2^53 the conversion is lossless;
+                // beyond it, toDouble silently rounds — fail loudly into
+                // errors() instead (the caller's 400).
+                if (math.abs(l) > MaxExactLong)
+                  Left(s"integer '$r' outside ±2^53 (exact double range)")
+                else Right((Some(l.toDouble), None, None))
+              } catch { case _: NumberFormatException => Left(s"bad integer '$r'") }
             case r =>
               try Right((Some(r.toDouble), None, None))
               catch { case _: NumberFormatException => Left(s"bad value '$r'") }
@@ -185,20 +205,40 @@ object LineProtocol {
   /** Parsed points in the engine's narrow InfluxQL layout — measurement →
     * transducer, the `device` tag → the device column (the reference's own
     * topic convention), numeric-or-boolean values → `value` double,
-    * timestamps → µs. Non-numeric (string) fields and device-less points
-    * drop; route [[errors]] and the full [[parse]] output elsewhere when
-    * they matter.
+    * timestamps → µs. Timestamp-less points take `serverTsUs` when given
+    * (InfluxDB assigns write-receipt time); with `serverTsUs = None` they
+    * DROP, as do string-field and device-less points — pair with
+    * [[narrowDropped]] (and [[errors]] for the malformed complement) so
+    * the /write face never loses data invisibly.
     */
-  def narrowPoints(lines: Dataset[String]): DataFrame =
+  def narrowPoints(lines: Dataset[String],
+                   serverTsUs: Option[Long] = None): DataFrame = {
+    // INTEGER division: `/` on longs is IEEE double division, which
+    // loses precision above 2^53 — i.e. for every real nanosecond
+    // epoch (1.7e18 in 2024 has a 256 ns ulp)
+    val tsUs = serverTsUs match {
+      case Some(t) => coalesce(expr("ts_ns div 1000"), lit(t))
+      case None => expr("ts_ns div 1000")
+    }
     parse(lines).toDF()
       .select(
         element_at(col("tags"), "device").as("device"),
         col("measurement").as("transducer"),
-        // INTEGER division: `/` on longs is IEEE double division, which
-        // loses precision above 2^53 — i.e. for every real nanosecond
-        // epoch (1.7e18 in 2024 has a 256 ns ulp)
-        expr("ts_ns div 1000").as("ts_us"),
+        tsUs.as("ts_us"),
         coalesce(col("num"), col("bool").cast("double")).as("value"))
       .filter(col("device").isNotNull && col("value").isNotNull &&
         col("ts_us").isNotNull)
+  }
+
+  /** The well-formed points [[narrowPoints]] cannot represent — string
+    * field value, no `device` tag, or (when no server timestamp is
+    * assigned) no timestamp. Same partition discipline as [[errors]]:
+    * narrowPoints ∪ narrowDropped covers every parsed point exactly once.
+    */
+  def narrowDropped(lines: Dataset[String],
+                    serverTsAssigned: Boolean = false): Dataset[LpPoint] =
+    parse(lines).filter { p =>
+      p.str.nonEmpty || !p.tags.contains("device") ||
+        (!serverTsAssigned && p.ts_ns.isEmpty)
+    }
 }

@@ -577,7 +577,7 @@ class InfluxQLSpec extends SparkSuite {
     val root = java.nio.file.Files.createTempDirectory("influxinto").toString
     val v0 = InfluxQL.runInto(df,
       "SELECT mean(value) INTO temp_daily FROM temp GROUP BY time(10u), device", root)
-    assert(v0 == 0L)
+    assert(v0 == Seq("temp_daily" -> 0L))
     val t = new graft.storage.TxLogTable(spark, s"$root/temp_daily")
     assert(t.read().select("time", "device", "mean")
       .as[(Long, String, Double)].collect().toSeq == Seq((0L, "a", 3.0)))
@@ -589,7 +589,9 @@ class InfluxQLSpec extends SparkSuite {
     val n = InfluxQL.runInto(df,
       "SELECT mean(value) INTO :MEASUREMENT FROM /^(temp|hum)$/ GROUP BY time(10u), device",
       root)
-    assert(n == 2L, "two source measurements = two target tables")
+    assert(n.map(_._1) == Seq("hum", "temp"),
+      "two source measurements = two target tables, each with a real version")
+    assert(n.forall(_._2 == 0L), "first commit of each backref target")
     assert(new graft.storage.TxLogTable(spark, s"$root/temp").read()
       .select("time", "device", "mean").as[(Long, String, Double)]
       .collect().toSeq == Seq((0L, "a", 3.0)))
@@ -1405,22 +1407,30 @@ class InfluxQLSpec extends SparkSuite {
       .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L)))
     val diag = cat.run("SHOW DIAGNOSTICS").as[(String, String)].collect().toMap
     assert(diag("sparkVersion") == spark.version && diag("engine") == "graft")
-    // DROP SHARD removes ONE committed dir as an O(1) metadata commit
+    // DROP SHARD removes ONE committed dir as an O(1) metadata commit.
+    // Ids are STABLE (md5 of the immutable dir UUID, never positional):
+    // a commit landing between SHOW SHARDS and DROP SHARD must not shift
+    // which directory the listed id resolves to.
     val dropId = shards.find(_._5.contains(10L)).get._1
+    cat.writePoints("tele", pts(("c", "pres", 50L, 5.0))) // concurrent commit
     cat.run(s"DROP SHARD $dropId")
-    assert(cat.points("tele").as[(String, String, Long, Double)].collect().toSeq ==
-      Seq(("a", "hum", 30L, 3.0)), "only the second append's point survives")
+    assert(cat.points("tele").as[(String, String, Long, Double)].collect().toSet ==
+      Set(("a", "hum", 30L, 3.0), ("c", "pres", 50L, 5.0)),
+      "the id captured BEFORE the interleaved commit still dropped its own dir")
     assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long)]
-      .collect().toSeq == Seq(("tele", 1L, 1L, 1L, 1L)))
+      .collect().toSeq == Seq(("tele", 2L, 2L, 2L, 2L)))
+    // the surviving shards kept their pre-commit ids too
+    val after = cat.run("SHOW SHARDS")
+      .as[(Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
+      .collect().toSeq
+    val survivorId = shards.find(_._5.contains(30L)).get._1
+    assert(after.exists(_._1 == survivorId), "surviving shard id is stable")
     // time travel still reads the pre-drop snapshot
     assert(cat.pointsTable("tele").readVersion(1L).count() == 3)
     assert(intercept[IllegalArgumentException](cat.run("DROP SHARD 99"))
       .getMessage.contains("shard not found"))
-    // dropping the LAST shard leaves an empty, still-readable table
-    val lastId = cat.run("SHOW SHARDS").as[
-      (Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
-      .collect().head._1
-    cat.run(s"DROP SHARD $lastId")
+    // dropping every shard leaves an empty, still-readable table
+    after.foreach(s => cat.run(s"DROP SHARD ${s._1}"))
     assert(cat.points("tele").count() == 0)
     assert(cat.run("SELECT count(value) FROM temp").collect().isEmpty)
   }
@@ -1618,6 +1628,18 @@ class InfluxQLSpec extends SparkSuite {
     assert(denied("reader", "r_pw",
       "CREATE SUBSCRIPTION s ON db.autogen DESTINATIONS ALL 'x'").contains("admin"))
     assert(denied("reader", "r_pw", "SHOW SUBSCRIPTIONS").contains("admin"))
+    // statement-family routing is by PREFIX: a SELECT whose measurement or
+    // string literal merely mentions "subscription" (or "retention policy")
+    // is a plain READ, never subscription/retention DDL demanding admin
+    cat.writePoints("db", pts(("a", "subscription_totals", 40L, 4.0)))
+    assert(cat.runAs("reader", "r_pw", "SELECT value FROM subscription_totals")
+      .select("value").as[Double].collect().toSeq == Seq(4.0))
+    assert(cat.runAs("reader", "r_pw",
+      "SELECT count(value) FROM temp WHERE device != 'the subscription box'")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(cat.runAs("reader", "r_pw",
+      "SELECT count(value) FROM temp WHERE device != 'retention policy'")
+      .as[Long].collect().toSeq == Seq(1L))
     // admin passes everything
     assert(cat.runAs("admin", "root_pw", "SHOW USERS").collect().length == 3)
     assert(cat.runAs("admin", "root_pw", "SHOW SHARDS").collect().nonEmpty)

@@ -63,6 +63,13 @@ class LineProtocolSpec extends SparkSuite {
     assert(bad("m v=12xi").contains("bad integer"))
     assert(bad("""m v="open""").contains("unterminated"))
     assert(bad("m v=1 notatime").contains("bad timestamp"))
+    // int64 beyond ±2^53 would silently round in the double value slot —
+    // loud error instead (InfluxDB stores int64 exactly; this engine
+    // refuses what it cannot hold)
+    assert(bad("m v=9007199254740993i").contains("2^53"))
+    assert(bad("m v=-9007199254740993i").contains("2^53"))
+    assert(one("m v=9007199254740992i").num.contains(9007199254740992.0))
+    assert(one("m v=-9007199254740992i").num.contains(-9007199254740992.0))
   }
 
   test("render -> parseLine roundtrips under seeded randomized escaping") {
@@ -145,12 +152,25 @@ class LineProtocolSpec extends SparkSuite {
     val root = java.nio.file.Files.createTempDirectory("lp_write").toString
     val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
     cat.run("CREATE DATABASE tele")
-    val (v, errs) = cat.writeLineProtocol("tele", Seq(
+    val res = cat.writeLineProtocol("tele", Seq(
       "temp,device=d1 value=20 1000000000",
       "temp,device=d1 value=22 2000000000",
+      "note,device=d1 value=\"str\" 3000000000", // narrow can't hold strings
       "garbage!").toDS())
-    assert(v == 0L && errs.count() == 1)
+    assert(res.version == 0L && res.errors.count() == 1)
+    // the string-field point is surfaced, not lost invisibly
+    assert(res.dropped.collect().map(_.field).toSeq == Seq("value") &&
+      res.dropped.collect().head.str.contains("str"))
     assert(cat.run("SELECT mean(value) FROM temp").as[Double].collect().toSeq == Seq(21.0))
+    // a timestamp-less point gets write-receipt server time (InfluxDB's
+    // rule), landing in the table instead of vanishing
+    val before = System.currentTimeMillis() * 1000L
+    val res2 = cat.writeLineProtocol("tele", Seq("temp,device=d7 value=5").toDS())
+    val after = System.currentTimeMillis() * 1000L
+    assert(res2.dropped.count() == 0)
+    val ts = cat.run("SELECT value FROM temp WHERE device = 'd7'")
+      .select("time").as[Long].collect()
+    assert(ts.length == 1 && ts.head >= before && ts.head <= after)
     assert(intercept[IllegalArgumentException](
       cat.writeLineProtocol("ghost", Seq("m v=1").toDS()))
       .getMessage.contains("database not found"))
