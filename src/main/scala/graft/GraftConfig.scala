@@ -129,6 +129,21 @@ object GraftConfig {
       clientId = conf.getOrElse("client_id", "graft"), auth = auth, sslContext = ssl)
   }
 
+  /** The `Authorization: Basic base64(service_id:password)` header the
+    * reference signs EVERY registry REST call with
+    * (`HTTPBasicAuth(service_id, password)`, influx_service.py:392, used
+    * by the device lookups, thing listing, and transducer POSTs at
+    * :257/:281/:348). Empty when no service_id is configured — the
+    * offline-drill / anonymous-endpoint mode.
+    */
+  def restAuthHeaders(conf: Map[String, String]): Map[String, String] =
+    conf.get("service_id").map { u =>
+      val pw = conf.getOrElse("password", "")
+      val tok = java.util.Base64.getEncoder.encodeToString(
+        s"$u:$pw".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Map("Authorization" -> s"Basic $tok")
+    }.getOrElse(Map.empty)
+
   /** One-call entry: load file, build session, set logging. */
   def sessionFromFile(path: String): SparkSession = {
     val conf = load(path)

@@ -74,7 +74,10 @@ object ServiceMain {
     val transport: MqttTransport =
       if (conf.contains("mqtt_broker")) GraftConfig.mqttTransport(conf)
       else new InProcessTransport
-    val rest = conf.get("rest_url").map(u => new RestRegistryClient(u))
+    // every REST call is signed with the service's Basic credentials,
+    // exactly like the reference (HTTPBasicAuth, influx_service.py:392)
+    val rest = conf.get("rest_url").map(u =>
+      new RestRegistryClient(u, headers = GraftConfig.restAuthHeaders(conf)))
     val h = start(spark, conf, transport, rest,
       trigger = if (once) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
     sys.addShutdownHook(stop(h)) // R17

@@ -52,9 +52,22 @@ class RestRegistryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ => respond(ex, 400, "bad request")
       }
     })
+    // the auth-gated half of the fake registry: every /service/ call must
+    // carry the reference's HTTPBasicAuth header or get a 401
+    server.createContext("/service/", (ex: HttpExchange) => {
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      seenAuth.set(got.orNull)
+      if (!got.contains(expectedAuth))
+        respond(ex, 401, """{"error": "unauthorized"}""")
+      else respond(ex, 200, """[{"id": "d1"}, {"id": "d2"}]""")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  private val expectedAuth = "Basic " + java.util.Base64.getEncoder
+    .encodeToString("svc1:s3cret".getBytes("UTF-8"))
+  private val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]()
 
   override def afterAll(): Unit = server.stop(0)
 
@@ -91,6 +104,25 @@ class RestRegistryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       new RestRegistryClient(base, maxAttempts = 5, backoffMs = 1).getDevice("x/nope")
     }
     assert(e.getMessage.contains("400"))
+  }
+
+  test("Basic auth from config keys reaches the endpoint; 401 fails loudly") {
+    // the config-derived header is exactly HTTPBasicAuth(service_id,
+    // password) — the reference signs every registry call with it
+    val headers = GraftConfig.restAuthHeaders(
+      Map("service_id" -> "svc1", "password" -> "s3cret"))
+    assert(headers == Map("Authorization" -> expectedAuth))
+    val authed = new RestRegistryClient(base, maxAttempts = 2, backoffMs = 1,
+      headers = headers)
+    assert(authed.serviceThings("svc1") == Seq("d1", "d2"))
+    assert(seenAuth.get() == expectedAuth, "header must arrive on the wire")
+    // an unsigned client is rejected LOUDLY (401 is a permanent 4xx —
+    // no silent empty bootstrap, no retry burn)
+    val bare = new RestRegistryClient(base, maxAttempts = 2, backoffMs = 1)
+    val e = intercept[java.io.IOException](bare.serviceThings("svc1"))
+    assert(e.getMessage.contains("401"))
+    // no service_id configured -> no header (offline drills)
+    assert(GraftConfig.restAuthHeaders(Map.empty).isEmpty)
   }
 
   test("exhausted retries surface a terminal error") {
