@@ -49,7 +49,8 @@ object ServiceMain {
   /** Everything the running service owns; [[stop]] tears it down in order. */
   final case class Handles(spark: SparkSession,
                            manager: MqttConnectionManager,
-                           queries: Seq[StreamingQuery])
+                           queries: Seq[StreamingQuery],
+                           http: Option[graft.http.InfluxHttpServer] = None)
 
   /** Topic layout, derived from service_id exactly like the reference
     * (influx_service.py:387-389).
@@ -64,7 +65,13 @@ object ServiceMain {
     val once = args.contains("--once")
     val confPath = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("service.conf")
-    val conf = GraftConfig.load(confPath)
+    val conf0 = GraftConfig.load(confPath)
+    // --http starts the InfluxDB 1.x API listener on the standard port
+    // unless the config names one (http_port alone also enables it)
+    val conf =
+      if (args.contains("--http") && !conf0.contains("http_port"))
+        conf0 + ("http_port" -> "8086")
+      else conf0
     val spark = GraftConfig.sessionBuilder(conf).getOrCreate()
     GraftConfig.configureLogging(spark, conf)
     GraftSession.prepare(spark)
@@ -236,8 +243,21 @@ object ServiceMain {
         .filter(col("value").isNotNull),
       db, dataDir, checkpoint = cp("subscriptions"), trigger = trigger)
 
+    // the InfluxDB 1.x HTTP face (/ping, /query, /write): an off-the-shelf
+    // Influx client (the reference's own influxdb-python) can point at the
+    // live service table with zero adapters. http_auth=True enforces
+    // credentials like InfluxDB's auth-enabled.
+    val http = conf.get("http_port").map { port =>
+      val s = new graft.http.InfluxHttpServer(catalog, port.toInt,
+        authRequired = conf.get("http_auth")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)),
+        bindHost = conf.getOrElse("http_bind", "127.0.0.1"))
+      s.start()
+      s
+    }
+
     Handles(spark, manager,
-      Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2))
+      Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2), http)
   }
 
   /** R17 — graceful shutdown: stop every query (checkpoints make the next
@@ -248,6 +268,7 @@ object ServiceMain {
       try if (q.isActive) q.stop()
       catch { case _: Exception => () } // already terminated: fine
     }
+    h.http.foreach(_.stop())
     h.manager.stop()
   }
 }

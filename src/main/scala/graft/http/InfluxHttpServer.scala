@@ -1,0 +1,321 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.influxql.{InfluxAuth, InfluxCatalog, InfluxQL}
+import graft.streaming.RestRegistryClient.jsonString
+
+/** The InfluxDB 1.x HTTP API face — the listener that makes the engine a
+  * drop-in target for off-the-shelf Influx clients (the reference's own
+  * influxdb-python speaks exactly this protocol, `influx_service.py:417`):
+  *
+  *   GET  /ping                           204 + X-Influxdb-Version
+  *   GET/POST /query?q=&db=&epoch=&u=&p=  1.x JSON results envelope
+  *   POST /write?db=&precision=&u=&p=     line-protocol body, 204 on success
+  *
+  * Semantics per the 1.x API:
+  *   - `q` may carry `;`-separated statements ([[InfluxQL.splitStatements]]);
+  *     each answers one entry in `results`, failures as per-statement
+  *     `error` strings (statements already run stay run).
+  *   - `u`/`p` route every statement through [[InfluxCatalog.runAs]]
+  *     (authentication failure → 401, authorization failure → 403 — the
+  *     same split InfluxDB makes); with `authRequired` unauthenticated
+  *     requests are refused outright like `auth-enabled = true`.
+  *   - `db` routes statements and writes to that database
+  *     ([[InfluxCatalog.forDatabase]] — one shared query registry).
+  *   - `epoch=ns|u|ms|s|m|h` renders `time` as integers in that unit;
+  *     default is RFC3339 text, exactly InfluxDB's default.
+  *   - `/write` parses the body as line protocol at `precision` (default
+  *     ns), appends the narrow points ACID-transactionally, answers 204;
+  *     malformed lines → 400 "partial write" with the first parse error
+  *     (parsed lines are still written — InfluxDB's partial-write rule),
+  *     unknown database → 404.
+  *
+  * Scale posture: the listener is a CONTROL-plane surface — each request
+  * plans one Spark query or one ACID append; result sets ride through
+  * [[InfluxCatalog.executeAll]]'s already-materialized local frames. Bulk
+  * data belongs on the streaming ingest path, not this endpoint (same as
+  * InfluxDB, where /write batches are bounded by the HTTP body).
+  *
+  * The server runs on the JDK's built-in [[com.sun.net.httpserver]] — no
+  * dependency beyond the JVM, same as the engine's MQTT wire stack.
+  */
+final class InfluxHttpServer(catalog: InfluxCatalog,
+                             port: Int = 8086,
+                             authRequired: Boolean = false,
+                             bindHost: String = "127.0.0.1") {
+
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  server.createContext("/ping", (ex: HttpExchange) => {
+    ex.getResponseHeaders.set("X-Influxdb-Version", "1.8-graft")
+    ex.sendResponseHeaders(204, -1); ex.close()
+  })
+  server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
+  server.createContext("/write", (ex: HttpExchange) => safely(ex)(handleWrite))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---------- request plumbing ----------
+
+  private def safely(ex: HttpExchange)(h: HttpExchange => Unit): Unit =
+    try h(ex) catch {
+      case e: Exception => respondJson(ex, 500,
+        s"""{"error": ${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
+    } finally ex.close()
+
+  /** Query-string + form-body parameters, URL-decoded (later keys win —
+    * the 1.x API reads both for POST /query).
+    */
+  private def params(ex: HttpExchange, body: String): Map[String, String] = {
+    def parse(s: String): Seq[(String, String)] =
+      s.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        (URLDecoder.decode(k, "UTF-8"), URLDecoder.decode(v, "UTF-8"))
+      }
+    val fromUri = Option(ex.getRequestURI.getRawQuery).map(parse).getOrElse(Nil)
+    val fromBody =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-www-form-urlencoded")))
+        parse(body)
+      else Nil
+    (fromUri ++ fromBody).toMap
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, b.length)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+    respondJson(ex, code, s"""{"error": ${jsonString(msg)}}""")
+
+  /** (user, password) from `u`/`p` params or an Authorization: Basic
+    * header — both forms the 1.x clients send.
+    */
+  private def credentials(ex: HttpExchange,
+                          p: Map[String, String]): Option[(String, String)] =
+    (p.get("u"), p.get("p")) match {
+      case (Some(u), Some(pw)) => Some((u, pw))
+      case _ => Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Basic "))
+        .flatMap { h =>
+          val dec = new String(java.util.Base64.getDecoder
+            .decode(h.drop("Basic ".length)), StandardCharsets.UTF_8)
+          val i = dec.indexOf(':')
+          if (i < 0) None else Some((dec.take(i), dec.drop(i + 1)))
+        }
+    }
+
+  // ---------- /query ----------
+
+  import InfluxHttpServer.{AuthFailed, Denied}
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val p = params(ex, readBody(ex))
+    val q = p.getOrElse("q", "")
+    if (q.trim.isEmpty) return err(ex, 400, "missing required parameter \"q\"")
+    val cat = p.get("db").map(catalog.forDatabase).getOrElse(catalog)
+    val creds = credentials(ex, p)
+    if (authRequired && creds.isEmpty)
+      return err(ex, 401, "unable to parse authentication credentials")
+    val epoch = p.get("epoch")
+    try {
+      val stmts = InfluxQL.splitStatements(q)
+      val entries = stmts.zipWithIndex.map { case (s, i) =>
+        try {
+          val df = creds match {
+            case Some((u, pw)) =>
+              try cat.executeAllAs(u, pw, s).head._2
+              catch {
+                case e: IllegalArgumentException
+                    if msgOf(e).contains("authentication failed") =>
+                  throw AuthFailed(msgOf(e))
+                case e: IllegalArgumentException
+                    if msgOf(e).contains("not authorized") =>
+                  throw Denied(msgOf(e))
+              }
+            case None => cat.executeAll(s).head._2
+          }
+          s"""{"statement_id": $i, ${seriesJson(s, df, epoch)}}"""
+        } catch {
+          case e: AuthFailed => throw e
+          case e: Denied => throw e
+          case e: Exception =>
+            s"""{"statement_id": $i, "error": ${jsonString(msgOf(e))}}"""
+        }
+      }
+      respondJson(ex, 200, s"""{"results": [${entries.mkString(", ")}]}""")
+    } catch {
+      case AuthFailed(m) => err(ex, 401, m)
+      case Denied(m) => err(ex, 403, s"error authorizing query: $m")
+    }
+  }
+
+  private def msgOf(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+
+  /** The 1.x `series` entry (or entries) for one statement's result. A
+    * result carrying a `measurement` column (regex / multi FROM) splits
+    * into one named series per measurement, exactly like InfluxDB; other
+    * results are one series named from the statement.
+    */
+  private def seriesJson(stmt: String, df: DataFrame,
+                         epoch: Option[String]): String = {
+    val cols = df.columns
+    val rows = df.collect()
+    if (rows.isEmpty) return "\"series\": []"
+    def values(rs: Seq[org.apache.spark.sql.Row], keep: Seq[Int]): String =
+      rs.map { r =>
+        keep.map { i =>
+          val v = r.get(i)
+          if (cols(i) == "time") timeJson(v, epoch) else cellJson(v)
+        }.mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+    def series(name: String, rs: Seq[org.apache.spark.sql.Row],
+               keep: Seq[Int]): String =
+      s"""{"name": ${jsonString(name)}, "columns": ${
+        keep.map(i => jsonString(cols(i))).mkString("[", ", ", "]")
+      }, "values": ${values(rs, keep)}}"""
+    val mIdx = cols.indexOf("measurement")
+    val body =
+      if (mIdx >= 0) {
+        val keep = cols.indices.filterNot(_ == mIdx)
+        rows.toSeq.groupBy(_.getString(mIdx)).toSeq.sortBy(_._1)
+          .map { case (m, rs) => series(m, rs, keep) }
+      } else Seq(series(seriesName(stmt), rows.toSeq, cols.indices))
+    s""""series": [${body.mkString(", ")}]"""
+  }
+
+  /** InfluxDB's series names: the measurement for SELECT, a statement-kind
+    * name for the SHOW family.
+    */
+  private def seriesName(stmt: String): String = {
+    val up = stmt.trim.toUpperCase
+    if (up.startsWith("SHOW DATABASES")) "databases"
+    else if (up.startsWith("SHOW MEASUREMENTS")) "measurements"
+    else if (up.startsWith("SHOW USERS")) "users"
+    else if (up.startsWith("SHOW QUERIES")) "queries"
+    else if (up.startsWith("SHOW RETENTION POLICIES")) "retention_policies"
+    else if (up.startsWith("SHOW")) up.split("\\s+").lift(1)
+      .map(_.toLowerCase).getOrElse("results")
+    else if (up.startsWith("SELECT") || up.startsWith("EXPLAIN"))
+      try {
+        val sel = if (up.startsWith("EXPLAIN"))
+          stmt.trim.drop("EXPLAIN".length).trim else stmt
+        val q = InfluxQL.parse(sel)
+        if (q.measurement.nonEmpty) q.measurement else "results"
+      } catch { case _: Exception => "results" }
+    else "results"
+  }
+
+  /** `time` cells: µs longs render as RFC3339 by default, or as integers
+    * in the requested epoch unit. Integer division throughout (`/` on
+    * longs would be IEEE and lossy above 2^53).
+    */
+  private def timeJson(v: Any, epoch: Option[String]): String = v match {
+    case us: Long => epoch match {
+      case None =>
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L).toString match {
+          case s => jsonString(s)
+        }
+      case Some("ns") => (us * 1000L).toString
+      case Some("u") | Some("µ") => us.toString
+      case Some("ms") => Math.floorDiv(us, 1000L).toString
+      case Some("s") => Math.floorDiv(us, 1000000L).toString
+      case Some("m") => Math.floorDiv(us, 60L * 1000000L).toString
+      case Some("h") => Math.floorDiv(us, 3600L * 1000000L).toString
+      case Some(other) =>
+        throw new IllegalArgumentException(s"invalid epoch: $other")
+    }
+    case other => cellJson(other) // a non-long `time` column is data
+  }
+
+  private def cellJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => jsonString(s)
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float => if (f.isNaN || f.isInfinite) "null" else f.toString
+    case b: Boolean => b.toString
+    case n: Number => n.toString
+    case other => jsonString(other.toString)
+  }
+
+  // ---------- /write ----------
+
+  private val precisionNs = Map(
+    "ns" -> 1L, "u" -> 1000L, "µ" -> 1000L, "ms" -> 1000000L,
+    "s" -> 1000000000L, "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
+
+  private def handleWrite(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST")
+      return err(ex, 405, s"${ex.getRequestMethod} not allowed on /write")
+    val body = readBody(ex)
+    val p = params(ex, "")
+    val creds = credentials(ex, p)
+    if (authRequired && creds.isEmpty)
+      return err(ex, 401, "unable to parse authentication credentials")
+    val db = p.get("db").filter(_.nonEmpty) match {
+      case Some(d) => d
+      case None => return err(ex, 400, "database is required")
+    }
+    val unit = p.get("precision").getOrElse("ns")
+    val unitNs = precisionNs.get(unit) match {
+      case Some(u) => u
+      case None => return err(ex, 400, s"invalid precision \"$unit\"")
+    }
+    // WRITE privilege on the target db, when credentials are in play
+    val authProblem = creds.flatMap { case (u, pw) =>
+      if (!InfluxAuth.authenticate(catalog.spark, catalog.rootDir, u, pw))
+        Some((401, s"authentication failed for user $u"))
+      else if (!InfluxAuth.isAdmin(catalog.spark, catalog.rootDir, u) &&
+          !InfluxAuth.authorized(catalog.spark, catalog.rootDir, u, db, "WRITE"))
+        Some((403, s"""user $u is not authorized to write to "$db""""))
+      else None
+    }
+    authProblem match {
+      case Some((code, msg)) => return err(ex, code, msg)
+      case None => ()
+    }
+    import catalog.spark.implicits._
+    val lines = body.split("\n").toSeq.map(_.stripSuffix("\r"))
+      .filter(_.trim.nonEmpty).toDS()
+    val res =
+      try catalog.writeLineProtocol(db, lines, tsUnitNs = unitNs)
+      catch {
+        case e: IllegalArgumentException
+            if msgOf(e).contains("database not found") =>
+          return err(ex, 404, s"database not found: \"$db\"")
+      }
+    val firstErr = res.errors.take(1).headOption
+    firstErr match {
+      case Some(e) =>
+        // parsed lines were still appended: InfluxDB's partial-write rule
+        err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
+      case None =>
+        ex.sendResponseHeaders(204, -1); ex.close()
+    }
+  }
+}
+
+object InfluxHttpServer {
+  /** 401/403 carriers — auth outcomes abort the whole request, unlike
+    * per-statement plan errors.
+    */
+  private final case class AuthFailed(msg: String) extends RuntimeException(msg)
+  private final case class Denied(msg: String) extends RuntimeException(msg)
+}

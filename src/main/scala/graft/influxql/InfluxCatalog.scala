@@ -42,11 +42,21 @@ import graft.storage.TxLogTable
   * routes to ONE db's points table and plans there — the catalog adds no
   * join, shuffle, or scan of its own.
   */
-final class InfluxCatalog(spark: SparkSession, rootDir: String,
-                          val defaultDb: String = "graft") {
+final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
+                          val defaultDb: String = "graft",
+                          registry: QueryRegistry = new QueryRegistry) {
 
   /** Running-statement registry behind SHOW QUERIES / KILL QUERY. */
-  val queryRegistry = new QueryRegistry
+  val queryRegistry: QueryRegistry = registry
+
+  /** The same store routed to another default database — the HTTP layer's
+    * `db` parameter. Shares this catalog's [[queryRegistry]], so SHOW
+    * QUERIES / KILL QUERY see every in-flight statement regardless of
+    * which database it targeted.
+    */
+  def forDatabase(db: String): InfluxCatalog =
+    if (db == defaultDb) this
+    else new InfluxCatalog(spark, rootDir, db, queryRegistry)
 
   private val NameRe = "[A-Za-z_][A-Za-z0-9_]*".r
   private def checkName(db: String): String = db match {
@@ -254,12 +264,13 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     * nothing is lost invisibly. Timestamp-less points get write-receipt
     * server time, like InfluxDB.
     */
-  def writeLineProtocol(db: String,
-                        lines: Dataset[String]): LpWriteResult = {
+  def writeLineProtocol(db: String, lines: Dataset[String],
+                        tsUnitNs: Long = 1L): LpWriteResult = {
     requireDb(db)
     val serverTsUs = System.currentTimeMillis() * 1000L
     val v = pointsTable(db).append(
-      LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs)))
+      LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs),
+        tsUnitNs = tsUnitNs))
     LpWriteResult(v, LineProtocol.errors(lines),
       LineProtocol.narrowDropped(lines, serverTsAssigned = true))
   }
@@ -411,18 +422,44 @@ final class InfluxCatalog(spark: SparkSession, rootDir: String,
     run(t)
   }
 
-  /** [[run]], executed under the [[queryRegistry]]: the statement is
-    * listed by SHOW QUERIES while its Spark jobs run and is cancellable by
-    * KILL QUERY (the job group covers every job the statement submits).
-    * Returns the already-materialized result as a local DataFrame — the
-    * execution window, not the plan, is what the registry tracks.
+  /** One statement, executed under the [[queryRegistry]]: listed by SHOW
+    * QUERIES while its Spark jobs run, cancellable by KILL QUERY (the job
+    * group covers every job the statement submits). Returns the
+    * already-materialized result as a local DataFrame — the execution
+    * window, not the plan, is what the registry tracks.
     */
-  def execute(text: String): DataFrame =
-    queryRegistry.track(spark, text.trim, defaultDb) {
-      val df = run(text)
+  private def tracked(stmt: String)(body: => DataFrame): DataFrame =
+    queryRegistry.track(spark, stmt, defaultDb) {
+      val df = body
       val rows = java.util.Arrays.asList(df.collect(): _*)
       spark.createDataFrame(rows, df.schema)
     }
+
+  /** `;`-separated multi-statement input (what InfluxDB's /query accepts):
+    * each statement runs in order under its own registry window, paired
+    * with its result. A mid-sequence failure aborts the remainder — the
+    * statements already run stay run (InfluxDB has no cross-statement
+    * transaction either).
+    */
+  def executeAll(text: String): Seq[(String, DataFrame)] =
+    InfluxQL.splitStatements(text).map(s => s -> tracked(s)(run(s)))
+
+  /** [[executeAll]] under [[runAs]] enforcement — every statement is
+    * authenticated and authorized individually.
+    */
+  def executeAllAs(user: String, password: String,
+                   text: String): Seq[(String, DataFrame)] =
+    InfluxQL.splitStatements(text).map(s =>
+      s -> tracked(s)(runAs(user, password, s)))
+
+  /** [[executeAll]], returning the LAST statement's result — the
+    * single-DataFrame face the shell prints.
+    */
+  def execute(text: String): DataFrame = {
+    val all = executeAll(text)
+    require(all.nonEmpty, "InfluxQL: empty statement")
+    all.last._2
+  }
 
   /** Plan a SELECT against the db its FROM qualifier routes to. */
   private def select(text: String): DataFrame = {

@@ -335,6 +335,48 @@ object InfluxQL {
     q
   }
 
+  /** Split `;`-separated multi-statement input at TOP level — the form
+    * InfluxDB's /query endpoint accepts. A `;` inside a `'string'`, a
+    * `"quoted identifier"`, or a `/regex/` literal stays part of its
+    * statement; the regex-literal position rule is the tokenizer's own
+    * (only after FROM, `=~`, `!~`, or a qualifying `.` — everywhere else
+    * `/` is division and splits nothing). Empty fragments (trailing `;`,
+    * `;;`) drop.
+    */
+  def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var lastTok = "" // last significant token, lower-cased
+    def regexPosition: Boolean =
+      lastTok == "from" || lastTok == "=~" || lastTok == "!~" || lastTok == "."
+    def copyDelimited(close: Char): Unit = {
+      val j = text.indexOf(close, i + 1)
+      val end = if (j < 0) text.length else j + 1
+      cur ++= text.substring(i, end); i = end
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') { copyDelimited('\''); lastTok = "'str'" }
+      else if (c == '"') { copyDelimited('"'); lastTok = "\"id\"" }
+      else if (c == '/' && regexPosition) { copyDelimited('/'); lastTok = "/re/" }
+      else if (c == ';') { out += cur.result(); cur.clear(); i += 1; lastTok = "" }
+      else if (c.isWhitespace) { cur += c; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < text.length &&
+          (text.charAt(i).isLetterOrDigit || text.charAt(i) == '_')) i += 1
+        cur ++= text.substring(start, i)
+        lastTok = text.substring(start, i).toLowerCase
+      } else if ((c == '=' || c == '!') && i + 1 < text.length &&
+                 text.charAt(i + 1) == '~') {
+        cur ++= text.substring(i, i + 2); lastTok = s"$c~"; i += 2
+      } else { cur += c; lastTok = c.toString; i += 1 }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Clock behind `now()` — inject a fixed value in specs (the oracle
     * gate never uses now(): wall time is inherently un-oracle-able).
     */

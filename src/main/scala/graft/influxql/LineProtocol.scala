@@ -212,13 +212,23 @@ object LineProtocol {
     * the /write face never loses data invisibly.
     */
   def narrowPoints(lines: Dataset[String],
-                   serverTsUs: Option[Long] = None): DataFrame = {
+                   serverTsUs: Option[Long] = None,
+                   tsUnitNs: Long = 1L): DataFrame = {
+    // `tsUnitNs` is the wire precision of the raw timestamps (the HTTP
+    // /write `precision` parameter): 1 = ns (the protocol default),
+    // 1000 = µs, 1e6 = ms, 1e9 = s, ... — converted to the engine's µs.
     // INTEGER division: `/` on longs is IEEE double division, which
     // loses precision above 2^53 — i.e. for every real nanosecond
     // epoch (1.7e18 in 2024 has a 256 ns ulp)
+    require(tsUnitNs >= 1 &&
+      (tsUnitNs % 1000L == 0 || 1000L % tsUnitNs == 0),
+      s"unsupported timestamp unit: ${tsUnitNs}ns")
+    val raw =
+      if (tsUnitNs >= 1000L) expr(s"ts_ns * ${tsUnitNs / 1000L}")
+      else expr(s"ts_ns div ${1000L / tsUnitNs}")
     val tsUs = serverTsUs match {
-      case Some(t) => coalesce(expr("ts_ns div 1000"), lit(t))
-      case None => expr("ts_ns div 1000")
+      case Some(t) => coalesce(raw, lit(t))
+      case None => raw
     }
     parse(lines).toDF()
       .select(

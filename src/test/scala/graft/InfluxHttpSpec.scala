@@ -1,0 +1,162 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.http.InfluxHttpServer
+import graft.influxql.{InfluxCatalog, InfluxQL}
+
+/** Drives the InfluxDB 1.x HTTP face with a REAL http client — the
+  * round trips an off-the-shelf Influx client (the reference's
+  * influxdb-python, influx_service.py:417) makes: ping, write, query,
+  * auth accept/reject, multi-statement, epoch/precision params.
+  */
+class InfluxHttpSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pts(rows: (String, String, Long, Double)*): DataFrame =
+    rows.toDF("device", "transducer", "ts_us", "value")
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("influx_http").toString
+  private lazy val cat = new InfluxCatalog(spark, root, defaultDb = "tele")
+  private lazy val server = {
+    cat.run("CREATE DATABASE tele")
+    cat.writePoints("tele", pts(("a", "temp", 1000000L, 20.0),
+      ("a", "temp", 2000000L, 22.0), ("b", "hum", 1500000L, 40.0)))
+    val s = new InfluxHttpServer(cat, port = 0)
+    s.start()
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(path: String, body: String,
+                   contentType: String = "text/plain"): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("/ping answers 204 with a version header") {
+    val r = get("/ping")
+    assert(r.statusCode() == 204)
+    assert(r.headers().firstValue("X-Influxdb-Version").isPresent)
+  }
+
+  test("/query returns the 1.x results envelope; epoch renders time units") {
+    val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT mean(value) FROM temp")}")
+    assert(r.statusCode() == 200, r.body())
+    // the engine's global aggregate answers one column (no synthetic
+    // time-0 row) — the envelope around it is the 1.x shape verbatim
+    assert(r.body() ==
+      """{"results": [{"statement_id": 0, "series": [{"name": "temp", """ +
+      """"columns": ["mean"], "values": [[21.0]]}]}]}""", r.body())
+    // ns epoch scales the same long; default epoch is RFC3339 text
+    val ns = get(s"/query?db=tele&epoch=ns&q=${enc("SELECT value FROM temp WHERE device = 'a' LIMIT 1")}")
+    assert(ns.body().contains("[1000000000,"), ns.body())
+    val rfc = get(s"/query?db=tele&q=${enc("SELECT value FROM temp WHERE device = 'a' LIMIT 1")}")
+    assert(rfc.body().contains("\"1970-01-01T00:00:01Z\""), rfc.body())
+  }
+
+  test("/query splits multi-statement q; failures are per-statement errors") {
+    val q = "CREATE DATABASE aux; SHOW DATABASES; SELECT nope(value) FROM temp"
+    val r = get(s"/query?db=tele&q=${enc(q)}")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""statement_id": 0"""))
+    assert(r.body().contains(
+      """"statement_id": 1, "series": [{"name": "databases""""), r.body())
+    assert(r.body().contains(""""statement_id": 2, "error""""), r.body())
+    // a ';' inside a string literal or regex does NOT split
+    assert(InfluxQL.splitStatements(
+      "SELECT value FROM temp WHERE device != 'a;b'; SHOW DATABASES").size == 2)
+    assert(InfluxQL.splitStatements(
+      "SELECT count(value) FROM /t;m/").size == 1)
+    assert(InfluxQL.splitStatements("SELECT sum(a)/2 FROM m;;").size == 1,
+      "division slash is not a regex opener; empty fragments drop")
+  }
+
+  test("/write ingests line protocol; precision scales; partial write 400s") {
+    val w = post("/write?db=tele&precision=s", "pres,device=c value=900 7\n")
+    assert(w.statusCode() == 204, w.body())
+    val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT value FROM pres")}")
+    assert(r.body().contains("[7000000, 900.0]"), r.body())
+    // malformed line -> 400 partial write, but the good line still landed
+    val bad = post("/write?db=tele", "ok,device=c value=1 8000000000\nbroken!")
+    assert(bad.statusCode() == 400 && bad.body().contains("partial write"),
+      bad.body())
+    val ok = get(s"/query?db=tele&epoch=u&q=${enc("SELECT value FROM ok")}")
+    assert(ok.body().contains("[8000000, 1.0]"), ok.body())
+    // unknown database -> 404; missing db -> 400; GET -> 405
+    assert(post("/write?db=ghost", "m,device=x value=1 1").statusCode() == 404)
+    assert(post("/write", "m,device=x value=1 1").statusCode() == 400)
+    assert(get("/write?db=tele").statusCode() == 405)
+  }
+
+  test("u/p credentials route through runAs: 401 bad auth, 403 unauthorized") {
+    cat.run("CREATE USER boss WITH PASSWORD 'bpw' WITH ALL PRIVILEGES")
+    cat.run("CREATE USER viewer WITH PASSWORD 'vpw'")
+    cat.run("GRANT READ ON tele TO viewer")
+    val sel = enc("SELECT count(value) FROM temp")
+    assert(get(s"/query?db=tele&u=viewer&p=WRONG&q=$sel").statusCode() == 401)
+    val okR = get(s"/query?db=tele&u=viewer&p=vpw&q=$sel")
+    assert(okR.statusCode() == 200 && okR.body().contains("2"), okR.body())
+    // viewer may not write: statement authz -> 403, write authz -> 403
+    assert(get(s"/query?db=tele&u=viewer&p=vpw&q=${
+      enc("DROP MEASUREMENT temp")}").statusCode() == 403)
+    assert(post("/write?db=tele&u=viewer&p=vpw", "m,device=x value=1 1")
+      .statusCode() == 403)
+    assert(post("/write?db=tele&u=viewer&p=WRONG", "m,device=x value=1 1")
+      .statusCode() == 401)
+    // admin writes through the same door
+    assert(post("/write?db=tele&u=boss&p=bpw",
+      "adm,device=z value=3 9000000000").statusCode() == 204)
+    // Authorization: Basic header is the other spelling of u/p
+    val basic = java.util.Base64.getEncoder.encodeToString(
+      "viewer:vpw".getBytes("UTF-8"))
+    val viaHeader = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/query?db=tele&q=$sel"))
+        .header("Authorization", s"Basic $basic").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(viaHeader.statusCode() == 200, viaHeader.body())
+  }
+
+  test("authRequired refuses anonymous requests like auth-enabled InfluxDB") {
+    val authed = new InfluxHttpServer(cat, port = 0, authRequired = true)
+    authed.start()
+    try {
+      val b = s"http://127.0.0.1:${authed.boundPort}"
+      val anon = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b/query?db=tele&q=${enc("SHOW DATABASES")}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(anon.statusCode() == 401)
+      val w = client.send(HttpRequest.newBuilder(URI.create(s"$b/write?db=tele"))
+        .POST(HttpRequest.BodyPublishers.ofString("m,device=x value=1 1")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 401)
+    } finally authed.stop()
+  }
+
+  test("POST /query with a form body carries q like the 1.x clients") {
+    val r = post("/query", s"db=tele&epoch=u&q=${enc("SELECT max(value) FROM temp")}",
+      contentType = "application/x-www-form-urlencoded")
+    assert(r.statusCode() == 200 && r.body().contains("22.0"), r.body())
+    // missing q -> 400
+    assert(get("/query?db=tele").statusCode() == 400)
+  }
+
+  test("regex-FROM results split into one named series per measurement") {
+    val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT count(value) FROM /^(temp|hum)$/")}")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""name": "hum"""") &&
+      r.body().contains(""""name": "temp""""), r.body())
+    assert(!r.body().contains("measurement"), "the split column is consumed")
+  }
+}

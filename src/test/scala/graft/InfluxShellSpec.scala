@@ -60,5 +60,17 @@ class InfluxShellSpec extends SparkSuite {
     // an uncredentialed statement runs under the query registry (execute):
     // nothing should linger in SHOW QUERIES afterwards
     assert(cat.run("SHOW QUERIES").collect().isEmpty)
+
+    // multi-statement input (`a; b`) runs every statement and prints the
+    // LAST result — the InfluxDB /query contract through the shell
+    val multi = InfluxShell.process(cat,
+      "CREATE DATABASE scratch; SELECT count(value) FROM temp")
+    assert(multi.endsWith("(1 row)") && multi.contains("2"), multi)
+    assert(cat.run("SHOW DATABASES").as[String].collect().toSet
+      .contains("scratch"), "first statement of the pair really ran")
+    // a ';' inside a string literal stays one statement
+    val strSemi = InfluxShell.process(cat,
+      "SELECT count(value) FROM temp WHERE device != 'x;y'")
+    assert(strSemi.endsWith("(1 row)"), strSemi)
   }
 }
