@@ -50,7 +50,26 @@ object ServiceMain {
   final case class Handles(spark: SparkSession,
                            manager: MqttConnectionManager,
                            queries: Seq[StreamingQuery],
-                           http: Option[graft.http.InfluxHttpServer] = None)
+                           http: Option[graft.http.InfluxHttpServer] = None,
+                           retention: Option[Thread] = None)
+
+  /** One retention sweep over every database — the body of InfluxDB's
+    * retention service tick: each db with a finite default policy gets one
+    * expiry commit on its points table (conflict-retried against the
+    * concurrent streaming appends). Returns the (db, committed version)
+    * pairs actually expired; public so specs and operators can force a
+    * tick without waiting out the timer.
+    */
+  def retentionSweep(spark: SparkSession, dataDir: String): Seq[(String, Long)] = {
+    val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
+    val nowUs = System.currentTimeMillis() * 1000L
+    cat.databaseNames().flatMap { db =>
+      TxLogTable.retryOnConflict() {
+        graft.influxql.InfluxQL.enforceRetention(
+          spark, cat.pointsTable(db), "ts_us", dataDir, db, nowUs)
+      }.map(db -> _)
+    }
+  }
 
   /** Topic layout, derived from service_id exactly like the reference
     * (influx_service.py:387-389).
@@ -241,7 +260,35 @@ object ServiceMain {
         unix_micros(col("ts")).as("ts_us"),
         coalesce(col("num"), col("bool").cast("double")).as("value"))
         .filter(col("value").isNotNull),
-      db, dataDir, checkpoint = cp("subscriptions"), trigger = trigger)
+      db, dataDir, checkpoint = cp("subscriptions"), trigger = trigger,
+      // optional liveness bound: a slow subscriber can then delay a batch
+      // by at most cap×publish-latency; the excess counts into
+      // Subscriptions.droppedRows instead of stalling ingest
+      maxRowsPerBatch = conf.get("subscription_batch_cap").map(_.toInt))
+
+    // retention enforcement: InfluxDB's retention service — a daemon
+    // timer sweeps every database at check-interval (default 30 min),
+    // committing one expiry delete per db with a finite default policy
+    val retentionThread = {
+      val intervalMs = conf.get("retention_check_interval_ms") // drill seam
+        .map(_.toLong)
+        .getOrElse(conf.getOrElse("retention_check_interval_s", "1800").toLong * 1000L)
+      val t = new Thread(() => {
+        try while (!Thread.interrupted()) {
+          Thread.sleep(intervalMs)
+          try retentionSweep(spark, dataDir)
+          catch { case _: InterruptedException => throw new InterruptedException
+                  case e: Exception =>
+                    // a failed sweep must not kill the service loop; the
+                    // next tick retries (InfluxDB logs and continues too)
+                    org.slf4j.LoggerFactory.getLogger(getClass)
+                      .warn(s"retention sweep failed: ${e.getMessage}") }
+        } catch { case _: InterruptedException => () }
+      }, "graft-retention")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
 
     // the InfluxDB 1.x HTTP face (/ping, /query, /write): an off-the-shelf
     // Influx client (the reference's own influxdb-python) can point at the
@@ -257,7 +304,8 @@ object ServiceMain {
     }
 
     Handles(spark, manager,
-      Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2), http)
+      Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2), http,
+      Some(retentionThread))
   }
 
   /** R17 — graceful shutdown: stop every query (checkpoints make the next
@@ -269,6 +317,7 @@ object ServiceMain {
       catch { case _: Exception => () } // already terminated: fine
     }
     h.http.foreach(_.stop())
+    h.retention.foreach(_.interrupt())
     h.manager.stop()
   }
 }

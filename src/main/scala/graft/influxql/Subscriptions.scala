@@ -131,6 +131,13 @@ object Subscriptions {
     math.floorMod(h, nDests)
   }
 
+  /** Rows the per-batch cap dropped instead of forwarding, summed across
+    * every fan-out on this JVM — the operational gauge a deployment
+    * watches to size `maxRowsPerBatch` (non-zero = a subscriber is too
+    * slow for the write rate and fidelity is being traded for liveness).
+    */
+  val droppedRows = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Start the write fan-out for `db`: every micro-batch of the narrow
     * points stream re-reads the registry and publishes each point to its
     * subscription destinations from the executors (per-partition publisher
@@ -141,12 +148,21 @@ object Subscriptions {
     * publish and checkpoint) re-publishes its points — the same contract
     * as InfluxDB's UDP/HTTP subscription writer and MQTT QoS 1;
     * subscribers dedup on (series, timestamp) if they need exactly-once.
+    *
+    * Backpressure: `publish` runs INSIDE the task, so a slow destination
+    * blocks its partition and, transitively, the micro-batch — the same
+    * coupling as InfluxDB's blocking subscription writer. A deployment
+    * that prefers liveness bounds the exposure with `maxRowsPerBatch`:
+    * each batch forwards at most that many rows (deterministic limit) and
+    * counts the excess into [[droppedRows]] — InfluxDB's own
+    * write-buffer-overflow drop, made explicit and observable.
     */
   def start(points: DataFrame, db: String, root: String,
             publishFactory: () => (String, String) => Unit =
               () => (dest, payload) => graft.streaming.MqttBus.publish(dest, payload),
             checkpoint: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            maxRowsPerBatch: Option[Int] = None): StreamingQuery = {
     val spark = points.sparkSession
     points.writeStream
       .outputMode("append")
@@ -159,7 +175,14 @@ object Subscriptions {
           .toSeq
         if (subs.nonEmpty) {
           val factory = publishFactory
-          batch.select("transducer", "device", "ts_us", "value")
+          val capped = maxRowsPerBatch match {
+            case Some(cap) =>
+              val n = batch.count()
+              if (n > cap) droppedRows.addAndGet(n - cap)
+              batch.limit(cap)
+            case None => batch
+          }
+          capped.select("transducer", "device", "ts_us", "value")
             .foreachPartition { rows: Iterator[Row] =>
               val publish = factory()
               rows.foreach { r =>

@@ -1472,6 +1472,39 @@ class InfluxQLSpec extends SparkSuite {
     assert(got.size == 6, s"4 ALL + 2 ANY messages, got $got")
   }
 
+  test("subscriptions: maxRowsPerBatch bounds a slow destination's stall; drops are counted") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.influxql.Subscriptions
+    val root = java.nio.file.Files.createTempDirectory("subs_cap").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    cat.run("CREATE SUBSCRIPTION slow ON tele.autogen DESTINATIONS ALL 'slow/x'")
+    val in = MemoryStream[(String, String, Long, Double)]
+    in.addData((0 until 50).map(i => ("d", "m", i.toLong, i.toDouble)): _*)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val before = graft.streaming.MqttBus.size
+    val dropsBefore = Subscriptions.droppedRows.get()
+    // each publish simulates a 100 ms subscriber: uncapped, this batch
+    // would hold its task 5 s; the cap bounds it to 3 publishes (count
+    // through the bus — executor-side counters don't survive closure
+    // serialization, the bus is the JVM-global witness)
+    val q = Subscriptions.start(
+      in.toDF.toDF("device", "transducer", "ts_us", "value"), "tele", root,
+      publishFactory = () => (dest, payload) => {
+        Thread.sleep(100)
+        graft.streaming.MqttBus.publish(s"$tag/$dest", payload)
+      },
+      checkpoint = s"$root/_ck", maxRowsPerBatch = Some(3))
+    q.awaitTermination()
+    val published = graft.streaming.MqttBus
+      .slice(before, graft.streaming.MqttBus.size)
+      .count(_._1.startsWith(s"$tag/"))
+    assert(published == 3, s"cap must bound the fan-out, saw $published")
+    assert(Subscriptions.droppedRows.get() - dropsBefore == 47,
+      "the excess is counted, never silently vanished")
+  }
+
   test("continuous-query registry: CREATE validates + persists, SHOW lists, startAll runs, DROP removes") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

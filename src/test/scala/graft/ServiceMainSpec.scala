@@ -118,4 +118,44 @@ class ServiceMainSpec extends SparkSuite {
     assert(cat.pointsTable("oc").version.contains(2L),
       s"expected exactly three commits, got version ${cat.pointsTable("oc").version}")
   }
+
+  test("retention service: the periodic sweep expires points past the default policy") {
+    val dir = Files.createTempDirectory("svc_ret").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+    cat.run("CREATE DATABASE oc")
+    cat.run("CREATE RETENTION POLICY keep1h ON oc DURATION 1h DEFAULT")
+    val nowUs = System.currentTimeMillis() * 1000L
+    cat.writePoints("oc", Seq(
+      ("a", "temp", nowUs - 7200L * 1000000L, 1.0), // 2 h old: expired
+      ("a", "temp", nowUs - 60L * 1000000L, 2.0))   // 1 min old: kept
+      .toDF("device", "transducer", "ts_us", "value"))
+
+    // the forced tick (the timer body): one expiry commit on oc
+    val swept = ServiceMain.retentionSweep(spark, dir)
+    assert(swept.map(_._1) == Seq("oc"), s"got $swept")
+    assert(cat.points("oc").select("value").as[Double].collect().toSeq == Seq(2.0),
+      "the 2 h-old point must be gone, the fresh one kept")
+
+    // ... and the service's own timer runs the same sweep: seed another
+    // expired point, start the composed service with a 100 ms check
+    // interval, and watch the query surface lose it without any forced call
+    cat.writePoints("oc", Seq(("b", "temp", nowUs - 7200L * 1000000L, 9.0))
+      .toDF("device", "transducer", "ts_us", "value"))
+    assert(cat.points("oc").count() == 2)
+    val conf = Map("service_id" -> "svcret", "data_dir" -> dir,
+      "influx_database" -> "oc", "retention_check_interval_ms" -> "100")
+    val h = ServiceMain.start(spark, conf, new InProcessTransport, rest = None,
+      publish = (_, _) => (), trigger = Trigger.AvailableNow())
+    try {
+      assert(h.retention.exists(_.isAlive), "retention timer must be running")
+      val deadline = System.currentTimeMillis() + 30000
+      while (cat.points("oc").count() != 1 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cat.points("oc").select("value").as[Double].collect().toSeq
+        == Seq(2.0), "the timer tick must expire the seeded old point")
+    } finally ServiceMain.stop(h)
+    assert(h.retention.exists(!_.isAlive) || {
+      Thread.sleep(500); h.retention.exists(!_.isAlive)
+    }, "stop() must interrupt the timer")
+  }
 }
