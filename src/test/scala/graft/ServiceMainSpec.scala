@@ -119,6 +119,99 @@ class ServiceMainSpec extends SparkSuite {
       s"expected exactly three commits, got version ${cat.pointsTable("oc").version}")
   }
 
+  test("full wire drill: authed TLS MQTT ingest + line protocol through HTTP, one InfluxQL surface answers both") {
+    MqttBus.clear()
+    // the broker end of the reference deployment: TLS listener + CONNECT
+    // credential enforcement (service.conf:14-22)
+    val ksIn = getClass.getResourceAsStream("/mqtt-test-keystore.p12")
+    assert(ksIn != null, "test keystore resource missing")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(ksIn, "graft-test".toCharArray)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graft-test".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val broker = new graft.streaming.MockMqttBroker(sslContext = Some(serverCtx))
+    broker.requireCredentials(Map("svc-e2e" -> "wire-pw"))
+    val caPem = Files.createTempFile("svc-ca", ".pem")
+    Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"), caPem,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dir = Files.createTempDirectory("svc_wire").toString
+    val conf = Map(
+      "service_id" -> "svc-e2e", "password" -> "wire-pw",
+      "client_id" -> "svc-e2e-cli",
+      "mqtt_broker" -> "127.0.0.1", "mqtt_broker_port" -> broker.port.toString,
+      "enable_ssl" -> "True", "ssl_location" -> caPem.toString,
+      "data_dir" -> dir, "influx_database" -> "oc",
+      "http_port" -> "0")
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for $what")
+    }
+    def busHas(topic: String): Boolean =
+      MqttBus.slice(0, MqttBus.size).exists(_._1 == topic)
+    try {
+      // wrong credentials never get a session — the wire really is gated
+      val thief = GraftConfig.mqttTransport(conf + ("password" -> "wrong"))
+      intercept[Exception](thief.connect())
+      assert(!thief.isConnected)
+
+      // each phase runs the COMPOSED service over the real TLS socket
+      // (GraftConfig.mqttTransport — the same construction main uses);
+      // messages published while it is subscribed traverse the encrypted
+      // wire into the offset log, and the NEXT phase's AvailableNow
+      // queries deterministically ingest them
+      def phase(drive: ServiceMain.Handles => Unit): Unit = {
+        val h = ServiceMain.start(spark, conf, GraftConfig.mqttTransport(conf),
+          rest = None, publish = (_, _) => (),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        try {
+          drive(h)
+          h.queries.foreach(q => assert(q.awaitTermination(120000)))
+        } finally ServiceMain.stop(h)
+      }
+      val ev = ServiceMain.eventsTopic("svc-e2e")
+      phase { _ =>
+        broker.publish(ev,
+          """{"action":"new","thing":{"id":"d1","transducers":[{"name":"Temp"}]}}""", 1)
+        await("event over TLS")(busHas(ev))
+      }
+      phase { _ =>
+        broker.publish("openchirp/device/d1/Temp", "21.5", 1)
+        await("data over TLS")(busHas("openchirp/device/d1/Temp"))
+      }
+      // final phase: the MQTT point is in the ACID table; line protocol
+      // enters as REAL TEXT through the service's own HTTP /write and the
+      // one InfluxQL surface answers both doors
+      phase { h =>
+        val port = h.http.get.boundPort
+        val cli = java.net.http.HttpClient.newHttpClient()
+        def get(path: String) = cli.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        assert(get(s"/query?q=${enc("CREATE DATABASE lp")}").statusCode() == 200)
+        val w = cli.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/write?db=lp"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "pres,device=d1 value=900 8000000000\n")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(w.statusCode() == 204, w.body())
+        val lpQ = get(s"/query?db=lp&epoch=u&q=${enc("SELECT value FROM pres")}")
+        assert(lpQ.body().contains("[8000000, 900.0]"), lpQ.body())
+        val mqttQ = get(s"/query?q=${enc("SELECT count(num) FROM temp")}")
+        assert(mqttQ.body().contains("1"), mqttQ.body())
+      }
+      // the wire point really landed through parse -> registry -> ACID
+      val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+      assert(cat.run("SELECT count(num) FROM temp").as[Long].collect().toSeq
+        == Seq(1L), "the TLS-ingested point answers InfluxQL")
+    } finally broker.close()
+  }
+
   test("retention service: the periodic sweep expires points past the default policy") {
     val dir = Files.createTempDirectory("svc_ret").toString
     val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
