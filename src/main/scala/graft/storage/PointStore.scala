@@ -49,12 +49,15 @@ object PointStore {
     * stale silently (any rewrite must come back through here).
     */
   def writeIndexed(points: DataFrame, path: String, statsPath: String,
-                   nFiles: Int = 16): Unit = {
+                   nFiles: Int = 16,
+                   writeOptions: Map[String, String] = Map.empty): Unit = {
     points
       .withColumn("p_date", to_date(col("ts")))
       .repartitionByRange(nFiles, col("p_date"), col("device_id"))
       .sortWithinPartitions("p_date", "device_id", "ts")
-      .write.partitionBy("p_date").mode("overwrite").parquet(path)
+      // writeOptions pass parquet knobs through (e.g. parquet.block.size
+      // to bound row-group size: the in-file skipping granularity)
+      .write.options(writeOptions).partitionBy("p_date").mode("overwrite").parquet(path)
     StatsIndex.write(
       StatsIndex.build(read(points.sparkSession, path), Seq("device_id")), statsPath)
   }

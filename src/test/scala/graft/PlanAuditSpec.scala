@@ -241,4 +241,60 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("MapPartitions"), "the recursion runs as a partition scan")
   }
+
+  test("row-group skipping really drops row groups on a device probe (scan metrics, sf0.1)") {
+    // The indexed layout's in-file contract, measured rather than assumed:
+    // PointStore.writeIndexed sorts (device_id, ts) within each file, so
+    // parquet row-group min/max on device_id lets a selective probe skip
+    // most of the file BEFORE any row is materialized. PushedFilters alone
+    // only proves the predicate reached the scan; this reads the executed
+    // scan's numOutputRows to prove the skipping happened.
+    val dir = java.nio.file.Files.createTempDirectory("rg_skip").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id").cast("string").as("device_id"), col("ts"),
+        col("value"), col("event_type"))
+    // small row groups: the skipping granularity under test (default
+    // 128 MB would put the whole test file in ONE group and prove nothing)
+    graft.storage.PointStore.writeIndexed(events, s"$dir/pts", s"$dir/stats",
+      nFiles = 2, writeOptions = Map(
+        "parquet.block.size" -> (16 * 1024).toString,
+        "parquet.page.size" -> (4 * 1024).toString))
+    // sanity: the written files really contain multiple row groups each
+    val files = new java.io.File(dir, "pts").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val groupCounts = files.toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(groupCounts.sum >= 8 && groupCounts.sum > groupCounts.length,
+      s"need multiple row groups per file to test skipping, got $groupCounts")
+    // the probe: one device out of ~thousands, executed without AQE so the
+    // scan node and its metrics are directly addressable
+    val total = 100000L
+    val dev = events.select("device_id").orderBy("device_id").limit(1)
+      .collect().head.getString(0)
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val probe = spark.read.parquet(s"$dir/pts")
+        .filter(col("device_id") === dev)
+      val expected = probe.count()
+      assert(expected > 0 && expected < total / 100,
+        s"probe device must be selective, matched $expected")
+      val agg = probe.agg(count(lit(1)))
+      agg.collect()
+      val scan = agg.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+      assert(scan.metadata("PushedFilters").contains("EqualTo(device_id"),
+        scan.metadata("PushedFilters"))
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned >= expected, s"scan must cover the matches, got $scanned")
+      assert(scanned < total / 4,
+        s"row-group skipping must drop most of the file: scanned $scanned of " +
+          s"$total rows for $expected matches — stats-based skipping is dead")
+    }
+  }
 }
