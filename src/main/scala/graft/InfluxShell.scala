@@ -53,8 +53,13 @@ object InfluxShell {
   def process(cat: InfluxCatalog, stmt: String,
               creds: Option[(String, String)] = None): String =
     try {
+      // both paths run under the query registry and accept `;`-separated
+      // multi-statement input (last result prints, like influx's CLI)
       val df = creds match {
-        case Some((u, pw)) => cat.runAs(u, pw, stmt)
+        case Some((u, pw)) =>
+          val all = cat.executeAllAs(u, pw, stmt)
+          require(all.nonEmpty, "InfluxQL: empty statement")
+          all.last._2
         case None => cat.execute(stmt)
       }
       render(df)

@@ -479,6 +479,29 @@ object EngineProperties extends Properties("graft") {
       parsed == q
     }
 
+  // statements whose TEXT hides ';' inside every container the splitter
+  // must respect: string literals, regex literals (FROM and =~ position),
+  // quoted identifiers, plus the division-slash trap that must NOT open a
+  // regex — none of these may split
+  private val trickyStmtGen: Gen[String] = for {
+    m <- Gen.oneOf("temp", "hum", "m1")
+    v <- Gen.choose(0, 5)
+  } yield v match {
+    case 0 => s"SELECT value FROM $m WHERE device != 'a;b'"
+    case 1 => s"SELECT count(value) FROM /t;${m.take(1)}[0-9]/"
+    case 2 => s"SELECT sum(value)/2 + mean(value)/4 FROM $m"
+    case 3 => s"SELECT value FROM $m WHERE device =~ /x;y/ AND value > 1"
+    case 4 => s"""SELECT value FROM "we;ird" WHERE device != 'q'"""
+    case 5 => "SHOW MEASUREMENTS"
+  }
+
+  property("splitStatements: top-level-only ';' split inverts joining exactly") =
+    forAll(Gen.nonEmptyListOf(trickyStmtGen), Gen.chooseNum(0, 2)) { (stmts, pad) =>
+      // empty fragments (trailing ';', ';;') must drop, whitespace trims
+      val joined = stmts.mkString(" ; ") + (";" * pad)
+      graft.influxql.InfluxQL.splitStatements(joined) == stmts
+    }
+
   property("BMP codec roundtrip: arbitrary solid-color images decode to the exact mean") =
     // dims >= the 4x4 pool grid: smaller images leave empty thumbnail
     // cells (correctly 0), which the all-cells assertion below would flag
