@@ -133,70 +133,136 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     if (authRequired && creds.isEmpty)
       return err(ex, 401, "unable to parse authentication credentials")
     val epoch = p.get("epoch")
+    val pretty = p.get("pretty").exists(v => v == "true" || v == "")
+    val chunked = p.get("chunked").exists(v => v == "true" || v == "")
+    val chunkSize = p.get("chunk_size").map(_.toInt).filter(_ > 0).getOrElse(10000)
     try {
       val stmts = InfluxQL.splitStatements(q)
-      val entries = stmts.zipWithIndex.map { case (s, i) =>
-        try {
-          val df = creds match {
-            case Some((u, pw)) =>
-              try cat.executeAllAs(u, pw, s).head._2
-              catch {
-                case e: IllegalArgumentException
-                    if msgOf(e).contains("authentication failed") =>
-                  throw AuthFailed(msgOf(e))
-                case e: IllegalArgumentException
-                    if msgOf(e).contains("not authorized") =>
-                  throw Denied(msgOf(e))
-              }
-            case None => cat.executeAll(s).head._2
+      // one entry per statement: either its series data or its error text
+      val entries: Seq[Either[String, Seq[SeriesData]]] =
+        stmts.map { s =>
+          try {
+            val df = creds match {
+              case Some((u, pw)) =>
+                try cat.executeAllAs(u, pw, s).head._2
+                catch {
+                  case e: IllegalArgumentException
+                      if msgOf(e).contains("authentication failed") =>
+                    throw AuthFailed(msgOf(e))
+                  case e: IllegalArgumentException
+                      if msgOf(e).contains("not authorized") =>
+                    throw Denied(msgOf(e))
+                }
+              case None => cat.executeAll(s).head._2
+            }
+            Right(seriesData(s, df, epoch))
+          } catch {
+            case e: AuthFailed => throw e
+            case e: Denied => throw e
+            case e: Exception => Left(msgOf(e))
           }
-          s"""{"statement_id": $i, ${seriesJson(s, df, epoch)}}"""
-        } catch {
-          case e: AuthFailed => throw e
-          case e: Denied => throw e
-          case e: Exception =>
-            s"""{"statement_id": $i, "error": ${jsonString(msgOf(e))}}"""
         }
+      if (chunked) respondChunked(ex, entries, chunkSize, pretty)
+      else {
+        val body = entries.zipWithIndex.map {
+          case (Left(m), i) =>
+            s"""{"statement_id": $i, "error": ${jsonString(m)}}"""
+          case (Right(series), i) =>
+            s"""{"statement_id": $i, ${seriesListJson(series, partial = false)}}"""
+        }.mkString("""{"results": [""", ", ", "]}")
+        respondJson(ex, 200, if (pretty) InfluxHttpServer.prettyJson(body) else body)
       }
-      respondJson(ex, 200, s"""{"results": [${entries.mkString(", ")}]}""")
     } catch {
       case AuthFailed(m) => err(ex, 401, m)
       case Denied(m) => err(ex, 403, s"error authorizing query: $m")
     }
   }
 
+  /** The 1.x `chunked=true` contract: one standalone JSON document per
+    * chunk, newline-separated, `chunk_size` rows max per chunk; a series
+    * (and its statement) carries `"partial": true` whenever more of it
+    * follows — exactly what influxdb-python's chunked reader walks.
+    */
+  private def respondChunked(ex: HttpExchange,
+                             entries: Seq[Either[String, Seq[SeriesData]]],
+                             chunkSize: Int, pretty: Boolean): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // streaming body
+    val out = ex.getResponseBody
+    def emit(doc: String): Unit =
+      out.write(((if (pretty) InfluxHttpServer.prettyJson(doc) else doc) + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    entries.zipWithIndex.foreach {
+      case (Left(m), i) =>
+        emit(s"""{"results": [{"statement_id": $i, "error": ${jsonString(m)}}]}""")
+      case (Right(series), i) =>
+        val slices = series.flatMap { sd =>
+          val parts =
+            if (sd.rows.isEmpty) Seq(sd.rows)
+            else sd.rows.grouped(chunkSize).toSeq
+          parts.zipWithIndex.map { case (rows, k) =>
+            (sd.copy(rows = rows), k < parts.length - 1)
+          }
+        }
+        if (slices.isEmpty)
+          emit(s"""{"results": [{"statement_id": $i, "series": []}]}""")
+        else slices.zipWithIndex.foreach { case ((sd, morOfSeries), k) =>
+          val statementPartial = k < slices.length - 1
+          emit(s"""{"results": [{"statement_id": $i, ${
+            seriesListJson(Seq(sd), partial = morOfSeries)}${
+            if (statementPartial) """, "partial": true""" else ""}}]}""")
+        }
+    }
+    out.close()
+  }
+
   private def msgOf(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
-  /** The 1.x `series` entry (or entries) for one statement's result. A
-    * result carrying a `measurement` column (regex / multi FROM) splits
-    * into one named series per measurement, exactly like InfluxDB; other
-    * results are one series named from the statement.
+  /** One series' pre-rendered payload: name, column names, and each row
+    * already rendered as a JSON array string — the unit both the plain and
+    * chunked responders assemble from.
     */
-  private def seriesJson(stmt: String, df: DataFrame,
-                         epoch: Option[String]): String = {
+  private final case class SeriesData(name: String, columns: Seq[String],
+                                      rows: Seq[String])
+
+  /** The 1.x `series` entries for one statement's result. A result
+    * carrying a `measurement` column (regex / multi FROM) splits into one
+    * named series per measurement, exactly like InfluxDB; other results
+    * are one series named from the statement. Empty results → no series.
+    */
+  private def seriesData(stmt: String, df: DataFrame,
+                         epoch: Option[String]): Seq[SeriesData] = {
     val cols = df.columns
     val rows = df.collect()
-    if (rows.isEmpty) return "\"series\": []"
-    def values(rs: Seq[org.apache.spark.sql.Row], keep: Seq[Int]): String =
+    if (rows.isEmpty) return Nil
+    def render(rs: Seq[org.apache.spark.sql.Row], keep: Seq[Int]): Seq[String] =
       rs.map { r =>
         keep.map { i =>
           val v = r.get(i)
           if (cols(i) == "time") timeJson(v, epoch) else cellJson(v)
         }.mkString("[", ", ", "]")
-      }.mkString("[", ", ", "]")
-    def series(name: String, rs: Seq[org.apache.spark.sql.Row],
-               keep: Seq[Int]): String =
-      s"""{"name": ${jsonString(name)}, "columns": ${
-        keep.map(i => jsonString(cols(i))).mkString("[", ", ", "]")
-      }, "values": ${values(rs, keep)}}"""
+      }
     val mIdx = cols.indexOf("measurement")
-    val body =
-      if (mIdx >= 0) {
-        val keep = cols.indices.filterNot(_ == mIdx)
-        rows.toSeq.groupBy(_.getString(mIdx)).toSeq.sortBy(_._1)
-          .map { case (m, rs) => series(m, rs, keep) }
-      } else Seq(series(seriesName(stmt), rows.toSeq, cols.indices))
+    if (mIdx >= 0) {
+      val keep = cols.indices.filterNot(_ == mIdx)
+      rows.toSeq.groupBy(_.getString(mIdx)).toSeq.sortBy(_._1)
+        .map { case (m, rs) => SeriesData(m, keep.map(cols), render(rs, keep)) }
+    } else
+      Seq(SeriesData(seriesName(stmt), cols.toSeq, render(rows.toSeq, cols.indices)))
+  }
+
+  /** `"series": [...]` for a statement entry; `partial` marks every listed
+    * series as continued (the chunked responder passes one series at a
+    * time, so the flag is per-call).
+    */
+  private def seriesListJson(series: Seq[SeriesData], partial: Boolean): String = {
+    val body = series.map { sd =>
+      s"""{"name": ${jsonString(sd.name)}, "columns": ${
+        sd.columns.map(jsonString).mkString("[", ", ", "]")
+      }, "values": ${sd.rows.mkString("[", ", ", "]")}${
+        if (partial) """, "partial": true""" else ""}}"""
+    }
     s""""series": [${body.mkString(", ")}]"""
   }
 
@@ -318,4 +384,41 @@ object InfluxHttpServer {
     */
   private final case class AuthFailed(msg: String) extends RuntimeException(msg)
   private final case class Denied(msg: String) extends RuntimeException(msg)
+
+  /** `pretty=true`: re-indent a compact JSON document (InfluxDB's
+    * 4-space style). Walks the string respecting string literals and
+    * escapes — structure-preserving by construction, since the input is
+    * this server's own compact rendering.
+    */
+  private[http] def prettyJson(compact: String): String = {
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    def nl(): Unit = { sb += '\n'; sb ++= "    " * depth }
+    while (i < compact.length) {
+      val c = compact.charAt(i)
+      if (inStr) {
+        sb += c
+        if (c == '\\' && i + 1 < compact.length) { sb += compact.charAt(i + 1); i += 1 }
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true; sb += c
+        case '{' | '[' =>
+          sb += c
+          // keep empty containers on one line
+          val j = i + 1
+          val next = if (j < compact.length) compact.charAt(j) else ' '
+          if (next == '}' || next == ']') { sb += next; i += 1 }
+          else { depth += 1; nl() }
+        case '}' | ']' => depth -= 1; nl(); sb += c
+        case ',' => sb += c; nl()
+        case ' ' => // compact source uses ", " and ": "; the walker re-spaces
+          if (i > 0 && compact.charAt(i - 1) == ':') sb += ' '
+        case other => sb += other
+      }
+      i += 1
+    }
+    sb.result()
+  }
 }

@@ -152,6 +152,49 @@ class InfluxHttpSpec extends SparkSuite {
     assert(get("/query?db=tele").statusCode() == 400)
   }
 
+  test("chunked=true streams newline-delimited documents with partial flags") {
+    val sel = enc("SELECT value FROM temp")
+    val r = get(s"/query?db=tele&epoch=u&chunked=true&chunk_size=1&q=$sel")
+    assert(r.statusCode() == 200)
+    val docs = r.body().trim.split("\n")
+    assert(docs.length == 2, r.body())
+    // every chunk is a standalone envelope; all but the last marked partial
+    assert(docs.forall(_.startsWith("""{"results": [{"statement_id": 0""")))
+    assert(docs(0).contains(""""partial": true""") && !docs(1).contains("partial"),
+      r.body())
+    // chunk rows reassemble to exactly the unchunked result
+    val whole = get(s"/query?db=tele&epoch=u&q=$sel").body()
+    for (v <- Seq("[1000000, 20.0]", "[2000000, 22.0]"))
+      assert(whole.contains(v) && docs.mkString.contains(v), s"$v missing")
+    // a chunk_size covering everything yields ONE unmarked document
+    val one = get(s"/query?db=tele&epoch=u&chunked=true&chunk_size=100&q=$sel")
+    assert(one.body().trim.split("\n").length == 1 && !one.body().contains("partial"))
+  }
+
+  test("pretty=true re-indents the envelope losslessly") {
+    val sel = enc("SELECT mean(value) FROM temp")
+    val compact = get(s"/query?db=tele&epoch=u&q=$sel").body()
+    val pretty = get(s"/query?db=tele&epoch=u&pretty=true&q=$sel").body()
+    assert(pretty.contains("\n") && pretty.contains("    "), pretty)
+    assert(pretty.replaceAll("\\s+", "") == compact.replaceAll("\\s+", ""),
+      s"pretty must be a re-spacing of compact:\n$pretty\nvs\n$compact")
+  }
+
+  test("seeded fuzz: /query never 500s and always answers the JSON envelope") {
+    val rnd = new scala.util.Random(777)
+    val frags = Seq("SELECT", "value", "FROM", "temp", ";", "'a;b'", "/re/",
+      "WHERE", "device", "=", "(", ")", "*", "GROUP", "BY", "time(1d)",
+      "SHOW", "MEASUREMENTS", "now()", "-", "123", "\"q\"", ",", "\\", "🦆")
+    for (it <- 0 until 60) {
+      val q = (0 until 1 + rnd.nextInt(8))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString(" ")
+      val r = get(s"/query?db=tele&q=${enc(q)}")
+      assert(r.statusCode() != 500, s"iter $it '$q' -> 500: ${r.body()}")
+      assert(r.body().startsWith("{\"results\"") || r.body().startsWith("{\"error\""),
+        s"iter $it '$q' -> ${r.body().take(100)}")
+    }
+  }
+
   test("regex-FROM results split into one named series per measurement") {
     val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT count(value) FROM /^(temp|hum)$/")}")
     assert(r.statusCode() == 200)
