@@ -126,8 +126,17 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
 
   private def handleQuery(ex: HttpExchange): Unit = {
     val p = params(ex, readBody(ex))
-    val q = p.getOrElse("q", "")
-    if (q.trim.isEmpty) return err(ex, 400, "missing required parameter \"q\"")
+    val q0 = p.getOrElse("q", "")
+    if (q0.trim.isEmpty) return err(ex, 400, "missing required parameter \"q\"")
+    // bind parameters (InfluxDB 1.8 `params`): substitute outside quotes.
+    // The binder ALWAYS runs — an unbound $placeholder is a request-level
+    // 400 ("missing parameter") exactly like InfluxDB, params given or not
+    val q =
+      try InfluxHttpServer.bindParams(q0,
+        p.get("params").map(InfluxHttpServer.parseBindParams).getOrElse(Map.empty))
+      catch {
+        case e: IllegalArgumentException => return err(ex, 400, msgOf(e))
+      }
     val cat = p.get("db").map(catalog.forDatabase).getOrElse(catalog)
     val creds = credentials(ex, p)
     if (authRequired && creds.isEmpty)
@@ -384,6 +393,103 @@ object InfluxHttpServer {
     */
   private final case class AuthFailed(msg: String) extends RuntimeException(msg)
   private final case class Denied(msg: String) extends RuntimeException(msg)
+
+  /** The `params` bind-parameter object (InfluxDB 1.8's `/query?params=`
+    * — influxdb-python's `bind_params`): a FLAT JSON object of string /
+    * number / boolean values, parsed with a dependency-free scanner.
+    * Returns each value rendered as the InfluxQL literal it binds as.
+    */
+  private[graft] def parseBindParams(json: String): Map[String, String] = {
+    val s = json.trim
+    def bad(m: String): Nothing =
+      throw new IllegalArgumentException(s"invalid params object: $m")
+    if (!s.startsWith("{") || !s.endsWith("}")) bad("expected a JSON object")
+    var i = 1
+    val out = Map.newBuilder[String, String]
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def str(): String = {
+      if (s.charAt(i) != '"') bad(s"expected string at $i")
+      i += 1
+      val b = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          b += (s.charAt(i + 1) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case other => other
+          })
+          i += 2
+        } else { b += c; i += 1 }
+      }
+      if (i >= s.length) bad("unterminated string")
+      i += 1
+      b.result()
+    }
+    ws()
+    if (i < s.length && s.charAt(i) == '}') return Map.empty
+    var more = true
+    while (more) {
+      ws()
+      val k = str()
+      ws()
+      if (i >= s.length || s.charAt(i) != ':') bad(s"expected ':' after \"$k\"")
+      i += 1; ws()
+      val v: String =
+        if (i < s.length && s.charAt(i) == '"') {
+          val raw = str()
+          // the dialect's string literals carry no quote escapes — refuse
+          // what cannot be represented instead of mangling it
+          if (raw.contains("'")) bad(s"single quote in bind parameter \"$k\"")
+          s"'$raw'"
+        } else if (s.startsWith("true", i)) { i += 4; "true" }
+        else if (s.startsWith("false", i)) { i += 5; "false" }
+        else {
+          val start = i
+          while (i < s.length && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+          if (i == start) bad(s"unsupported value for \"$k\"")
+          s.substring(start, i)
+        }
+      out += k -> v
+      ws()
+      if (i < s.length && s.charAt(i) == ',') i += 1
+      else more = false
+    }
+    ws()
+    if (i >= s.length || s.charAt(i) != '}') bad("expected '}'")
+    out.result()
+  }
+
+  /** Substitute `$name` placeholders outside string literals and quoted
+    * identifiers; a placeholder without a binding fails loudly (InfluxDB's
+    * "missing parameter" error), and `$` elsewhere is left untouched only
+    * inside quotes.
+    */
+  private[graft] def bindParams(stmt: String, params: Map[String, String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def copyDelimited(close: Char): Unit = {
+      val j = stmt.indexOf(close, i + 1)
+      val end = if (j < 0) stmt.length else j + 1
+      sb ++= stmt.substring(i, end); i = end
+    }
+    while (i < stmt.length) {
+      stmt.charAt(i) match {
+        case '\'' => copyDelimited('\'')
+        case '"' => copyDelimited('"')
+        case '$' if i + 1 < stmt.length &&
+            (stmt.charAt(i + 1).isLetter || stmt.charAt(i + 1) == '_') =>
+          val start = i + 1
+          i += 1
+          while (i < stmt.length &&
+            (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) i += 1
+          val name = stmt.substring(start, i)
+          sb ++= params.getOrElse(name, throw new IllegalArgumentException(
+            s"missing parameter: $$$name"))
+        case c => sb += c; i += 1
+      }
+    }
+    sb.result()
+  }
 
   /** `pretty=true`: re-indent a compact JSON document (InfluxDB's
     * 4-space style). Walks the string respecting string literals and

@@ -406,7 +406,7 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       needOn(defaultDb, "WRITE")
     else if (up.startsWith("SHOW"))
       // ON <db> routes the SHOW family; default db otherwise
-      "(?i)\\bON\\s+(\\w+)".r.findFirstMatchIn(t) match {
+      "(?i)\\bON\\s+\"?(\\w+)\"?".r.findFirstMatchIn(t) match {
         case Some(m) => needOn(m.group(1), "READ")
         case None if openMeta.exists(up.startsWith) => ()
         case None => needOn(defaultDb, "READ")
@@ -478,11 +478,17 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       s"InfluxQL: retention policy not found: $rp on $db")
   }
 
-  /** `CREATE DATABASE x` / `DROP DATABASE x`: the identifier at word `i`. */
+  /** `CREATE DATABASE x` / `DROP DATABASE x`: the identifier at word `i`.
+    * Accepts the double-quoted form every stock client sends
+    * (influxdb-python's create_database quotes unconditionally).
+    */
   private def identAfter(t: String, i: Int): String = {
     val ws = t.split("\\s+")
     require(ws.length == i + 1, s"expected exactly one database name in '$t'")
-    ws(i)
+    val raw = ws(i)
+    if (raw.length >= 2 && raw.startsWith("\"") && raw.endsWith("\""))
+      raw.substring(1, raw.length - 1)
+    else raw
   }
 
   /** Rewrite a qualified FROM to its bare measurement so runInto (which

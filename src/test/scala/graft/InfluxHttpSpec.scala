@@ -195,6 +195,32 @@ class InfluxHttpSpec extends SparkSuite {
     }
   }
 
+  test("bind parameters substitute outside quotes; missing bindings 400") {
+    val q = enc("SELECT value FROM temp WHERE device = $d AND value > $lo")
+    val bound = get(s"/query?db=tele&epoch=u&q=$q&params=${
+      enc("""{"d": "a", "lo": 21}""")}")
+    assert(bound.statusCode() == 200 && bound.body().contains("[2000000, 22.0]") &&
+      !bound.body().contains("20.0"), bound.body())
+    // a '$' inside a string literal is data, not a placeholder
+    val lit = get(s"/query?db=tele&epoch=u&params=${enc("""{"d": "a"}""")}&q=${
+      enc("SELECT count(value) FROM temp WHERE device = $d AND device != '$d'")}")
+    assert(lit.statusCode() == 200 && lit.body().contains("2"), lit.body())
+    // missing binding and malformed params both 400 with the reason
+    assert(get(s"/query?db=tele&q=${enc("SELECT value FROM temp WHERE device = $nope")}")
+      .statusCode() == 400)
+    val bad = get(s"/query?db=tele&q=$q&params=${enc("not-json")}")
+    assert(bad.statusCode() == 400 && bad.body().contains("params"), bad.body())
+    // helper-level: parser handles escapes, booleans, numbers; rejects
+    // the one thing the dialect cannot quote
+    import graft.http.InfluxHttpServer.{bindParams, parseBindParams}
+    assert(parseBindParams("""{"s": "a\"b", "b": true, "n": -1.5e2}""") ==
+      Map("s" -> "'a\"b'", "b" -> "true", "n" -> "-1.5e2"))
+    assert(intercept[IllegalArgumentException](
+      parseBindParams("""{"s": "o'brien"}""")).getMessage.contains("single quote"))
+    assert(bindParams("x = $a AND y = '$a'", Map("a" -> "1")) ==
+      "x = 1 AND y = '$a'")
+  }
+
   test("regex-FROM results split into one named series per measurement") {
     val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT count(value) FROM /^(temp|hum)$/")}")
     assert(r.statusCode() == 200)

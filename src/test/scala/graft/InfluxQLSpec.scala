@@ -1278,6 +1278,15 @@ class InfluxQLSpec extends SparkSuite {
     // the ON <db> clause on the SHOW family
     assert(cat.run("SHOW MEASUREMENTS ON aux").as[String].collect().toSeq == Seq("hum"))
     assert(cat.run("SHOW MEASUREMENTS").as[String].collect().toSeq == Seq("temp"))
+    // stock clients double-quote identifiers unconditionally
+    // (influxdb-python's create_database/drop_database): the quoted
+    // database DDL forms and quoted ON routing must round-trip
+    cat.run("CREATE DATABASE \"qdb\"")
+    assert(cat.run("SHOW DATABASES").as[String].collect().toSet.contains("qdb"))
+    assert(cat.run("SHOW MEASUREMENTS ON \"aux\"").as[String].collect().toSeq
+      == Seq("hum"))
+    cat.run("DROP DATABASE \"qdb\"")
+    assert(!cat.run("SHOW DATABASES").as[String].collect().toSet.contains("qdb"))
     assert(cat.run("SHOW TAG VALUES ON aux WITH KEY = device")
       .as[(String, String)].collect().toSeq == Seq(("device", "b")))
     assert(cat.run("SHOW SERIES CARDINALITY ON aux").as[Long].collect().head == 1L)
