@@ -89,8 +89,19 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     (fromUri ++ fromBody).toMap
   }
 
-  private def readBody(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Request body, transparently inflating `Content-Encoding: gzip` —
+    * influxdb-python compresses /write (and /query form) bodies when
+    * constructed with gzip=True.
+    */
+  private def readBody(ex: HttpExchange): String = {
+    val raw = ex.getRequestBody
+    val in =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.toLowerCase.contains("gzip")))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    new String(in.readAllBytes(), StandardCharsets.UTF_8)
+  }
 
   private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
@@ -228,17 +239,21 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   private def msgOf(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
-  /** One series' pre-rendered payload: name, column names, and each row
-    * already rendered as a JSON array string — the unit both the plain and
-    * chunked responders assemble from.
+  /** One series' pre-rendered payload: name, the GROUP BY tag values that
+    * identify it, column names, and each row already rendered as a JSON
+    * array string — the unit both the plain and chunked responders
+    * assemble from.
     */
-  private final case class SeriesData(name: String, columns: Seq[String],
-                                      rows: Seq[String])
+  private final case class SeriesData(name: String, tags: Seq[(String, String)],
+                                      columns: Seq[String], rows: Seq[String])
 
   /** The 1.x `series` entries for one statement's result. A result
     * carrying a `measurement` column (regex / multi FROM) splits into one
-    * named series per measurement, exactly like InfluxDB; other results
-    * are one series named from the statement. Empty results → no series.
+    * named series per measurement, and a SELECT with GROUP BY tags splits
+    * further into one series per tag combination carrying a `"tags"`
+    * object (with the tag columns removed from `values`) — exactly the
+    * shape influxdb-python's resultset and DataFrame clients key on.
+    * Empty results → no series.
     */
   private def seriesData(stmt: String, df: DataFrame,
                          epoch: Option[String]): Seq[SeriesData] = {
@@ -252,13 +267,36 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           if (cols(i) == "time") timeJson(v, epoch) else cellJson(v)
         }.mkString("[", ", ", "]")
       }
+    // explicit GROUP BY tags of a SELECT, when they surface as columns
+    val groupTags: Seq[String] = {
+      val up = stmt.trim.toUpperCase
+      if (!up.startsWith("SELECT")) Nil
+      else try InfluxQL.parse(stmt).groupTags.filter(cols.contains)
+      catch { case _: Exception => Nil }
+    }
+    def split(name: String, rs: Seq[org.apache.spark.sql.Row],
+              keep0: Seq[Int]): Seq[SeriesData] =
+      if (groupTags.isEmpty) Seq(SeriesData(name, Nil, keep0.map(cols), render(rs, keep0)))
+      else {
+        val tagIdx = groupTags.map(t => cols.indexOf(t))
+        val keep = keep0.filterNot(tagIdx.contains)
+        def tagValues(r: org.apache.spark.sql.Row): Seq[String] =
+          tagIdx.map { i =>
+            val v = r.get(i)
+            if (v == null) null else v.toString
+          }
+        rs.groupBy(tagValues).toSeq
+          .sortBy(_._1.map(v => if (v == null) "" else v).mkString(" "))
+          .map { case (tv, grp) =>
+            SeriesData(name, groupTags.zip(tv), keep.map(cols), render(grp, keep))
+          }
+      }
     val mIdx = cols.indexOf("measurement")
     if (mIdx >= 0) {
       val keep = cols.indices.filterNot(_ == mIdx)
       rows.toSeq.groupBy(_.getString(mIdx)).toSeq.sortBy(_._1)
-        .map { case (m, rs) => SeriesData(m, keep.map(cols), render(rs, keep)) }
-    } else
-      Seq(SeriesData(seriesName(stmt), cols.toSeq, render(rows.toSeq, cols.indices)))
+        .flatMap { case (m, rs) => split(m, rs, keep) }
+    } else split(seriesName(stmt), rows.toSeq, cols.indices)
   }
 
   /** `"series": [...]` for a statement entry; `partial` marks every listed
@@ -267,7 +305,12 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     */
   private def seriesListJson(series: Seq[SeriesData], partial: Boolean): String = {
     val body = series.map { sd =>
-      s"""{"name": ${jsonString(sd.name)}, "columns": ${
+      val tags =
+        if (sd.tags.isEmpty) ""
+        else s""", "tags": {${sd.tags.map { case (k, v) =>
+          s"${jsonString(k)}: ${if (v == null) "null" else jsonString(v)}"
+        }.mkString(", ")}}"""
+      s"""{"name": ${jsonString(sd.name)}$tags, "columns": ${
         sd.columns.map(jsonString).mkString("[", ", ", "]")
       }, "values": ${sd.rows.mkString("[", ", ", "]")}${
         if (partial) """, "partial": true""" else ""}}"""

@@ -221,11 +221,39 @@ class InfluxHttpSpec extends SparkSuite {
       "x = 1 AND y = '$a'")
   }
 
+  test("gzip-encoded /write bodies inflate transparently (influxdb-python gzip=True)") {
+    val bout = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bout)
+    gz.write("gzm,device=g value=7 9500000000\n".getBytes("UTF-8"))
+    gz.close()
+    val r = client.send(java.net.http.HttpRequest.newBuilder(
+      URI.create(s"$base/write?db=tele"))
+      .header("Content-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bout.toByteArray)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 204, r.body())
+    val q = get(s"/query?db=tele&epoch=u&q=${enc("SELECT value FROM gzm")}")
+    assert(q.body().contains("[9500000, 7.0]"), q.body())
+  }
+
   test("regex-FROM results split into one named series per measurement") {
     val r = get(s"/query?db=tele&epoch=u&q=${enc("SELECT count(value) FROM /^(temp|hum)$/")}")
     assert(r.statusCode() == 200)
     assert(r.body().contains(""""name": "hum"""") &&
       r.body().contains(""""name": "temp""""), r.body())
     assert(!r.body().contains("measurement"), "the split column is consumed")
+  }
+
+  test("GROUP BY tags answer one series per tag set with a tags object") {
+    val r = get(s"/query?db=tele&epoch=u&q=${
+      enc("SELECT count(value) AS c FROM temp GROUP BY device")}")
+    assert(r.statusCode() == 200)
+    // the influxdb-python resultset shape: tag values live in "tags",
+    // never in the value rows
+    assert(r.body().contains(""""name": "temp", "tags": {"device": "a"}"""),
+      r.body())
+    val devSeries = r.body().split("""\{"name"""").count(_.contains("tags"))
+    assert(devSeries >= 1 && !r.body().contains("""["a","""),
+      s"tag values must not remain in values: ${r.body()}")
   }
 }
