@@ -51,6 +51,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
                              bindHost: String = "127.0.0.1") {
 
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  // without an executor the JDK server runs every handler on its ONE
+  // dispatcher thread — a slow query would serialize all clients. A small
+  // daemon pool gives concurrent request handling; Spark's job-group
+  // mapping stays correct because setJobGroup is thread-local.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    }))
   server.createContext("/ping", (ex: HttpExchange) => {
     ex.getResponseHeaders.set("X-Influxdb-Version", "1.8-graft")
     ex.sendResponseHeaders(204, -1); ex.close()

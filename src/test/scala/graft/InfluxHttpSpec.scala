@@ -244,6 +244,19 @@ class InfluxHttpSpec extends SparkSuite {
     assert(!r.body().contains("measurement"), "the split column is consumed")
   }
 
+  test("concurrent requests run in parallel on the handler pool") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sel = enc("SELECT count(value) FROM temp")
+    val fs = (0 until 6).map(_ => Future(get(s"/query?db=tele&q=$sel")))
+    val rs = Await.result(Future.sequence(fs), 60.seconds)
+    assert(rs.forall(_.statusCode() == 200), rs.map(_.statusCode()))
+    // while queries run concurrently, each gets its OWN registry window
+    // (thread-local job groups) — nothing lingers afterwards
+    assert(cat.run("SHOW QUERIES").collect().isEmpty)
+  }
+
   test("GROUP BY tags answer one series per tag set with a tags object") {
     val r = get(s"/query?db=tele&epoch=u&q=${
       enc("SELECT count(value) AS c FROM temp GROUP BY device")}")
