@@ -204,12 +204,17 @@ object LineProtocol {
 
   /** Parsed points in the engine's narrow InfluxQL layout — measurement →
     * transducer, the `device` tag → the device column (the reference's own
-    * topic convention), numeric-or-boolean values → `value` double,
-    * timestamps → µs. Timestamp-less points take `serverTsUs` when given
-    * (InfluxDB assigns write-receipt time); with `serverTsUs = None` they
-    * DROP, as do string-field and device-less points — pair with
-    * [[narrowDropped]] (and [[errors]] for the malformed complement) so
-    * the /write face never loses data invisibly.
+    * topic convention), numeric-or-boolean `value` fields → `value`
+    * double, timestamps → µs. Timestamp-less points take `serverTsUs`
+    * when given (InfluxDB assigns write-receipt time); with
+    * `serverTsUs = None` they DROP — as do string-field, device-less, and
+    * non-`value`-named fields. The field-name restriction is deliberate:
+    * the narrow layout's one field column cannot tell `used=1` from
+    * `free=2`, and collapsing differently-named fields into one stream
+    * would silently MERGE distinct series (the reference's own client
+    * only ever writes the field `value`, influx_service.py:200-230).
+    * Pair with [[narrowDropped]] (and [[errors]] for the malformed
+    * complement) so the /write face never loses data invisibly.
     */
   def narrowPoints(lines: Dataset[String],
                    serverTsUs: Option[Long] = None,
@@ -231,6 +236,7 @@ object LineProtocol {
       case None => raw
     }
     parse(lines).toDF()
+      .filter(col("field") === "value")
       .select(
         element_at(col("tags"), "device").as("device"),
         col("measurement").as("transducer"),
@@ -241,14 +247,15 @@ object LineProtocol {
   }
 
   /** The well-formed points [[narrowPoints]] cannot represent — string
-    * field value, no `device` tag, or (when no server timestamp is
-    * assigned) no timestamp. Same partition discipline as [[errors]]:
-    * narrowPoints ∪ narrowDropped covers every parsed point exactly once.
+    * field value, a field key other than `value`, no `device` tag, or
+    * (when no server timestamp is assigned) no timestamp. Same partition
+    * discipline as [[errors]]: narrowPoints ∪ narrowDropped covers every
+    * parsed point exactly once.
     */
   def narrowDropped(lines: Dataset[String],
                     serverTsAssigned: Boolean = false): Dataset[LpPoint] =
     parse(lines).filter { p =>
-      p.str.nonEmpty || !p.tags.contains("device") ||
+      p.str.nonEmpty || p.field != "value" || !p.tags.contains("device") ||
         (!serverTsAssigned && p.ts_ns.isEmpty)
     }
 }

@@ -141,16 +141,25 @@ class LineProtocolSpec extends SparkSuite {
     // the InfluxQL dialect plans straight over the parsed narrow layout
     assert(InfluxQL.run(narrow, "SELECT count(value) FROM temp")
       .as[Long].collect().toSeq == Seq(2L))
+    // named fields other than `value` must not COLLAPSE into one stream
+    // (the narrow layout cannot tell used from free) — they surface as
+    // dropped instead, every parsed point in exactly one bucket
+    val named = Seq("mm,device=d used=1,free=2,value=3 99000").toDS()
+    assert(LineProtocol.narrowPoints(named)
+      .as[(String, String, Long, Double)].collect().toSeq ==
+      Seq(("d", "mm", 99L, 3.0)), "only the value field lands")
+    assert(LineProtocol.narrowDropped(named, serverTsAssigned = true)
+      .collect().map(_.field).toSet == Set("used", "free"))
     // precision scaling (/write's `precision` param) is exact integer
     // math in every unit — no IEEE division anywhere near an epoch
     def us(line: String, unitNs: Long): Long =
       LineProtocol.narrowPoints(Seq(line).toDS(), tsUnitNs = unitNs)
         .select("ts_us").as[Long].collect().head
-    assert(us("m,device=d v=1 1700000000123456789", 1L) == 1700000000123456L)
-    assert(us("m,device=d v=1 1700000000123456", 1000L) == 1700000000123456L)
-    assert(us("m,device=d v=1 1700000000123", 1000000L) == 1700000000123000L)
-    assert(us("m,device=d v=1 1700000000", 1000000000L) == 1700000000000000L)
-    assert(us("m,device=d v=1 28333333", 60L * 1000000000L) == 1699999980000000L)
+    assert(us("m,device=d value=1 1700000000123456789", 1L) == 1700000000123456L)
+    assert(us("m,device=d value=1 1700000000123456", 1000L) == 1700000000123456L)
+    assert(us("m,device=d value=1 1700000000123", 1000000L) == 1700000000123000L)
+    assert(us("m,device=d value=1 1700000000", 1000000000L) == 1700000000000000L)
+    assert(us("m,device=d value=1 28333333", 60L * 1000000000L) == 1699999980000000L)
     // the subscription fan-out's rendering parses back to the same point
     val rt = LineProtocol.parseLine(
       Subscriptions.lineProtocol("temp", "d1", 5000000L, 21.5)).toOption.get
