@@ -401,6 +401,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       case Some(d) => d
       case None => return err(ex, 400, "database is required")
     }
+    // a named retention policy must exist (InfluxDB 404s unknown ones);
+    // placement stays per-db — the policy governs expiry in this engine
+    val rpProblem = p.get("rp").filter(_.nonEmpty).flatMap { rp =>
+      try { catalog.requireRetentionPolicy(db, rp); None }
+      catch { case e: IllegalArgumentException => Some(msgOf(e)) }
+    }
+    rpProblem match {
+      case Some(m) => return err(ex, 404, m)
+      case None => ()
+    }
     val unit = p.get("precision").getOrElse("ns")
     val unitNs = precisionNs.get(unit) match {
       case Some(u) => u

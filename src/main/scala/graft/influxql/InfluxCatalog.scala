@@ -470,6 +470,13 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     InfluxQL.planResolved(points(db), q.copy(fromDb = None, fromRp = None))
   }
 
+  /** Public validation seam for the HTTP /write `rp` parameter: a named
+    * retention policy must exist on the db (storage is per-db, so the
+    * policy governs expiry, not placement — but an unknown name still
+    * fails loudly like InfluxDB's 404).
+    */
+  def requireRetentionPolicy(db: String, rp: String): Unit = requireRp(db, rp)
+
   private def requireRp(db: String, rp: String): Unit = {
     val policies = new TxLogTable(spark, s"$rootDir/_retention_policies")
     val known = policies.version.nonEmpty &&

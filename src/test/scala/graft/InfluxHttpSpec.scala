@@ -98,6 +98,12 @@ class InfluxHttpSpec extends SparkSuite {
     assert(post("/write?db=ghost", "m,device=x value=1 1").statusCode() == 404)
     assert(post("/write", "m,device=x value=1 1").statusCode() == 400)
     assert(get("/write?db=tele").statusCode() == 405)
+    // rp param: the named policy must exist (autogen does; ghost 404s)
+    assert(post("/write?db=tele&rp=autogen&precision=s",
+      "rpm,device=c value=1 7").statusCode() == 204)
+    val badRp = post("/write?db=tele&rp=ghost", "m,device=c value=1 1")
+    assert(badRp.statusCode() == 404 &&
+      badRp.body().contains("retention policy not found"), badRp.body())
   }
 
   test("u/p credentials route through runAs: 401 bad auth, 403 unauthorized") {
