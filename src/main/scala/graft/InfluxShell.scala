@@ -56,10 +56,7 @@ object InfluxShell {
       // both paths run under the query registry and accept `;`-separated
       // multi-statement input (last result prints, like influx's CLI)
       val df = creds match {
-        case Some((u, pw)) =>
-          val all = cat.executeAllAs(u, pw, stmt)
-          require(all.nonEmpty, "InfluxQL: empty statement")
-          all.last._2
+        case Some((u, pw)) => cat.executeAs(u, pw, stmt)
         case None => cat.execute(stmt)
       }
       render(df)

@@ -64,9 +64,13 @@ object ServiceMain {
     val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
     val nowUs = System.currentTimeMillis() * 1000L
     cat.databaseNames().flatMap { db =>
-      TxLogTable.retryOnConflict() {
+      val table = cat.pointsTable(db)
+      // a db with a finite policy but no committed points yet has nothing
+      // to expire — and must not abort the sweep for the databases after it
+      if (table.version.isEmpty) None
+      else TxLogTable.retryOnConflict() {
         graft.influxql.InfluxQL.enforceRetention(
-          spark, cat.pointsTable(db), "ts_us", dataDir, db, nowUs)
+          spark, table, "ts_us", dataDir, db, nowUs)
       }.map(db -> _)
     }
   }
@@ -138,6 +142,21 @@ object ServiceMain {
     val registryPath = s"$dataDir/registry"
     val catalogPath = s"$dataDir/transducer_catalog"
     def registryTable = new TxLogTable(spark, registryPath)
+
+    // the InfluxDB 1.x HTTP face (/ping, /query, /write): an off-the-shelf
+    // Influx client (the reference's own influxdb-python) can point at the
+    // live service table with zero adapters. http_auth=True enforces
+    // credentials like InfluxDB's auth-enabled. Started FIRST: a bind
+    // failure (port in use) must abort startup before any streaming query
+    // or timer exists to leak.
+    val http = conf.get("http_port").map { port =>
+      val s = new graft.http.InfluxHttpServer(catalog, port.toInt,
+        authRequired = conf.get("http_auth")
+          .exists(v => Set("true", "1", "yes")(v.toLowerCase)),
+        bindHost = conf.getOrElse("http_bind", "127.0.0.1"))
+      s.start()
+      s
+    }
 
     // 1. connect + subscribe (events first, like the reference's startup;
     // on every reconnect the manager re-issues both subscriptions)
@@ -288,19 +307,6 @@ object ServiceMain {
       t.setDaemon(true)
       t.start()
       t
-    }
-
-    // the InfluxDB 1.x HTTP face (/ping, /query, /write): an off-the-shelf
-    // Influx client (the reference's own influxdb-python) can point at the
-    // live service table with zero adapters. http_auth=True enforces
-    // credentials like InfluxDB's auth-enabled.
-    val http = conf.get("http_port").map { port =>
-      val s = new graft.http.InfluxHttpServer(catalog, port.toInt,
-        authRequired = conf.get("http_auth")
-          .exists(v => Set("true", "1", "yes")(v.toLowerCase)),
-        bindHost = conf.getOrElse("http_bind", "127.0.0.1"))
-      s.start()
-      s
     }
 
     Handles(spark, manager,

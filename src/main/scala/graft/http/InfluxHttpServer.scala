@@ -133,11 +133,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       case (Some(u), Some(pw)) => Some((u, pw))
       case _ => Option(ex.getRequestHeaders.getFirst("Authorization"))
         .filter(_.startsWith("Basic "))
-        .flatMap { h =>
-          val dec = new String(java.util.Base64.getDecoder
-            .decode(h.drop("Basic ".length)), StandardCharsets.UTF_8)
-          val i = dec.indexOf(':')
-          if (i < 0) None else Some((dec.take(i), dec.drop(i + 1)))
+        .map { h =>
+          // a malformed header is PRESENT credentials that cannot be
+          // valid — ("", "") fails authentication loudly (401), it must
+          // not fall through to the anonymous path
+          try {
+            val dec = new String(java.util.Base64.getDecoder
+              .decode(h.drop("Basic ".length)), StandardCharsets.UTF_8)
+            val i = dec.indexOf(':')
+            if (i < 0) ("", "") else (dec.take(i), dec.drop(i + 1))
+          } catch { case _: IllegalArgumentException => ("", "") }
         }
     }
 
@@ -162,33 +167,55 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val creds = credentials(ex, p)
     if (authRequired && creds.isEmpty)
       return err(ex, 401, "unable to parse authentication credentials")
+    // request-level parameter validation is UP FRONT like InfluxDB's —
+    // a typo must not pass or fail depending on whether rows match
     val epoch = p.get("epoch")
+    epoch.foreach { e =>
+      if (!Set("ns", "u", "µ", "ms", "s", "m", "h")(e))
+        return err(ex, 400, s"invalid epoch: $e")
+    }
     val pretty = p.get("pretty").exists(v => v == "true" || v == "")
     val chunked = p.get("chunked").exists(v => v == "true" || v == "")
-    val chunkSize = p.get("chunk_size").map(_.toInt).filter(_ > 0).getOrElse(10000)
+    val chunkSize = p.get("chunk_size") match {
+      case None => 10000
+      case Some(cs) => cs.toIntOption.filter(_ > 0) match {
+        case Some(n) => n
+        case None => return err(ex, 400, s"invalid chunk_size: $cs")
+      }
+    }
     try {
       val stmts = InfluxQL.splitStatements(q)
+      // InfluxDB accepts mutating statements only via POST: a GET carrying
+      // DDL / INTO / KILL must be refused before anything runs (GETs are
+      // retried by proxies and prefetched by browsers)
+      if (ex.getRequestMethod == "GET")
+        stmts.find(s => !InfluxHttpServer.readOnlyStatement(s)).foreach { s =>
+          return err(ex, 400,
+            s"""statement must be sent with a POST request: "$s"""")
+        }
+      // pre-authorize EVERY statement before running ANY (InfluxDB's
+      // QueryAuthorizer order): a 403 on statement N must not leave
+      // statements 0..N-1 already committed behind a failed request.
+      // Non-auth failures (parse errors) surface per-statement below.
+      creds.foreach { case (u, pw) =>
+        stmts.foreach { s =>
+          try cat.authorize(u, pw, s)
+          catch {
+            case e: IllegalArgumentException
+                if msgOf(e).contains("authentication failed") =>
+              throw AuthFailed(msgOf(e))
+            case e: IllegalArgumentException
+                if msgOf(e).contains("not authorized") =>
+              throw Denied(msgOf(e))
+            case _: Exception => () // unrunnable statement: no side effects
+          }
+        }
+      }
       // one entry per statement: either its series data or its error text
       val entries: Seq[Either[String, Seq[SeriesData]]] =
         stmts.map { s =>
-          try {
-            val df = creds match {
-              case Some((u, pw)) =>
-                try cat.executeAllAs(u, pw, s).head._2
-                catch {
-                  case e: IllegalArgumentException
-                      if msgOf(e).contains("authentication failed") =>
-                    throw AuthFailed(msgOf(e))
-                  case e: IllegalArgumentException
-                      if msgOf(e).contains("not authorized") =>
-                    throw Denied(msgOf(e))
-                }
-              case None => cat.executeAll(s).head._2
-            }
-            Right(seriesData(s, df, epoch))
-          } catch {
-            case e: AuthFailed => throw e
-            case e: Denied => throw e
+          try Right(seriesData(s, cat.executeAll(s).head._2, epoch))
+          catch {
             case e: Exception => Left(msgOf(e))
           }
         }
@@ -440,11 +467,20 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           return err(ex, 404, s"database not found: \"$db\"")
       }
     val firstErr = res.errors.take(1).headOption
-    firstErr match {
-      case Some(e) =>
+    val firstDropped = res.dropped.take(1).headOption
+    (firstErr, firstDropped) match {
+      case (Some(e), _) =>
         // parsed lines were still appended: InfluxDB's partial-write rule
         err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
-      case None =>
+      case (None, Some(d)) =>
+        // well-formed points the narrow layout cannot hold (string field,
+        // field key other than `value`, missing device tag) were NOT
+        // stored — never answer success for invisible data loss
+        err(ex, 400, "partial write: points beyond the narrow layout " +
+          s"were not stored (first: measurement '${d.measurement}' field " +
+          s"'${d.field}' — requires a numeric/boolean field named 'value' " +
+          "and a device tag)")
+      case (None, None) =>
         ex.sendResponseHeaders(204, -1); ex.close()
     }
   }
@@ -456,6 +492,22 @@ object InfluxHttpServer {
     */
   private final case class AuthFailed(msg: String) extends RuntimeException(msg)
   private final case class Denied(msg: String) extends RuntimeException(msg)
+
+  /** True when the statement cannot mutate state — SELECT without INTO,
+    * EXPLAIN, and the SHOW family — i.e. the statements InfluxDB accepts
+    * over GET. An unparseable SELECT counts as read-only: it cannot run,
+    * so it answers its per-statement error through either method.
+    */
+  private[graft] def readOnlyStatement(stmt: String): Boolean = {
+    val up = stmt.trim.toUpperCase
+    if (up.startsWith("SHOW")) true
+    else if (up.startsWith("SELECT") || up.startsWith("EXPLAIN")) {
+      val sel = if (up.startsWith("EXPLAIN"))
+        stmt.trim.drop("EXPLAIN".length).trim else stmt
+      try InfluxQL.parse(sel).into.isEmpty
+      catch { case _: Exception => true }
+    } else false
+  }
 
   /** The `params` bind-parameter object (InfluxDB 1.8's `/query?params=`
     * — influxdb-python's `bind_params`): a FLAT JSON object of string /

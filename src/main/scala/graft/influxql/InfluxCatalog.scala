@@ -379,6 +379,18 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * failure are distinct, loud errors.
     */
   def runAs(user: String, password: String, text: String): DataFrame = {
+    authorize(user, password, text)
+    run(text.trim)
+  }
+
+  /** The enforcement half of [[runAs]] WITHOUT execution — authenticate,
+    * then check the statement's authorization class. Separated so
+    * multi-statement entry points ([[executeAs]], the HTTP layer) can
+    * pre-authorize EVERY statement before running ANY, like InfluxDB's
+    * QueryAuthorizer: a later unauthorized statement must not leave the
+    * earlier ones' side effects behind a failed request.
+    */
+  def authorize(user: String, password: String, text: String): Unit = {
     if (!InfluxAuth.authenticate(spark, rootDir, user, password))
       throw new IllegalArgumentException(
         s"InfluxQL: authentication failed for user $user")
@@ -419,7 +431,6 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       needOn(db, "READ")
       if (q.into.nonEmpty) needOn(db, "WRITE")
     }
-    run(t)
   }
 
   /** One statement, executed under the [[queryRegistry]]: listed by SHOW
@@ -444,19 +455,32 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
   def executeAll(text: String): Seq[(String, DataFrame)] =
     InfluxQL.splitStatements(text).map(s => s -> tracked(s)(run(s)))
 
-  /** [[executeAll]] under [[runAs]] enforcement — every statement is
-    * authenticated and authorized individually.
+  /** [[executeAll]] under [[runAs]] enforcement. EVERY statement is
+    * authorized up front, before ANY runs (InfluxDB's QueryAuthorizer
+    * order): a 403 on statement N must not leave statements 0..N-1's side
+    * effects behind a failed request.
     */
   def executeAllAs(user: String, password: String,
-                   text: String): Seq[(String, DataFrame)] =
-    InfluxQL.splitStatements(text).map(s =>
-      s -> tracked(s)(runAs(user, password, s)))
+                   text: String): Seq[(String, DataFrame)] = {
+    val stmts = InfluxQL.splitStatements(text)
+    stmts.foreach(authorize(user, password, _))
+    stmts.map(s => s -> tracked(s)(run(s)))
+  }
 
   /** [[executeAll]], returning the LAST statement's result — the
     * single-DataFrame face the shell prints.
     */
   def execute(text: String): DataFrame = {
     val all = executeAll(text)
+    require(all.nonEmpty, "InfluxQL: empty statement")
+    all.last._2
+  }
+
+  /** [[execute]] under pre-authorized [[runAs]] enforcement — the shell's
+    * credentialed path.
+    */
+  def executeAs(user: String, password: String, text: String): DataFrame = {
+    val all = executeAllAs(user, password, text)
     require(all.nonEmpty, "InfluxQL: empty statement")
     all.last._2
   }

@@ -64,11 +64,32 @@ class InfluxHttpSpec extends SparkSuite {
     assert(ns.body().contains("[1000000000,"), ns.body())
     val rfc = get(s"/query?db=tele&q=${enc("SELECT value FROM temp WHERE device = 'a' LIMIT 1")}")
     assert(rfc.body().contains("\"1970-01-01T00:00:01Z\""), rfc.body())
+    // malformed request parameters are request-level 4xx, never 500 and
+    // never data-dependent: bad epoch / chunk_size 400 up front, a
+    // garbage Basic header is failed credentials (401)
+    val sel = enc("SELECT value FROM temp")
+    assert(get(s"/query?db=tele&epoch=bogus&q=$sel").statusCode() == 400)
+    assert(get(s"/query?db=tele&epoch=bogus&q=${
+      enc("SELECT value FROM temp WHERE device = 'nope'")}").statusCode() == 400,
+      "empty results must not mask the epoch typo")
+    assert(get(s"/query?db=tele&chunked=true&chunk_size=abc&q=$sel")
+      .statusCode() == 400)
+    val badAuth = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/query?db=tele&q=$sel"))
+      .header("Authorization", "Basic !!!not-base64!!!").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(badAuth.statusCode() == 401, s"${badAuth.statusCode()} ${badAuth.body()}")
   }
 
   test("/query splits multi-statement q; failures are per-statement errors") {
     val q = "CREATE DATABASE aux; SHOW DATABASES; SELECT nope(value) FROM temp"
-    val r = get(s"/query?db=tele&q=${enc(q)}")
+    // mutating statements require POST (InfluxDB's rule; GETs get retried
+    // by proxies and prefetched by browsers) — the same q over GET is 400
+    val viaGet = get(s"/query?db=tele&q=${enc(q)}")
+    assert(viaGet.statusCode() == 400 &&
+      viaGet.body().contains("POST"), viaGet.body())
+    val r = post("/query", s"db=tele&q=${enc(q)}",
+      contentType = "application/x-www-form-urlencoded")
     assert(r.statusCode() == 200)
     assert(r.body().contains(""""statement_id": 0"""))
     assert(r.body().contains(
@@ -104,6 +125,12 @@ class InfluxHttpSpec extends SparkSuite {
     val badRp = post("/write?db=tele&rp=ghost", "m,device=c value=1 1")
     assert(badRp.statusCode() == 404 &&
       badRp.body().contains("retention policy not found"), badRp.body())
+    // well-formed points the narrow layout cannot hold (string field,
+    // named field, no device tag) are a 400, never a silent success
+    val dropped = post("/write?db=tele",
+      "sm,device=c note=\"x\" 8100000000\nsm,device=c used=1 8100000000")
+    assert(dropped.statusCode() == 400 &&
+      dropped.body().contains("narrow layout"), dropped.body())
   }
 
   test("u/p credentials route through runAs: 401 bad auth, 403 unauthorized") {
@@ -115,8 +142,10 @@ class InfluxHttpSpec extends SparkSuite {
     val okR = get(s"/query?db=tele&u=viewer&p=vpw&q=$sel")
     assert(okR.statusCode() == 200 && okR.body().contains("2"), okR.body())
     // viewer may not write: statement authz -> 403, write authz -> 403
-    assert(get(s"/query?db=tele&u=viewer&p=vpw&q=${
-      enc("DROP MEASUREMENT temp")}").statusCode() == 403)
+    // (mutations go via POST; authorization is checked BEFORE execution)
+    assert(post("/query", s"db=tele&u=viewer&p=vpw&q=${
+      enc("DROP MEASUREMENT temp")}",
+      contentType = "application/x-www-form-urlencoded").statusCode() == 403)
     assert(post("/write?db=tele&u=viewer&p=vpw", "m,device=x value=1 1")
       .statusCode() == 403)
     assert(post("/write?db=tele&u=viewer&p=WRONG", "m,device=x value=1 1")
@@ -124,6 +153,17 @@ class InfluxHttpSpec extends SparkSuite {
     // admin writes through the same door
     assert(post("/write?db=tele&u=boss&p=bpw",
       "adm,device=z value=3 9000000000").statusCode() == 204)
+    // pre-authorization: EVERY statement is authorized before ANY runs —
+    // a later denied statement must not leave the earlier INTO committed
+    // (the client will retry the whole request; replays must not stack)
+    cat.run("CREATE USER writer WITH PASSWORD 'wpw'")
+    cat.run("GRANT ALL ON tele TO writer")
+    val mixed = post("/query", s"db=tele&u=writer&p=wpw&q=${enc(
+      "SELECT mean(value) INTO agg9 FROM temp GROUP BY time(1000000u); SHOW USERS")}",
+      contentType = "application/x-www-form-urlencoded")
+    assert(mixed.statusCode() == 403, mixed.body())
+    assert(new graft.storage.TxLogTable(spark, s"$root/tele/agg9")
+      .version.isEmpty, "statement 0 must not have committed")
     // Authorization: Basic header is the other spelling of u/p
     val basic = java.util.Base64.getEncoder.encodeToString(
       "viewer:vpw".getBytes("UTF-8"))

@@ -193,7 +193,14 @@ class ServiceMainSpec extends SparkSuite {
             java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
           java.net.http.HttpResponse.BodyHandlers.ofString())
         def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-        assert(get(s"/query?q=${enc("CREATE DATABASE lp")}").statusCode() == 200)
+        // DDL goes via POST (the GET gate refuses mutating statements)
+        val mk = cli.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/query"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"q=${enc("CREATE DATABASE lp")}")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(mk.statusCode() == 200, mk.body())
         val w = cli.send(java.net.http.HttpRequest.newBuilder(
           java.net.URI.create(s"http://127.0.0.1:$port/write?db=lp"))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
