@@ -60,6 +60,28 @@ object ServiceMain {
     * pairs actually expired; public so specs and operators can force a
     * tick without waiting out the timer.
     */
+  /** One compaction sweep over every database — the other half of the
+    * maintenance tick (InfluxDB's compactor): per-batch streaming appends
+    * accumulate small files forever without it. Folds each points table's
+    * sub-`maxBytes` data dirs into one (no-op below two candidates);
+    * snapshot isolation keeps concurrent readers on their version and the
+    * append feed's txn fences are untouched. Returns the (db, committed
+    * version) pairs that actually compacted.
+    */
+  def compactionSweep(spark: SparkSession, dataDir: String,
+                      maxBytes: Long = 128L << 20): Seq[(String, Long)] = {
+    val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
+    cat.databaseNames().flatMap { db =>
+      val table = cat.pointsTable(db)
+      if (table.version.isEmpty) None
+      else {
+        val before = table.version.get
+        val v = TxLogTable.retryOnConflict() { table.compact(maxBytes) }
+        if (v != before) Some(db -> v) else None
+      }
+    }
+  }
+
   def retentionSweep(spark: SparkSession, dataDir: String): Seq[(String, Long)] = {
     val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
     val nowUs = System.currentTimeMillis() * 1000L
@@ -285,25 +307,32 @@ object ServiceMain {
       // Subscriptions.droppedRows instead of stalling ingest
       maxRowsPerBatch = conf.get("subscription_batch_cap").map(_.toInt))
 
-    // retention enforcement: InfluxDB's retention service — a daemon
-    // timer sweeps every database at check-interval (default 30 min),
-    // committing one expiry delete per db with a finite default policy
+    // maintenance: InfluxDB runs a retention service AND a compactor —
+    // a daemon timer sweeps every database at check-interval (default
+    // 30 min): one expiry delete per db with a finite default policy,
+    // then one small-file fold per db with ≥2 sub-threshold data dirs
+    // (streaming appends accumulate small files forever otherwise)
     val retentionThread = {
       val intervalMs = conf.get("retention_check_interval_ms") // drill seam
         .map(_.toLong)
         .getOrElse(conf.getOrElse("retention_check_interval_s", "1800").toLong * 1000L)
+      val compactBytes =
+        conf.getOrElse("compaction_max_bytes", (128L << 20).toString).toLong
+      def sweep(what: String)(body: => Unit): Unit =
+        try body
+        catch { case e: InterruptedException => throw e
+                case e: Exception =>
+                  // a failed sweep must not kill the service loop; the
+                  // next tick retries (InfluxDB logs and continues too)
+                  org.slf4j.LoggerFactory.getLogger(getClass)
+                    .warn(s"$what sweep failed: ${e.getMessage}") }
       val t = new Thread(() => {
         try while (!Thread.interrupted()) {
           Thread.sleep(intervalMs)
-          try retentionSweep(spark, dataDir)
-          catch { case _: InterruptedException => throw new InterruptedException
-                  case e: Exception =>
-                    // a failed sweep must not kill the service loop; the
-                    // next tick retries (InfluxDB logs and continues too)
-                    org.slf4j.LoggerFactory.getLogger(getClass)
-                      .warn(s"retention sweep failed: ${e.getMessage}") }
+          sweep("retention")(retentionSweep(spark, dataDir))
+          sweep("compaction")(compactionSweep(spark, dataDir, compactBytes))
         } catch { case _: InterruptedException => () }
-      }, "graft-retention")
+      }, "graft-maintenance")
       t.setDaemon(true)
       t.start()
       t

@@ -219,6 +219,24 @@ class ServiceMainSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("maintenance compaction folds small streaming appends into one dir") {
+    val dir = Files.createTempDirectory("svc_compact").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+    cat.run("CREATE DATABASE oc")
+    for (i <- 0 until 5)
+      cat.writePoints("oc", Seq(("a", "temp", i.toLong, i.toDouble))
+        .toDF("device", "transducer", "ts_us", "value"))
+    val t = cat.pointsTable("oc")
+    assert(t.dirPaths(t.version.get).size == 5, "five appends = five dirs")
+    val swept = ServiceMain.compactionSweep(spark, dir)
+    assert(swept.map(_._1) == Seq("oc"), s"got $swept")
+    assert(cat.pointsTable("oc").dirPaths(cat.pointsTable("oc").version.get).size == 1,
+      "the tick folds the small files into one dir")
+    assert(cat.points("oc").count() == 5, "content identical after the fold")
+    // a second tick has nothing to fold — no empty commits
+    assert(ServiceMain.compactionSweep(spark, dir).isEmpty)
+  }
+
   test("retention service: the periodic sweep expires points past the default policy") {
     val dir = Files.createTempDirectory("svc_ret").toString
     val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
