@@ -82,6 +82,26 @@ object ServiceMain {
     }
   }
 
+  /** One vacuum sweep over every database — disk reclamation for the data
+    * dirs that retention/compaction unreferenced. OPT-IN (the
+    * `vacuum_grace_s` config key): vacuum trades the engine's time-travel
+    * window for space, which must be an explicit operator decision. The
+    * grace also protects in-flight writers' fresh uncommitted dirs.
+    * Returns (db, removed dir count) pairs for dbs that reclaimed space.
+    */
+  def vacuumSweep(spark: SparkSession, dataDir: String,
+                  graceMs: Long): Seq[(String, Int)] = {
+    val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
+    cat.databaseNames().flatMap { db =>
+      val table = cat.pointsTable(db)
+      if (table.version.isEmpty) None
+      else {
+        val removed = table.vacuum(graceMs).size
+        if (removed > 0) Some(db -> removed) else None
+      }
+    }
+  }
+
   def retentionSweep(spark: SparkSession, dataDir: String): Seq[(String, Long)] = {
     val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
     val nowUs = System.currentTimeMillis() * 1000L
@@ -331,6 +351,9 @@ object ServiceMain {
           Thread.sleep(intervalMs)
           sweep("retention")(retentionSweep(spark, dataDir))
           sweep("compaction")(compactionSweep(spark, dataDir, compactBytes))
+          // opt-in: vacuuming trades time travel for disk space
+          conf.get("vacuum_grace_s").map(_.toLong * 1000L).foreach(g =>
+            sweep("vacuum")(vacuumSweep(spark, dataDir, g)))
         } catch { case _: InterruptedException => () }
       }, "graft-maintenance")
       t.setDaemon(true)

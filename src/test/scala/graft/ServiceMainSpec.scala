@@ -235,6 +235,12 @@ class ServiceMainSpec extends SparkSuite {
     assert(cat.points("oc").count() == 5, "content identical after the fold")
     // a second tick has nothing to fold — no empty commits
     assert(ServiceMain.compactionSweep(spark, dir).isEmpty)
+    // vacuum (opt-in) reclaims the five unreferenced pre-compaction dirs
+    // at grace 0; the live folded dir survives and stays readable
+    val vacuumed = ServiceMain.vacuumSweep(spark, dir, graceMs = 0L)
+    assert(vacuumed == Seq("oc" -> 5), s"got $vacuumed")
+    assert(cat.points("oc").count() == 5, "live snapshot untouched by vacuum")
+    assert(ServiceMain.vacuumSweep(spark, dir, graceMs = 0L).isEmpty)
   }
 
   test("retention service: the periodic sweep expires points past the default policy") {
