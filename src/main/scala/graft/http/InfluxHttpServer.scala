@@ -20,21 +20,30 @@ import graft.streaming.RestRegistryClient.jsonString
   *
   * Semantics per the 1.x API:
   *   - `q` may carry `;`-separated statements ([[InfluxQL.splitStatements]]);
-  *     each answers one entry in `results`, failures as per-statement
-  *     `error` strings (statements already run stay run).
-  *   - `u`/`p` route every statement through [[InfluxCatalog.runAs]]
-  *     (authentication failure → 401, authorization failure → 403 — the
-  *     same split InfluxDB makes); with `authRequired` unauthenticated
-  *     requests are refused outright like `auth-enabled = true`.
+  *     each answers one entry in `results`, plan failures as per-statement
+  *     `error` strings. Mutating statements (DDL, INTO, KILL) require
+  *     POST — a GET carrying one is refused before anything runs.
+  *   - `u`/`p` (or a Basic header) authorize EVERY statement up front
+  *     through [[InfluxCatalog.authorize]] before any executes —
+  *     InfluxDB's QueryAuthorizer order, so a 403 never leaves earlier
+  *     statements' side effects behind a failed request (authentication
+  *     failure → 401, authorization failure → 403); with `authRequired`
+  *     unauthenticated requests are refused like `auth-enabled = true`.
   *   - `db` routes statements and writes to that database
-  *     ([[InfluxCatalog.forDatabase]] — one shared query registry).
+  *     ([[InfluxCatalog.forDatabase]] — one shared query registry);
+  *     `params` binds `$name` placeholders; `chunked`/`chunk_size` stream
+  *     the response; `pretty` re-indents it.
   *   - `epoch=ns|u|ms|s|m|h` renders `time` as integers in that unit;
-  *     default is RFC3339 text, exactly InfluxDB's default.
-  *   - `/write` parses the body as line protocol at `precision` (default
-  *     ns), appends the narrow points ACID-transactionally, answers 204;
+  *     default is RFC3339 text, exactly InfluxDB's default. Request
+  *     parameters validate up front — a typo never passes or fails
+  *     depending on the data.
+  *   - `/write` parses the body (gzip-inflated if so encoded) as line
+  *     protocol at `precision` (default ns), validates `rp` when named,
+  *     appends the narrow points ACID-transactionally, answers 204;
   *     malformed lines → 400 "partial write" with the first parse error
   *     (parsed lines are still written — InfluxDB's partial-write rule),
-  *     unknown database → 404.
+  *     well-formed points the narrow layout cannot hold → 400 as well
+  *     (never a silent success), unknown database → 404.
   *
   * Scale posture: the listener is a CONTROL-plane surface — each request
   * plans one Spark query or one ACID append; result sets ride through
@@ -611,7 +620,7 @@ object InfluxHttpServer {
     * escapes — structure-preserving by construction, since the input is
     * this server's own compact rendering.
     */
-  private[http] def prettyJson(compact: String): String = {
+  private[graft] def prettyJson(compact: String): String = {
     val sb = new StringBuilder
     var depth = 0
     var inStr = false

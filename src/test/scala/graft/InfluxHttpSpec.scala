@@ -226,6 +226,39 @@ class InfluxHttpSpec extends SparkSuite {
       s"pretty must be a re-spacing of compact:\n$pretty\nvs\n$compact")
   }
 
+  test("prettyJson is a pure re-spacing: seeded envelopes with hostile strings") {
+    import graft.streaming.RestRegistryClient.jsonString
+    val rnd = new scala.util.Random(4242)
+    val hostile = "a{b}[c], \"d\"\\:\n\ttext  with   spaces"
+    def randStr(): String =
+      (0 until rnd.nextInt(12)).map(_ => hostile(rnd.nextInt(hostile.length))).mkString
+    // the inverse walker: drop whitespace OUTSIDE string literals
+    def compact(s: String): String = {
+      val sb = new StringBuilder
+      var in = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (in) {
+          sb += c
+          if (c == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 1 }
+          else if (c == '"') in = false
+        } else if (c == '"') { in = true; sb += c }
+        else if (!c.isWhitespace) sb += c
+        i += 1
+      }
+      sb.result()
+    }
+    for (it <- 0 until 200) {
+      val doc = s"""{"results": [{"statement_id": 0, "series": [{"name": ${
+        jsonString(randStr())}, "columns": [${jsonString(randStr())}], "values": [[${
+        jsonString(randStr())}, ${rnd.nextInt(1000)}.5, null, true]]}]}]}"""
+      val pretty = graft.http.InfluxHttpServer.prettyJson(doc)
+      assert(compact(pretty) == compact(doc),
+        s"iter $it pretty mangled the document:\n$doc\n->\n$pretty")
+    }
+  }
+
   test("seeded fuzz: /query never 500s and always answers the JSON envelope") {
     val rnd = new scala.util.Random(777)
     val frags = Seq("SELECT", "value", "FROM", "temp", ";", "'a;b'", "/re/",
