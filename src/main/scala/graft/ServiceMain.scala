@@ -53,13 +53,6 @@ object ServiceMain {
                            http: Option[graft.http.InfluxHttpServer] = None,
                            retention: Option[Thread] = None)
 
-  /** One retention sweep over every database — the body of InfluxDB's
-    * retention service tick: each db with a finite default policy gets one
-    * expiry commit on its points table (conflict-retried against the
-    * concurrent streaming appends). Returns the (db, committed version)
-    * pairs actually expired; public so specs and operators can force a
-    * tick without waiting out the timer.
-    */
   /** One compaction sweep over every database — the other half of the
     * maintenance tick (InfluxDB's compactor): per-batch streaming appends
     * accumulate small files forever without it. Folds each points table's
@@ -77,7 +70,10 @@ object ServiceMain {
       else {
         val before = table.version.get
         val v = TxLogTable.retryOnConflict() { table.compact(maxBytes) }
-        if (v != before) Some(db -> v) else None
+        // report only a commit THIS sweep made: a no-op compact returns
+        // the current version, which a concurrent append may have
+        // advanced past `before` — the committed op disambiguates
+        if (v > before && table.opOf(v) == "compact") Some(db -> v) else None
       }
     }
   }
@@ -102,6 +98,13 @@ object ServiceMain {
     }
   }
 
+  /** One retention sweep over every database — the body of InfluxDB's
+    * retention service tick: each db with a finite default policy gets one
+    * expiry commit on its points table (conflict-retried against the
+    * concurrent streaming appends). Returns the (db, committed version)
+    * pairs actually expired; public so specs and operators can force a
+    * tick without waiting out the timer.
+    */
   def retentionSweep(spark: SparkSession, dataDir: String): Seq[(String, Long)] = {
     val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
     val nowUs = System.currentTimeMillis() * 1000L
@@ -200,9 +203,17 @@ object ServiceMain {
       s
     }
 
+    // everything below can fail (broker connect, REST bootstrap, query
+    // starts); the already-bound HTTP listener, the connected manager, and
+    // any query started before the failure must not outlive a failed
+    // start() with no Handles to stop them
+    val manager = new MqttConnectionManager(transport, Seq(evTopic, dataTopics))
+    val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
+    def reg(q: StreamingQuery): StreamingQuery = { started += q; q }
+    try {
+
     // 1. connect + subscribe (events first, like the reference's startup;
     // on every reconnect the manager re-issues both subscriptions)
-    val manager = new MqttConnectionManager(transport, Seq(evTopic, dataTopics))
     manager.start()
 
     // 2. registry snapshot bootstrap (`load_devices`): things list + each
@@ -232,7 +243,7 @@ object ServiceMain {
     // volume (the reference does one GET per event too, :322-341). An
     // event may carry its transducer list inline (engine extension for
     // offline drills); otherwise it comes from REST; delete needs neither.
-    val controlQ = msgs.filter(col("topic") === evTopic)
+    val controlQ = reg(msgs.filter(col("topic") === evTopic)
       .select(col("payload"), unix_micros(col("ts")).as("ts_us"))
       .writeStream
       .option("checkpointLocation", cp("control"))
@@ -266,7 +277,7 @@ object ServiceMain {
           }
         }
       }
-      .start()
+      .start())
 
     // data plane: parse + infer stream-side (map-only), registry semi-join
     // per BATCH against the current dimension (a stream-static join would
@@ -274,18 +285,18 @@ object ServiceMain {
     // index — exactly-once under replay
     val parsed = Ingest.inferTypes(Ingest.parseTopic(
       msgs.filter(Ingest.dataTopicFilter)))
-    val dataQ = StreamingIngest.startIndexedAppendSink(
+    val dataQ = reg(StreamingIngest.startIndexedAppendSink(
       parsed, pointsTable, statsTable, appId = s"service-$serviceId",
       checkpoint = cp("points"), trigger = trigger,
       // ts_us alongside ts: the InfluxQL planner's time column, so the
       // live service table answers dialect queries with no adapter
       perBatch = b => Ingest.narrowPoints(Ingest.registryFilter(
           b, RegistryMaintenance.activeDevices(spark, registryPath)))
-        .withColumn("ts_us", unix_micros(col("ts"))))
+        .withColumn("ts_us", unix_micros(col("ts")))))
 
     // dead-letter: everything that routes nowhere, kept replayable
-    val dlQ = StreamingIngest.startDeadLetterSink(msgs, evTopic,
-      s"$dataDir/dead_letter", cp("dead_letter"), trigger)
+    val dlQ = reg(StreamingIngest.startDeadLetterSink(msgs, evTopic,
+      s"$dataDir/dead_letter", cp("dead_letter"), trigger))
 
     // status: the reference's 10-minute points-written/#devices payload
     // (PUBLISH_STATS_INTERVAL=600); the stats pipeline keys on the
@@ -293,14 +304,14 @@ object ServiceMain {
     // the per-batch data join is
     val statusPoints = StreamingIngest.pointsStream(msgs,
       RegistryMaintenance.activeDevices(spark, registryPath))
-    val statusQ = StatusPublisher.start(
+    val statusQ = reg(StatusPublisher.start(
       StreamingIngest.statusCounts(statusPoints,
         interval = conf.getOrElse("stats_interval", "10 minutes")),
-      statusTopic(serviceId), publish, cp("status"), trigger)
+      statusTopic(serviceId), publish, cp("status"), trigger))
 
     // auto-create: unseen (device, transducer) keys POST once, idempotent
-    val autoQ = AutoCreate.start(statusPoints, catalogPath, cp("autocreate"),
-      rest.map(_.createFn).getOrElse((_, _) => ()), trigger)
+    val autoQ = reg(AutoCreate.start(statusPoints, catalogPath, cp("autocreate"),
+      rest.map(_.createFn).getOrElse((_, _) => ()), trigger))
 
     // registered continuous queries start with the service (InfluxDB runs
     // its CQ service the same way): each downsamples the registry-filtered
@@ -308,6 +319,7 @@ object ServiceMain {
     val cqQs = graft.influxql.ContinuousQueries.startAll(spark, dataDir, db,
       statusPoints.withColumn("ts_us", unix_micros(col("ts"))),
       lateness = conf.getOrElse("cq_lateness", "1 minute"), trigger = trigger)
+    cqQs.foreach { case (_, q) => started += q }
 
     // registered subscriptions fan every ingested point out to their
     // destinations as line protocol (InfluxDB's subscriber service); the
@@ -316,7 +328,7 @@ object ServiceMain {
     // bus — the same fabric the service's own MQTT loop consumes. The
     // numeric face of the narrow layout is what forwards (line protocol's
     // value field); bool points ride as 1/0, string payloads stay local.
-    val subQ = graft.influxql.Subscriptions.start(
+    val subQ = reg(graft.influxql.Subscriptions.start(
       statusPoints.select(col("device_id").as("device"), col("transducer"),
         unix_micros(col("ts")).as("ts_us"),
         coalesce(col("num"), col("bool").cast("double")).as("value"))
@@ -325,7 +337,7 @@ object ServiceMain {
       // optional liveness bound: a slow subscriber can then delay a batch
       // by at most cap×publish-latency; the excess counts into
       // Subscriptions.droppedRows instead of stalling ingest
-      maxRowsPerBatch = conf.get("subscription_batch_cap").map(_.toInt))
+      maxRowsPerBatch = conf.get("subscription_batch_cap").map(_.toInt)))
 
     // maintenance: InfluxDB runs a retention service AND a compactor —
     // a daemon timer sweeps every database at check-interval (default
@@ -338,6 +350,10 @@ object ServiceMain {
         .getOrElse(conf.getOrElse("retention_check_interval_s", "1800").toLong * 1000L)
       val compactBytes =
         conf.getOrElse("compaction_max_bytes", (128L << 20).toString).toLong
+      // parsed ONCE at startup like the other knobs: a malformed value
+      // must fail service start loudly, not kill the maintenance thread
+      // on its first tick (which would silently stop retention+compaction)
+      val vacuumGraceMs = conf.get("vacuum_grace_s").map(_.toLong * 1000L)
       def sweep(what: String)(body: => Unit): Unit =
         try body
         catch { case e: InterruptedException => throw e
@@ -352,7 +368,7 @@ object ServiceMain {
           sweep("retention")(retentionSweep(spark, dataDir))
           sweep("compaction")(compactionSweep(spark, dataDir, compactBytes))
           // opt-in: vacuuming trades time travel for disk space
-          conf.get("vacuum_grace_s").map(_.toLong * 1000L).foreach(g =>
+          vacuumGraceMs.foreach(g =>
             sweep("vacuum")(vacuumSweep(spark, dataDir, g)))
         } catch { case _: InterruptedException => () }
       }, "graft-maintenance")
@@ -364,6 +380,14 @@ object ServiceMain {
     Handles(spark, manager,
       Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2), http,
       Some(retentionThread))
+
+    } catch {
+      case e: Throwable =>
+        started.foreach(q => try q.stop() catch { case _: Exception => () })
+        try manager.stop() catch { case _: Exception => () }
+        http.foreach(s => try s.stop() catch { case _: Exception => () })
+        throw e
+    }
   }
 
   /** R17 — graceful shutdown: stop every query (checkpoints make the next

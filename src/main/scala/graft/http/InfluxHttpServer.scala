@@ -63,13 +63,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   // without an executor the JDK server runs every handler on its ONE
   // dispatcher thread — a slow query would serialize all clients. A small
   // daemon pool gives concurrent request handling; Spark's job-group
-  // mapping stays correct because setJobGroup is thread-local.
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+  // mapping stays correct because setJobGroup is thread-local. The pool is
+  // OURS to shut down — HttpServer.stop never stops a supplied executor,
+  // so construct/stop cycles would otherwise leak 8 threads each.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => {
       val t = new Thread(r, "graft-http")
       t.setDaemon(true)
       t
-    }))
+    })
+  server.setExecutor(pool)
   server.createContext("/ping", (ex: HttpExchange) => {
     ex.getResponseHeaders.set("X-Influxdb-Version", "1.8-graft")
     ex.sendResponseHeaders(204, -1); ex.close()
@@ -78,7 +81,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   server.createContext("/write", (ex: HttpExchange) => safely(ex)(handleWrite))
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def boundPort: Int = server.getAddress.getPort
 
   // ---------- request plumbing ----------
@@ -160,7 +163,12 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   import InfluxHttpServer.{AuthFailed, Denied}
 
   private def handleQuery(ex: HttpExchange): Unit = {
-    val p = params(ex, readBody(ex))
+    // a corrupt gzip body is the client's 400, not our 500
+    val body = try readBody(ex) catch {
+      case _: java.io.IOException =>
+        return err(ex, 400, "unable to decode gzip body")
+    }
+    val p = params(ex, body)
     val q0 = p.getOrElse("q", "")
     if (q0.trim.isEmpty) return err(ex, 400, "missing required parameter \"q\"")
     // bind parameters (InfluxDB 1.8 `params`): substitute outside quotes.
@@ -317,8 +325,19 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val groupTags: Seq[String] = {
       val up = stmt.trim.toUpperCase
       if (!up.startsWith("SELECT")) Nil
-      else try InfluxQL.parse(stmt).groupTags.filter(cols.contains)
-      catch { case _: Exception => Nil }
+      else try {
+        val q = InfluxQL.parse(stmt)
+        if (q.groupStar)
+          // GROUP BY * expands to the schema's tags at plan time; at this
+          // layer the tags are exactly the string-typed result columns
+          // (tag values are strings, aggregate outputs here are numeric) —
+          // the same query must answer the same tagged-series shape
+          // whether the tags were named or starred
+          df.schema.fields.toSeq
+            .filter(_.dataType == org.apache.spark.sql.types.StringType)
+            .map(_.name).filterNot(Set("time", "measurement"))
+        else q.groupTags.filter(cols.contains)
+      } catch { case _: Exception => Nil }
     }
     def split(name: String, rs: Seq[org.apache.spark.sql.Row],
               keep0: Seq[Int]): Seq[SeriesData] =
@@ -331,8 +350,12 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
             val v = r.get(i)
             if (v == null) null else v.toString
           }
+        // element-wise Seq ordering, never a joined string: values with
+        // spaces must not make multi-tag series order ambiguous, and the
+        // "v" prefix keeps a null distinct from a real empty tag value
+        import scala.math.Ordering.Implicits.seqOrdering
         rs.groupBy(tagValues).toSeq
-          .sortBy(_._1.map(v => if (v == null) "" else v).mkString(" "))
+          .sortBy(_._1.map(v => if (v == null) "" else "v" + v))
           .map { case (tv, grp) =>
             SeriesData(name, groupTags.zip(tv), keep.map(cols), render(grp, keep))
           }
@@ -428,7 +451,11 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   private def handleWrite(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST")
       return err(ex, 405, s"${ex.getRequestMethod} not allowed on /write")
-    val body = readBody(ex)
+    // a corrupt gzip body is the client's 400, not our 500
+    val body = try readBody(ex) catch {
+      case _: java.io.IOException =>
+        return err(ex, 400, "unable to decode gzip body")
+    }
     val p = params(ex, "")
     val creds = credentials(ex, p)
     if (authRequired && creds.isEmpty)
@@ -437,22 +464,14 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       case Some(d) => d
       case None => return err(ex, 400, "database is required")
     }
-    // a named retention policy must exist (InfluxDB 404s unknown ones);
-    // placement stays per-db — the policy governs expiry in this engine
-    val rpProblem = p.get("rp").filter(_.nonEmpty).flatMap { rp =>
-      try { catalog.requireRetentionPolicy(db, rp); None }
-      catch { case e: IllegalArgumentException => Some(msgOf(e)) }
-    }
-    rpProblem match {
-      case Some(m) => return err(ex, 404, m)
-      case None => ()
-    }
     val unit = p.get("precision").getOrElse("ns")
     val unitNs = precisionNs.get(unit) match {
       case Some(u) => u
       case None => return err(ex, 400, s"invalid precision \"$unit\"")
     }
-    // WRITE privilege on the target db, when credentials are in play
+    // WRITE privilege on the target db, when credentials are in play —
+    // checked BEFORE any store lookup (the rp probe below), so an
+    // unauthenticated caller learns nothing and costs nothing
     val authProblem = creds.flatMap { case (u, pw) =>
       if (!InfluxAuth.authenticate(catalog.spark, catalog.rootDir, u, pw))
         Some((401, s"authentication failed for user $u"))
@@ -463,6 +482,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     }
     authProblem match {
       case Some((code, msg)) => return err(ex, code, msg)
+      case None => ()
+    }
+    // a named retention policy must exist (InfluxDB 404s unknown ones);
+    // placement stays per-db — the policy governs expiry in this engine
+    val rpProblem = p.get("rp").filter(_.nonEmpty).flatMap { rp =>
+      try { catalog.requireRetentionPolicy(db, rp); None }
+      catch { case e: IllegalArgumentException => Some(msgOf(e)) }
+    }
+    rpProblem match {
+      case Some(m) => return err(ex, 404, m)
       case None => ()
     }
     import catalog.spark.implicits._
@@ -502,20 +531,24 @@ object InfluxHttpServer {
   private final case class AuthFailed(msg: String) extends RuntimeException(msg)
   private final case class Denied(msg: String) extends RuntimeException(msg)
 
-  /** True when the statement cannot mutate state — SELECT without INTO,
-    * EXPLAIN, and the SHOW family — i.e. the statements InfluxDB accepts
-    * over GET. An unparseable SELECT counts as read-only: it cannot run,
-    * so it answers its per-statement error through either method.
+  /** True when the statement cannot mutate state — i.e. it is acceptable
+    * over GET. Classification is by what CAN mutate (the engine's own
+    * mutating statement families plus SELECT ... INTO), so anything
+    * unrunnable — a typo'd keyword, an unparseable SELECT — stays
+    * read-only and answers its real per-statement parse error through
+    * either method instead of a misleading "requires POST".
     */
   private[graft] def readOnlyStatement(stmt: String): Boolean = {
     val up = stmt.trim.toUpperCase
-    if (up.startsWith("SHOW")) true
+    val mutating = Seq("CREATE", "DROP", "ALTER", "DELETE",
+      "GRANT", "REVOKE", "SET", "KILL")
+    if (mutating.exists(up.startsWith)) false
     else if (up.startsWith("SELECT") || up.startsWith("EXPLAIN")) {
       val sel = if (up.startsWith("EXPLAIN"))
         stmt.trim.drop("EXPLAIN".length).trim else stmt
       try InfluxQL.parse(sel).into.isEmpty
       catch { case _: Exception => true }
-    } else false
+    } else true
   }
 
   /** The `params` bind-parameter object (InfluxDB 1.8's `/query?params=`

@@ -268,9 +268,14 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
                         tsUnitNs: Long = 1L): LpWriteResult = {
     requireDb(db)
     val serverTsUs = System.currentTimeMillis() * 1000L
-    val v = pointsTable(db).append(
-      LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs),
-        tsUnitNs = tsUnitNs))
+    // conflict-retried: concurrent /write clients and the maintenance
+    // compactor race this commit routinely — a lost optimistic round is
+    // a retry, never an error surfaced to the HTTP client
+    val v = TxLogTable.retryOnConflict() {
+      pointsTable(db).append(
+        LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs),
+          tsUnitNs = tsUnitNs))
+    }
     LpWriteResult(v, LineProtocol.errors(lines),
       LineProtocol.narrowDropped(lines, serverTsAssigned = true))
   }

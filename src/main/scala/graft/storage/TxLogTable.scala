@@ -124,6 +124,12 @@ class TxLogTable(spark: SparkSession, path: String) {
   def dirPaths(v: Long): Seq[String] =
     readEntry(v).dirs.map(d => root.resolve(d).toString)
 
+  /** The operation that committed version `v` ("append", "compact", ...)
+    * — lets maintenance distinguish its own commit from a no-op that
+    * returned a concurrently-advanced version.
+    */
+  def opOf(v: Long): String = readEntry(v).op
+
   /** Replace the table contents. */
   def overwrite(df: DataFrame): Long = {
     val base = version

@@ -336,6 +336,28 @@ class InfluxHttpSpec extends SparkSuite {
     assert(cat.run("SHOW QUERIES").collect().isEmpty)
   }
 
+  test("review regressions: GROUP BY * tags, typo'd GET, corrupt gzip") {
+    // GROUP BY * must answer the SAME tagged-series shape as naming the
+    // tags — the starred form expands at plan time
+    val star = get(s"/query?db=tele&epoch=u&q=${
+      enc("SELECT count(value) AS c FROM temp GROUP BY *")}")
+    assert(star.body().contains(""""tags": {"device": "a"}"""), star.body())
+    // a typo'd keyword over GET answers its parse error, never the
+    // misleading "requires POST" (it cannot run through either method)
+    val typo = get(s"/query?db=tele&q=${enc("SELCT value FROM temp")}")
+    assert(typo.statusCode() == 200 &&
+      typo.body().contains("error") && !typo.body().contains("POST"),
+      typo.body())
+    // corrupt gzip body -> 400, not 500
+    val badGz = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/write?db=tele"))
+      .header("Content-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofString("not gzip at all")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(badGz.statusCode() == 400 &&
+      badGz.body().contains("gzip"), s"${badGz.statusCode()} ${badGz.body()}")
+  }
+
   test("GROUP BY tags answer one series per tag set with a tags object") {
     val r = get(s"/query?db=tele&epoch=u&q=${
       enc("SELECT count(value) AS c FROM temp GROUP BY device")}")
