@@ -195,10 +195,27 @@ object ServiceMain {
     // failure (port in use) must abort startup before any streaming query
     // or timer exists to leak.
     val http = conf.get("http_port").map { port =>
+      // http_ssl=True upgrades the listener to HTTPS (InfluxDB's
+      // https-enabled): cert chain (+ optional separate PKCS#8 key) come
+      // from PEM files, the same config seam as the MQTT TLS leg. A
+      // widened http_bind without TLS would put the credentials /query
+      // authenticates on the wire in the clear.
+      val ssl =
+        if (conf.get("http_ssl").exists(v => Set("true", "1", "yes")(v.toLowerCase)))
+          Some(GraftConfig.serverSslContext(
+            conf.getOrElse("http_ssl_cert", throw new IllegalArgumentException(
+              "http_ssl=True requires http_ssl_cert")),
+            conf.get("http_ssl_key")))
+        else None
       val s = new graft.http.InfluxHttpServer(catalog, port.toInt,
         authRequired = conf.get("http_auth")
           .exists(v => Set("true", "1", "yes")(v.toLowerCase)),
-        bindHost = conf.getOrElse("http_bind", "127.0.0.1"))
+        bindHost = conf.getOrElse("http_bind", "127.0.0.1"),
+        // InfluxDB's max-row-limit: the unchunked /query path truncates
+        // (partial: true) past this many rows instead of buffering an
+        // unbounded result on the driver; 0 disables
+        maxRowLimit = conf.getOrElse("http_max_row_limit", "10000").toInt,
+        ssl = ssl)
       s.start()
       s
     }

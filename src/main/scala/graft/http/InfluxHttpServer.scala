@@ -45,11 +45,22 @@ import graft.streaming.RestRegistryClient.jsonString
   *     well-formed points the narrow layout cannot hold → 400 as well
   *     (never a silent success), unknown database → 404.
   *
-  * Scale posture: the listener is a CONTROL-plane surface — each request
-  * plans one Spark query or one ACID append; result sets ride through
-  * [[InfluxCatalog.executeAll]]'s already-materialized local frames. Bulk
-  * data belongs on the streaming ingest path, not this endpoint (same as
-  * InfluxDB, where /write batches are bounded by the HTTP body).
+  * Scale posture: request PLANNING is control-plane, but result SIZE is
+  * the client's choice — so `/query` never materializes a full result on
+  * the driver. Statements execute lazily ([[InfluxCatalog.runStreamed]])
+  * and rows ride `Dataset.toLocalIterator`, one Spark partition on the
+  * driver at a time: `chunked=true` holds at most one chunk (+ one
+  * partition) in memory regardless of result size, and the unchunked path
+  * is bounded by `maxRowLimit` (InfluxDB's `max-row-limit`: the result
+  * truncates with `"partial": true` instead of buffering without bound;
+  * 0 disables). Bulk ingest still belongs on the streaming path — /write
+  * batches are bounded by the HTTP body, same as InfluxDB.
+  *
+  * With `ssl` the listener speaks HTTPS (InfluxDB's `https-enabled`;
+  * [[graft.GraftConfig.serverSslContext]] builds the context from the
+  * same PEM-file config seam the MQTT TLS leg uses) — without it the
+  * credentials `/query` authenticates would cross the network in the
+  * clear the moment `bindHost` widens from loopback.
   *
   * The server runs on the JDK's built-in [[com.sun.net.httpserver]] — no
   * dependency beyond the JVM, same as the engine's MQTT wire stack.
@@ -57,9 +68,18 @@ import graft.streaming.RestRegistryClient.jsonString
 final class InfluxHttpServer(catalog: InfluxCatalog,
                              port: Int = 8086,
                              authRequired: Boolean = false,
-                             bindHost: String = "127.0.0.1") {
+                             bindHost: String = "127.0.0.1",
+                             maxRowLimit: Int = 10000,
+                             ssl: Option[javax.net.ssl.SSLContext] = None) {
 
-  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  private val server: HttpServer = ssl match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress(bindHost, port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  }
   // without an executor the JDK server runs every handler on its ONE
   // dispatcher thread — a slow query would serialize all clients. A small
   // daemon pool gives concurrent request handling; Spark's job-group
@@ -86,10 +106,27 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
 
   // ---------- request plumbing ----------
 
+  /** Set once the status line + headers are on the wire: after that a
+    * failure (client disconnect mid-chunk, a render bug) can no longer
+    * become a 500 — sendResponseHeaders on a committed exchange throws,
+    * which would leak a SECONDARY exception onto the pool thread. A
+    * committed-then-failed exchange just closes (the truncated body is the
+    * client's signal, exactly like InfluxDB's aborted chunked responses).
+    */
+  private def markCommitted(ex: HttpExchange): Unit =
+    ex.setAttribute("graft.committed", java.lang.Boolean.TRUE)
+  private def committed(ex: HttpExchange): Boolean =
+    ex.getAttribute("graft.committed") != null
+
   private def safely(ex: HttpExchange)(h: HttpExchange => Unit): Unit =
     try h(ex) catch {
-      case e: Exception => respondJson(ex, 500,
-        s"""{"error": ${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
+      case e: Exception =>
+        if (!committed(ex))
+          // the 500 itself is best-effort: if the connection died before
+          // headers went out, this throws too — swallow, never onto the pool
+          try respondJson(ex, 500,
+            s"""{"error": ${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
+          catch { case _: Exception => () }
     } finally ex.close()
 
   /** Query-string + form-body parameters, URL-decoded (later keys win —
@@ -129,6 +166,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val b = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, b.length)
+    markCommitted(ex)
     ex.getResponseBody.write(b)
     ex.close()
   }
@@ -163,6 +201,12 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   import InfluxHttpServer.{AuthFailed, Denied}
 
   private def handleQuery(ex: HttpExchange): Unit = {
+    // InfluxDB 405s anything but GET/POST on /query — a PUT/DELETE/PATCH
+    // must not slip through the GET-only mutation gate below and run DDL
+    if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "POST") {
+      ex.getResponseHeaders.set("Allow", "GET, POST")
+      return err(ex, 405, s"${ex.getRequestMethod} not allowed on /query")
+    }
     // a corrupt gzip body is the client's 400, not our 500
     val body = try readBody(ex) catch {
       case _: java.io.IOException =>
@@ -228,21 +272,25 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           }
         }
       }
-      // one entry per statement: either its series data or its error text
-      val entries: Seq[Either[String, Seq[SeriesData]]] =
-        stmts.map { s =>
-          try Right(seriesData(s, cat.executeAll(s).head._2, epoch))
-          catch {
-            case e: Exception => Left(msgOf(e))
-          }
-        }
-      if (chunked) respondChunked(ex, entries, chunkSize, pretty)
+      if (chunked) respondChunked(ex, cat, stmts, epoch, chunkSize, pretty)
       else {
+        // each statement accumulates AT MOST maxRowLimit rows on the
+        // driver (InfluxDB's max-row-limit; truncation flags the cut
+        // series and the statement partial) — its series data or its error
+        val entries: Seq[Either[String, (Seq[SeriesData], Boolean, Boolean)]] =
+          stmts.map { s =>
+            try Right(cat.runStreamed(s)(df =>
+              collectSeries(seriesRows(s, df, epoch, cat.resolvedGroupTags(s)))))
+            catch {
+              case e: Exception => Left(msgOf(e))
+            }
+          }
         val body = entries.zipWithIndex.map {
           case (Left(m), i) =>
             s"""{"statement_id": $i, "error": ${jsonString(m)}}"""
-          case (Right(series), i) =>
-            s"""{"statement_id": $i, ${seriesListJson(series, partial = false)}}"""
+          case (Right((series, truncated, lastCut)), i) =>
+            s"""{"statement_id": $i, ${seriesListJson(series, partialLast = lastCut)}${
+              if (truncated) """, "partial": true""" else ""}}"""
         }.mkString("""{"results": [""", ", ", "]}")
         respondJson(ex, 200, if (pretty) InfluxHttpServer.prettyJson(body) else body)
       }
@@ -253,127 +301,172 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   }
 
   /** The 1.x `chunked=true` contract: one standalone JSON document per
-    * chunk, newline-separated, `chunk_size` rows max per chunk; a series
-    * (and its statement) carries `"partial": true` whenever more of it
-    * follows — exactly what influxdb-python's chunked reader walks.
+    * chunk, newline-separated, `chunk_size` rows max per chunk, a chunk
+    * never spanning two series; a series (and its statement) carries
+    * `"partial": true` whenever more of it follows — exactly what
+    * influxdb-python's chunked reader walks.
+    *
+    * Streaming end to end: the 200 header goes out first, then each
+    * statement executes lazily and its rows ride [[seriesRows]]'s
+    * iterator into chunk documents — driver memory holds one chunk plus
+    * one Spark partition, never the result. The cost of that contract:
+    * a statement that fails AFTER the header is out answers its error as
+    * a chunk document (the same envelope a pre-materialized failure would
+    * have used), and a mid-write network failure can only truncate the
+    * body (see [[markCommitted]]).
     */
-  private def respondChunked(ex: HttpExchange,
-                             entries: Seq[Either[String, Seq[SeriesData]]],
+  private def respondChunked(ex: HttpExchange, cat: InfluxCatalog,
+                             stmts: Seq[String], epoch: Option[String],
                              chunkSize: Int, pretty: Boolean): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0) // streaming body
+    markCommitted(ex)
     val out = ex.getResponseBody
-    def emit(doc: String): Unit =
+    def emit(doc: String): Unit = {
       out.write(((if (pretty) InfluxHttpServer.prettyJson(doc) else doc) + "\n")
         .getBytes(StandardCharsets.UTF_8))
-    entries.zipWithIndex.foreach {
-      case (Left(m), i) =>
-        emit(s"""{"results": [{"statement_id": $i, "error": ${jsonString(m)}}]}""")
-      case (Right(series), i) =>
-        val slices = series.flatMap { sd =>
-          val parts =
-            if (sd.rows.isEmpty) Seq(sd.rows)
-            else sd.rows.grouped(chunkSize).toSeq
-          parts.zipWithIndex.map { case (rows, k) =>
-            (sd.copy(rows = rows), k < parts.length - 1)
-          }
-        }
-        if (slices.isEmpty)
+      out.flush()
+    }
+    stmts.zipWithIndex.foreach { case (s, i) =>
+      try cat.runStreamed(s) { df =>
+        val it = seriesRows(s, df, epoch, cat.resolvedGroupTags(s)).buffered
+        if (!it.hasNext)
           emit(s"""{"results": [{"statement_id": $i, "series": []}]}""")
-        else slices.zipWithIndex.foreach { case ((sd, morOfSeries), k) =>
-          val statementPartial = k < slices.length - 1
+        else while (it.hasNext) {
+          val key = it.head._1
+          val rows = Vector.newBuilder[String]
+          var n = 0
+          while (n < chunkSize && it.hasNext && it.head._1 == key) {
+            rows += it.next()._2; n += 1
+          }
+          val moreOfSeries = it.hasNext && it.head._1 == key
+          val statementPartial = it.hasNext
           emit(s"""{"results": [{"statement_id": $i, ${
-            seriesListJson(Seq(sd), partial = morOfSeries)}${
+            seriesListJson(Seq(SeriesData(key.name, key.tags, key.columns,
+              rows.result())), partialLast = moreOfSeries)}${
             if (statementPartial) """, "partial": true""" else ""}}]}""")
         }
+      } catch {
+        // the client went away mid-write: nothing left to tell it
+        case e: java.io.IOException => throw e
+        case e: Exception =>
+          emit(s"""{"results": [{"statement_id": $i, "error": ${
+            jsonString(msgOf(e))}}]}""")
+      }
     }
     out.close()
+  }
+
+  /** Drain a statement's row iterator into its full series list, bounded
+    * by [[maxRowLimit]] (0 = unbounded): the iterator stops being consumed
+    * at the limit — the remaining Spark partitions never reach the driver
+    * — and the truncated tail is flagged via the returned Boolean
+    * (InfluxDB's non-chunked `max-row-limit` truncation).
+    */
+  private def collectSeries(it0: Iterator[(SeriesKey, String)]): (Seq[SeriesData], Boolean, Boolean) = {
+    val it = it0.buffered
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(SeriesKey, scala.collection.mutable.ArrayBuffer[String])]
+    var rows = 0
+    var truncated = false
+    var lastSeriesCut = false
+    while (it.hasNext && !truncated) {
+      val (key, row) = it.next()
+      if (out.nonEmpty && out.last._1 == key) out.last._2 += row
+      else out += ((key, scala.collection.mutable.ArrayBuffer(row)))
+      rows += 1
+      if (maxRowLimit > 0 && rows >= maxRowLimit && it.hasNext) {
+        truncated = true
+        // the series-level flag only belongs on a series the cut landed
+        // INSIDE — a complete series followed by a discarded new one is
+        // whole, and flagging it would tell the client its rows are short
+        lastSeriesCut = it.head._1 == out.last._1
+      }
+    }
+    (out.toSeq.map { case (k, rs) => SeriesData(k.name, k.tags, k.columns, rs.toSeq) },
+      truncated, lastSeriesCut)
   }
 
   private def msgOf(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
 
-  /** One series' pre-rendered payload: name, the GROUP BY tag values that
-    * identify it, column names, and each row already rendered as a JSON
-    * array string — the unit both the plain and chunked responders
-    * assemble from.
+  /** The identity of one series in a statement's result: name, the GROUP
+    * BY tag values that pin it, and its value columns. Rows tagged with
+    * equal keys belong to the same `series` entry.
+    */
+  private final case class SeriesKey(name: String, tags: Seq[(String, String)],
+                                     columns: Seq[String])
+
+  /** One series' pre-rendered payload: its key parts plus each row already
+    * rendered as a JSON array string — the unit both responders assemble.
     */
   private final case class SeriesData(name: String, tags: Seq[(String, String)],
                                       columns: Seq[String], rows: Seq[String])
 
-  /** The 1.x `series` entries for one statement's result. A result
-    * carrying a `measurement` column (regex / multi FROM) splits into one
-    * named series per measurement, and a SELECT with GROUP BY tags splits
-    * further into one series per tag combination carrying a `"tags"`
-    * object (with the tag columns removed from `values`) — exactly the
-    * shape influxdb-python's resultset and DataFrame clients key on.
-    * Empty results → no series.
+  /** A statement's result as a LAZY stream of (series key, rendered row)
+    * pairs, grouped contiguously by series — the shared spine of the
+    * chunked and unchunked responders.
+    *
+    * Series splitting follows the 1.x shape influxdb-python's resultset
+    * and DataFrame clients key on: a result carrying a `measurement`
+    * column (regex / multi FROM) answers one named series per measurement,
+    * and a SELECT with GROUP BY tags (the PLANNER's resolved tag set —
+    * [[InfluxCatalog.resolvedGroupTags]] — so a string field selected raw
+    * under `GROUP BY *` stays in `values`) splits further into one series
+    * per tag combination, tag columns moved off the value rows.
+    *
+    * Scale contract: when splitting is needed the frame is sorted
+    * EXECUTOR-side on (measurement, tags, original row order) — the
+    * monotonic id keeps every series' rows in exactly the order the scan
+    * produced them, and null tag values sort first, matching the collected
+    * renderer this replaces — then ridden with `toLocalIterator`, so the
+    * driver holds one Spark partition at a time, never the result.
     */
-  private def seriesData(stmt: String, df: DataFrame,
-                         epoch: Option[String]): Seq[SeriesData] = {
-    val cols = df.columns
-    val rows = df.collect()
-    if (rows.isEmpty) return Nil
-    def render(rs: Seq[org.apache.spark.sql.Row], keep: Seq[Int]): Seq[String] =
-      rs.map { r =>
-        keep.map { i =>
-          val v = r.get(i)
-          if (cols(i) == "time") timeJson(v, epoch) else cellJson(v)
-        }.mkString("[", ", ", "]")
-      }
-    // explicit GROUP BY tags of a SELECT, when they surface as columns
-    val groupTags: Seq[String] = {
-      val up = stmt.trim.toUpperCase
-      if (!up.startsWith("SELECT")) Nil
-      else try {
-        val q = InfluxQL.parse(stmt)
-        if (q.groupStar)
-          // GROUP BY * expands to the schema's tags at plan time; at this
-          // layer the tags are exactly the string-typed result columns
-          // (tag values are strings, aggregate outputs here are numeric) —
-          // the same query must answer the same tagged-series shape
-          // whether the tags were named or starred
-          df.schema.fields.toSeq
-            .filter(_.dataType == org.apache.spark.sql.types.StringType)
-            .map(_.name).filterNot(Set("time", "measurement"))
-        else q.groupTags.filter(cols.contains)
-      } catch { case _: Exception => Nil }
-    }
-    def split(name: String, rs: Seq[org.apache.spark.sql.Row],
-              keep0: Seq[Int]): Seq[SeriesData] =
-      if (groupTags.isEmpty) Seq(SeriesData(name, Nil, keep0.map(cols), render(rs, keep0)))
+  private def seriesRows(stmt: String, df0: DataFrame, epoch: Option[String],
+                         groupTags0: Seq[String]): Iterator[(SeriesKey, String)] = {
+    import scala.jdk.CollectionConverters._
+    val cols = df0.columns.toSeq
+    val mIdx = cols.indexOf("measurement")
+    val groupTags = groupTags0.filter(cols.contains)
+    val needsSplit = mIdx >= 0 || groupTags.nonEmpty
+    val tagIdx = groupTags.map(cols.indexOf)
+    val keep = cols.indices.filterNot(i => i == mIdx || tagIdx.contains(i))
+    val keepNames = keep.map(cols)
+    val wholeKey = SeriesKey(seriesName(stmt), Nil, keepNames)
+    val df =
+      if (!needsSplit) df0
       else {
-        val tagIdx = groupTags.map(t => cols.indexOf(t))
-        val keep = keep0.filterNot(tagIdx.contains)
-        def tagValues(r: org.apache.spark.sql.Row): Seq[String] =
-          tagIdx.map { i =>
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        val sortCols =
+          (if (mIdx >= 0) Seq(col("measurement").asc_nulls_first) else Nil) ++
+            groupTags.map(t => col(t).asc_nulls_first) :+ col("__ord").asc
+        df0.withColumn("__ord", monotonically_increasing_id()).orderBy(sortCols: _*)
+      }
+    df.toLocalIterator().asScala.map { r =>
+      val key =
+        if (!needsSplit) wholeKey
+        else SeriesKey(
+          if (mIdx >= 0) r.getString(mIdx) else wholeKey.name,
+          groupTags.zip(tagIdx.map { i =>
             val v = r.get(i)
             if (v == null) null else v.toString
-          }
-        // element-wise Seq ordering, never a joined string: values with
-        // spaces must not make multi-tag series order ambiguous, and the
-        // "v" prefix keeps a null distinct from a real empty tag value
-        import scala.math.Ordering.Implicits.seqOrdering
-        rs.groupBy(tagValues).toSeq
-          .sortBy(_._1.map(v => if (v == null) "" else "v" + v))
-          .map { case (tv, grp) =>
-            SeriesData(name, groupTags.zip(tv), keep.map(cols), render(grp, keep))
-          }
-      }
-    val mIdx = cols.indexOf("measurement")
-    if (mIdx >= 0) {
-      val keep = cols.indices.filterNot(_ == mIdx)
-      rows.toSeq.groupBy(_.getString(mIdx)).toSeq.sortBy(_._1)
-        .flatMap { case (m, rs) => split(m, rs, keep) }
-    } else split(seriesName(stmt), rows.toSeq, cols.indices)
+          }), keepNames)
+      val rendered = keep.map { i =>
+        val v = r.get(i)
+        if (cols(i) == "time") timeJson(v, epoch) else cellJson(v)
+      }.mkString("[", ", ", "]")
+      (key, rendered)
+    }
   }
 
-  /** `"series": [...]` for a statement entry; `partial` marks every listed
-    * series as continued (the chunked responder passes one series at a
-    * time, so the flag is per-call).
+  /** `"series": [...]` for a statement entry; `partialLast` marks the
+    * FINAL listed series as continued/truncated (the chunked responder
+    * passes one series at a time; the unchunked responder's max-row-limit
+    * truncation can only ever cut the last one).
     */
-  private def seriesListJson(series: Seq[SeriesData], partial: Boolean): String = {
-    val body = series.map { sd =>
+  private def seriesListJson(series: Seq[SeriesData], partialLast: Boolean): String = {
+    val body = series.zipWithIndex.map { case (sd, i) =>
+      val partial = partialLast && i == series.length - 1
       val tags =
         if (sd.tags.isEmpty) ""
         else s""", "tags": {${sd.tags.map { case (k, v) =>
@@ -420,14 +513,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           Math.floorMod(us, 1000000L) * 1000L).toString match {
           case s => jsonString(s)
         }
-      case Some("ns") => (us * 1000L).toString
-      case Some("u") | Some("µ") => us.toString
-      case Some("ms") => Math.floorDiv(us, 1000L).toString
-      case Some("s") => Math.floorDiv(us, 1000000L).toString
-      case Some("m") => Math.floorDiv(us, 60L * 1000000L).toString
-      case Some("h") => Math.floorDiv(us, 3600L * 1000000L).toString
-      case Some(other) =>
-        throw new IllegalArgumentException(s"invalid epoch: $other")
+      case Some(unit) => InfluxHttpServer.epochOf(us, unit).toString
     }
     case other => cellJson(other) // a non-long `time` column is data
   }
@@ -549,6 +635,23 @@ object InfluxHttpServer {
       try InfluxQL.parse(sel).into.isEmpty
       catch { case _: Exception => true }
     } else true
+  }
+
+  /** µs → integer epoch in the requested unit — the conversion behind
+    * /query's `epoch` parameter. FLOOR division throughout (`/` on longs
+    * would be IEEE and lossy above 2^53; truncating division would round
+    * pre-1970 instants the wrong way). Public to the engine so the
+    * oracle-gated `q_influxql_epoch` drives the exact same arithmetic the
+    * HTTP face renders.
+    */
+  private[graft] def epochOf(us: Long, unit: String): Long = unit match {
+    case "ns" => us * 1000L
+    case "u" | "µ" => us
+    case "ms" => Math.floorDiv(us, 1000L)
+    case "s" => Math.floorDiv(us, 1000000L)
+    case "m" => Math.floorDiv(us, 60L * 1000000L)
+    case "h" => Math.floorDiv(us, 3600L * 1000000L)
+    case other => throw new IllegalArgumentException(s"invalid epoch: $other")
   }
 
   /** The `params` bind-parameter object (InfluxDB 1.8's `/query?params=`

@@ -220,13 +220,17 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
 
   /** SHOW STATS: per-database storage counters — measurements, series,
     * points, shards — one aggregate per database (InfluxDB reads its
-    * in-memory monitors; this engine answers exactly from the tables).
+    * in-memory monitors; this engine answers exactly from the tables),
+    * plus `sub_dropped`, the subscription fan-out's cap gauge for the db
+    * (InfluxDB's subscriber drop stats; at-least-once under batch
+    * retries, see [[Subscriptions.droppedRows]]).
     */
   def showStats(): DataFrame = {
     import spark.implicits._
     val rows = databaseNames().map { db =>
+      val dropped = Subscriptions.droppedFor(rootDir, db)
       val t = pointsTable(db)
-      if (t.version.isEmpty) (db, 0L, 0L, 0L, 0L)
+      if (t.version.isEmpty) (db, 0L, 0L, 0L, 0L, dropped)
       else {
         val pts = t.read()
         val tagCols = InfluxQL.tagColumns(pts)
@@ -237,10 +241,11 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
           countDistinct(seriesKey),
           count(lit(1))).head
         (db, s.getLong(0), s.getLong(1), s.getLong(2),
-          t.dirPaths(t.version.get).size.toLong)
+          t.dirPaths(t.version.get).size.toLong, dropped)
       }
     }
-    rows.toDF("database", "measurements", "series", "points", "shards")
+    rows.toDF("database", "measurements", "series", "points", "shards",
+      "sub_dropped")
   }
 
   /** SHOW DIAGNOSTICS: build/runtime facts as (name, value) rows. */
@@ -276,8 +281,9 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
         LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs),
           tsUnitNs = tsUnitNs))
     }
-    LpWriteResult(v, LineProtocol.errors(lines),
-      LineProtocol.narrowDropped(lines, serverTsAssigned = true))
+    LpWriteResult(v, LineProtocol.errors(lines, tsUnitNs),
+      LineProtocol.narrowDropped(lines, serverTsAssigned = true,
+        tsUnitNs = tsUnitNs))
   }
 
   /** One statement in, one DataFrame out — the full dialect with database
@@ -459,6 +465,35 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     */
   def executeAll(text: String): Seq[(String, DataFrame)] =
     InfluxQL.splitStatements(text).map(s => s -> tracked(s)(run(s)))
+
+  /** Run ONE statement inside its registry window WITHOUT materializing the
+    * result: `consume` receives the lazy DataFrame and drives execution
+    * itself (e.g. `toLocalIterator`) on this thread, so SHOW QUERIES lists
+    * the statement and KILL QUERY cancels its jobs for the whole time the
+    * result is being streamed out — the HTTP face's scale path, where
+    * collecting first would put the entire result on the driver before the
+    * first chunk leaves.
+    */
+  def runStreamed[T](stmt: String)(consume: DataFrame => T): T =
+    queryRegistry.track(spark, stmt, defaultDb)(consume(run(stmt.trim)))
+
+  /** The GROUP BY tag columns a SELECT's result splits into series on,
+    * resolved exactly as the planner resolves them: named tags verbatim,
+    * `GROUP BY *` expanded against the routed db's points schema
+    * ([[InfluxQL.tagColumns]]) — NOT re-sniffed from result column types,
+    * so a string-typed *field* selected raw under `GROUP BY *` stays in
+    * `values` where it belongs. Non-SELECT and unparseable statements
+    * split on nothing.
+    */
+  def resolvedGroupTags(text: String): Seq[String] = {
+    val t = text.trim
+    if (!t.toUpperCase.startsWith("SELECT")) Nil
+    else try {
+      val q = InfluxQL.parse(t)
+      if (q.groupStar) InfluxQL.tagColumns(points(q.fromDb.getOrElse(defaultDb)))
+      else q.groupTags
+    } catch { case _: Exception => Nil }
+  }
 
   /** [[executeAll]] under [[runAs]] enforcement. EVERY statement is
     * authorized up front, before ANY runs (InfluxDB's QueryAuthorizer

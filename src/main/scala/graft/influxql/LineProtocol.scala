@@ -49,6 +49,21 @@ object LineProtocol {
   /** Largest long magnitude a double represents exactly (2^53). */
   val MaxExactLong: Long = 1L << 53
 
+  /** Largest raw wire-timestamp magnitude that precision `tsUnitNs` can
+    * scale to the engine's µs without overflowing Long. Beyond it the
+    * `ts_ns * N` scaling would silently WRAP into a garbage (often
+    * negative) epoch and commit it — InfluxDB 400s out-of-range
+    * timestamps instead, and so does this engine: offenders route into
+    * [[errors]] (the caller's partial-write 400), never into the table.
+    */
+  def maxRawTs(tsUnitNs: Long): Long =
+    if (tsUnitNs >= 1000L) Long.MaxValue / (tsUnitNs / 1000L) else Long.MaxValue
+
+  private def tsOutOfRange(p: LpPoint, tsUnitNs: Long): Boolean = {
+    val lim = maxRawTs(tsUnitNs)
+    p.ts_ns.exists(t => t < -lim || t > lim)
+  }
+
   /** Parse one line into its exploded field points.
     * Left = parse error message.
     */
@@ -196,10 +211,21 @@ object LineProtocol {
     lines.flatMap(l => parseLine(l).getOrElse(Nil))
   }
 
-  /** The malformed complement of [[parse]]: (line, error) rows. */
-  def errors(lines: Dataset[String]): Dataset[LpError] = {
+  /** The malformed complement of [[parse]]: (line, error) rows. With a
+    * coarse `tsUnitNs` this also covers well-formed lines whose timestamp
+    * is outside the precision's representable window (see [[maxRawTs]]) —
+    * at the default ns precision no parseable long can be out of range.
+    */
+  def errors(lines: Dataset[String], tsUnitNs: Long = 1L): Dataset[LpError] = {
     import lines.sparkSession.implicits._
-    lines.flatMap(l => parseLine(l).left.toOption.map(e => LpError(l, e)))
+    lines.flatMap { l =>
+      parseLine(l) match {
+        case Left(e) => Some(LpError(l, e))
+        case Right(pts) => pts.find(tsOutOfRange(_, tsUnitNs)).map(p =>
+          LpError(l, s"timestamp ${p.ts_ns.get} out of range at " +
+            s"precision ${tsUnitNs}ns (|ts| <= ${maxRawTs(tsUnitNs)})"))
+      }
+    }
   }
 
   /** Parsed points in the engine's narrow InfluxQL layout — measurement →
@@ -235,7 +261,13 @@ object LineProtocol {
       case Some(t) => coalesce(raw, lit(t))
       case None => raw
     }
+    // out-of-range timestamps DROP before scaling (they route to errors()
+    // instead — never silent garbage, and never the server-time coalesce,
+    // which only timestamp-LESS points may take); filtering the whole row
+    // here keeps a null-ts substitute from resurrecting the offender
+    val lim = maxRawTs(tsUnitNs)
     parse(lines).toDF()
+      .filter(col("ts_ns").isNull || col("ts_ns").between(-lim, lim))
       .filter(col("field") === "value")
       .select(
         element_at(col("tags"), "device").as("device"),
@@ -253,9 +285,13 @@ object LineProtocol {
     * parsed point exactly once.
     */
   def narrowDropped(lines: Dataset[String],
-                    serverTsAssigned: Boolean = false): Dataset[LpPoint] =
+                    serverTsAssigned: Boolean = false,
+                    tsUnitNs: Long = 1L): Dataset[LpPoint] =
     parse(lines).filter { p =>
-      p.str.nonEmpty || p.field != "value" || !p.tags.contains("device") ||
-        (!serverTsAssigned && p.ts_ns.isEmpty)
+      // out-of-range timestamps belong to errors(), not dropped —
+      // the exactly-once partition of input lines holds with both
+      !tsOutOfRange(p, tsUnitNs) &&
+        (p.str.nonEmpty || p.field != "value" || !p.tags.contains("device") ||
+          (!serverTsAssigned && p.ts_ns.isEmpty))
     }
 }

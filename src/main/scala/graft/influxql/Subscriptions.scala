@@ -12,7 +12,7 @@ import InfluxQL.{tokenize, P, TStr}
   * destinations; Kapacitor is the canonical subscriber):
   *
   *   CREATE SUBSCRIPTION <name> ON <db>.<rp> DESTINATIONS ALL|ANY 'dest' [, 'dest' ...]
-  *   SHOW SUBSCRIPTIONS                    (db, retention_policy, name, mode, destinations)
+  *   SHOW SUBSCRIPTIONS        (db, retention_policy, name, mode, destinations, dropped)
   *   DROP SUBSCRIPTION <name> ON <db>.<rp>
   *
   * Definitions persist in a control-plane [[TxLogTable]] at
@@ -51,9 +51,21 @@ object Subscriptions {
     else t.read()
   }
 
-  /** SHOW shape: (db, retention_policy, name, mode, destinations). */
-  def show(spark: SparkSession, root: String): DataFrame =
+  /** SHOW shape: (db, retention_policy, name, mode, destinations, dropped).
+    * `dropped` is the fan-out's cap gauge for the row's database
+    * ([[droppedFor]]) — InfluxDB exposes its subscriber drop counters
+    * through SHOW STATS; surfacing them on the listing too makes a
+    * misbehaving cap observable right where the operator manages the
+    * subscription. Control-plane collect: rows = number of subscriptions.
+    */
+  def show(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
     defs(spark, root).orderBy("db", "retention_policy", "name")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), droppedFor(root, r.getString(0))))
+      .toDF("db", "retention_policy", "name", "mode", "destinations", "dropped")
+  }
 
   /** Parse + execute one subscription management statement; every form
     * returns the refreshed SHOW SUBSCRIPTIONS surface. `requireRp`
@@ -135,8 +147,28 @@ object Subscriptions {
     * every fan-out on this JVM — the operational gauge a deployment
     * watches to size `maxRowsPerBatch` (non-zero = a subscriber is too
     * slow for the write rate and fidelity is being traded for liveness).
+    * AT-LEAST-ONCE under micro-batch retries: a batch replayed after a
+    * crash re-counts its excess, the same contract as the re-published
+    * rows it mirrors — read it as "at least this many", never an exact
+    * ledger.
     */
   val droppedRows = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The same gauge scoped per (root, db) fan-out — what SHOW
+    * SUBSCRIPTIONS' `dropped` column and SHOW STATS' `sub_dropped` answer
+    * (per-deployment, so two catalogs on one JVM never read each other's
+    * drops). Driver-side state bounded by the number of fan-outs.
+    */
+  private val droppedByScope =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def scopeKey(root: String, db: String) = root + "\u0000" + db
+  def droppedFor(root: String, db: String): Long =
+    Option(droppedByScope.get(scopeKey(root, db))).map(_.get()).getOrElse(0L)
+  private def addDropped(root: String, db: String, n: Long): Unit = {
+    droppedRows.addAndGet(n)
+    droppedByScope.computeIfAbsent(scopeKey(root, db),
+      _ => new java.util.concurrent.atomic.AtomicLong(0)).addAndGet(n)
+  }
 
   /** Start the write fan-out for `db`: every micro-batch of the narrow
     * points stream re-reads the registry and publishes each point to its
@@ -178,8 +210,13 @@ object Subscriptions {
           val capped = maxRowsPerBatch match {
             case Some(cap) =>
               val n = batch.count()
-              if (n > cap) droppedRows.addAndGet(n - cap)
-              batch.limit(cap)
+              if (n > cap) addDropped(root, db, n - cap)
+              // oldest-first with explicit tie-breaks: a bare limit would
+              // forward an ARBITRARY subset of the batch; ordering makes
+              // the kept slice stable and meaningful (the earliest points
+              // a late subscriber is most likely to still want)
+              batch.orderBy(col("ts_us"), col("device"), col("transducer"))
+                .limit(cap)
             case None => batch
           }
           capped.select("transducer", "device", "ts_us", "value")

@@ -358,6 +358,273 @@ class InfluxHttpSpec extends SparkSuite {
       badGz.body().contains("gzip"), s"${badGz.statusCode()} ${badGz.body()}")
   }
 
+  test("/query rejects methods other than GET and POST with 405") {
+    // InfluxDB 405s PUT/DELETE/PATCH on /query — they must not slip past
+    // the GET-only mutation gate and run DDL
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/query?db=tele&q=${enc("DROP DATABASE tele")}"))
+      .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405, s"${r.statusCode()} ${r.body()}")
+    assert(r.headers().firstValue("Allow").orElse("") == "GET, POST")
+    assert(cat.databaseExists("tele"), "the DELETE-carried DDL must not run")
+    val put = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/query?db=tele&q=${enc("SELECT value FROM temp")}"))
+      .PUT(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() == 405)
+  }
+
+  test("chunked=true streams a result much larger than one chunk with bounded driver slices") {
+    cat.run("CREATE DATABASE bulk")
+    val n = 5000
+    cat.writePoints("bulk",
+      (0 until n).map(i => ("dev", "big", i.toLong * 1000000L, i.toDouble))
+        .toDF("device", "transducer", "ts_us", "value"))
+    val sel = enc("SELECT value FROM big")
+    val r = get(s"/query?db=bulk&epoch=u&chunked=true&chunk_size=250&q=$sel")
+    assert(r.statusCode() == 200)
+    val docs = r.body().trim.split("\n")
+    assert(docs.length == n / 250, s"expected ${n / 250} chunks, got ${docs.length}")
+    // every chunk is a standalone envelope; all but the last statement-partial
+    assert(docs.forall(_.startsWith("""{"results": [{"statement_id": 0""")))
+    assert(docs.dropRight(1).forall(_.endsWith(""""partial": true}]}""")), "non-final chunks partial")
+    assert(!docs.last.contains("partial"), docs.last)
+    // the chunk rows reassemble to exactly the unchunked result (the
+    // shared iterator spine guarantees it; this pins the contract)
+    def rows(doc: String): Seq[String] =
+      """\[(\d+), ([0-9.]+)\]""".r.findAllIn(doc).toSeq
+    val reassembled = docs.toSeq.flatMap(rows)
+    assert(reassembled.size == n)
+    // spot the ends and order (values are i at time i*1e6 µs)
+    assert(reassembled.head == "[0, 0.0]" && reassembled.last == s"[${(n - 1) * 1000000L}, ${n - 1}.0]")
+  }
+
+  test("unchunked /query truncates at max-row-limit with partial: true") {
+    val limited = new InfluxHttpServer(cat, port = 0, maxRowLimit = 100)
+    limited.start()
+    try {
+      val b = s"http://127.0.0.1:${limited.boundPort}"
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"$b/query?db=bulk&epoch=u&q=${enc("SELECT value FROM big")}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val vals = """\[\d+, [0-9.]+\]""".r.findAllIn(r.body()).size
+      assert(vals == 100, s"expected 100 rows, got $vals")
+      // both the cut series and the statement flag partial — the client's
+      // signal to re-issue with chunked=true
+      assert(r.body().contains(""""partial": true}]"""), r.body())
+      assert(r.body().endsWith(""""partial": true}]}"""), r.body().takeRight(60))
+      // chunked responses on the same server are NOT row-limited: chunking
+      // already bounds memory, so the full result streams
+      val ch = client.send(HttpRequest.newBuilder(URI.create(
+        s"$b/query?db=bulk&epoch=u&chunked=true&chunk_size=1000&q=${
+          enc("SELECT count(value) FROM big")}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ch.body().contains("5000"), ch.body())
+    } finally limited.stop()
+  }
+
+  test("GROUP BY * splits on the planner's tag set, not on string-typed result columns") {
+    // the splitter keys on the catalog's plan-time resolution
+    // (resolvedGroupTags), never on sniffing result column types — the
+    // seam, pinned: GROUP BY * expands to the routed db's schema tags,
+    // named tags pass verbatim, time-only grouping and non-SELECT
+    // statements split on nothing (SHOW results are full of string
+    // columns that must never be mistaken for tags)
+    assert(cat.resolvedGroupTags("SELECT count(value) FROM temp GROUP BY *") == Seq("device"))
+    assert(cat.resolvedGroupTags("SELECT count(value) FROM temp GROUP BY device") == Seq("device"))
+    assert(cat.resolvedGroupTags(
+      "SELECT count(value) FROM temp GROUP BY time(1000000u)").isEmpty)
+    assert(cat.resolvedGroupTags("SHOW MEASUREMENTS").isEmpty)
+    assert(cat.resolvedGroupTags("DROP SERIES FROM temp").isEmpty)
+    // over HTTP: the starred and named forms answer the same tagged shape,
+    // and the aliased aggregate column stays in values
+    val star = get(s"/query?db=tele&epoch=u&q=${
+      enc("SELECT count(value) AS c FROM temp GROUP BY *")}")
+    val named = get(s"/query?db=tele&epoch=u&q=${
+      enc("SELECT count(value) AS c FROM temp GROUP BY device")}")
+    assert(star.statusCode() == 200 && star.body() == named.body(),
+      s"star:\n${star.body()}\nnamed:\n${named.body()}")
+    assert(star.body().contains(""""tags": {"device": "a"}"""), star.body())
+    assert(star.body().contains("\"c\""), star.body())
+    // a SHOW result's string columns stay value columns, one plain series
+    val show = get(s"/query?db=tele&q=${enc("SHOW MEASUREMENTS")}")
+    assert(show.statusCode() == 200 && !show.body().contains(""""tags""""),
+      show.body())
+  }
+
+  test("https: TLS round-trip write->query; plaintext to the TLS port fails") {
+    // server side: the checked-in keystore's key + cert exported as the
+    // combined PEM form InfluxDB's https-certificate uses
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(getClass.getResourceAsStream("/mqtt-test-keystore.p12"),
+      "graft-test".toCharArray)
+    val key = ks.getKey("mqtt", "graft-test".toCharArray)
+    val cert = ks.getCertificate("mqtt")
+    def pem(header: String, der: Array[Byte]): String =
+      s"-----BEGIN $header-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $header-----\n"
+    val combined = java.nio.file.Files.createTempFile("http-tls", ".pem")
+    java.nio.file.Files.write(combined,
+      (pem("CERTIFICATE", cert.getEncoded) +
+        pem("PRIVATE KEY", key.getEncoded)).getBytes("UTF-8"))
+    val tls = new InfluxHttpServer(cat, port = 0,
+      ssl = Some(GraftConfig.serverSslContext(combined.toString)))
+    tls.start()
+    try {
+      // client side: trust-only context from the CA pem (the same seam the
+      // MQTT TLS leg's clients use)
+      val caPem = java.nio.file.Files.createTempFile("http-ca", ".pem")
+      java.nio.file.Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"),
+        caPem, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val tlsClient = HttpClient.newBuilder()
+        .sslContext(GraftConfig.sslContextFromCaFile(caPem.toString)).build()
+      val b = s"https://127.0.0.1:${tls.boundPort}"
+      val w = tlsClient.send(HttpRequest.newBuilder(URI.create(s"$b/write?db=tele"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "tlsm,device=s value=5 9700000000")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 204, w.body())
+      val q = tlsClient.send(HttpRequest.newBuilder(URI.create(
+        s"$b/query?db=tele&epoch=u&q=${enc("SELECT value FROM tlsm")}")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200 && q.body().contains("[9700000, 5.0]"), q.body())
+      // a plaintext request to the TLS port must fail, never half-answer
+      intercept[java.io.IOException] {
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${tls.boundPort}/ping")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      // an untrusting client refuses the handshake
+      intercept[java.io.IOException] {
+        HttpClient.newHttpClient().send(HttpRequest.newBuilder(
+          URI.create(s"$b/ping")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally tls.stop()
+  }
+
+  test("property: chunked responses reassemble to the unchunked document for random shapes") {
+    // the chunked contract, fuzzed the way the pretty printer is: for
+    // random statement mixes (multi-series GROUP BY, single series, empty,
+    // one-row aggregate, per-statement error) and random chunk_size,
+    // (1) concatenating chunk rows per series rebuilds EXACTLY the
+    // unchunked document, (2) no chunk exceeds chunk_size rows, and
+    // (3) partial flags are consistent: a series flags partial iff its
+    // next chunk continues it, a statement iff any chunk follows it
+    cat.run("CREATE DATABASE fz")
+    val rows = for (d <- 0 until 5; i <- 0 until 12)
+      yield (s"d$d", "fm", (d * 100 + i).toLong * 1000000L, (d * 100 + i).toDouble)
+    cat.writePoints("fz", rows.toDF("device", "transducer", "ts_us", "value"))
+
+    // one chunk document, decomposed (our own compact rendering; the data
+    // carries no hostile strings, so the string ops below are exact)
+    case class Chunk(stmt: Int, error: Option[String], name: String,
+                     tags: String, columns: String, values: String,
+                     seriesPartial: Boolean, stmtPartial: Boolean,
+                     emptySeries: Boolean)
+    def balanced(doc: String, from: Int): String = {
+      var depth = 0; var j = from
+      while ({ val c = doc.charAt(j)
+               if (c == '[' || c == '{') depth += 1
+               else if (c == ']' || c == '}') depth -= 1
+               depth != 0 }) j += 1
+      doc.substring(from, j + 1)
+    }
+    def field(doc: String, key: String): Option[String] = {
+      val k = s""""$key": """
+      val i = doc.indexOf(k)
+      if (i < 0) None else Some(balanced(doc, i + k.length))
+    }
+    def parseChunk(doc: String): Chunk = {
+      val stmt = """"statement_id": (\d+)""".r.findFirstMatchIn(doc).get.group(1).toInt
+      val err = """"error": ("[^"]*")""".r.findFirstMatchIn(doc).map(_.group(1))
+      val stmtPartial = doc.endsWith(""""partial": true}]}""") && err.isEmpty
+      if (err.nonEmpty) Chunk(stmt, err, "", "", "", "", false, stmtPartial, false)
+      else field(doc, "series") match {
+        case Some("[]") => Chunk(stmt, None, "", "", "", "", false, stmtPartial, true)
+        case Some(ser) =>
+          val name = """"name": "([^"]*)"""".r.findFirstMatchIn(ser).get.group(1)
+          val tags = field(ser, "tags").getOrElse("")
+          val cols = field(ser, "columns").get
+          val vals = field(ser, "values").get
+          // series-level partial: inside the one series object, after values
+          val inner = balanced(ser, ser.indexOf('{'))
+          val seriesPartial = inner.endsWith(""""partial": true}""")
+          Chunk(stmt, None, name, tags, cols, vals.drop(1).dropRight(1),
+            seriesPartial, stmtPartial, false)
+        case None => fail(s"chunk without series or error: $doc")
+      }
+    }
+    def reassemble(chunks: Seq[Chunk]): String = {
+      val stmts = chunks.foldLeft(Vector.empty[Vector[Chunk]]) { (acc, c) =>
+        if (acc.nonEmpty && acc.last.head.stmt == c.stmt) acc.init :+ (acc.last :+ c)
+        else acc :+ Vector(c)
+      }
+      stmts.map { cs =>
+        val i = cs.head.stmt
+        cs.head.error match {
+          case Some(e) => s"""{"statement_id": $i, "error": $e}"""
+          case None if cs.head.emptySeries => s"""{"statement_id": $i, "series": []}"""
+          case None =>
+            val merged = cs.foldLeft(Vector.empty[Chunk]) { (acc, c) =>
+              if (acc.nonEmpty && acc.last.name == c.name && acc.last.tags == c.tags)
+                acc.init :+ acc.last.copy(values =
+                  if (c.values.isEmpty) acc.last.values
+                  else s"${acc.last.values}, ${c.values}")
+              else acc :+ c
+            }
+            val sers = merged.map { c =>
+              val tags = if (c.tags.isEmpty) "" else s""", "tags": ${c.tags}"""
+              s"""{"name": "${c.name}"$tags, "columns": ${c.columns}, "values": [${c.values}]}"""
+            }
+            s"""{"statement_id": $i, "series": [${sers.mkString(", ")}]}"""
+        }
+      }.mkString("""{"results": [""", ", ", "]}")
+    }
+
+    val shapes = Seq(
+      "SELECT value FROM fm GROUP BY device",
+      "SELECT value FROM fm WHERE device = 'd0'",
+      "SELECT count(value) FROM fm",
+      "SELECT value FROM fm WHERE device = 'zz'",
+      "SELECT nope(value) FROM fm")
+    val rnd = new scala.util.Random(20260814)
+    for (it <- 0 until 15) {
+      val q = (0 to rnd.nextInt(2))
+        .map(_ => shapes(rnd.nextInt(shapes.length))).mkString("; ")
+      val cs = 1 + rnd.nextInt(20)
+      val whole = get(s"/query?db=fz&epoch=u&q=${enc(q)}")
+      val chunkedR = get(s"/query?db=fz&epoch=u&chunked=true&chunk_size=$cs&q=${enc(q)}")
+      assert(whole.statusCode() == 200 && chunkedR.statusCode() == 200, s"iter $it '$q'")
+      val chunks = chunkedR.body().trim.split("\n").toSeq.map(parseChunk)
+      assert(reassemble(chunks) == whole.body(),
+        s"iter $it '$q' cs=$cs reassembly mismatch:\n${reassemble(chunks)}\nvs\n${whole.body()}")
+      chunks.zipWithIndex.foreach { case (c, k) =>
+        val next = chunks.lift(k + 1)
+        val nRows = if (c.values.isEmpty) 0 else balancedRowCount(c.values)
+        assert(nRows <= cs, s"iter $it chunk $k carries $nRows > $cs rows")
+        assert(c.stmtPartial == next.exists(_.stmt == c.stmt),
+          s"iter $it chunk $k statement partial flag wrong")
+        assert(c.seriesPartial == next.exists(n =>
+          n.stmt == c.stmt && n.name == c.name && n.tags == c.tags && !n.emptySeries),
+          s"iter $it chunk $k series partial flag wrong")
+      }
+    }
+  }
+
+  /** Top-level row count of a values-array INNER text: `[..], [..]` = 2. */
+  private def balancedRowCount(inner: String): Int = {
+    var depth = 0; var n = 0
+    inner.foreach { c =>
+      if (c == '[') { depth += 1; if (depth == 1) n += 1 }
+      else if (c == ']') depth -= 1
+    }
+    n
+  }
+
   test("GROUP BY tags answer one series per tag set with a tags object") {
     val r = get(s"/query?db=tele&epoch=u&q=${
       enc("SELECT count(value) AS c FROM temp GROUP BY device")}")

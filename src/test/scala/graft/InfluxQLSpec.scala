@@ -1380,10 +1380,11 @@ class InfluxQLSpec extends SparkSuite {
     assert(cat.run("SHOW SUBSCRIPTIONS").collect().isEmpty)
     cat.run("CREATE SUBSCRIPTION sub0 ON tele.autogen DESTINATIONS ALL 'mq/s0', 'mq/s1'")
     cat.run("CREATE SUBSCRIPTION sub1 ON tele.autogen DESTINATIONS ANY 'udp://h1:9'")
-    assert(cat.run("SHOW SUBSCRIPTIONS").as[(String, String, String, String, String)]
+    assert(cat.run("SHOW SUBSCRIPTIONS")
+      .as[(String, String, String, String, String, Long)]
       .collect().toSeq == Seq(
-        ("tele", "autogen", "sub0", "ALL", "mq/s0, mq/s1"),
-        ("tele", "autogen", "sub1", "ANY", "udp://h1:9")))
+        ("tele", "autogen", "sub0", "ALL", "mq/s0, mq/s1", 0L),
+        ("tele", "autogen", "sub1", "ANY", "udp://h1:9", 0L)))
     assert(intercept[IllegalArgumentException](cat.run(
       "CREATE SUBSCRIPTION sub0 ON tele.autogen DESTINATIONS ALL 'x'"))
       .getMessage.contains("already exists"))
@@ -1412,8 +1413,8 @@ class InfluxQLSpec extends SparkSuite {
     assert(shards.map(s => (s._2, s._3)).distinct == Seq(("tele", "autogen")))
     assert(shards.map(s => (s._5.get, s._6.get)).toSet == Set((10L, 20L), (30L, 30L)))
     assert(cat.run("SHOW SHARD GROUPS").count() == 2)
-    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long)]
-      .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L)))
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L, 0L)))
     val diag = cat.run("SHOW DIAGNOSTICS").as[(String, String)].collect().toMap
     assert(diag("sparkVersion") == spark.version && diag("engine") == "graft")
     // DROP SHARD removes ONE committed dir as an O(1) metadata commit.
@@ -1426,8 +1427,8 @@ class InfluxQLSpec extends SparkSuite {
     assert(cat.points("tele").as[(String, String, Long, Double)].collect().toSet ==
       Set(("a", "hum", 30L, 3.0), ("c", "pres", 50L, 5.0)),
       "the id captured BEFORE the interleaved commit still dropped its own dir")
-    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long)]
-      .collect().toSeq == Seq(("tele", 2L, 2L, 2L, 2L)))
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 2L, 2L, 2L, 2L, 0L)))
     // the surviving shards kept their pre-commit ids too
     val after = cat.run("SHOW SHARDS")
       .as[(Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
@@ -1512,6 +1513,24 @@ class InfluxQLSpec extends SparkSuite {
     assert(published == 3, s"cap must bound the fan-out, saw $published")
     assert(Subscriptions.droppedRows.get() - dropsBefore == 47,
       "the excess is counted, never silently vanished")
+    // the cap forwards the OLDEST rows (stable ordered subset, never an
+    // arbitrary limit): ts 0,1,2 of the 0..49 batch
+    val lines = graft.streaming.MqttBus
+      .slice(before, graft.streaming.MqttBus.size)
+      .filter(_._1.startsWith(s"$tag/")).map(m => new String(m._2, "UTF-8")).toSet
+    assert(lines == Set("m,device=d value=0.0 0", "m,device=d value=1.0 1000",
+      "m,device=d value=2.0 2000"), lines)
+    // the gauge is OPERATOR-visible from the query surface, scoped to this
+    // deployment's (root, db): SHOW SUBSCRIPTIONS carries a dropped
+    // column, SHOW STATS a sub_dropped counter
+    val subRow = cat.run("SHOW SUBSCRIPTIONS")
+      .as[(String, String, String, String, String, Long)].collect()
+      .find(_._3 == "slow").get
+    assert(subRow._6 == 47L, s"SHOW SUBSCRIPTIONS dropped gauge: $subRow")
+    val statsRow = cat.run("SHOW STATS")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .find(_._1 == "tele").get
+    assert(statsRow._6 == 47L, s"SHOW STATS sub_dropped gauge: $statsRow")
   }
 
   test("continuous-query registry: CREATE validates + persists, SHOW lists, startAll runs, DROP removes") {

@@ -194,4 +194,44 @@ class LineProtocolSpec extends SparkSuite {
       cat.writeLineProtocol("ghost", Seq("m v=1").toDS()))
       .getMessage.contains("database not found"))
   }
+
+  test("coarse-precision timestamps outside the scalable window error, never wrap") {
+    import graft.influxql.LineProtocol
+    // precision=h scales ts by 3.6e12/1e3 µs-per-unit: a raw wire ts that
+    // parses as a Long but overflows the scaling must land in errors()
+    // (the caller's 400 partial write), never commit a wrapped epoch
+    val hourNs = 3600L * 1000000000L
+    val lim = LineProtocol.maxRawTs(hourNs) // = Long.Max / 3.6e9
+    assert(lim == Long.MaxValue / (hourNs / 1000L))
+    val lines = Seq(
+      s"m,device=a value=1 ${lim}",       // at the edge: representable
+      s"m,device=a value=2 ${lim + 1}",   // one past: error
+      s"m,device=a value=3 ${-lim - 1}",  // negative overflow too
+      "m,device=a value=4 7").toDS()
+    val pts = LineProtocol.narrowPoints(lines, tsUnitNs = hourNs)
+      .select("ts_us").as[Long].collect().toSet
+    assert(pts == Set(lim * (hourNs / 1000L), 7L * (hourNs / 1000L)),
+      s"only in-range points scale: $pts")
+    val errs = LineProtocol.errors(lines, tsUnitNs = hourNs).collect()
+    assert(errs.length == 2 && errs.forall(_.error.contains("out of range")),
+      errs.mkString("; "))
+    // the exactly-once partition holds: offenders are in errors, NOT in
+    // dropped, and ns precision (the default) never ranges out
+    assert(LineProtocol.narrowDropped(lines, serverTsAssigned = true,
+      tsUnitNs = hourNs).count() == 0)
+    assert(LineProtocol.errors(lines).count() == 0, "ns precision: all parse")
+
+    // end to end through the catalog: 400 partial write, good lines land
+    val root = java.nio.file.Files.createTempDirectory("lp_range").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    val res = cat.writeLineProtocol("tele",
+      Seq("ok,device=a value=1 2", s"bad,device=a value=2 ${lim + 1}").toDS(),
+      tsUnitNs = hourNs)
+    assert(res.errors.count() == 1 &&
+      res.errors.head().error.contains("out of range"))
+    assert(cat.run("SELECT value FROM ok").count() == 1)
+    assert(cat.run("SELECT value FROM bad").collect().isEmpty,
+      "the overflowing point must not have committed garbage")
+  }
 }

@@ -219,6 +219,68 @@ class ServiceMainSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("wide-bind drill: http_bind=0.0.0.0 + http_auth + http_ssl compose with the full service") {
+    // the hardened listener in one piece: bound beyond loopback, TLS on
+    // the wire, credentials enforced — the deployment shape where all
+    // three knobs must hold together (plaintext + 0.0.0.0 would put the
+    // authenticated credentials on the open network)
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(getClass.getResourceAsStream("/mqtt-test-keystore.p12"),
+      "graft-test".toCharArray)
+    def pem(header: String, der: Array[Byte]): String =
+      s"-----BEGIN $header-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
+        s"\n-----END $header-----\n"
+    val combined = Files.createTempFile("svc-http-tls", ".pem")
+    Files.write(combined,
+      (pem("CERTIFICATE", ks.getCertificate("mqtt").getEncoded) +
+        pem("PRIVATE KEY", ks.getKey("mqtt", "graft-test".toCharArray).getEncoded))
+        .getBytes("UTF-8"))
+    val caPem = Files.createTempFile("svc-http-ca", ".pem")
+    Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"), caPem,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dir = Files.createTempDirectory("svc_widebind").toString
+    val conf = Map(
+      "data_dir" -> dir, "influx_database" -> "oc",
+      "http_port" -> "0", "http_bind" -> "0.0.0.0", "http_auth" -> "true",
+      "http_ssl" -> "true", "http_ssl_cert" -> combined.toString)
+    val h = ServiceMain.start(spark, conf, new graft.streaming.InProcessTransport,
+      rest = None, publish = (_, _) => (),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+      cat.run("CREATE USER ops WITH PASSWORD 'opw' WITH ALL PRIVILEGES")
+      val port = h.http.get.boundPort
+      val cli = java.net.http.HttpClient.newBuilder()
+        .sslContext(GraftConfig.sslContextFromCaFile(caPem.toString)).build()
+      val b = s"https://127.0.0.1:$port"
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      // anonymous is refused (auth-enabled), even over valid TLS
+      val anon = cli.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$b/query?q=${enc("SHOW DATABASES")}")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(anon.statusCode() == 401, s"${anon.statusCode()} ${anon.body()}")
+      // credentialed write -> query round-trips over the encrypted wire
+      val w = cli.send(java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$b/write?db=oc&u=ops&p=opw"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "wbm,device=d9 value=4 6000000000")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 204, w.body())
+      val q = cli.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+        s"$b/query?db=oc&u=ops&p=opw&epoch=u&q=${enc("SELECT value FROM wbm")}"))
+        .GET().build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200 && q.body().contains("[6000000, 4.0]"), q.body())
+      // plaintext to the widened TLS port is refused outright
+      intercept[java.io.IOException] {
+        java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$port/ping")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+    } finally ServiceMain.stop(h)
+  }
+
   test("maintenance compaction folds small streaming appends into one dir") {
     val dir = Files.createTempDirectory("svc_compact").toString
     val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
