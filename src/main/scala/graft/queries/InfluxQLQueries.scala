@@ -355,9 +355,38 @@ object InfluxQLQueries {
           |WHERE time >= '2024-01-01T00:00:00Z' AND time < '2024-01-31T00:00:00Z'
           |GROUP BY time(2h) FILL(previous)
           |ORDER BY time DESC LIMIT 50""".stripMargin)
+    }),
+
+    // the HTTP face's `epoch=<unit>` integer rendering, oracle-gated: the
+    // bucket times of a dialect query pass through the EXACT conversion
+    // /query renders (InfluxHttpServer.epochOf — floor division, never
+    // IEEE `/`), one column per unit, against DuckDB's integer arithmetic
+    "q_influxql_epoch" -> ((s, dir) => {
+      import s.implicits._
+      InfluxQL.run(points(s, dir),
+        """SELECT count(value) AS c FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-08'
+          |GROUP BY time(1d) FILL(none)""".stripMargin)
+        .select(col("time"), col("c")).as[(Long, Long)]
+        .map { case (t, c) =>
+          import graft.http.InfluxHttpServer.epochOf
+          (t, epochOf(t, "ns"), epochOf(t, "ms"), epochOf(t, "s"),
+            epochOf(t, "m"), epochOf(t, "h"), c)
+        }
+        .toDF("time", "epoch_ns", "epoch_ms", "epoch_s", "epoch_m", "epoch_h", "c")
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_influxql_epoch" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1704672000000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time,
+         |      CAST(count(value) AS BIGINT) AS c FROM f GROUP BY 1)
+         |SELECT time, time * 1000 AS epoch_ns, time // 1000 AS epoch_ms,
+         |  time // 1000000 AS epoch_s, time // 60000000 AS epoch_m,
+         |  time // 3600000000 AS epoch_h, c FROM b""".stripMargin,
 
     "q_influxql_agg" ->
       s"""WITH $ptsSql,
