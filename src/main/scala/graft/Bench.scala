@@ -87,7 +87,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => qstr(k) + ":" + qstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_failed":${errors.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // per-query min/median/spread over the three passes for the slowest
+    // queries: the box's run-to-run noise is 2-3x, and round-over-round
+    // regressions on the heavies keep being re-litigated against it —
+    // a committed spread turns "is 4.4 s real?" into a lookup
+    val variance = results.toSeq.sortBy(-_._2).take(6).map { case (k, _) =>
+      val ts = passes.map(_(k)).sorted
+      s""""$k":{"min":${fmt(ts.head)},"median":${fmt(ts(1))},"spread":${fmt(ts.last - ts.head)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_failed":${errors.size},"errors":$errs,"variance":$variance,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout is the driver contract, but its capture has truncated the
     // per-query tail in past rounds — persist the same line to a file so
