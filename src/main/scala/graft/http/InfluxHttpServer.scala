@@ -535,8 +535,10 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     "s" -> 1000000000L, "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
 
   private def handleWrite(ex: HttpExchange): Unit = {
-    if (ex.getRequestMethod != "POST")
+    if (ex.getRequestMethod != "POST") {
+      ex.getResponseHeaders.set("Allow", "POST")
       return err(ex, 405, s"${ex.getRequestMethod} not allowed on /write")
+    }
     // a corrupt gzip body is the client's 400, not our 500
     val body = try readBody(ex) catch {
       case _: java.io.IOException =>

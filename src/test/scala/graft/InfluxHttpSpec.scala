@@ -515,8 +515,8 @@ class InfluxHttpSpec extends SparkSuite {
     // (3) partial flags are consistent: a series flags partial iff its
     // next chunk continues it, a statement iff any chunk follows it
     cat.run("CREATE DATABASE fz")
-    val rows = for (d <- 0 until 5; i <- 0 until 12)
-      yield (s"d$d", "fm", (d * 100 + i).toLong * 1000000L, (d * 100 + i).toDouble)
+    val rows = for (d <- 0 until 5; i <- 0 until 12; m <- Seq("fm", "gm"))
+      yield (s"d$d", m, (d * 100 + i).toLong * 1000000L, (d * 100 + i).toDouble)
     cat.writePoints("fz", rows.toDF("device", "transducer", "ts_us", "value"))
 
     // one chunk document, decomposed (our own compact rendering; the data
@@ -590,7 +590,11 @@ class InfluxHttpSpec extends SparkSuite {
       "SELECT value FROM fm WHERE device = 'd0'",
       "SELECT count(value) FROM fm",
       "SELECT value FROM fm WHERE device = 'zz'",
-      "SELECT nope(value) FROM fm")
+      "SELECT nope(value) FROM fm",
+      // measurement-split × tag-split: one named series per (measurement,
+      // device) pair, chunk boundaries never crossing either
+      "SELECT count(value) FROM /m$/ GROUP BY device",
+      "SELECT mean(value) FROM /^(fm|gm)$/")
     val rnd = new scala.util.Random(20260814)
     for (it <- 0 until 15) {
       val q = (0 to rnd.nextInt(2))

@@ -1373,6 +1373,48 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("number"))
   }
 
+  test("runStreamed: the registry window spans result streaming, and KILL mid-stream cleans up") {
+    // the HTTP face's /query path executes lazily and streams rows out
+    // (toLocalIterator) — the statement must stay visible to SHOW QUERIES
+    // and killable for the WHOLE emission, not just the planning instant
+    val root = java.nio.file.Files.createTempDirectory("influxstream").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db", pts((0 until 200).map(i =>
+      ("a", "m", i.toLong, i.toDouble)): _*))
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try cat.runStreamed("SELECT value FROM m") { df =>
+        val it = df.toLocalIterator()
+        it.next() // execution has begun, rows are flowing
+        started.countDown()
+        go.await()
+        // a KILL between the latches cancels this thread's job group: the
+        // remaining iteration may fail (cancelled jobs) — what MUST hold
+        // is the cleanup below, never a wedged registry entry
+        while (it.hasNext) { it.next(); drained.incrementAndGet() }
+      } catch { case e: Throwable => failure.set(e) }
+    }, "streamed-query")
+    t.start()
+    assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    val listed = cat.run("SHOW QUERIES")
+      .select("qid", "query").as[(Long, String)].collect()
+    assert(listed.map(_._2).toSeq == Seq("SELECT value FROM m"),
+      s"the streaming statement must be listed mid-emission: ${listed.toSeq}")
+    cat.run(s"KILL QUERY ${listed.head._1}")
+    go.countDown()
+    t.join(60000)
+    assert(!t.isAlive, "the streaming consumer must terminate after KILL")
+    // whether the remaining partitions were already local (drain finishes)
+    // or still pending (drain fails on the cancelled group), the window
+    // closed and the registry holds nothing
+    assert(cat.run("SHOW QUERIES").collect().isEmpty,
+      s"registry must deregister (drained=${drained.get()}, failure=${failure.get()})")
+  }
+
   test("subscriptions: DDL registry; SHOW SHARDS/SHARD GROUPS/STATS/DIAGNOSTICS") {
     val root = java.nio.file.Files.createTempDirectory("catalog_subs").toString
     val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
