@@ -213,7 +213,12 @@ object ServiceMain {
         bindHost = conf.getOrElse("http_bind", "127.0.0.1"),
         // InfluxDB's max-row-limit: the unchunked /query path truncates
         // (partial: true) past this many rows instead of buffering an
-        // unbounded result on the driver; 0 disables
+        // unbounded result on the driver. DELIBERATE divergence from the
+        // 1.8 default (0 = unlimited, which stock clients that ignore
+        // the partial flag silently rely on): at this engine's scale an
+        // unlimited unchunked default is a driver OOM waiting for one
+        // careless SELECT *; set http_max_row_limit=0 for drop-in 1.8
+        // behavior, or have clients use chunked=true (never limited)
         maxRowLimit = conf.getOrElse("http_max_row_limit", "10000").toInt,
         ssl = ssl)
       s.start()

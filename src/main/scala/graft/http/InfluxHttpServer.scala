@@ -198,7 +198,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
 
   // ---------- /query ----------
 
-  import InfluxHttpServer.{AuthFailed, Denied}
+  import InfluxHttpServer.{AuthFailed, ClientGone, Denied}
 
   private def handleQuery(ex: HttpExchange): Unit = {
     // InfluxDB 405s anything but GET/POST on /query — a PUT/DELETE/PATCH
@@ -322,11 +322,17 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     ex.sendResponseHeaders(200, 0) // streaming body
     markCommitted(ex)
     val out = ex.getResponseBody
-    def emit(doc: String): Unit = {
-      out.write(((if (pretty) InfluxHttpServer.prettyJson(doc) else doc) + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-      out.flush()
-    }
+    // a dead socket must be told apart from an ENGINE-side IOException
+    // (e.g. a commit-log read hitting NoSuchFile inside a statement):
+    // only failures of the write itself end the stream — an engine
+    // failure, whatever its exception type, answers a per-statement
+    // error document like the unchunked path would
+    def emit(doc: String): Unit =
+      try {
+        out.write(((if (pretty) InfluxHttpServer.prettyJson(doc) else doc) + "\n")
+          .getBytes(StandardCharsets.UTF_8))
+        out.flush()
+      } catch { case e: java.io.IOException => throw ClientGone(e) }
     stmts.zipWithIndex.foreach { case (s, i) =>
       try cat.runStreamed(s) { df =>
         val it = seriesRows(s, df, epoch, cat.resolvedGroupTags(s)).buffered
@@ -348,7 +354,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
         }
       } catch {
         // the client went away mid-write: nothing left to tell it
-        case e: java.io.IOException => throw e
+        case ClientGone(e) => throw e
         case e: Exception =>
           emit(s"""{"results": [{"statement_id": $i, "error": ${
             jsonString(msgOf(e))}}]}""")
@@ -437,10 +443,14 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       if (!needsSplit) df0
       else {
         import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        // the ordering column's name must not collide with a result
+        // column (a user can alias anything): withColumn REPLACES an
+        // existing column in place, which would corrupt its values
+        val ord = Iterator.iterate("__ord")(_ + "_").dropWhile(cols.contains).next()
         val sortCols =
           (if (mIdx >= 0) Seq(col("measurement").asc_nulls_first) else Nil) ++
-            groupTags.map(t => col(t).asc_nulls_first) :+ col("__ord").asc
-        df0.withColumn("__ord", monotonically_increasing_id()).orderBy(sortCols: _*)
+            groupTags.map(t => col(t).asc_nulls_first) :+ col(ord).asc
+        df0.withColumn(ord, monotonically_increasing_id()).orderBy(sortCols: _*)
       }
     df.toLocalIterator().asScala.map { r =>
       val key =
@@ -513,7 +523,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           Math.floorMod(us, 1000000L) * 1000L).toString match {
           case s => jsonString(s)
         }
-      case Some(unit) => InfluxHttpServer.epochOf(us, unit).toString
+      case Some(unit) =>
+        try InfluxHttpServer.epochOf(us, unit).toString
+        catch {
+          // epoch=ns on a µs value past Long range (the engine's µs
+          // storage is 1000x wider than InfluxDB's ns storage): render
+          // the EXACT integer instead of a wrapped garbage long — JSON
+          // numbers are unbounded; a client that can't take it fails
+          // loudly on its side, never silently wrong on ours
+          case _: ArithmeticException => (BigInt(us) * 1000).toString
+        }
     }
     case other => cellJson(other) // a non-long `time` column is data
   }
@@ -596,7 +615,11 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val firstDropped = res.dropped.take(1).headOption
     (firstErr, firstDropped) match {
       case (Some(e), _) =>
-        // parsed lines were still appended: InfluxDB's partial-write rule
+        // parsed lines were still appended: InfluxDB's partial-write rule.
+        // The "unable to parse" prefix also covers out-of-range timestamps
+        // on purpose — InfluxDB wraps its ErrTimeOutOfRange in exactly this
+        // phrasing ("unable to parse '...': time outside range"), and
+        // drop-in clients match on it
         err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
       case (None, Some(d)) =>
         // well-formed points the narrow layout cannot hold (string field,
@@ -618,6 +641,13 @@ object InfluxHttpServer {
     */
   private final case class AuthFailed(msg: String) extends RuntimeException(msg)
   private final case class Denied(msg: String) extends RuntimeException(msg)
+
+  /** Marks an IOException thrown by the RESPONSE write (dead client) as
+    * distinct from an engine-side IOException inside a statement — the
+    * two demand opposite handling on the chunked path.
+    */
+  private final case class ClientGone(cause: java.io.IOException)
+    extends RuntimeException(cause)
 
   /** True when the statement cannot mutate state — i.e. it is acceptable
     * over GET. Classification is by what CAN mutate (the engine's own
@@ -642,12 +672,14 @@ object InfluxHttpServer {
   /** µs → integer epoch in the requested unit — the conversion behind
     * /query's `epoch` parameter. FLOOR division throughout (`/` on longs
     * would be IEEE and lossy above 2^53; truncating division would round
-    * pre-1970 instants the wrong way). Public to the engine so the
-    * oracle-gated `q_influxql_epoch` drives the exact same arithmetic the
-    * HTTP face renders.
+    * pre-1970 instants the wrong way), and the one MULTIPLYING unit (ns)
+    * is exact-or-loud: a µs value past Long-in-ns range throws instead of
+    * wrapping (the renderer falls back to exact big-integer text).
+    * Public to the engine so the oracle-gated `q_influxql_epoch` drives
+    * the exact same arithmetic the HTTP face renders.
     */
   private[graft] def epochOf(us: Long, unit: String): Long = unit match {
-    case "ns" => us * 1000L
+    case "ns" => Math.multiplyExact(us, 1000L)
     case "u" | "µ" => us
     case "ms" => Math.floorDiv(us, 1000L)
     case "s" => Math.floorDiv(us, 1000000L)

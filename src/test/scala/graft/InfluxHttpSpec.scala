@@ -457,28 +457,14 @@ class InfluxHttpSpec extends SparkSuite {
   test("https: TLS round-trip write->query; plaintext to the TLS port fails") {
     // server side: the checked-in keystore's key + cert exported as the
     // combined PEM form InfluxDB's https-certificate uses
-    val ks = java.security.KeyStore.getInstance("PKCS12")
-    ks.load(getClass.getResourceAsStream("/mqtt-test-keystore.p12"),
-      "graft-test".toCharArray)
-    val key = ks.getKey("mqtt", "graft-test".toCharArray)
-    val cert = ks.getCertificate("mqtt")
-    def pem(header: String, der: Array[Byte]): String =
-      s"-----BEGIN $header-----\n" +
-        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
-        s"\n-----END $header-----\n"
-    val combined = java.nio.file.Files.createTempFile("http-tls", ".pem")
-    java.nio.file.Files.write(combined,
-      (pem("CERTIFICATE", cert.getEncoded) +
-        pem("PRIVATE KEY", key.getEncoded)).getBytes("UTF-8"))
+    val combined = exportCombinedTlsPem()
     val tls = new InfluxHttpServer(cat, port = 0,
       ssl = Some(GraftConfig.serverSslContext(combined.toString)))
     tls.start()
     try {
       // client side: trust-only context from the CA pem (the same seam the
       // MQTT TLS leg's clients use)
-      val caPem = java.nio.file.Files.createTempFile("http-ca", ".pem")
-      java.nio.file.Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"),
-        caPem, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val caPem = exportCaPem()
       val tlsClient = HttpClient.newBuilder()
         .sslContext(GraftConfig.sslContextFromCaFile(caPem.toString)).build()
       val b = s"https://127.0.0.1:${tls.boundPort}"
@@ -627,6 +613,25 @@ class InfluxHttpSpec extends SparkSuite {
       else if (c == ']') depth -= 1
     }
     n
+  }
+
+  test("epoch=ns past Long range renders the exact integer, never a wrapped long") {
+    // the engine's µs storage is 1000x wider than InfluxDB's ns storage:
+    // a legally-written coarse-precision point can sit beyond Long in ns.
+    // The renderer answers the exact big-integer text there — silent
+    // wraparound (us * 1000 in long arithmetic) is the one wrong answer
+    val raw = 2562047788L // == LineProtocol.maxRawTs(hour precision)
+    assert(raw == graft.influxql.LineProtocol.maxRawTs(3600L * 1000000000L))
+    val w = post("/write?db=tele&precision=h", s"bigts,device=z value=1 $raw")
+    assert(w.statusCode() == 204, w.body())
+    val us = raw * 3600000000L
+    val r = get(s"/query?db=tele&epoch=ns&q=${enc("SELECT value FROM bigts")}")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains(s"[${BigInt(us) * 1000}, 1.0]"), r.body())
+    assert(!r.body().contains(s"[${us * 1000L}, 1.0]"),
+      s"wrapped long must not render: ${r.body()}")
+    // in-range times keep the plain long path (the oracle-gated epochOf)
+    assert(graft.http.InfluxHttpServer.epochOf(us / 1000000L, "ns") == us / 1000000L * 1000L)
   }
 
   test("GROUP BY tags answer one series per tag set with a tags object") {

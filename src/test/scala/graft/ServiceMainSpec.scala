@@ -224,21 +224,8 @@ class ServiceMainSpec extends SparkSuite {
     // the wire, credentials enforced — the deployment shape where all
     // three knobs must hold together (plaintext + 0.0.0.0 would put the
     // authenticated credentials on the open network)
-    val ks = java.security.KeyStore.getInstance("PKCS12")
-    ks.load(getClass.getResourceAsStream("/mqtt-test-keystore.p12"),
-      "graft-test".toCharArray)
-    def pem(header: String, der: Array[Byte]): String =
-      s"-----BEGIN $header-----\n" +
-        java.util.Base64.getMimeEncoder(64, "\n".getBytes).encodeToString(der) +
-        s"\n-----END $header-----\n"
-    val combined = Files.createTempFile("svc-http-tls", ".pem")
-    Files.write(combined,
-      (pem("CERTIFICATE", ks.getCertificate("mqtt").getEncoded) +
-        pem("PRIVATE KEY", ks.getKey("mqtt", "graft-test".toCharArray).getEncoded))
-        .getBytes("UTF-8"))
-    val caPem = Files.createTempFile("svc-http-ca", ".pem")
-    Files.copy(getClass.getResourceAsStream("/mqtt-test-ca.pem"), caPem,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val combined = exportCombinedTlsPem()
+    val caPem = exportCaPem()
     val dir = Files.createTempDirectory("svc_widebind").toString
     val conf = Map(
       "data_dir" -> dir, "influx_database" -> "oc",
