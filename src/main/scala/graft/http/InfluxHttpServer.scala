@@ -92,13 +92,33 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       t.setDaemon(true)
       t
     })
+  // ---------- monitoring counters (the /debug/vars httpd block) ----------
+  // per-listener, lock-free, incremented on the handler threads — the
+  // same shape InfluxDB's httpd module reports through expvar
+  private val startedAtMs = System.currentTimeMillis()
+  private val pingReq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val queryReq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val writeReq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val writeOk = new java.util.concurrent.atomic.AtomicLong(0)
+  private val writeLines = new java.util.concurrent.atomic.AtomicLong(0)
+  private val partialWrites = new java.util.concurrent.atomic.AtomicLong(0)
+  private val clientErrors = new java.util.concurrent.atomic.AtomicLong(0)
+  private val serverErrors = new java.util.concurrent.atomic.AtomicLong(0)
+
   server.setExecutor(pool)
   server.createContext("/ping", (ex: HttpExchange) => {
+    pingReq.incrementAndGet()
     ex.getResponseHeaders.set("X-Influxdb-Version", "1.8-graft")
     ex.sendResponseHeaders(204, -1); ex.close()
   })
-  server.createContext("/query", (ex: HttpExchange) => safely(ex)(handleQuery))
-  server.createContext("/write", (ex: HttpExchange) => safely(ex)(handleWrite))
+  server.createContext("/query", (ex: HttpExchange) => safely(ex) { e =>
+    queryReq.incrementAndGet(); handleQuery(e)
+  })
+  server.createContext("/write", (ex: HttpExchange) => safely(ex) { e =>
+    writeReq.incrementAndGet(); handleWrite(e)
+  })
+  server.createContext("/debug/vars", (ex: HttpExchange) => safely(ex)(handleVars))
+  server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(handleMetrics))
 
   def start(): Unit = server.start()
   def stop(): Unit = { server.stop(0); pool.shutdown() }
@@ -121,12 +141,14 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   private def safely(ex: HttpExchange)(h: HttpExchange => Unit): Unit =
     try h(ex) catch {
       case e: Exception =>
-        if (!committed(ex))
+        if (!committed(ex)) {
+          serverErrors.incrementAndGet()
           // the 500 itself is best-effort: if the connection died before
           // headers went out, this throws too — swallow, never onto the pool
           try respondJson(ex, 500,
             s"""{"error": ${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
           catch { case _: Exception => () }
+        }
     } finally ex.close()
 
   /** Query-string + form-body parameters, URL-decoded (later keys win —
@@ -171,8 +193,11 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     ex.close()
   }
 
-  private def err(ex: HttpExchange, code: Int, msg: String): Unit =
+  private def err(ex: HttpExchange, code: Int, msg: String): Unit = {
+    if (code >= 500) serverErrors.incrementAndGet()
+    else if (code >= 400) clientErrors.incrementAndGet()
     respondJson(ex, code, s"""{"error": ${jsonString(msg)}}""")
+  }
 
   /** (user, password) from `u`/`p` params or an Authorization: Basic
     * header — both forms the 1.x clients send.
@@ -602,8 +627,10 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       case None => ()
     }
     import catalog.spark.implicits._
-    val lines = body.split("\n").toSeq.map(_.stripSuffix("\r"))
-      .filter(_.trim.nonEmpty).toDS()
+    val rawLines = body.split("\n").toSeq.map(_.stripSuffix("\r"))
+      .filter(_.trim.nonEmpty)
+    writeLines.addAndGet(rawLines.size)
+    val lines = rawLines.toDS()
     val res =
       try catalog.writeLineProtocol(db, lines, tsUnitNs = unitNs)
       catch {
@@ -615,6 +642,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val firstDropped = res.dropped.take(1).headOption
     (firstErr, firstDropped) match {
       case (Some(e), _) =>
+        partialWrites.incrementAndGet()
         // parsed lines were still appended: InfluxDB's partial-write rule.
         // The "unable to parse" prefix also covers out-of-range timestamps
         // on purpose — InfluxDB wraps its ErrTimeOutOfRange in exactly this
@@ -622,6 +650,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
         // drop-in clients match on it
         err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
       case (None, Some(d)) =>
+        partialWrites.incrementAndGet()
         // well-formed points the narrow layout cannot hold (string field,
         // field key other than `value`, missing device tag) were NOT
         // stored — never answer success for invisible data loss
@@ -630,8 +659,102 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
           s"'${d.field}' — requires a numeric/boolean field named 'value' " +
           "and a device tag)")
       case (None, None) =>
+        writeOk.incrementAndGet()
         ex.sendResponseHeaders(204, -1); ex.close()
     }
+  }
+
+  // ---------- /debug/vars + /metrics ----------
+
+  /** The listener's counter snapshot as (module, name, value) rows — one
+    * source for both renderings. `queriesExecuted`/`queriesActive` read
+    * the shared query registry; `subPointsDropped` is the subscription
+    * fan-out cap gauge for this catalog's deployment root (summed across
+    * its databases is not possible without listing them — the JVM total
+    * is reported under `subscriber` exactly like InfluxDB's process-wide
+    * subscriber stats).
+    */
+  private def counterRows(): Seq[(String, String, Long)] = Seq(
+    ("httpd", "pingReq", pingReq.get()),
+    ("httpd", "queryReq", queryReq.get()),
+    ("httpd", "writeReq", writeReq.get()),
+    ("httpd", "writeOk", writeOk.get()),
+    ("httpd", "pointsWrittenLines", writeLines.get()),
+    ("httpd", "partialWrites", partialWrites.get()),
+    ("httpd", "clientError", clientErrors.get()),
+    ("httpd", "serverError", serverErrors.get()),
+    ("queryExecutor", "queriesActive", catalog.queryRegistry.runningCount.toLong),
+    ("queryExecutor", "queriesExecuted", catalog.queryRegistry.startedCount),
+    ("subscriber", "pointsDropped", graft.influxql.Subscriptions.droppedRows.get()),
+    ("system", "uptimeSeconds", (System.currentTimeMillis() - startedAtMs) / 1000L),
+    ("jvm", "heapUsedBytes",
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()),
+    ("jvm", "heapMaxBytes", Runtime.getRuntime.maxMemory()))
+
+  /** `authRequired` gates the monitoring endpoints like everything else:
+    * any AUTHENTICATED user may read them (InfluxDB's /debug/vars carries
+    * no per-db authorization either — counters are process-scoped).
+    */
+  private def monitoringAuthProblem(ex: HttpExchange): Option[(Int, String)] = {
+    val creds = credentials(ex, params(ex, ""))
+    if (authRequired && creds.isEmpty)
+      Some((401, "unable to parse authentication credentials"))
+    else creds.flatMap { case (u, pw) =>
+      if (!InfluxAuth.authenticate(catalog.spark, catalog.rootDir, u, pw))
+        Some((401, s"authentication failed for user $u"))
+      else None
+    }
+  }
+
+  /** GET /debug/vars — InfluxDB's expvar JSON: nested {module: {name:
+    * value}} objects, counters engine-native (no Go memstats to fake).
+    */
+  private def handleVars(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") {
+      ex.getResponseHeaders.set("Allow", "GET")
+      return err(ex, 405, s"${ex.getRequestMethod} not allowed on /debug/vars")
+    }
+    monitoringAuthProblem(ex) match {
+      case Some((code, msg)) => return err(ex, code, msg)
+      case None => ()
+    }
+    val body = counterRows().groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (module, rows) =>
+        s"""${jsonString(module)}: {${rows.sortBy(_._2).map { case (_, k, v) =>
+          s"${jsonString(k)}: $v" }.mkString(", ")}}"""
+    }.mkString("{", ", ", "}")
+    respondJson(ex, 200, body)
+  }
+
+  /** GET /metrics — the Prometheus text exposition of the same counters
+    * (InfluxDB 1.8 serves /metrics on the same listener): one
+    * `graft_<module>_<name>` sample per counter, HELP/TYPE annotated.
+    * Gauges (active queries, heap, uptime) are typed gauge; everything
+    * else counter.
+    */
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") {
+      ex.getResponseHeaders.set("Allow", "GET")
+      return err(ex, 405, s"${ex.getRequestMethod} not allowed on /metrics")
+    }
+    monitoringAuthProblem(ex) match {
+      case Some((code, msg)) => return err(ex, code, msg)
+      case None => ()
+    }
+    val gauges = Set("queriesActive", "uptimeSeconds", "heapUsedBytes", "heapMaxBytes")
+    def snake(s: String): String =
+      s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    val body = counterRows().map { case (module, name, v) =>
+      val metric = s"graft_${snake(module)}_${snake(name)}"
+      val kind = if (gauges(name)) "gauge" else "counter"
+      s"# TYPE $metric $kind\n$metric $v\n"
+    }.mkString
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, b.length)
+    markCommitted(ex)
+    ex.getResponseBody.write(b)
+    ex.close()
   }
 }
 

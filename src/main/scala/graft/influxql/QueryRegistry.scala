@@ -31,6 +31,12 @@ final class QueryRegistry {
   /** The job group a tracked statement's Spark jobs run under. */
   def groupId(qid: Long): String = s"influxql-$qid"
 
+  /** Monitoring gauges (the /debug/vars queryExecutor block): statements
+    * currently inside their execution window, and ever started.
+    */
+  def runningCount: Int = running.size
+  def startedCount: Long = nextId.get()
+
   /** Run `body` as a registered statement: visible to SHOW QUERIES while
     * it executes, cancellable by KILL QUERY, deregistered on every exit
     * path. The body must EXECUTE the statement (e.g. collect) in this

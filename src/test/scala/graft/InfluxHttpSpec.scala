@@ -634,6 +634,56 @@ class InfluxHttpSpec extends SparkSuite {
     assert(graft.http.InfluxHttpServer.epochOf(us / 1000000L, "ns") == us / 1000000L * 1000L)
   }
 
+  test("/debug/vars and /metrics expose the listener's counters; auth gates them") {
+    // drive some traffic so the counters move: a ping, a query, a good
+    // write, a partial write
+    get("/ping")
+    get(s"/query?db=tele&q=${enc("SELECT count(value) FROM temp")}")
+    assert(post("/write?db=tele", "mon,device=m value=1 9800000000").statusCode() == 204)
+    assert(post("/write?db=tele", "broken!!").statusCode() == 400)
+    val vars = get("/debug/vars")
+    assert(vars.statusCode() == 200, vars.body())
+    def counter(name: String): Long =
+      ("\"" + name + "\": (\\d+)").r.findFirstMatchIn(vars.body())
+        .getOrElse(fail(s"$name missing from ${vars.body()}")).group(1).toLong
+    assert(counter("pingReq") >= 1 && counter("queryReq") >= 1)
+    assert(counter("writeReq") >= 2 && counter("writeOk") >= 1)
+    assert(counter("partialWrites") >= 1 && counter("clientError") >= 1)
+    assert(counter("pointsWrittenLines") >= 2)
+    assert(counter("queriesExecuted") >= 1 && counter("queriesActive") == 0)
+    assert(counter("heapMaxBytes") > 0)
+    // the same counters in Prometheus text exposition, TYPE-annotated
+    val m = get("/metrics")
+    assert(m.statusCode() == 200)
+    assert(m.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+    assert(m.body().contains("# TYPE graft_httpd_query_req counter"), m.body())
+    assert(m.body().contains("# TYPE graft_query_executor_queries_active gauge"))
+    assert("graft_httpd_write_ok (\\d+)".r.findFirstMatchIn(m.body())
+      .exists(_.group(1).toLong >= 1), m.body())
+    // method + auth discipline match the rest of the face
+    val del = client.send(HttpRequest.newBuilder(URI.create(s"$base/debug/vars"))
+      .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 405)
+    val authed = new InfluxHttpServer(cat, port = 0, authRequired = true)
+    authed.start()
+    try {
+      val b = s"http://127.0.0.1:${authed.boundPort}"
+      val anon = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b/debug/vars")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(anon.statusCode() == 401, s"${anon.statusCode()} ${anon.body()}")
+      val wrongPw = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b/metrics?u=viewer&p=WRONG")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrongPw.statusCode() == 401)
+      val ok = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b/debug/vars?u=viewer&p=vpw")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200, s"${ok.statusCode()} ${ok.body()}")
+    } finally authed.stop()
+  }
+
   test("GROUP BY tags answer one series per tag set with a tags object") {
     val r = get(s"/query?db=tele&epoch=u&q=${
       enc("SELECT count(value) AS c FROM temp GROUP BY device")}")
