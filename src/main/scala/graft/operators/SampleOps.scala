@@ -113,6 +113,35 @@ object SampleOps {
       .filter(hashBucket(id, 1000000) < col("rate_ppm"))
   }
 
+  /** Deterministic global training-order shuffle: every row gets a `shard`
+    * in [0, nShards) and a 0-based `pos` within its shard, both pure
+    * functions of (seed, id) — the reproducible equivalent of "shuffle the
+    * corpus and cut it into N files" that every pretraining run performs
+    * per epoch. Same seed + same corpus = identical order on any engine or
+    * retry; a new seed (next epoch) is a fresh permutation; appended
+    * documents interleave into the order without perturbing existing
+    * rows' relative order (their hashes don't change) — so a grown corpus
+    * reuses shard prefixes instead of invalidating them.
+    *
+    * Scale posture: one shuffle on `shard` plus a per-shard sort.
+    * Parallelism = nShards, which IS the output-file count a training run
+    * writes — pick nShards like you pick file counts (thousands at
+    * 100 TB), and the per-shard window never collapses the job. The
+    * layout is exactly the `repartition(shard) + sortWithinPartitions`
+    * a shard writer materializes; `pos` is the row's final offset in its
+    * shard file. Emits the input plus `shard` and `pos`.
+    */
+  def deterministicShuffle(df: DataFrame, id: Column, seed: String,
+                           nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(pmod(col("__h"), lit(nShards.toLong)))
+      .orderBy(col("__h"), id)
+    df.withColumn("__h", hash60(concat(lit(seed + "_"), id.cast("string"))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
   /** Token-budget sequence packing within each `group`: documents are laid
     * out in `order`, and a document starts a new chunk when the running
     * token total before it has crossed the budget (streaming concat-and-cut

@@ -534,6 +534,16 @@ object PipelineQueries {
           sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
     }),
 
+    // deterministic epoch shuffle: every document's (shard, position) for
+    // training shard files — a pure function of (seed, doc_id), so the
+    // "shuffled" order is reproducible on any engine and stable under
+    // retries; per-row exact against the oracle's replay
+    "q_shuffle_shards" -> ((s, dir) => {
+      SampleOps.deterministicShuffle(Tables.documents(s, dir),
+        col("doc_id"), seed = "ep0", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // token-budget sequence packing (streaming concat-and-cut, per source
     // shard): per-chunk document and token totals
     "q_pack_chunks" -> ((s, dir) => {
@@ -1258,6 +1268,15 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN h % 100 < 80 AND h % 1000000 < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
          |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q_shuffle_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    ${hash60Sql("'ep0_' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM t""".stripMargin,
 
     "q_pack_chunks" ->
       s"""WITH t AS (SELECT source, doc_id, len($toksSql) AS n_tok FROM documents),

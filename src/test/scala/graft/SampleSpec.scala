@@ -123,4 +123,36 @@ class SampleSpec extends SparkSuite {
       assert(n == mx + 1, s"$src: chunk ids not contiguous (distinct=$n max=$mx)")
     }
   }
+
+  test("deterministic shuffle: dense per-shard positions, seed-keyed permutation, growth-stable") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    def shuffle(d: org.apache.spark.sql.DataFrame, seed: String) =
+      SampleOps.deterministicShuffle(d, col("doc_id"), seed, nShards = 8)
+        .select(col("doc_id").cast("long"), col("shard"), col("pos"))
+        .as[(Long, Long, Long)].collect()
+    val a = shuffle(docs, "ep0")
+    // shards in range; positions dense 0..n-1 within each shard
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // pure function of (seed, id): re-evaluation is identical
+    assert(a.toSet == shuffle(docs, "ep0").toSet)
+    // the next epoch's seed is a genuinely different permutation
+    val b = shuffle(docs, "ep1")
+    val moved = a.toSet.diff(b.toSet).size
+    assert(moved > a.length / 2, s"only $moved/${a.length} rows moved between seeds")
+    // growth-stability: the corpus' first half keeps its relative order
+    // (per shard) inside the full corpus' shuffle — appended documents
+    // interleave, they never reshuffle what a prior run already laid out
+    val ids = docs.select(col("doc_id").cast("long")).as[Long].collect().sorted
+    val half = ids.take(ids.length / 2).toSet
+    val subset = shuffle(docs.filter(col("doc_id").isin(half.toSeq: _*)), "ep0")
+    for (s <- 0L until 8L) {
+      val subOrder = subset.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      val fullOrder = a.filter(r => r._2 == s && half(r._1)).sortBy(_._3).map(_._1).toSeq
+      assert(subOrder == fullOrder, s"shard $s relative order changed under growth")
+    }
+  }
 }
