@@ -100,6 +100,61 @@ object SampleOps {
       .drop("__wsum")
   }
 
+  /** The REPETITION face of data mixing — [[mixtureRates]] without the
+    * keep-all cap: a rare high-weight source whose budget share exceeds
+    * its size repeats (pretraining's "N epochs of Wikipedia" idiom). Per
+    * source: `epochs = target div total` full passes plus a deterministic
+    * hash-Bernoulli tail of `tail_rate_ppm = (target mod total)·1e6 div
+    * total`. Same integer arithmetic end to end as mixtureRates, so the
+    * plan is oracle-exact; a zero-token source gets explicit zeros.
+    * Emits (source, weight, total_tokens, target_tokens, epochs,
+    * tail_rate_ppm). Overflow bounds: `target ≤ budget ≤ 9.2e12` (the
+    * mixtureRates require), so `remainder·1e6 < budget·1e6` fits a long.
+    */
+  def mixtureEpochRates(docs: DataFrame, source: String, weight: Column,
+                        nTokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 1000000L,
+      s"budget out of range: $budgetTokens")
+    val totals = docs.groupBy(col(source).as("source"))
+      .agg(max(weight).as("weight"), sum(nTokens).as("total_tokens"))
+    val wSum = totals.agg(sum(col("weight")).as("__wsum"))
+    totals.crossJoin(broadcast(wSum))
+      .withColumn("target_tokens",
+        expr(s"(cast(${budgetTokens} as decimal(38,0)) * weight) div __wsum"))
+      .withColumn("epochs",
+        when(col("total_tokens") > 0, expr("target_tokens div total_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("tail_rate_ppm",
+        when(col("total_tokens") > 0,
+          expr("((target_tokens - epochs * total_tokens) * 1000000L) div total_tokens"))
+          .otherwise(lit(0L)))
+      .drop("__wsum")
+  }
+
+  /** Apply [[mixtureEpochRates]]: replicate each document `epochs` times
+    * plus one more iff its id hash falls under the source's tail rate,
+    * tagging each copy with a 0-based `epoch` — the materialized
+    * oversampled mix (feed `epoch` into [[deterministicShuffle]]'s seed
+    * so each pass gets its own order). Explode of a per-row integer
+    * sequence: map-side only after the broadcast rate join, no shuffle,
+    * output rows ∝ the token budget — exactly the blow-up the caller
+    * asked for. A document whose source keeps 0 copies disappears (an
+    * empty sequence explodes to nothing).
+    */
+  def mixtureOversample(docs: DataFrame, source: String, weight: Column,
+                        id: Column, nTokens: Column, budgetTokens: Long): DataFrame = {
+    val rates = mixtureEpochRates(docs, source, weight, nTokens, budgetTokens)
+      .select(col("source").as("__src"), col("epochs"), col("tail_rate_ppm"))
+    docs.join(broadcast(rates), docs(source) === col("__src"))
+      .drop("__src")
+      .withColumn("__copies",
+        col("epochs") + (hashBucket(id, 1000000) < col("tail_rate_ppm")).cast("long"))
+      .withColumn("epoch", explode(
+        when(col("__copies") > 0, sequence(lit(0L), col("__copies") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__copies", "epochs", "tail_rate_ppm")
+  }
+
   /** Apply [[mixtureRates]]: keep each document iff its id hash falls under
     * its source's rate — stable under retries and corpus growth like every
     * sampler here. Emits the input plus `rate_ppm`.

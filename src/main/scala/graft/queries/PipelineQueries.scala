@@ -597,6 +597,20 @@ object PipelineQueries {
           sum("toks").as("tokens_kept"))
     }),
 
+    // the repetition face of data mixing: a budget larger than the corpus
+    // makes every source repeat (epochs of full passes + a hash-Bernoulli
+    // tail), each copy tagged with its 0-based epoch — per-(source, epoch)
+    // doc/token totals replayed exactly by the oracle's generate_series
+    "q_mixture_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokenCount(col("text")))
+        .withColumn("wt", substring(col("source"), 4, 10).cast("long") % 4 + 1)
+      SampleOps.mixtureOversample(docs, "source", col("wt"), col("doc_id"),
+        col("toks"), budgetTokens = 1000000L)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    }),
+
     // real merge-table BPE: segmentation + token counts as ONE codegen'd
     // replace-chain expression (no UDF); the oracle unrolls the identical
     // merge steps in DuckDB SQL, so a single mis-applied rule anywhere in
@@ -1133,6 +1147,26 @@ object PipelineQueries {
          |SELECT source, min(rate_ppm) AS rate_ppm, count(*) AS n_kept,
          |  CAST(sum(toks) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY 1""".stripMargin,
+
+    "q_mixture_epochs" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS toks,
+         |    ${hash60Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |w AS (SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wt,
+         |    CAST(sum(toks) AS BIGINT) AS total FROM t GROUP BY 1),
+         |ws AS (SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w),
+         |r AS (SELECT source, total, (1000000 * wt) // wsum AS target FROM w, ws),
+         |e AS (SELECT source,
+         |    CASE WHEN total > 0 THEN target // total ELSE 0 END AS epochs,
+         |    CASE WHEN total > 0 THEN ((target % total) * 1000000) // total
+         |         ELSE 0 END AS tail FROM r),
+         |c AS (SELECT t.source, t.toks,
+         |    e.epochs + CASE WHEN t.h % 1000000 < e.tail THEN 1 ELSE 0 END AS n_copies
+         |  FROM t JOIN e ON t.source = e.source),
+         |x AS (SELECT source, toks, unnest(generate_series(0, n_copies - 1)) AS ep
+         |  FROM c)
+         |SELECT source, CAST(ep AS BIGINT) AS epoch, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_text_bpe" -> {
       // the SAME merge chain, unrolled: one replace() per rule in table

@@ -124,6 +124,41 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("mixture oversample: sources repeat by epochs + deterministic tail; zero-copy docs vanish") {
+    // handcrafted corpus: src a = 100 tokens total, src b = 300; weights
+    // 3:1 over a 400-token budget -> a targets 300 tokens = 3.0 epochs
+    // exactly, b targets 100 = 1/3 of one pass (tail only)
+    val docs = Seq(
+      ("a", 1L, 50L), ("a", 2L, 50L),
+      ("b", 3L, 100L), ("b", 4L, 100L), ("b", 5L, 100L))
+      .toDF("source", "doc_id", "n_tok")
+    val w = when(col("source") === "a", 3L).otherwise(1L)
+    val rates = SampleOps.mixtureEpochRates(docs, "source", w, col("n_tok"), 400L)
+      .select("source", "total_tokens", "epochs", "tail_rate_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rates.toSeq == Seq(("a", 100L, 3L, 0L), ("b", 300L, 0L, 333333L)), rates.toSeq)
+    val out = SampleOps.mixtureOversample(docs, "source", w, col("doc_id"),
+      col("n_tok"), 400L).select("source", "doc_id", "epoch")
+      .as[(String, Long, Long)].collect()
+    // every a-doc appears exactly 3 times, epochs 0..2
+    for (id <- Seq(1L, 2L))
+      assert(out.filter(_._2 == id).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    // b-docs ride the 333333-ppm hash tail; ids 3/4/5 hash to buckets
+    // 691823/719729/514164 — all above the tail, so every b-doc keeps 0
+    // copies and VANISHES (the empty-sequence explode), deterministically
+    assert(!out.exists(_._1 == "b"), out.filter(_._1 == "b").toSeq.toString)
+    // a wider budget lifts the tail above every b hash: 1000 tokens gives
+    // target_b = 250 -> tail 833333 ppm, admitting all three b-docs once
+    val wider = SampleOps.mixtureOversample(docs, "source", w, col("doc_id"),
+      col("n_tok"), 1000L)
+      .select("source", "doc_id", "epoch").as[(String, Long, Long)].collect()
+    assert(wider.count(_._1 == "b") == 3, wider.toSeq.toString)
+    // pure function: re-evaluation is identical
+    assert(out.toSet == SampleOps.mixtureOversample(docs, "source", w,
+      col("doc_id"), col("n_tok"), 400L)
+      .select("source", "doc_id", "epoch").as[(String, Long, Long)].collect().toSet)
+  }
+
   test("deterministic shuffle: dense per-shard positions, seed-keyed permutation, growth-stable") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     def shuffle(d: org.apache.spark.sql.DataFrame, seed: String) =
