@@ -37,6 +37,31 @@ object SampleOps {
   def sampleByRate(id: Column, rate: Double): Column =
     hashBucket(id, 1000000) < (rate * 1000000).toLong
 
+  /** LEAKAGE-SAFE split: near-duplicate documents must share a split —
+    * keying each document's split on its own id leaks eval content into
+    * train through paraphrases and boilerplate copies (the classic
+    * contamination path [[splitAssign]] alone cannot see). Every document
+    * takes its near-dup CLUSTER REPRESENTATIVE as its split key (the min
+    * id of its connected component over `pairs`; documents in no pair
+    * represent themselves), so a whole cluster lands in one split.
+    * `pairs` = (i, j) edges from any near-dup detector (SimHash, MinHash,
+    * embedding cosine — all candidate-bounded).
+    *
+    * Scale posture: components run on the PAIR set (already banded/
+    * bucketed, never all-pairs; O(log diameter) label rounds), then one
+    * join back on id — documents without a near-dup never enter the
+    * component computation. Emits the input plus `rep_id` and `split`.
+    */
+  def leakageSafeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = graft.operators.DedupOps.connectedComponents(pairs)
+      .select(col("node").as("__node"), col("component").as("__rep"))
+    docs.join(comp, id === col("__node"), "left")
+      .withColumn("rep_id", coalesce(col("__rep"), id.cast("long")))
+      .drop("__node", "__rep")
+      .withColumn("split", splitAssign(col("rep_id"), trainPct, valPct))
+  }
+
   /** Per-group quota sampling: keep at most `k` rows per group, chosen by
     * deterministic hash order over `id` (so the kept set is a stable,
     * uniform sample — not "whatever sorted first" — and survives retries

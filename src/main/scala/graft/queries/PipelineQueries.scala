@@ -597,6 +597,18 @@ object PipelineQueries {
           sum("toks").as("tokens_kept"))
     }),
 
+    // leakage-safe split: a document's train/val/test assignment keys on
+    // its near-dup cluster representative, so paraphrase clusters land in
+    // ONE split (the contamination path a per-doc split cannot see) —
+    // per-row exact against the oracle's recursive-CTE component replay
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select("i", "j")
+      SampleOps.leakageSafeSplit(docs, col("doc_id"), pairs)
+        .select(col("doc_id"), col("rep_id"), col("split"))
+    }),
+
     // the repetition face of data mixing: a budget larger than the corpus
     // makes every source repeat (epochs of full passes + a hash-Bernoulli
     // tail), each copy tagged with its 0-based epoch — per-(source, epoch)
@@ -1147,6 +1159,26 @@ object PipelineQueries {
          |SELECT source, min(rate_ppm) AS rate_ppm, count(*) AS n_kept,
          |  CAST(sum(toks) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY 1""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |pairs AS ($simhashPairSelect),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1),
+         |rep AS (SELECT dd.doc_id,
+         |    coalesce(cc.component, dd.doc_id) AS rep_id
+         |  FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id),
+         |hh AS (SELECT doc_id, rep_id,
+         |    ${hash60Sql("CAST(rep_id AS VARCHAR)")} % 100 AS hb FROM rep)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN hb < 80 THEN 'train'
+         |       WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM hh""".stripMargin,
 
     "q_mixture_epochs" ->
       s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS toks,

@@ -159,6 +159,39 @@ class SampleSpec extends SparkSuite {
       .select("source", "doc_id", "epoch").as[(String, Long, Long)].collect().toSet)
   }
 
+  test("leakage-safe split: near-dup clusters land in ONE split where the naive split tears them") {
+    import graft.operators.DedupOps
+    // two duplicate clusters whose members' NAIVE per-id splits disagree
+    // (md5 buckets: id 1 -> train, 9 -> test; 10 -> train, 11 -> test,
+    // 12 -> train) plus two singletons — the exact contamination shape:
+    // per-doc assignment puts one copy in train and its twin in test
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "solar lunar stellar orbital cosmic nebula quasar pulsar comet meteor"
+    val docs = Seq(
+      (1L, tA), (9L, tA),
+      (10L, tB), (11L, tB), (12L, tB),
+      (100L, "completely different content about one unrelated subject"),
+      (101L, "another standalone document covering separate material entirely"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("i", "j")
+    assert(pairs.as[(Long, Long)].collect().toSet ==
+      Set((1L, 9L), (10L, 11L), (10L, 12L), (11L, 12L)), "detector sanity")
+    val out = SampleOps.leakageSafeSplit(docs, col("doc_id"), pairs)
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the naive split WOULD have torn both clusters apart
+    val naive = docs.select(col("doc_id"),
+      SampleOps.splitAssign(col("doc_id")).as("s")).as[(Long, String)].collect().toMap
+    assert(naive(1L) != naive(9L) && naive(11L) != naive(12L),
+      "fixture must exhibit the leak under naive splitting")
+    // every cluster keys on its min-id representative and moves as a unit
+    assert(out(1L) == (1L, "train") && out(9L) == (1L, "train"))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == (10L, "train")))
+    // singletons represent themselves, same assignment the naive split gives
+    assert(out(100L) == (100L, naive(100L)) && out(101L) == (101L, naive(101L)))
+  }
+
   test("deterministic shuffle: dense per-shard positions, seed-keyed permutation, growth-stable") {
     val docs = Tables.documents(spark, sf).select("doc_id")
     def shuffle(d: org.apache.spark.sql.DataFrame, seed: String) =
