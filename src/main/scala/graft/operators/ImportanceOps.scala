@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.hash60
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * every raw document by how much more likely its hashed n-gram features are
+  * under a TARGET distribution (the high-quality corpus you want more of)
+  * than under the RAW distribution, then resample toward the target with
+  * Gumbel-top-k.
+  *
+  * Determinism discipline (the engine-wide rules): features hash through the
+  * md5-derived [[TextOps.hash60]]; the per-BUCKET log importance is
+  * quantized ONCE (`floor(x * 1e7)` over a fixed IEEE expression tree whose
+  * `ln` calls are bit-stable cross-engine — the q_lm_perplexity precedent),
+  * so the per-DOCUMENT weight is an order-independent int64 sum; and the
+  * Gumbel noise is the inverse-CDF transform of a hash-uniform (never
+  * `rand()`), so resampling is reproducible across runs, retries, and
+  * engines.
+  *
+  * Scale posture: the bucket-statistics table is at most `buckets` rows
+  * (broadcast), built in ONE corpus pass that aggregates raw and target
+  * counts together; scoring is a second pass — explode features, broadcast
+  * join, per-doc sum on the high-cardinality doc key. Nothing shuffles the
+  * corpus on a low-cardinality key, and the top-k resample is
+  * orderBy+limit (TakeOrderedAndProject: per-partition heaps + a driver
+  * merge of k rows, never a global sort).
+  */
+object ImportanceOps {
+
+  /** Hashed n-gram feature buckets of a document: word unigrams + bigrams
+    * (with multiplicity — DSIR's bag-of-hashed-ngrams), each mapped to
+    * `hash60(gram) % buckets`. Map-only, codegen'd; no UDF.
+    */
+  def featureBuckets(text: Column, buckets: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), f => pmod(hash60(f), lit(buckets.toLong)))
+  }
+
+  /** Per-bucket quantized log importance: for each feature bucket `b`,
+    * `lw_q[b] = floor(1e7 * (ln p_target(b) - ln p_raw(b)))` with add-1
+    * smoothed bucket unigram models (`p(b) = (count(b)+1)/(total+buckets)`).
+    * `isTarget` marks the rows that define the target distribution; the raw
+    * distribution is the whole input. One corpus pass computes both counts;
+    * output is <= `buckets` rows: (bk, cr, ct, lw_q).
+    */
+  def dsirBucketWeights(docs: DataFrame, text: String, isTarget: Column,
+                        buckets: Int): DataFrame = {
+    // per-token md5 is CPU-dense: spread a few-split corpus across the
+    // session's slots first (no-op on a many-split real table)
+    val f = SkewOps.spreadSmall(docs).select(isTarget.as("__t"),
+      explode(featureBuckets(col(text), buckets)).as("bk"))
+    // persist the <= `buckets`-row stats table: without it the corpus
+    // explode under `counts` re-runs for the totals agg AND the crossJoin
+    // left side — three corpus passes instead of the one this pass owes.
+    // Bounded by construction, so caching is safe at any corpus size.
+    val counts = f.groupBy("bk").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct")).persist()
+    val totals = counts.agg(sum("cr").as("__tr"), sum("ct").as("__tt"))
+    val b = lit(buckets.toDouble)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("lw_q", floor((
+        (log(col("ct").cast("double") + lit(1.0)) -
+          log(col("__tt").cast("double") + b)) -
+          (log(col("cr").cast("double") + lit(1.0)) -
+            log(col("__tr").cast("double") + b))) * lit(1e7)).cast("long"))
+      .select(col("bk"), col("cr"), col("ct"), col("lw_q"))
+  }
+
+  /** Per-document importance weight: the int64 sum of its features' bucket
+    * weights (occurrence-weighted — a bucket a doc hits three times counts
+    * three times, the multinomial log-likelihood ratio). Emits
+    * (id, n_features, weight_q); weight_q > 0 means "more target-like than
+    * the raw corpus average".
+    */
+  def dsirWeights(docs: DataFrame, id: String, text: String, isTarget: Column,
+                  buckets: Int): DataFrame = {
+    val w = dsirBucketWeights(docs, text, isTarget, buckets).select("bk", "lw_q")
+    SkewOps.spreadSmall(docs)
+      .select(col(id), explode(featureBuckets(col(text), buckets)).as("bk"))
+      .join(broadcast(w), Seq("bk"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_features"), sum("lw_q").as("weight_q"))
+  }
+
+  /** Deterministic Gumbel noise at the same 1e7 quantization as the
+    * weights: `floor(1e7 * -ln(-ln(u)))` with `u = (hash60(seed_id) % 1e6
+    * + 0.5) / 1e6` — the inverse-CDF Gumbel transform over a hash-uniform,
+    * so `weight_q + gumbelQ` implements Gumbel-top-k sampling without
+    * replacement proportional to `softmax(weight)`, reproducibly.
+    */
+  def gumbelQ(id: Column, seed: String): Column = {
+    val u = (pmod(hash60(concat(lit(seed + "_"), id.cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    floor(-log(-log(u)) * lit(1e7)).cast("long")
+  }
+
+  /** Gumbel-top-k importance resample over [[dsirWeights]] output: the k
+    * rows with the largest perturbed weight, ties broken by id. A fresh
+    * `seed` draws a fresh sample from the same importance distribution.
+    */
+  def dsirResample(weights: DataFrame, id: String, k: Int, seed: String): DataFrame =
+    weights
+      .withColumn("key_q", col("weight_q") + gumbelQ(col(id), seed))
+      .orderBy(col("key_q").desc, col(id).asc)
+      .limit(k)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{DedupOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import graft.operators.{DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
 import PipelineQueries.{hash60Sql, simhashCtes, simhashPairSelect, toksSql}
 
 /** Data-curation and quality-gate operators: value histograms, edit-distance
@@ -118,8 +118,52 @@ object CurationQueries {
     "q_bm25" -> ((s, dir) => {
       SearchOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         terms = Seq("join", "vector", "window"), k = 20)
+    }),
+
+    // DSIR importance weights: every document's hashed-ngram log-likelihood
+    // ratio against the English-subset target distribution. One corpus pass
+    // for bucket stats (<= 4096 rows, broadcast), one for scoring; the
+    // per-bucket ln ratio quantizes once so the doc sum is order-free int64
+    "q_dsir_weights" -> ((s, dir) => {
+      ImportanceOps.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 4096)
+    }),
+
+    // DSIR Gumbel-top-k resample: 100 docs drawn without replacement with
+    // probability proportional to softmax(importance), via hash-derived
+    // inverse-CDF Gumbel noise — reproducible sampling, TakeOrderedAndProject
+    "q_dsir_sample" -> ((s, dir) => {
+      val w = ImportanceOps.dsirWeights(Tables.documents(s, dir), "doc_id",
+        "text", isTarget = col("lang") === "en", buckets = 4096)
+      ImportanceOps.dsirResample(w, "doc_id", k = 100, seed = "gum1")
+        .select(col("doc_id"), col("weight_q"), col("key_q"))
     })
   )
+
+  // DuckDB-side replay of the DSIR pipeline (ImportanceOps): hashed
+  // unigram+bigram buckets, add-1 smoothed target/raw bucket models, the
+  // identical IEEE ln tree quantized at 1e7, per-doc int64 sum. Ends in
+  // `dw(doc_id, n_features, weight_q)`.
+  private val dsirWeightsSql =
+    s"""d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, unnest(toks) AS feat FROM d
+       |  UNION ALL
+       |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS feat
+       |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+       |),
+       |b AS (SELECT doc_id, lang, ${hash60Sql("feat")} % 4096 AS bk FROM f),
+       |c AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
+       |w AS (SELECT bk, CAST(floor((
+       |      (ln(CAST(ct AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
+       |      (ln(CAST(cr AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
+       |    ) * 10000000.0) AS BIGINT) AS lw_q FROM c, t),
+       |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |    CAST(sum(lw_q) AS BIGINT) AS weight_q
+       |  FROM b JOIN w USING (bk) GROUP BY 1)""".stripMargin
 
   // DuckDB-side mirror of the BM25 score for term index i (same IEEE tree
   // as SearchOps.bm25TopK: rational idf, k1=1.2, b=0.75)
@@ -254,6 +298,20 @@ object CurationQueries {
          |scored AS (SELECT doc_id, $score AS score FROM pre CROSS JOIN stats)
          |SELECT doc_id, score FROM scored WHERE score > 0.0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    }
+    },
+
+    "q_dsir_weights" ->
+      s"""WITH $dsirWeightsSql
+         |SELECT doc_id, n_features, weight_q FROM dw""".stripMargin,
+
+    "q_dsir_sample" ->
+      s"""WITH $dsirWeightsSql,
+         |sel AS (SELECT doc_id, weight_q,
+         |    weight_q + CAST(floor((-ln(-ln(
+         |      (${hash60Sql("'gum1_' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |        + 0.5) / 1000000.0))) * 10000000.0) AS BIGINT) AS key_q
+         |  FROM dw)
+         |SELECT doc_id, weight_q, key_q FROM sel
+         |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, LmOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import graft.operators.{DedupOps, ImportanceOps, LmOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
 
 /** Data-curation operators: histogram binning, edit-distance verify,
   * decontamination, quotas, stratified sampling, PII redaction, validation,
@@ -247,5 +247,39 @@ class CurationSpec extends SparkSuite {
     assert(got.map(_._1).take(2).toSet == Set(1L, 4L),
       s"higher tf must outrank: ${got.mkString(",")}")
     assert(got.map(_._2).sameElements(got.map(_._2).sorted(Ordering[Double].reverse)))
+  }
+
+  test("dsir: target-like docs weigh above raw-typical docs; features count unigrams+bigrams") {
+    val tgt = ("alpha beta " * 30).trim
+    val raw = ("gamma delta " * 30).trim
+    val docs = Seq(
+      (1L, tgt, true), (2L, tgt, true),       // the target subset
+      (3L, raw, false), (4L, raw, false), (5L, raw, false),
+      (6L, tgt, false),                        // raw doc that LOOKS like target
+      (7L, "solo", false)                      // single token: no bigrams
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = ImportanceOps.dsirWeights(docs, "doc_id", "text", col("is_tgt"), 512)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(7L)._1 == 1L, "1 token -> 1 unigram, 0 bigrams")
+    assert(w(6L)._1 == 60L + 59L, "60 tokens -> 60 unigrams + 59 bigrams")
+    assert(w(6L)._2 > 0L, s"target-like doc must score positive: ${w(6L)}")
+    assert(w(3L)._2 < 0L, s"raw-typical doc must score negative: ${w(3L)}")
+    assert(w(6L)._2 > w(3L)._2 + 180000000L,
+      "margin must dominate the Gumbel noise span (~18 nats at 1e7 scale)")
+  }
+
+  test("dsir resample: Gumbel-top-k is reproducible and importance-directed") {
+    val tgt = ("alpha beta " * 30).trim
+    val raw = ("gamma delta " * 30).trim
+    val docs = (Seq((1L, tgt, true), (2L, tgt, false)) ++
+      (3L to 9L).map(i => (i, raw, false))).toDF("doc_id", "text", "is_tgt")
+    val w = ImportanceOps.dsirWeights(docs, "doc_id", "text", col("is_tgt"), 512)
+    val s1 = ImportanceOps.dsirResample(w, "doc_id", 2, "seedA")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = ImportanceOps.dsirResample(w, "doc_id", 2, "seedA")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same seed must draw the identical sample")
+    // weights dwarf the noise span, so the two target-like docs must win
+    assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
 }

@@ -302,4 +302,18 @@ class StorageSpec extends SparkSuite {
       .as[(Long, Long)].collect().head
     assert(plain == salted)
   }
+
+  test("spreadSmall: few-split input spreads to session slots, many-split input untouched") {
+    val target = spark.sparkContext.defaultParallelism
+    val one = spark.range(0, 1000).coalesce(1).select(col("id"), (col("id") * 3).as("v"))
+    val spread = SkewOps.spreadSmall(one)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(spread.rdd.getNumPartitions == target, "small input must fan out")
+    // content-neutral: keyed aggregation identical either way
+    assert(spread.groupBy(col("id") % 7).agg(sum("v")).as[(Long, Long)].collect().toSet ==
+      one.groupBy(col("id") % 7).agg(sum("v")).as[(Long, Long)].collect().toSet)
+    val many = spark.range(0, 1000).repartition(target + 5).toDF()
+    assert(SkewOps.spreadSmall(many).rdd.getNumPartitions == target + 5,
+      "an already-parallel table must pass through with no shuffle")
+  }
 }
