@@ -38,7 +38,9 @@ object DedupOps {
     val grams = transform(
       sequence(lit(1), size(t) - lit(n - 1)),
       i => concat_ws(" ", slice(t, i, lit(n))))
-    docs.select(col(idCol).as("doc_id"),
+    // shingling + downstream per-shingle md5 is CPU-dense map work: spread
+    // a few-split corpus across the slots first (no-op on real tables)
+    SkewOps.spreadSmall(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(when(size(t) >= n, grams).otherwise(array()))).as("shingle"))
   }
 
@@ -406,7 +408,7 @@ object DedupOps {
     * [[simhashSignaturesCols]], asserted by MinHashSketchSpec).
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    SkewOps.spreadSmall(docs).select(col(idCol).as("doc_id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .withColumn("__h", hash60(col("tok")))
       .groupBy("doc_id")
@@ -414,7 +416,7 @@ object DedupOps {
 
   /** The 60-column built-ins-only formulation, kept as semantic reference. */
   def simhashSignaturesCols(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = SkewOps.spreadSmall(docs).select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .withColumn("__h", hash60(col("tok")))
     val bitSums = (0 until 60).map(j =>
@@ -475,7 +477,9 @@ object DedupOps {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val t = col(textCol)
-    val windows = docs
+    // one md5 per CHARACTER POSITION: the densest map pass in the engine —
+    // spread a few-split corpus before it (no-op on real tables)
+    val windows = SkewOps.spreadSmall(docs)
       .select(col(idCol).as("doc_id"), t.as("txt"))
       .select(col("doc_id"),
         explode(when(length(col("txt")) >= minLen,

@@ -215,7 +215,7 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
         .otherwise(array().cast("array<string>"))
     def tag(k: Int): Column = transform(grams(k), g => concat(lit(s"$k|"), g))
-    val counts = docs
+    val counts = SkewOps.spreadSmall(docs)
       .select(col("doc_id"), explode(concat(tag(2), tag(3))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
     val is2 = substring(col("gram"), 1, 2) === "2|"
