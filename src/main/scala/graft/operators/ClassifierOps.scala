@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.hash60
+
+/** Model-based quality filtering — the fastText/DCLM-style pipeline stage:
+  * train a linear classifier over hashed bag-of-words features ON the
+  * corpus (full-batch gradient descent, a fixed number of passes), then
+  * score every document. The modern curation stacks (DCLM, FineWeb-Edu)
+  * gate pretraining data on exactly this shape of model; here both the
+  * TRAINING and the scoring are distributed Spark aggregations.
+  *
+  * Determinism discipline: everything is fixed-point int64 at scale 1e6 —
+  * features are mean-normalized token counts `x_q = count*1e6 div n_tokens`
+  * (the fastText averaging), the logistic squash is the RATIONAL surrogate
+  * `s(z) = 1/2 + z / (2*(1+|z|))` (one integer division; `exp` is the one
+  * libm call that differs cross-engine by 1 ulp — the q_lm_perplexity
+  * lesson — so the kernel is transcendental-free), and every gradient is an
+  * order-independent integer sum. Spark's `div` and DuckDB's `//` both
+  * truncate toward zero, so the whole training trajectory replays
+  * bit-exactly as unrolled SQL.
+  *
+  * Scale posture: each GD iteration is two corpus passes (margins, then
+  * gradients) built from ONE persisted feature table; the weight vector is
+  * at most `buckets+1` rows and rides a broadcast join — the corpus never
+  * shuffles on a low-cardinality key. Gradient sums hold in int64 up to
+  * ~9e6 documents per aggregation (|e·x| <= 1e12); past that, route the
+  * sum through decimal(38,0) — same plan shape.
+  */
+object ClassifierOps {
+
+  /** Fixed-point scale: 1e6 = 1.0. */
+  val S = 1000000L
+
+  /** Hashed mean-normalized bag-of-words plus a constant bias feature:
+    * (__id, bk, x_q) with `bk` in [0, buckets] — bucket `buckets` IS the
+    * bias (x_q = 1e6 for every doc). Per-token md5 is CPU-dense, so a
+    * few-split corpus spreads across the slots first.
+    */
+  def featuresQ(docs: DataFrame, id: String, text: String, buckets: Int): DataFrame = {
+    val toks = TextOps.tokens(col(text))
+    val base = SkewOps.spreadSmall(docs)
+      .select(col(id).as("__id"), explode(toks).as("tok"), size(toks).as("__n"))
+      .groupBy(col("__id"), pmod(hash60(col("tok")), lit(buckets.toLong)).as("bk"))
+      .agg(expr(s"(count(1) * ${S}L) div max(__n)").as("x_q"))
+    val bias = docs.select(col(id).as("__id"), lit(buckets.toLong).as("bk"),
+      lit(S).as("x_q"))
+    base.unionByName(bias)
+  }
+
+  /** Full-batch GD for `iters` passes: weights (bk, w_q) at scale 1e6,
+    * initialized to zero. Per pass: margins `z = (sum x·w) div 1e6` per
+    * doc, surrogate-sigmoid errors `e = s(z) - y`, per-bucket mean
+    * gradients, update `w -= lrNum * mean(e·x) / 1e12` (all truncating
+    * integer steps, replayed identically by the DuckDB oracle).
+    */
+  def trainLinearQ(docs: DataFrame, id: String, text: String, label: Column,
+                   buckets: Int = 1024, iters: Int = 3, lrNum: Long = 1L): DataFrame = {
+    require(iters >= 1 && lrNum >= 1L, s"bad iters=$iters lrNum=$lrNum")
+    val x = featuresQ(docs, id, text, buckets).persist()
+    val y = docs.select(col(id).as("__id"),
+      when(label, lit(S)).otherwise(lit(0L)).as("y_q"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    var w = x.select("bk").distinct().withColumn("w_q", lit(0L))
+    for (_ <- 0 until iters) {
+      val z = x.join(broadcast(w), Seq("bk"))
+        .groupBy("__id")
+        .agg(expr(s"cast(sum(x_q * w_q) as bigint) div ${S}L").as("z_q"))
+      val e = z.join(y, Seq("__id"))
+        .select(col("__id"), (expr(
+          s"500000L + (z_q * ${S}L) div (2L * (${S}L + abs(z_q)))") -
+          col("y_q")).as("e_q"))
+      val g = x.join(e, Seq("__id"))
+        .groupBy("bk")
+        .agg(expr("cast(sum(e_q * x_q) as bigint)").as("g_q"))
+      // persist each round's weights (<= buckets+1 rows, bounded): without
+      // it the broadcast of w_t re-executes every earlier round's corpus
+      // passes — training work would grow geometrically in `iters`
+      w = w.join(g, Seq("bk"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("bk"), (col("w_q") -
+          coalesce(expr(s"(${lrNum}L * (g_q div __n)) div ${S}L"), lit(0L))).as("w_q"))
+        .persist()
+    }
+    w
+  }
+
+  /** Score docs under trained weights: (id, score_q) with `score_q` the
+    * 1e6-scaled margin; `score_q > 0` is the positive-class prediction.
+    * Features unseen at train time drop out of the inner join — exactly a
+    * zero weight — while the bias bucket keeps every document scored.
+    */
+  def scoreLinearQ(docs: DataFrame, id: String, text: String, w: DataFrame,
+                   buckets: Int): DataFrame =
+    featuresQ(docs, id, text, buckets).join(broadcast(w), Seq("bk"))
+      .groupBy("__id")
+      .agg(expr(s"cast(sum(x_q * w_q) as bigint) div ${S}L").as("score_q"))
+      .select(col("__id").as(id), col("score_q"))
+}

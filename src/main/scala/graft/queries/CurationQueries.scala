@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
 import PipelineQueries.{hash60Sql, simhashCtes, simhashPairSelect, toksSql}
 
 /** Data-curation and quality-gate operators: value histograms, edit-distance
@@ -137,6 +137,22 @@ object CurationQueries {
         "text", isTarget = col("lang") === "en", buckets = 4096)
       ImportanceOps.dsirResample(w, "doc_id", k = 100, seed = "gum1")
         .select(col("doc_id"), col("weight_q"), col("key_q"))
+    }),
+
+    // model-based quality filter (fastText/DCLM-style): a linear classifier
+    // over hashed bag-of-words TRAINED IN-ENGINE by 3 full-batch GD passes
+    // (integer fixed-point kernel, rational sigmoid surrogate — no libm in
+    // the loop), then every doc scored. The oracle replays the entire
+    // training trajectory as 3 unrolled CTE iterations, bit-exact
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = ClassifierOps.trainLinearQ(docs, "doc_id", "text",
+        label = col("lang") === "en", buckets = 1024, iters = 3, lrNum = 25L)
+      ClassifierOps.scoreLinearQ(docs, "doc_id", "text", w, buckets = 1024)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("score_q"),
+          (col("score_q") > 0L).as("pred"), col("label"))
     })
   )
 
@@ -164,6 +180,23 @@ object CurationQueries {
        |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
        |    CAST(sum(lw_q) AS BIGINT) AS weight_q
        |  FROM b JOIN w USING (bk) GROUP BY 1)""".stripMargin
+
+  // One unrolled GD iteration of the DuckDB-side classifier replay
+  // (ClassifierOps.trainLinearQ with lrNum=25): margins -> surrogate
+  // sigmoid errors -> mean bucket gradients -> weight update, all
+  // truncating int64 steps (DuckDB `//` == Spark `div`, toward zero)
+  private def gdIterSql(t: Int): String =
+    s"""z$t AS (SELECT x.doc_id,
+       |    CAST(sum(x.x_q * w.w_q) AS BIGINT) // 1000000 AS z_q
+       |  FROM x JOIN w${t - 1} w USING (bk) GROUP BY 1),
+       |e$t AS (SELECT z.doc_id,
+       |    (500000 + (z.z_q * 1000000) // (2 * (1000000 + abs(z.z_q)))) - y.y_q AS e_q
+       |  FROM z$t z JOIN y USING (doc_id)),
+       |g$t AS (SELECT x.bk, CAST(sum(e.e_q * x.x_q) AS BIGINT) AS g_q
+       |  FROM x JOIN e$t e USING (doc_id) GROUP BY 1),
+       |w$t AS (SELECT w.bk,
+       |    w.w_q - coalesce((25 * (g.g_q // nn)) // 1000000, CAST(0 AS BIGINT)) AS w_q
+       |  FROM w${t - 1} w LEFT JOIN g$t g USING (bk), nd)""".stripMargin
 
   // DuckDB-side mirror of the BM25 score for term index i (same IEEE tree
   // as SearchOps.bm25TopK: rational idf, k1=1.2, b=0.75)
@@ -312,6 +345,31 @@ object CurationQueries {
          |        + 0.5) / 1000000.0))) * 10000000.0) AS BIGINT) AS key_q
          |  FROM dw)
          |SELECT doc_id, weight_q, key_q FROM sel
-         |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin
+         |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_quality_classifier" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+         |xb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
+         |    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |x AS (SELECT xb.doc_id, bk, (c * 1000000) // n.n AS x_q
+         |    FROM xb JOIN n ON xb.doc_id = n.doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
+         |    CAST(1000000 AS BIGINT) AS x_q FROM d),
+         |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
+         |    AS BIGINT) AS y_q FROM d),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         |w0 AS (SELECT DISTINCT bk, CAST(0 AS BIGINT) AS w_q FROM x),
+         |${gdIterSql(1)},
+         |${gdIterSql(2)},
+         |${gdIterSql(3)},
+         |zf AS (SELECT x.doc_id,
+         |    CAST(sum(x.x_q * w.w_q) AS BIGINT) // 1000000 AS score_q
+         |  FROM x JOIN w3 w USING (bk) GROUP BY 1)
+         |SELECT zf.doc_id, score_q, score_q > 0 AS pred,
+         |  (lang = 'en') AS label
+         |FROM zf JOIN d ON zf.doc_id = d.doc_id""".stripMargin
   )
 }

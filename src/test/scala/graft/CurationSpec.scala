@@ -282,4 +282,27 @@ class CurationSpec extends SparkSuite {
     // weights dwarf the noise span, so the two target-like docs must win
     assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
+
+  test("linear classifier: GD separates a separable corpus; scoring is deterministic") {
+    import graft.operators.ClassifierOps
+    val docs = ((1L to 6L).map(i => (i, "good great excellent fine", true)) ++
+      (7L to 12L).map(i => (i, "bad awful terrible poor", false))).toDF("doc_id", "text", "y")
+    val w = ClassifierOps.trainLinearQ(docs, "doc_id", "text", col("y"),
+      buckets = 64, iters = 3, lrNum = 50L)
+    val scores = ClassifierOps.scoreLinearQ(docs, "doc_id", "text", w, 64)
+      .as[(Long, Long)].collect().toMap
+    val pos = (1L to 6L).map(scores)
+    val neg = (7L to 12L).map(scores)
+    assert(pos.min > 0L && neg.max < 0L,
+      s"3 GD passes must separate a separable corpus: pos=$pos neg=$neg")
+    assert(pos.min > neg.max + 1000000L, "margin must be a real unit, not a tie-break")
+    val again = ClassifierOps.scoreLinearQ(docs, "doc_id", "text", w, 64)
+      .as[(Long, Long)].collect().toMap
+    assert(again == scores, "training + scoring must be bit-deterministic")
+    // a doc of entirely unseen tokens still scores, via the bias bucket
+    val unseen = Seq((99L, "zzz qqq")).toDF("doc_id", "text")
+    val u = ClassifierOps.scoreLinearQ(unseen, "doc_id", "text", w, 64)
+      .as[(Long, Long)].collect()
+    assert(u.length == 1 && u.head._1 == 99L, s"bias must keep unseen docs scored: ${u.toSeq}")
+  }
 }
