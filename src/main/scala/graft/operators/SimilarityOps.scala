@@ -444,4 +444,69 @@ object SimilarityOps {
         cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.qn"), col("b.qn")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998 — the
+    * diversity-aware retrieval idiom RAG pipelines use): from each query's
+    * `n` nearest candidates, greedily select `k` where every next pick
+    * maximizes `λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)` (relevance minus
+    * redundancy). Ties break on id; λ is given in PERCENT so both engines
+    * parse the identical double literal (1.0−0.7 in IEEE is NOT the parsed
+    * 0.3 — the one-ulp trap this signature dodges).
+    *
+    * Scale posture: the greedy is PER QUERY and the plan distributes over
+    * queries — candidate pools are parameter-bounded (n from [[bruteTopK]]
+    * or any ANN probe), the n² pair space is per query, and each of the k
+    * rounds is one anti-join + one max-aggregation + one per-query
+    * window over <= n rows. Candidates, pair sims, and the growing
+    * selection persist (all parameter-bounded) so round t never re-runs
+    * rounds 1..t−1. Emits (query_id, step, sel_id, score), step 1..k;
+    * step 1's redundancy term is 0 by definition.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct out of range: $lambdaPct")
+    val lam = lit(lambdaPct / 100.0)
+    val comp = lit((100 - lambdaPct) / 100.0)
+    val cand = bruteTopK(queries, corpus, n)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk")).persist()
+    val cv = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nv", normQ(col("v")))
+    val withVec = cand.join(cv, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v"), col("nv"))
+    val pairs = withVec.as("a").join(withVec.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("i"), col("b.neighbor_id").as("j"),
+        cosineQ(dotQ(col("a.v"), col("b.v")), col("a.nv"), col("b.nv")).as("sim"))
+      .persist()
+    var selected = cand.filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("sel_id"), lit(1L).as("step"),
+        (lam * col("cos") - comp * lit(0.0)).as("score"))
+      .persist()
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("query_id").as("sq"), col("sel_id"))
+      val remaining = cand.as("c").join(selIds,
+        col("c.query_id") === col("sq") && col("c.neighbor_id") === col("sel_id"),
+        "left_anti")
+      val simToSel = pairs.as("p").join(selIds,
+          col("p.query_id") === col("sq") && col("p.j") === col("sel_id"))
+        .select(col("p.query_id").as("pq"), col("p.i").as("pi"), col("p.sim"))
+      val scored = remaining.join(simToSel,
+          col("query_id") === col("pq") && col("neighbor_id") === col("pi"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cos"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(col("query_id"), col("neighbor_id"),
+          (lam * col("cos") - comp * col("maxsim")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val pick = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("sel_id"),
+          lit(t.toLong).as("step"), col("score"))
+      selected = selected.unionByName(pick).persist()
+    }
+    selected
+  }
 }

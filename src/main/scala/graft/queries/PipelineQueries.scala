@@ -47,6 +47,24 @@ object PipelineQueries {
       |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q)""".stripMargin
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
+
+  // One greedy MMR stage (SimilarityOps.mmrRerank, lambda=0.7): score every
+  // unselected candidate as 0.7*relevance - 0.3*max-sim-to-selected, pick
+  // the per-query argmax (id tie-break), append to the selected set
+  private def mmrStageSql(t: Int): String =
+    s"""r$t AS (SELECT c.query_id, c.neighbor_id,
+       |    0.7 * c.cos - 0.3 * max(p.sim) AS score
+       |  FROM cand c
+       |  JOIN pr p ON p.query_id = c.query_id AND p.i = c.neighbor_id
+       |  JOIN sel${t - 1} s ON s.query_id = p.query_id AND s.sel_id = p.j
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+       |    WHERE x.query_id = c.query_id AND x.sel_id = c.neighbor_id)
+       |  GROUP BY c.query_id, c.neighbor_id, c.cos),
+       |s$t AS (SELECT query_id, neighbor_id AS sel_id, CAST($t AS BIGINT) AS step, score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rn FROM r$t) WHERE rn = 1),
+       |sel$t AS (SELECT query_id, sel_id FROM sel${t - 1}
+       |  UNION ALL SELECT query_id, sel_id FROM s$t)""".stripMargin
   private def stopSql(lang: String) = {
     val lst = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> list_contains([$lst], t)))"
@@ -430,6 +448,14 @@ object PipelineQueries {
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       SimilarityOps.bruteTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+    }),
+
+    // MMR diversity rerank: top-12 neighbors of 3 queries, greedy k=4 with
+    // lambda=0.7 — each pick trades relevance against max similarity to the
+    // already-selected set. Oracle unrolls the 4 greedy stages as CTEs
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.mmrRerank(emb.filter(col("vec_id") < 3), emb, n = 12, k = 4)
     }),
 
     // L2 variant: integer-exact squared distances (|q|^2+|c|^2-2qc), no
@@ -1090,6 +1116,34 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "q_mmr_rerank" ->
+      s"""WITH $quantSql,
+         |scored0 AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    CAST(${dotSql("b.qv", "a.qv")} AS DOUBLE)
+         |      / sqrt(CAST(b.nq AS DOUBLE) * CAST(a.nq AS DOUBLE)) AS cos
+         |  FROM n a JOIN n b ON b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         |cand AS (SELECT query_id, neighbor_id, cos, rk FROM (
+         |    SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM scored0) WHERE rk <= 12),
+         |pr AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         |    CAST(${dotSql("na.qv", "nb.qv")} AS DOUBLE)
+         |      / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN n na ON na.vec_id = a.neighbor_id
+         |  JOIN n nb ON nb.vec_id = b.neighbor_id),
+         |s1 AS (SELECT query_id, neighbor_id AS sel_id, CAST(1 AS BIGINT) AS step,
+         |    0.7 * cos - 0.3 * 0.0 AS score FROM cand WHERE rk = 1),
+         |sel1 AS (SELECT query_id, sel_id FROM s1),
+         |${mmrStageSql(2)},
+         |${mmrStageSql(3)},
+         |${mmrStageSql(4)}
+         |SELECT query_id, step, sel_id, score FROM s1
+         |UNION ALL SELECT query_id, step, sel_id, score FROM s2
+         |UNION ALL SELECT query_id, step, sel_id, score FROM s3
+         |UNION ALL SELECT query_id, step, sel_id, score FROM s4""".stripMargin,
 
     "q_ann_topk_l2" ->
       s"""WITH $quantSql,

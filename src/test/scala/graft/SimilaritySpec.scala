@@ -162,4 +162,28 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(frames == Map(1L -> 2L, 2L -> 2L)) // 128/64 = exactly 2; ceil(100/64) = 2
   }
+
+  test("mmrRerank: a redundant exact duplicate defers to the diverse pick") {
+    // 10 and 11 are identical (pair sim 1.0); 12 is equally RELEVANT to the
+    // query (all three at cos 1/sqrt(2)) but only half-similar to 10. Plain
+    // top-3 orders by id tie-break [10, 11, 12]; MMR at lambda=0.7 must
+    // interleave the diverse candidate: [10, 12, 11].
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(1f, 1f, 0f, 0f)),
+      (11L, Array(1f, 1f, 0f, 0f)),
+      (12L, Array(1f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.mmrRerank(vecs.filter(col("vec_id") === 1), vecs, n = 3, k = 3)
+    val order = got.orderBy("step").select("sel_id").as[Long].collect().toSeq
+    assert(order == Seq(10L, 12L, 11L), s"got $order")
+    // step-1 score carries a zero redundancy term: exactly 0.7 * cos
+    val s1 = got.filter(col("step") === 1).select("score").as[Double].collect().head
+    assert(s1 == 0.7 * (1e14 / math.sqrt(1e14 * 2e14)), s"step-1 score $s1")
+    // rerun is bit-identical (deterministic ties, no rand anywhere)
+    val again = SimilarityOps.mmrRerank(vecs.filter(col("vec_id") === 1), vecs, n = 3, k = 3)
+      .orderBy("step").select("sel_id", "score").as[(Long, Double)].collect().toSeq
+    assert(again == got.orderBy("step").select("sel_id", "score")
+      .as[(Long, Double)].collect().toSeq)
+  }
 }
