@@ -76,6 +76,61 @@ object TextOps {
     (length(seg) - length(replace(seg, lit("|"), lit("")))).cast("long")
   }
 
+  /** LEARN a BPE merge table from the corpus — the tokenizer-training half
+    * of the BPE surface ([[bpeSegment]]/[[bpeTokenCount]] are the apply
+    * half and consume exactly what this emits). Classic Sennrich et al.
+    * 2016 training: `nMerges` rounds of "count all adjacent symbol pairs,
+    * merge the most frequent" — here each round is ONE distributed
+    * aggregation over the corpus (explode adjacent pairs from the
+    * boundary-marked cell rendering, hash-agg counts, TakeOrderedAndProject
+    * argmax), the chosen rule (a 1-row control-plane collect, the k-means
+    * centroid pattern) applies as the same single global replace the apply
+    * path uses, and the re-segmented corpus persists per round so round t
+    * never replays rounds 1..t−1.
+    *
+    * Deterministic: counts are exact, the argmax tie-breaks on (count desc,
+    * left asc, right asc), and the whole trajectory — including every
+    * round's data-dependent merge CHOICE — replays in the DuckDB oracle as
+    * unrolled CTEs whose replace patterns come from scalar subqueries
+    * (q_bpe_train). Stops early if the corpus runs out of pairs.
+    * Returns the ordered rules with their winning counts.
+    */
+  def bpeTrain(docs: DataFrame, text: String, nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var seg = SkewOps.spreadSmall(docs)
+      .select(bpeSegment(col(text), Seq.empty).as("seg")).persist()
+    seg.count()
+    val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val words = split(col("seg"), "  +")
+      val syms = transform(words, w => filter(split(w, " "), s => s =!= lit("")))
+      val pairs = flatten(transform(syms, ss =>
+        when(size(ss) >= 2, transform(sequence(lit(1), size(ss) - 1),
+          i => concat(replace(element_at(ss, i), lit("|"), lit("")), lit(" "),
+            replace(element_at(ss, i + 1), lit("|"), lit("")))))
+          .otherwise(array().cast("array<string>"))))
+      val top = seg.select(explode(pairs).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("cnt"))
+        .select(split(col("pr"), " ").getItem(0).as("x"),
+          split(col("pr"), " ").getItem(1).as("y"), col("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        learned += ((x, y, c))
+        val prev = seg
+        seg = seg.select(replace(col("seg"), lit(s"|$x |$y "), lit(s"|$x$y ")).as("seg"))
+          .persist()
+        seg.count() // materialize before dropping the parent's blocks
+        prev.unpersist()
+      }
+    }
+    seg.unpersist()
+    learned.toSeq
+  }
+
   /** Stopword lists per language for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "on"),

@@ -661,6 +661,19 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")).as("n_ws"))
     }),
 
+    // BPE tokenizer TRAINING in-engine (Sennrich et al. 2016): 6 rounds of
+    // count-all-adjacent-pairs -> merge-the-most-frequent, each round one
+    // distributed aggregation + a 1-row argmax collect. The oracle replays
+    // the trajectory with every round's DATA-DEPENDENT choice made by its
+    // own scalar subquery feeding the next round's replace pattern
+    "q_bpe_train" -> ((s, dir) => {
+      val merges = TextOps.bpeTrain(Tables.documents(s, dir), "text", nMerges = 6)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((x, y, c), i) => ((i + 1).toLong, x, y, c) }
+        .toDF("rank", "x", "y", "cnt")
+    }),
+
     // Gopher-style repetition filter: duplicate 2/3-gram fractions + top
     // bigram share per document, verdict at the conventional thresholds —
     // one explode pass, two hash aggregations, oracle recomputes the same
@@ -1253,6 +1266,31 @@ object PipelineQueries {
          |SELECT source, CAST(ep AS BIGINT) AS epoch, count(*) AS n_docs,
          |  CAST(sum(toks) AS BIGINT) AS n_tokens
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_bpe_train" -> {
+      // one training round: adjacent-pair counts from the cell rendering,
+      // argmax by (count desc, pair asc) as a scalar CTE, then the chosen
+      // rule applies as the replace pattern for the NEXT round's input
+      def round(t: Int): String =
+        s"""w$t AS (SELECT unnest(string_split_regex(seg, ' {2,}')) AS word FROM s${t - 1}),
+           |sy$t AS (SELECT list_filter(string_split(word, ' '), s -> s <> '') AS syms FROM w$t),
+           |pc$t AS (SELECT replace(syms[i], '|', '') AS x, replace(syms[i+1], '|', '') AS y,
+           |    count(*) AS cnt
+           |  FROM sy$t, UNNEST(generate_series(1, len(syms) - 1)) t(i) GROUP BY 1, 2),
+           |m$t AS (SELECT x, y, cnt FROM pc$t ORDER BY cnt DESC, x, y LIMIT 1),
+           |s$t AS (SELECT doc_id,
+           |    replace(seg, '|' || x || ' |' || y || ' ', '|' || x || y || ' ') AS seg
+           |  FROM s${t - 1}, m$t)""".stripMargin
+      val rounds = (1 to 6).map(round).mkString(",\n")
+      val out = (1 to 6).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS rank, x, y, CAST(cnt AS BIGINT) AS cnt FROM m$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH s0 AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'),
+         |      '([a-z])', '|\\1 ', 'g') AS seg FROM documents),
+         |$rounds
+         |$out""".stripMargin
+    },
 
     "q_text_bpe" -> {
       // the SAME merge chain, unrolled: one replace() per rule in table

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.SampleOps
+import graft.operators.{SampleOps, TextOps}
 
 class SampleSpec extends SparkSuite {
   import spark.implicits._
@@ -222,5 +222,25 @@ class SampleSpec extends SparkSuite {
       val fullOrder = a.filter(r => r._2 == s && half(r._1)).sortBy(_._3).map(_._1).toSeq
       assert(subOrder == fullOrder, s"shard $s relative order changed under growth")
     }
+  }
+
+  test("BPE training: hand-computed merge trajectory, tie-breaks, early exhaustion") {
+    // corpus pairs round 1: (t,h)=5, (h,e)=5, (e,n)=1, (e,r)=1, (r,e)=1
+    //   -> tie 5/5 breaks lexicographically: (h,e) first
+    // round 2: (t,he)=5 dominates; round 3: all count 1, (r,e) < (the,*)
+    val docs = Seq((1L, "the the the"), (2L, "then there")).toDF("doc_id", "text")
+    val learned = TextOps.bpeTrain(docs, "text", nMerges = 3)
+    assert(learned == Seq(("h", "e", 5L), ("t", "he", 5L), ("r", "e", 1L)), learned.toString)
+    // the learned table plugs into the APPLY half and compresses the corpus
+    val n = docs.select(
+      TextOps.bpeTokenCount(col("text"), learned.map(m => (m._1, m._2))).as("bpe"),
+      TextOps.bpeTokenCount(col("text"), Seq.empty).as("chars"))
+      .as[(Long, Long)].collect()
+    assert(n.forall { case (bpe, chars) => bpe < chars },
+      s"learned merges must compress: ${n.toSeq}")
+    // a corpus with fewer distinct pairs than requested merges stops early
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val t = TextOps.bpeTrain(tiny, "text", nMerges = 10)
+    assert(t == Seq(("a", "b", 1L)), t.toString)
   }
 }
