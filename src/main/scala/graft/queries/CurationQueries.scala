@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, ValidateOps}
+import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, UrlOps, ValidateOps}
 import PipelineQueries.{hash60Sql, simhashCtes, simhashPairSelect, toksSql}
 
 /** Data-curation and quality-gate operators: value histograms, edit-distance
@@ -139,6 +139,32 @@ object CurationQueries {
         .select(col("doc_id"), col("weight_q"), col("key_q"))
     }),
 
+    // URL canonicalization (crawl curation): every doc gets a deterministic
+    // MESSY synthetic URL — mixed-case scheme/host, www, default and odd
+    // ports, tracking params, fragments, trailing slashes — whose junk
+    // varies on residues canonicalization must erase while the content key
+    // (doc_id % 20) sets what survives; plus registered-domain extraction
+    "q_url_canonical" -> ((s, dir) => {
+      val raw = rawUrlCol(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw_url"),
+          UrlOps.canonicalUrl(raw).as("canon"),
+          UrlOps.host(raw).as("host"),
+          UrlOps.registeredDomain(UrlOps.host(raw)).as("domain"))
+    }),
+
+    // URL-keyed dedup: ~25 raw URLs per canonical page collapse to one
+    // keep (min doc id) — the C4/RefinedWeb pre-content dedup pass
+    "q_url_dedup" -> ((s, dir) => {
+      val raw = rawUrlCol(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), UrlOps.canonicalUrl(raw).as("canon"),
+          UrlOps.registeredDomain(UrlOps.host(raw)).as("domain"))
+        .groupBy("canon")
+        .agg(max(col("domain")).as("domain"), count(lit(1)).as("n_raw"),
+          min(col("doc_id")).as("keep_id"))
+    }),
+
     // model-based quality filter (fastText/DCLM-style): a linear classifier
     // over hashed bag-of-words TRAINED IN-ENGINE by 3 full-batch GD passes
     // (integer fixed-point kernel, rational sigmoid surrogate — no libm in
@@ -180,6 +206,94 @@ object CurationQueries {
        |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
        |    CAST(sum(lw_q) AS BIGINT) AS weight_q
        |  FROM b JOIN w USING (bk) GROUP BY 1)""".stripMargin
+
+  // deterministic messy URL per doc (Spark side); the oracle mirrors this
+  // construction verbatim in SQL — string ops only, so parity is exact
+  private def rawUrlCol(id: Column): Column = {
+    val k = id % 20
+    val scheme = when(k < 10,
+        when(id % 3 === 0, "HTTP").when(id % 3 === 1, "http").otherwise("Http"))
+      .otherwise(
+        when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "https").otherwise("Https"))
+    val www = when(id % 2 === 0, lit("WWW.")).otherwise(lit(""))
+    val sfx = when(k % 4 === 0, ".CO.UK").when(k % 4 === 1, ".com")
+      .when(k % 4 === 2, ".Org").otherwise(".io")
+    val port = when(k % 7 === 0, lit(":8080"))
+      .otherwise(when(id % 5 === 0,
+        when(k < 10, lit(":80")).otherwise(lit(":443"))).otherwise(lit("")))
+    concat(scheme, lit("://"), www, lit("site"), (k % 10).cast("string"), sfx,
+      port, lit("/p/"), (k % 5).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&q="), (k % 3).cast("string"),
+      lit("&gclid=g1&page="), (k % 7).cast("string"),
+      when(id % 3 === 0, concat(lit("#s"), (id % 4).cast("string")))
+        .otherwise(lit("")))
+  }
+
+  // the same construction in DuckDB SQL
+  private val rawUrlSql: String =
+    """CASE WHEN doc_id % 20 < 10
+      |    THEN CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+      |              WHEN doc_id % 3 = 1 THEN 'http' ELSE 'Http' END
+      |    ELSE CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+      |              WHEN doc_id % 3 = 1 THEN 'https' ELSE 'Https' END END
+      ||| '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      ||| 'site' || CAST((doc_id % 20) % 10 AS VARCHAR)
+      ||| CASE WHEN (doc_id % 20) % 4 = 0 THEN '.CO.UK'
+      |        WHEN (doc_id % 20) % 4 = 1 THEN '.com'
+      |        WHEN (doc_id % 20) % 4 = 2 THEN '.Org' ELSE '.io' END
+      ||| CASE WHEN (doc_id % 20) % 7 = 0 THEN ':8080'
+      |        WHEN doc_id % 5 = 0 THEN
+      |          CASE WHEN doc_id % 20 < 10 THEN ':80' ELSE ':443' END
+      |        ELSE '' END
+      ||| '/p/' || CAST((doc_id % 20) % 5 AS VARCHAR)
+      ||| CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      ||| '?utm_source=feed&q=' || CAST((doc_id % 20) % 3 AS VARCHAR)
+      ||| '&gclid=g1&page=' || CAST((doc_id % 20) % 7 AS VARCHAR)
+      ||| CASE WHEN doc_id % 3 = 0 THEN '#s' || CAST(doc_id % 4 AS VARCHAR)
+      |        ELSE '' END"""
+      // flatten: this fragment embeds inside another stripMargin'd SQL
+      // string, where a line-leading `||` would lose a pipe to the outer
+      // margin strip
+      .stripMargin.replace("\n", " ")
+
+  // DuckDB replay of UrlOps.canonicalUrl + registeredDomain over rawUrlSql;
+  // ends in `dom(doc_id, raw_url, canon, host, domain)`
+  private val urlCanonSql: String = {
+    val domCase = graft.operators.UrlOps.Suffixes.map { s =>
+      val esc = s.replace(".", "\\.")
+      s"WHEN regexp_matches(h, '(^|\\.)[^.]+\\.$esc$$')" +
+        s" THEN regexp_extract(h, '([^.]+\\.$esc)$$', 1)"
+    }.mkString("\n    ")
+    s"""u0 AS (SELECT doc_id, $rawUrlSql AS raw_url FROM documents),
+       |nf AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$$', '', 'g') AS u FROM u0),
+       |pa AS (SELECT doc_id, raw_url,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+       |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS rest
+       |  FROM nf),
+       |p2 AS (SELECT doc_id, raw_url, scheme,
+       |    regexp_replace(regexp_replace(auth, ':[0-9]+$$', '', 'g'), '^www\\.', '', 'g') AS h,
+       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |    regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
+       |    regexp_extract(rest, '\\?(.*)$$', 1) AS qs
+       |  FROM pa),
+       |p3 AS (SELECT doc_id, raw_url, scheme, h,
+       |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |         AND NOT (scheme = 'https' AND port = '443')
+       |      THEN ':' || port ELSE '' END AS portpart,
+       |    CASE WHEN rawpath = '' THEN '/'
+       |      ELSE regexp_replace(rawpath, '(.)/$$', '\\1', 'g') END AS path,
+       |    array_to_string(list_filter(string_split(qs, '&'),
+       |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p <> ''), '&') AS cq
+       |  FROM p2),
+       |dom AS (SELECT doc_id, raw_url,
+       |    scheme || '://' || h || portpart || path ||
+       |      CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon,
+       |    h AS host,
+       |    CASE $domCase ELSE h END AS domain
+       |  FROM p3)""".stripMargin
+  }
 
   // One unrolled GD iteration of the DuckDB-side classifier replay
   // (ClassifierOps.trainLinearQ with lrNum=25): margins -> surrogate
@@ -346,6 +460,16 @@ object CurationQueries {
          |  FROM dw)
          |SELECT doc_id, weight_q, key_q FROM sel
          |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_url_canonical" ->
+      s"""WITH $urlCanonSql
+         |SELECT doc_id, raw_url, canon, host, domain FROM dom""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""WITH $urlCanonSql
+         |SELECT canon, max(domain) AS domain, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM dom GROUP BY 1""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

@@ -283,6 +283,37 @@ class CurationSpec extends SparkSuite {
     assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
 
+  test("url canonicalization: hostile hand cases") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // default port strips only when it matches the scheme
+      ("http://Site.Com:80/a", "http://site.com/a"),
+      ("https://site.com:80/a", "https://site.com:80/a"),
+      ("https://WWW.site.com:443/a", "https://site.com/a"),
+      // empty path -> /, root slash survives, one trailing slash drops
+      ("https://site.com", "https://site.com/"),
+      ("https://site.com/", "https://site.com/"),
+      ("https://site.com/a/b/", "https://site.com/a/b"),
+      // all-tracking query loses the '?' entirely; order of real params kept
+      ("http://site.com/x?utm_source=a&utm_medium=b", "http://site.com/x"),
+      ("http://site.com/x?b=2&utm_a=1&a=1", "http://site.com/x?b=2&a=1"),
+      ("HTTPS://site.com/x#frag?fake=1", "https://site.com/x"))
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.canonicalUrl(col("u")).as("c"))
+    val got = df.as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"canon($in)") }
+    val doms = Seq(
+      ("a.b.site.co.uk", "site.co.uk"),     // multi-label suffix wins
+      ("deep.sub.site.com", "site.com"),
+      ("site.com", "site.com"),
+      ("host.internal", "host.internal"),   // unknown suffix: unchanged
+      ("co.uk", "co.uk"))                   // bare suffix: conservative
+    val gd = doms.map(_._1).toDF("h")
+      .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    doms.foreach { case (in, want) => assert(gd(in) == want, s"domain($in)") }
+  }
+
   test("linear classifier: GD separates a separable corpus; scoring is deterministic") {
     import graft.operators.ClassifierOps
     val docs = ((1L to 6L).map(i => (i, "good great excellent fine", true)) ++
