@@ -291,6 +291,49 @@ object TextOps {
         coalesce(rep3, lit(0.0)) > 0.25).as("repetitive"))
   }
 
+  /** Line-level boilerplate dedup (the RefinedWeb/CCNet pass): drop every
+    * line occurring in MORE than `maxDf` documents — cookie banners, nav
+    * bars, copyright footers repeat corpus-wide while real content lines do
+    * not — and reassemble each document from its surviving lines in order.
+    *
+    * Distinct from the char-span ExactSubstr pass ([[graft.operators
+    * .DedupOps.duplicateSpans]]): this keys on WHOLE lines (cheap, the
+    * standard first boilerplate pass), that one finds arbitrary repeated
+    * character windows.
+    *
+    * Shape: one explode (spread-protected: the per-line md5 is the map
+    * cost), line document-frequencies on the 60-bit line hash (distinct
+    * (doc, hash) first, so within-doc repeats count once), an anti-join on
+    * the high-cardinality hash key — the common-line set is NOT assumed
+    * broadcastable — and one per-doc reassembly agg. Emits
+    * (id, clean, n_lines, n_removed) for EVERY input document (a fully
+    * boilerplate doc comes back with `clean` empty).
+    */
+  def removeCommonLines(docs: DataFrame, id: String, text: String,
+                        maxDf: Long): DataFrame = {
+    val lines = SkewOps.spreadSmall(docs)
+      .select(col(id).as("__id"),
+        posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val dfc = lines.select(col("__id"), hash60(col("line")).as("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+    val common = dfc.filter(col("df") > maxDf).select("lh")
+    val kept = lines.withColumn("lh", hash60(col("line")))
+      .join(common, Seq("lh"), "left_anti")
+    val ag = kept.groupBy(col("__id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("clean"),
+        count(lit(1)).as("n_kept"))
+    val tot = lines.groupBy(col("__id")).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(id).as("__id")).join(tot, Seq("__id"), "left")
+      .join(ag, Seq("__id"), "left")
+      .select(col("__id").as(id),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def rollingFingerprint(text: Column): Column =
     aggregate(
       transform(tokens(lower(trim(text))), t => pmod(hash60(t), lit(RollM))),

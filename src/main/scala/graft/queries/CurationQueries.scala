@@ -165,6 +165,24 @@ object CurationQueries {
           min(col("doc_id")).as("keep_id"))
     }),
 
+    // line-level boilerplate dedup (RefinedWeb/CCNet): synthetic multi-line
+    // docs with injected corpus-wide boilerplate (cookie banner, copyright),
+    // a half-corpus banner, and content slices; lines in > 10 docs drop and
+    // documents reassemble from the survivors in order
+    "q_line_dedup" -> ((s, dir) => {
+      val ml = concat_ws("\n",
+        lit("accept cookies to continue"),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter"))
+          .otherwise(substring(col("text"), 41, 40)),
+        lit("copyright example corp"),
+        substring(col("text"), 81, 40))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), ml.as("mtext"))
+      TextOps.removeCommonLines(docs, "doc_id", "mtext", maxDf = 10L)
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          col("n_lines"), col("n_removed"))
+    }),
+
     // model-based quality filter (fastText/DCLM-style): a linear classifier
     // over hashed bag-of-words TRAINED IN-ENGINE by 3 full-batch GD passes
     // (integer fixed-point kernel, rational sigmoid surrogate — no libm in
@@ -470,6 +488,33 @@ object CurationQueries {
          |SELECT canon, max(domain) AS domain, CAST(count(*) AS BIGINT) AS n_raw,
          |  CAST(min(doc_id) AS BIGINT) AS keep_id
          |FROM dom GROUP BY 1""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH ml AS (SELECT doc_id,
+         |    'accept cookies to continue' || chr(10) ||
+         |    substr(text, 1, 40) || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+         |         ELSE substr(text, 41, 40) END || chr(10) ||
+         |    'copyright example corp' || chr(10) ||
+         |    substr(text, 81, 40) AS mtext FROM documents),
+         |sp AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM ml),
+         |l AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, ls[i] AS line
+         |  FROM sp, UNNEST(generate_series(1, len(ls))) t(i)),
+         |dfc AS (SELECT lh, count(*) AS df FROM
+         |    (SELECT DISTINCT doc_id, ${hash60Sql("line")} AS lh FROM l)
+         |  GROUP BY 1),
+         |com AS (SELECT lh FROM dfc WHERE df > 10),
+         |k AS (SELECT doc_id, pos, line FROM l
+         |  WHERE ${hash60Sql("line")} NOT IN (SELECT lh FROM com)),
+         |ag AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         |    count(*) AS n_kept FROM k GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+         |SELECT d.doc_id, md5(coalesce(ag.clean, '')) AS clean_md5,
+         |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(tot.n_lines, 0) - coalesce(ag.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),

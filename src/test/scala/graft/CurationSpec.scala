@@ -283,6 +283,22 @@ class CurationSpec extends SparkSuite {
     assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
 
+  test("line dedup: corpus-common lines drop, order survives, all-boilerplate doc empties") {
+    val bp = "accept cookies"
+    val docs = Seq(
+      (1L, s"$bp\nalpha\nbeta"),
+      (2L, s"$bp\ngamma\n$bp"),   // within-doc repeat counts ONCE for df
+      (3L, s"beta\n$bp\ndelta"),  // 'beta' in 2 docs: at threshold, kept
+      (4L, bp)                    // all boilerplate -> empty clean
+    ).toDF("doc_id", "text")
+    val got = TextOps.removeCommonLines(docs, "doc_id", "text", maxDf = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "alpha\nbeta", 3L, 1L)))
+    assert(got(2L) == ((2L, "gamma", 3L, 2L)), s"${got(2L)}")
+    assert(got(3L) == ((3L, "beta\ndelta", 3L, 1L)), "df==maxDf keeps the line")
+    assert(got(4L) == ((4L, "", 1L, 1L)), "fully-boilerplate doc must survive as empty")
+  }
+
   test("url canonicalization: hostile hand cases") {
     import graft.operators.UrlOps
     val cases = Seq(
