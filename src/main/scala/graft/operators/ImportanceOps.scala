@@ -64,14 +64,62 @@ object ImportanceOps {
       count(lit(1)).as("cr"),
       sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct")).persist()
     val totals = counts.agg(sum("cr").as("__tr"), sum("ct").as("__tt"))
-    val b = lit(buckets.toDouble)
     counts.crossJoin(broadcast(totals))
-      .withColumn("lw_q", floor((
-        (log(col("ct").cast("double") + lit(1.0)) -
-          log(col("__tt").cast("double") + b)) -
-          (log(col("cr").cast("double") + lit(1.0)) -
-            log(col("__tr").cast("double") + b))) * lit(1e7)).cast("long"))
+      .withColumn("lw_q",
+        lwQ(col("ct"), col("cr"), col("__tt"), col("__tr"), buckets))
       .select(col("bk"), col("cr"), col("ct"), col("lw_q"))
+  }
+
+  /** The quantized per-bucket log-importance expression — ONE fixed IEEE
+    * tree shared by the one-shot, dense-index, and oracle paths.
+    */
+  private def lwQ(ct: Column, cr: Column, tt: Column, tr: Column,
+                  buckets: Int): Column = {
+    val b = lit(buckets.toDouble)
+    floor((
+      (log(ct.cast("double") + lit(1.0)) - log(tt.cast("double") + b)) -
+        (log(cr.cast("double") + lit(1.0)) - log(tr.cast("double") + b))
+      ) * lit(1e7)).cast("long")
+  }
+
+  /** Persist the DSIR bucket model once as a DENSE (bk, lw_q) TxLogTable
+    * covering every bucket id in [0, buckets) — buckets unseen in the raw
+    * corpus carry the add-1-smoothed default weight, so a probe batch with
+    * novel features still joins totally. The build-once / probe-per-batch
+    * split of [[dsirWeights]] (the persisted-index pattern the MinHash /
+    * IVF / PQ families use): the corpus is scanned at BUILD time only.
+    */
+  def buildDsirIndex(docs: DataFrame, text: String, isTarget: Column,
+                     buckets: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    val f = SkewOps.spreadSmall(docs).select(isTarget.as("__t"),
+      explode(featureBuckets(col(text), buckets)).as("bk"))
+    val counts = f.groupBy("bk").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct")).persist()
+    val totals = counts.agg(sum("cr").as("__tr"), sum("ct").as("__tt"))
+    val dense = spark.range(buckets).select(col("id").as("bk"))
+      .join(counts, Seq("bk"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bk"), lwQ(coalesce(col("ct"), lit(0L)),
+        coalesce(col("cr"), lit(0L)), col("__tt"), col("__tr"), buckets).as("lw_q"))
+    new graft.storage.TxLogTable(spark, s"$path/buckets").append(dense)
+    counts.unpersist()
+  }
+
+  /** Score a NEW batch against a [[buildDsirIndex]] model: only the batch
+    * explodes and hashes — the corpus is two table-read columns riding a
+    * broadcast. Same output shape as [[dsirWeights]].
+    */
+  def dsirProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                newDocs: DataFrame, id: String, text: String,
+                buckets: Int): DataFrame = {
+    val w = new graft.storage.TxLogTable(spark, s"$path/buckets").read()
+    SkewOps.spreadSmall(newDocs)
+      .select(col(id), explode(featureBuckets(col(text), buckets)).as("bk"))
+      .join(broadcast(w), Seq("bk"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_features"), sum("lw_q").as("weight_q"))
   }
 
   /** Per-document importance weight: the int64 sum of its features' bucket

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, SampleOps, SearchOps, TextOps, TimeSeriesOps, UrlOps, ValidateOps}
+import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, SampleOps, SearchOps, SimilarityOps, TextOps, TimeSeriesOps, UrlOps, ValidateOps}
 import PipelineQueries.{hash60Sql, simhashCtes, simhashPairSelect, toksSql}
 
 /** Data-curation and quality-gate operators: value histograms, edit-distance
@@ -137,6 +137,21 @@ object CurationQueries {
         "text", isTarget = col("lang") === "en", buckets = 4096)
       ImportanceOps.dsirResample(w, "doc_id", k = 100, seed = "gum1")
         .select(col("doc_id"), col("weight_q"), col("key_q"))
+    }),
+
+    // DSIR with the build/probe split: the raw-corpus bucket model persists
+    // ONCE as a dense TxLogTable (unseen buckets carry the smoothed
+    // default), then the held-out batch (doc_id % 10 = 7) scores against it
+    // without the corpus ever being re-read (plan-pinned in PlanAuditSpec)
+    "q_dsir_probe" -> ((s, dir) => {
+      val idx = PipelineQueries.annIndexPath(dir, "dsir_4096")
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+      if (!SimilarityOps.indexExists(s, idx, Seq("buckets")))
+        ImportanceOps.buildDsirIndex(corpus, "text",
+          isTarget = col("lang") === "en", buckets = 4096, path = idx)
+      ImportanceOps.dsirProbe(s, idx,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", buckets = 4096)
     }),
 
     // URL canonicalization (crawl curation): every doc gets a deterministic
@@ -478,6 +493,38 @@ object CurationQueries {
          |  FROM dw)
          |SELECT doc_id, weight_q, key_q FROM sel
          |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_dsir_probe" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |    WHERE doc_id % 10 <> 7),
+         |f AS (
+         |  SELECT doc_id, lang, unnest(toks) AS feat FROM d
+         |  UNION ALL
+         |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |),
+         |b AS (SELECT doc_id, lang, ${hash60Sql("feat")} % 4096 AS bk FROM f),
+         |c AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
+         |w AS (SELECT g.bk, CAST(floor((
+         |      (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
+         |      (ln(CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
+         |    ) * 10000000.0) AS BIGINT) AS lw_q
+         |  FROM (SELECT CAST(unnest(generate_series(0, 4095)) AS BIGINT) AS bk) g
+         |  LEFT JOIN c ON g.bk = c.bk, t),
+         |pd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 7),
+         |pf AS (
+         |  SELECT doc_id, unnest(toks) AS feat FROM pd
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS feat
+         |  FROM pd, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+         |),
+         |pb AS (SELECT doc_id, ${hash60Sql("feat")} % 4096 AS bk FROM pf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         |  CAST(sum(lw_q) AS BIGINT) AS weight_q
+         |FROM pb JOIN w USING (bk) GROUP BY 1""".stripMargin,
 
     "q_url_canonical" ->
       s"""WITH $urlCanonSql

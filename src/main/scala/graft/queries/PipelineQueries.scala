@@ -124,7 +124,7 @@ object PipelineQueries {
     shift
   }
 
-  private def annIndexPath(dir: String, tag: String): String = {
+  private[queries] def annIndexPath(dir: String, tag: String): String = {
     // full-width md5 over (length, mtime, head+tail bytes) per source file:
     // a regenerated fixture with the same byte length inside the same
     // mtime-granularity tick still flips the key (parquet footers encode

@@ -171,6 +171,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
   }
 
+  test("q_dsir_probe: probe never re-reads the indexed corpus") {
+    val p = plan("q_dsir_probe")
+    // the bucket model comes from the persisted dense TxLogTable riding a
+    // broadcast; the only documents.parquet scan is the probe batch itself
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted index:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && !l.contains("ReusedExchange"))
+    assert(docScans <= 1, s"probe rescans the corpus ($docScans doc scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket model is not broadcast:\n$p")
+  }
+
   test("q_image_phash_probe: probe never re-decodes the indexed corpus") {
     val p = plan("q_image_phash_probe")
     // index side = persisted TxLogTables; the only documents.parquet work
