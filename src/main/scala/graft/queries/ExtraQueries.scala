@@ -107,6 +107,22 @@ object ExtraQueries {
           (abs(col("__ap95") - col("__p95")) <= lit(0.05) * col("__spread")).as("p95_ok"))
     }),
 
+    // count-min sketch: deterministic md5-hash-row grid as ONE map-side-
+    // combined aggregation (shuffle bounded at depth*width cells at any
+    // input size), probes take min over their cells against the broadcast
+    // grid. CMS never undercounts — `never_under` must be true everywhere,
+    // and the exact estimate VALUES gate bit-for-bit
+    "q_cms_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cells = graft.operators.SketchOps.cmsCells(ev, col("user_id"), 4, 1024)
+      val probes = ev.filter(col("user_id") % 5 === 0).select("user_id").distinct()
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      graft.operators.SketchOps.cmsEstimate(cells, probes, "user_id", 4, 1024)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") >= col("exact_n")).as("never_under"))
+    }),
+
     // ACID MERGE upsert through the transaction-log table: seed a keyed
     // dimension from customer, MERGE the latest-order update per customer
     // (asOf = order date, so stale updates lose), read the committed
@@ -417,6 +433,25 @@ object ExtraQueries {
         |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
         |    <= 0.05 * (max(value) - min(value)) AS p95_ok
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_cms_counts" -> {
+      def bh(k: String) = PipelineQueries.hash60Sql(
+        s"'cms' || CAST(t.r AS VARCHAR) || '_' || $k") + " % 1024"
+      s"""WITH cells AS (SELECT t.r, ${bh("CAST(user_id AS VARCHAR)")} AS b,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events, UNNEST([0, 1, 2, 3]) t(r) GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0),
+         |pc AS (SELECT pr.user_id, t.r, ${bh("CAST(pr.user_id AS VARCHAR)")} AS b
+         |  FROM pr, UNNEST([0, 1, 2, 3]) t(r)),
+         |es AS (SELECT user_id, min(coalesce(cnt, CAST(0 AS BIGINT))) AS cms_est
+         |  FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.b = cells.b
+         |  GROUP BY 1),
+         |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+         |  FROM events GROUP BY 1)
+         |SELECT es.user_id, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+         |  cms_est >= exact_n AS never_under
+         |FROM es JOIN ex USING (user_id)""".stripMargin
+    },
 
     "q_table_merge" ->
       """WITH ranked AS (

@@ -283,6 +283,31 @@ class CurationSpec extends SparkSuite {
     assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
 
+  test("count-min sketch: exact when collision-free, never undercounts when squeezed") {
+    import graft.operators.SketchOps
+    val rows = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("k")
+    val exact = rows.groupBy("k").count().as[(String, Long)].collect().toMap
+    // wide grid: 100 keys over 4x4096 cells — collisions vanish, estimates
+    // must equal exact counts for EVERY key
+    val wide = SketchOps.cmsEstimate(
+      SketchOps.cmsCells(rows, col("k"), 4, 4096),
+      rows.select("k").distinct(), "k", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact, "collision-free grid must be exact")
+    // squeezed grid: 4x8 cells for 100 keys — heavy collisions, but the
+    // one-sided error guarantee must hold for every key
+    val tight = SketchOps.cmsEstimate(
+      SketchOps.cmsCells(rows, col("k"), 4, 8),
+      rows.select("k").distinct(), "k", 4, 8)
+      .as[(String, Long)].collect().toMap
+    assert(exact.forall { case (k, n) => tight(k) >= n },
+      "CMS must never undercount")
+    assert(tight.exists { case (k, n) => n > exact(k) },
+      "a 32-cell grid over 100 keys must actually collide")
+    // the grid never exceeds depth x width rows regardless of input size
+    assert(SketchOps.cmsCells(rows, col("k"), 4, 8).count() <= 32L)
+  }
+
   test("line dedup: corpus-common lines drop, order survives, all-boilerplate doc empties") {
     val bp = "accept cookies"
     val docs = Seq(
