@@ -86,6 +86,28 @@ object ClassifierOps {
     w
   }
 
+  /** Train once, persist the weight table (<= buckets+1 rows) as a
+    * TxLogTable — the model registry for [[classifierProbe]]: training
+    * scans the corpus; scoring new batches never does.
+    */
+  def buildClassifierIndex(docs: DataFrame, id: String, text: String,
+                           label: Column, buckets: Int, iters: Int,
+                           lrNum: Long, path: String): Unit = {
+    val w = trainLinearQ(docs, id, text, label, buckets, iters, lrNum)
+    new graft.storage.TxLogTable(docs.sparkSession, s"$path/weights").append(w)
+  }
+
+  /** Score a NEW batch against persisted weights: only the batch hashes;
+    * the model rides a broadcast. Unseen features drop (zero weight), the
+    * bias bucket keeps every batch document scored.
+    */
+  def classifierProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame, id: String, text: String,
+                      buckets: Int): DataFrame = {
+    val w = new graft.storage.TxLogTable(spark, s"$path/weights").read()
+    scoreLinearQ(newDocs, id, text, w, buckets)
+  }
+
   /** Score docs under trained weights: (id, score_q) with `score_q` the
     * 1e6-scaled margin; `score_q > 0` is the positive-class prediction.
     * Features unseen at train time drop out of the inner join — exactly a

@@ -180,6 +180,22 @@ object CurationQueries {
           min(col("doc_id")).as("keep_id"))
     }),
 
+    // classifier with the train-once / score-per-batch split: weights from
+    // 3 GD passes over the training corpus persist as a TxLogTable; the
+    // held-out batch scores against the broadcast model without the corpus
+    // being re-read (plan-pinned in PlanAuditSpec)
+    "q_classifier_probe" -> ((s, dir) => {
+      val idx = PipelineQueries.annIndexPath(dir, "clf_1024")
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+      if (!SimilarityOps.indexExists(s, idx, Seq("weights")))
+        ClassifierOps.buildClassifierIndex(corpus, "doc_id", "text",
+          label = col("lang") === "en", buckets = 1024, iters = 3,
+          lrNum = 25L, path = idx)
+      ClassifierOps.classifierProbe(s, idx,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", buckets = 1024)
+    }),
+
     // line-level boilerplate dedup (RefinedWeb/CCNet): synthetic multi-line
     // docs with injected corpus-wide boilerplate (cookie banner, copyright),
     // a half-corpus banner, and content slices; lines in > 10 docs drop and
@@ -525,6 +541,38 @@ object CurationQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
          |  CAST(sum(lw_q) AS BIGINT) AS weight_q
          |FROM pb JOIN w USING (bk) GROUP BY 1""".stripMargin,
+
+    "q_classifier_probe" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |    WHERE doc_id % 10 <> 7),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+         |xb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
+         |    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |x AS (SELECT xb.doc_id, bk, (c * 1000000) // n.n AS x_q
+         |    FROM xb JOIN n ON xb.doc_id = n.doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
+         |    CAST(1000000 AS BIGINT) AS x_q FROM d),
+         |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
+         |    AS BIGINT) AS y_q FROM d),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+         |w0 AS (SELECT DISTINCT bk, CAST(0 AS BIGINT) AS w_q FROM x),
+         |${gdIterSql(1)},
+         |${gdIterSql(2)},
+         |${gdIterSql(3)},
+         |pd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 7),
+         |ptok AS (SELECT doc_id, unnest(toks) AS tok FROM pd),
+         |pn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM pd),
+         |pxb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
+         |    CAST(count(*) AS BIGINT) AS c FROM ptok GROUP BY 1, 2),
+         |px AS (SELECT pxb.doc_id, bk, (c * 1000000) // pn.n AS x_q
+         |    FROM pxb JOIN pn ON pxb.doc_id = pn.doc_id
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
+         |    CAST(1000000 AS BIGINT) AS x_q FROM pd)
+         |SELECT px.doc_id, CAST(sum(px.x_q * w.w_q) AS BIGINT) // 1000000 AS score_q
+         |FROM px JOIN w3 w USING (bk) GROUP BY 1""".stripMargin,
 
     "q_url_canonical" ->
       s"""WITH $urlCanonSql

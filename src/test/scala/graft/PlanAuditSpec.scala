@@ -182,6 +182,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket model is not broadcast:\n$p")
   }
 
+  test("q_classifier_probe: scoring never re-reads the training corpus") {
+    val p = plan("q_classifier_probe")
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted weights:\n$p")
+    // featuresQ scans the BATCH twice (token explode + bias union); the
+    // 9x-larger training corpus must contribute zero scans
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && !l.contains("ReusedExchange"))
+    assert(docScans <= 2, s"probe rescans the corpus ($docScans doc scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"weight table is not broadcast:\n$p")
+  }
+
   test("q_image_phash_probe: probe never re-decodes the indexed corpus") {
     val p = plan("q_image_phash_probe")
     // index side = persisted TxLogTables; the only documents.parquet work
