@@ -197,6 +197,54 @@ class PipelineDifferentialSpec extends SparkSuite {
     }
   }
 
+  // ---- URL canonicalization ----
+
+  private def canonReplay(u: String): String = {
+    val noFrag = u.replaceAll("#.*$", "")
+    def extract(s: String, re: String): String = {
+      val m = re.r.findFirstMatchIn(s)
+      m.map(_.group(1)).getOrElse("")
+    }
+    val scheme = extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://").toLowerCase
+    val auth = extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)").toLowerCase
+    val h = auth.replaceAll(":[0-9]+$", "").replaceAll("^www\\.", "")
+    val port = extract(auth, ":([0-9]+)$")
+    val keepPort = port.nonEmpty &&
+      !(scheme == "http" && port == "80") && !(scheme == "https" && port == "443")
+    val rest = noFrag.replaceAll("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val rawPath = extract(rest, "^([^?]*)")
+    val path = if (rawPath.isEmpty) "/" else rawPath.replaceAll("(.)/$", "$1")
+    val qs = extract(rest, "\\?(.*)$")
+    val cleanQs = qs.split("&", -1).filter(p =>
+      p.nonEmpty && !p.matches("^(utm_[^=]*|fbclid|gclid)=.*")).mkString("&")
+    scheme + "://" + h + (if (keepPort) ":" + port else "") + path +
+      (if (cleanQs.nonEmpty) "?" + cleanQs else "")
+  }
+
+  test("differential: URL canonicalization vs in-memory replay") {
+    for (seed <- 1 to 8 * diffScale) {
+      val r = new scala.util.Random(seed * 31)
+      def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
+      val urls = (1 to 30).map { _ =>
+        val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "Ftp"))
+        val www = pick(Seq("", "www.", "WWW."))
+        val host = pick(Seq("site.com", "A.B.site.CO.UK", "x.io", "host.internal"))
+        val port = pick(Seq("", ":80", ":443", ":8080", ":0443"))
+        val path = pick(Seq("", "/", "/a", "/a/b/", "/a//b/", "//"))
+        val qs = pick(Seq("", "?", "?a=1", "?utm_source=x", "?utm_a=1&b=2&gclid=3",
+          "?b=2&&a=1", "?fbclid=9&utm_=0"))
+        val frag = pick(Seq("", "#f", "#a?b=1", "##"))
+        s"$scheme://$www$host$port$path$qs$frag"
+      }
+      val got = urls.toDF("u")
+        .select(col("u"), graft.operators.UrlOps.canonicalUrl(col("u")).as("c"))
+        .as[(String, String)].collect().toMap
+      urls.foreach { u =>
+        assert(got(u) == canonReplay(u), s"seed $seed: canon($u) = ${got(u)}")
+      }
+    }
+  }
+
   // ---- BPE training ----
 
   private def bpeTrainReplay(texts: Seq[String], nMerges: Int)

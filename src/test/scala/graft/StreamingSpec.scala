@@ -694,4 +694,47 @@ class StreamingSpec extends SparkSuite {
         s"batch 2 should match both prior copies of the content: $hits")
     } finally q.stop()
   }
+
+  test("streaming curation: incoming docs score against the persisted DSIR model, MERGE idempotent") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("curation")
+    // the importance model is built ONCE from a static reference corpus;
+    // the stream then scores every arriving document against it — the
+    // continuous-crawl curation shape (probe per micro-batch, ACID scores)
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta", true), (2L, "alpha beta", true),
+      (3L, "gamma delta gamma", false), (4L, "gamma delta", false))
+      .toDF("doc_id", "text", "tgt")
+    graft.operators.ImportanceOps.buildDsirIndex(corpus, "text", col("tgt"),
+      buckets = 1024, path = s"$root/idx")
+    val scores = new graft.storage.TxLogTable(spark, s"$root/scores")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = graft.operators.ImportanceOps.dsirProbe(
+            spark, s"$root/idx", batch, "doc_id", "text", 1024)
+          graft.storage.TxLogTable.retryOnConflict() {
+            scores.merge(scored, Seq("doc_id"), Some("weight_q")); ()
+          }
+        }
+      }.start()
+    try {
+      in.addData((10L, "alpha beta alpha"), (11L, "gamma delta"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 11 (at-least-once replay) and brings a doc
+      // whose "zzz" feature the corpus never saw (dense default weight)
+      in.addData((11L, "gamma delta"), (12L, "alpha zzz"))
+      q.processAllAvailable()
+      val got = scores.read().select("doc_id", "weight_q")
+        .as[(Long, Long)].collect().toMap
+      val want = graft.operators.ImportanceOps.dsirProbe(spark, s"$root/idx",
+        Seq((10L, "alpha beta alpha"), (11L, "gamma delta"), (12L, "alpha zzz"))
+          .toDF("doc_id", "text"), "doc_id", "text", 1024)
+        .select("doc_id", "weight_q").as[(Long, Long)].collect().toMap
+      assert(got == want, s"streamed scores must equal the one-shot probe: $got vs $want")
+      assert(got(10L) > 0L && got(11L) < 0L, s"model direction: $got")
+    } finally q.stop()
+  }
 }
