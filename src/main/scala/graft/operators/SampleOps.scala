@@ -222,6 +222,38 @@ object SampleOps {
       .drop("__h")
   }
 
+  /** Curriculum ordering: documents phase by quality QUARTILE (phase 0 =
+    * the top quartile — train on the cleanest data first, the curriculum-
+    * learning idiom) and shuffle deterministically WITHIN each phase.
+    * Global training order = (phase, shard, pos).
+    *
+    * Scale posture: quartile thresholds come from ONE exact-percentile
+    * aggregation broadcast back (Spark `percentile` == DuckDB
+    * `quantile_cont` bit-for-bit), phase assignment is map-side, and the
+    * position window partitions by (phase, shard) — never an unpartitioned
+    * global sort. Emits the input plus `phase`, `shard`, `pos`.
+    */
+  def curriculumOrder(df: DataFrame, id: Column, score: Column, seed: String,
+                      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val th = df.agg(
+      percentile(score, lit(0.25)).as("__t25"),
+      percentile(score, lit(0.5)).as("__t50"),
+      percentile(score, lit(0.75)).as("__t75"))
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("__h"), id)
+    df.crossJoin(broadcast(th))
+      .withColumn("phase",
+        when(score >= col("__t75"), 0L)
+          .when(score >= col("__t50"), 1L)
+          .when(score >= col("__t25"), 2L)
+          .otherwise(3L))
+      .withColumn("__h", hash60(concat(lit(seed + "_"), id.cast("string"))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__t25", "__t50", "__t75", "__h")
+  }
+
   /** Token-budget sequence packing within each `group`: documents are laid
     * out in `order`, and a document starts a new chunk when the running
     * token total before it has crossed the budget (streaming concat-and-cut

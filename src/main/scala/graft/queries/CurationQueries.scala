@@ -180,6 +180,18 @@ object CurationQueries {
           min(col("doc_id")).as("keep_id"))
     }),
 
+    // curriculum ordering: quality-quartile phases (cleanest first) with a
+    // deterministic shuffle within each phase — thresholds from ONE exact
+    // percentile agg (== quantile_cont bit-for-bit), position windows
+    // partition by (phase, shard), never a global sort
+    "q_curriculum" -> ((s, dir) => {
+      val q = TextOps.qualityFeatures(col("text")).last._2
+      SampleOps.curriculumOrder(
+        Tables.documents(s, dir).withColumn("q", q),
+        col("doc_id"), col("q"), seed = "cur1", nShards = 8)
+        .select(col("doc_id"), col("phase"), col("shard"), col("pos"))
+    }),
+
     // classifier with the train-once / score-per-batch split: weights from
     // 3 GD passes over the training corpus persist as a TxLogTable; the
     // held-out batch scores against the broadcast model without the corpus
@@ -541,6 +553,28 @@ object CurationQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
          |  CAST(sum(lw_q) AS BIGINT) AS weight_q
          |FROM pb JOIN w USING (bk) GROUP BY 1""".stripMargin,
+
+    "q_curriculum" -> {
+      import PipelineQueries.stopSql
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id,
+         |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+         |      + 0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         |      + 0.2 * (CAST(${stopSql("en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE)) AS q
+         |  FROM tk),
+         |th AS (SELECT quantile_cont(q, 0.25) AS t25, quantile_cont(q, 0.5) AS t50,
+         |    quantile_cont(q, 0.75) AS t75 FROM t),
+         |ph AS (SELECT doc_id,
+         |    CASE WHEN q >= t75 THEN 0 WHEN q >= t50 THEN 1
+         |         WHEN q >= t25 THEN 2 ELSE 3 END AS phase,
+         |    ${hash60Sql("'cur1_' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM t, th)
+         |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+         |  CAST(h % 8 AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY phase, h % 8 ORDER BY h, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM ph""".stripMargin
+    },
 
     "q_classifier_probe" ->
       s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents

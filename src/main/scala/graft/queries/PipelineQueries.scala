@@ -65,7 +65,7 @@ object PipelineQueries {
        |      ORDER BY score DESC, neighbor_id) AS rn FROM r$t) WHERE rn = 1),
        |sel$t AS (SELECT query_id, sel_id FROM sel${t - 1}
        |  UNION ALL SELECT query_id, sel_id FROM s$t)""".stripMargin
-  private def stopSql(lang: String) = {
+  private[queries] def stopSql(lang: String) = {
     val lst = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> list_contains([$lst], t)))"
   }

@@ -224,6 +224,28 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("curriculum order: quartile phases, dense per-(phase,shard) positions, determinism") {
+    val docs = (1L to 16L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val got = SampleOps.curriculumOrder(docs, col("doc_id"), col("score"), "s1", 4)
+      .select("doc_id", "phase", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // quartiles of 1..16 (type-7): t25=4.75, t50=8.5, t75=12.25
+    assert((13L to 16L).forall(byDoc(_)._2 == 0L), "top quartile is phase 0")
+    assert((9L to 12L).forall(byDoc(_)._2 == 1L))
+    assert((5L to 8L).forall(byDoc(_)._2 == 2L))
+    assert((1L to 4L).forall(byDoc(_)._2 == 3L))
+    // positions are dense from 0 within each (phase, shard)
+    got.groupBy(r => (r._2, r._3)).foreach { case (ps, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq,
+        s"positions not dense in $ps")
+    }
+    val again = SampleOps.curriculumOrder(docs, col("doc_id"), col("score"), "s1", 4)
+      .select("doc_id", "phase", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("BPE training: hand-computed merge trajectory, tie-breaks, early exhaustion") {
     // corpus pairs round 1: (t,h)=5, (h,e)=5, (e,n)=1, (e,r)=1, (r,e)=1
     //   -> tie 5/5 breaks lexicographically: (h,e) first
