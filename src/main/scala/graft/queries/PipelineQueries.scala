@@ -48,6 +48,32 @@ object PipelineQueries {
   private def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
+  // the CCNet LM scoring chain (LmOps.lmScore, vocab 40) ending in
+  // `agg(doc_id, n_bigrams, avg_logprob)` — shared by q_lm_perplexity and
+  // the perplexity-bucket filter
+  private val lmAggSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |big AS (SELECT doc_id, toks[i] AS prev_raw, toks[i+1] AS cur_raw
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |uni AS (SELECT unnest(toks) AS tok FROM t),
+       |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1)
+       |  ORDER BY cnt DESC, tok LIMIT 40),
+       |mapped AS (SELECT doc_id, coalesce(vp.tok, '<unk>') AS prev,
+       |    coalesce(vc.tok, '<unk>') AS cur
+       |  FROM big LEFT JOIN vocab vp ON big.prev_raw = vp.tok
+       |  LEFT JOIN vocab vc ON big.cur_raw = vc.tok),
+       |ctx AS (SELECT prev, count(*) AS c1 FROM mapped GROUP BY 1),
+       |pairs AS (SELECT prev, cur, count(*) AS c2 FROM mapped GROUP BY 1, 2),
+       |v AS (SELECT count(*) + 1 AS vn FROM vocab),
+       |lp AS (SELECT doc_id,
+       |    CAST(floor((ln(CAST(c2 AS DOUBLE) + 1.0) -
+       |      ln(CAST(c1 AS DOUBLE) + CAST(vn AS DOUBLE))) * 10000000.0) AS BIGINT) AS lp_q
+       |  FROM mapped JOIN pairs USING (prev, cur) JOIN ctx USING (prev), v),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      / 10000000.0 AS avg_logprob
+       |  FROM lp GROUP BY 1)""".stripMargin
+
   // One greedy MMR stage (SimilarityOps.mmrRerank, lambda=0.7): score every
   // unselected candidate as 0.7*relevance - 0.3*max-sim-to-selected, pick
   // the per-query argmax (id tie-break), append to the selected set
@@ -302,6 +328,23 @@ object PipelineQueries {
     "q_lm_perplexity" -> ((s, dir) => {
       LmOps.lmScore(Tables.documents(s, dir), "doc_id", "text", 40)
         .select("doc_id", "n_bigrams", "avg_logprob")
+    }),
+
+    // CCNet's perplexity-bucket filter: terciles of the LM score split the
+    // corpus into head/middle/tail (head = most natural text); CCNet keeps
+    // head+middle. Thresholds from one exact percentile agg broadcast back
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val lm = LmOps.lmScore(Tables.documents(s, dir), "doc_id", "text", 40)
+        .select(col("doc_id"), col("avg_logprob"))
+      val th = lm.agg(
+        percentile(col("avg_logprob"), lit(1.0 / 3.0)).as("__t1"),
+        percentile(col("avg_logprob"), lit(2.0 / 3.0)).as("__t2"))
+      lm.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("__t2"), "head")
+            .when(col("avg_logprob") >= col("__t1"), "middle")
+            .otherwise("tail").as("bucket"),
+          (col("avg_logprob") >= col("__t1")).as("kept"))
     }),
 
     // corpus n-gram statistics: top-10 bigrams by document frequency.
@@ -926,28 +969,18 @@ object PipelineQueries {
          |FROM t""".stripMargin,
 
     "q_lm_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |big AS (SELECT doc_id, toks[i] AS prev_raw, toks[i+1] AS cur_raw
-         |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
-         |uni AS (SELECT unnest(toks) AS tok FROM t),
-         |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1)
-         |  ORDER BY cnt DESC, tok LIMIT 40),
-         |mapped AS (SELECT doc_id, coalesce(vp.tok, '<unk>') AS prev,
-         |    coalesce(vc.tok, '<unk>') AS cur
-         |  FROM big LEFT JOIN vocab vp ON big.prev_raw = vp.tok
-         |  LEFT JOIN vocab vc ON big.cur_raw = vc.tok),
-         |ctx AS (SELECT prev, count(*) AS c1 FROM mapped GROUP BY 1),
-         |pairs AS (SELECT prev, cur, count(*) AS c2 FROM mapped GROUP BY 1, 2),
-         |v AS (SELECT count(*) + 1 AS vn FROM vocab),
-         |lp AS (SELECT doc_id,
-         |    CAST(floor((ln(CAST(c2 AS DOUBLE) + 1.0) -
-         |      ln(CAST(c1 AS DOUBLE) + CAST(vn AS DOUBLE))) * 10000000.0) AS BIGINT) AS lp_q
-         |  FROM mapped JOIN pairs USING (prev, cur) JOIN ctx USING (prev), v),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |      / 10000000.0 AS avg_logprob
-         |  FROM lp GROUP BY 1)
+      s"""WITH $lmAggSql
          |SELECT doc_id, n_bigrams, avg_logprob FROM agg""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      s"""WITH $lmAggSql,
+         |th AS (SELECT quantile_cont(avg_logprob, 1.0/3.0) AS t1,
+         |    quantile_cont(avg_logprob, 2.0/3.0) AS t2 FROM agg)
+         |SELECT doc_id, avg_logprob,
+         |  CASE WHEN avg_logprob >= t2 THEN 'head'
+         |       WHEN avg_logprob >= t1 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  avg_logprob >= t1 AS kept
+         |FROM agg, th""".stripMargin,
 
     "q_text_ngrams" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
