@@ -72,14 +72,28 @@ object ImportanceOps {
 
   /** The quantized per-bucket log-importance expression — ONE fixed IEEE
     * tree shared by the one-shot, dense-index, and oracle paths.
+    *
+    * The ratio == 1 case (cross products equal) is answered EXACTLY as 0:
+    * it is the one input whose true log-ratio (0) sits exactly ON a
+    * quantization boundary — `ln r` is irrational for every other rational
+    * r, so no other input can — and there the engines' libm `ln`s straddle
+    * it by 1 ulp (Spark = StrictMath, DuckDB = platform libm), flipping
+    * `floor` between 0 and −1. Found by the GRAFT_DIFF_SCALE=5 net, seed
+    * 34: ct=2 cr=3 tt=71 tr=116 B=64 gives ln(3·180/(135·4)) = ln 1.
+    * Cross products ride decimal(38,0) so 100 TB-scale totals never
+    * overflow the comparison.
     */
   private def lwQ(ct: Column, cr: Column, tt: Column, tr: Column,
                   buckets: Int): Column = {
     val b = lit(buckets.toDouble)
-    floor((
+    val bL = lit(buckets.toLong)
+    val ratioOne =
+      (ct + lit(1L)).cast("decimal(38,0)") * (tr + bL).cast("decimal(38,0)") ===
+        (cr + lit(1L)).cast("decimal(38,0)") * (tt + bL).cast("decimal(38,0)")
+    when(ratioOne, lit(0L)).otherwise(floor((
       (log(ct.cast("double") + lit(1.0)) - log(tt.cast("double") + b)) -
         (log(cr.cast("double") + lit(1.0)) - log(tr.cast("double") + b))
-      ) * lit(1e7)).cast("long")
+      ) * lit(1e7)).cast("long"))
   }
 
   /** Persist the DSIR bucket model once as a DENSE (bk, lw_q) TxLogTable

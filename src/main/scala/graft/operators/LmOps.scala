@@ -88,10 +88,17 @@ object LmOps {
     mapped
       .join(broadcast(pairs), Seq("prev", "cur"), "left")
       .join(broadcast(ctx), Seq("prev"), "left")
+      // probability == 1 (c2+1 == c1+V) answers EXACTLY 0: the one input
+      // whose true log (0) sits on a quantization boundary, where Spark's
+      // StrictMath ln and DuckDB's libm ln straddle it by 1 ulp and floor
+      // would flip 0 / -1 (the ImportanceOps.lwQ landmine, same fix)
       .select(col("doc_id"),
-        floor((log(coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) -
-          log(coalesce(col("c1"), lit(0L)).cast("double") + lit(vTypes.toDouble))) *
-          lit(1e7)).cast("long").as("lp_q"))
+        when(coalesce(col("c2"), lit(0L)) + lit(1L) ===
+            coalesce(col("c1"), lit(0L)) + lit(vTypes), lit(0L))
+          .otherwise(
+            floor((log(coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) -
+              log(coalesce(col("c1"), lit(0L)).cast("double") + lit(vTypes.toDouble))) *
+              lit(1e7)).cast("long")).as("lp_q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp_q").as("__s"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -260,10 +260,12 @@ object CurationQueries {
        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
        |  FROM b GROUP BY 1),
        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
-       |w AS (SELECT bk, CAST(floor((
+       |w AS (SELECT bk, CASE WHEN CAST(ct + 1 AS HUGEINT) * (tr + 4096)
+       |      = CAST(cr + 1 AS HUGEINT) * (tt + 4096) THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor((
        |      (ln(CAST(ct AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
        |      (ln(CAST(cr AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
-       |    ) * 10000000.0) AS BIGINT) AS lw_q FROM c, t),
+       |    ) * 10000000.0) AS BIGINT) END AS lw_q FROM c, t),
        |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
        |    CAST(sum(lw_q) AS BIGINT) AS weight_q
        |  FROM b JOIN w USING (bk) GROUP BY 1)""".stripMargin
@@ -536,10 +538,12 @@ object CurationQueries {
          |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
          |  FROM b GROUP BY 1),
          |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
-         |w AS (SELECT g.bk, CAST(floor((
+         |w AS (SELECT g.bk, CASE WHEN CAST(coalesce(ct, 0) + 1 AS HUGEINT) * (tr + 4096)
+         |      = CAST(coalesce(cr, 0) + 1 AS HUGEINT) * (tt + 4096) THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor((
          |      (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
          |      (ln(CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
-         |    ) * 10000000.0) AS BIGINT) AS lw_q
+         |    ) * 10000000.0) AS BIGINT) END AS lw_q
          |  FROM (SELECT CAST(unnest(generate_series(0, 4095)) AS BIGINT) AS bk) g
          |  LEFT JOIN c ON g.bk = c.bk, t),
          |pd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 7),

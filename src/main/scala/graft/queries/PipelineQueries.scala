@@ -66,8 +66,10 @@ object PipelineQueries {
        |pairs AS (SELECT prev, cur, count(*) AS c2 FROM mapped GROUP BY 1, 2),
        |v AS (SELECT count(*) + 1 AS vn FROM vocab),
        |lp AS (SELECT doc_id,
-       |    CAST(floor((ln(CAST(c2 AS DOUBLE) + 1.0) -
-       |      ln(CAST(c1 AS DOUBLE) + CAST(vn AS DOUBLE))) * 10000000.0) AS BIGINT) AS lp_q
+       |    CASE WHEN c2 + 1 = c1 + vn THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor((ln(CAST(c2 AS DOUBLE) + 1.0) -
+       |      ln(CAST(c1 AS DOUBLE) + CAST(vn AS DOUBLE))) * 10000000.0) AS BIGINT)
+       |    END AS lp_q
        |  FROM mapped JOIN pairs USING (prev, cur) JOIN ctx USING (prev), v),
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(CAST(sum(lp_q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)

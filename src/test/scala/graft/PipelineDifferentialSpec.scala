@@ -53,11 +53,18 @@ class PipelineDifferentialSpec extends SparkSuite {
       .map { case (b, xs) => b -> xs.size.toLong }.withDefaultValue(0L)
     val tr = cr.values.sum
     val tt = ct.values.sum
+    // Spark's `log` is StrictMath.log, NOT Math.log — they differ by 1 ulp
+    // on some inputs; and a ratio of exactly 1 answers 0 without touching
+    // ln at all (the boundary case scale-5 seed 34 exposed)
+    def ln(x: Double): Double = java.lang.StrictMath.log(x)
     val lw = cr.map { case (b, c) =>
-      b -> math.floor(((math.log(ct(b).toDouble + 1.0) -
-        math.log(tt.toDouble + buckets.toDouble)) -
-        (math.log(c.toDouble + 1.0) -
-          math.log(tr.toDouble + buckets.toDouble))) * 1e7).toLong
+      val ratioOne = BigInt(ct(b) + 1) * BigInt(tr + buckets) ==
+        BigInt(c + 1) * BigInt(tt + buckets)
+      b -> (if (ratioOne) 0L
+      else math.floor(((ln(ct(b).toDouble + 1.0) -
+        ln(tt.toDouble + buckets.toDouble)) -
+        (ln(c.toDouble + 1.0) -
+          ln(tr.toDouble + buckets.toDouble))) * 1e7).toLong)
     }
     docs.map { case (id, t, _) =>
       val fs = feats(t)
@@ -79,7 +86,8 @@ class PipelineDifferentialSpec extends SparkSuite {
       val k = 1 + r.nextInt(docs.size)
       val wantSel = want.toSeq.map { case (id, (_, w)) =>
         val u = ((hash60(s"s${seed}_" + id) % 1000000L).toDouble + 0.5) / 1000000.0
-        (id, w + math.floor(-math.log(-math.log(u)) * 1e7).toLong)
+        (id, w + math.floor(-java.lang.StrictMath.log(
+          -java.lang.StrictMath.log(u)) * 1e7).toLong)
       }.sortBy { case (id, key) => (-key, id) }.take(k)
       val gotSel = ImportanceOps.dsirResample(
         ImportanceOps.dsirWeights(df, "doc_id", "text", col("tgt"), 64),
