@@ -291,6 +291,42 @@ object TextOps {
         coalesce(rep3, lit(0.0)) > 0.25).as("repetitive"))
   }
 
+  /** Gopher document-level quality rules (Rae et al. 2021, table A1 —
+    * the STATS half; the duplicate-n-gram half is [[repetitionReport]]):
+    * word-count bounds, mean word length, symbol-to-word ratio (`#` and
+    * `...`), alphabetic-word fraction, required stop words, bullet- and
+    * ellipsis-line fractions, and the conjunction verdict at the paper's
+    * thresholds. Map-only expression chain; substring counts use
+    * replace-length deltas so both engines count identically.
+    */
+  def gopherReport(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val nWd = nW.cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = sumLen.cast("double") / nWd
+    val nHash = (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long")
+    val nEll = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long")
+    val symRatio = (nHash + nEll).cast("double") / nWd
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWd
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks, t => t.isin(gopherStops: _*))).cast("long")
+    val lines = split(col("text"), "\n")
+    val nL = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l => trim(l).rlike("^[-*]"))).cast("double") / nL
+    val ellLineFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nL
+    docs.select(col("doc_id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"), bulletFrac.as("bullet_frac"),
+      ellLineFrac.as("ellipsis_line_frac"),
+      (nW >= 50L && nW <= 100000L &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 && alphaFrac >= 0.8 && nStop >= 2L &&
+        bulletFrac <= 0.9 && ellLineFrac <= 0.3).as("gopher_pass"))
+  }
+
   /** Line-level boilerplate dedup (the RefinedWeb/CCNet pass): drop every
     * line occurring in MORE than `maxDf` documents — cookie banners, nav
     * bars, copyright footers repeat corpus-wide while real content lines do

@@ -180,6 +180,13 @@ object CurationQueries {
           min(col("doc_id")).as("keep_id"))
     }),
 
+    // Gopher document-quality rules (stats half; repetition rules are
+    // q_text_repetition): word bounds, mean word length, symbol ratio,
+    // alpha fraction, required stop words, bullet/ellipsis lines, verdict
+    "q_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherReport(Tables.documents(s, dir))
+    }),
+
     // curriculum ordering: quality-quartile phases (cleanest first) with a
     // deterministic shuffle within each phase — thresholds from ONE exact
     // percentile agg (== quantile_cont bit-for-bit), position windows
@@ -557,6 +564,34 @@ object CurationQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
          |  CAST(sum(lw_q) AS BIGINT) AS weight_q
          |FROM pb JOIN w USING (bk) GROUP BY 1""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
+         |    string_split(text, chr(10)) AS lns FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+         |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         |    CAST((length(text) - length(replace(text, '#', ''))) +
+         |      (length(text) - length(replace(text, '...', ''))) // 3
+         |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], x)))
+         |      AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*]')))
+         |      AS DOUBLE) / CAST(len(lns) AS DOUBLE) AS bullet_frac,
+         |    CAST(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$$')))
+         |      AS DOUBLE) / CAST(len(lns) AS DOUBLE) AS ellipsis_line_frac
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         |  n_stop, bullet_frac, ellipsis_line_frac,
+         |  (n_words >= 50 AND n_words <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AND
+         |   bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS gopher_pass
+         |FROM m""".stripMargin,
 
     "q_curriculum" -> {
       import PipelineQueries.stopSql

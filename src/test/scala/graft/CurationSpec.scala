@@ -283,6 +283,29 @@ class CurationSpec extends SparkSuite {
     assert(s1 == Set(1L, 2L), s"importance must dominate: $s1")
   }
 
+  test("gopher rules: each rule fails its designed offender, clean doc passes") {
+    val pass = ("the data " + "spark rows and tables with more things " * 7).trim
+    val docs = Seq(
+      (1L, pass),                                            // all rules pass
+      (2L, "the and with just a few words"),                 // word count < 50
+      (3L, ("x " * 60).trim),                                // 1-char words + no stops
+      (4L, ("the and " + "### ## # " * 20).trim),            // symbol ratio
+      (5L, pass + "\n- bullet\n- bullet\n- bullet"),         // bullets, but <= 0.9 passes
+      (6L, "- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\n- b\nend") // > 0.9 bullets... 10/11 > 0.9? no: 0.909 > 0.9 fails
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherReport(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_pass"), s"clean doc: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("gopher_pass"), "short doc must fail")
+    val d3 = got(3L)
+    assert(d3.getAs[Double]("mean_word_len") == 1.0 && d3.getAs[Long]("n_stop") == 0L
+      && !d3.getAs[Boolean]("gopher_pass"))
+    assert(got(4L).getAs[Double]("symbol_ratio") > 0.1 && !got(4L).getAs[Boolean]("gopher_pass"))
+    assert(got(5L).getAs[Double]("bullet_frac") <= 0.9 && got(5L).getAs[Boolean]("gopher_pass") ==
+      (got(5L).getAs[Long]("n_words") >= 50L), s"${got(5L)}")
+    assert(got(6L).getAs[Double]("bullet_frac") > 0.9 && !got(6L).getAs[Boolean]("gopher_pass"))
+  }
+
   test("count-min sketch: exact when collision-free, never undercounts when squeezed") {
     import graft.operators.SketchOps
     val rows = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i")).toDF("k")
