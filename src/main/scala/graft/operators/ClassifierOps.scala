@@ -74,15 +74,20 @@ object ClassifierOps {
       val g = x.join(e, Seq("__id"))
         .groupBy("bk")
         .agg(expr("cast(sum(e_q * x_q) as bigint)").as("g_q"))
-      // persist each round's weights (<= buckets+1 rows, bounded): without
-      // it the broadcast of w_t re-executes every earlier round's corpus
-      // passes — training work would grow geometrically in `iters`
+      // localCheckpoint each round's weights (<= buckets+1 rows, bounded):
+      // it both stops the broadcast of w_t from re-executing every earlier
+      // round's corpus passes (geometric re-execution) AND truncates the
+      // lineage so Catalyst analysis stays O(1) per round at any `iters`
+      // (the connectedComponents rule) — eager jobs over tiny frames
       w = w.join(g, Seq("bk"), "left")
         .crossJoin(broadcast(n))
         .select(col("bk"), (col("w_q") -
           coalesce(expr(s"(${lrNum}L * (g_q div __n)) div ${S}L"), lit(0L))).as("w_q"))
-        .persist()
+        .localCheckpoint(true)
     }
+    // the corpus-scale feature cache must not outlive training; the final
+    // weights are checkpointed blocks, so dropping x costs nothing
+    x.unpersist()
     w
   }
 

@@ -88,10 +88,13 @@ object LmOps {
     mapped
       .join(broadcast(pairs), Seq("prev", "cur"), "left")
       .join(broadcast(ctx), Seq("prev"), "left")
-      // probability == 1 (c2+1 == c1+V) answers EXACTLY 0: the one input
-      // whose true log (0) sits on a quantization boundary, where Spark's
-      // StrictMath ln and DuckDB's libm ln straddle it by 1 ulp and floor
-      // would flip 0 / -1 (the ImportanceOps.lwQ landmine, same fix)
+      // probability == 1 (c2+1 == c1+V) answers EXACTLY 0 without touching
+      // ln — the one input whose true log sits on a quantization boundary,
+      // where StrictMath and libm straddle it by 1 ulp (the
+      // ImportanceOps.lwQ landmine, same fix). Here c2 <= c1 always (pairs
+      // partition their context's count), so with V >= 2 the branch is
+      // purely defensive; it becomes reachable in the degenerate
+      // empty-vocabulary case (c1 = c2 = 0, V = 1) and costs one compare
       .select(col("doc_id"),
         when(coalesce(col("c2"), lit(0L)) + lit(1L) ===
             coalesce(col("c1"), lit(0L)) + lit(vTypes), lit(0L))

@@ -481,10 +481,13 @@ object SimilarityOps {
         col("a.neighbor_id").as("i"), col("b.neighbor_id").as("j"),
         cosineQ(dotQ(col("a.v"), col("b.v")), col("a.nv"), col("b.nv")).as("sim"))
       .persist()
+    // per-round selections are tiny (<= k x |queries|): localCheckpoint
+    // truncates lineage so round t never replays rounds 1..t-1 and
+    // planning stays O(1) in k (the connectedComponents rule)
     var selected = cand.filter(col("rk") === 1)
       .select(col("query_id"), col("neighbor_id").as("sel_id"), lit(1L).as("step"),
         (lam * col("cos") - comp * lit(0.0)).as("score"))
-      .persist()
+      .localCheckpoint(true)
     for (t <- 2 to k) {
       val selIds = selected.select(col("query_id").as("sq"), col("sel_id"))
       val remaining = cand.as("c").join(selIds,
@@ -505,8 +508,12 @@ object SimilarityOps {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id").as("sel_id"),
           lit(t.toLong).as("step"), col("score"))
-      selected = selected.unionByName(pick).persist()
+      selected = selected.unionByName(pick).localCheckpoint(true)
     }
+    // the candidate pool and n^2-per-query pair cache must not outlive the
+    // rerank; the selection is checkpointed blocks, so this costs nothing
+    cand.unpersist()
+    pairs.unpersist()
     selected
   }
 }

@@ -28,13 +28,19 @@ object SketchOps {
   /** The d×w cell grid of `key`'s frequency sketch: (r, b, cnt), at most
     * depth·width rows. Omitted cells are zero.
     */
+  /** The cell address of `key` in hash row `r` — ONE definition shared by
+    * the build and probe sides: the CMS never-undercount guarantee holds
+    * only if both address cells identically.
+    */
+  private def cellOf(key: Column, r: Column, width: Int): Column =
+    pmod(hash60(concat(lit("cms"), r.cast("string"), lit("_"),
+      key.cast("string"))), lit(width.toLong))
+
   def cmsCells(df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad cms dims: $depth x $width")
     val rows = array((0 until depth).map(lit): _*)
     df.select(key.cast("string").as("__k"), explode(rows).as("r"))
-      .select(col("r"),
-        pmod(hash60(concat(lit("cms"), col("r").cast("string"), lit("_"),
-          col("__k"))), lit(width.toLong)).as("b"))
+      .select(col("r"), cellOf(col("__k"), col("r"), width).as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
@@ -48,9 +54,7 @@ object SketchOps {
                   depth: Int, width: Int): DataFrame = {
     val rows = array((0 until depth).map(lit): _*)
     probes.select(col(key), explode(rows).as("r"))
-      .select(col(key), col("r"),
-        pmod(hash60(concat(lit("cms"), col("r").cast("string"), lit("_"),
-          col(key).cast("string"))), lit(width.toLong)).as("b"))
+      .select(col(key), col("r"), cellOf(col(key), col("r"), width).as("b"))
       .join(broadcast(cells), Seq("r", "b"), "left")
       .groupBy(col(key))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

@@ -46,6 +46,16 @@ object SkewOps {
     */
   def spreadSmall(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition-count probe WITHOUT executing anything: `df.rdd
+    // .getNumPartitions` on an AQE plan with upstream shuffles would
+    // materialize those stages eagerly (running the query's work twice),
+    // and throws on streaming frames. File count from the leaf scan is
+    // side-effect-free and is the right signal anyway — the few-split
+    // hazard IS a few-file scan. Frames with no input files (in-memory
+    // relations, streams, post-shuffle compositions) pass through: a
+    // shuffle-bearing frame already has shuffle-determined parallelism,
+    // and a stream must never be batch-repartitioned here.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 }

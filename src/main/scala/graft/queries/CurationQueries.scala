@@ -250,12 +250,22 @@ object CurationQueries {
     })
   )
 
-  // DuckDB-side replay of the DSIR pipeline (ImportanceOps): hashed
-  // unigram+bigram buckets, add-1 smoothed target/raw bucket models, the
-  // identical IEEE ln tree quantized at 1e7, per-doc int64 sum. Ends in
-  // `dw(doc_id, n_features, weight_q)`.
-  private val dsirWeightsSql =
-    s"""d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+  // DuckDB-side replay of the DSIR bucket model (ImportanceOps.lwQ):
+  // hashed unigram+bigram buckets over `documents $where`, add-1 smoothed
+  // target/raw models, the identical IEEE ln tree quantized at 1e7 with
+  // the exact ratio==1 guard. Ends in `w(bk, lw_q)`; `dense` covers every
+  // bucket id (the persisted-index shape — unseen buckets carry the
+  // smoothed default), sparse only the observed ones. ONE definition for
+  // the one-shot, resample, and probe oracles so the bit-exactness-
+  // critical tree can never drift between them.
+  private def dsirModelSql(where: String, dense: Boolean): String = {
+    val (ctE, crE) = if (dense) ("coalesce(ct, 0)", "coalesce(cr, 0)")
+      else ("ct", "cr")
+    val (bkE, from) = if (dense)
+      ("g.bk", """FROM (SELECT CAST(unnest(generate_series(0, 4095)) AS BIGINT) AS bk) g
+                 |  LEFT JOIN c ON g.bk = c.bk, t""".stripMargin)
+      else ("bk", "FROM c, t")
+    s"""d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents $where),
        |f AS (
        |  SELECT doc_id, lang, unnest(toks) AS feat FROM d
        |  UNION ALL
@@ -267,12 +277,19 @@ object CurationQueries {
        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
        |  FROM b GROUP BY 1),
        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
-       |w AS (SELECT bk, CASE WHEN CAST(ct + 1 AS HUGEINT) * (tr + 4096)
-       |      = CAST(cr + 1 AS HUGEINT) * (tt + 4096) THEN CAST(0 AS BIGINT)
+       |w AS (SELECT $bkE, CASE WHEN CAST($ctE + 1 AS HUGEINT) * (tr + 4096)
+       |      = CAST($crE + 1 AS HUGEINT) * (tt + 4096) THEN CAST(0 AS BIGINT)
        |    ELSE CAST(floor((
-       |      (ln(CAST(ct AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
-       |      (ln(CAST(cr AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
-       |    ) * 10000000.0) AS BIGINT) END AS lw_q FROM c, t),
+       |      (ln(CAST($ctE AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
+       |      (ln(CAST($crE AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
+       |    ) * 10000000.0) AS BIGINT) END AS lw_q
+       |  $from)""".stripMargin
+  }
+
+  // one-shot DSIR weights: the sparse model + per-doc feature-sum scoring;
+  // ends in `dw(doc_id, n_features, weight_q)`
+  private val dsirWeightsSql =
+    s"""${dsirModelSql("", dense = false)},
        |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
        |    CAST(sum(lw_q) AS BIGINT) AS weight_q
        |  FROM b JOIN w USING (bk) GROUP BY 1)""".stripMargin
@@ -364,6 +381,29 @@ object CurationQueries {
        |    CASE $domCase ELSE h END AS domain
        |  FROM p3)""".stripMargin
   }
+
+  // The classifier training scaffold over `documents $where`: features
+  // (mean-normalized hashed BoW + bias), labels, doc count, zero weights,
+  // then the 3 unrolled GD iterations — ends in `w3(bk, w_q)`. ONE
+  // definition for the full-corpus and train/probe-split oracles.
+  private def classifierTrainSql(where: String): String =
+    s"""d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents $where),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+       |xb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
+       |    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |x AS (SELECT xb.doc_id, bk, (c * 1000000) // n.n AS x_q
+       |    FROM xb JOIN n ON xb.doc_id = n.doc_id
+       |  UNION ALL
+       |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
+       |    CAST(1000000 AS BIGINT) AS x_q FROM d),
+       |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
+       |    AS BIGINT) AS y_q FROM d),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
+       |w0 AS (SELECT DISTINCT bk, CAST(0 AS BIGINT) AS w_q FROM x),
+       |${gdIterSql(1)},
+       |${gdIterSql(2)},
+       |${gdIterSql(3)}""".stripMargin
 
   // One unrolled GD iteration of the DuckDB-side classifier replay
   // (ClassifierOps.trainLinearQ with lrNum=25): margins -> surrogate
@@ -532,27 +572,7 @@ object CurationQueries {
          |ORDER BY key_q DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_dsir_probe" ->
-      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents
-         |    WHERE doc_id % 10 <> 7),
-         |f AS (
-         |  SELECT doc_id, lang, unnest(toks) AS feat FROM d
-         |  UNION ALL
-         |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS feat
-         |  FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-         |),
-         |b AS (SELECT doc_id, lang, ${hash60Sql("feat")} % 4096 AS bk FROM f),
-         |c AS (SELECT bk, CAST(count(*) AS BIGINT) AS cr,
-         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
-         |  FROM b GROUP BY 1),
-         |t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c),
-         |w AS (SELECT g.bk, CASE WHEN CAST(coalesce(ct, 0) + 1 AS HUGEINT) * (tr + 4096)
-         |      = CAST(coalesce(cr, 0) + 1 AS HUGEINT) * (tt + 4096) THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(floor((
-         |      (ln(CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 4096.0)) -
-         |      (ln(CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) - ln(CAST(tr AS DOUBLE) + 4096.0))
-         |    ) * 10000000.0) AS BIGINT) END AS lw_q
-         |  FROM (SELECT CAST(unnest(generate_series(0, 4095)) AS BIGINT) AS bk) g
-         |  LEFT JOIN c ON g.bk = c.bk, t),
+      s"""WITH ${dsirModelSql("WHERE doc_id % 10 <> 7", dense = true)},
          |pd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 7),
          |pf AS (
          |  SELECT doc_id, unnest(toks) AS feat FROM pd
@@ -616,24 +636,7 @@ object CurationQueries {
     },
 
     "q_classifier_probe" ->
-      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents
-         |    WHERE doc_id % 10 <> 7),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
-         |xb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
-         |    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-         |x AS (SELECT xb.doc_id, bk, (c * 1000000) // n.n AS x_q
-         |    FROM xb JOIN n ON xb.doc_id = n.doc_id
-         |  UNION ALL
-         |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
-         |    CAST(1000000 AS BIGINT) AS x_q FROM d),
-         |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
-         |    AS BIGINT) AS y_q FROM d),
-         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
-         |w0 AS (SELECT DISTINCT bk, CAST(0 AS BIGINT) AS w_q FROM x),
-         |${gdIterSql(1)},
-         |${gdIterSql(2)},
-         |${gdIterSql(3)},
+      s"""WITH ${classifierTrainSql("WHERE doc_id % 10 <> 7")},
          |pd AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 10 = 7),
          |ptok AS (SELECT doc_id, unnest(toks) AS tok FROM pd),
          |pn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM pd),
@@ -685,23 +688,7 @@ object CurationQueries {
          |LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin,
 
     "q_quality_classifier" ->
-      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
-         |xb AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bk,
-         |    CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-         |x AS (SELECT xb.doc_id, bk, (c * 1000000) // n.n AS x_q
-         |    FROM xb JOIN n ON xb.doc_id = n.doc_id
-         |  UNION ALL
-         |  SELECT doc_id, CAST(1024 AS BIGINT) AS bk,
-         |    CAST(1000000 AS BIGINT) AS x_q FROM d),
-         |y AS (SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
-         |    AS BIGINT) AS y_q FROM d),
-         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d),
-         |w0 AS (SELECT DISTINCT bk, CAST(0 AS BIGINT) AS w_q FROM x),
-         |${gdIterSql(1)},
-         |${gdIterSql(2)},
-         |${gdIterSql(3)},
+      s"""WITH ${classifierTrainSql("")},
          |zf AS (SELECT x.doc_id,
          |    CAST(sum(x.x_q * w.w_q) AS BIGINT) // 1000000 AS score_q
          |  FROM x JOIN w3 w USING (bk) GROUP BY 1)

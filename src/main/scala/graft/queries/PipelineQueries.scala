@@ -336,8 +336,11 @@ object PipelineQueries {
     // corpus into head/middle/tail (head = most natural text); CCNet keeps
     // head+middle. Thresholds from one exact percentile agg broadcast back
     "q_ccnet_buckets" -> ((s, dir) => {
+      // persist the per-doc scores: the tercile agg AND the final select
+      // both consume them — without it the whole LM chain (vocab top-k,
+      // model joins, per-doc agg) runs twice
       val lm = LmOps.lmScore(Tables.documents(s, dir), "doc_id", "text", 40)
-        .select(col("doc_id"), col("avg_logprob"))
+        .select(col("doc_id"), col("avg_logprob")).persist()
       val th = lm.agg(
         percentile(col("avg_logprob"), lit(1.0 / 3.0)).as("__t1"),
         percentile(col("avg_logprob"), lit(2.0 / 3.0)).as("__t2"))

@@ -303,17 +303,25 @@ class StorageSpec extends SparkSuite {
     assert(plain == salted)
   }
 
-  test("spreadSmall: few-split input spreads to session slots, many-split input untouched") {
+  test("spreadSmall: few-file scan spreads to session slots, shuffled/in-memory frames untouched") {
     val target = spark.sparkContext.defaultParallelism
-    val one = spark.range(0, 1000).coalesce(1).select(col("id"), (col("id") * 3).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString + "/t"
+    spark.range(0, 1000).select(col("id"), (col("id") * 3).as("v"))
+      .coalesce(1).write.parquet(dir)
+    val one = spark.read.parquet(dir)
     val spread = SkewOps.spreadSmall(one)
     assert(one.rdd.getNumPartitions == 1)
-    assert(spread.rdd.getNumPartitions == target, "small input must fan out")
+    assert(spread.rdd.getNumPartitions == target, "single-file scan must fan out")
     // content-neutral: keyed aggregation identical either way
     assert(spread.groupBy(col("id") % 7).agg(sum("v")).as[(Long, Long)].collect().toSet ==
       one.groupBy(col("id") % 7).agg(sum("v")).as[(Long, Long)].collect().toSet)
-    val many = spark.range(0, 1000).repartition(target + 5).toDF()
-    assert(SkewOps.spreadSmall(many).rdd.getNumPartitions == target + 5,
-      "an already-parallel table must pass through with no shuffle")
+    // a frame with NO file scan (in-memory / post-shuffle) passes through —
+    // the probe must not call .rdd, which would eagerly run AQE stages
+    val shuffled = spark.range(0, 1000).repartition(target + 5).toDF()
+    assert(SkewOps.spreadSmall(shuffled) eq shuffled,
+      "a fileless frame must pass through untouched")
+    // a filter on top of the scan keeps the scan's file count visible
+    assert(SkewOps.spreadSmall(one.filter(col("id") % 2 === 0))
+      .rdd.getNumPartitions == target)
   }
 }
