@@ -24,11 +24,16 @@ object InfluxShell {
 
   /** Render up to `max` rows as an aligned text table (header, rule, rows,
     * and a truncation note when the result is larger). Null prints as
-    * empty, like the influx CLI.
+    * empty, like the influx CLI. Consumption is BOUNDED: at most `max + 1`
+    * rows are taken from `toLocalIterator` over a `limit(max + 1)` plan —
+    * a `SELECT * FROM <big measurement>` never buffers its full result in
+    * driver heap, only the page the terminal will show.
     */
   def render(df: DataFrame, max: Int = 100): String = {
     val cols = df.columns
-    val rows = df.limit(max + 1).collect()
+    val it = df.limit(max + 1).toLocalIterator()
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    while (it.hasNext && rows.length <= max) rows += it.next()
     val shown = rows.take(max).map(_.toSeq.map {
       case null => ""
       case v => v.toString
@@ -54,12 +59,14 @@ object InfluxShell {
               creds: Option[(String, String)] = None): String =
     try {
       // both paths run under the query registry and accept `;`-separated
-      // multi-statement input (last result prints, like influx's CLI)
-      val df = creds match {
-        case Some((u, pw)) => cat.executeAs(u, pw, stmt)
-        case None => cat.execute(stmt)
+      // multi-statement input (last result prints, like influx's CLI);
+      // the render happens INSIDE the last statement's registry window, so
+      // SHOW QUERIES lists it and KILL QUERY can cancel it while its page
+      // streams out — and the driver only ever holds the page
+      creds match {
+        case Some((u, pw)) => cat.executeAsStreamed(u, pw, stmt)(render(_))
+        case None => cat.executeStreamed(stmt)(render(_))
       }
-      render(df)
     } catch {
       case e: Exception =>
         s"ERR: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"

@@ -444,24 +444,27 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     }
   }
 
-  /** One statement, executed under the [[queryRegistry]]: listed by SHOW
-    * QUERIES while its Spark jobs run, cancellable by KILL QUERY (the job
-    * group covers every job the statement submits). Returns the
-    * already-materialized result as a local DataFrame — the execution
-    * window, not the plan, is what the registry tracks.
+  /** One statement under its [[queryRegistry]] window: listed by SHOW
+    * QUERIES and cancellable by KILL QUERY while the window is open. The
+    * window covers planning plus every side effect ([[run]] executes DDL /
+    * INTO / DELETE eagerly before returning); the returned frame is LAZY —
+    * nothing materializes on the driver here. A caller that wants the
+    * window to ALSO span result consumption (the scale path — a full
+    * result must never buffer in driver heap) drives the frame through
+    * [[runStreamed]] / [[executeStreamed]] instead of acting on the
+    * returned frame after the window closed.
     */
   private def tracked(stmt: String)(body: => DataFrame): DataFrame =
-    queryRegistry.track(spark, stmt, defaultDb) {
-      val df = body
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    }
+    queryRegistry.track(spark, stmt, defaultDb)(body)
 
   /** `;`-separated multi-statement input (what InfluxDB's /query accepts):
     * each statement runs in order under its own registry window, paired
-    * with its result. A mid-sequence failure aborts the remainder — the
-    * statements already run stay run (InfluxDB has no cross-statement
-    * transaction either).
+    * with its LAZY result — side effects happen here, rows do not. A
+    * mid-sequence failure aborts the remainder — the statements already
+    * run stay run (InfluxDB has no cross-statement transaction either).
+    * Consume a statement's frame before running later statements that
+    * mutate what it reads, or use [[executeStreamed]] to consume inside
+    * the registry window.
     */
   def executeAll(text: String): Seq[(String, DataFrame)] =
     InfluxQL.splitStatements(text).map(s => s -> tracked(s)(run(s)))
@@ -476,6 +479,37 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     */
   def runStreamed[T](stmt: String)(consume: DataFrame => T): T =
     queryRegistry.track(spark, stmt, defaultDb)(consume(run(stmt.trim)))
+
+  /** Multi-statement [[runStreamed]] — the shell's path. Every statement
+    * but the last runs in order under its own registry window
+    * ([[executeAll]] semantics: side effects eager, mid-sequence failure
+    * aborts the remainder, a pure SELECT whose rows nobody will read stays
+    * an unexecuted plan); the LAST statement's window additionally spans
+    * `consume`, which receives its lazy result and drives execution itself
+    * (e.g. `toLocalIterator`) — SHOW QUERIES lists it and KILL QUERY can
+    * cancel it for the whole emission, and the driver never holds more
+    * rows than `consume` chooses to take.
+    */
+  def executeStreamed[T](text: String)(consume: DataFrame => T): T = {
+    val stmts = InfluxQL.splitStatements(text)
+    require(stmts.nonEmpty, "InfluxQL: empty statement")
+    stmts.init.foreach(s => tracked(s)(run(s)))
+    runStreamed(stmts.last)(consume)
+  }
+
+  /** [[executeStreamed]] under [[runAs]] enforcement: EVERY statement is
+    * authorized up front, before ANY runs (the [[executeAllAs]] ordering —
+    * a 403 on statement N must not leave 0..N-1's side effects behind a
+    * failed request).
+    */
+  def executeAsStreamed[T](user: String, password: String, text: String)
+                          (consume: DataFrame => T): T = {
+    val stmts = InfluxQL.splitStatements(text)
+    require(stmts.nonEmpty, "InfluxQL: empty statement")
+    stmts.foreach(authorize(user, password, _))
+    stmts.init.foreach(s => tracked(s)(run(s)))
+    runStreamed(stmts.last)(consume)
+  }
 
   /** The GROUP BY tag columns a SELECT's result splits into series on,
     * resolved exactly as the planner resolves them: named tags verbatim,
@@ -507,8 +541,11 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     stmts.map(s => s -> tracked(s)(run(s)))
   }
 
-  /** [[executeAll]], returning the LAST statement's result — the
-    * single-DataFrame face the shell prints.
+  /** [[executeAll]], returning the LAST statement's LAZY result — the
+    * single-DataFrame programmatic face. The registry window covered each
+    * statement's planning + side effects; consumption of the returned
+    * frame happens on the caller's terms (use [[executeStreamed]] when the
+    * window must span it).
     */
   def execute(text: String): DataFrame = {
     val all = executeAll(text)

@@ -73,4 +73,40 @@ class InfluxShellSpec extends SparkSuite {
       "SELECT count(value) FROM temp WHERE device != 'x;y'")
     assert(strSemi.endsWith("(1 row)"), strSemi)
   }
+
+  test("render consumes at most cap+1 rows — a big result never buffers on the driver") {
+    val acc = spark.sparkContext.longAccumulator("render_consumed")
+    val big = spark.range(0, 100000, 1, 8).map { x => acc.add(1); x }.toDF("v")
+    val out = InfluxShell.render(big, max = 100)
+    assert(out.contains("showing first 100 rows"), out.takeRight(120))
+    // limit(cap+1) short-circuits each partition's scan: executor-side row
+    // production is bounded by partitions * (cap+1) even across retries,
+    // nowhere near the 100k rows a collect-then-trim would materialize
+    assert(acc.value <= 8L * 101, s"render consumed ${acc.value} rows")
+  }
+
+  test("shell statements stay visible to SHOW QUERIES while their page streams") {
+    val root = java.nio.file.Files.createTempDirectory("shellstream").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db", (0 until 150).map(i => ("d", "m", i.toLong, i.toDouble))
+      .toDF("device", "transducer", "ts_us", "value"))
+    // the registry window of the LAST statement spans consumption: SHOW
+    // QUERIES (from the same thread — the registry is a map, not the job
+    // group) lists it mid-stream, and the earlier statement's side effect
+    // already landed
+    val (listed, dbs, consumed) =
+      cat.executeStreamed("CREATE DATABASE scratch3; SELECT value FROM m") { df =>
+        val l = cat.run("SHOW QUERIES").select("query").as[String].collect().toSeq
+        val d = cat.run("SHOW DATABASES").as[String].collect().toSet
+        val it = df.limit(101).toLocalIterator()
+        var n = 0
+        while (it.hasNext && n <= 100) { it.next(); n += 1 }
+        (l, d, n)
+      }
+    assert(listed == Seq("SELECT value FROM m"), listed)
+    assert(dbs.contains("scratch3"), "init statement's side effect must precede the last")
+    assert(consumed == 101, s"iterator page: $consumed")
+    assert(cat.run("SHOW QUERIES").collect().isEmpty, "window must close on exit")
+  }
 }
