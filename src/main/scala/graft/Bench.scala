@@ -93,7 +93,7 @@ object Bench {
     // a committed spread turns "is 4.4 s real?" into a lookup
     val variance = results.toSeq.sortBy(-_._2).take(6).map { case (k, _) =>
       val ts = passes.map(_(k)).sorted
-      s""""$k":{"min":${fmt(ts.head)},"median":${fmt(ts(1))},"spread":${fmt(ts.last - ts.head)}}"""
+      s""""$k":{"min":${fmt(ts.head)},"median":${fmt(ts(ts.size / 2))},"spread":${fmt(ts.last - ts.head)}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_failed":${errors.size},"errors":$errs,"variance":$variance,"queries":$qs,"sf":"$sfDir"}"""
     println(line)

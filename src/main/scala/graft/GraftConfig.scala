@@ -158,12 +158,17 @@ object GraftConfig {
         "no PKCS#8 'BEGIN PRIVATE KEY' block in PEM"))
     val der = java.util.Base64.getMimeDecoder.decode(block.group(1).replaceAll("\\s", ""))
     val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+    // keep the FIRST factory's failure: a corrupt/truncated PKCS#8 RSA key
+    // fails all three probes, and "unsupported algorithm" without the
+    // underlying parse error is a dead end for TLS-setup diagnostics
+    var firstFailure: Exception = null
     val tried = Seq("RSA", "EC", "EdDSA").iterator.flatMap { alg =>
       try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
-      catch { case _: Exception => None }
+      catch { case e: Exception => if (firstFailure == null) firstFailure = e; None }
     }
     if (tried.hasNext) tried.next()
-    else throw new IllegalArgumentException("unsupported private key algorithm (not RSA/EC/EdDSA)")
+    else throw new IllegalArgumentException(
+      "unsupported private key algorithm (not RSA/EC/EdDSA)", firstFailure)
   }
 
   /** Build the broker transport from the reference's config keys

@@ -102,6 +102,7 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   private val writeOk = new java.util.concurrent.atomic.AtomicLong(0)
   private val writeLines = new java.util.concurrent.atomic.AtomicLong(0)
   private val partialWrites = new java.util.concurrent.atomic.AtomicLong(0)
+  private val truncationWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val clientErrors = new java.util.concurrent.atomic.AtomicLong(0)
   private val serverErrors = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -408,6 +409,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
       rows += 1
       if (maxRowLimit > 0 && rows >= maxRowLimit && it.hasNext) {
         truncated = true
+        // the deliberate divergence from the 1.8 default (unlimited) is
+        // easy to miss — stock clients ignore "partial": true — so the
+        // FIRST truncation this listener performs logs loudly with the
+        // two escape hatches; once is signal, per-request would be spam
+        if (truncationWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"unchunked /query result truncated at max-row-limit=$maxRowLimit " +
+              "(flagged only via \"partial\": true, which many clients ignore); " +
+              "set http_max_row_limit=0 for InfluxDB 1.8's unlimited default " +
+              "or use chunked=true, which is never limited")
         // the series-level flag only belongs on a series the cut landed
         // INSIDE — a complete series followed by a discarded new one is
         // whole, and flagging it would tell the client its rows are short

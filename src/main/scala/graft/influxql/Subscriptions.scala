@@ -161,7 +161,11 @@ object Subscriptions {
     */
   private val droppedByScope =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-  private def scopeKey(root: String, db: String) = root + "\u0000" + db
+  // normalize the root so every spelling of one deployment (trailing
+  // slash, relative vs absolute) shares a counter -- the JVM-wide gauge is
+  // spelling-blind and the scoped one must not split where it doesn't
+  private def scopeKey(root: String, db: String) =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString + "\u0000" + db
   def droppedFor(root: String, db: String): Long =
     Option(droppedByScope.get(scopeKey(root, db))).map(_.get()).getOrElse(0L)
   private def addDropped(root: String, db: String, n: Long): Unit = {

@@ -1573,6 +1573,12 @@ class InfluxQLSpec extends SparkSuite {
       .as[(String, Long, Long, Long, Long, Long)].collect()
       .find(_._1 == "tele").get
     assert(statsRow._6 == 47L, s"SHOW STATS sub_dropped gauge: $statsRow")
+    // the scoped gauge keys on the NORMALIZED root: a trailing slash or a
+    // redundant path segment is the same deployment, not a fresh counter
+    assert(Subscriptions.droppedFor(root + "/", "tele") == 47L,
+      "trailing-slash spelling must share the deployment's counter")
+    assert(Subscriptions.droppedFor(root + "/./", "tele") == 47L,
+      "dot-segment spelling must share the deployment's counter")
   }
 
   test("continuous-query registry: CREATE validates + persists, SHOW lists, startAll runs, DROP removes") {
