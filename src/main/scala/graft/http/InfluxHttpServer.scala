@@ -658,8 +658,16 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
         // The "unable to parse" prefix also covers out-of-range timestamps
         // on purpose — InfluxDB wraps its ErrTimeOutOfRange in exactly this
         // phrasing ("unable to parse '...': time outside range"), and
-        // drop-in clients match on it
-        err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
+        // drop-in clients match on it. Field type conflicts render 1.x's
+        // own shape instead ("field type conflict: ... dropped=N") —
+        // clients match on that prefix too, and the conflicted points
+        // were NOT committed
+        if (e.error.startsWith("field type conflict")) {
+          val dropped = res.errors
+            .filter(_.error.startsWith("field type conflict")).count()
+          err(ex, 400, s"partial write: ${e.error} dropped=$dropped")
+        } else
+          err(ex, 400, s"partial write: unable to parse '${e.line}': ${e.error}")
       case (None, Some(d)) =>
         partialWrites.incrementAndGet()
         // well-formed points the narrow layout cannot hold (string field,

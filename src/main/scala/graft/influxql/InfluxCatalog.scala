@@ -108,6 +108,9 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       dbTable.delete(col("name") === db)
       val policies = new TxLogTable(spark, s"$rootDir/_retention_policies")
       if (policies.version.nonEmpty) policies.delete(col("db") === db)
+      // field types die with the db: a re-created db starts typeless
+      val ftypes = fieldTypesTable
+      if (ftypes.version.nonEmpty) ftypes.delete(col("db") === db)
       deleteTree(Paths.get(s"$rootDir/$db"))
     }
     showDatabases()
@@ -273,17 +276,56 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
                         tsUnitNs: Long = 1L): LpWriteResult = {
     requireDb(db)
     val serverTsUs = System.currentTimeMillis() * 1000L
+    // field-type enforcement (InfluxDB 1.x: a field's type is fixed at its
+    // first write per measurement and a conflicting later write is a
+    // partial-write 400, never a silent flip): registration commits FIRST
+    // — a crash between the two leaves a registered type with no data,
+    // which only ever REJECTS more, never corrupts — and re-reads inside
+    // the retry so of two writers racing an unseen field, the commit
+    // loser re-derives against the winner's registration (first-seen wins
+    // JVM- and process-wide, the registry is ACID like the data)
+    val types = TxLogTable.retryOnConflict() {
+      val known = fieldTypes(db)
+      val fresh = LineProtocol.firstSeenTypes(lines, known, tsUnitNs)
+      if (fresh.nonEmpty) {
+        import spark.implicits._
+        fieldTypesTable.append(fresh.toSeq
+          .map { case ((m, f), t) => (db, m, f, t) }
+          .toDF("db", "measurement", "field", "ftype"))
+      }
+      known ++ fresh
+    }
     // conflict-retried: concurrent /write clients and the maintenance
     // compactor race this commit routinely — a lost optimistic round is
     // a retry, never an error surfaced to the HTTP client
     val v = TxLogTable.retryOnConflict() {
       pointsTable(db).append(
         LineProtocol.narrowPoints(lines, serverTsUs = Some(serverTsUs),
-          tsUnitNs = tsUnitNs))
+          tsUnitNs = tsUnitNs, fieldTypes = types))
     }
-    LpWriteResult(v, LineProtocol.errors(lines, tsUnitNs),
+    LpWriteResult(v, LineProtocol.errors(lines, tsUnitNs, fieldTypes = types),
       LineProtocol.narrowDropped(lines, serverTsAssigned = true,
-        tsUnitNs = tsUnitNs))
+        tsUnitNs = tsUnitNs, fieldTypes = types))
+  }
+
+  /** The per-db field-type registry behind [[writeLineProtocol]]'s
+    * conflict enforcement: one row per (db, measurement, field) with the
+    * type its first write fixed. Control-plane sized (schema rows, like
+    * `_retention_policies`), shared at the root so it never collides with
+    * a measurement or INTO target name.
+    */
+  private def fieldTypesTable: TxLogTable =
+    new TxLogTable(spark, s"$rootDir/_field_types")
+
+  /** The registered first-seen types of `db` as a driver map (bounded by
+    * the db's schema size — fields × measurements, never points).
+    */
+  def fieldTypes(db: String): Map[(String, String), String] = {
+    val t = fieldTypesTable
+    if (t.version.isEmpty) Map.empty
+    else t.read().filter(col("db") === db)
+      .select("measurement", "field", "ftype").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
   }
 
   /** One statement in, one DataFrame out — the full dialect with database
@@ -351,8 +393,18 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     } else if (up.startsWith("SHOW"))
       InfluxQL.planShow(points(defaultDb), t, d => points(d))
     else if (up.startsWith("DELETE") || up.startsWith("DROP MEASUREMENT") ||
-             up.startsWith("DROP SERIES"))
-      Seq(InfluxQL.runDelete(pointsTable(defaultDb), t)).toDF("version")
+             up.startsWith("DROP SERIES")) {
+      val v = InfluxQL.runDelete(pointsTable(defaultDb), t)
+      // dropping a measurement releases its field types (InfluxDB: the
+      // type is fixed per shard; dropping the data frees the schema) —
+      // DELETE / DROP SERIES keep them, like InfluxDB keeps field keys
+      InfluxQL.dropMeasurementName(t).foreach { m =>
+        val ftypes = fieldTypesTable
+        if (ftypes.version.nonEmpty)
+          ftypes.delete(col("db") === defaultDb && col("measurement") === m)
+      }
+      Seq(v).toDF("version")
+    }
     else if (up.startsWith("EXPLAIN")) {
       // the real physical plan of the ROUTED query, one row per line —
       // same shape as InfluxQL.run's EXPLAIN, db-aware

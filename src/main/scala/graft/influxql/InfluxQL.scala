@@ -996,6 +996,15 @@ object InfluxQL {
     * `influx_service.py` manages series lifecycle this way via the InfluxDB
     * admin API). Returns the committed version.
     */
+  /** The measurement a DROP MEASUREMENT statement names — tokenizer-exact
+    * (the same ident rules [[runDelete]] applies, so a quoted name with
+    * spaces resolves identically); None for the other delete forms.
+    */
+  def dropMeasurementName(text: String): Option[String] = {
+    val p = new P(tokenize(text))
+    if (p.kw("DROP") && p.kw("MEASUREMENT")) Some(p.ident()) else None
+  }
+
   def runDelete(table: graft.storage.TxLogTable, text: String): Long = {
     val p = new P(tokenize(text))
     if (p.kw("DROP")) {

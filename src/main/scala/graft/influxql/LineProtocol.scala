@@ -64,6 +64,74 @@ object LineProtocol {
     p.ts_ns.exists(t => t < -lim || t > lim)
   }
 
+  /** The line-protocol type class of one parsed point — the classes the
+    * engine's tri-column value variant distinguishes. Integer literals
+    * (`42i`) fold into `float` DELIBERATELY: the narrow layout stores one
+    * double value column (±2^53 exactness guarded at parse), so int-vs-
+    * float is a single storage type here, not the separate 1.x conflict
+    * it is upstream (documented divergence; everything else follows
+    * InfluxDB's first-write-fixes-the-type rule).
+    */
+  def fieldTypeOf(p: LpPoint): String =
+    if (p.str.nonEmpty) "string" else if (p.bool.nonEmpty) "boolean" else "float"
+
+  /** The first point of a line whose type disagrees with the registered
+    * type of its (measurement, field), paired with the registered type —
+    * InfluxDB 1.x's field type conflict. A conflicted LINE contributes
+    * nothing to the table: errors / narrowPoints / narrowDropped all key
+    * on the same per-line verdict so the exactly-once partition of input
+    * lines holds.
+    */
+  private def lineConflict(pts: Seq[LpPoint],
+                           types: Map[(String, String), String]): Option[(LpPoint, String)] =
+    pts.iterator.flatMap { p =>
+      types.get((p.measurement, p.field))
+        .filter(_ != fieldTypeOf(p)).map(exp => (p, exp))
+    }.nextOption()
+
+  private def conflictError(l: String, p: LpPoint, expected: String): LpError =
+    LpError(l, s"""field type conflict: input field "${p.field}" on """ +
+      s"""measurement "${p.measurement}" is type ${fieldTypeOf(p)}, """ +
+      s"already exists as type $expected")
+
+  /** First-seen type per (measurement, field) across a batch, in INPUT
+    * order, for fields `known` has not registered yet — the type each
+    * unseen field's first write this batch fixes (InfluxDB 1.x: a field's
+    * type is set by its first write and every later write must match).
+    * Input order rides `monotonically_increasing_id` (partition-major =
+    * the order the request body's lines were read in). Lines that are
+    * malformed, out of timestamp range, or already conflicting with
+    * `known` register nothing; a line rejected for an INTRA-batch conflict
+    * still registers its other fields' types (InfluxDB resolves strictly
+    * line-by-line; this engine resolves a request in two phases —
+    * persisted registry first, then batch-internal first-seen — a
+    * documented corner divergence). Output is schema-sized (distinct
+    * (measurement, field) pairs), safe to collect.
+    */
+  def firstSeenTypes(lines: Dataset[String],
+                     known: Map[(String, String), String],
+                     tsUnitNs: Long = 1L): Map[(String, String), String] = {
+    import lines.sparkSession.implicits._
+    lines.toDF("line").withColumn("idx", monotonically_increasing_id())
+      .as[(String, Long)]
+      .flatMap { case (l, idx) =>
+        parseLine(l) match {
+          case Right(pts) if !pts.exists(tsOutOfRange(_, tsUnitNs)) &&
+              lineConflict(pts, known).isEmpty =>
+            pts.collect {
+              case p if !known.contains((p.measurement, p.field)) =>
+                (p.measurement, p.field, fieldTypeOf(p), idx)
+            }
+          case _ => Nil
+        }
+      }
+      .toDF("measurement", "field", "ftype", "idx")
+      .groupBy(col("measurement"), col("field"))
+      .agg(min_by(col("ftype"), col("idx")).as("ftype"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+  }
+
   /** Parse one line into its exploded field points.
     * Left = parse error message.
     */
@@ -211,12 +279,31 @@ object LineProtocol {
     lines.flatMap(l => parseLine(l).getOrElse(Nil))
   }
 
+  /** [[parse]] restricted to lines with no field type conflict against the
+    * registry — the whole LINE drops when any of its points conflicts
+    * (those lines are [[errors]]' rows, and a point sharing a line with an
+    * offender must not commit behind its line's 400).
+    */
+  private def parseConforming(lines: Dataset[String],
+                              fieldTypes: Map[(String, String), String]): Dataset[LpPoint] = {
+    import lines.sparkSession.implicits._
+    if (fieldTypes.isEmpty) parse(lines)
+    else lines.flatMap(l => parseLine(l) match {
+      case Right(pts) if lineConflict(pts, fieldTypes).isEmpty => pts
+      case _ => Nil
+    })
+  }
+
   /** The malformed complement of [[parse]]: (line, error) rows. With a
     * coarse `tsUnitNs` this also covers well-formed lines whose timestamp
     * is outside the precision's representable window (see [[maxRawTs]]) —
     * at the default ns precision no parseable long can be out of range.
+    * With a non-empty `fieldTypes` registry it also covers field type
+    * conflicts (InfluxDB's partial-write 400 for a float-then-bool flip on
+    * one field) — the conflicted line routes here and commits nothing.
     */
-  def errors(lines: Dataset[String], tsUnitNs: Long = 1L): Dataset[LpError] = {
+  def errors(lines: Dataset[String], tsUnitNs: Long = 1L,
+             fieldTypes: Map[(String, String), String] = Map.empty): Dataset[LpError] = {
     import lines.sparkSession.implicits._
     lines.flatMap { l =>
       parseLine(l) match {
@@ -224,6 +311,9 @@ object LineProtocol {
         case Right(pts) => pts.find(tsOutOfRange(_, tsUnitNs)).map(p =>
           LpError(l, s"timestamp ${p.ts_ns.get} out of range at " +
             s"precision ${tsUnitNs}ns (|ts| <= ${maxRawTs(tsUnitNs)})"))
+          .orElse(lineConflict(pts, fieldTypes).map {
+            case (p, exp) => conflictError(l, p, exp)
+          })
       }
     }
   }
@@ -244,7 +334,8 @@ object LineProtocol {
     */
   def narrowPoints(lines: Dataset[String],
                    serverTsUs: Option[Long] = None,
-                   tsUnitNs: Long = 1L): DataFrame = {
+                   tsUnitNs: Long = 1L,
+                   fieldTypes: Map[(String, String), String] = Map.empty): DataFrame = {
     // `tsUnitNs` is the wire precision of the raw timestamps (the HTTP
     // /write `precision` parameter): 1 = ns (the protocol default),
     // 1000 = µs, 1e6 = ms, 1e9 = s, ... — converted to the engine's µs.
@@ -266,7 +357,7 @@ object LineProtocol {
     // which only timestamp-LESS points may take); filtering the whole row
     // here keeps a null-ts substitute from resurrecting the offender
     val lim = maxRawTs(tsUnitNs)
-    parse(lines).toDF()
+    parseConforming(lines, fieldTypes).toDF()
       .filter(col("ts_ns").isNull || col("ts_ns").between(-lim, lim))
       .filter(col("field") === "value")
       .select(
@@ -286,10 +377,12 @@ object LineProtocol {
     */
   def narrowDropped(lines: Dataset[String],
                     serverTsAssigned: Boolean = false,
-                    tsUnitNs: Long = 1L): Dataset[LpPoint] =
-    parse(lines).filter { p =>
-      // out-of-range timestamps belong to errors(), not dropped —
-      // the exactly-once partition of input lines holds with both
+                    tsUnitNs: Long = 1L,
+                    fieldTypes: Map[(String, String), String] = Map.empty): Dataset[LpPoint] =
+    parseConforming(lines, fieldTypes).filter { p =>
+      // out-of-range timestamps and type-conflicted lines belong to
+      // errors(), not dropped — the exactly-once partition of input
+      // lines holds with all three
       !tsOutOfRange(p, tsUnitNs) &&
         (p.str.nonEmpty || p.field != "value" || !p.tags.contains("device") ||
           (!serverTsAssigned && p.ts_ns.isEmpty))

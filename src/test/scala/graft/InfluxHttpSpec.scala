@@ -131,6 +131,19 @@ class InfluxHttpSpec extends SparkSuite {
       "sm,device=c note=\"x\" 8100000000\nsm,device=c used=1 8100000000")
     assert(dropped.statusCode() == 400 &&
       dropped.body().contains("narrow layout"), dropped.body())
+    // field type conflict: a float-then-bool flip on one series answers
+    // the 1.x partial-write 400 with the conflict shape, point NOT stored
+    assert(post("/write?db=tele&precision=s",
+      "ftc,device=c value=1.5 9").statusCode() == 204)
+    val flip = post("/write?db=tele&precision=s", "ftc,device=c value=t 10")
+    assert(flip.statusCode() == 400, flip.body())
+    assert(flip.body().contains("partial write: field type conflict") &&
+      flip.body().contains("input field \\\"value\\\" on measurement \\\"ftc\\\"") &&
+      flip.body().contains("is type boolean, already exists as type float") &&
+      flip.body().contains("dropped=1"), flip.body())
+    val ftq = get(s"/query?db=tele&epoch=u&q=${enc("SELECT count(value) FROM ftc")}")
+    assert(ftq.body().contains("\"values\": [[1]]"),
+      s"flip must not commit: ${ftq.body()}")
   }
 
   test("u/p credentials route through runAs: 401 bad auth, 403 unauthorized") {

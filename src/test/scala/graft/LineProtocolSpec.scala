@@ -234,4 +234,75 @@ class LineProtocolSpec extends SparkSuite {
     assert(cat.run("SELECT value FROM bad").collect().isEmpty,
       "the overflowing point must not have committed garbage")
   }
+
+  test("field type conflicts: first write fixes the type, a flip is a partial-write error") {
+    import graft.influxql.LineProtocol
+    val root = java.nio.file.Files.createTempDirectory("lp_ftype").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    // write 1: float fixes (temp, value) = float
+    val r1 = cat.writeLineProtocol("tele",
+      Seq("temp,device=d1 value=20.5 1000").toDS())
+    assert(r1.errors.count() == 0 && r1.dropped.count() == 0)
+    // write 2: a bool on the SAME series conflicts — errors, not committed
+    val r2 = cat.writeLineProtocol("tele",
+      Seq("temp,device=d1 value=t 2000").toDS())
+    val e2 = r2.errors.collect()
+    assert(e2.length == 1 && e2.head.error.startsWith("field type conflict"),
+      e2.mkString("; "))
+    assert(e2.head.error.contains("is type boolean") &&
+      e2.head.error.contains("already exists as type float"), e2.head.error)
+    assert(r2.dropped.count() == 0, "a conflict is an error, never a silent drop")
+    assert(cat.run("SELECT count(value) FROM temp").as[Long].collect().toSeq
+      == Seq(1L), "the flipped point must not commit")
+    // the registry persists: a fresh catalog on the same root still rejects
+    val cat2 = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    assert(cat2.writeLineProtocol("tele",
+      Seq("temp,device=d2 value=f 9000").toDS()).errors.count() == 1)
+    // symmetric: boolean-first fixes boolean, float then conflicts
+    assert(cat.writeLineProtocol("tele",
+      Seq("door,device=d1 value=t 1000").toDS()).errors.count() == 0)
+    val r3 = cat.writeLineProtocol("tele",
+      Seq("door,device=d1 value=1.0 2000").toDS())
+    assert(r3.errors.head().error.contains("is type float, already exists as type boolean"))
+    // intra-batch: the FIRST line of one request fixes the type, the flip
+    // later in the same request errors, the good line commits
+    val r4 = cat.writeLineProtocol("tele", Seq(
+      "hum,device=d1 value=0.4 1000",
+      "hum,device=d2 value=true 2000").toDS())
+    assert(r4.errors.count() == 1 &&
+      r4.errors.head().error.startsWith("field type conflict"))
+    assert(cat.run("SELECT count(value) FROM hum").as[Long].collect().toSeq == Seq(1L))
+    // int literals fold into float (one double storage class — the ±2^53
+    // guard owns exactness): 42i then 1.5 is NOT a conflict here
+    assert(cat.writeLineProtocol("tele",
+      Seq("rpm,device=d1 value=42i 1000").toDS()).errors.count() == 0)
+    assert(cat.writeLineProtocol("tele",
+      Seq("rpm,device=d1 value=1.5 2000").toDS()).errors.count() == 0)
+    // a string-field first write registers string (InfluxDB's schema rule)
+    // even though the narrow layout routes the point to dropped — a later
+    // float write on that field conflicts exactly like upstream
+    assert(cat.writeLineProtocol("tele",
+      Seq("""note,device=d1 value="hi" 1000""").toDS()).dropped.count() == 1)
+    assert(cat.writeLineProtocol("tele",
+      Seq("note,device=d1 value=2.0 2000").toDS())
+      .errors.head().error.contains("already exists as type string"))
+    // DROP MEASUREMENT releases the type: a re-created measurement re-fixes
+    cat.run("DROP MEASUREMENT door")
+    assert(cat.writeLineProtocol("tele",
+      Seq("door,device=d1 value=3.5 5000").toDS()).errors.count() == 0)
+    assert(cat.run("SELECT value FROM door").select("value")
+      .as[Double].collect().toSeq == Seq(3.5))
+    // a conflicted LINE commits nothing, even its conforming fields
+    val r5 = cat.writeLineProtocol("tele", Seq(
+      "hum,device=d3 other=1.0,value=t 3000").toDS())
+    assert(r5.errors.count() == 1)
+    assert(cat.run("SELECT count(value) FROM hum").as[Long].collect().toSeq
+      == Seq(1L), "no point of a conflicted line may land")
+    // DROP DATABASE cascades the registry: a re-created db starts typeless
+    cat.run("DROP DATABASE tele")
+    cat.run("CREATE DATABASE tele")
+    assert(cat.writeLineProtocol("tele",
+      Seq("temp,device=d1 value=t 1000").toDS()).errors.count() == 0)
+  }
 }
