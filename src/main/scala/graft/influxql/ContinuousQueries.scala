@@ -80,6 +80,11 @@ object ContinuousQueries {
     if (q.into.contains(":MEASUREMENT"))
       p.fail("continuous queries need a named INTO target, not :MEASUREMENT")
     if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
+    // fill(null/none/value) densify at emission; the history-dependent
+    // fills can never start — fail at CREATE, not at restart
+    if (q.fill == InfluxQL.FillPrevious || q.fill == InfluxQL.FillLinear)
+      p.fail("continuous query: fill(previous)/fill(linear) cannot run " +
+        "incrementally — run the batch query for history-dependent fills")
     InfluxQL.validateResample(p, rs, q)
     if (exists) throw new IllegalArgumentException(
       s"InfluxQL: continuous query already exists: $name on $db")

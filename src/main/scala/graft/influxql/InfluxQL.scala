@@ -181,7 +181,8 @@ object InfluxQL {
                          slimit: Option[Int] = None, soffset: Option[Int] = None,
                          fromSub: Option[Query] = None, groupTimeOffsetUs: Long = 0L,
                          tz: Option[String] = None, selectStar: Boolean = false,
-                         fromDb: Option[String] = None, fromRp: Option[String] = None)
+                         fromDb: Option[String] = None, fromRp: Option[String] = None,
+                         fillExplicit: Boolean = false)
 
   val AggFuncs: Set[String] = Set("count", "sum", "mean", "min", "max", "first",
     "last", "median", "percentile", "spread", "stddev", "mode", "integral")
@@ -453,6 +454,10 @@ object InfluxQL {
     val groupTags = Seq.newBuilder[String]
     var groupStar = false
     var fill: Fill = FillNull
+    // whether a fill() clause was WRITTEN: batch queries treat the default
+    // and fill(null) identically, but the incremental CQ path densifies
+    // closed buckets only when the user asked for a fill
+    var fillExplicit = false
     if (p.kw("GROUP")) {
       p.expectKw("BY")
       do {
@@ -481,6 +486,7 @@ object InfluxQL {
         }
       } while (p.sym(","))
       if (p.kw("FILL")) {
+        fillExplicit = true
         p.expectSym("(")
         fill = p.next() match {
           case TIdent(s) if s.equalsIgnoreCase("null") => FillNull
@@ -530,7 +536,7 @@ object InfluxQL {
     val q = Query(fields.result(), measurement, conds.result(), groupTime,
       groupTags.result(), fill, timeDesc, limit, groupStar, into, fromRegex,
       offset, slimit, soffset, fromSub, groupTimeOffset, tz, selectStar,
-      fromDb, fromRp)
+      fromDb, fromRp, fillExplicit)
     validate(q)
     q
   }
@@ -1758,10 +1764,21 @@ object InfluxQL {
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
           "incrementally — single-pass aggregates only")
-    if (q.fill != FillNull || q.timeDesc || q.limit.nonEmpty || q.offset.nonEmpty ||
+    // fill(null/none/value) is emission-time densification over CLOSED
+    // buckets ([[startContinuousQuery]]'s MERGE sink does it, no streaming
+    // state) — the stream itself emits data buckets either way.
+    // fill(previous/linear) stays rejected LOUDLY: each emitted bucket
+    // would depend on the whole closed-bucket history (ordered state the
+    // append-mode aggregate does not carry); run the batch query instead.
+    if (q.fill == FillPrevious || q.fill == FillLinear)
+      throw new IllegalArgumentException(
+        "InfluxQL continuous query: fill(previous)/fill(linear) cannot run " +
+          "incrementally — each bucket depends on the full closed-bucket " +
+          "history; run the batch query for history-dependent fills")
+    if (q.timeDesc || q.limit.nonEmpty || q.offset.nonEmpty ||
         q.slimit.nonEmpty || q.soffset.nonEmpty)
       throw new IllegalArgumentException(
-        "InfluxQL continuous query: FILL/ORDER BY/LIMIT do not apply to a stream")
+        "InfluxQL continuous query: ORDER BY/LIMIT do not apply to a stream")
     var df = streamPoints.filter(
       if (q.fromRegex) col("transducer").rlike(q.measurement)
       else col("transducer") === q.measurement)
@@ -1863,9 +1880,73 @@ object InfluxQL {
     val tags = (if (q.fromRegex) Seq("measurement") else Nil) ++ q.groupTags
     val table = new graft.storage.TxLogTable(
       streamPoints.sparkSession, s"$root/$db/$target")
+    // an EXPLICIT fill(null/value) densifies the target at emission: the
+    // gaps between closed buckets fill with null / the literal, exactly
+    // the batch query's skeleton over the data's own bucket range (the
+    // default — no fill() written — and fill(none) emit data buckets only)
+    val densify: DataFrame => DataFrame =
+      if (q.fillExplicit && (q.fill == FillNull || q.fill.isInstanceOf[FillValue]))
+        densifyClosedBuckets(_, table, q.groupTimeUs.get, tags, q.fill)
+      else identity
     graft.streaming.StreamingIngest.startMergeSink(
       sel, table, keys = "time" +: tags, orderCol = "time",
-      checkpoint = checkpoint, trigger = effTrigger)
+      checkpoint = checkpoint, trigger = effTrigger, perBatch = densify)
+  }
+
+  /** Emission-time fill for a continuous query's MERGE sink: given one
+    * micro-batch of newly CLOSED buckets, synthesize the empty buckets the
+    * equivalent batch query's fill skeleton would have produced — every
+    * series × every bucket step in [min, max] of (target ∪ batch) bucket
+    * times that neither side holds — filled with null (`fill(null)`) or the
+    * literal (`fill(<value>)`), typed per aggregate column.
+    *
+    * No streaming state: the TARGET TABLE is the memory. Committed gap
+    * rows are part of the domain next batch (the anti-join skips them), so
+    * the work per batch is proportional to the NEW gaps; a replayed batch
+    * recomputes a subset and the keyed MERGE converges (orderCol ties break
+    * toward the update, so a bucket that closes with real data after a gap
+    * row was synthesized replaces it — and gaps only ever synthesize below
+    * the max CLOSED bucket, where the watermark has already discarded
+    * later-arriving points). Correct only while the CQ is its target's
+    * sole writer, which is the CQ contract. Scale: the per-batch reread of
+    * the target prunes to (time, tags); the target is a downsample whose
+    * skeleton the MaxFillBuckets guard bounds, same as the batch planner.
+    */
+  private def densifyClosedBuckets(batch: DataFrame, table: graft.storage.TxLogTable,
+                                   step: Long, tags: Seq[String],
+                                   fill: Fill): DataFrame = {
+    if (batch.isEmpty) return batch
+    val keyCols = "time" +: tags
+    val domain = (table.version match {
+      case Some(_) => batch.select(keyCols.map(col): _*)
+        .unionByName(table.read().select(keyCols.map(col): _*))
+      case None => batch.select(keyCols.map(col): _*)
+    }).persist()
+    try {
+      val bounds = domain.agg(min(col("time")), max(col("time"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nBuckets = (hi - lo) / step + 1
+      require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
+        s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
+          s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
+      if (lo == hi) return batch
+      val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
+      val skeleton =
+        if (tags.isEmpty) batch.sparkSession.range(1).select(buckets)
+        else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
+      val gaps = skeleton.join(domain, keyCols, "left_anti")
+      val aggCols = batch.columns.filterNot(keyCols.contains)
+      val gapRows = gaps.select(keyCols.map(col) ++ aggCols.map { c =>
+        val dt = batch.schema(c).dataType
+        (fill match {
+          case FillValue(x) => lit(x).cast(dt)
+          case _ => lit(null).cast(dt)
+        }).as(c)
+      }: _*)
+      // localCheckpoint the synthesized rows so the union the sink merges
+      // does not re-read the pre-merge target lazily DURING the merge
+      batch.unionByName(gapRows).localCheckpoint()
+    } finally domain.unpersist()
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an

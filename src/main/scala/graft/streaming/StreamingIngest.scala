@@ -79,11 +79,17 @@ object StreamingIngest {
     */
   def startMergeSink(updates: DataFrame, table: graft.storage.TxLogTable,
                      keys: Seq[String], orderCol: String, checkpoint: String,
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     perBatch: DataFrame => DataFrame = identity): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // perBatch may enrich the upsert set against CURRENT table state
+        // (e.g. a continuous query's fill() densifying the gaps between
+        // newly closed buckets) — it must be deterministic given (batch,
+        // table) so an at-least-once replay still converges
+        val batch = perBatch(batch0)
         if (!batch.isEmpty)
           graft.storage.TxLogTable.retryOnConflict() {
             table.merge(batch, keys, Some(orderCol)); ()

@@ -125,6 +125,10 @@ class StreamingSpec extends SparkSuite {
       .contains("cannot run incrementally"))
     assert(bad("SELECT mean(value) FROM temp").contains("GROUP BY time()"))
     assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(previous)")
+      .contains("cannot run incrementally"))
+    assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(linear)")
+      .contains("cannot run incrementally"))
+    assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) LIMIT 5")
       .contains("do not apply"))
     assert(bad("SELECT mean(value) FROM temp WHERE time >= 5 GROUP BY time(10m)")
       .contains("time bounds"))
@@ -167,6 +171,81 @@ class StreamingSpec extends SparkSuite {
       graft.influxql.InfluxQL.startContinuousQuery(points,
         "CREATE CONTINUOUS QUERY x ON db BEGIN SELECT mean(value) FROM temp GROUP BY time(10m) END",
         root, tmp("cq_cp2"), "1 minute")).getMessage.contains("INTO"))
+  }
+
+  test("CQ fill: emission densifies closed-bucket gaps to the batch query's skeleton") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_fill")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+      """CREATE CONTINUOUS QUERY temp_f ON telemetry BEGIN
+        |SELECT mean(value), count(value) INTO temp_f FROM temp
+        |GROUP BY time(10m), device FILL(0) END""".stripMargin,
+      root, checkpoint = tmp("cq_fill_cp"), lateness = "1 minute",
+      trigger = Trigger.ProcessingTime(0))
+    val table = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_f")
+    val data = Seq(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+      ("d1", "temp", us("2024-01-01 00:02:00"), 4.0),
+      ("d2", "temp", us("2024-01-01 00:05:00"), 10.0),
+      ("d1", "temp", us("2024-01-01 00:45:00"), 7.0))
+    try {
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data(3)) // watermark 00:44 closes the 00:00 buckets
+      q.processAllAvailable()
+      // single closed bucket so far: no gaps to synthesize
+      assert(table.read().count() == 2, "one closed bucket per device, no gaps yet")
+      in.addData(("d1", "temp", us("2024-01-01 01:30:00"), 1.0)) // closes 00:40
+      q.processAllAvailable()
+      val got = table.read().select("time", "device", "mean", "count")
+        .as[(Long, String, Double, Long)].collect().toSet
+      // the batch query over the same closed range with the same fill IS
+      // the oracle: every device × every bucket in [00:00, 00:40], gaps 0
+      val batch = data.toDF("device", "transducer", "ts_us", "value")
+      val want = graft.influxql.InfluxQL.run(batch,
+        "SELECT mean(value), count(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
+          "AND time < '2024-01-01T00:50:00Z' GROUP BY time(10m), device fill(0)")
+        .select("time", "device", "mean", "count")
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(got == want, s"CQ target != batch fill oracle:\n got=$got\nwant=$want")
+      assert(got.size == 10, "2 devices x 5 buckets")
+      assert(got.contains((us("2024-01-01 00:20:00"), "d1", 0.0, 0L)), "gap filled with 0")
+      // replay-idempotent: re-merging the final emission converges
+      graft.storage.TxLogTable.retryOnConflict() {
+        table.merge(got.toSeq.toDF("time", "device", "mean", "count"),
+          Seq("time", "device"), Some("time")); ()
+      }
+      assert(table.read().count() == 10)
+    } finally q.stop()
+    // fill(null): gaps synthesize with NULL aggregates
+    val in2 = MemoryStream[(String, String, Long, Double)]
+    val points2 = in2.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    in2.addData(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+      ("d1", "temp", us("2024-01-01 00:25:00"), 6.0),
+      ("d1", "temp", us("2024-01-01 01:00:00"), 9.0)) // closes 00:00 and 00:20
+    val q2 = graft.influxql.InfluxQL.startContinuousQuery(points2,
+      """CREATE CONTINUOUS QUERY temp_fn ON telemetry BEGIN
+        |SELECT mean(value) INTO temp_fn FROM temp
+        |GROUP BY time(10m), device FILL(null) END""".stripMargin,
+      root, checkpoint = tmp("cq_fill_cp2"), lateness = "1 minute")
+    try q2.awaitTermination() finally q2.stop()
+    val fn = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_fn")
+      .read().select("time", "device", "mean")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(fn == Set(
+      (us("2024-01-01 00:00:00"), "d1", Some(2.0)),
+      (us("2024-01-01 00:10:00"), "d1", None),
+      (us("2024-01-01 00:20:00"), "d1", Some(6.0))), fn)
+    // the history-dependent fills fail at CREATE, not at restart
+    assert(intercept[IllegalArgumentException](graft.influxql.ContinuousQueries.run(
+      spark, root, "CREATE CONTINUOUS QUERY x ON telemetry BEGIN SELECT mean(value) " +
+        "INTO x FROM temp GROUP BY time(10m) FILL(linear) END"))
+      .getMessage.contains("cannot run incrementally"))
   }
 
   test("CQ RESAMPLE: FOR widens the watermark; EVERY yields to an AvailableNow drain") {
