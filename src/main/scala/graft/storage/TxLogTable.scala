@@ -366,6 +366,96 @@ class TxLogTable(spark: SparkSession, path: String) {
     orphans.map(_.getFileName.toString)
   }
 
+  /** `influxd backup`'s analogue: materialize commit `ofVersion` (default
+    * latest) as a self-contained snapshot under `destDir` — a
+    * `manifest.json` (version, op, dirs, per-file byte sizes) plus the
+    * version's immutable data directories, HARD-LINKED file by file
+    * (zero-copy on one filesystem, copy fallback across devices). The
+    * links keep the bytes alive even after a source-side [[vacuum]]
+    * reclaims the dirs, so a snapshot never rots under retention. Returns
+    * the exported version.
+    */
+  def exportSnapshot(destDir: String, ofVersion: Option[Long] = None): Long = {
+    val ver = ofVersion.getOrElse(version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path")))
+    val e = readEntry(ver)
+    val dest = Paths.get(destDir)
+    require(!Files.isDirectory(dest) || listDir(dest).isEmpty,
+      s"snapshot destination $destDir is not empty")
+    Files.createDirectories(dest)
+    val files = e.dirs.flatMap { d =>
+      walkDir(root.resolve(d)).filter(Files.isRegularFile(_)).map { f =>
+        val rel = root.relativize(f).toString
+        val out = dest.resolve(rel)
+        Files.createDirectories(out.getParent)
+        try Files.createLink(out, f)
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(f, out); ()
+        }
+        (rel, Files.size(f))
+      }
+    }
+    val manifest =
+      s"""{"version":$ver,"op":"${e.op}",""" +
+        s""""dirs":[${e.dirs.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""files":[${files.map { case (p, sz) => s"""["$p",$sz]""" }.mkString(",")}]}"""
+    Files.write(dest.resolve("manifest.json"), manifest.getBytes("UTF-8"))
+    ver
+  }
+
+  /** `influxd restore`: publish the snapshot at `srcDir` into this table
+    * AT THE SNAPSHOT'S OWN VERSION — so time travel and later incremental
+    * backups line up — after verifying every manifest file is present with
+    * its recorded byte size (a truncated or tampered backup REFUSES
+    * instead of committing silently short data). VERSION FENCE: the table
+    * must hold no committed version at all — like `influxd restore`'s
+    * database-must-not-exist rule — because restoring over a live log
+    * would either shadow newer commits or leave version gaps; a conflict
+    * refuses loudly, naming both versions (drop the table first to accept
+    * the rollback). Data files hard-link in (copy fallback).
+    */
+  def importSnapshot(srcDir: String): Long = {
+    val src = Paths.get(srcDir)
+    val mPath = src.resolve("manifest.json")
+    require(Files.isRegularFile(mPath), s"no manifest.json in $srcDir")
+    val m = new String(Files.readAllBytes(mPath), "UTF-8")
+    val ver = """"version":(\d+)""".r.findFirstMatchIn(m).getOrElse(
+      throw new IllegalArgumentException(s"bad manifest in $srcDir")).group(1).toLong
+    val dirsRaw = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+    val dirs = """"([^"]+)"""".r.findAllMatchIn(dirsRaw).map(_.group(1)).toSeq
+    val files = """\["([^"]+)",(\d+)\]""".r.findAllMatchIn(m)
+      .map(mm => (mm.group(1), mm.group(2).toLong)).toSeq
+    // verify the WHOLE snapshot, then fence-check, then mutate — a corrupt
+    // backup or a live log must refuse before any byte lands
+    files.foreach { case (rel, sz) =>
+      val f = src.resolve(rel)
+      require(Files.isRegularFile(f) && Files.size(f) == sz,
+        s"snapshot file $rel missing or size-mismatched in $srcDir (corrupt backup)")
+    }
+    version.foreach { live =>
+      throw new IllegalStateException(
+        s"restore fence conflict: $path already has version $live committed " +
+          s"(snapshot is version $ver); drop the table first to accept the restore")
+    }
+    files.foreach { case (rel, sz) =>
+      val out = root.resolve(rel)
+      // a file left by a crashed earlier restore attempt (no log was
+      // committed) is reusable if its size matches; anything else refuses
+      if (Files.isRegularFile(out)) require(Files.size(out) == sz,
+        s"stale file $rel at $path conflicts with the snapshot; delete the tree first")
+      else {
+        Files.createDirectories(out.getParent)
+        try Files.createLink(out, src.resolve(rel))
+        catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src.resolve(rel), out); ()
+        }
+      }
+    }
+    Files.createDirectories(logDir)
+    writeCommitFile(logDir, ver, renderEntry(LogEntry(ver, "restore", dirs, None)))
+    ver
+  }
+
   private def currentDirs(): Seq[String] =
     version.map(readEntry(_).dirs).getOrElse(Nil)
 

@@ -439,4 +439,73 @@ class TxLogTableSpec extends SparkSuite {
     val m = Map("a" -> 3L, "b" -> 41L)
     assert(TxLogTable.parseTxnCheckpoint(TxLogTable.renderTxnCheckpoint(20L, m)) == m)
   }
+
+  test("backup/restore: snapshot export, byte-equal restore, fence + corruption refusals") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    t.delete(col("k") === 2L)
+    val want = t.read().as[(Long, String)].collect().toSet
+    val wantVersion = t.version.get
+
+    // export the latest version; the backup is self-contained
+    val bak = Files.createTempDirectory("txbak").toString + "/snap"
+    assert(t.exportSnapshot(bak) == wantVersion)
+    assert(Files.isRegularFile(java.nio.file.Paths.get(s"$bak/manifest.json")))
+    // a second export into the same non-empty destination refuses
+    assert(intercept[IllegalArgumentException](t.exportSnapshot(bak))
+      .getMessage.contains("not empty"))
+
+    // restore onto a LIVE table refuses: the fence names both versions
+    val fence = intercept[IllegalStateException](t.importSnapshot(bak))
+    assert(fence.getMessage.contains("fence conflict") &&
+      fence.getMessage.contains(s"version $wantVersion"), fence.getMessage)
+
+    // drop the table entirely (the corrupt/lost-disk scenario), restore,
+    // and reads come back byte-equal at the snapshot's own version
+    def deleteTree(p: String): Unit = {
+      val w = Files.walk(java.nio.file.Paths.get(p))
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally w.close()
+    }
+    deleteTree(path)
+    val restored = new TxLogTable(spark, path)
+    assert(restored.importSnapshot(bak) == wantVersion)
+    assert(restored.version.contains(wantVersion))
+    assert(restored.read().as[(Long, String)].collect().toSet == want)
+    assert(restored.opOf(wantVersion) == "restore")
+    // the restored table is live: appends continue past the snapshot
+    restored.append(Seq((9L, "z")).toDF("k", "v"))
+    assert(restored.read().count() == want.size + 1)
+
+    // a vacuumed source does not rot the backup (hard links hold bytes):
+    // export survives deleting the source tree outright
+    val t2path = tmp()
+    val t2 = new TxLogTable(spark, t2path)
+    t2.append(Seq((7L, "q")).toDF("k", "v"))
+    val bak2 = Files.createTempDirectory("txbak2").toString + "/snap"
+    t2.exportSnapshot(bak2)
+    deleteTree(t2path)
+    val t2r = new TxLogTable(spark, t2path)
+    t2r.importSnapshot(bak2)
+    assert(t2r.read().as[(Long, String)].collect().toSeq == Seq((7L, "q")))
+
+    // a truncated backup file refuses BEFORE anything lands
+    val bak3 = Files.createTempDirectory("txbak3").toString + "/snap"
+    t2r.exportSnapshot(bak3)
+    val victim = {
+      val w = Files.walk(java.nio.file.Paths.get(bak3))
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")).head
+      finally w.close()
+    }
+    Files.write(victim, Array[Byte](1, 2, 3))
+    deleteTree(t2path)
+    val t2bad = new TxLogTable(spark, t2path)
+    assert(intercept[IllegalArgumentException](t2bad.importSnapshot(bak3))
+      .getMessage.contains("corrupt backup"))
+    assert(t2bad.version.isEmpty, "a refused restore must not half-commit")
+  }
 }
