@@ -181,12 +181,17 @@ object DedupOps {
     * per batch).
     */
   def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int, path: String): Unit = {
+                        n: Int, k: Int, bands: Int, path: String,
+                        txn: Option[(String, Long)] = None): Unit = {
+    // `txn` fences BOTH appends on the same (appId, seq) — a foreachBatch
+    // replay after a crash is a no-op per table, and a crash BETWEEN the
+    // two appends heals on replay (the committed side's fence skips, the
+    // missing side lands) — the index stays in lockstep with the stream
     val spark = docs.sparkSession
     val sh = shingles(docs, idCol, textCol, n).persist()
     new graft.storage.TxLogTable(spark, s"$path/buckets")
-      .append(bandBuckets(minhashSignatures(sh, k), k, bands))
-    new graft.storage.TxLogTable(spark, s"$path/shingles").append(sh)
+      .append(bandBuckets(minhashSignatures(sh, k), k, bands), txn)
+    new graft.storage.TxLogTable(spark, s"$path/shingles").append(sh, txn)
     sh.unpersist()
   }
 

@@ -193,7 +193,11 @@ class PipelineDifferentialSpec extends SparkSuite {
       }.filterNot(_._2.forall(_ == 0f))
       val vecs = base ++ base.take(2).map { case (id, v) => (id + 100L, v.clone) }
       val df = vecs.toDF("vec_id", "embedding")
-      val qIds = Set(vecs.head._1)
+      // one or two query points: the multi-query form exercises the
+      // per-query independence of the greedy selection order
+      val qIds: Set[Long] =
+        if (r.nextBoolean()) Set(vecs.head._1)
+        else Set(vecs.head._1, vecs(1 + r.nextInt(vecs.size - 1))._1)
       val n = 4 + r.nextInt(4)
       val k = 1 + r.nextInt(math.min(4, n))
       val got = SimilarityOps.mmrRerank(df.filter(col("vec_id").isin(qIds.toSeq: _*)),
@@ -202,6 +206,47 @@ class PipelineDifferentialSpec extends SparkSuite {
         .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(x => (x._1, x._2))
       val want = mmrReplay(vecs, qIds, n, k)
       assert(got == want, s"seed $seed (n=$n k=$k):\n got=$got\nwant=$want")
+    }
+  }
+
+  // ---- connected components ----
+
+  private def ccReplay(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }.toMap
+  }
+
+  test("differential: connected-component min-labels vs union-find") {
+    import graft.operators.DedupOps
+    for (seed <- 1 to 6 * diffScale) {
+      val r = new scala.util.Random(seed * 443)
+      val n = 10 + r.nextInt(30)
+      // random sparse edges + a long CHAIN (the diameter stressor the
+      // pointer-jumping bound exists for) + self-loops + duplicate edges
+      val rand = (0 until n).map(_ =>
+        ((r.nextInt(n) + 1).toLong, (r.nextInt(n) + 1).toLong))
+      val chainLen = 9 + r.nextInt(8)
+      val chain = (0 until chainLen).map(i => (1000L + i, 1000L + i + 1))
+      val edges = rand ++ chain ++ Seq((5L, 5L)) ++ rand.take(3)
+      val got = DedupOps.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      val want = ccReplay(edges)
+      assert(got == want, s"seed $seed (n=$n chain=$chainLen): labels diverge\n" +
+        s" got=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
     }
   }
 
@@ -289,9 +334,14 @@ class PipelineDifferentialSpec extends SparkSuite {
       val r = new scala.util.Random(seed * 911)
       // letter-run corpus over a tiny alphabet: dense ties, overlapping
       // pairs (aaa…), and merges whose outputs re-enter later rounds
+      // alternate a wider alphabet / longer words so merge CHOICES (the
+      // (-count, a, b) argmin) face deeper tie ladders and re-entrant
+      // merge outputs across more rounds
+      val alpha = 3 + (seed % 2)
+      val maxLen = 5 + 2 * (seed % 2)
       val docs = (1L to (5 + r.nextInt(6)).toLong).map { i =>
         i -> (0 until 2 + r.nextInt(4)).map(_ =>
-          (0 until 1 + r.nextInt(5)).map(_ => ('a' + r.nextInt(3)).toChar)
+          (0 until 1 + r.nextInt(maxLen)).map(_ => ('a' + r.nextInt(alpha)).toChar)
             .mkString).mkString(" ")
       }
       val df = docs.toDF("doc_id", "text")
