@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ClassifierOps, DedupOps, ImportanceOps, TextOps, UrlOps}
+import graft.storage.TxLogTable
+
+/** The END-TO-END curation-at-ingest drill: the per-batch probes that exist
+  * individually (URL canonical dedup, line-level boilerplate dedup,
+  * minhash-index probe, DSIR probe, classifier score) composed as ONE
+  * streaming service into an ACID MERGE target — with a mid-stream replay
+  * asserting the two invariants a restart must hold:
+  *
+  *   - REPLAY IDEMPOTENCE: re-running a committed micro-batch leaves the
+  *     curated table byte-identical (URL anti-join + keyed MERGE), and
+  *   - INDEX LOCKSTEP: the minhash index folds each batch's survivors in
+  *     exactly once (txn-fenced appends), so a replay never double-indexes
+  *     and later batches dedup against exactly the committed corpus.
+  *
+  * Every stage keeps its scale shape: the reference indexes are built once
+  * and never re-scanned (probe paths), the batch is the only side sketched,
+  * and the drill prints its rows/s for PROGRESS.
+  */
+class CurationDrillSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("curation-at-ingest drill: full pipeline, replay idempotent, index in lockstep") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("curation_drill").toString
+
+    // ---- one-time reference index builds (the corpus is never re-scanned) ----
+    val refDocs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta", true),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", true),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", false),
+      (4L, "lorem ipsum dolor sit amet something else entirely goes here", false))
+      .toDF("doc_id", "text", "tgt")
+    DedupOps.buildMinhashIndex(refDocs, "doc_id", "text", n = 2, k = 8,
+      bands = 4, path = s"$root/mh")
+    ImportanceOps.buildDsirIndex(refDocs, "text", col("tgt"), buckets = 256,
+      path = s"$root/dsir")
+    ClassifierOps.buildClassifierIndex(refDocs, "doc_id", "text", col("tgt"),
+      buckets = 64, iters = 2, lrNum = 10L, path = s"$root/clf")
+
+    val curated = new TxLogTable(spark, s"$root/curated")
+    val mhBuckets = new TxLogTable(spark, s"$root/mh/buckets")
+    val mhShingles = new TxLogTable(spark, s"$root/mh/shingles")
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+
+    /** The composed per-batch pipeline — what a deployment's foreachBatch
+      * runs. Deterministic given (batch, table state), so an at-least-once
+      * replay converges.
+      */
+    def curateBatch(batch0: DataFrame, batchId: Long): Unit = {
+      if (batch0.isEmpty) return
+      processed.addAndGet(batch0.count())
+      // 1. URL canonical dedup: within the batch the smallest doc_id per
+      // canonical URL wins (deterministic); URLs already curated drop
+      val canon = batch0.withColumn("url_c", UrlOps.canonicalUrl(col("url")))
+      val batchDedup = canon
+        .withColumn("__rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("url_c")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      // 2. line-level boilerplate dedup (batch-common lines strip).
+      // DELIBERATELY before the curated anti-join: both batch-local stages
+      // depend only on the DELIVERED batch, so a replay — whose anti-join
+      // set has grown by the batch's own commits — still cleans the same
+      // text (replay determinism; df counts must not shrink under replay)
+      val cleanedAll = TextOps.removeCommonLines(
+          batchDedup.select("doc_id", "text"), "doc_id", "text", maxDf = 2)
+        .select(col("doc_id"), col("clean").as("text"))
+        .join(batchDedup.select("doc_id", "url_c"), Seq("doc_id"))
+      // 3a. URLs already curated drop (the committed-state dedup)
+      val cleaned =
+        if (curated.version.isEmpty) cleanedAll
+        else cleanedAll.join(curated.read().select("url_c"), Seq("url_c"), "left_anti")
+      if (cleaned.isEmpty) return
+      // 3b. minhash probe vs the persisted index + within batch: a batch
+      // doc that near-dups anything earlier (index ids and smaller batch
+      // ids are both < it) drops; the indexed corpus is never re-shingled
+      val pairs = DedupOps.minhashProbe(cleaned, "doc_id", "text",
+        n = 2, k = 8, bands = 4, tau = 0.6, path = s"$root/mh")
+      val survivors = cleaned.join(
+        pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .persist()
+      try {
+        if (!survivors.isEmpty) {
+          // 4. fold survivors into the index, FENCED on batchId (lockstep)
+          DedupOps.buildMinhashIndex(survivors, "doc_id", "text", n = 2,
+            k = 8, bands = 4, path = s"$root/mh",
+            txn = Some(("curation-mh", batchId)))
+          // 5. DSIR importance + classifier quality, both probe-only
+          val dsir = ImportanceOps.dsirProbe(spark, s"$root/dsir",
+            survivors, "doc_id", "text", 256).select("doc_id", "weight_q")
+          val clf = ClassifierOps.classifierProbe(spark, s"$root/clf",
+            survivors, "doc_id", "text", 64)
+          val out = survivors.join(dsir, Seq("doc_id")).join(clf, Seq("doc_id"))
+          // 6. ACID MERGE keyed on doc_id (replays converge)
+          TxLogTable.retryOnConflict() {
+            curated.merge(out, Seq("doc_id")); ()
+          }
+        }
+      } finally survivors.unpersist()
+    }
+
+    // ---- the stream: (doc_id, url, text) ----
+    val in = MemoryStream[(Long, String, String)]
+    val t0 = System.nanoTime()
+    val q = in.toDF().toDF("doc_id", "url", "text").writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .foreachBatch(curateBatch _).start()
+    val boiler = "subscribe to our newsletter"
+    try {
+      // batch 1: 101 is fresh; 102 duplicates 101's URL (trailing slash +
+      // utm params — the canonicalization must collapse them); 103
+      // near-dups reference doc 1 (index hit); 104 is fresh but carries
+      // the boilerplate line three ways with 101 and 103
+      in.addData(
+        (101L, "https://example.com/a?b=2", s"$boiler\nquick brown fox jumps over the lazy dog today"),
+        (102L, "https://example.com/a/?b=2&utm_source=x", "entirely different words that lose the url race"),
+        (103L, "https://example.com/c", s"$boiler\nalpha beta gamma delta alpha beta gamma delta alpha beta"),
+        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"))
+      q.processAllAvailable()
+      val after1 = curated.read().select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(101L, 104L),
+        s"batch 1: 102 loses the URL race, 103 near-dups the index: $after1")
+      // the boilerplate line was stripped before anything downstream saw it
+      val texts1 = curated.read().select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(!texts1.values.exists(_.contains(boiler)),
+        s"boilerplate must strip: $texts1")
+
+      // ---- the mid-stream crash: replay batch 1 against committed state ----
+      val curatedV = curated.version.get
+      val bv = mhBuckets.version.get
+      val sv = mhShingles.version.get
+      val wantRows = curated.read().collect().toSet
+      curateBatch(Seq(
+        (101L, "https://example.com/a?b=2", s"$boiler\nquick brown fox jumps over the lazy dog today"),
+        (102L, "https://example.com/a/?b=2&utm_source=x", "entirely different words that lose the url race"),
+        (103L, "https://example.com/c", s"$boiler\nalpha beta gamma delta alpha beta gamma delta alpha beta"),
+        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"))
+        .toDF("doc_id", "url", "text"), 0L)
+      assert(curated.version.contains(curatedV) &&
+        curated.read().collect().toSet == wantRows,
+        "replaying a committed batch must not change the curated table")
+      assert(mhBuckets.version.contains(bv) && mhShingles.version.contains(sv),
+        "the fenced index must not double-append on replay (lockstep)")
+
+      // batch 2: 201 near-dups 101 (folded LAST batch — the index is the
+      // memory, 101 is never re-sketched); 202 is fresh and positive-ish
+      in.addData(
+        (201L, "https://example.com/e", "quick brown fox jumps over the lazy dog today"),
+        (202L, "https://example.com/f", "alpha beta epsilon zeta alpha beta epsilon zeta done now"))
+      q.processAllAvailable()
+      val after2 = curated.read().select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(101L, 104L, 202L),
+        s"batch 2: 201 must dedup against batch 1's indexed survivor: $after2")
+      // the scores carry model direction: 202 (target-like) above 104
+      val w = curated.read().select("doc_id", "weight_q")
+        .as[(Long, Long)].collect().toMap
+      assert(w(202L) > w(104L), s"DSIR direction: $w")
+      assert(curated.read().columns.toSet ==
+        Set("doc_id", "url_c", "text", "weight_q", "score_q"))
+    } finally q.stop()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val rows = processed.get()
+    info(f"[curation-drill] rows=$rows wall_s=$wallS%.2f rows_per_s=${rows / wallS}%.1f")
+
+    // ---- throughput phase: one bulk batch through the same pipeline ----
+    // (the tiny streamed batches above measure correctness, not rate; this
+    // is the number PROGRESS records as the drill's rows/s)
+    val bulkN = 2000
+    val words = Vector("alpha", "beta", "gamma", "delta", "omega", "lorem",
+      "ipsum", "quick", "brown", "fox", "zeta", "sigma", "tau", "kappa")
+    val bulk = (0 until bulkN).map { i =>
+      val txt = (0 until 12).map(j => words((i * 31 + j * 7) % words.size))
+        .mkString(" ")
+      (1000L + i, s"https://bulk.example.com/p$i", s"$boiler\n$txt $i")
+    }.toDF("doc_id", "url", "text")
+    val tb = System.nanoTime()
+    curateBatch(bulk, 10L)
+    val bulkWall = (System.nanoTime() - tb) / 1e9
+    val bulkRate = bulkN / bulkWall
+    assert(curated.read().count() > 3, "bulk batch must have curated rows")
+    info(f"[curation-drill] bulk_rows=$bulkN wall_s=$bulkWall%.2f rows_per_s=$bulkRate%.0f")
+    println(f"[curation-drill] bulk_rows=$bulkN wall_s=$bulkWall%.2f rows_per_s=$bulkRate%.0f")
+  }
+}
