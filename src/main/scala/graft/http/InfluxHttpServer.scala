@@ -105,6 +105,8 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
   private val truncationWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val clientErrors = new java.util.concurrent.atomic.AtomicLong(0)
   private val serverErrors = new java.util.concurrent.atomic.AtomicLong(0)
+  private val queryDur = new InfluxHttpServer.DurationSummary()
+  private val writeDur = new InfluxHttpServer.DurationSummary()
 
   server.setExecutor(pool)
   server.createContext("/ping", (ex: HttpExchange) => {
@@ -113,10 +115,14 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     ex.sendResponseHeaders(204, -1); ex.close()
   })
   server.createContext("/query", (ex: HttpExchange) => safely(ex) { e =>
-    queryReq.incrementAndGet(); handleQuery(e)
+    queryReq.incrementAndGet()
+    val t0 = System.nanoTime()
+    try handleQuery(e) finally queryDur.record(System.nanoTime() - t0)
   })
   server.createContext("/write", (ex: HttpExchange) => safely(ex) { e =>
-    writeReq.incrementAndGet(); handleWrite(e)
+    writeReq.incrementAndGet()
+    val t0 = System.nanoTime()
+    try handleWrite(e) finally writeDur.record(System.nanoTime() - t0)
   })
   server.createContext("/debug/vars", (ex: HttpExchange) => safely(ex)(handleVars))
   server.createContext("/metrics", (ex: HttpExchange) => safely(ex)(handleMetrics))
@@ -763,11 +769,25 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
     val gauges = Set("queriesActive", "uptimeSeconds", "heapUsedBytes", "heapMaxBytes")
     def snake(s: String): String =
       s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
-    val body = counterRows().map { case (module, name, v) =>
+    val counters = counterRows().map { case (module, name, v) =>
       val metric = s"graft_${snake(module)}_${snake(name)}"
       val kind = if (gauges(name)) "gauge" else "counter"
       s"# TYPE $metric $kind\n$metric $v\n"
     }.mkString
+    // per-endpoint request-duration summaries — the latency face an
+    // operator needs to run the listener under load (counters alone say
+    // how MANY requests, never how slow the tail is). Quantiles are over
+    // a sliding window of recent requests; sum/count are cumulative,
+    // exactly the Prometheus summary contract
+    def summary(endpoint: String, d: InfluxHttpServer.DurationSummary): String = {
+      val metric = s"graft_httpd_${endpoint}_duration_seconds"
+      val qs = d.quantiles(Seq(0.5, 0.9, 0.99)).map { case (q, v) =>
+        s"""$metric{quantile="$q"} $v\n"""
+      }.mkString
+      s"# TYPE $metric summary\n$qs$metric" + "_sum " + d.sumSeconds +
+        s"\n${metric}_count ${d.countN}\n"
+    }
+    val body = counters + summary("query", queryDur) + summary("write", writeDur)
     val b = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
     ex.sendResponseHeaders(200, b.length)
@@ -778,6 +798,36 @@ final class InfluxHttpServer(catalog: InfluxCatalog,
 }
 
 object InfluxHttpServer {
+  /** Per-endpoint request-duration summary: cumulative sum/count (the
+    * Prometheus summary contract) plus a fixed-size ring of the most
+    * recent durations for scrape-time quantiles — a sliding window, the
+    * operable middle ground between exact history (unbounded memory) and
+    * no latency signal at all. record() is O(1); quantile computation is
+    * scrape-time work over at most `window` longs.
+    */
+  private[http] final class DurationSummary(window: Int = 1024) {
+    private val count = new java.util.concurrent.atomic.AtomicLong(0)
+    private val sumNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    private val ring = new Array[Long](window)
+    def record(nanos: Long): Unit = {
+      val i = count.getAndIncrement()
+      sumNanos.addAndGet(nanos)
+      ring.synchronized { ring((i % window).toInt) = nanos }
+    }
+    def countN: Long = count.get()
+    def sumSeconds: Double = sumNanos.get() / 1e9
+    /** The q-quantiles of the sliding window (0.0 when nothing recorded —
+      * a scrape before traffic must not divide by zero).
+      */
+    def quantiles(qs: Seq[Double]): Seq[(Double, Double)] = {
+      val n = math.min(count.get(), window.toLong).toInt
+      if (n == 0) return qs.map(_ -> 0.0)
+      val snap = ring.synchronized(java.util.Arrays.copyOf(ring, n))
+      java.util.Arrays.sort(snap)
+      qs.map(q => q -> snap(math.min(n - 1, (q * n).toInt)) / 1e9)
+    }
+  }
+
   /** 401/403 carriers — auth outcomes abort the whole request, unlike
     * per-statement plan errors.
     */

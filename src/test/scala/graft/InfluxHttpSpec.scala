@@ -673,6 +673,25 @@ class InfluxHttpSpec extends SparkSuite {
     assert(m.body().contains("# TYPE graft_query_executor_queries_active gauge"))
     assert("graft_httpd_write_ok (\\d+)".r.findFirstMatchIn(m.body())
       .exists(_.group(1).toLong >= 1), m.body())
+    // per-endpoint duration summaries: present, typed, and they MOVE with
+    // traffic (count up, sum up, quantiles real once requests flowed)
+    assert(m.body().contains("# TYPE graft_httpd_query_duration_seconds summary"), m.body())
+    assert(m.body().contains("# TYPE graft_httpd_write_duration_seconds summary"))
+    def summaryCount(body: String, ep: String): Long =
+      s"graft_httpd_${ep}_duration_seconds_count (\\d+)".r.findFirstMatchIn(body)
+        .getOrElse(fail(s"${ep} summary count missing from $body")).group(1).toLong
+    def summarySum(body: String, ep: String): Double =
+      s"graft_httpd_${ep}_duration_seconds_sum ([0-9.E-]+)".r.findFirstMatchIn(body)
+        .getOrElse(fail(s"${ep} summary sum missing")).group(1).toDouble
+    val (qc0, wc0) = (summaryCount(m.body(), "query"), summaryCount(m.body(), "write"))
+    assert(qc0 >= 1 && wc0 >= 2, s"traffic above must have recorded: q=$qc0 w=$wc0")
+    assert(summarySum(m.body(), "query") > 0.0)
+    assert(("""graft_httpd_query_duration_seconds\{quantile="0.99"\} ([0-9.E-]+)""").r
+      .findFirstMatchIn(m.body()).exists(_.group(1).toDouble > 0.0), m.body())
+    get(s"/query?db=tele&q=${enc("SELECT count(value) FROM temp")}")
+    val m2 = get("/metrics")
+    assert(summaryCount(m2.body(), "query") == qc0 + 1, "the summary must move")
+    assert(summarySum(m2.body(), "query") > summarySum(m.body(), "query"))
     // method + auth discipline match the rest of the face
     val del = client.send(HttpRequest.newBuilder(URI.create(s"$base/debug/vars"))
       .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
