@@ -2641,10 +2641,55 @@ object InfluxQL {
     if (tcalls.isEmpty) return df
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ---- shared kernel stages -------------------------------------------
+    // Sibling indicators of ONE inner aggregate recompute identical
+    // intermediates: ema/dema/tema/trix over the same (agg, N) share their
+    // staged EMA columns (dema's stage 1 IS ema; trix's stages ARE tema's),
+    // and rsi/cmo/ker share the quantized bucket diff. Computing each
+    // shared column ONCE — from the group's representative agg column,
+    // whose values are bit-identical across the group — folds the TA sweep
+    // from one Window chain per call to one per distinct kernel stage,
+    // without touching a single emitted value (the expressions are the
+    // same, just not re-planned per sibling).
+    val emaKinds = Set("exponential_moving_average",
+      "double_exponential_moving_average", "triple_exponential_moving_average",
+      "triple_exponential_derivative")
+    val diffKinds = Set("relative_strength_index",
+      "chande_momentum_oscillator", "kaufmans_efficiency_ratio")
+    def stagesOf(tf: String): Int = tf match {
+      case "exponential_moving_average" => 1
+      case "double_exponential_moving_average" => 2
+      case _ => 3
+    }
+    def groupKey(f: Field) = (f.func, f.arg, f.pct, f.targ)
+    var d0 = df
+    val emaStage = scala.collection.mutable.Map.empty[((String, String, Option[Double], Option[Long]), Int), String]
+    for ((key, fs) <- tcalls.filter(f => emaKinds(f.transform.get)).groupBy(groupKey)) {
+      val rep = intName(fs.head)
+      val nArg = fs.head.targ.get.toInt
+      val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
+      val stages = fs.map(f => stagesOf(f.transform.get)).max
+      for (k <- 1 to stages) {
+        val sn = s"__shema_${rep}_$k"
+        val src = if (k == 1) col(rep).cast("double") else col(emaStage((key, k - 1)))
+        d0 = d0.withColumn(sn, when(src.isNotNull,
+          graft.operators.TimeSeriesOps.exponentialMovingAverage(src, w, nArg, depth)))
+        emaStage((key, k)) = sn
+      }
+    }
+    val sharedDiff = scala.collection.mutable.Map.empty[(String, String, Option[Double], Option[Long]), String]
+    for ((key, fs) <- tcalls.filter(f => diffKinds(f.transform.get)).groupBy(groupKey)) {
+      val rep = intName(fs.head)
+      val vuL = floor(col(rep).cast("double") * lit(1000000.0))
+      val duN = s"__shdu_$rep"
+      d0 = d0.withColumn(duN, vuL - lag(vuL, 1).over(w))
+      sharedDiff(key) = duN
+    }
+    val sharedCols = (emaStage.values ++ sharedDiff.values).toSeq
     // each transformed call column rewrites IN PLACE from its own inner
     // aggregate (independent of the other columns, so sequential
     // withColumn is one collapsed Project over the shared window)
-    tcalls.foldLeft(df) { (d, f) =>
+    tcalls.foldLeft(d0) { (d, f) =>
       val n = intName(f)
       val c = col(n).cast("double")
       val vu = floor(c * lit(1000000.0)).cast("decimal(38,0)")
@@ -2669,36 +2714,26 @@ object InfluxQL {
                    "triple_exponential_moving_average" | "triple_exponential_derivative") =>
           // staged truncated-kernel EMAs (TimeSeriesOps discipline): each
           // stage re-quantizes inside the kernel, null buckets carry no
-          // mass, and the indicator emits only at non-null operand buckets
-          val nArg = f.targ.get.toInt
-          val depth = graft.operators.TimeSeriesOps.emaDialectDepth(nArg)
-          val stages = tf match {
-            case "exponential_moving_average" => 1
-            case "double_exponential_moving_average" => 2
-            case _ => 3
-          }
-          val sn = (1 to stages).map(k => s"__s${k}_$n")
-          var dd = d.withColumn(sn.head, when(c.isNotNull,
-            graft.operators.TimeSeriesOps.exponentialMovingAverage(c, w, nArg, depth)))
-          for (k <- 1 until stages)
-            dd = dd.withColumn(sn(k), when(col(sn(k - 1)).isNotNull,
-              graft.operators.TimeSeriesOps.exponentialMovingAverage(col(sn(k - 1)), w, nArg, depth)))
+          // mass, and the indicator emits only at non-null operand buckets.
+          // The stages themselves are the SHARED columns computed above —
+          // sibling indicators read them instead of re-planning them
+          val sn = (1 to stagesOf(tf)).map(k => col(emaStage((groupKey(f), k))))
           val out = tf match {
-            case "exponential_moving_average" => col(sn(0))
+            case "exponential_moving_average" => sn(0)
             case "double_exponential_moving_average" =>
-              lit(2.0) * col(sn(0)) - col(sn(1))
+              lit(2.0) * sn(0) - sn(1)
             case "triple_exponential_moving_average" =>
-              lit(3.0) * col(sn(0)) - lit(3.0) * col(sn(1)) + col(sn(2))
+              lit(3.0) * sn(0) - lit(3.0) * sn(1) + sn(2)
             case "triple_exponential_derivative" =>
               // percent change of the triple-smoothed series; the previous
               // BUCKET's value (positional — nulls propagate, the bucketed
               // path's two-operand pin)
-              val prev = lag(col(sn(2)), 1).over(w)
+              val prev = lag(sn(2), 1).over(w)
               when(prev.isNotNull && prev =!= 0.0,
-                (lit(100.0) * (col(sn(2)) - prev)) / prev)
+                (lit(100.0) * (sn(2) - prev)) / prev)
                 .otherwise(lit(null).cast("double"))
           }
-          dd.withColumn(n, when(c.isNotNull, out)).drop(sn: _*)
+          d.withColumn(n, when(c.isNotNull, out))
         case "kaufmans_adaptive_moving_average" =>
           // KAMA is the one TA recurrence whose smoothing constant is
           // data-dependent per step: sc = (er·(2/3 − 2/31) + 2/31)² with
@@ -2728,24 +2763,25 @@ object InfluxQL {
                    "kaufmans_efficiency_ratio") =>
           // diff-based indicators need the quantized bucket-to-bucket diff
           // materialized first (window-in-window is not expressible); diffs
-          // across a null neighbor are null and contribute nothing
+          // across a null neighbor are null and contribute nothing. The
+          // diff is the SHARED column computed above — rsi/cmo/ker of one
+          // inner aggregate read one materialization of it
           val nArg = f.targ.get.toInt
           val vuL = floor(c * lit(1000000.0))
-          val duN = s"__du_$n"
-          val dd = d.withColumn(duN, vuL - lag(vuL, 1).over(w))
+          val duC = col(sharedDiff(groupKey(f)))
           val out = tf match {
             case "relative_strength_index" =>
               graft.operators.TimeSeriesOps.relativeStrengthIndex(
-                col(duN), w, nArg, graft.operators.TimeSeriesOps.wilderDialectDepth(nArg))
+                duC, w, nArg, graft.operators.TimeSeriesOps.wilderDialectDepth(nArg))
             case "chande_momentum_oscillator" =>
-              graft.operators.TimeSeriesOps.chandeMomentumOscillator(vuL, col(duN), w, nArg)
+              graft.operators.TimeSeriesOps.chandeMomentumOscillator(vuL, duC, w, nArg)
             case "kaufmans_efficiency_ratio" =>
-              graft.operators.TimeSeriesOps.kaufmansEfficiencyRatio(vuL, col(duN), w, nArg)
+              graft.operators.TimeSeriesOps.kaufmansEfficiencyRatio(vuL, duC, w, nArg)
           }
-          dd.withColumn(n, when(c.isNotNull, out)).drop(duN)
+          d.withColumn(n, when(c.isNotNull, out))
         case other => throw new IllegalArgumentException(s"unsupported transform $other")
       }
-    }
+    }.drop(sharedCols: _*)
   }
 
   /** FILL needs explicit bounds: InfluxDB likewise only densifies inside the
