@@ -407,11 +407,17 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     }
     else if (up.startsWith("EXPLAIN")) {
       // the real physical plan of the ROUTED query, one row per line —
-      // same shape as InfluxQL.run's EXPLAIN, db-aware
-      val lines = select(t.drop("EXPLAIN".length).trim).queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
-        .split("\n").toList
-      spark.createDataset(lines)(Encoders.STRING).toDF("plan")
+      // same shape as InfluxQL.run's EXPLAIN, db-aware; the ANALYZE
+      // variant runs it and reports observed per-operator metrics
+      val body = t.drop("EXPLAIN".length).trim
+      if (body.toUpperCase.startsWith("ANALYZE"))
+        InfluxQL.explainAnalyze(select(body.drop("ANALYZE".length).trim))
+      else {
+        val lines = select(body).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .split("\n").toList
+        spark.createDataset(lines)(Encoders.STRING).toDF("plan")
+      }
     } else {
       val q = InfluxQL.parse(t)
       if (q.into.nonEmpty) {
@@ -487,8 +493,10 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
         case None => needOn(defaultDb, "READ")
       }
     else if (!openMeta.exists(up.startsWith)) {
-      // SELECT / EXPLAIN: the FROM qualifier routes the db
-      val sel = if (up.startsWith("EXPLAIN")) t.drop("EXPLAIN".length).trim else t
+      // SELECT / EXPLAIN [ANALYZE]: the FROM qualifier routes the db
+      val sel0 = if (up.startsWith("EXPLAIN")) t.drop("EXPLAIN".length).trim else t
+      val sel = if (up.startsWith("EXPLAIN") && sel0.toUpperCase.startsWith("ANALYZE"))
+        sel0.drop("ANALYZE".length).trim else sel0
       val q = InfluxQL.parse(sel)
       val db = q.fromDb.getOrElse(defaultDb)
       needOn(db, "READ")

@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *   DELETE FROM m [WHERE ...] | DROP MEASUREMENT m        (ACID deletes)
   *     | DROP SERIES [FROM m] [WHERE tag-conds]
   *   EXPLAIN select                    (the real Spark physical plan)
+  *   EXPLAIN ANALYZE select            (runs it; final plan + observed
+  *                                      per-operator SQLMetric values)
   *
   *   SELECT field [, field ...] [INTO target]
   *   FROM (measurement [',' measurement ...] | '/regex/' | '(' select ')')
@@ -63,7 +65,7 @@ import org.apache.spark.sql.functions._
   *           | kaufmans_adaptive_moving_average   (bucketed path only — its
   *             smoothing constant is data-dependent, a true recursion)
   *   scalar := abs|sqrt|ceil|floor|round|exp|ln|log2|log10|sin|cos|tan|asin|acos|atan
-  *           | pow|atan2
+  *           | pow|atan2|log   (log(x, b) = base-b log, planned ln(x)/ln(b))
   *   cond   := cond OR cond | cond AND cond | '(' cond ')'    (AND binds tighter)
   *           | time (<|<=|>|>=) timeLit | tag (=|!=) 'string'
   *           | field (=|!=|<|<=|>|>=) num
@@ -235,7 +237,7 @@ object InfluxQL {
     */
   val ScalarFuncs: Map[String, Int] = Map(
     "abs" -> 1, "sqrt" -> 1, "ceil" -> 1, "floor" -> 1, "round" -> 1,
-    "exp" -> 1, "ln" -> 1, "log2" -> 1, "log10" -> 1,
+    "exp" -> 1, "ln" -> 1, "log2" -> 1, "log10" -> 1, "log" -> 2,
     "sin" -> 1, "cos" -> 1, "tan" -> 1, "asin" -> 1, "acos" -> 1, "atan" -> 1,
     "pow" -> 2, "atan2" -> 2)
 
@@ -915,6 +917,12 @@ object InfluxQL {
     */
   def run(points: DataFrame, text: String): DataFrame =
     if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
+    else if (text.trim.toUpperCase.startsWith("EXPLAIN ANALYZE ")) {
+      // InfluxDB 1.x's EXPLAIN ANALYZE: actually run the query, then
+      // render the final plan with observed execution metrics
+      explainAnalyze(run(points,
+        text.trim.drop("EXPLAIN ANALYZE".length).trim))
+    }
     else if (text.trim.toUpperCase.startsWith("EXPLAIN ")) {
       // InfluxDB's EXPLAIN, answered with the real physical plan: one
       // row per line of Spark's formatted explain — the user sees the
@@ -936,6 +944,40 @@ object InfluxQL {
             "run it through an InfluxCatalog")
       planResolved(points, q)
     }
+
+  /** `EXPLAIN ANALYZE` body (InfluxDB 1.x's run-and-report variant,
+    * stood in by Spark's executed-plan metrics): execute the plan
+    * executor-side — `toRdd.foreach` consumes every row where it was
+    * produced, rows never reach the driver — then walk the FINAL physical
+    * plan (through AQE's materialized stages and reused exchanges) and
+    * render one line per operator with its observed SQLMetric values, the
+    * Spark analogue of InfluxDB's per-iterator stats. One `plan` string
+    * column, like EXPLAIN.
+    */
+  private[influxql] def explainAnalyze(inner: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val t0 = System.nanoTime()
+    inner.queryExecution.toRdd.foreach(_ => ())
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val out = List.newBuilder[String]
+    out += s"execution: wall_ms=$wallMs"
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val ms = p.metrics.toSeq.sortBy(_._1)
+        .map { case (k, m) => s"$k=${m.value}" }.mkString(", ")
+      out += ("  " * depth + p.nodeName + (if (ms.nonEmpty) s" [$ms]" else ""))
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case s: QueryStageExec => walk(s.plan, depth + 1)
+        case r: ReusedExchangeExec => walk(r.child, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
+    }
+    walk(inner.queryExecution.executedPlan, 0)
+    import org.apache.spark.sql.Encoders
+    inner.sparkSession.createDataset(out.result())(Encoders.STRING).toDF("plan")
+  }
 
   /** Recursive planning entry: a subquery FROM plans the inner SELECT and
     * re-shapes its output into the points layout the outer query expects —
@@ -1714,6 +1756,14 @@ object InfluxQL {
         case "ln" => log(a(0))
         case "log2" => log2(a(0))
         case "log10" => log10(a(0))
+        // InfluxQL's base-b log(x, b), planned as ln(x)/ln(b) — ONE IEEE
+        // division of two natural logs so the DuckDB oracle can mirror the
+        // exact shape. Parity caveat (same 1-ulp libm family as `exp`/`ln`):
+        // the quotient is only quantization-safe when the true log_b(x) is
+        // irrational, i.e. x and b multiplicatively independent — oracle
+        // queries derive x as integer-aggregate·2 + 0.5 (never an integer,
+        // so never an integer power of the base)
+        case "log" => log(a(0)) / log(a(1))
         case "sin" => sin(a(0))
         case "cos" => cos(a(0))
         case "tan" => tan(a(0))

@@ -185,6 +185,22 @@ object InfluxQLQueries {
           |GROUP BY time(1d), device""".stripMargin)
     }),
 
+    // base-b log(x, b) planned as ln(x)/ln(b) — quantized 1e-7 floor; every
+    // input is built as aggregate·2^k + {0.5, 0.25} so it is provably never
+    // an integer, hence never an integer power of the (odd-prime) base, and
+    // the true log is irrational — the 1-ulp StrictMath-vs-libm drift can
+    // never straddle a quantization boundary (the ln(1)=0 hazard class)
+    "q_influxql_log" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT floor(log(count(value) * 2 + 0.5, 7) * 10000000) AS lg7,
+          |       floor(log(count(value) * 4 + 0.5, 3) * 10000000) AS lg3,
+          |       floor(log(max(value) * 2 + 0.25, 7) * 10000000) AS lgmax,
+          |       count(value) AS cnt
+          |FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     // integral(): trapezoid area under each series' curve per daily bucket
     // (whole-bucket segments only, the engine's pinned boundary rule) at
     // two units, joined beside a hash aggregate — a window pass + grouped
@@ -655,6 +671,29 @@ object InfluxQLQueries {
          |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
          |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
          |SELECT s.time, s.device, e.norm, e.rootsum, e.dist50, e.cnt2, e.uniq
+         |FROM skel s LEFT JOIN e ON s.time = e.time AND s.device = e.device""".stripMargin,
+
+    // log(x, b) mirror: identical ln(x)/ln(b) IEEE shape (division before
+    // the 1e7 scale, floor last), count cast to double exactly as the
+    // engine's expression leaves do
+    "q_influxql_log" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |b AS (SELECT ts_us - ts_us % 86400000000 AS time, device,
+         |    CAST(count(value) AS DOUBLE) AS cntd, max(value) AS mxv,
+         |    count(value) AS cnt
+         |  FROM f GROUP BY 1, 2),
+         |e AS (SELECT time, device,
+         |    floor(ln(cntd * 2.0 + 0.5) / ln(7.0) * 10000000.0) AS lg7,
+         |    floor(ln(cntd * 4.0 + 0.5) / ln(3.0) * 10000000.0) AS lg3,
+         |    floor(ln(mxv * 2.0 + 0.25) / ln(7.0) * 10000000.0) AS lgmax,
+         |    cnt
+         |  FROM b),
+         |devs AS (SELECT DISTINCT device FROM e),
+         |skel AS (SELECT device, 1704067200000000 + o * 86400000000 AS time
+         |         FROM devs, UNNEST(generate_series(0, 29)) AS t(o))
+         |SELECT s.time, s.device, e.lg7, e.lg3, e.lgmax, e.cnt
          |FROM skel s LEFT JOIN e ON s.time = e.time AND s.device = e.device""".stripMargin,
 
     // integral mirrors the engine pin: lag over (ts, value) per device,

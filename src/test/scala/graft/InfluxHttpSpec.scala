@@ -154,6 +154,12 @@ class InfluxHttpSpec extends SparkSuite {
     assert(get(s"/query?db=tele&u=viewer&p=WRONG&q=$sel").statusCode() == 401)
     val okR = get(s"/query?db=tele&u=viewer&p=vpw&q=$sel")
     assert(okR.statusCode() == 200 && okR.body().contains("2"), okR.body())
+    // EXPLAIN ANALYZE is a READ statement (it runs the SELECT): the read
+    // grant admits it and the answer carries observed execution metrics
+    val ea = get(s"/query?db=tele&u=viewer&p=vpw&q=${
+      enc("EXPLAIN ANALYZE SELECT count(value) FROM temp")}")
+    assert(ea.statusCode() == 200 && ea.body().contains("execution: wall_ms=") &&
+      ea.body().contains("numOutputRows="), ea.body())
     // viewer may not write: statement authz -> 403, write authz -> 403
     // (mutations go via POST; authorization is checked BEFORE execution)
     assert(post("/query", s"db=tele&u=viewer&p=vpw&q=${

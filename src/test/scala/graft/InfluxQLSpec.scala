@@ -545,6 +545,36 @@ class InfluxQLSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), s"expected an aggregate plan:\n$plan")
   }
 
+  test("EXPLAIN ANALYZE runs the statement and reports observed metrics") {
+    val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("b", "m", 3L, 4.0))
+    val lines = InfluxQL.run(df,
+      "EXPLAIN ANALYZE SELECT mean(value) FROM m GROUP BY device")
+      .as[String].collect()
+    assert(lines.head.startsWith("execution: wall_ms="), lines.head)
+    val joined = lines.mkString("\n")
+    assert(joined.contains("HashAggregate"), s"expected the final plan:\n$joined")
+    // the metrics are OBSERVED values, not placeholders: operators report
+    // executed row counts, and the AQE stages are the materialized ones
+    assert("numOutputRows=[1-9]".r.findFirstIn(joined).nonEmpty,
+      s"expected executed counts:\n$joined")
+    assert(joined.contains("ShuffleQueryStage") || joined.contains("ResultQueryStage"),
+      s"expected materialized AQE stages:\n$joined")
+  }
+
+  test("log(x, b) is base-b log, planned ln(x)/ln(b); arity enforced") {
+    val df = pts(("a", "m", 1L, 3.0), ("a", "m", 2L, 5.0))
+    // count=2 -> x = 2*2+0.5 = 4.5; log_7(4.5) = ln(4.5)/ln(7)
+    val got = InfluxQL.run(df,
+      "SELECT floor(log(count(value) * 2 + 0.5, 7) * 10000000) AS lg7 FROM m")
+      .select(col("lg7")).as[Double].collect().toSeq
+    val want = math.floor(StrictMath.log(4.5) / StrictMath.log(7.0) * 1.0e7)
+    assert(got == Seq(want))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.parse("SELECT log(value) FROM m")).getMessage.contains("2 argument"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.parse("SELECT log(value, 2, 3) FROM m")).getMessage.contains("2 argument"))
+  }
+
   test("FROM m1, m2 keeps each measurement its own series") {
     val df = pts(
       ("a", "temp", 1L, 2.0), ("a", "temp", 2L, 4.0),
