@@ -227,8 +227,11 @@ object DedupOps {
   /** Connected components over an undirected pair list `(i, j)` — the
     * transitive-closure step a real dedup pipeline needs after candidate
     * pairs: if A~B and B~C, all three are one duplicate group even when
-    * A~C was never emitted. Min-label propagation (the GraphX/Pregel CC
-    * algorithm): every node starts labeled with itself; each round takes
+    * A~C was never emitted. Two phases: a map-side union-find first
+    * contracts every within-partition component (no shuffle; most small
+    * dedup clusters dissolve here), then min-label propagation (the
+    * GraphX/Pregel CC algorithm) runs on the contracted root graph:
+    * every node starts labeled with itself; each round takes
     * the min of its own and its neighbors' labels; fixpoint after at most
     * `diameter` rounds. Each round is one shuffle on node id — no driver
     * state beyond the convergence counter; each round's labels are eagerly
@@ -254,8 +257,54 @@ object DedupOps {
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
     }
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+    // Local-contraction pre-pass: a per-partition union-find collapses
+    // every edge whose endpoints already share a partition BEFORE any
+    // distributed round — one map-side pass, no shuffle. Each partition
+    // emits (node, local root = min node of its partition-local
+    // component); a node seen in several partitions carries several
+    // roots, and those root sets ARE the contracted graph: roots r1, r2
+    // of one node are connected iff the original nodes were. In a dedup
+    // pair graph most components are small, so most of them contract to
+    // a single root here and never enter the iterative loop at all —
+    // the loop then propagates over the (much smaller) root graph only.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val localRoots = pairs
+      .select(col("i").cast("long"), col("j").cast("long")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent(x)
+          while (p != x) { // path halving
+            val g = parent(p)
+            parent(x) = g
+            x = g
+            p = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          // min-union keeps the invariant root = min node of the local
+          // component, so final labels stay the global min node id
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
+      }.toDF("node", "root")
+    // per-node root set across partitions (bounded by #partitions); rep =
+    // min root. Checkpointed: it feeds both the contracted edges and the
+    // final join-back, and must not re-run the union-find twice.
+    val m = localRoots.groupBy("node")
+      .agg(min(col("root")).as("rep"), collect_set(col("root")).as("roots"))
+      .transform(ckpt)
+    val contracted = m
+      .select(col("rep").as("ci"), explode(col("roots")).as("cj"))
+      .where(col("ci") =!= col("cj"))
+    val edges = contracted.select(col("ci").as("src"), col("cj").as("dst"))
+      .union(contracted.select(col("cj").as("src"), col("ci").as("dst")))
       .persist()
     // seed with min(node, min neighbor): the same exchange the plain
     // `distinct` node list costs, but it performs round 1's neighbor-min
@@ -305,7 +354,12 @@ object DedupOps {
         s"connected components did not converge in $maxIters rounds " +
           "(graph diameter exceeds maxIters) — raise maxIters; returning " +
           "mid-propagation labels would silently split components")
-    labels
+    // Join every original node back through its local root: component =
+    // the root's propagated label; roots whose component stayed local
+    // never entered the loop and label themselves (coalesce).
+    m.select(col("node"), col("rep"))
+      .join(labels.select(col("node").as("rep"), col("component")), Seq("rep"), "left")
+      .select(col("node"), coalesce(col("component"), col("rep")).as("component"))
   }
 
   /** Benchmark-contamination report: for each eval document, how much of it
