@@ -1814,17 +1814,17 @@ object InfluxQL {
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
           "incrementally — single-pass aggregates only")
-    // fill(null/none/value) is emission-time densification over CLOSED
-    // buckets ([[startContinuousQuery]]'s MERGE sink does it, no streaming
-    // state) — the stream itself emits data buckets either way.
-    // fill(previous/linear) stays rejected LOUDLY: each emitted bucket
-    // would depend on the whole closed-bucket history (ordered state the
-    // append-mode aggregate does not carry); run the batch query instead.
-    if (q.fill == FillPrevious || q.fill == FillLinear)
+    // fill(null/none/value/previous) is emission-time densification over
+    // CLOSED buckets ([[startContinuousQuery]]'s MERGE sink does it, no
+    // streaming state; previous LOCF-seeds from the committed target) —
+    // the stream itself emits data buckets either way. fill(linear) stays
+    // rejected LOUDLY: an emitted bucket would need the NEXT observed
+    // bucket, which has not closed yet — genuinely non-incremental.
+    if (q.fill == FillLinear)
       throw new IllegalArgumentException(
-        "InfluxQL continuous query: fill(previous)/fill(linear) cannot run " +
-          "incrementally — each bucket depends on the full closed-bucket " +
-          "history; run the batch query for history-dependent fills")
+        "InfluxQL continuous query: fill(linear) cannot run incrementally " +
+          "— interpolation needs the NEXT bucket, which has not closed " +
+          "yet; run the batch query for linear fills")
     if (q.timeDesc || q.limit.nonEmpty || q.offset.nonEmpty ||
         q.slimit.nonEmpty || q.soffset.nonEmpty)
       throw new IllegalArgumentException(
@@ -1930,12 +1930,14 @@ object InfluxQL {
     val tags = (if (q.fromRegex) Seq("measurement") else Nil) ++ q.groupTags
     val table = new graft.storage.TxLogTable(
       streamPoints.sparkSession, s"$root/$db/$target")
-    // an EXPLICIT fill(null/value) densifies the target at emission: the
-    // gaps between closed buckets fill with null / the literal, exactly
-    // the batch query's skeleton over the data's own bucket range (the
-    // default — no fill() written — and fill(none) emit data buckets only)
+    // an EXPLICIT fill(null/value/previous) densifies the target at
+    // emission: the gaps between closed buckets fill with null / the
+    // literal / the nearest preceding bucket's value, exactly the batch
+    // query's skeleton over the data's own bucket range (the default — no
+    // fill() written — and fill(none) emit data buckets only)
     val densify: DataFrame => DataFrame =
-      if (q.fillExplicit && (q.fill == FillNull || q.fill.isInstanceOf[FillValue]))
+      if (q.fillExplicit && (q.fill == FillNull || q.fill == FillPrevious ||
+          q.fill.isInstanceOf[FillValue]))
         densifyClosedBuckets(_, table, q.groupTimeUs.get, tags, q.fill)
       else identity
     graft.streaming.StreamingIngest.startMergeSink(
@@ -1959,20 +1961,26 @@ object InfluxQL {
     * the max CLOSED bucket, where the watermark has already discarded
     * later-arriving points). Correct only while the CQ is its target's
     * sole writer, which is the CQ contract. Scale: the per-batch reread of
-    * the target prunes to (time, tags); the target is a downsample whose
-    * skeleton the MaxFillBuckets guard bounds, same as the batch planner.
+    * the target prunes to (time, tags) — plus the aggregate values for
+    * `fill(previous)`, whose LOCF memory IS the committed table; the
+    * target is a downsample whose skeleton the MaxFillBuckets guard
+    * bounds, same as the batch planner.
     */
   private def densifyClosedBuckets(batch: DataFrame, table: graft.storage.TxLogTable,
                                    step: Long, tags: Seq[String],
                                    fill: Fill): DataFrame = {
     if (batch.isEmpty) return batch
     val keyCols = "time" +: tags
-    val domain = (table.version match {
-      case Some(_) => batch.select(keyCols.map(col): _*)
-        .unionByName(table.read().select(keyCols.map(col): _*))
-      case None => batch.select(keyCols.map(col): _*)
+    // fill(previous) needs the committed VALUES (the LOCF memory), the
+    // other fills only the committed keys — read the narrower surface
+    val readCols = if (fill == FillPrevious) batch.columns.toSeq else keyCols
+    val full = (table.version match {
+      case Some(_) => batch.select(readCols.map(col): _*)
+        .unionByName(table.read().select(readCols.map(col): _*))
+      case None => batch.select(readCols.map(col): _*)
     }).persist()
     try {
+      val domain = full.select(keyCols.map(col): _*)
       val bounds = domain.agg(min(col("time")), max(col("time"))).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val nBuckets = (hi - lo) / step + 1
@@ -1986,17 +1994,42 @@ object InfluxQL {
         else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
       val gaps = skeleton.join(domain, keyCols, "left_anti")
       val aggCols = batch.columns.filterNot(keyCols.contains)
-      val gapRows = gaps.select(keyCols.map(col) ++ aggCols.map { c =>
-        val dt = batch.schema(c).dataType
-        (fill match {
-          case FillValue(x) => lit(x).cast(dt)
-          case _ => lit(null).cast(dt)
-        }).as(c)
-      }: _*)
+      val gapRows = fill match {
+        case FillPrevious =>
+          // LOCF: a gap takes the nearest PRECEDING bucket's value per
+          // series — the batch planner's exact last(ignoreNulls)-over-back
+          // expression, run over (committed target ∪ this batch ∪ the new
+          // gaps-as-null). Committed gap rows already CARRY their LOCF
+          // value, so filling from them equals filling from the underlying
+          // data bucket (induction) — replays converge; gaps before a
+          // series' first-ever bucket stay null, like the batch skeleton.
+          import org.apache.spark.sql.expressions.Window
+          val gapNull = gaps.select(keyCols.map(col) ++ aggCols.map(c =>
+            lit(null).cast(batch.schema(c).dataType).as(c)): _*)
+          // routed through a real attribute so FoldablePropagation cannot
+          // fold the tag-less partition key out (the no-unpartitioned-
+          // windows discipline); the frame is MaxFillBuckets-bounded
+          val part = if (tags.nonEmpty) tags.map(col)
+            else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(1)))
+          val back = Window.partitionBy(part: _*).orderBy(col("time"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          full.withColumn("__gap", lit(0))
+            .unionByName(gapNull.withColumn("__gap", lit(1)))
+            .select(keyCols.map(col) ++ aggCols.map(c =>
+              last(col(c), ignoreNulls = true).over(back).as(c)) :+ col("__gap"): _*)
+            .where(col("__gap") === 1).drop("__gap")
+        case _ => gaps.select(keyCols.map(col) ++ aggCols.map { c =>
+          val dt = batch.schema(c).dataType
+          (fill match {
+            case FillValue(x) => lit(x).cast(dt)
+            case _ => lit(null).cast(dt)
+          }).as(c)
+        }: _*)
+      }
       // localCheckpoint the synthesized rows so the union the sink merges
       // does not re-read the pre-merge target lazily DURING the merge
       batch.unionByName(gapRows).localCheckpoint()
-    } finally domain.unpersist()
+    } finally full.unpersist()
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an

@@ -124,8 +124,8 @@ class StreamingSpec extends SparkSuite {
     assert(bad("SELECT percentile(value, 90) FROM temp GROUP BY time(10m)")
       .contains("cannot run incrementally"))
     assert(bad("SELECT mean(value) FROM temp").contains("GROUP BY time()"))
-    assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(previous)")
-      .contains("cannot run incrementally"))
+    // fill(previous) runs (emission-time LOCF); fill(linear) cannot — it
+    // needs the NEXT bucket, which has not closed yet
     assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(linear)")
       .contains("cannot run incrementally"))
     assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) LIMIT 5")
@@ -246,6 +246,59 @@ class StreamingSpec extends SparkSuite {
       spark, root, "CREATE CONTINUOUS QUERY x ON telemetry BEGIN SELECT mean(value) " +
         "INTO x FROM temp GROUP BY time(10m) FILL(linear) END"))
       .getMessage.contains("cannot run incrementally"))
+  }
+
+  test("CQ fill(previous): gaps LOCF from the committed target across batches") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_prev")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+      """CREATE CONTINUOUS QUERY temp_p ON telemetry BEGIN
+        |SELECT mean(value), count(value) INTO temp_p FROM temp
+        |GROUP BY time(10m), device FILL(previous) END""".stripMargin,
+      root, checkpoint = tmp("cq_prev_cp"), lateness = "1 minute",
+      trigger = Trigger.ProcessingTime(0))
+    val table = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_p")
+    val data = Seq(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+      ("d1", "temp", us("2024-01-01 00:02:00"), 4.0),
+      ("d2", "temp", us("2024-01-01 00:05:00"), 10.0),
+      ("d1", "temp", us("2024-01-01 00:45:00"), 7.0),
+      ("d1", "temp", us("2024-01-01 01:30:00"), 1.0),
+      ("d1", "temp", us("2024-01-01 02:30:00"), 5.0))
+    try {
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data(3)) // watermark 00:44 closes the 00:00 buckets
+      q.processAllAvailable()
+      in.addData(data(4)) // closes through 00:40: the LOCF seed for the
+      q.processAllAvailable() // new gaps is the TARGET's committed 00:00 rows
+      in.addData(data(5)) // closes through 01:30: d2's gaps now fill FROM
+      q.processAllAvailable() // its committed FILLED rows (induction step)
+      val got = table.read().select("time", "device", "mean", "count")
+        .as[(Long, String, Option[Double], Option[Long])].collect().toSet
+      // the batch query over the same closed range IS the oracle
+      val batch = data.toDF("device", "transducer", "ts_us", "value")
+      val want = graft.influxql.InfluxQL.run(batch,
+        "SELECT mean(value), count(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
+          "AND time < '2024-01-01T01:40:00Z' GROUP BY time(10m), device fill(previous)")
+        .select("time", "device", "mean", "count")
+        .as[(Long, String, Option[Double], Option[Long])].collect().toSet
+      assert(got == want, s"CQ target != batch fill(previous) oracle:\n got=$got\nwant=$want")
+      assert(got.size == 20, "2 devices x 10 buckets")
+      // the cross-batch seed: d1's 00:10 gap carries the 00:00 mean
+      assert(got.contains((us("2024-01-01 00:10:00"), "d1", Some(3.0), Some(2L))))
+      // filling from a filled row: d2's 01:00 gap still carries 10.0
+      assert(got.contains((us("2024-01-01 01:00:00"), "d2", Some(10.0), Some(1L))))
+      // replay-idempotent: re-merging the final emission converges
+      graft.storage.TxLogTable.retryOnConflict() {
+        table.merge(got.toSeq.toDF("time", "device", "mean", "count"),
+          Seq("time", "device"), Some("time")); ()
+      }
+      assert(table.read().count() == 20)
+    } finally q.stop()
   }
 
   test("CQ RESAMPLE: FOR widens the watermark; EVERY yields to an AvailableNow drain") {
