@@ -2,7 +2,7 @@ package graft
 
 import scala.math.BigDecimal.RoundingMode
 
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, concat, lit, timestamp_micros}
 import graft.influxql.InfluxQL
 
 /** Randomized differential test: the InfluxQL planner against an exact
@@ -1511,10 +1511,22 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
       val timeTxt =
         if (offUs == 0) s"time(${stepUs}u)" else s"time(${stepUs}u, ${offUs}u)"
+      // fill draw: 0 = default (no FILL written), 1 = none, 2 = null,
+      // 3 = a literal (fractional and negative values exercise the
+      // per-column cast), 4 = previous (emission-time LOCF)
+      val fillKind = rnd.nextInt(5)
+      val fillVal = Seq(0.0, 7.0, 2.5, -1.0)(rnd.nextInt(4))
+      val fillTxt = fillKind match {
+        case 0 => ""
+        case 1 => " FILL(none)"
+        case 2 => " FILL(null)"
+        case 3 => s" FILL($fillVal)"
+        case 4 => " FILL(previous)"
+      }
       val ddl =
         s"""CREATE CONTINUOUS QUERY cq$seed ON db BEGIN
            |SELECT ${items.map(_.text).mkString(", ")} INTO t$seed FROM m$whereTxt
-           |GROUP BY $timeTxt${if (byDevice) ", device" else ""} END""".stripMargin
+           |GROUP BY $timeTxt${if (byDevice) ", device" else ""}$fillTxt END""".stripMargin
 
       // the flush sentinel: a COPY of a matched point 10 days out — it
       // passes the same filters, so it advances the watermark past every
@@ -1538,12 +1550,50 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       val all = matched ++ sentinel.map(s => Pt(s._1, s._3, s._4))
       val wm = all.map(_.ts).maxOption.getOrElse(Long.MinValue)
       def bucketOf(t: Long): Long = t - Math.floorMod(t - offUs, stepUs)
-      val expected: Set[Seq[Any]] = all.groupBy(p =>
+      val closed: Map[(Long, String), Seq[Any]] = all.groupBy(p =>
           (bucketOf(p.ts), if (byDevice) p.device else ""))
         .collect { case ((b, d), rs) if b + stepUs <= wm =>
-          (b +: (if (byDevice) Seq(d) else Nil)) ++
-            items.map(it => it.eval(aggCall(it.fn, it.pct, rs)))
-        }.toSet
+          (b, d) -> items.map(it => it.eval(aggCall(it.fn, it.pct, rs)))
+        }
+      def render(b: Long, d: String, vals: Seq[Any]): Seq[Any] =
+        (b +: (if (byDevice) Seq(d) else Nil)) ++ vals
+      // a bare count column is LONG; everything else (expressions
+      // included) evaluates in double — the fill literal casts to the
+      // OUTPUT column's type, truncating toward zero like Spark's cast
+      def isLong(it: GItem): Boolean = it.fn == "count" && it.op.isEmpty
+      val expected: Set[Seq[Any]] =
+        if (fillKind <= 1 || closed.isEmpty)
+          closed.map { case ((b, d), vals) => render(b, d, vals) }.toSet
+        else {
+          val lo = closed.keys.map(_._1).min
+          val hi = closed.keys.map(_._1).max
+          val series = closed.keys.map(_._2).toSet
+          series.flatMap { d =>
+            // per-column LOCF carry for fill(previous): a gap takes each
+            // column's most recent non-null value (data buckets keep their
+            // own, possibly null, values — only gaps fill)
+            val carry = Array.fill[Any](items.size)(null)
+            (lo to hi by stepUs).map { b =>
+              closed.get((b, d)) match {
+                case Some(vals) =>
+                  vals.zipWithIndex.foreach { case (v, i) =>
+                    if (v != null) carry(i) = v }
+                  render(b, d, vals)
+                case None =>
+                  val gap = items.zipWithIndex.map { case (it, i) =>
+                    fillKind match {
+                      case 2 => null
+                      case 3 => if (isLong(it)) fillVal.toLong else fillVal
+                      case 4 => carry(i)
+                    }
+                  }
+                  gap.zipWithIndex.foreach { case (v, i) =>
+                    if (v != null) carry(i) = v }
+                  render(b, d, gap)
+              }
+            }
+          }
+        }
 
       val table = new graft.storage.TxLogTable(spark, s"$root/db/t$seed")
       val engine: Set[Seq[Any]] =
@@ -1557,6 +1607,126 @@ class InfluxQLDifferentialSpec extends SparkSuite {
            |DDL: $ddl
            |ENGINE-ONLY: ${(engine -- expected).take(5)}
            |EXPECTED-ONLY: ${(expected -- engine).take(5)}""".stripMargin)
+    }
+  }
+
+  test("15 seeded field-type-conflict interleavings match the two-phase registry model") {
+    // the r13 surface: a field's type is fixed by its FIRST write —
+    // persisted registry first, then batch-internal first-seen; a line
+    // conflicting with either 400s as a partial write but an intra-batch
+    // reject still registers its other fields (the engine's documented
+    // two-phase rule). The model tracks the registry and acceptance line
+    // by line across seeded multi-batch interleavings of float/bool/
+    // string writes, malformed lines included.
+    import graft.influxql.InfluxCatalog
+    val meas = Vector("m1", "m2")
+    for (seed <- 0 until 15 * diffScale) {
+      val rnd = new scala.util.Random(9100L + seed)
+      val root = java.nio.file.Files.createTempDirectory("ftc_diff").toString
+      val cat = new InfluxCatalog(spark, root, defaultDb = "db")
+      cat.run("CREATE DATABASE db")
+      var reg = Map.empty[(String, String), String]
+      val wantRows = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      var ts = 1000000L
+      case class L(text: String, m: String, pts: Seq[(String, String)], malformed: Boolean)
+      for (batch <- 0 until 2 + rnd.nextInt(3)) {
+        val lines: Seq[L] = (0 until 2 + rnd.nextInt(6)).map { _ =>
+          if (rnd.nextInt(8) == 0) L("not a line!!!", "", Nil, malformed = true)
+          else {
+            val m = meas(rnd.nextInt(2))
+            val fs = (0 until 1 + rnd.nextInt(2)).map { i =>
+              val f = if (i == 0) "value" else "g"
+              val t = Seq("float", "boolean", "string")(rnd.nextInt(3))
+              (f, t)
+            }.distinctBy(_._1)
+            ts += 1000L
+            val body = fs.map { case (f, t) => t match {
+              case "float" => s"$f=${rnd.nextInt(100)}.5"
+              case "boolean" => s"$f=${if (rnd.nextBoolean()) "t" else "f"}"
+              case _ => s"""$f="s${rnd.nextInt(5)}""""
+            }}.mkString(",")
+            L(s"$m,device=d${rnd.nextInt(2)} $body $ts", m, fs, malformed = false)
+          }
+        }
+        // --- model: phase 1 registers first-seen types of lines that do
+        // not conflict with the PERSISTED registry; phase 2 accepts lines
+        // that conflict with neither persisted nor batch-fresh types
+        val known = reg
+        var fresh = Map.empty[(String, String), String]
+        for (l <- lines if !l.malformed) {
+          val vsKnown = l.pts.exists { case (f, t) =>
+            known.get((l.m, f)).exists(_ != t) }
+          if (!vsKnown)
+            for ((f, t) <- l.pts
+                 if !known.contains((l.m, f)) && !fresh.contains((l.m, f)))
+              fresh += ((l.m, f) -> t)
+        }
+        reg = known ++ fresh
+        var conflicts = 0
+        var malformed = 0
+        for (l <- lines) {
+          if (l.malformed) malformed += 1
+          else if (l.pts.exists { case (f, t) => reg.get((l.m, f)).exists(_ != t) })
+            conflicts += 1
+          else wantRows(l.m) +=
+            l.pts.count { case (f, t) => f == "value" && t != "string" }
+        }
+        // --- engine
+        val res = cat.writeLineProtocol("db", lines.map(_.text).toDS())
+        val errs = res.errors.collect()
+        assert(errs.count(_.error.contains("field type conflict")) == conflicts,
+          s"seed $seed batch $batch conflict count:\n${errs.mkString("\n")}")
+        assert(errs.count(!_.error.contains("field type conflict")) == malformed,
+          s"seed $seed batch $batch malformed count")
+        assert(cat.fieldTypes("db") == reg,
+          s"seed $seed batch $batch registry: got ${cat.fieldTypes("db")} want $reg")
+      }
+      for (m <- meas) {
+        val got = cat.run(s"SELECT count(value) AS c FROM $m")
+          .select("c").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+        assert(got == wantRows(m), s"seed $seed committed rows of $m")
+      }
+    }
+  }
+
+  test("10 seeded backup/restore round-trips survive concurrent commits") {
+    // the r13 surface: exportSnapshot under a live writer must capture a
+    // CONSISTENT committed version (never a torn mix), restore must
+    // publish exactly that version's bytes, and the version fence must
+    // refuse a restore onto any live table. Each seed interleaves
+    // appends/merges with a snapshot from a racing thread.
+    import graft.storage.TxLogTable
+    for (seed <- 0 until 10 * diffScale) {
+      val rnd = new scala.util.Random(9700L + seed)
+      val dir = java.nio.file.Files.createTempDirectory("bak_diff").toString
+      val t = new TxLogTable(spark, s"$dir/t")
+      def frame(k: Int) = spark.range(k * 10, k * 10 + 5)
+        .select(col("id"), concat(lit(s"b$k-"), col("id")).as("s"))
+      TxLogTable.retryOnConflict() { t.append(frame(0)); () }
+      val nCommits = 3 + rnd.nextInt(4)
+      val snapAfter = 1 + rnd.nextInt(nCommits)
+      val bak = java.nio.file.Files.createTempDirectory("bak_dst").toString
+      @volatile var snapVer = -1L
+      val snapper = new Thread(() => { snapVer = t.exportSnapshot(bak) })
+      for (k <- 1 to nCommits) {
+        if (k == snapAfter) snapper.start()
+        TxLogTable.retryOnConflict() {
+          if (rnd.nextBoolean()) t.append(frame(k))
+          else t.merge(frame(k), Seq("id"), Some("id"))
+          ()
+        }
+      }
+      snapper.join()
+      assert(snapVer >= 0L, s"seed $seed snapshot must export a version")
+      // the snapshot is the EXACT content of the version it names
+      val want = t.readVersion(snapVer).collect().map(_.toString).sorted.toSeq
+      // restore onto a live table refuses (fence)
+      val clash = intercept[IllegalStateException](t.importSnapshot(bak))
+      assert(clash.getMessage.contains("fence"), clash.getMessage)
+      val restored = new TxLogTable(spark, s"$dir/r")
+      assert(restored.importSnapshot(bak) == snapVer)
+      val got = restored.read().collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"seed $seed restored content != version $snapVer")
     }
   }
 }
