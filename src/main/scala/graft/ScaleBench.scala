@@ -6,31 +6,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve harness: times the 8 heaviest operators at
-  * sf0.001/0.01/0.1 plus a GENERATED ~sf0.3 slice and fits the growth
-  * exponent per query — the measured face of the "would this hold at
-  * 100 TB" argument. A plan audit proves the SHAPE is scale-safe (no
-  * unpartitioned window, no cartesian); this proves the measured cost
-  * actually grows ~linearly in corpus size on this box, and names any
-  * query whose exponent says otherwise.
+  * sf0.001/0.01/0.1 plus GENERATED ~sf0.3 and ~sf1 slices (3× and 10×
+  * the sf0.1 fixtures) and fits the growth exponent per query — the
+  * measured face of the "would this hold at 100 TB" argument. A plan
+  * audit proves the SHAPE is scale-safe (no unpartitioned window, no
+  * cartesian); this proves the measured cost actually grows ~linearly in
+  * corpus size on this box, and names any query whose exponent says
+  * otherwise. The sf1 point is the one where real shuffle/CPU work
+  * finally dominates the ~0.3–0.5 s fixed per-query scheduling cost, so
+  * its top-pair exponent distinguishes "linear in data" from "flat in
+  * overhead".
   *
-  * The sf0.3 slice replicates the sf0.1 fixtures 3× with DETERMINISTIC
-  * perturbation chosen to mimic organic growth, not a 3× duplicate corpus:
+  * Each slice replicates the sf0.1 fixtures k× with DETERMINISTIC
+  * perturbation chosen to mimic organic growth, not a k× duplicate corpus:
   *   - documents: ids offset per replica; text vowel-ROTATED per replica
-  *     (every word with a vowel changes, so cross-replica shingles are
-  *     dissimilar) while within-replica near-dup structure is preserved —
-  *     dedup pair spaces grow linearly like a real corpus's.
+  *     and consonant-rotated per vowel-cycle (all 10 replicas get distinct
+  *     transforms, so cross-replica shingles are dissimilar) while
+  *     within-replica near-dup structure is preserved — dedup pair spaces
+  *     grow linearly like a real corpus's.
   *   - embeddings: ids offset; a small index-dependent perturbation keeps
   *     cross-replica vectors from being exact cosine ties.
-  *   - events: event/user ids offset per replica → 3× the series count,
+  *   - events: event/user ids offset per replica → k× the series count,
   *     the dimension the TA kernels partition on.
   *
-  * Exponents: `alpha_hi` = log3(t(0.3)/t(0.1)) — the top pair, where fixed
-  * Spark job overhead (~0.3–0.5 s per query on this box) is smallest
-  * relative to real work — and `alpha_fit`, the least-squares slope of
-  * ln t over ln sf across all four points (reported for context; the
-  * small-SF points are overhead-dominated, so alpha_fit understates
-  * growth). Judge on alpha_hi. Results append to PROGRESS.jsonl as one
-  * `{"event":"scalebench",...}` line (override with SPARK_GRAFT_SCALE_OUT).
+  * Exponents: `alpha_hi` = the top-pair slope log(t_hi/t_lo)/log(sf_hi/
+  * sf_lo) over the two LARGEST measured SFs — where fixed Spark job
+  * overhead is smallest relative to real work — and `alpha_fit`, the
+  * least-squares slope of ln t over ln sf across all points (reported for
+  * context; the small-SF points are overhead-dominated, so alpha_fit
+  * understates growth). Judge on alpha_hi. Results append to
+  * PROGRESS.jsonl as one `{"event":"scalebench",...}` line (override with
+  * SPARK_GRAFT_SCALE_OUT). SPARK_GRAFT_SCALE_MAXSF trims the SF list
+  * (e.g. 0.3 reproduces the r13 sweep).
   */
 object ScaleBench {
 
@@ -59,10 +66,15 @@ object ScaleBench {
         .reduce(_ unionByName _)
 
     val vow = "aeiou"
+    val con = "snrtl"
     replicate(Tables.documents(spark, base), (d, k) => {
-      val rot = vow.drop(k % 5) + vow.take(k % 5)
+      // k % 5 rotates the vowels, k / 5 rotates a consonant set: all 10
+      // replica transforms are distinct, so no two replicas are exact
+      // twins and cross-replica shingles stay dissimilar
+      val rotV = vow.drop(k % 5) + vow.take(k % 5)
+      val rotC = con.drop(k / 5 % 5) + con.take(k / 5 % 5)
       d.withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
-        .withColumn("text", translate(col("text"), vow, rot))
+        .withColumn("text", translate(col("text"), vow + con, rotV + rotC))
     }).coalesce(1) // one file, the fixture layout the queries' scan heuristics see
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -91,12 +103,16 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val tdRoot = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
-    val sliceDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf0.3")
-    genSlice(spark, s"$tdRoot/sf0.1", sliceDir)
+    val maxSf = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAXSF", "1.0").toDouble
+    val slice03 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf0.3")
+    val slice1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR1", "/tmp/graft_sf1")
+    if (maxSf >= 0.3) genSlice(spark, s"$tdRoot/sf0.1", slice03)
+    if (maxSf >= 1.0) genSlice(spark, s"$tdRoot/sf0.1", slice1, replicas = 10)
 
     val sfs: Seq[(Double, String)] = Seq(
       0.001 -> s"$tdRoot/sf0.001", 0.01 -> s"$tdRoot/sf0.01",
-      0.1 -> s"$tdRoot/sf0.1", 0.3 -> sliceDir)
+      0.1 -> s"$tdRoot/sf0.1", 0.3 -> slice03, 1.0 -> slice1)
+      .filter(_._1 <= maxSf)
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => Heavies.contains(n) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -131,9 +147,13 @@ object ScaleBench {
       val pts = sfs.map(_._1).flatMap(sf => times.get((n, sf)).map(sf -> _))
       if (pts.size < 2) None
       else {
-        val alphaHi = (for {
-          a <- times.get((n, 0.1)); b <- times.get((n, 0.3))
-        } yield math.log(b / a) / math.log(3.0))
+        // top pair = the two largest measured SFs, where fixed scheduling
+        // overhead is smallest relative to real work
+        val alphaHi = pts.takeRight(2) match {
+          case Seq((sfLo, tLo), (sfHi, tHi)) =>
+            Some(math.log(tHi / tLo) / math.log(sfHi / sfLo))
+          case _ => None
+        }
         val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
         val mx = xs.sum / xs.size; val my = ys.sum / ys.size
         val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
