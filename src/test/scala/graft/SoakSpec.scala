@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.streaming.{InProcessTransport, MqttBus}
+
+/** Sustained-ingest soak: the composed service ([[ServiceMain.start]] with
+  * the continuous ProcessingTime trigger — ingest, CDC, auto-create,
+  * status publish, subscription fan-out, a continuous query, AND the live
+  * maintenance timer at a 2 s tick) under a steady publisher for
+  * `SPARK_GRAFT_SOAK_S` seconds (default 20; raise for a standalone
+  * drill). What a long-running deployment needs, asserted:
+  *
+  *   - exactly-once ingest under sustained load: every published
+  *     registered point lands exactly once (fenced appends, no drops, no
+  *     double-applies across dozens of micro-batches);
+  *   - bounded streaming state: event time advances with the publisher,
+  *     so the watermark closes CQ buckets continuously and the state
+  *     operators' row totals stay series×open-windows-bounded instead of
+  *     growing with runtime;
+  *   - live compaction: the maintenance timer's compaction sweep folds
+  *     the per-batch small appends, so shard count stays far below
+  *     commit count;
+  *   - bounded trigger latency: p99 micro-batch duration stays finite
+  *     and sane on this box;
+  *   - heap stability: used heap after the soak stays within a generous
+  *     band of the mid-soak sample (the structural state bound above is
+  *     the real leak check; the heap band catches gross regressions).
+  *
+  * The observed numbers append to PROGRESS.jsonl as a `soak` event, the
+  * same evidence trail ScaleBench uses.
+  */
+class SoakSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def usedHeapMb(): Long = {
+    System.gc(); Thread.sleep(300)
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  test("sustained ingest soak: exactly-once, bounded state, live compaction, sane p99") {
+    MqttBus.clear()
+    val dir = Files.createTempDirectory("soak").toString
+    val soakS = sys.env.getOrElse("SPARK_GRAFT_SOAK_S", "20").toInt
+    val conf = Map(
+      "service_id" -> "soak1",
+      "data_dir" -> dir,
+      "influx_database" -> "oc",
+      "cq_lateness" -> "0 seconds",
+      "retention_check_interval_ms" -> "2000") // maintenance tick LIVE
+    // control plane before start: register the device, a CQ, a subscription
+    val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+    cat.run("CREATE DATABASE oc")
+    cat.run("CREATE CONTINUOUS QUERY down ON oc BEGIN " +
+      "SELECT count(num) AS c INTO cnt FROM temp GROUP BY time(5s) END")
+    cat.run("CREATE SUBSCRIPTION fwd ON oc.autogen DESTINATIONS ALL 'soak/dest'")
+    MqttBus.publish(ServiceMain.eventsTopic("soak1"),
+      """{"action":"new","thing":{"id":"d1","transducers":[{"name":"Temp"}]}}""")
+
+    val triggerMs = new ConcurrentLinkedQueue[Long]()
+    val stateRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        Option(e.progress.durationMs.get("triggerExecution"))
+          .foreach(d => triggerMs.add(d.longValue()))
+        val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+        stateRows.updateAndGet(m => math.max(m, rows)); ()
+      }
+    }
+    spark.streams.addListener(listener)
+    val h = ServiceMain.start(spark, conf, new InProcessTransport, rest = None,
+      trigger = Trigger.ProcessingTime(0))
+    var published = 0L
+    var heapMidMb = 0L
+    val t0 = System.nanoTime()
+    try {
+      // wait for the CDC registration to land before counting publishes
+      val regDeadline = System.nanoTime() + 60L * 1000000000L
+      while (graft.streaming.RegistryMaintenance
+          .activeDevices(spark, s"$dir/registry").count() == 0) {
+        assert(System.nanoTime() < regDeadline, "d1 never registered")
+        Thread.sleep(200)
+      }
+      // steady publisher: event time advances 1 s per message, so the
+      // watermark closes a 5 s CQ bucket every 5 messages and streaming
+      // state cannot accumulate with runtime
+      val baseUs = 1704067200000000L
+      val endAt = t0 + soakS.toLong * 1000000000L
+      while (System.nanoTime() < endAt) {
+        MqttBus.publish("openchirp/device/d1/Temp",
+          s"${(published % 100)}.5".getBytes("UTF-8"),
+          baseUs + published * 1000000L)
+        published += 1
+        if (published == 1000) heapMidMb = usedHeapMb() // mid-ish sample
+        Thread.sleep(5)
+      }
+      if (heapMidMb == 0) heapMidMb = usedHeapMb()
+      // drain: every published point must land EXACTLY once
+      val drainDeadline = System.nanoTime() + 120L * 1000000000L
+      def committed(): Long = cat.points("oc").count()
+      while (committed() < published && System.nanoTime() < drainDeadline)
+        Thread.sleep(500)
+      val landed = committed()
+      assert(landed == published,
+        s"exactly-once under sustained load: published=$published landed=$landed")
+    } finally {
+      ServiceMain.stop(h)
+      spark.streams.removeListener(listener)
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val heapEndMb = usedHeapMb()
+    // bounded state: series(1) x open windows — far below published count
+    assert(stateRows.get() < 1000,
+      s"streaming state must stay watermark-bounded, got ${stateRows.get()} rows")
+    // live compaction: far fewer shards than commits
+    val commits = cat.pointsTable("oc").version.map(_ + 1).getOrElse(0L)
+    val shards = cat.run("SHOW SHARDS").count()
+    assert(commits > 5, s"soak must commit many micro-batches, got $commits")
+    assert(shards <= math.max(4L, commits / 2),
+      s"compaction must fold small appends: $shards shards over $commits commits")
+    // sane p99 trigger latency on this box
+    val durs = triggerMs.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    assert(durs.nonEmpty, "no trigger progress observed")
+    val p99 = durs(math.min(durs.length - 1, (durs.length * 99) / 100))
+    assert(p99 < 60000, s"p99 trigger ${p99}ms")
+    // heap band: the structural state bound above is the leak check; this
+    // catches gross regressions only (shared-session heap is noisy)
+    assert(heapEndMb < heapMidMb + 2048,
+      s"heap grew ${heapMidMb}MB -> ${heapEndMb}MB over the soak")
+    val line = s"""{"event":"soak","soak_s":$soakS,"published":$published,""" +
+      s""""rows_per_s":${"%.1f".formatLocal(java.util.Locale.ROOT, published / wallS)},""" +
+      s""""p99_trigger_ms":$p99,"max_state_rows":${stateRows.get()},""" +
+      s""""commits":$commits,"shards":$shards,""" +
+      s""""heap_mid_mb":$heapMidMb,"heap_end_mb":$heapEndMb}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("PROGRESS.jsonl"),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+}
