@@ -81,5 +81,6 @@ with open("PROGRESS.jsonl", "a") as f:
     f.write(json.dumps(line) + "\n")
 print("[sweep] recorded:", json.dumps(line)[:300])
 PY
-git add BENCH_LOCAL.json PROGRESS.jsonl
-echo "[sweep] done — logs in $OUT; BENCH_LOCAL.json + PROGRESS.jsonl staged" >&2
+# PROGRESS.jsonl is gitignored (the driver owns it); only the bench JSON commits
+git add BENCH_LOCAL.json
+echo "[sweep] done — logs in $OUT; BENCH_LOCAL.json staged" >&2

@@ -1987,6 +1987,16 @@ object InfluxQL {
       require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
         s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
           s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
+      if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
+          tags.nonEmpty) {
+        // max-select-series face, same rule as the batch planner; the
+        // domain is persisted, so the series count is one cheap job
+        val nSeries = domain.select(tags.map(col): _*).distinct().count()
+        require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
+          s"continuous query fill skeleton of $nBuckets buckets x $nSeries " +
+            s"series = ${nBuckets * nSeries} rows exceeds max " +
+            s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
+      }
       if (lo == hi) return batch
       val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
       val skeleton =
@@ -2646,6 +2656,20 @@ object InfluxQL {
       s"fill skeleton of $nBuckets buckets exceeds max " +
         s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets); " +
         "widen GROUP BY time() or narrow the WHERE time range")
+    // max-select-series face of the same guard: the skeleton's TOTAL row
+    // count is buckets × series. Checked only past the probe threshold so
+    // small skeletons (every dashboard query) never pay the extra
+    // series-count job; the count reuses the aggregated frame, which the
+    // skeleton's distinct() scans anyway.
+    if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
+        partCols.nonEmpty) {
+      val nSeries = grouped.select(partCols.map(col): _*).distinct().count()
+      require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
+        s"fill skeleton of $nBuckets buckets x $nSeries series = " +
+          s"${nBuckets * nSeries} rows exceeds max " +
+          s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series); " +
+          "widen GROUP BY time(), narrow the WHERE time range, or filter tags")
+    }
     val timeCol = q.tz match {
       case Some(z) =>
         unix_micros(to_utc_timestamp(timestamp_micros(col("__wall")), z)).as("time")

@@ -109,6 +109,19 @@ object TimeSeriesOps {
     */
   val MaxFillBuckets: Long = 1L << 20
 
+  /** Total-skeleton-rows bound for densifying fills: buckets × series —
+    * the max-select-series face of the same guard. A years-long range at
+    * a small step over many series is output the user almost never means;
+    * fail loudly like [[MaxFillBuckets]] instead of generating it. Only
+    * CHECKED past [[FillSeriesProbeBuckets]] buckets, so small skeletons
+    * (every dashboard query) never pay the series-count job.
+    */
+  val MaxFillRows: Long = 1L << 27
+
+  /** Bucket count above which the fill planner runs the one extra
+    * series-count job to enforce [[MaxFillRows]]. */
+  val FillSeriesProbeBuckets: Long = 1L << 14
+
   /** Bucket count of a [fromUs, untilUs) range at stepUs, overflow-safe
     * (Long end to end — a wide range with a small step overflowed the old
     * `.toInt`, silently truncating the skeleton) and capped. */

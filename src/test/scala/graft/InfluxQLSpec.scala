@@ -545,6 +545,22 @@ class InfluxQLSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), s"expected an aggregate plan:\n$plan")
   }
 
+  test("fill skeleton: buckets x series product fails loudly (max-select-series)") {
+    // ~1e6 one-microsecond buckets x 200 series = 2e8 skeleton rows — past
+    // MaxFillRows (2^27); the guard must refuse at plan time, BEFORE any
+    // skeleton row generates
+    val many = pts((0 until 200).map(i => (s"d$i", "m", i.toLong, 1.0)): _*)
+    val q = "SELECT mean(value) FROM m WHERE time >= 0u AND time < 1000000u " +
+      "GROUP BY time(1u), device"
+    val e = intercept[IllegalArgumentException](InfluxQL.run(many, q))
+    assert(e.getMessage.contains("max-select-series") &&
+      e.getMessage.contains("200 series"), e.getMessage)
+    // the same range over FEW series is fine (product under the bound),
+    // and small skeletons never pay the series-count probe at all
+    val few = pts(("a", "m", 1L, 1.0), ("b", "m", 2L, 2.0))
+    InfluxQL.run(few, q) // plans without tripping the guard
+  }
+
   test("EXPLAIN ANALYZE runs the statement and reports observed metrics") {
     val df = pts(("a", "m", 1L, 1.0), ("a", "m", 2L, 2.0), ("b", "m", 3L, 4.0))
     val lines = InfluxQL.run(df,
