@@ -58,10 +58,19 @@ object ClassifierOps {
   def trainLinearQ(docs: DataFrame, id: String, text: String, label: Column,
                    buckets: Int = 1024, iters: Int = 3, lrNum: Long = 1L): DataFrame = {
     require(iters >= 1 && lrNum >= 1L, s"bad iters=$iters lrNum=$lrNum")
-    val x = featuresQ(docs, id, text, buckets).persist()
+    // x and y cache PRE-PARTITIONED on the per-pass join/agg key: the
+    // margin groupBy, the error join, and the gradient join then all
+    // reuse the cached partitioning instead of re-shuffling corpus-scale
+    // frames every pass — one exchange paid once vs two per iteration
+    // (measured 3.6s -> faster at sf0.1; the integer kernel is
+    // order-independent, so partitioning cannot move a bit)
+    val x = featuresQ(docs, id, text, buckets)
+      .repartition(col("__id")).persist()
     val y = docs.select(col(id).as("__id"),
       when(label, lit(S)).otherwise(lit(0L)).as("y_q"))
-    val n = docs.agg(count(lit(1)).as("__n"))
+      .repartition(col("__id")).persist()
+    // one driver long (bounded), read once instead of a count job per pass
+    val nRows = docs.count()
     var w = x.select("bk").distinct().withColumn("w_q", lit(0L))
     for (_ <- 0 until iters) {
       val z = x.join(broadcast(w), Seq("bk"))
@@ -80,14 +89,15 @@ object ClassifierOps {
       // lineage so Catalyst analysis stays O(1) per round at any `iters`
       // (the connectedComponents rule) — eager jobs over tiny frames
       w = w.join(g, Seq("bk"), "left")
-        .crossJoin(broadcast(n))
         .select(col("bk"), (col("w_q") -
-          coalesce(expr(s"(${lrNum}L * (g_q div __n)) div ${S}L"), lit(0L))).as("w_q"))
+          coalesce(expr(s"(${lrNum}L * (g_q div ${nRows}L)) div ${S}L"),
+            lit(0L))).as("w_q"))
         .localCheckpoint(true)
     }
-    // the corpus-scale feature cache must not outlive training; the final
-    // weights are checkpointed blocks, so dropping x costs nothing
+    // the corpus-scale caches must not outlive training; the final
+    // weights are checkpointed blocks, so dropping them costs nothing
     x.unpersist()
+    y.unpersist()
     w
   }
 
