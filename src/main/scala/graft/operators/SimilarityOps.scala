@@ -158,8 +158,13 @@ object SimilarityOps {
     * corpus size.
     */
   def kmeansCentroidsQ(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    // each round's centroid frame is k rows — localCheckpoint it (the GD
+    // weights rule): without it every downstream use (the assignment
+    // broadcast, the final codes pass, a second consumer) re-executes the
+    // whole preceding k-means pipeline from the corpus scan up
     var cents = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned = assignTo(q, cents)
       val sums = assigned.select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -175,6 +180,7 @@ object SimilarityOps {
       cents = cents.as("p").join(newc.as("nc"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("nc.cv"), col("p.cv")).as("cv"))
         .withColumn("cn", normQ(col("cv")))
+        .localCheckpoint(true)
     }
     cents
   }
