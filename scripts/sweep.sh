@@ -37,7 +37,8 @@ run tests sbt -batch test
 TESTS_RC=$?
 TESTS=$(grep -hE '^\[info\] Tests: succeeded' "$OUT/tests.log" \
   | awk '{s+=$4+0; f+=$6+0} END {print s "/" s+f}' | tr -d ',')
-SUITES=$(grep -cE '^\[info\] Tests: succeeded' "$OUT/tests.log")
+SUITES=$(grep -hE '^\[info\] Suites: completed' "$OUT/tests.log" \
+  | awk '{print $4+0}' | tr -d ',')
 [ "$TESTS_RC" -ne 0 ] && TESTS="FAIL($TESTS)"
 
 # 2. oracle gates at both SFs
@@ -54,18 +55,29 @@ ORACLE001=$(gate /root/testdata/sf0.01 /tmp/sweep_verify_001)
 ORACLE01=$(gate /root/testdata/sf0.1 /tmp/sweep_verify_01)
 
 # 3. seeded differential nets, deep scales
-diffnet() { # diffnet <scale>
-  GRAFT_DIFF_SCALE="$1" run "diff_scale$1" sbt -batch \
-    "testOnly graft.InfluxQLDifferentialSpec graft.PipelineDifferentialSpec"
-  grep -hE '^\[info\] Tests: succeeded' "$OUT/diff_scale$1.log" \
-    | awk '{s+=$4+0; f+=$6+0} END {if (f>0) print "FAIL(" s "/" s+f ")"; else print s "/" s " green"}' | tr -d ','
+diffnet() { # diffnet <scale> — the sbt EXIT CODE is the verdict (an
+  # aborted suite prints "Tests: succeeded 0, failed 0"; a compile
+  # failure prints no Tests line at all — both must read as FAIL)
+  if GRAFT_DIFF_SCALE="$1" run "diff_scale$1" sbt -batch \
+      "testOnly graft.InfluxQLDifferentialSpec graft.PipelineDifferentialSpec"; then
+    grep -hE '^\[info\] Tests: succeeded' "$OUT/diff_scale$1.log" \
+      | awk '{s+=$4+0; f+=$6+0} END {print s "/" s+f " green"}' | tr -d ','
+  else
+    grep -hE '^\[info\] Tests: succeeded' "$OUT/diff_scale$1.log" \
+      | awk '{s+=$4+0; f+=$6+0} END {print "FAIL(" s "/" s+f ")"}' | tr -d ','
+  fi
 }
 DIFF3=$(diffnet 3)
 DIFF5=$(diffnet 5)
 
-# 4. full bench (writes BENCH_LOCAL.json itself)
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 run bench sbt -batch "runMain graft.Bench"
-BENCH_TOTAL=$(python3 -c "import json; print(json.load(open('BENCH_LOCAL.json'))['value'])" 2>/dev/null || echo null)
+# 4. full bench (writes BENCH_LOCAL.json itself); on failure record null
+# and do NOT stage the stale previous-run file
+if SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 run bench sbt -batch "runMain graft.Bench"; then
+  BENCH_TOTAL=$(python3 -c "import json; print(json.load(open('BENCH_LOCAL.json'))['value'])" 2>/dev/null || echo null)
+  git add BENCH_LOCAL.json
+else
+  BENCH_TOTAL=null
+fi
 
 # 5. record + stage
 python3 - "$LABEL" "$NOTE" "$TESTS" "$SUITES" "$ORACLE001" "$ORACLE01" \
@@ -81,6 +93,6 @@ with open("PROGRESS.jsonl", "a") as f:
     f.write(json.dumps(line) + "\n")
 print("[sweep] recorded:", json.dumps(line)[:300])
 PY
-# PROGRESS.jsonl is gitignored (the driver owns it); only the bench JSON commits
-git add BENCH_LOCAL.json
-echo "[sweep] done — logs in $OUT; BENCH_LOCAL.json staged" >&2
+# PROGRESS.jsonl is gitignored (the driver owns it); BENCH_LOCAL.json was
+# staged above, only when the bench stage succeeded
+echo "[sweep] done — logs in $OUT" >&2

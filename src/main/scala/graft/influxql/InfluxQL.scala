@@ -917,22 +917,26 @@ object InfluxQL {
     */
   def run(points: DataFrame, text: String): DataFrame =
     if (text.trim.toUpperCase.startsWith("SHOW")) planShow(points, text)
-    else if (text.trim.toUpperCase.startsWith("EXPLAIN ANALYZE ")) {
-      // InfluxDB 1.x's EXPLAIN ANALYZE: actually run the query, then
-      // render the final plan with observed execution metrics
-      explainAnalyze(run(points,
-        text.trim.drop("EXPLAIN ANALYZE".length).trim))
-    }
     else if (text.trim.toUpperCase.startsWith("EXPLAIN ")) {
-      // InfluxDB's EXPLAIN, answered with the real physical plan: one
-      // row per line of Spark's formatted explain — the user sees the
-      // pushed filters, broadcasts, and codegen spans their query gets
-      val inner = run(points, text.trim.drop("EXPLAIN".length).trim)
-      val lines = inner.queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
-        .split("\n").toList
-      import org.apache.spark.sql.Encoders
-      points.sparkSession.createDataset(lines)(Encoders.STRING).toDF("plan")
+      // whitespace-tolerant keyword handling, same drop+trim shape as the
+      // catalog's routing — "EXPLAIN  ANALYZE" (tabs, doubled spaces) must
+      // not fall through to a confusing parse error on "ANALYZE ..."
+      val body = text.trim.drop("EXPLAIN".length).trim
+      if (body.toUpperCase.startsWith("ANALYZE")) {
+        // InfluxDB 1.x's EXPLAIN ANALYZE: actually run the query, then
+        // render the final plan with observed execution metrics
+        explainAnalyze(run(points, body.drop("ANALYZE".length).trim))
+      } else {
+        // InfluxDB's EXPLAIN, answered with the real physical plan: one
+        // row per line of Spark's formatted explain — the user sees the
+        // pushed filters, broadcasts, and codegen spans their query gets
+        val inner = run(points, body)
+        val lines = inner.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+          .split("\n").toList
+        import org.apache.spark.sql.Encoders
+        points.sparkSession.createDataset(lines)(Encoders.STRING).toDF("plan")
+      }
     } else {
       val q = parse(text)
       if (q.into.nonEmpty)
@@ -2014,6 +2018,10 @@ object InfluxQL {
           // data bucket (induction) — replays converge; gaps before a
           // series' first-ever bucket stay null, like the batch skeleton.
           import org.apache.spark.sql.expressions.Window
+          // the marker column's name must dodge user aliases ("__gap" is a
+          // legal InfluxQL alias) — grow until it misses the batch schema
+          val gapCol = Iterator.iterate("__gap")(_ + "_")
+            .dropWhile(batch.columns.contains).next()
           val gapNull = gaps.select(keyCols.map(col) ++ aggCols.map(c =>
             lit(null).cast(batch.schema(c).dataType).as(c)): _*)
           // routed through a real attribute so FoldablePropagation cannot
@@ -2023,11 +2031,11 @@ object InfluxQL {
             else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(1)))
           val back = Window.partitionBy(part: _*).orderBy(col("time"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          full.withColumn("__gap", lit(0))
-            .unionByName(gapNull.withColumn("__gap", lit(1)))
+          full.withColumn(gapCol, lit(0))
+            .unionByName(gapNull.withColumn(gapCol, lit(1)))
             .select(keyCols.map(col) ++ aggCols.map(c =>
-              last(col(c), ignoreNulls = true).over(back).as(c)) :+ col("__gap"): _*)
-            .where(col("__gap") === 1).drop("__gap")
+              last(col(c), ignoreNulls = true).over(back).as(c)) :+ col(gapCol): _*)
+            .where(col(gapCol) === 1).drop(gapCol)
         case _ => gaps.select(keyCols.map(col) ++ aggCols.map { c =>
           val dt = batch.schema(c).dataType
           (fill match {
@@ -2658,18 +2666,25 @@ object InfluxQL {
         "widen GROUP BY time() or narrow the WHERE time range")
     // max-select-series face of the same guard: the skeleton's TOTAL row
     // count is buckets × series. Checked only past the probe threshold so
-    // small skeletons (every dashboard query) never pay the extra
-    // series-count job; the count reuses the aggregated frame, which the
-    // skeleton's distinct() scans anyway.
-    if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
-        partCols.nonEmpty) {
-      val nSeries = grouped.select(partCols.map(col): _*).distinct().count()
-      require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
-        s"fill skeleton of $nBuckets buckets x $nSeries series = " +
-          s"${nBuckets * nSeries} rows exceeds max " +
-          s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series); " +
-          "widen GROUP BY time(), narrow the WHERE time range, or filter tags")
-    }
+    // small skeletons (every dashboard query) never pay the extra jobs.
+    // In the probe regime this deliberately EXECUTES at plan time — the
+    // guard must refuse loudly before any skeleton row generates, EXPLAIN
+    // of a pathological statement included — and once the guard passes,
+    // the series frame is provably tiny (≤ MaxFillRows / nBuckets rows),
+    // so it checkpoints and the skeleton reuses it instead of recomputing
+    // the aggregation's distinct a second time at execution.
+    val seriesFrame0 = grouped.select(partCols.map(col): _*).distinct()
+    val seriesFrame =
+      if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
+          partCols.nonEmpty) {
+        val nSeries = seriesFrame0.count()
+        require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
+          s"fill skeleton of $nBuckets buckets x $nSeries series = " +
+            s"${nBuckets * nSeries} rows exceeds max " +
+            s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series); " +
+            "widen GROUP BY time(), narrow the WHERE time range, or filter tags")
+        seriesFrame0.localCheckpoint(true)
+      } else seriesFrame0
     val timeCol = q.tz match {
       case Some(z) =>
         unix_micros(to_utc_timestamp(timestamp_micros(col("__wall")), z)).as("time")
@@ -2686,7 +2701,7 @@ object InfluxQL {
           to_utc_timestamp(timestamp_micros(col("__wall")), z), z)) === col("__wall")
       case None => lit(true)
     }
-    val skeleton = grouped.select(partCols.map(col): _*).distinct()
+    val skeleton = seriesFrame
       .select(
         (partCols.map(col) :+
           explode(sequence(lit(bLo), lit(bHi), lit(step))).as("__wall")): _*)

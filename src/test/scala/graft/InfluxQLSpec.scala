@@ -575,6 +575,11 @@ class InfluxQLSpec extends SparkSuite {
       s"expected executed counts:\n$joined")
     assert(joined.contains("ShuffleQueryStage") || joined.contains("ResultQueryStage"),
       s"expected materialized AQE stages:\n$joined")
+    // keyword detection is whitespace-tolerant, like the catalog's routing
+    val tabbed = InfluxQL.run(df,
+      "EXPLAIN \t ANALYZE  SELECT mean(value) FROM m GROUP BY device")
+      .as[String].collect()
+    assert(tabbed.head.startsWith("execution: wall_ms="), tabbed.head)
   }
 
   test("log(x, b) is base-b log, planned ln(x)/ln(b); arity enforced") {

@@ -254,9 +254,11 @@ class StreamingSpec extends SparkSuite {
     val in = MemoryStream[(String, String, Long, Double)]
     val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
       .withColumn("ts", timestamp_micros(col("ts_us")))
+    // the "__gap" alias is deliberate: it collides with the densifier's
+    // default marker-column name, pinning the dodge-user-aliases rule
     val q = graft.influxql.InfluxQL.startContinuousQuery(points,
       """CREATE CONTINUOUS QUERY temp_p ON telemetry BEGIN
-        |SELECT mean(value), count(value) INTO temp_p FROM temp
+        |SELECT mean(value) AS __gap, count(value) INTO temp_p FROM temp
         |GROUP BY time(10m), device FILL(previous) END""".stripMargin,
       root, checkpoint = tmp("cq_prev_cp"), lateness = "1 minute",
       trigger = Trigger.ProcessingTime(0))
@@ -277,14 +279,14 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable() // new gaps is the TARGET's committed 00:00 rows
       in.addData(data(5)) // closes through 01:30: d2's gaps now fill FROM
       q.processAllAvailable() // its committed FILLED rows (induction step)
-      val got = table.read().select("time", "device", "mean", "count")
+      val got = table.read().select("time", "device", "__gap", "count")
         .as[(Long, String, Option[Double], Option[Long])].collect().toSet
       // the batch query over the same closed range IS the oracle
       val batch = data.toDF("device", "transducer", "ts_us", "value")
       val want = graft.influxql.InfluxQL.run(batch,
-        "SELECT mean(value), count(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
+        "SELECT mean(value) AS __gap, count(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
           "AND time < '2024-01-01T01:40:00Z' GROUP BY time(10m), device fill(previous)")
-        .select("time", "device", "mean", "count")
+        .select("time", "device", "__gap", "count")
         .as[(Long, String, Option[Double], Option[Long])].collect().toSet
       assert(got == want, s"CQ target != batch fill(previous) oracle:\n got=$got\nwant=$want")
       assert(got.size == 20, "2 devices x 10 buckets")
@@ -294,7 +296,7 @@ class StreamingSpec extends SparkSuite {
       assert(got.contains((us("2024-01-01 01:00:00"), "d2", Some(10.0), Some(1L))))
       // replay-idempotent: re-merging the final emission converges
       graft.storage.TxLogTable.retryOnConflict() {
-        table.merge(got.toSeq.toDF("time", "device", "mean", "count"),
+        table.merge(got.toSeq.toDF("time", "device", "__gap", "count"),
           Seq("time", "device"), Some("time")); ()
       }
       assert(table.read().count() == 20)
