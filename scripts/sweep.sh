@@ -32,11 +32,15 @@ run() { # run <name> <cmd...> — capture log, return exit code
   return $rc
 }
 
-# 1. full test suite
+# 1. full test suite — parse sbt's FINAL total ("Passed: Total N" /
+# "Failed: Total N, Failed M"), which counts ScalaCheck properties the
+# ScalaTest "Tests:" summary line silently omits (a failed property once
+# hid behind a green-looking ScalaTest line)
 run tests sbt -batch test
 TESTS_RC=$?
-TESTS=$(grep -hE '^\[info\] Tests: succeeded' "$OUT/tests.log" \
-  | awk '{s+=$4+0; f+=$6+0} END {print s "/" s+f}' | tr -d ',')
+TESTS=$(grep -hE '^\[(info|error)\] (Passed|Failed): Total' "$OUT/tests.log" \
+  | tail -1 | sed -E 's/.*Total ([0-9]+), Failed ([0-9]+).*/\1 \2/' \
+  | awk '{print $1-$2 "/" $1}')
 SUITES=$(grep -hE '^\[info\] Suites: completed' "$OUT/tests.log" \
   | awk '{print $4+0}' | tr -d ',')
 [ "$TESTS_RC" -ne 0 ] && TESTS="FAIL($TESTS)"

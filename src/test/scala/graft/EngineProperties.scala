@@ -383,6 +383,13 @@ object EngineProperties extends Properties("graft") {
         else Gen.oneOf(Gen.const(FillNull: Fill), Gen.const(FillNone: Fill),
           Gen.const(FillPrevious: Fill), Gen.const(FillLinear: Fill),
           Gen.chooseNum(0, 99999).map(c => FillValue(c / 100.0): Fill))
+      // a written FILL(...) clause parses with fillExplicit = true; a
+      // non-null fill always renders, FILL(null) renders only when drawn
+      // explicit (the r13 field the generator originally missed — the
+      // mismatch surfaced as a flaky ~12%-pass property)
+      fillExp <- if (groupTime.isEmpty) Gen.const(false)
+        else if (fill == FillNull) Gen.oneOf(true, false)
+        else Gen.const(true)
       desc <- Gen.oneOf(true, false)
       limit <- Gen.option(Gen.chooseNum(1, 500))
       offset <- Gen.option(Gen.chooseNum(0, 500))
@@ -392,7 +399,7 @@ object EngineProperties extends Properties("graft") {
         else Gen.const(None)
     } yield Query(fields, "m1", conds, groupTime, tags, fill, desc, limit, star,
       offset = offset, slimit = slimit, soffset = soffset,
-      groupTimeOffsetUs = groupOff)
+      groupTimeOffsetUs = groupOff, fillExplicit = fillExp)
 
     private val rawQueryGen: Gen[Query] = for {
       fields <- Gen.someOf(fieldPool).suchThat(_.nonEmpty)
@@ -457,7 +464,7 @@ object EngineProperties extends Properties("graft") {
         q.groupTags ++ (if (q.groupStar) Seq("*") else Nil)
       if (groups.nonEmpty) sb ++= " GROUP BY " + groups.mkString(", ")
       q.fill match {
-        case FillNull => ()
+        case FillNull => if (q.fillExplicit) sb ++= " FILL(null)"
         case FillNone => sb ++= " FILL(none)"
         case FillPrevious => sb ++= " FILL(previous)"
         case FillLinear => sb ++= " FILL(linear)"
