@@ -60,6 +60,17 @@ class SoakSpec extends SparkSuite {
     cat.run("CREATE SUBSCRIPTION fwd ON oc.autogen DESTINATIONS ALL 'soak/dest'")
     MqttBus.publish(ServiceMain.eventsTopic("soak1"),
       """{"action":"new","thing":{"id":"d1","transducers":[{"name":"Temp"}]}}""")
+    // bootstrap run: the CQ/subscription legs key on the registry AS OF
+    // stream start, so the CDC registration must commit before the soak
+    // run begins — the same register-then-restart sequence a deployment
+    // (and ServiceMainSpec's phases) goes through
+    val boot = ServiceMain.start(spark, conf, new InProcessTransport, rest = None,
+      trigger = Trigger.AvailableNow())
+    try boot.queries.foreach(q =>
+      assert(q.awaitTermination(120000), s"bootstrap drain: ${q.id}"))
+    finally ServiceMain.stop(boot)
+    assert(graft.streaming.RegistryMaintenance
+      .activeDevices(spark, s"$dir/registry").count() == 1, "d1 must register")
 
     val triggerMs = new ConcurrentLinkedQueue[Long]()
     val stateRows = new java.util.concurrent.atomic.AtomicLong(0)
@@ -80,13 +91,6 @@ class SoakSpec extends SparkSuite {
     var heapMidMb = 0L
     val t0 = System.nanoTime()
     try {
-      // wait for the CDC registration to land before counting publishes
-      val regDeadline = System.nanoTime() + 60L * 1000000000L
-      while (graft.streaming.RegistryMaintenance
-          .activeDevices(spark, s"$dir/registry").count() == 0) {
-        assert(System.nanoTime() < regDeadline, "d1 never registered")
-        Thread.sleep(200)
-      }
       // steady publisher: event time advances 1 s per message, so the
       // watermark closes a 5 s CQ bucket every 5 messages and streaming
       // state cannot accumulate with runtime
@@ -115,6 +119,13 @@ class SoakSpec extends SparkSuite {
     }
     val wallS = (System.nanoTime() - t0) / 1e9
     val heapEndMb = usedHeapMb()
+    // the CQ leg really ran: event time advanced ~1 bucket per 5 messages,
+    // so the downsample target holds many closed buckets by drain time
+    val cqRows = new graft.storage.TxLogTable(spark, s"$dir/oc/cnt").read().count()
+    assert(cqRows > 10, s"the CQ leg must have downsampled, got $cqRows buckets")
+    // ... and the subscription leg forwarded points as line protocol
+    val fwd = MqttBus.slice(0, MqttBus.size).count(_._1 == "soak/dest")
+    assert(fwd > 0, "the subscription leg must have forwarded points")
     // bounded state: series(1) x open windows — far below published count
     assert(stateRows.get() < 1000,
       s"streaming state must stay watermark-bounded, got ${stateRows.get()} rows")
