@@ -80,12 +80,8 @@ object ContinuousQueries {
     if (q.into.contains(":MEASUREMENT"))
       p.fail("continuous queries need a named INTO target, not :MEASUREMENT")
     if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
-    // fill(null/none/value/previous) densify at emission; fill(linear)
-    // can never start (it needs the NEXT, still-open bucket) — fail at
-    // CREATE, not at restart
-    if (q.fill == InfluxQL.FillLinear)
-      p.fail("continuous query: fill(linear) cannot run incrementally — " +
-        "it needs the next bucket; run the batch query for linear fills")
+    // every fill mode densifies at emission (linear retroactively,
+    // through the keyed MERGE) — nothing left to reject here
     InfluxQL.validateResample(p, rs, q)
     if (exists) throw new IllegalArgumentException(
       s"InfluxQL: continuous query already exists: $name on $db")

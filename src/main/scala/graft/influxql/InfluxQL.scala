@@ -1818,17 +1818,11 @@ object InfluxQL {
       throw new IllegalArgumentException(
         s"InfluxQL continuous query: ${banned.map(_.func).mkString(", ")} cannot run " +
           "incrementally — single-pass aggregates only")
-    // fill(null/none/value/previous) is emission-time densification over
-    // CLOSED buckets ([[startContinuousQuery]]'s MERGE sink does it, no
-    // streaming state; previous LOCF-seeds from the committed target) —
-    // the stream itself emits data buckets either way. fill(linear) stays
-    // rejected LOUDLY: an emitted bucket would need the NEXT observed
-    // bucket, which has not closed yet — genuinely non-incremental.
-    if (q.fill == FillLinear)
-      throw new IllegalArgumentException(
-        "InfluxQL continuous query: fill(linear) cannot run incrementally " +
-          "— interpolation needs the NEXT bucket, which has not closed " +
-          "yet; run the batch query for linear fills")
+    // every fill mode is emission-time work over CLOSED buckets
+    // ([[startContinuousQuery]]'s MERGE sink does it, no streaming state;
+    // previous LOCF-seeds from the committed target, linear interpolates
+    // retroactively through the keyed MERGE) — the stream itself emits
+    // data buckets either way
     if (q.timeDesc || q.limit.nonEmpty || q.offset.nonEmpty ||
         q.slimit.nonEmpty || q.soffset.nonEmpty)
       throw new IllegalArgumentException(
@@ -1930,18 +1924,28 @@ object InfluxQL {
         Trigger.ProcessingTime(math.max(1L, us / 1000L))
       case _ => trigger
     }
-    val sel = runContinuousParsed(streamPoints, q.copy(into = None), effLateness)
+    val sel0 = runContinuousParsed(streamPoints, q.copy(into = None), effLateness)
     val tags = (if (q.fromRegex) Seq("measurement") else Nil) ++ q.groupTags
+    // fill(linear) promotes every aggregate column to double (a straight
+    // line between two counts is generally not a whole number) — the batch
+    // planner's exact promotion, applied BEFORE the first commit so the
+    // target schema is the batch query's shape from version 0
+    val keyColsAll = "time" +: tags
+    val sel = if (q.fill == FillLinear)
+      sel0.select(sel0.columns.toSeq.map(c =>
+        if (keyColsAll.contains(c)) col(c) else col(c).cast("double").as(c)): _*)
+    else sel0
     val table = new graft.storage.TxLogTable(
       streamPoints.sparkSession, s"$root/$db/$target")
-    // an EXPLICIT fill(null/value/previous) densifies the target at
+    // an EXPLICIT fill(null/value/previous/linear) densifies the target at
     // emission: the gaps between closed buckets fill with null / the
-    // literal / the nearest preceding bucket's value, exactly the batch
-    // query's skeleton over the data's own bucket range (the default — no
-    // fill() written — and fill(none) emit data buckets only)
+    // literal / the nearest preceding bucket's value / the line between
+    // the surrounding observed buckets, exactly the batch query's skeleton
+    // over the data's own bucket range (the default — no fill() written —
+    // and fill(none) emit data buckets only)
     val densify: DataFrame => DataFrame =
       if (q.fillExplicit && (q.fill == FillNull || q.fill == FillPrevious ||
-          q.fill.isInstanceOf[FillValue]))
+          q.fill == FillLinear || q.fill.isInstanceOf[FillValue]))
         densifyClosedBuckets(_, table, q.groupTimeUs.get, tags, q.fill)
       else identity
     graft.streaming.StreamingIngest.startMergeSink(
@@ -1974,6 +1978,7 @@ object InfluxQL {
                                    step: Long, tags: Seq[String],
                                    fill: Fill): DataFrame = {
     if (batch.isEmpty) return batch
+    if (fill == FillLinear) return densifyLinear(batch, table, step, tags)
     val keyCols = "time" +: tags
     // fill(previous) needs the committed VALUES (the LOCF memory), the
     // other fills only the committed keys — read the narrower surface
@@ -2024,11 +2029,13 @@ object InfluxQL {
             .dropWhile(batch.columns.contains).next()
           val gapNull = gaps.select(keyCols.map(col) ++ aggCols.map(c =>
             lit(null).cast(batch.schema(c).dataType).as(c)): _*)
-          // routed through a real attribute so FoldablePropagation cannot
-          // fold the tag-less partition key out (the no-unpartitioned-
-          // windows discipline); the frame is MaxFillBuckets-bounded
+          // the tag-less partition key rides a real attribute with
+          // UNEQUAL branches — equal branches let SimplifyConditionals
+          // fold the key to a constant and the window loses its
+          // partitioning (the no-unpartitioned-windows discipline); the
+          // frame is MaxFillBuckets-bounded
           val part = if (tags.nonEmpty) tags.map(col)
-            else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(1)))
+            else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(2)))
           val back = Window.partitionBy(part: _*).orderBy(col("time"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           full.withColumn(gapCol, lit(0))
@@ -2047,6 +2054,119 @@ object InfluxQL {
       // localCheckpoint the synthesized rows so the union the sink merges
       // does not re-read the pre-merge target lazily DURING the merge
       batch.unionByName(gapRows).localCheckpoint()
+    } finally full.unpersist()
+  }
+
+  /** Emission-time `fill(linear)` for a continuous query's MERGE sink.
+    * "Needs the NEXT bucket" does not make linear fill non-incremental —
+    * it makes it RETROACTIVE: the target table is mutable through the
+    * keyed MERGE, so a gap interpolates the moment its right neighbor
+    * closes, and until then it commits as null (exactly the batch
+    * planner's edge rule). Per batch, three row classes emit, each run
+    * through the batch planner's column-wise interpolation expression
+    * (null cells take the line between the nearest non-null neighbors in
+    * the series, edges stay null, everything in double — the identical
+    * IEEE shape, so a drained CQ target equals the batch query
+    * bit-for-bit):
+    *
+    *   - the batch's newly closed data buckets;
+    *   - the new gap buckets of the widened skeleton;
+    *   - committed rows with at least one still-null aggregate cell — the
+    *     ONLY committed rows a new right neighbor can change. Re-emitting
+    *     them every batch maintains the invariant that a committed cell
+    *     is null iff it has no observed value on one side, which in turn
+    *     guarantees the nearest non-null BELOW any recomputed cell is
+    *     always an OBSERVED value, never an earlier interpolation (an
+    *     interpolated cell has an observed cell above it, so it can never
+    *     be the last non-null under a still-null cell) — incremental
+    *     equals batch, by induction over batches.
+    *
+    * Committed rows whose key a (replayed) batch re-closes drop from the
+    * committed side (the batch's deterministic recomputation wins), so
+    * duplicate keys never reach the interpolation window. Replays
+    * recompute from the CURRENT committed table — at least as much
+    * information as the original emission — so the keyed MERGE only ever
+    * moves values toward the converged batch answer. One honest corner:
+    * a crash-replayed data bucket with a null cell may re-interpolate
+    * from a committed interpolated neighbor instead of the original
+    * observed endpoints — two points on the same line, so the value is
+    * mathematically identical and within 1 IEEE ulp of the batch
+    * planner's; it is non-null either way, never recomputes again, and
+    * the invariant above is value-independent. Scale posture matches
+    * fill(previous): the per-batch reread is the downsample target, the
+    * skeleton is MaxFillBuckets/MaxFillRows-guarded, and the one window
+    * shuffles on the grouping tags.
+    */
+  private def densifyLinear(batch: DataFrame, table: graft.storage.TxLogTable,
+                            step: Long, tags: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = "time" +: tags
+    val aggCols = batch.columns.filterNot(keyCols.contains).toSeq
+    val committedOnly = (table.version match {
+      case Some(_) => table.read().select(batch.columns.toSeq.map(col): _*)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+      case None => batch.limit(0)
+    })
+    val full = batch.unionByName(committedOnly).persist()
+    try {
+      val domain = full.select(keyCols.map(col): _*)
+      val bounds = domain.agg(min(col("time")), max(col("time"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nBuckets = (hi - lo) / step + 1
+      require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
+        s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
+          s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
+      if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
+          tags.nonEmpty) {
+        val nSeries = domain.select(tags.map(col): _*).distinct().count()
+        require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
+          s"continuous query fill skeleton of $nBuckets buckets x $nSeries " +
+            s"series = ${nBuckets * nSeries} rows exceeds max " +
+            s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
+      }
+      val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
+      val skeleton =
+        if (tags.isEmpty) batch.sparkSession.range(1).select(buckets)
+        else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
+      val gapNull = skeleton.join(domain, keyCols, "left_anti")
+        .select(keyCols.map(col) ++ aggCols.map(c =>
+          lit(null).cast(batch.schema(c).dataType).as(c)): _*)
+      // marker names must dodge user aliases, like the fill(previous) path
+      val srcCol = Iterator.iterate("__src")(_ + "_")
+        .dropWhile(batch.columns.contains).next()
+      val nullCol = srcCol + "null"
+      val hadNull = aggCols.map(col(_).isNull)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val union = batch.withColumn(srcCol, lit(0))
+        .unionByName(committedOnly.withColumn(srcCol, lit(1)))
+        .unionByName(gapNull.withColumn(srcCol, lit(2)))
+        .withColumn(nullCol, hadNull)
+      // the tag-less partition key rides a real attribute with UNEQUAL
+      // branches — equal branches let SimplifyConditionals fold the key
+      // to a constant and the window loses its partitioning (the
+      // no-unpartitioned-windows discipline); MaxFillBuckets-bounded
+      val part = if (tags.nonEmpty) tags.map(col)
+        else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(2)))
+      val back = Window.partitionBy(part: _*).orderBy(col("time"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(part: _*).orderBy(col("time"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = union.select(keyCols.map(col) ++ aggCols.map { n =>
+        // the batch planner's applyFill FillLinear expression, verbatim
+        val c = col(n).cast("double")
+        val obs = when(c.isNotNull, col("time"))
+        val pv = last(c, ignoreNulls = true).over(back)
+        val pb = last(obs, ignoreNulls = true).over(back)
+        val nv = first(c, ignoreNulls = true).over(fwd)
+        val nb = first(obs, ignoreNulls = true).over(fwd)
+        when(c.isNotNull, c)
+          .when(pv.isNotNull && nv.isNotNull,
+            pv + (nv - pv) *
+              ((col("time") - pb).cast("double") / (nb - pb).cast("double")))
+          .otherwise(lit(null).cast("double")).as(n)
+      } ++ Seq(col(srcCol), col(nullCol)): _*)
+      filled.where(col(srcCol) =!= 1 || col(nullCol))
+        .drop(srcCol, nullCol).localCheckpoint()
     } finally full.unpersist()
   }
 

@@ -1513,8 +1513,9 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         if (offUs == 0) s"time(${stepUs}u)" else s"time(${stepUs}u, ${offUs}u)"
       // fill draw: 0 = default (no FILL written), 1 = none, 2 = null,
       // 3 = a literal (fractional and negative values exercise the
-      // per-column cast), 4 = previous (emission-time LOCF)
-      val fillKind = rnd.nextInt(5)
+      // per-column cast), 4 = previous (emission-time LOCF), 5 = linear
+      // (retroactive interpolation; every column promotes to double)
+      val fillKind = rnd.nextInt(6)
       val fillVal = Seq(0.0, 7.0, 2.5, -1.0)(rnd.nextInt(4))
       val fillTxt = fillKind match {
         case 0 => ""
@@ -1522,6 +1523,7 @@ class InfluxQLDifferentialSpec extends SparkSuite {
         case 2 => " FILL(null)"
         case 3 => s" FILL($fillVal)"
         case 4 => " FILL(previous)"
+        case 5 => " FILL(linear)"
       }
       val ddl =
         s"""CREATE CONTINUOUS QUERY cq$seed ON db BEGIN
@@ -1564,7 +1566,40 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       val expected: Set[Seq[Any]] =
         if (fillKind <= 1 || closed.isEmpty)
           closed.map { case ((b, d), vals) => render(b, d, vals) }.toSet
-        else {
+        else if (fillKind == 5) {
+          // fill(linear): every column promotes to double; any null cell
+          // (gap bucket OR a present bucket's null aggregate, e.g. a
+          // 1-point stddev) takes the line between the nearest non-null
+          // neighbors in the series — the engine's exact IEEE tree:
+          // pv + (nv - pv) * ((b - pb) / (nb - pb)) on µs longs cast to
+          // double — and edges stay null
+          val lo = closed.keys.map(_._1).min
+          val hi = closed.keys.map(_._1).max
+          val series = closed.keys.map(_._2).toSet
+          series.flatMap { d =>
+            val bs = (lo to hi by stepUs).toVector
+            val colVals: Seq[Vector[Any]] = items.indices.map { i =>
+              val cell: Vector[Any] =
+                bs.map(b => closed.get((b, d)).map(_(i)).orNull)
+              val obs = bs.indices.collect { case k if cell(k) != null =>
+                (bs(k), cell(k).asInstanceOf[Number].doubleValue) }
+              bs.indices.map { k =>
+                if (cell(k) != null) cell(k).asInstanceOf[Number].doubleValue
+                else {
+                  val b = bs(k)
+                  val pv = obs.filter(_._1 < b).lastOption
+                  val nv = obs.find(_._1 > b)
+                  (pv, nv) match {
+                    case (Some((pb, p)), Some((nb, nx))) =>
+                      p + (nx - p) * ((b - pb).toDouble / (nb - pb).toDouble)
+                    case _ => null
+                  }
+                }
+              }.toVector
+            }
+            bs.indices.map(k => render(bs(k), d, items.indices.map(colVals(_)(k))))
+          }
+        } else {
           val lo = closed.keys.map(_._1).min
           val hi = closed.keys.map(_._1).max
           val series = closed.keys.map(_._2).toSet

@@ -124,10 +124,6 @@ class StreamingSpec extends SparkSuite {
     assert(bad("SELECT percentile(value, 90) FROM temp GROUP BY time(10m)")
       .contains("cannot run incrementally"))
     assert(bad("SELECT mean(value) FROM temp").contains("GROUP BY time()"))
-    // fill(previous) runs (emission-time LOCF); fill(linear) cannot — it
-    // needs the NEXT bucket, which has not closed yet
-    assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) FILL(linear)")
-      .contains("cannot run incrementally"))
     assert(bad("SELECT mean(value) FROM temp GROUP BY time(10m) LIMIT 5")
       .contains("do not apply"))
     assert(bad("SELECT mean(value) FROM temp WHERE time >= 5 GROUP BY time(10m)")
@@ -241,11 +237,12 @@ class StreamingSpec extends SparkSuite {
       (us("2024-01-01 00:00:00"), "d1", Some(2.0)),
       (us("2024-01-01 00:10:00"), "d1", None),
       (us("2024-01-01 00:20:00"), "d1", Some(6.0))), fn)
-    // the history-dependent fills fail at CREATE, not at restart
-    assert(intercept[IllegalArgumentException](graft.influxql.ContinuousQueries.run(
+    // every fill mode registers at CREATE (linear densifies retroactively)
+    graft.influxql.ContinuousQueries.run(
       spark, root, "CREATE CONTINUOUS QUERY x ON telemetry BEGIN SELECT mean(value) " +
-        "INTO x FROM temp GROUP BY time(10m) FILL(linear) END"))
-      .getMessage.contains("cannot run incrementally"))
+        "INTO x FROM temp GROUP BY time(10m) FILL(linear) END")
+    graft.influxql.ContinuousQueries.run(
+      spark, root, "DROP CONTINUOUS QUERY x ON telemetry")
   }
 
   test("CQ fill(previous): gaps LOCF from the committed target across batches") {
@@ -300,6 +297,66 @@ class StreamingSpec extends SparkSuite {
           Seq("time", "device"), Some("time")); ()
       }
       assert(table.read().count() == 20)
+    } finally q.stop()
+  }
+
+  test("CQ fill(linear): committed null edges interpolate retroactively across batches") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_lin")
+    val in = MemoryStream[(String, String, Long, Double)]
+    val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+      """CREATE CONTINUOUS QUERY temp_l ON telemetry BEGIN
+        |SELECT mean(value), count(value) INTO temp_l FROM temp
+        |GROUP BY time(10m), device FILL(linear) END""".stripMargin,
+      root, checkpoint = tmp("cq_lin_cp"), lateness = "1 minute",
+      trigger = Trigger.ProcessingTime(0))
+    val table = new graft.storage.TxLogTable(spark, s"$root/telemetry/temp_l")
+    val data = Seq(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+      ("d1", "temp", us("2024-01-01 00:02:00"), 4.0),
+      ("d2", "temp", us("2024-01-01 00:05:00"), 10.0),
+      ("d1", "temp", us("2024-01-01 00:45:00"), 7.0),
+      ("d1", "temp", us("2024-01-01 01:30:00"), 1.0),
+      ("d2", "temp", us("2024-01-01 01:45:00"), 26.0),
+      ("d1", "temp", us("2024-01-01 03:00:00"), 9.0))
+    try {
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data(3)) // closes the 00:00 buckets
+      q.processAllAvailable()
+      in.addData(data(4)) // closes d1@00:40: d1's gaps interpolate NOW;
+      q.processAllAvailable() // d2's trailing gaps commit as NULL edges
+      in.addData(data(5)) // closes d1@01:30; d2 still has no right neighbor
+      q.processAllAvailable()
+      in.addData(data(6)) // closes d2@01:40: d2's committed nulls NOW
+      q.processAllAvailable() // interpolate retroactively via the MERGE
+      val got = table.read().select("time", "device", "mean", "count")
+        .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+      // the batch query over the same closed range IS the oracle (count
+      // promotes to double under linear, exactly the batch planner's cast)
+      val batch = data.toDF("device", "transducer", "ts_us", "value")
+      val want = graft.influxql.InfluxQL.run(batch,
+        "SELECT mean(value), count(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
+          "AND time < '2024-01-01T01:50:00Z' GROUP BY time(10m), device fill(linear)")
+        .select("time", "device", "mean", "count")
+        .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+      assert(got == want, s"CQ target != batch fill(linear) oracle:\n got=$got\nwant=$want")
+      assert(got.size == 22, "2 devices x 11 buckets")
+      // same-batch interpolation: d1's 00:20 gap sits on the 3.0 -> 7.0
+      // line, and its count on the 2.0 -> 1.0 line (promoted to double)
+      assert(got.contains((us("2024-01-01 00:20:00"), "d1", Some(5.0), Some(1.5))))
+      // the retroactive fill: d2's 00:20 NULL edge became 10 + 16 * 20/100
+      assert(got.contains((us("2024-01-01 00:20:00"), "d2", Some(13.2), Some(1.0))))
+      // d1's trailing edge after its last observed bucket stays null
+      assert(got.contains((us("2024-01-01 01:40:00"), "d1", None, None)))
+      // replay-idempotent: re-merging the final emission converges
+      graft.storage.TxLogTable.retryOnConflict() {
+        table.merge(got.toSeq.toDF("time", "device", "mean", "count"),
+          Seq("time", "device"), Some("time")); ()
+      }
+      assert(table.read().count() == 22)
     } finally q.stop()
   }
 
