@@ -362,6 +362,65 @@ object DedupOps {
       .select(col("node"), coalesce(col("component"), col("rep")).as("component"))
   }
 
+  /** INCREMENTAL connected components: fold a batch of new near-dup pairs
+    * into an existing `(node, component)` assignment without re-running
+    * CC over the corpus-sized pair set — the clustering face of the
+    * build-once / probe-per-batch index lifecycle ([[buildMinhashIndex]] /
+    * [[minhashProbe]] produce exactly the `newPairs` this consumes, so
+    * dedup-at-ingest keeps its transitive clusters current per batch).
+    *
+    * The existing assignment IS a contracted graph: each component is one
+    * vertex named by its representative (the component's min node id, the
+    * [[connectedComponents]] label convention). Each new pair maps its
+    * endpoints to their representatives (a node not yet assigned
+    * represents itself), and CC runs on that REPRESENTATIVE graph — sized
+    * by the batch, not the corpus. The merged label of a representative
+    * group is its min vertex = min over all member nodes of the merged
+    * clusters, so labels stay the global min node id and the result is
+    * IDENTICAL to a from-scratch CC over (old pairs ∪ new pairs) — the
+    * q_dedup_clusters_incremental oracle recomputes exactly that from
+    * scratch in DuckDB and hash-matches.
+    *
+    * Scale: one broadcast-sized relabel join against the corpus
+    * assignment (component ids that merged, bounded by the batch's pair
+    * count) + the batch-sized CC; the corpus pair set is never touched
+    * again. Deterministic, so replayed batches converge (labels only ever
+    * shrink toward the global min).
+    */
+  def mergeComponents(assign: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    // both inputs are consumed several times (the pair mapping, the fresh
+    // anti-join, the relabel); cut their lineage once so an expensive
+    // upstream (a banded candidate pipeline, a prior CC) never re-executes
+    // per consumer — the engine's iterative-input rule
+    val a = assign.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component")).localCheckpoint()
+    val pi = newPairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .where(col("i") =!= col("j")).localCheckpoint()
+    // endpoint -> its current representative (itself when unassigned)
+    val mapped = pi
+      .join(a.select(col("node").as("i"), col("component").as("ci")), Seq("i"), "left")
+      .join(a.select(col("node").as("j"), col("component").as("cj")), Seq("j"), "left")
+      .select(coalesce(col("ci"), col("i")).as("i"), coalesce(col("cj"), col("j")).as("j"))
+      .where(col("i") =!= col("j")).distinct()
+      .localCheckpoint()
+    // CC over the representative graph: batch-sized, label = min vertex
+    val repLabels = connectedComponents(mapped, maxIters, checkpointDir)
+      .localCheckpoint()
+    // relabel existing components whose representative merged; everything
+    // untouched keeps its label (left join + coalesce)
+    val relabel = repLabels.select(col("node").as("component"), col("component").as("__new"))
+    val updated = a.join(broadcast(relabel), Seq("component"), "left")
+      .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+    // nodes the batch introduced: assign their representative-graph label
+    // (themselves if their only pairs collapsed inside one old component)
+    val fresh = pi.select(col("i").as("node")).union(pi.select(col("j").as("node")))
+      .distinct().join(a, Seq("node"), "left_anti")
+    val freshAssigned = fresh.join(repLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    updated.unionByName(freshAssigned)
+  }
+
   /** Benchmark-contamination report: for each eval document, how much of it
     * appears verbatim (at n-gram granularity) in the training corpus — the
     * decontamination check every LLM training pipeline runs before an eval

@@ -41,11 +41,11 @@ object PipelineQueries {
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |  FROM d, UNNEST(generate_series(1, len(toks) - 2)) AS t(i))""".stripMargin
-  private val quantSql =
+  private[queries] val quantSql =
     """q AS (SELECT vec_id, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS qv FROM embeddings),
       |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q)""".stripMargin
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
 
   // the CCNet LM scoring chain (LmOps.lmScore, vocab 40) ending in
@@ -118,7 +118,7 @@ object PipelineQueries {
       |FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
-  private def cosSql(av: String, an: String, bv: String, bn: String) =
+  private[queries] def cosSql(av: String, an: String, bv: String, bn: String) =
     s"""CAST(${dotSql(av, bv)} AS DOUBLE) / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE))"""
 
   /** Deterministic per-(dataset, index-config) location for a persisted ANN
@@ -453,6 +453,32 @@ object PipelineQueries {
       val pairs = DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
         .select("i", "j")
       DedupOps.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // INCREMENTAL clustering: a deterministic ~25% of the corpus arrives
+    // as a "new batch"; the old corpus clusters from scratch once, then
+    // the batch's pairs fold in via DedupOps.mergeComponents (CC over the
+    // batch-sized representative graph only). The oracle recomputes the
+    // WHOLE clustering from scratch — the hash match IS the proof that
+    // incremental maintenance equals full recomputation.
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def isNew(c: org.apache.spark.sql.Column) =
+        pmod(TextOps.hash60(concat(lit("ccinc"), c.cast("string"))), lit(4)) === lit(0)
+      // one banded pipeline pass; per-doc signatures are input-subset
+      // independent, so filtering the pair set to old-old endpoints equals
+      // running the pipeline on the old corpus alone (a real deployment
+      // gets newPairs from the persisted minhash/simhash index probe and
+      // never recomputes the corpus — here both splits must come from the
+      // same pipeline the oracle replays)
+      val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+        .select("i", "j").localCheckpoint()
+      val assign0 = DedupOps.connectedComponents(
+        pairs.where(!isNew(col("i")) && !isNew(col("j"))))
+      val newPairs = pairs.where(isNew(col("i")) || isNew(col("j")))
+      DedupOps.mergeComponents(assign0, newPairs)
         .groupBy("component")
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -1104,6 +1130,22 @@ object PipelineQueries {
          |WHERE ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} >= 0.4""".stripMargin,
 
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |pairs AS ($simhashPairSelect),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         |cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT component, count(*) AS n_docs FROM cc GROUP BY 1""".stripMargin,
+
+    // the incremental query's oracle is the FROM-SCRATCH clustering over
+    // the full pair set — identical SQL to q_dedup_clusters; the batch
+    // split exists only on the Spark side, so a hash match proves
+    // incremental fold == full recompute
+    "q_dedup_clusters_incremental" ->
       s"""WITH RECURSIVE ${simhashCtes()},
          |pairs AS ($simhashPairSelect),
          |edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),

@@ -108,6 +108,43 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("merge components: bridges, fresh nodes and no-op pairs fold incrementally") {
+    // existing clustering: {1, 2} and {5, 6}
+    val assign = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("node", "component")
+    // a bridge (2-5), a fresh node attaching to a cluster (6-9), and a
+    // fresh-only pair (10-11)
+    val merged = DedupOps.mergeComponents(assign,
+      Seq((2L, 5L), (6L, 9L), (10L, 11L)).toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a within-component pair is a no-op; an empty batch returns the input
+    val noop = DedupOps.mergeComponents(assign, Seq((2L, 1L)).toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    val empty = DedupOps.mergeComponents(assign,
+      Seq.empty[(Long, Long)].toDF("i", "j")).as[(Long, Long)].collect().toMap
+    assert(empty == noop)
+  }
+
+  test("merge components: seeded random edge splits equal from-scratch CC") {
+    val rnd = new scala.util.Random(41L)
+    val edges = Vector.fill(70)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val (first, second) = edges.splitAt(edges.size / 2)
+    val full = DedupOps.connectedComponents(edges.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    val inc = DedupOps.mergeComponents(
+      DedupOps.connectedComponents(first.toDF("i", "j")), second.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    // incremental covers every node of the full graph with identical labels
+    assert(inc == full, s"incremental=$inc full=$full")
+    // folding the SAME batch again converges (deterministic, idempotent)
+    val again = DedupOps.mergeComponents(inc.toSeq.toDF("node", "component"),
+      second.toDF("i", "j")).as[(Long, Long)].collect().toMap
+    assert(again == full)
+  }
+
   test("incremental minhash index: probe equals one-shot pairs touching the batch") {
     val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString
     val base = docs.filter(col("doc_id") % 10 =!= 0)
