@@ -61,4 +61,31 @@ object SearchOps {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+    * a lexical and a semantic ranking of the same id space into one hybrid
+    * ranking — the standard way modern retrieval stacks combine BM25 with
+    * embedding ANN. Each list contributes `1 / (k0 + rank)` to a document's
+    * fused score (k0 = 60 in the paper); documents absent from a list
+    * contribute nothing from it.
+    *
+    * Both inputs are `(doc_id, rank)` top-k results, so the fuse is a
+    * full-outer equi-join of two k-bounded frames — negligible at any
+    * corpus scale (the cost lives in producing the input rankings). The
+    * score is a FIXED expression tree of two exact integer adds, two IEEE
+    * divisions and one IEEE add — never a float aggregation whose order
+    * could drift — so fused scores are bit-identical cross-engine and the
+    * result is oracle-checkable. Ties break on doc_id.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k0: Int = 60, k: Int): DataFrame = {
+    val a = lex.select(col("doc_id"), col("rank").cast("long").as("rank_lex"))
+    val b = sem.select(col("doc_id"), col("rank").cast("long").as("rank_sem"))
+    val score =
+      coalesce(lit(1.0) / (lit(k0.toLong) + col("rank_lex")).cast("double"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0.toLong) + col("rank_sem")).cast("double"), lit(0.0))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), score.as("rrf"), col("rank_lex"), col("rank_sem"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

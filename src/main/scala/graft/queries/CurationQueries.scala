@@ -120,6 +120,30 @@ object CurationQueries {
         terms = Seq("join", "vector", "window"), k = 20)
     }),
 
+    // Hybrid retrieval: the BM25 lexical top-20 fused with the embedding
+    // cosine top-20 (query = vec 0) by reciprocal-rank fusion — the
+    // standard lexical+semantic combiner (Cormack et al. 2009). Ranks are
+    // exact integers, the fused score a fixed two-division IEEE tree, so
+    // the hybrid ranking is bit-exact cross-engine. The rank windows run
+    // over k-bounded inputs only (TakeOrderedAndProject feeds 20 rows).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex0 = SearchOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("join", "vector", "window"), k = 20)
+      // constant partition key on a real attribute with UNEQUAL branches
+      // (equal branches fold under SimplifyConditionals and the window
+      // loses its partitioning); 20 rows, never the corpus
+      val one = Window
+        .partitionBy(when(col("doc_id").isNotNull, lit(1)).otherwise(lit(2)))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val lex = lex0.select(col("doc_id"),
+        row_number().over(one).cast("long").as("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = SimilarityOps.bruteTopK(emb.where(col("vec_id") === 0), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rk").as("rank"))
+      SearchOps.rrfFuse(lex, sem, k0 = 60, k = 15)
+    }),
+
     // DSIR importance weights: every document's hashed-ngram log-likelihood
     // ratio against the English-subset target distribution. One corpus pass
     // for bucket stats (<= 4096 rows, broadcast), one for scoring; the
@@ -555,6 +579,45 @@ object CurationQueries {
          |scored AS (SELECT doc_id, $score AS score FROM pre CROSS JOIN stats)
          |SELECT doc_id, score FROM scored WHERE score > 0.0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "q_hybrid_rrf" -> {
+      val terms = Seq("join", "vector", "window")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+      }.mkString(",\n    ")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(",\n    ")
+      val score = terms.indices.map(bm25TermSql).mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n_corpus,
+         |    CAST(sum(CAST(len(toks) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS avg_len,
+         |    $dfs
+         |  FROM d),
+         |pre AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfs
+         |  FROM d),
+         |bscored AS (SELECT doc_id, $score AS score FROM pre CROSS JOIN stats),
+         |lexr AS (SELECT doc_id, rank_lex FROM (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM bscored WHERE score > 0.0) WHERE rank_lex <= 20),
+         |${PipelineQueries.quantSql},
+         |q0 AS (SELECT qv, nq FROM n WHERE vec_id = 0),
+         |sems AS (SELECT n.vec_id,
+         |    CAST(${PipelineQueries.dotSql("q0.qv", "n.qv")} AS DOUBLE)
+         |      / sqrt(CAST(q0.nq AS DOUBLE) * CAST(n.nq AS DOUBLE)) AS cos
+         |  FROM n CROSS JOIN q0 WHERE n.vec_id <> 0),
+         |semr AS (SELECT vec_id AS doc_id, rank_sem FROM (SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_sem
+         |  FROM sems) WHERE rank_sem <= 20)
+         |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         |  COALESCE(1.0 / CAST(60 + rank_lex AS DOUBLE), 0.0)
+         |    + COALESCE(1.0 / CAST(60 + rank_sem AS DOUBLE), 0.0) AS rrf,
+         |  rank_lex, rank_sem
+         |FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
     },
 
     "q_dsir_weights" ->
