@@ -421,6 +421,50 @@ object DedupOps {
     updated.unionByName(freshAssigned)
   }
 
+  /** Persist a clustering as an ACID `(node, component)` table — the bulk
+    * build of the clustering index [[foldCcIndex]] maintains per batch
+    * (the [[buildMinhashIndex]] lifecycle, for components).
+    */
+  def buildCcIndex(pairs: DataFrame, path: String,
+      checkpointDir: Option[String] = None): Long =
+    new graft.storage.TxLogTable(pairs.sparkSession, path)
+      .append(connectedComponents(pairs, checkpointDir = checkpointDir))
+
+  /** Fold one batch of new near-dup pairs into the persisted clustering
+    * index: [[mergeComponents]] computes the incremental merge (CC over
+    * the batch-sized representative graph only), an anti-join against the
+    * committed assignment keeps ONLY the rows the batch actually changed —
+    * relabeled members of merged components plus newly assigned nodes, the
+    * batch's blast radius — and those MERGE in keyed on node (update wins;
+    * labels move monotonically toward the global min and the recompute is
+    * deterministic in (table, batch), so an at-least-once replay
+    * converges, the CQ-sink argument). A batch that changes nothing
+    * commits nothing (the no-empty-commits discipline). An uninitialized
+    * index bootstraps from the first fold.
+    *
+    * Honest cost note: the ACID layer's MERGE rewrites the snapshot, so
+    * the WRITE cost is table-sized — the incremental saving is the
+    * clustering COMPUTE, which never touches the corpus pair set again.
+    * At dedup-at-ingest rates (small batches against a large corpus) the
+    * compute is what used to dominate.
+    */
+  def foldCcIndex(newPairs: DataFrame, path: String,
+      checkpointDir: Option[String] = None): Long = {
+    val spark = newPairs.sparkSession
+    val table = new graft.storage.TxLogTable(spark, path)
+    val assign = table.version match {
+      case Some(_) => table.read()
+      case None => spark.range(0).select(col("id").as("node"), col("id").as("component"))
+    }
+    val merged = mergeComponents(assign, newPairs, checkpointDir = checkpointDir)
+    val changed = merged.join(assign, Seq("node", "component"), "left_anti")
+      .localCheckpoint()
+    if (changed.isEmpty) return table.version.getOrElse(-1L)
+    graft.storage.TxLogTable.retryOnConflict() {
+      table.merge(changed, Seq("node"))
+    }
+  }
+
   /** Benchmark-contamination report: for each eval document, how much of it
     * appears verbatim (at n-gram granularity) in the training corpus — the
     * decontamination check every LLM training pipeline runs before an eval

@@ -8,9 +8,10 @@ import graft.storage.TxLogTable
 
 /** The END-TO-END curation-at-ingest drill: the per-batch probes that exist
   * individually (URL canonical dedup, line-level boilerplate dedup,
-  * minhash-index probe, DSIR probe, classifier score) composed as ONE
-  * streaming service into an ACID MERGE target — with a mid-stream replay
-  * asserting the two invariants a restart must hold:
+  * minhash-index probe, incremental clustering-index fold, DSIR probe,
+  * classifier score) composed as ONE streaming service into an ACID MERGE
+  * target — with a mid-stream replay asserting the two invariants a
+  * restart must hold:
   *
   *   - REPLAY IDEMPOTENCE: re-running a committed micro-batch leaves the
   *     curated table byte-identical (URL anti-join + keyed MERGE), and
@@ -82,6 +83,13 @@ class CurationDrillSpec extends SparkSuite {
       // ids are both < it) drops; the indexed corpus is never re-shingled
       val pairs = DedupOps.minhashProbe(cleaned, "doc_id", "text",
         n = 2, k = 8, bands = 4, tau = 0.6, path = s"$root/mh")
+        .localCheckpoint()
+      // 3c. fold the probe's pairs into the persisted CLUSTERING index:
+      // transitive duplicate groups stay current per batch (CC runs on
+      // the batch-sized representative graph only); a batch that changes
+      // no component commits nothing, so replays converge without a fence
+      if (!pairs.isEmpty)
+        DedupOps.foldCcIndex(pairs.select("i", "j"), s"$root/cc")
       val survivors = cleaned.join(
         pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .persist()
@@ -158,6 +166,13 @@ class CurationDrillSpec extends SparkSuite {
       val after2 = curated.read().select("doc_id").as[Long].collect().toSet
       assert(after2 == Set(101L, 104L, 202L),
         s"batch 2: 201 must dedup against batch 1's indexed survivor: $after2")
+      // the clustering index folded each batch's pairs incrementally:
+      // 103 near-dups reference doc 1 (batch 1), 201 near-dups 101
+      // (batch 2) — labels are the group's min id across batches
+      val cc = new TxLogTable(spark, s"$root/cc").read()
+        .as[(Long, Long)].collect().toMap
+      assert(cc(103L) == 1L && cc(1L) == 1L, s"batch-1 cluster: $cc")
+      assert(cc(201L) == 101L && cc(101L) == 101L, s"batch-2 cluster: $cc")
       // the scores carry model direction: 202 (target-like) above 104
       val w = curated.read().select("doc_id", "weight_q")
         .as[(Long, Long)].collect().toMap

@@ -145,6 +145,38 @@ class DedupSpec extends SparkSuite {
     assert(again == full)
   }
 
+  test("cc index: build, fold batches to from-scratch equality, refold commits nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_idx").toString
+    try {
+      val rnd = new scala.util.Random(43L)
+      val edges = Vector.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      val (first, second) = edges.splitAt(edges.size / 2)
+      DedupOps.buildCcIndex(first.toDF("i", "j"), dir)
+      val v1 = DedupOps.foldCcIndex(second.toDF("i", "j"), dir)
+      val table = new graft.storage.TxLogTable(spark, dir)
+      val folded = table.read().as[(Long, Long)].collect().toMap
+      val full = DedupOps.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(folded == full, s"folded=$folded full=$full")
+      // refolding the same batch changes nothing and commits nothing
+      assert(DedupOps.foldCcIndex(second.toDF("i", "j"), dir) == v1)
+      assert(table.version.contains(v1))
+      // an uninitialized index bootstraps from its first fold
+      val dir2 = java.nio.file.Files.createTempDirectory("cc_idx2").toString
+      try {
+        DedupOps.foldCcIndex(edges.toDF("i", "j"), dir2)
+        val boot = new graft.storage.TxLogTable(spark, dir2)
+          .read().as[(Long, Long)].collect().toMap
+        assert(boot == full)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2)); ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("incremental minhash index: probe equals one-shot pairs touching the batch") {
     val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString
     val base = docs.filter(col("doc_id") % 10 =!= 0)
