@@ -1978,15 +1978,23 @@ object InfluxQL {
                                    step: Long, tags: Seq[String],
                                    fill: Fill): DataFrame = {
     if (batch.isEmpty) return batch
-    if (fill == FillLinear) return densifyLinear(batch, table, step, tags)
+    if (fill == FillLinear || fill == FillPrevious)
+      return densifyRewrite(batch, table, step, tags, fill)
     val keyCols = "time" +: tags
-    // fill(previous) needs the committed VALUES (the LOCF memory), the
-    // other fills only the committed keys — read the narrower surface
-    val readCols = if (fill == FillPrevious) batch.columns.toSeq else keyCols
+    val aggCols0 = batch.columns.filterNot(keyCols.contains).toSeq
+    // the batch planner applies fill(<value>) per CELL: a present bucket's
+    // null aggregate (a 1-point stddev) takes the literal too, not just
+    // gap buckets — emit the batch coalesced so CQ == batch bit-for-bit
+    val batchF = fill match {
+      case FillValue(x) => batch.select(keyCols.map(col) ++ aggCols0.map { c =>
+        coalesce(col(c), lit(x).cast(batch.schema(c).dataType)).as(c) }: _*)
+      case _ => batch
+    }
+    // fill(null/value) needs only the committed KEYS for the skeleton
     val full = (table.version match {
-      case Some(_) => batch.select(readCols.map(col): _*)
-        .unionByName(table.read().select(readCols.map(col): _*))
-      case None => batch.select(readCols.map(col): _*)
+      case Some(_) => batchF.select(keyCols.map(col): _*)
+        .unionByName(table.read().select(keyCols.map(col): _*))
+      case None => batchF.select(keyCols.map(col): _*)
     }).persist()
     try {
       val domain = full.select(keyCols.map(col): _*)
@@ -2006,68 +2014,45 @@ object InfluxQL {
             s"series = ${nBuckets * nSeries} rows exceeds max " +
             s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
       }
-      if (lo == hi) return batch
+      if (lo == hi) return batchF
       val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
       val skeleton =
         if (tags.isEmpty) batch.sparkSession.range(1).select(buckets)
         else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
       val gaps = skeleton.join(domain, keyCols, "left_anti")
-      val aggCols = batch.columns.filterNot(keyCols.contains)
-      val gapRows = fill match {
-        case FillPrevious =>
-          // LOCF: a gap takes the nearest PRECEDING bucket's value per
-          // series — the batch planner's exact last(ignoreNulls)-over-back
-          // expression, run over (committed target ∪ this batch ∪ the new
-          // gaps-as-null). Committed gap rows already CARRY their LOCF
-          // value, so filling from them equals filling from the underlying
-          // data bucket (induction) — replays converge; gaps before a
-          // series' first-ever bucket stay null, like the batch skeleton.
-          import org.apache.spark.sql.expressions.Window
-          // the marker column's name must dodge user aliases ("__gap" is a
-          // legal InfluxQL alias) — grow until it misses the batch schema
-          val gapCol = Iterator.iterate("__gap")(_ + "_")
-            .dropWhile(batch.columns.contains).next()
-          val gapNull = gaps.select(keyCols.map(col) ++ aggCols.map(c =>
-            lit(null).cast(batch.schema(c).dataType).as(c)): _*)
-          // the tag-less partition key rides a real attribute with
-          // UNEQUAL branches — equal branches let SimplifyConditionals
-          // fold the key to a constant and the window loses its
-          // partitioning (the no-unpartitioned-windows discipline); the
-          // frame is MaxFillBuckets-bounded
-          val part = if (tags.nonEmpty) tags.map(col)
-            else Seq(when(col("time").isNotNull, lit(1)).otherwise(lit(2)))
-          val back = Window.partitionBy(part: _*).orderBy(col("time"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          full.withColumn(gapCol, lit(0))
-            .unionByName(gapNull.withColumn(gapCol, lit(1)))
-            .select(keyCols.map(col) ++ aggCols.map(c =>
-              last(col(c), ignoreNulls = true).over(back).as(c)) :+ col(gapCol): _*)
-            .where(col(gapCol) === 1).drop(gapCol)
-        case _ => gaps.select(keyCols.map(col) ++ aggCols.map { c =>
-          val dt = batch.schema(c).dataType
-          (fill match {
-            case FillValue(x) => lit(x).cast(dt)
-            case _ => lit(null).cast(dt)
-          }).as(c)
-        }: _*)
-      }
+      val gapRows = gaps.select(keyCols.map(col) ++ aggCols0.map { c =>
+        val dt = batch.schema(c).dataType
+        (fill match {
+          case FillValue(x) => lit(x).cast(dt)
+          case _ => lit(null).cast(dt)
+        }).as(c)
+      }: _*)
       // localCheckpoint the synthesized rows so the union the sink merges
       // does not re-read the pre-merge target lazily DURING the merge
-      batch.unionByName(gapRows).localCheckpoint()
+      batchF.unionByName(gapRows).localCheckpoint()
     } finally full.unpersist()
   }
 
-  /** Emission-time `fill(linear)` for a continuous query's MERGE sink.
-    * "Needs the NEXT bucket" does not make linear fill non-incremental —
-    * it makes it RETROACTIVE: the target table is mutable through the
-    * keyed MERGE, so a gap interpolates the moment its right neighbor
-    * closes, and until then it commits as null (exactly the batch
-    * planner's edge rule). Per batch, three row classes emit, each run
-    * through the batch planner's column-wise interpolation expression
-    * (null cells take the line between the nearest non-null neighbors in
-    * the series, edges stay null, everything in double — the identical
-    * IEEE shape, so a drained CQ target equals the batch query
-    * bit-for-bit):
+  /** Emission-time `fill(previous)` and `fill(linear)` for a continuous
+    * query's MERGE sink — the two modes whose fills REWRITE cells from
+    * series history rather than a constant. Both run the batch planner's
+    * exact column-wise expression over (batch ∪ committed ∪ new gaps), so
+    * a present bucket's null aggregate (a 1-point stddev) fills exactly
+    * like the batch query's, not just gap buckets.
+    *
+    * `previous` (LOCF) looks backward only: emission covers the batch's
+    * closed buckets (null cells carried forward) and the new gaps;
+    * committed rows never change. Committed gap rows already CARRY their
+    * LOCF value, so filling from them equals filling from the underlying
+    * data bucket (induction) — replays converge; cells before a series'
+    * first value stay null, like the batch skeleton.
+    *
+    * `linear` "needs the NEXT bucket" — which does not make it
+    * non-incremental, it makes it RETROACTIVE: the target table is
+    * mutable through the keyed MERGE, so a gap interpolates the moment
+    * its right neighbor closes, and until then it commits as null
+    * (exactly the batch planner's edge rule), with every aggregate
+    * column promoted to double. Per batch, three row classes emit:
     *
     *   - the batch's newly closed data buckets;
     *   - the new gap buckets of the widened skeleton;
@@ -2097,8 +2082,8 @@ object InfluxQL {
     * skeleton is MaxFillBuckets/MaxFillRows-guarded, and the one window
     * shuffles on the grouping tags.
     */
-  private def densifyLinear(batch: DataFrame, table: graft.storage.TxLogTable,
-                            step: Long, tags: Seq[String]): DataFrame = {
+  private def densifyRewrite(batch: DataFrame, table: graft.storage.TxLogTable,
+                             step: Long, tags: Seq[String], fill: Fill): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = "time" +: tags
     val aggCols = batch.columns.filterNot(keyCols.contains).toSeq
@@ -2152,21 +2137,31 @@ object InfluxQL {
       val fwd = Window.partitionBy(part: _*).orderBy(col("time"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val filled = union.select(keyCols.map(col) ++ aggCols.map { n =>
-        // the batch planner's applyFill FillLinear expression, verbatim
-        val c = col(n).cast("double")
-        val obs = when(c.isNotNull, col("time"))
-        val pv = last(c, ignoreNulls = true).over(back)
-        val pb = last(obs, ignoreNulls = true).over(back)
-        val nv = first(c, ignoreNulls = true).over(fwd)
-        val nb = first(obs, ignoreNulls = true).over(fwd)
-        when(c.isNotNull, c)
-          .when(pv.isNotNull && nv.isNotNull,
-            pv + (nv - pv) *
-              ((col("time") - pb).cast("double") / (nb - pb).cast("double")))
-          .otherwise(lit(null).cast("double")).as(n)
+        fill match {
+          case FillPrevious =>
+            // the batch planner's LOCF expression, verbatim (a non-null
+            // cell is its own last non-null, so data stays untouched)
+            last(col(n), ignoreNulls = true).over(back).as(n)
+          case _ =>
+            // the batch planner's applyFill FillLinear expression, verbatim
+            val c = col(n).cast("double")
+            val obs = when(c.isNotNull, col("time"))
+            val pv = last(c, ignoreNulls = true).over(back)
+            val pb = last(obs, ignoreNulls = true).over(back)
+            val nv = first(c, ignoreNulls = true).over(fwd)
+            val nb = first(obs, ignoreNulls = true).over(fwd)
+            when(c.isNotNull, c)
+              .when(pv.isNotNull && nv.isNotNull,
+                pv + (nv - pv) *
+                  ((col("time") - pb).cast("double") / (nb - pb).cast("double")))
+              .otherwise(lit(null).cast("double")).as(n)
+        }
       } ++ Seq(col(srcCol), col(nullCol)): _*)
-      filled.where(col(srcCol) =!= 1 || col(nullCol))
-        .drop(srcCol, nullCol).localCheckpoint()
+      // previous never changes a committed row (backward-looking); linear
+      // also re-emits committed rows that still carry a null cell
+      val emit = if (fill == FillPrevious) col(srcCol) =!= 1
+        else col(srcCol) =!= 1 || col(nullCol)
+      filled.where(emit).drop(srcCol, nullCol).localCheckpoint()
     } finally full.unpersist()
   }
 

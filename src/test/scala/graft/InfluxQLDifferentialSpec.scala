@@ -1604,28 +1604,25 @@ class InfluxQLDifferentialSpec extends SparkSuite {
           val hi = closed.keys.map(_._1).max
           val series = closed.keys.map(_._2).toSet
           series.flatMap { d =>
-            // per-column LOCF carry for fill(previous): a gap takes each
-            // column's most recent non-null value (data buckets keep their
-            // own, possibly null, values — only gaps fill)
+            // per-column fills apply per CELL, exactly like the batch
+            // planner: a PRESENT bucket's null aggregate (a 1-point
+            // stddev) takes the literal / the LOCF carry too, not just
+            // gap buckets; fill(null) leaves present nulls alone
             val carry = Array.fill[Any](items.size)(null)
-            (lo to hi by stepUs).map { b =>
-              closed.get((b, d)) match {
-                case Some(vals) =>
-                  vals.zipWithIndex.foreach { case (v, i) =>
-                    if (v != null) carry(i) = v }
-                  render(b, d, vals)
-                case None =>
-                  val gap = items.zipWithIndex.map { case (it, i) =>
-                    fillKind match {
-                      case 2 => null
-                      case 3 => if (isLong(it)) fillVal.toLong else fillVal
-                      case 4 => carry(i)
-                    }
-                  }
-                  gap.zipWithIndex.foreach { case (v, i) =>
-                    if (v != null) carry(i) = v }
-                  render(b, d, gap)
+            def cell(v: Any, i: Int): Any =
+              if (v != null) v
+              else fillKind match {
+                case 2 => null
+                case 3 => if (isLong(items(i))) fillVal.toLong else fillVal
+                case 4 => carry(i)
               }
+            (lo to hi by stepUs).map { b =>
+              val raw = closed.get((b, d))
+                .getOrElse(items.map(_ => null: Any))
+              val filled = raw.zipWithIndex.map { case (v, i) => cell(v, i) }
+              filled.zipWithIndex.foreach { case (v, i) =>
+                if (v != null) carry(i) = v }
+              render(b, d, filled)
             }
           }
         }

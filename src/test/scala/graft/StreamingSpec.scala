@@ -360,6 +360,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CQ fill applies per cell: a present bucket's null stddev fills, matching batch") {
+    implicit val sq = spark.sqlContext
+    val root = tmp("cq_cell")
+    val data = Seq(
+      ("d1", "temp", us("2024-01-01 00:01:00"), 2.0),
+      ("d1", "temp", us("2024-01-01 00:03:00"), 4.0),
+      ("d1", "temp", us("2024-01-01 00:11:00"), 5.0), // 1 point: stddev null
+      ("d1", "temp", us("2024-01-01 01:00:00"), 9.0)) // flush
+    def drive(fillTxt: String, target: String): Set[(Long, String, Option[Double], Option[Double])] = {
+      val in = MemoryStream[(String, String, Long, Double)]
+      in.addData(data: _*)
+      val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+        s"""CREATE CONTINUOUS QUERY $target ON telemetry BEGIN
+           |SELECT stddev(value), mean(value) INTO $target FROM temp
+           |GROUP BY time(10m), device $fillTxt END""".stripMargin,
+        root, checkpoint = tmp(s"cq_cell_cp_$target"), lateness = "1 minute")
+      try q.awaitTermination() finally q.stop()
+      new graft.storage.TxLogTable(spark, s"$root/telemetry/$target")
+        .read().select("time", "device", "stddev", "mean")
+        .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+    }
+    def batchWant(fillTxt: String): Set[(Long, String, Option[Double], Option[Double])] =
+      graft.influxql.InfluxQL.run(data.toDF("device", "transducer", "ts_us", "value"),
+        "SELECT stddev(value), mean(value) FROM temp WHERE time >= '2024-01-01T00:00:00Z' " +
+          s"AND time < '2024-01-01T00:20:00Z' GROUP BY time(10m), device $fillTxt")
+        .select("time", "device", "stddev", "mean")
+        .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+    // previous: the 00:10 bucket is PRESENT (mean 5.0) but its stddev is
+    // null (1 point) — it must carry 00:00's stddev, like the batch query
+    val gotP = drive("FILL(previous)", "temp_cp")
+    assert(gotP == batchWant("fill(previous)"), s"per-cell previous: $gotP")
+    val s0 = gotP.find(_._1 == us("2024-01-01 00:00:00")).get._3
+    assert(gotP.contains((us("2024-01-01 00:10:00"), "d1", s0, Some(5.0))),
+      s"stddev must carry into the present bucket: $gotP")
+    // a literal fill lands in the present bucket's null cell too
+    val gotV = drive("FILL(250)", "temp_cv")
+    assert(gotV == batchWant("fill(250)"), s"per-cell value: $gotV")
+    assert(gotV.contains((us("2024-01-01 00:10:00"), "d1", Some(250.0), Some(5.0))),
+      s"literal must land in the present bucket's null stddev: $gotV")
+  }
+
   test("CQ RESAMPLE: FOR widens the watermark; EVERY yields to an AvailableNow drain") {
     implicit val sq = spark.sqlContext
     val root = tmp("cq_rs")
