@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   * PROGRESS.jsonl as one `{"event":"scalebench",...}` line (override with
   * SPARK_GRAFT_SCALE_OUT). SPARK_GRAFT_SCALE_MAXSF trims the SF list
   * (e.g. 0.3 reproduces the r13 sweep).
+  *
+  * Also measured: `cc_fold_fixed_batch` — folding a FIXED 500-pair batch
+  * into a corpus-sized persisted clustering index (`foldCcIndex`), timed
+  * against a fresh untimed bulk build per pass; its exponent isolates how
+  * incremental clustering maintenance grows with the corpus when the
+  * batch does not.
   */
 object ScaleBench {
 
@@ -133,7 +139,7 @@ object ScaleBench {
       }
 
     // per SF: one untimed warmup pass over all heavies, then min-of-N
-    val times: Map[(String, Double), Double] = sfs.flatMap { case (sf, dir) =>
+    val heavyTimes: Map[(String, Double), Double] = sfs.flatMap { case (sf, dir) =>
       Heavies.flatMap(n => selected.get(n).map(fn => (n, fn))).flatMap {
         case (n, fn) =>
           timeOnce(n, fn, dir) // untimed warmup (JIT, parquet footers)
@@ -142,8 +148,54 @@ object ScaleBench {
       }
     }.toMap
 
+    // Incremental-fold scaling: foldCcIndex's claim is that folding a
+    // FIXED batch of pairs beats re-clustering the corpus at every corpus
+    // size. Per SF (0.1+ only — below that the corpus is not meaningfully
+    // larger than the batch): the corpus's simhash pair set splits into a
+    // fixed 500-pair batch (deterministic (i, j) order) and the rest; the
+    // rest bulk-builds a fresh index UNTIMED, the batch folds TIMED. The
+    // fold still pays the ACID MERGE's table-sized snapshot write — the
+    // honest cost note on foldCcIndex — so its exponent tracks assignment
+    // write growth, not pair-set recompute; read it against
+    // q_dedup_clusters at the same SF for the compute saving.
+    def rmTree(p: String): Unit = {
+      val root = Paths.get(p)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+    }
+    val foldTimes: Map[(String, Double), Double] = sfs.filter(_._1 >= 0.1)
+      .flatMap { case (sf, dir) =>
+        try {
+          val pairs = graft.operators.DedupOps
+            .simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxDist = 3)
+            .select("i", "j").localCheckpoint()
+          val batch = pairs.orderBy("i", "j").limit(500).localCheckpoint()
+          val rest = pairs.join(batch, Seq("i", "j"), "left_anti").localCheckpoint()
+          def one(): Double = {
+            val idx = Files.createTempDirectory("ccfold").toString
+            try {
+              graft.operators.DedupOps.buildCcIndex(rest, idx)
+              val t0 = System.nanoTime()
+              graft.operators.DedupOps.foldCcIndex(batch, idx)
+              val dt = (System.nanoTime() - t0) / 1e9
+              spark.catalog.clearCache()
+              dt
+            } finally rmTree(idx)
+          }
+          one() // warmup
+          Some(("cc_fold_fixed_batch", sf) -> (1 to passes).map(_ => one()).min)
+        } catch {
+          case e: Throwable =>
+            errors(s"cc_fold_fixed_batch@$dir") = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).linesIterator.next().take(200)
+            None
+        }
+      }.toMap
+    val times = heavyTimes ++ foldTimes
+
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val perQuery = Heavies.flatMap { n =>
+    val perQuery = (Heavies :+ "cc_fold_fixed_batch").flatMap { n =>
       val pts = sfs.map(_._1).flatMap(sf => times.get((n, sf)).map(sf -> _))
       if (pts.size < 2) None
       else {

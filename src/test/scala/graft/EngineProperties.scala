@@ -149,6 +149,34 @@ object EngineProperties extends Properties("graft") {
       got == model
     }
 
+  // --- incremental CC == from-scratch CC, for ANY edge split --------------
+
+  private val edgeSplitGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    n1 <- Gen.chooseNum(0, 25)
+    n2 <- Gen.chooseNum(1, 25)
+    mk = Gen.zip(Gen.chooseNum(0L, 18L), Gen.chooseNum(0L, 18L))
+    e1 <- Gen.listOfN(n1, mk)
+    e2 <- Gen.listOfN(n2, mk)
+  } yield (e1.filter(e => e._1 != e._2), e2.filter(e => e._1 != e._2))
+
+  property("mergeComponents(cc(E1), E2) == cc(E1 ++ E2) for any split") =
+    forAll(edgeSplitGen) { case (e1, e2) =>
+      import spark.implicits._
+      val all = e1 ++ e2
+      if (all.isEmpty) true
+      else {
+        val full = graft.operators.DedupOps
+          .connectedComponents(all.toDF("i", "j"))
+          .as[(Long, Long)].collect().toMap
+        val inc = graft.operators.DedupOps.mergeComponents(
+          if (e1.isEmpty)
+            spark.range(0).select(col("id").as("node"), col("id").as("component"))
+          else graft.operators.DedupOps.connectedComponents(e1.toDF("i", "j")),
+          e2.toDF("i", "j")).as[(Long, Long)].collect().toMap
+        inc == full
+      }
+    }
+
   // --- CDC order-insensitivity --------------------------------------------
 
   private val eventsGen: Gen[List[RegistryCdc.ServiceEvent]] = for {

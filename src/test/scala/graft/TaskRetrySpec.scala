@@ -116,16 +116,16 @@ class TaskRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d1", "temp", us("2024-01-01 01:30:00"), 1.0))
     implicit val tupEnc: org.apache.spark.sql.Encoder[(String, String, Long, Double)] =
       Encoders.product[(String, String, Long, Double)]
-    def run(inject: Boolean): Seq[String] = {
+    def run(inject: Boolean, fillTxt: String): Seq[String] = {
       val root = tmp("retry_cq")
       val in = MemoryStream[(String, String, Long, Double)]
       val base = in.toDF().toDF("device", "transducer", "ts_us", "value")
         .withColumn("ts", timestamp_micros(col("ts_us")))
       val points = if (inject) faulty(base) else base
       val q = graft.influxql.InfluxQL.startContinuousQuery(points,
-        """CREATE CONTINUOUS QUERY t ON db BEGIN
-          |SELECT mean(value), count(value) INTO t FROM temp
-          |GROUP BY time(10m), device FILL(previous) END""".stripMargin,
+        s"""CREATE CONTINUOUS QUERY t ON db BEGIN
+           |SELECT mean(value), count(value) INTO t FROM temp
+           |GROUP BY time(10m), device $fillTxt END""".stripMargin,
         root, checkpoint = tmp("retry_cq_cp"), lateness = "1 minute",
         trigger = Trigger.ProcessingTime(0))
       try {
@@ -134,8 +134,29 @@ class TaskRetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       new graft.storage.TxLogTable(spark, s"$root/db/t")
         .read().collect().map(_.toString).sorted.toSeq
     }
-    val clean = run(inject = false)
-    val retried = run(inject = true)
+    // previous exercises the LOCF rewrite path, linear the retroactive
+    // interpolation path — both must commit identical tables
+    for (fillTxt <- Seq("FILL(previous)", "FILL(linear)")) {
+      val clean = run(inject = false, fillTxt)
+      val retried = run(inject = true, fillTxt)
+      assert(clean.nonEmpty && retried == clean, fillTxt)
+    }
+  }
+
+  test("incremental clustering fold commits an identical index under task retries") {
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("i", "j").localCheckpoint()
+    val first = pairs.where(pmod(col("i") + col("j"), lit(2)) === 0)
+    val second = pairs.where(pmod(col("i") + col("j"), lit(2)) =!= 0)
+    def run(fault: DataFrame => DataFrame): Seq[(Long, Long)] = {
+      val dir = tmp("retry_ccfold")
+      DedupOps.buildCcIndex(fault(first), dir)
+      DedupOps.foldCcIndex(fault(second), dir)
+      new graft.storage.TxLogTable(spark, dir).read()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    val clean = run(identity)
+    val retried = run(faulty)
     assert(clean.nonEmpty && retried == clean)
   }
 }
