@@ -58,6 +58,22 @@ object CurationQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // decontamination AT INGEST: the benchmark suite (eval docs) persists
+    // once as an n-gram-hash index, every training batch probes it — the
+    // contaminationReport mathematics with the roles swapped, as the
+    // build-once/probe-per-batch lifecycle (benchmarks are fixed while
+    // training data streams)
+    "q_decontam_probe" -> ((s, dir) => {
+      val idx = PipelineQueries.annIndexPath(dir, "decontam_5")
+      if (!SimilarityOps.indexExists(s, idx, Seq("ngrams")))
+        DedupOps.buildDecontamIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", n = 5, path = idx)
+      DedupOps.decontamProbe(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", n = 5, path = idx)
+    }),
+
     // per-domain quota: keep <= 20 docs per source by deterministic hash
     // order (salted two-stage top-k — no low-cardinality window)
     "q_domain_quota" -> ((s, dir) => {
@@ -500,6 +516,22 @@ object CurationQueries {
          |  coalesce(max(train_df), CAST(0 AS BIGINT)) AS max_train_df,
          |  CAST(count(train_df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
          |FROM ev LEFT JOIN tr USING (sh) GROUP BY 1""".stripMargin,
+
+    // roles swapped vs q_contamination: the eval subset is the INDEX, the
+    // training docs are the probe side
+    "q_decontam_probe" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh5 AS (SELECT DISTINCT doc_id,
+         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM d, UNNEST(generate_series(1, len(toks) - 4)) AS t(i)),
+         |ev AS (SELECT ${hash60Sql("shingle")} AS sh, count(*) AS eval_df
+         |  FROM sh5 WHERE doc_id % 10 = 7 GROUP BY 1),
+         |tr AS (SELECT doc_id, ${hash60Sql("shingle")} AS sh
+         |  FROM sh5 WHERE doc_id % 10 <> 7)
+         |SELECT doc_id, count(*) AS n_shingles, count(eval_df) AS n_hit,
+         |  coalesce(max(eval_df), CAST(0 AS BIGINT)) AS max_eval_df,
+         |  CAST(count(eval_df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+         |FROM tr LEFT JOIN ev USING (sh) GROUP BY 1""".stripMargin,
 
     "q_domain_quota" ->
       s"""WITH h AS (SELECT source, doc_id,

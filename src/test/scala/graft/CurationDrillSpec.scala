@@ -8,8 +8,9 @@ import graft.storage.TxLogTable
 
 /** The END-TO-END curation-at-ingest drill: the per-batch probes that exist
   * individually (URL canonical dedup, line-level boilerplate dedup,
-  * minhash-index probe, incremental clustering-index fold, DSIR probe,
-  * classifier score) composed as ONE streaming service into an ACID MERGE
+  * benchmark decontamination gate, minhash-index probe, incremental
+  * clustering-index fold, DSIR probe, classifier score) composed as ONE
+  * streaming service into an ACID MERGE
   * target — with a mid-stream replay asserting the two invariants a
   * restart must hold:
   *
@@ -40,6 +41,10 @@ class CurationDrillSpec extends SparkSuite {
       .toDF("doc_id", "text", "tgt")
     DedupOps.buildMinhashIndex(refDocs, "doc_id", "text", n = 2, k = 8,
       bands = 4, path = s"$root/mh")
+    // the benchmark suite: fixed, indexed once; every batch probes it
+    DedupOps.buildDecontamIndex(Seq((9000L,
+      "which of the following statements best describes the capital of france paris"))
+      .toDF("doc_id", "text"), "doc_id", "text", n = 3, path = s"$root/bench")
     ImportanceOps.buildDsirIndex(refDocs, "text", col("tgt"), buckets = 256,
       path = s"$root/dsir")
     ClassifierOps.buildClassifierIndex(refDocs, "doc_id", "text", col("tgt"),
@@ -78,10 +83,17 @@ class CurationDrillSpec extends SparkSuite {
         if (curated.version.isEmpty) cleanedAll
         else cleanedAll.join(curated.read().select("url_c"), Seq("url_c"), "left_anti")
       if (cleaned.isEmpty) return
+      // 3b'. benchmark decontamination gate: a batch doc whose n-grams
+      // leak the benchmark suite (probe-only — the suite is never
+      // re-shingled) must not reach the training corpus
+      val contam = DedupOps.decontamProbe(cleaned, "doc_id", "text",
+        n = 3, path = s"$root/bench")
+      val decon = cleaned.join(contam.where(col("contamination") >= 0.5)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
       // 3b. minhash probe vs the persisted index + within batch: a batch
       // doc that near-dups anything earlier (index ids and smaller batch
       // ids are both < it) drops; the indexed corpus is never re-shingled
-      val pairs = DedupOps.minhashProbe(cleaned, "doc_id", "text",
+      val pairs = DedupOps.minhashProbe(decon, "doc_id", "text",
         n = 2, k = 8, bands = 4, tau = 0.6, path = s"$root/mh")
         .localCheckpoint()
       // 3c. fold the probe's pairs into the persisted CLUSTERING index:
@@ -90,7 +102,7 @@ class CurationDrillSpec extends SparkSuite {
       // no component commits nothing, so replays converge without a fence
       if (!pairs.isEmpty)
         DedupOps.foldCcIndex(pairs.select("i", "j"), s"$root/cc")
-      val survivors = cleaned.join(
+      val survivors = decon.join(
         pairs.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .persist()
       try {
@@ -129,11 +141,13 @@ class CurationDrillSpec extends SparkSuite {
         (101L, "https://example.com/a?b=2", s"$boiler\nquick brown fox jumps over the lazy dog today"),
         (102L, "https://example.com/a/?b=2&utm_source=x", "entirely different words that lose the url race"),
         (103L, "https://example.com/c", s"$boiler\nalpha beta gamma delta alpha beta gamma delta alpha beta"),
-        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"))
+        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"),
+        (105L, "https://example.com/leak", "which of the following statements best describes the capital of france paris extra"))
       q.processAllAvailable()
       val after1 = curated.read().select("doc_id").as[Long].collect().toSet
       assert(after1 == Set(101L, 104L),
-        s"batch 1: 102 loses the URL race, 103 near-dups the index: $after1")
+        s"batch 1: 102 loses the URL race, 103 near-dups the index, 105 " +
+          s"leaks the benchmark and the decontamination gate drops it: $after1")
       // the boilerplate line was stripped before anything downstream saw it
       val texts1 = curated.read().select("doc_id", "text")
         .as[(Long, String)].collect().toMap
@@ -149,7 +163,8 @@ class CurationDrillSpec extends SparkSuite {
         (101L, "https://example.com/a?b=2", s"$boiler\nquick brown fox jumps over the lazy dog today"),
         (102L, "https://example.com/a/?b=2&utm_source=x", "entirely different words that lose the url race"),
         (103L, "https://example.com/c", s"$boiler\nalpha beta gamma delta alpha beta gamma delta alpha beta"),
-        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"))
+        (104L, "https://example.com/d", s"$boiler\nomega psi chi phi upsilon tau sigma rho pi omicron"),
+        (105L, "https://example.com/leak", "which of the following statements best describes the capital of france paris extra"))
         .toDF("doc_id", "url", "text"), 0L)
       assert(curated.version.contains(curatedV) &&
         curated.read().collect().toSet == wantRows,

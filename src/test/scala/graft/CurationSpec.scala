@@ -125,6 +125,35 @@ class CurationSpec extends SparkSuite {
     assert(got(11L) == ((11L, 2L, 0L, 0L, 0.0)))
   }
 
+  test("decontamination index: probe equals the offline report with roles swapped") {
+    val dir = java.nio.file.Files.createTempDirectory("decontam_idx").toString
+    try {
+      val bench = Seq(
+        (900L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (901L, "one two three four five six seven eight")).toDF("doc_id", "text")
+      val batch = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // leaked
+        (2L, "totally clean words nothing shared here at all ok"),
+        (3L, "x one two three four five y z w")).toDF("doc_id", "text")
+      DedupOps.buildDecontamIndex(bench, "doc_id", "text", n = 5, path = dir)
+      val probe = DedupOps.decontamProbe(batch, "doc_id", "text", n = 5, path = dir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      // the probe IS contaminationReport with the roles swapped: index the
+      // benchmark, report per training doc
+      val want = DedupOps.contaminationReport(bench, batch, "doc_id", "text", n = 5)
+        .select(col("eval_id").as("doc_id"), col("n_shingles"), col("n_hit"),
+          col("max_train_df").as("max_eval_df"), col("contamination"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(probe == want, s"probe=$probe want=$want")
+      val byId = probe.map(r => r.head -> r).toMap
+      assert(byId(1L)(4).asInstanceOf[Double] == 0.8, s"leaked doc: ${byId(1L)}")
+      assert(byId(2L)(2) == 0L, s"clean doc must report zero hits: ${byId(2L)}")
+      assert(byId(3L)(2).asInstanceOf[Long] >= 1L, s"partial leak: ${byId(3L)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("quota sampling: salted two-stage result equals the plain window form") {
     val docs = Tables.documents(spark, sf)
     val salted = SampleOps.quotaPerGroup(docs, col("source"), col("doc_id"), k = 7)

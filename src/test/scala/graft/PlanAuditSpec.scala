@@ -182,6 +182,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket model is not broadcast:\n$p")
   }
 
+  test("q_decontam_probe: the benchmark suite is never re-shingled") {
+    val p = plan("q_decontam_probe")
+    // the benchmark n-gram hashes come from the persisted TxLogTable; the
+    // only documents.parquet scan is the probing training batch itself
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted index:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && !l.contains("ReusedExchange"))
+    assert(docScans <= 1, s"probe rescans the corpus ($docScans doc scans):\n$p")
+  }
+
   test("q_classifier_probe: scoring never re-reads the training corpus") {
     val p = plan("q_classifier_probe")
     assert(p.contains("graft_ann_idx"), s"probe does not read the persisted weights:\n$p")
