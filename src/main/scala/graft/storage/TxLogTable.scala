@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
   * create); an object store deployment needs a conditional-put commit
   * service instead — the same caveat Delta's LogStore abstracts.
   *
-  * Scale posture: MERGE rewrites the full snapshot — correct for dimension
-  * tables (registries: small, slowly changing). Fact tables (the point
-  * store) use `append` per micro-batch + `compact` to fold accumulated
-  * small directories, bounded by `maxBytes` so compaction cost tracks the
-  * small-file debt, never the table size.
+  * Scale posture: plain MERGE rewrites the full snapshot — correct for
+  * dimension tables (registries: small, slowly changing). Big keyed tables
+  * maintained per batch (a clustering index, a CQ target) pass `rangeCol`:
+  * the merge then classifies committed directories by their cached
+  * [min, max] of that column against the update keys and CARRIES every
+  * directory no update key can touch as pure metadata — write cost tracks
+  * the directories a batch overlaps, never the table size (see [[merge]]).
+  * Fact tables (the point store) use `append` per micro-batch + `compact`
+  * to fold accumulated small directories, bounded by `maxBytes` so
+  * compaction cost tracks the small-file debt, never the table size.
   */
 class TxLogTable(spark: SparkSession, path: String) {
   import TxLogTable._
@@ -93,6 +98,58 @@ class TxLogTable(spark: SparkSession, path: String) {
       val dirs = base.map(readEntry(_).dirs).getOrElse(Nil)
       val dir = writeDataDir(df)
       commit("append", dirs :+ dir, base, txn)
+    }
+  }
+
+  /** [[append]], materialized as MANY range-clustered data directories in
+    * one commit: rows repartition by range of `rangeCol` into up to `nDirs`
+    * contiguous key slices (one Spark job), each slice becoming its own
+    * immutable directory with a NARROW [min, max]. The point is downstream
+    * directory-granular maintenance: a bulk-built keyed index written as
+    * one full-range directory overlaps every later batch, so a granular
+    * [[merge]] would rewrite the corpus per fold; written as key slices,
+    * a fold rewrites only the slices its keys land in. Same schema-drift
+    * and txn-fence rules as [[append]].
+    */
+  def appendClustered(df: DataFrame, rangeCol: String, nDirs: Int,
+                      txn: Option[(String, Long)] = None): Long = {
+    require(nDirs > 0, "nDirs must be positive")
+    val base = version
+    val fenced = txn.exists { case (appId, seq) => txnHighWatermark(appId).exists(_ >= seq) }
+    if (fenced)
+      base.getOrElse(throw new IllegalStateException(
+        s"txn fence ${txn.get} exists but $path has no version"))
+    else {
+      base.foreach { v =>
+        val cur = readVersion(v).schema
+        val curFields = cur.fields.map(f => (f.name, f.dataType)).toSet
+        val newFields = df.schema.fields.map(f => (f.name, f.dataType)).toSet
+        if (curFields != newFields)
+          throw new IllegalArgumentException(
+            s"append schema ${df.schema.simpleString} does not match table " +
+              s"$path schema ${cur.simpleString}; rewrite via overwrite() to evolve")
+      }
+      // one partitioned write into a staging dir, then each slice subdir
+      // moves to its d-<uuid> name. The moves are data STAGING (nothing is
+      // visible until the log commit below), not a commit primitive — the
+      // hard-link commit protocol is untouched. partitionBy drops the
+      // slice column from the files, so the committed schema is df's own.
+      val staged = root.resolve(s".stage-${UUID.randomUUID().toString.take(8)}")
+      df.repartitionByRange(nDirs, col(rangeCol))
+        .withColumn("__dirslice", org.apache.spark.sql.functions.spark_partition_id())
+        .write.partitionBy("__dirslice").mode("errorifexists").parquet(staged.toString)
+      val slices = listDir(staged).filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__dirslice="))
+      val names = slices.map { sd =>
+        val n = s"d-${UUID.randomUUID()}"
+        Files.move(sd, root.resolve(n))
+        n
+      }
+      deleteRecursively(staged)
+      // an empty input still commits a schema-preserving empty dir, so the
+      // snapshot stays readable (same rule as removeDirs' last-dir case)
+      val dirs = if (names.nonEmpty) names else Seq(writeDataDir(df.limit(0)))
+      commit("append", base.map(readEntry(_).dirs).getOrElse(Nil) ++ dirs, base, txn)
     }
   }
 
@@ -180,19 +237,90 @@ class TxLogTable(spark: SparkSession, path: String) {
     * the update) — replaying the same updates batch is then idempotent,
     * which is what makes a foreachBatch maintenance loop exactly-once.
     * Without `orderCol`, updates unconditionally replace current rows.
+    *
+    * With `rangeCol` (a long-castable member of `keys`) the merge is
+    * DIRECTORY-GRANULAR, the same classification [[expireOlderThan]] does
+    * on time: each committed data directory's cached [min, max] of
+    * `rangeCol` ([[dirColStats]]) decides whether ANY update key can live
+    * in it. Directories no update key reaches are CARRIED into the new
+    * snapshot as pure metadata (never read, never rewritten); only the
+    * overlapped directories union with the updates and rewrite. Per-batch
+    * write cost is then O(directories the batch touches), not O(table) —
+    * what lets a corpus-sized keyed index (a clustering assignment, a CQ
+    * fill target) fold per-batch updates without rewriting the corpus.
+    * Write the table range-clustered ([[appendClustered]]) so directory
+    * ranges are narrow and the classification has something to skip.
+    *
+    * Granular-merge precondition: the committed snapshot must be
+    * key-unique (true for any table maintained through merge from empty or
+    * bootstrapped by a single append of key-distinct rows). A duplicate
+    * key smeared across two directories that BOTH escape the update range
+    * is carried as-is — a full merge would have collapsed it.
     */
-  def merge(updates: DataFrame, keys: Seq[String], orderCol: Option[String] = None): Long = {
+  def merge(updates: DataFrame, keys: Seq[String], orderCol: Option[String] = None,
+            rangeCol: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val base = version
-    val merged = base match {
-      case None => dedupKeys(updates.withColumn("__src", lit(1)), keys, orderCol)
-      case Some(v) =>
-        val tagged = readVersion(v).withColumn("__src", lit(0))
-          .unionByName(updates.withColumn("__src", lit(1)))
-        dedupKeys(tagged, keys, orderCol)
+    rangeCol match {
+      case Some(rc) if base.isDefined =>
+        require(keys.contains(rc),
+          s"rangeCol $rc must be one of the merge keys ${keys.mkString(",")} — " +
+            "pruning on a non-key column could carry directories holding matching keys")
+        mergeGranular(updates, keys, orderCol, rc, base.get)
+      case _ =>
+        val merged = base match {
+          case None => dedupKeys(updates.withColumn("__src", lit(1)), keys, orderCol)
+          case Some(v) =>
+            val tagged = readVersion(v).withColumn("__src", lit(0))
+              .unionByName(updates.withColumn("__src", lit(1)))
+            dedupKeys(tagged, keys, orderCol)
+        }
+        val dir = writeDataDir(merged)
+        commit("merge", Seq(dir), base)
     }
-    val dir = writeDataDir(merged)
-    commit("merge", Seq(dir), base)
+  }
+
+  private def mergeGranular(updates: DataFrame, keys: Seq[String],
+                            orderCol: Option[String], rc: String, v: Long): Long = {
+    val dirs = readEntry(v).dirs
+    val stats = dirColStats(rc, dirs)
+    // updates feed both the key probe and the rewrite union — one pass
+    val up = updates.persist()
+    try {
+      val uk = up.select(col(rc).cast("long").as("__k")).distinct().persist()
+      try {
+        val hasNullKey = uk.filter(col("__k").isNull).limit(1).count() > 0
+        val ranged = dirs.flatMap(d => stats(d) match {
+          case DirColStats(_, _, Some(mn), Some(mx)) => Some((d, mn, mx))
+          case _ => None
+        })
+        // per-dir hit = SOME update key falls inside the dir's range — an
+        // exact containment probe (broadcast theta-join against the tiny
+        // range list), not an interval overlap with the updates' [min,
+        // max] envelope: a batch touching both ends of the key space must
+        // not drag every directory in between into the rewrite
+        val hitRanged: Set[String] =
+          if (ranged.isEmpty) Set.empty
+          else uk.join(
+              broadcast(spark.createDataFrame(ranged).toDF("__dir", "__mn", "__mx")),
+              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+            .select("__dir").distinct().collect().map(_.getString(0)).toSet
+        // a null update key can match committed null-key rows anywhere a
+        // null hides; range stats ignore nulls, so null-holding dirs join
+        // the rewrite whenever the updates carry a null key
+        val hitNull: Set[String] =
+          if (hasNullKey) dirs.filter(d => stats(d).hasNull).toSet else Set.empty
+        val hit = hitRanged ++ hitNull
+        val (rewrite, carried) = dirs.partition(hit.contains)
+        val tagged =
+          if (rewrite.isEmpty) up.withColumn("__src", lit(1))
+          else spark.read.parquet(rewrite.map(d => root.resolve(d).toString): _*)
+            .withColumn("__src", lit(0))
+            .unionByName(up.withColumn("__src", lit(1)))
+        val dir = writeDataDir(dedupKeys(tagged, keys, orderCol))
+        commit("merge", carried :+ dir, Some(v))
+      } finally uk.unpersist()
+    } finally up.unpersist()
   }
 
   /** Retention/TTL expiry: drop every row whose `tsCol` is strictly below
@@ -218,33 +346,20 @@ class TxLogTable(spark: SparkSession, path: String) {
     val base = Some(version.getOrElse(
       throw new IllegalStateException(s"no committed version at $path")))
     val dirs = readEntry(base.get).dirs
-    // per-directory [min, max] in ONE column-pruned job over every data
-    // dir, grouped by the file's parent directory — not a sequential
-    // driver loop of per-dir jobs (at thousands of commit dirs that is
-    // thousands of serial job launches; this is one scan whose group
-    // count is the dir count, a bounded control-plane collect). min/max
-    // ignore nulls, so a dir also reports whether null-ts rows exist:
-    // those survive expiry and block the pure-drop shortcut.
-    val statsByDir: Map[String, (Option[Long], Option[Long], Boolean)] =
-      spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
-        .groupBy(element_at(split(input_file_name(), "/"), -2).as("__dir"))
-        .agg(min(col(tsCol)).cast("long").as("mn"),
-          max(col(tsCol)).cast("long").as("mx"),
-          count(lit(1)).as("n"), count(col(tsCol)).as("nts"))
-        .collect()
-        .map(r => r.getString(0) -> (
-          if (r.isNullAt(1)) None else Some(r.getLong(1)),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          r.getLong(3) != r.getLong(4))).toMap
+    // per-directory [min, max] from the sidecar cache ([[dirColStats]]):
+    // one column-pruned job over the UNCACHED dirs only, never one job per
+    // dir, and repeat expiries are pure sidecar reads. min/max ignore
+    // nulls, so a dir also reports whether null-ts rows exist: those
+    // survive expiry and block the pure-drop shortcut.
+    val statsByDir = dirColStats(tsCol, dirs)
     val classified = dirs.map { d =>
-      // a dir absent from the stats is empty: nothing to age out
-      val cls = statsByDir.get(d) match {
-        case None | Some((None, _, _)) => "keep" // empty or all-null ts
-        case Some((Some(mn), Some(mx), hasNullTs)) =>
-          if (mx < cutoff) { if (hasNullTs) "rewrite" else "drop" }
+      val cls = statsByDir(d) match {
+        case DirColStats(_, _, None, _) => "keep" // empty or all-null ts
+        case s @ DirColStats(_, _, Some(mn), Some(mx)) =>
+          if (mx < cutoff) { if (s.hasNull) "rewrite" else "drop" }
           else if (mn >= cutoff) "keep"
           else "rewrite"
-        case Some((Some(_), None, _)) => "keep" // unreachable: max null iff min null
+        case _ => "keep" // unreachable: max null iff min null
       }
       (d, cls)
     }
@@ -261,6 +376,68 @@ class TxLogTable(spark: SparkSession, path: String) {
       }
     commit("expire", kept ++ rewritten, base)
   }
+
+  /** Per-directory statistics of a long-castable column, resolved from
+    * `_stats/<dir>.<col>.json` sidecars. Data directories are IMMUTABLE, so
+    * a (dir, col) stat is computed at most once in the dir's life: uncached
+    * dirs resolve in ONE column-pruned job grouped by parent directory
+    * (never a job per dir), the result is cached best-effort, and every
+    * later caller — expiry, granular merge, [[colRange]] — pays O(new dirs
+    * since the last call), never O(table). Sidecar writes are atomic
+    * (temp + link) and deterministic per dir, so racing writers are
+    * harmless; a lost sidecar only means one re-computation.
+    */
+  private[graft] def dirColStats(colName: String, dirs: Seq[String]): Map[String, DirColStats] = {
+    require(colName.matches("[A-Za-z0-9_][A-Za-z0-9_.\\-]*"),
+      s"stats sidecars need a plain column name, got '$colName'")
+    val cached = dirs.flatMap { d =>
+      val p = statsPath(d, colName)
+      if (Files.isRegularFile(p))
+        Some(d -> parseDirStats(new String(Files.readAllBytes(p), "UTF-8")))
+      else None
+    }.toMap
+    val missing = dirs.filterNot(cached.contains)
+    if (missing.isEmpty) return cached
+    val scanned: Map[String, DirColStats] =
+      spark.read.parquet(missing.map(d => root.resolve(d).toString): _*)
+        .groupBy(element_at(split(input_file_name(), "/"), -2).as("__dir"))
+        .agg(count(lit(1)).as("n"), count(col(colName)).as("nn"),
+          min(col(colName)).cast("long").as("mn"),
+          max(col(colName)).cast("long").as("mx"))
+        .collect()
+        .map(r => r.getString(0) -> DirColStats(r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // a dir the scan never grouped is empty — record that too, so it is
+    // never re-scanned
+    val fresh = missing.map(d =>
+      d -> scanned.getOrElse(d, DirColStats(0L, 0L, None, None))).toMap
+    fresh.foreach { case (d, s) =>
+      try {
+        Files.createDirectories(statsDir)
+        val tmp = statsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, renderDirStats(s).getBytes("UTF-8"))
+        try Files.createLink(statsPath(d, colName), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      } catch { case scala.util.control.NonFatal(_) => () } // cache, not truth
+    }
+    cached ++ fresh
+  }
+
+  /** [min, max] of a long-castable column over the CURRENT snapshot — from
+    * the per-dir stats cache, so amortized O(new dirs), never a table scan.
+    * None when the table is empty or the column is all-null.
+    */
+  def colRange(colName: String): Option[(Long, Long)] = version.flatMap { v =>
+    val st = dirColStats(colName, readEntry(v).dirs).values
+    val mns = st.flatMap(_.min)
+    if (mns.isEmpty) None else Some((mns.min, st.flatMap(_.max).max))
+  }
+
+  private def statsDir: Path = root.resolve("_stats")
+  private def statsPath(dir: String, colName: String): Path =
+    statsDir.resolve(s"$dir.$colName.json")
 
   private def dedupKeys(tagged: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
     val order = orderCol.map(c => Seq(col(c).desc, col("__src").desc))
@@ -363,6 +540,20 @@ class TxLogTable(spark: SparkSession, path: String) {
     val orphans = all.filterNot(p => live.contains(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     orphans.foreach(deleteRecursively)
+    // reclaim this table's litter too: crashed appendClustered staging dirs
+    // (same age rule — a fresh one may belong to an in-flight writer) and
+    // the stats sidecars of the dirs just removed
+    listDir(root)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(".stage-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(deleteRecursively)
+    if (Files.isDirectory(statsDir)) {
+      val gone = orphans.map(_.getFileName.toString).toSet
+      listDir(statsDir).filter { p =>
+        val n = p.getFileName.toString
+        gone.exists(d => n.startsWith(d + "."))
+      }.foreach(Files.deleteIfExists(_))
+    }
     orphans.map(_.getFileName.toString)
   }
 
@@ -547,6 +738,29 @@ object TxLogTable {
   val TxnCheckpointInterval: Long = 10L
 
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** Cached per-directory column statistics (see [[TxLogTable.dirColStats]]).
+    * `min`/`max` are over the non-null values (None when the dir is empty
+    * or the column all-null); `hasNull` is what expiry and granular merge
+    * need to stay conservative about rows the range can't see.
+    */
+  private[graft] case class DirColStats(rows: Long, nonNull: Long,
+                                        min: Option[Long], max: Option[Long]) {
+    def hasNull: Boolean = nonNull < rows
+  }
+
+  private[graft] def renderDirStats(s: DirColStats): String =
+    s"""{"rows":${s.rows},"nonnull":${s.nonNull}""" +
+      s.min.map(m => s""","min":$m""").getOrElse("") +
+      s.max.map(m => s""","max":$m""").getOrElse("") + "}"
+
+  private[graft] def parseDirStats(str: String): DirColStats = {
+    def longOf(k: String): Option[Long] =
+      (""""""" + k + """":(-?\d+)""").r.findFirstMatchIn(str).map(_.group(1).toLong)
+    DirColStats(
+      longOf("rows").getOrElse(throw new IllegalArgumentException(s"bad stats sidecar: $str")),
+      longOf("nonnull").getOrElse(0L), longOf("min"), longOf("max"))
+  }
 
   /** The documented loser-retries protocol, packaged: run `op` (which must
     * re-read table state itself on each attempt — every TxLogTable mutation

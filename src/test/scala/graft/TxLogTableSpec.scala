@@ -10,6 +10,19 @@ class TxLogTableSpec extends SparkSuite {
 
   private def tmp() = Files.createTempDirectory("txlog").toString + "/t"
 
+  // the listener bus is async (and private[spark]): poll the observed
+  // counter until it stops moving, same pattern as the expiry job-count pin
+  private def awaitStable(read: () => Long): Long = {
+    var last = -1L; var stable = 0
+    val deadline = System.nanoTime() + 10000000000L
+    while (stable < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val c = read()
+      if (c == last) stable += 1 else { stable = 0; last = c }
+    }
+    read()
+  }
+
   test("append accumulates; read sees the latest snapshot") {
     val t = new TxLogTable(spark, tmp())
     t.append(Seq((1L, "a")).toDF("k", "v"))
@@ -335,6 +348,152 @@ class TxLogTableSpec extends SparkSuite {
     val few = jobsFor(2)
     val many = jobsFor(10)
     assert(many == few, s"expiry job count grew with dir count: $few -> $many")
+  }
+
+  test("appendClustered: one commit, many narrow range slices, same read semantics") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val v = t.appendClustered(df, "k", nDirs = 4)
+    assert(v == 0L && t.opOf(0L) == "append")
+    val dirs = t.dirPaths(0L)
+    assert(dirs.size == 4, s"expected 4 range slices, got ${dirs.size}")
+    assert(t.read().count() == 1000)
+    assert(t.read().columns.toSeq == Seq("k", "v"), "slice column must not leak")
+    // slices are contiguous, non-overlapping key ranges: every dir's
+    // [min, max] is disjoint from every other's
+    val stats = t.dirColStats("k", t.version.map(vv => t.dirPaths(vv)).get
+      .map(_.split('/').last))
+    val ranges = stats.values.map(s => (s.min.get, s.max.get)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlapping slices: $ranges")
+      case _ => ()
+    }
+    // schema drift refuses, fence replays skip — same contract as append
+    assert(intercept[IllegalArgumentException](
+      t.appendClustered(Seq((1L, "x")).toDF("k", "v"), "k", 2))
+      .getMessage.contains("does not match table"))
+    t.appendClustered(df.filter(col("k") < 10), "k", 2, txn = Some(("bulk", 1L)))
+    val replay = t.appendClustered(df.filter(col("k") < 10), "k", 2, txn = Some(("bulk", 1L)))
+    assert(replay == t.version.get && t.read().count() == 1010)
+    // an empty clustered append still commits a readable snapshot
+    val t2 = new TxLogTable(spark, tmp())
+    t2.appendClustered(df.filter(lit(false)), "k", 4)
+    assert(t2.read().count() == 0 && t2.read().columns.toSeq == Seq("k", "v"))
+  }
+
+  test("granular merge: untouched directories carry as metadata, byte-identical") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    t.appendClustered(
+      spark.range(0, 900).select(col("id").as("k"), col("id").as("v")), "k", 3) // v0
+    val before = t.dirPaths(0L)
+    assert(before.size == 3)
+    def bytesOf(dir: String): Map[String, Long] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+      finally w.close()
+    }
+    val untouchedBytes = before.map(d => d -> bytesOf(d)).toMap
+    // warm the stats sidecars (the one-time per-dir cost, amortized out of
+    // steady state) so the listener below measures only the merge itself
+    t.colRange("k")
+    // updates touch only the middle slice's key range (300..599)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val rowsRead = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val v1 = try {
+      val v = t.merge(Seq((400L, -1L), (450L, -2L)).toDF("k", "v"),
+        keys = Seq("k"), rangeCol = Some("k"))
+      awaitStable(() => rowsRead.get())
+      v
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(v1 == 1L)
+    val after = t.dirPaths(1L).toSet
+    // the two untouched slices are THE SAME directories, bytes untouched
+    val carried = before.filter(after.contains)
+    assert(carried.size == 2, s"expected 2 carried dirs, got $carried")
+    carried.foreach(d => assert(bytesOf(d) == untouchedBytes(d), s"carried dir $d changed"))
+    // carried without read: total rows read covers the overlapped slice +
+    // the updates (+ the stats probe of the updates), far below the table
+    assert(rowsRead.get() < 600, s"granular merge read ${rowsRead.get()} rows — " +
+      "carried dirs must not be scanned")
+    // content is the full-merge answer
+    assert(t.read().filter(col("k") === 400L).select("v").as[Long].head() == -1L)
+    assert(t.read().count() == 900)
+    assert(t.read().filter(col("v") < 0).count() == 2)
+    // keys OUTSIDE every dir range insert cleanly too
+    t.merge(Seq((5000L, 7L)).toDF("k", "v"), Seq("k"), None, Some("k"))
+    assert(t.read().count() == 901)
+    // a batch touching both ENDS of the key space must not rewrite the
+    // middle: exact containment, not [min,max] envelope overlap
+    val beforeEnds = t.dirPaths(t.version.get)
+    t.merge(Seq((0L, -10L), (899L, -11L)).toDF("k", "v"), Seq("k"), None, Some("k"))
+    val afterEnds = t.dirPaths(t.version.get).toSet
+    assert(beforeEnds.count(afterEnds.contains) >= 2,
+      "middle slice dragged into an ends-only rewrite")
+    assert(t.read().count() == 901)
+    // rangeCol must be a key
+    assert(intercept[IllegalArgumentException](
+      t.merge(Seq((1L, 1L)).toDF("k", "v"), Seq("k"), None, Some("v")))
+      .getMessage.contains("must be one of the merge keys"))
+  }
+
+  test("granular merge: null range keys stay conservative; orderCol ties hold") {
+    val t = new TxLogTable(spark, tmp())
+    t.append(Seq((Some(1L), "a", 100L), (None, "nk", 100L)).toDF("k", "v", "ts"))
+    t.append(Seq((Some(50L), "b", 100L)).toDF("k", "v", "ts"))
+    // a null update key must reach the null-holding dir (range stats can't
+    // see nulls), or the committed null row would silently survive a merge
+    // that should have replaced it
+    t.merge(Seq((Option.empty[Long], "nk2", 200L)).toDF("k", "v", "ts"),
+      Seq("k"), Some("ts"), Some("k"))
+    val got = t.read().as[(Option[Long], String, Long)].collect().toSet
+    assert(got == Set((Some(1L), "a", 100L), (None, "nk2", 200L), (Some(50L), "b", 100L)), got)
+    // stale updates still lose by orderCol on the granular path
+    t.merge(Seq((Option.empty[Long], "stale", 150L)).toDF("k", "v", "ts"),
+      Seq("k"), Some("ts"), Some("k"))
+    assert(t.read().filter(col("k").isNull).select("v").as[String].head() == "nk2")
+  }
+
+  test("colRange and stats sidecars: computed once per dir, then pure file reads") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    t.append(Seq((10L, "a"), (20L, "b")).toDF("ts", "v"))
+    t.append(Seq((90L, "c")).toDF("ts", "v"))
+    assert(t.colRange("ts").contains((10L, 90L)))
+    // second call: all dirs cached -> ZERO Spark jobs
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(t.colRange("ts").contains((10L, 90L)))
+      awaitStable(() => n.get().toLong)
+      assert(n.get() == 0, s"cached colRange launched ${n.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // sidecars exist under _stats and round-trip
+    val stats = java.nio.file.Paths.get(path, "_stats")
+    assert(java.nio.file.Files.list(stats).count() == 2)
+    val s = TxLogTable.DirColStats(5L, 4L, Some(-3L), Some(9L))
+    assert(TxLogTable.parseDirStats(TxLogTable.renderDirStats(s)) == s)
+    assert(TxLogTable.parseDirStats("""{"rows":0,"nonnull":0}""") ==
+      TxLogTable.DirColStats(0L, 0L, None, None))
+    // vacuum reclaims sidecars of vacuumed dirs
+    t.compact()
+    t.vacuum(retainMillis = 0L)
+    t.colRange("ts") // recompute for the folded dir
+    val names = java.nio.file.Files.list(stats).toArray.map(_.toString).toSeq
+    assert(names.size == 1, s"stale sidecars survived vacuum: $names")
   }
 
   test("append rejects schema drift instead of silently corrupting reads") {
