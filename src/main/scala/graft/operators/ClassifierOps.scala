@@ -109,7 +109,12 @@ object ClassifierOps {
                            label: Column, buckets: Int, iters: Int,
                            lrNum: Long, path: String): Unit = {
     val w = trainLinearQ(docs, id, text, label, buckets, iters, lrNum)
-    new graft.storage.TxLogTable(docs.sparkSession, s"$path/weights").append(w)
+    // MERGE keyed on the bucket id, not append: a RETRAIN replaces the
+    // model. An appended second build would duplicate bk rows, and the
+    // probe's broadcast join would then silently double every score.
+    new graft.storage.TxLogTable(docs.sparkSession, s"$path/weights")
+      .merge(w, Seq("bk"))
+    ()
   }
 
   /** Score a NEW batch against persisted weights: only the batch hashes;

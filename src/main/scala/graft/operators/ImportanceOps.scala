@@ -117,7 +117,10 @@ object ImportanceOps {
       .crossJoin(broadcast(totals))
       .select(col("bk"), lwQ(coalesce(col("ct"), lit(0L)),
         coalesce(col("cr"), lit(0L)), col("__tt"), col("__tr"), buckets).as("lw_q"))
-    new graft.storage.TxLogTable(spark, s"$path/buckets").append(dense)
+    // MERGE keyed on the bucket id, not append: a REBUILD replaces the
+    // model (an appended second build would duplicate bk rows and the
+    // probe's broadcast join would double-count every feature)
+    new graft.storage.TxLogTable(spark, s"$path/buckets").merge(dense, Seq("bk"))
     counts.unpersist()
   }
 

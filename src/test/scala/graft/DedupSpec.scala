@@ -177,6 +177,76 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("cc index: folds rewrite only touched slices; guards refuse misuse") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_gran").toString
+    try {
+      // bulk corpus: 400 isolated 2-node components spread over the id space
+      val bulk = (0L until 400L).map(i => (i * 10, i * 10 + 1))
+      DedupOps.buildCcIndex(bulk.toDF("i", "j"), dir, nSlices = 8)
+      val table = new graft.storage.TxLogTable(spark, dir)
+      val dirs0 = table.dirPaths(table.version.get).toSet
+      assert(dirs0.size == 8, s"bulk build must range-slice: ${dirs0.size}")
+      // a second bulk build refuses (duplicate labels would poison folds)
+      val e = intercept[IllegalArgumentException](
+        DedupOps.buildCcIndex(bulk.toDF("i", "j"), dir))
+      assert(e.getMessage.contains("already built"))
+      // a batch touching one narrow key range folds without rewriting the
+      // rest: most bulk slices survive as the SAME directories
+      DedupOps.foldCcIndex(Seq((11L, 20L), (21L, 30L)).toDF("i", "j"), dir)
+      val dirs1 = table.dirPaths(table.version.get).toSet
+      assert(dirs0.intersect(dirs1).size >= 6,
+        s"fold rewrote ${dirs0.size - dirs0.intersect(dirs1).size} of 8 slices " +
+          "for a 4-node batch — granular merge not engaged")
+      // content still equals from-scratch CC over all pairs
+      val full = DedupOps.connectedComponents(
+        (bulk ++ Seq((11L, 20L), (21L, 30L))).toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(table.read().as[(Long, Long)].collect().toMap == full)
+      // a hand-built table violating the min-node label convention fails
+      // the fold loudly at the touched rows instead of silently diverging
+      val badDir = java.nio.file.Files.createTempDirectory("cc_bad").toString
+      try {
+        new graft.storage.TxLogTable(spark, badDir)
+          .append(Seq((1L, 99L), (2L, 99L)).toDF("node", "component"))
+        val bad = intercept[IllegalArgumentException](
+          DedupOps.foldCcIndex(Seq((1L, 3L)).toDF("i", "j"), badDir))
+        assert(bad.getMessage.contains("min-node label convention"), bad.getMessage)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(badDir)); ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
+  test("decontam index: a second unfenced build refuses instead of inflating probes") {
+    val dir = java.nio.file.Files.createTempDirectory("dc_once").toString
+    try {
+      val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      DedupOps.buildDecontamIndex(bench, "doc_id", "text", n = 5, path = dir,
+        txn = Some(("bench-build", 0L)))
+      val probe1 = DedupOps.decontamProbe(
+        Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, path = dir).as[(Long, Long, Long, Long, Double)]
+        .collect().toSet
+      // a second (unfenced) build refuses...
+      val e = intercept[IllegalArgumentException](
+        DedupOps.buildDecontamIndex(bench, "doc_id", "text", n = 5, path = dir))
+      assert(e.getMessage.contains("already built"))
+      // ...but the txn-fenced REPLAY of the one build passes and no-ops
+      DedupOps.buildDecontamIndex(bench, "doc_id", "text", n = 5, path = dir,
+        txn = Some(("bench-build", 0L)))
+      val probe2 = DedupOps.decontamProbe(
+        Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 5, path = dir).as[(Long, Long, Long, Long, Double)]
+        .collect().toSet
+      assert(probe2 == probe1, "probe inflated after replayed build")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("incremental minhash index: probe equals one-shot pairs touching the batch") {
     val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString
     val base = docs.filter(col("doc_id") % 10 =!= 0)
