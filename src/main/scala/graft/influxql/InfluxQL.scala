@@ -1950,29 +1950,109 @@ object InfluxQL {
       else identity
     graft.streaming.StreamingIngest.startMergeSink(
       sel, table, keys = "time" +: tags, orderCol = "time",
-      checkpoint = checkpoint, trigger = effTrigger, perBatch = densify)
+      checkpoint = checkpoint, trigger = effTrigger, perBatch = densify,
+      // granular merge on the bucket time: a batch touches recent buckets
+      // (plus, under fill(linear), the open-gap rows it retro-fills), so
+      // the target's history carries as metadata instead of rewriting
+      // per micro-batch
+      rangeCol = Some("time"))
+  }
+
+  /** The committed state one fill emission needs, WITHOUT scanning the
+    * target's history — the bounded-read backbone of every CQ fill mode.
+    *
+    * It rests on the DENSE-GRID INVARIANT the emission itself maintains:
+    * after every batch the committed target holds EVERY known series at
+    * EVERY bucket of [lo, hi] (data, or a synthesized fill row). So the
+    * committed frontier is fully recoverable from
+    *   - `lo`/`hi`: per-directory stats sidecars ([[graft.storage.TxLogTable.colRange]]),
+    *     amortized O(new dirs) — no scan;
+    *   - the CARRY bucket: one time-pushdown read at the single bucket
+    *     `carryT` = the last committed bucket strictly below the batch
+    *     (= hi in steady state, since watermarked batches close buckets
+    *     strictly above everything committed; minB − step on a crash
+    *     replay). Its rows ARE the complete series set, and — for LOCF —
+    *     carry their filled values, so it seeds the fills by induction.
+    * Per-batch scanned rows stay O(series + batch) while the target grows
+    * without bound (pinned by the flat-scan StreamingSpec case).
+    */
+  private case class FillScaffold(lo: Long, hiAll: Long, carryT: Option[Long],
+                                  carry: DataFrame, series: DataFrame,
+                                  gapKeys: DataFrame)
+
+  private def fillScaffold(b: DataFrame, table: graft.storage.TxLogTable,
+                           step: Long, tags: Seq[String]): FillScaffold = {
+    val keyCols = "time" +: tags
+    val bb = b.agg(min(col("time")), max(col("time"))).head()
+    val (minB, maxB) = (bb.getLong(0), bb.getLong(1))
+    val committed = table.version.flatMap(_ => table.colRange("time"))
+    val lo = committed.map(c => math.min(c._1, minB)).getOrElse(minB)
+    val hiAll = committed.map(c => math.max(c._2, maxB)).getOrElse(maxB)
+    val carryT = committed.map { case (cLo, cHi) =>
+      math.max(cLo, math.min(cHi, minB - step)) }
+    val carry = (carryT match {
+      case Some(t) => table.read().select(b.columns.toSeq.map(col): _*)
+        .where(col("time") === lit(t))
+      case None => b.limit(0)
+    }).persist()
+    val nBuckets = (hiAll - lo) / step + 1
+    require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
+      s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
+        s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
+    // gap synthesis: known series continue from the carry bucket; series
+    // the batch just introduced back-fill the whole grid from lo (the
+    // batch planner's skeleton is series × [lo, hi]). A when() with no
+    // otherwise yields a null array — explode drops it — so a series
+    // with no room synthesizes nothing.
+    val (series, gapKeys) =
+      if (tags.isEmpty) {
+        val startEx = carryT.getOrElse(lo - step)
+        val g = b.sparkSession.range(1)
+          .select(explode(when(lit(startEx + step) <= lit(hiAll),
+            sequence(lit(startEx + step), lit(hiAll), lit(step)))).as("time"))
+          .join(b.select(col("time")), Seq("time"), "left_anti")
+        (b.sparkSession.range(1).select(lit(1).as("__one")), g)
+      } else {
+        val known = carry.select(tags.map(col): _*).distinct()
+        val cs = known.withColumn("__startex", lit(carryT.getOrElse(lo - step)))
+        val ns = b.select(tags.map(col): _*).distinct()
+          .join(known, tags, "left_anti")
+          .withColumn("__startex", lit(lo - step))
+        val all = cs.unionByName(ns)
+        val g = all.select(tags.map(col) :+
+            explode(when(col("__startex") + lit(step) <= lit(hiAll),
+              sequence(col("__startex") + lit(step), lit(hiAll), lit(step))))
+              .as("time"): _*)
+          .join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
+        (all.drop("__startex"), g)
+      }
+    if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
+        tags.nonEmpty) {
+      // max-select-series face, same rule as the batch planner; the carry
+      // is persisted, so the series count is one cheap job
+      val nSeries = series.count()
+      require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
+        s"continuous query fill skeleton of $nBuckets buckets x $nSeries " +
+          s"series = ${nBuckets * nSeries} rows exceeds max " +
+          s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
+    }
+    FillScaffold(lo, hiAll, carryT, carry, series, gapKeys)
   }
 
   /** Emission-time fill for a continuous query's MERGE sink: given one
     * micro-batch of newly CLOSED buckets, synthesize the empty buckets the
-    * equivalent batch query's fill skeleton would have produced — every
-    * series × every bucket step in [min, max] of (target ∪ batch) bucket
-    * times that neither side holds — filled with null (`fill(null)`) or the
-    * literal (`fill(<value>)`), typed per aggregate column.
+    * equivalent batch query's fill skeleton would have produced — filled
+    * with null (`fill(null)`) or the literal (`fill(<value>)`), typed per
+    * aggregate column.
     *
-    * No streaming state: the TARGET TABLE is the memory. Committed gap
-    * rows are part of the domain next batch (the anti-join skips them), so
-    * the work per batch is proportional to the NEW gaps; a replayed batch
-    * recomputes a subset and the keyed MERGE converges (orderCol ties break
-    * toward the update, so a bucket that closes with real data after a gap
-    * row was synthesized replaces it — and gaps only ever synthesize below
-    * the max CLOSED bucket, where the watermark has already discarded
-    * later-arriving points). Correct only while the CQ is its target's
-    * sole writer, which is the CQ contract. Scale: the per-batch reread of
-    * the target prunes to (time, tags) — plus the aggregate values for
-    * `fill(previous)`, whose LOCF memory IS the committed table; the
-    * target is a downsample whose skeleton the MaxFillBuckets guard
-    * bounds, same as the batch planner.
+    * No streaming state: the TARGET TABLE is the memory, and the per-batch
+    * read of it is the BOUNDED [[fillScaffold]] frontier (stats sidecars +
+    * one carry-bucket read), never the target's history. Work per batch is
+    * proportional to the NEW gaps; a replayed batch recomputes a subset
+    * deterministically and the keyed MERGE converges (gaps only ever
+    * synthesize below the max CLOSED bucket, where the watermark has
+    * already discarded later-arriving points). Correct only while the CQ
+    * is its target's sole writer, which is the CQ contract.
     */
   private def densifyClosedBuckets(batch: DataFrame, table: graft.storage.TxLogTable,
                                    step: Long, tags: Seq[String],
@@ -1982,46 +2062,19 @@ object InfluxQL {
       return densifyRewrite(batch, table, step, tags, fill)
     val keyCols = "time" +: tags
     val aggCols0 = batch.columns.filterNot(keyCols.contains).toSeq
+    val b = batch.localCheckpoint()
     // the batch planner applies fill(<value>) per CELL: a present bucket's
     // null aggregate (a 1-point stddev) takes the literal too, not just
     // gap buckets — emit the batch coalesced so CQ == batch bit-for-bit
     val batchF = fill match {
-      case FillValue(x) => batch.select(keyCols.map(col) ++ aggCols0.map { c =>
-        coalesce(col(c), lit(x).cast(batch.schema(c).dataType)).as(c) }: _*)
-      case _ => batch
+      case FillValue(x) => b.select(keyCols.map(col) ++ aggCols0.map { c =>
+        coalesce(col(c), lit(x).cast(b.schema(c).dataType)).as(c) }: _*)
+      case _ => b
     }
-    // fill(null/value) needs only the committed KEYS for the skeleton
-    val full = (table.version match {
-      case Some(_) => batchF.select(keyCols.map(col): _*)
-        .unionByName(table.read().select(keyCols.map(col): _*))
-      case None => batchF.select(keyCols.map(col): _*)
-    }).persist()
+    val sc = fillScaffold(b, table, step, tags)
     try {
-      val domain = full.select(keyCols.map(col): _*)
-      val bounds = domain.agg(min(col("time")), max(col("time"))).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val nBuckets = (hi - lo) / step + 1
-      require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
-        s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
-          s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
-      if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
-          tags.nonEmpty) {
-        // max-select-series face, same rule as the batch planner; the
-        // domain is persisted, so the series count is one cheap job
-        val nSeries = domain.select(tags.map(col): _*).distinct().count()
-        require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
-          s"continuous query fill skeleton of $nBuckets buckets x $nSeries " +
-            s"series = ${nBuckets * nSeries} rows exceeds max " +
-            s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
-      }
-      if (lo == hi) return batchF
-      val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
-      val skeleton =
-        if (tags.isEmpty) batch.sparkSession.range(1).select(buckets)
-        else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
-      val gaps = skeleton.join(domain, keyCols, "left_anti")
-      val gapRows = gaps.select(keyCols.map(col) ++ aggCols0.map { c =>
-        val dt = batch.schema(c).dataType
+      val gapRows = sc.gapKeys.select(keyCols.map(col) ++ aggCols0.map { c =>
+        val dt = b.schema(c).dataType
         (fill match {
           case FillValue(x) => lit(x).cast(dt)
           case _ => lit(null).cast(dt)
@@ -2030,7 +2083,7 @@ object InfluxQL {
       // localCheckpoint the synthesized rows so the union the sink merges
       // does not re-read the pre-merge target lazily DURING the merge
       batchF.unionByName(gapRows).localCheckpoint()
-    } finally full.unpersist()
+    } finally { sc.carry.unpersist(); () }
   }
 
   /** Emission-time `fill(previous)` and `fill(linear)` for a continuous
@@ -2077,55 +2130,102 @@ object InfluxQL {
     * observed endpoints — two points on the same line, so the value is
     * mathematically identical and within 1 IEEE ulp of the batch
     * planner's; it is non-null either way, never recomputes again, and
-    * the invariant above is value-independent. Scale posture matches
-    * fill(previous): the per-batch reread is the downsample target, the
-    * skeleton is MaxFillBuckets/MaxFillRows-guarded, and the one window
-    * shuffles on the grouping tags.
+    * the invariant above is value-independent.
+    *
+    * Scale posture: the per-batch committed read is BOUNDED — never the
+    * target's history. Window participants are
+    *   - the [[fillScaffold]] frontier (stats-sidecar bounds + the carry
+    *     bucket, which seeds LOCF by induction: committed gap rows CARRY
+    *     their filled value, so filling from the carry equals filling
+    *     from the underlying data bucket);
+    *   - for linear only: the OPEN-GAP set — committed rows still holding
+    *     a null cell, read via an IsNull-pushdown scan (row groups with no
+    *     nulls skip via footer null counts), these being the only
+    *     committed rows a new right neighbor can change — plus, per
+    *     (series, column) the batch observed, the one DONOR row under the
+    *     trailing null run (the last observed value, found by run
+    *     contiguity on the dense grid and fetched with a time-IN
+    *     pushdown), masked to its column so its other cells' interpolated
+    *     values never pose as observations.
+    * Linear re-emits an open-gap row ONLY when a cell actually changed
+    * (null -> interpolated), so dead series' trailing nulls and leading
+    * nulls stop riding every merge; the skeleton stays
+    * MaxFillBuckets/MaxFillRows-guarded and the one window shuffles on
+    * the grouping tags.
     */
   private def densifyRewrite(batch: DataFrame, table: graft.storage.TxLogTable,
                              step: Long, tags: Seq[String], fill: Fill): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = "time" +: tags
     val aggCols = batch.columns.filterNot(keyCols.contains).toSeq
-    val committedOnly = (table.version match {
-      case Some(_) => table.read().select(batch.columns.toSeq.map(col): _*)
-        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
-      case None => batch.limit(0)
-    })
-    val full = batch.unionByName(committedOnly).persist()
+    val b = batch.localCheckpoint()
+    val cols = b.columns.toSeq
+    val sc = fillScaffold(b, table, step, tags)
+    val anyNull = aggCols.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    // linear's extra participants (empty frames for previous)
+    val (pendingAll, donorRows) = (fill, sc.carryT) match {
+      case (FillLinear, Some(t)) =>
+        val pending = table.read().select(cols.map(col): _*)
+          .where(col("time") < lit(t) && anyNull)
+          .unionByName(sc.carry.where(anyNull)).persist()
+        // every null cell among the open gaps, as (series, column, time)
+        val nullCells = aggCols.zipWithIndex.map { case (c, i) =>
+          pending.where(col(c).isNull)
+            .select(tags.map(col) ++ Seq(col("time"), lit(i).as("__ci")): _*)
+        }.reduce(_ unionByName _)
+        // trailing runs: the rn-th null (descending by time) continues a
+        // contiguous suffix of the dense grid iff it sits rn-1 steps below
+        // the carry bucket; the row UNDER the run's minimum is the last
+        // OBSERVED value (an interpolated cell always has an observation
+        // above it, so it can never end a trailing run)
+        val wDesc = Window.partitionBy(tags.map(col) :+ col("__ci"): _*)
+          .orderBy(col("time").desc)
+        val trailingMin = nullCells
+          .withColumn("__rn", row_number().over(wDesc))
+          .where(col("time") === lit(t) - (col("__rn") - 1) * lit(step))
+          .groupBy(tags.map(col) :+ col("__ci"): _*)
+          .agg(min(col("time")).as("__tmin"))
+        // only (series, column)s the batch observed can change this batch
+        val batchObs = aggCols.zipWithIndex.map { case (c, i) =>
+          b.where(col(c).isNotNull)
+            .select(tags.map(col) :+ lit(i).as("__ci"): _*).distinct()
+        }.reduce(_ unionByName _)
+        val donorSpec = trailingMin
+          .join(batchObs, tags :+ "__ci")
+          .select(tags.map(col) ++ Seq(col("__ci"),
+            (col("__tmin") - lit(step)).as("time")): _*)
+          .where(col("time") >= lit(sc.lo))
+          .localCheckpoint() // consumed by the collect AND the lazy join
+        val donorTimes = donorSpec.select("time").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val donors =
+          if (donorTimes.isEmpty) b.limit(0)
+          else table.read().select(cols.map(col): _*)
+            .where(col("time").isin(donorTimes: _*))
+            .join(broadcast(donorSpec), keyCols)
+            .select(keyCols.map(col) ++ aggCols.zipWithIndex.map { case (c, i) =>
+              when(col("__ci") === i, col(c)).as(c) }: _*)
+        (pending, donors)
+      case _ => (b.limit(0), b.limit(0))
+    }
     try {
-      val domain = full.select(keyCols.map(col): _*)
-      val bounds = domain.agg(min(col("time")), max(col("time"))).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val nBuckets = (hi - lo) / step + 1
-      require(nBuckets <= graft.operators.TimeSeriesOps.MaxFillBuckets,
-        s"continuous query fill skeleton of $nBuckets buckets exceeds max " +
-          s"${graft.operators.TimeSeriesOps.MaxFillBuckets} (max-select-buckets)")
-      if (nBuckets > graft.operators.TimeSeriesOps.FillSeriesProbeBuckets &&
-          tags.nonEmpty) {
-        val nSeries = domain.select(tags.map(col): _*).distinct().count()
-        require(nBuckets * nSeries <= graft.operators.TimeSeriesOps.MaxFillRows,
-          s"continuous query fill skeleton of $nBuckets buckets x $nSeries " +
-            s"series = ${nBuckets * nSeries} rows exceeds max " +
-            s"${graft.operators.TimeSeriesOps.MaxFillRows} (max-select-series)")
-      }
-      val buckets = explode(sequence(lit(lo), lit(hi), lit(step))).as("time")
-      val skeleton =
-        if (tags.isEmpty) batch.sparkSession.range(1).select(buckets)
-        else domain.select(tags.map(col): _*).distinct().select(col("*"), buckets)
-      val gapNull = skeleton.join(domain, keyCols, "left_anti")
-        .select(keyCols.map(col) ++ aggCols.map(c =>
-          lit(null).cast(batch.schema(c).dataType).as(c)): _*)
+      val gapNull = sc.gapKeys.select(keyCols.map(col) ++ aggCols.map(c =>
+        lit(null).cast(b.schema(c).dataType).as(c)): _*)
       // marker names must dodge user aliases, like the fill(previous) path
       val srcCol = Iterator.iterate("__src")(_ + "_")
-        .dropWhile(batch.columns.contains).next()
-      val nullCol = srcCol + "null"
-      val hadNull = aggCols.map(col(_).isNull)
-        .reduceOption(_ || _).getOrElse(lit(false))
-      val union = batch.withColumn(srcCol, lit(0))
-        .unionByName(committedOnly.withColumn(srcCol, lit(1)))
+        .dropWhile(cols.contains).next()
+      def wasCol(i: Int): String = s"${srcCol}was$i"
+      // carry rows with a null cell are themselves open gaps — they ride
+      // the pending (emit-if-changed) side under linear, not the carry side
+      val carryP = (if (fill == FillLinear) sc.carry.where(!anyNull) else sc.carry)
+        .select(cols.map(col): _*).withColumn(srcCol, lit(1))
+      val union0 = b.withColumn(srcCol, lit(0))
+        .unionByName(carryP)
         .unionByName(gapNull.withColumn(srcCol, lit(2)))
-        .withColumn(nullCol, hadNull)
+        .unionByName(pendingAll.withColumn(srcCol, lit(3)))
+        .unionByName(donorRows.withColumn(srcCol, lit(4)))
+      val union = union0.select(keyCols.map(col) ++ aggCols.map(col) ++
+        Seq(col(srcCol)) ++ aggCols.indices.map(i => col(aggCols(i)).as(wasCol(i))): _*)
       // the tag-less partition key rides a real attribute with UNEQUAL
       // branches — equal branches let SimplifyConditionals fold the key
       // to a constant and the window loses its partitioning (the
@@ -2156,13 +2256,19 @@ object InfluxQL {
                   ((col("time") - pb).cast("double") / (nb - pb).cast("double")))
               .otherwise(lit(null).cast("double")).as(n)
         }
-      } ++ Seq(col(srcCol), col(nullCol)): _*)
+      } ++ Seq(col(srcCol)) ++ aggCols.indices.map(i => col(wasCol(i))): _*)
       // previous never changes a committed row (backward-looking); linear
-      // also re-emits committed rows that still carry a null cell
-      val emit = if (fill == FillPrevious) col(srcCol) =!= 1
-        else col(srcCol) =!= 1 || col(nullCol)
-      filled.where(emit).drop(srcCol, nullCol).localCheckpoint()
-    } finally full.unpersist()
+      // also re-emits an open-gap row — but ONLY when a cell actually
+      // changed (null -> interpolated), so unchanged trailing/leading
+      // nulls stop riding every merge; carry and donor rows never emit
+      val changed = aggCols.indices.map(i =>
+        col(wasCol(i)).isNull && col(aggCols(i)).isNotNull)
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val emit = if (fill == FillPrevious) col(srcCol) === 0 || col(srcCol) === 2
+        else col(srcCol) === 0 || col(srcCol) === 2 || (col(srcCol) === 3 && changed)
+      filled.where(emit)
+        .drop(srcCol +: aggCols.indices.map(wasCol): _*).localCheckpoint()
+    } finally { sc.carry.unpersist(); pendingAll.unpersist(); () }
   }
 
   /** mode() needs its own two-level aggregation (value frequencies, then an

@@ -76,11 +76,19 @@ object StreamingIngest {
     * converges to the same table instead of double-applying — exactly-once
     * EFFECT on the table from at-least-once batch delivery. Commit races
     * with concurrent writers retry via the table's optimistic protocol.
+    *
+    * `rangeCol` makes the per-batch merge DIRECTORY-GRANULAR on that key
+    * (see [[graft.storage.TxLogTable.merge]]): a long-lived sink whose
+    * batches touch recent key ranges (a time-keyed CQ target) then carries
+    * its history as metadata instead of rewriting the whole table every
+    * micro-batch — without it, per-batch write cost grows with the
+    * table's own history, O(n²) over the stream's life.
     */
   def startMergeSink(updates: DataFrame, table: graft.storage.TxLogTable,
                      keys: Seq[String], orderCol: String, checkpoint: String,
                      trigger: Trigger = Trigger.AvailableNow(),
-                     perBatch: DataFrame => DataFrame = identity): StreamingQuery =
+                     perBatch: DataFrame => DataFrame = identity,
+                     rangeCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -92,7 +100,7 @@ object StreamingIngest {
         val batch = perBatch(batch0)
         if (!batch.isEmpty)
           graft.storage.TxLogTable.retryOnConflict() {
-            table.merge(batch, keys, Some(orderCol)); ()
+            table.merge(batch, keys, Some(orderCol), rangeCol); ()
           }
       }
       .start()

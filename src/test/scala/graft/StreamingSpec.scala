@@ -360,6 +360,77 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CQ fill: per-batch target reads stay FLAT while the target history grows") {
+    // the round-14 'weak': fill(previous/linear) re-read the WHOLE committed
+    // target per micro-batch — O(history) per batch, O(n²) over the
+    // stream's life. The bounded scaffold reads only the stats sidecars,
+    // the carry bucket, and (linear) the open-gap + donor rows, all
+    // pushdown scans. Pin it from EXECUTED task metrics: rows read per
+    // batch cycle must not trend up as the target grows ~4x.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def perBatchReads(fillTxt: String, name: String): Seq[Long] = {
+      val root = tmp(s"cq_flat_$name")
+      val in = MemoryStream[(String, String, Long, Double)]
+      val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+        s"""CREATE CONTINUOUS QUERY cqf ON telemetry BEGIN
+           |SELECT mean(value), count(value) INTO $name FROM temp
+           |GROUP BY time(10m), device $fillTxt END""".stripMargin,
+        root, checkpoint = tmp(s"cq_flat_cp_$name"), lateness = "1 minute",
+        trigger = Trigger.ProcessingTime(0))
+      val rowsRead = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      // listener bus is async: poll until the counter stops moving
+      def settled(): Long = {
+        var last = -1L; var still = 0
+        val deadline = System.nanoTime() + 10000000000L
+        while (still < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          val c = rowsRead.get()
+          if (c == last) still += 1 else { still = 0; last = c }
+        }
+        rowsRead.get()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        (0 until 20).map { i =>
+          val before = settled()
+          // d1 reports every bucket; d2 every 3rd — so linear keeps a
+          // small, bounded open-gap frontier that retro-fills (the pending
+          // + donor paths stay exercised, not just the carry)
+          val t0 = us("2024-01-01 00:00:30") + i * 600000000L
+          if (i % 3 == 0)
+            in.addData(("d1", "temp", t0, i.toDouble), ("d2", "temp", t0 + 1000000L, i * 2.0))
+          else
+            in.addData(("d1", "temp", t0, i.toDouble))
+          q.processAllAvailable()
+          settled() - before
+        }
+      } finally {
+        q.stop()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    }
+    for ((fillTxt, name) <- Seq(("FILL(previous)", "flat_p"), ("FILL(linear)", "flat_l"))) {
+      val reads = perBatchReads(fillTxt, name)
+      // steady state from cycle 3 (the first closures land then); compare
+      // early steady batches against batches with ~4x the history behind
+      // them. The old whole-target reread grew ~3x across this window.
+      val early = reads.slice(4, 8).sum.toDouble / 4
+      val late = reads.slice(16, 20).sum.toDouble / 4
+      assert(early > 0, s"$fillTxt scan metric is dead: $reads") // the pin must measure something
+      assert(late <= early * 1.8 + 20.0,
+        s"$fillTxt per-batch reads grew with target history: " +
+          s"early=$early late=$late all=$reads")
+    }
+  }
+
   test("CQ fill applies per cell: a present bucket's null stddev fills, matching batch") {
     implicit val sq = spark.sqlContext
     val root = tmp("cq_cell")
