@@ -123,6 +123,158 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     finally walk.close()
   }
 
+  // the db-scoped control-plane tables and the column that scopes each to
+  // one database — what a database backup carries besides its data.
+  // `_users` is deliberately ABSENT: users are global (like influxd, they
+  // ride a metastore backup, not a database backup); `_grants` rows ARE
+  // db-scoped and travel — a grant naming a user the target doesn't have
+  // is inert until that user exists, influxd's own restore semantics.
+  private val dbCtrlTables: Seq[(String, String)] = Seq(
+    ("_retention_policies", "db"),
+    ("_field_types", "db"),
+    ("_grants", "db"),
+    ("_subscriptions", "db"),
+    ("_continuous_queries", "db"),
+    ("_databases", "name")) // LAST on restore: the db gets listed only complete
+
+  /** The measurement-level tables of `db`: its points table plus every
+    * SELECT ... INTO / CQ target — each a TxLogTable directory directly
+    * under `<root>/<db>`.
+    */
+  private def tableNamesOf(db: String): Seq[String] = {
+    val dbDir = Paths.get(s"$rootDir/$db")
+    if (!Files.isDirectory(dbDir)) Seq.empty
+    else {
+      val st = Files.list(dbDir)
+      try st.toArray.map(_.asInstanceOf[Path])
+        .filter(p => Files.isDirectory(p.resolve("_txlog")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally st.close()
+    }
+  }
+
+  /** `influxd backup -database <db>`'s analogue: one self-contained backup
+    * set under `destDir` composing EVERY table of the database —
+    * measurements plus its control-plane rows — at one CONSISTENT cut.
+    *
+    * The cut: every measurement table's current version is PINNED first in
+    * one tight metadata pass (no data reads, no global lock — the tables
+    * are individually versioned, and a version is an immutable snapshot),
+    * then each pinned version exports via [[TxLogTable.exportSnapshot]]
+    * (hard-linked, so concurrent commits and even vacuum cannot rot the
+    * set mid-export). A writer committing DURING the backup lands after
+    * its pin and simply rides the next backup — the restored database is
+    * exactly the pinned cut, never a mix of per-table moments taken
+    * mid-commit.
+    *
+    * Layout: `db_manifest.json` (the manifest-of-manifests: db name,
+    * pinned table versions, control-row counts) + `tables/<name>/` per
+    * measurement + `ctrl/<table>/` parquet dumps of this db's control
+    * rows.
+    */
+  def exportDatabase(db: String, destDir: String): Unit = {
+    requireDb(db)
+    val dest = Paths.get(destDir)
+    require(!Files.isDirectory(dest) || {
+      val s = Files.list(dest); try !s.findAny().isPresent finally s.close()
+    }, s"backup destination $destDir is not empty")
+    Files.createDirectories(dest)
+    val names = tableNamesOf(db)
+    names.foreach(n => require(!n.exists(c => c == '"' || c == '[' || c == ']'),
+      s"table name $n cannot ride the manifest"))
+    // pin EVERY version first, then export the pinned versions
+    val pinned = names.flatMap { n =>
+      new TxLogTable(spark, s"$rootDir/$db/$n").version.map(n -> _)
+    }
+    pinned.foreach { case (n, v) =>
+      new TxLogTable(spark, s"$rootDir/$db/$n")
+        .exportSnapshot(s"$destDir/tables/$n", Some(v)); ()
+    }
+    val ctrl = dbCtrlTables.flatMap { case (t, fcol) =>
+      val tab = new TxLogTable(spark, s"$rootDir/$t")
+      if (tab.version.isEmpty) None
+      else {
+        val rows = tab.read().filter(col(fcol) === db)
+        val n = rows.count()
+        if (n == 0) None
+        else { rows.coalesce(1).write.parquet(s"$destDir/ctrl/$t"); Some((t, n)) }
+      }
+    }
+    val manifest =
+      s"""{"db":"$db",""" +
+        s""""tables":[${pinned.map { case (n, v) => s"""["$n",$v]""" }.mkString(",")}],""" +
+        s""""ctrl":[${ctrl.map { case (t, n) => s"""["$t",$n]""" }.mkString(",")}]}"""
+    Files.write(dest.resolve("db_manifest.json"), manifest.getBytes("UTF-8"))
+  }
+
+  /** `influxd restore -database`: publish a [[exportDatabase]] backup set
+    * into this catalog. Refusal gates run BEFORE any byte lands:
+    * the database must not exist (influxd's database-must-not-exist rule;
+    * drop it first to accept the rollback), no stray `<root>/<db>` tree
+    * may shadow the restore, EVERY per-table snapshot verifies against
+    * its manifest (file presence + byte sizes) and the manifest-of-
+    * manifests' pinned versions, and every control dump must hold its
+    * recorded row count.
+    *
+    * Mutation order is dropDatabase's inverse: measurement data first,
+    * control rows next, the `_databases` row LAST — so a crash mid-restore
+    * leaves an unlisted partial tree (delete `<root>/<db>` and re-run),
+    * never a listed database with missing data. Returns the database name.
+    */
+  def importDatabase(srcDir: String): String = {
+    val mPath = Paths.get(srcDir, "db_manifest.json")
+    require(Files.isRegularFile(mPath), s"no db_manifest.json in $srcDir")
+    val m = new String(Files.readAllBytes(mPath), "UTF-8")
+    val db = checkName(""""db":"([^"]+)"""".r.findFirstMatchIn(m).getOrElse(
+      throw new IllegalArgumentException(s"bad db_manifest in $srcDir")).group(1))
+    // the manifest layout is fixed and names exclude quotes/brackets
+    // (enforced at export), so the section anchors are unambiguous
+    val pair = """\["([^"]+)",(\d+)\]""".r
+    val tables = pair.findAllMatchIn(
+      """"tables":\[(.*)\],"ctrl"""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse(""))
+      .map(mm => (mm.group(1), mm.group(2).toLong)).toSeq
+    val ctrl = pair.findAllMatchIn(
+      """"ctrl":\[(.*)\]\}""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse(""))
+      .map(mm => (mm.group(1), mm.group(2).toLong)).toSeq
+    if (databaseExists(db))
+      throw new IllegalStateException(
+        s"restore fence conflict: database $db already exists; drop it first " +
+          "to accept the restore")
+    require(!Files.exists(Paths.get(s"$rootDir/$db")),
+      s"stray tree at $rootDir/$db shadows the restore; delete it first")
+    // verify EVERYTHING before ANY byte lands
+    tables.foreach { case (n, v) =>
+      val (ver, _, _) = TxLogTable.verifySnapshotFiles(s"$srcDir/tables/$n")
+      require(ver == v,
+        s"table $n snapshot is version $ver but the database manifest pinned $v")
+    }
+    val ctrlSpecs = dbCtrlTables.toMap
+    val ctrlRows = ctrl.map { case (t, n) =>
+      require(ctrlSpecs.contains(t), s"unknown control table $t in backup")
+      val df = spark.read.parquet(s"$srcDir/ctrl/$t")
+      require(df.count() == n, s"control dump $t holds ${df.count()} rows, manifest says $n")
+      (t, df)
+    }
+    // data first...
+    tables.foreach { case (n, _) =>
+      new TxLogTable(spark, s"$rootDir/$db/$n").importSnapshot(s"$srcDir/tables/$n"); ()
+    }
+    // ...control rows next, in dbCtrlTables order so `_databases` lands
+    // LAST; a half-dropped db may have left rows behind — clear them so
+    // the restore is exact, not additive
+    dbCtrlTables.foreach { case (t, fcol) =>
+      ctrlRows.find(_._1 == t).foreach { case (_, df) =>
+        val tab = new TxLogTable(spark, s"$rootDir/$t")
+        if (tab.version.isDefined) {
+          tab.delete(col(fcol) === db)
+          tab.append(df)
+        } else tab.append(df)
+        ()
+      }
+    }
+    db
+  }
+
   /** Append points into the db's table. The db must exist — InfluxDB
     * rejects writes to unknown databases rather than auto-creating them.
     */

@@ -607,22 +607,7 @@ class TxLogTable(spark: SparkSession, path: String) {
     */
   def importSnapshot(srcDir: String): Long = {
     val src = Paths.get(srcDir)
-    val mPath = src.resolve("manifest.json")
-    require(Files.isRegularFile(mPath), s"no manifest.json in $srcDir")
-    val m = new String(Files.readAllBytes(mPath), "UTF-8")
-    val ver = """"version":(\d+)""".r.findFirstMatchIn(m).getOrElse(
-      throw new IllegalArgumentException(s"bad manifest in $srcDir")).group(1).toLong
-    val dirsRaw = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
-    val dirs = """"([^"]+)"""".r.findAllMatchIn(dirsRaw).map(_.group(1)).toSeq
-    val files = """\["([^"]+)",(\d+)\]""".r.findAllMatchIn(m)
-      .map(mm => (mm.group(1), mm.group(2).toLong)).toSeq
-    // verify the WHOLE snapshot, then fence-check, then mutate — a corrupt
-    // backup or a live log must refuse before any byte lands
-    files.foreach { case (rel, sz) =>
-      val f = src.resolve(rel)
-      require(Files.isRegularFile(f) && Files.size(f) == sz,
-        s"snapshot file $rel missing or size-mismatched in $srcDir (corrupt backup)")
-    }
+    val (ver, dirs, files) = TxLogTable.verifySnapshotFiles(srcDir)
     version.foreach { live =>
       throw new IllegalStateException(
         s"restore fence conflict: $path already has version $live committed " +
@@ -784,6 +769,33 @@ object TxLogTable {
 
   private[graft] case class LogEntry(version: Long, op: String, dirs: Seq[String],
                                      txn: Option[(String, Long)] = None)
+
+  /** Parse a snapshot's manifest and verify every listed file is present
+    * with its recorded byte size — the refusal gate shared by
+    * [[TxLogTable.importSnapshot]] and database-level restore, which must
+    * verify EVERY table's snapshot before any byte of ANY table lands (a
+    * corrupt table N discovered after tables 0..N-1 imported would leave a
+    * half-restored database behind a refused restore). Returns
+    * (version, dirs, files).
+    */
+  private[graft] def verifySnapshotFiles(srcDir: String): (Long, Seq[String], Seq[(String, Long)]) = {
+    val src = Paths.get(srcDir)
+    val mPath = src.resolve("manifest.json")
+    require(Files.isRegularFile(mPath), s"no manifest.json in $srcDir")
+    val m = new String(Files.readAllBytes(mPath), "UTF-8")
+    val ver = """"version":(\d+)""".r.findFirstMatchIn(m).getOrElse(
+      throw new IllegalArgumentException(s"bad manifest in $srcDir")).group(1).toLong
+    val dirsRaw = """"dirs":\[([^\]]*)\]""".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
+    val dirs = """"([^"]+)"""".r.findAllMatchIn(dirsRaw).map(_.group(1)).toSeq
+    val files = """\["([^"]+)",(\d+)\]""".r.findAllMatchIn(m)
+      .map(mm => (mm.group(1), mm.group(2).toLong)).toSeq
+    files.foreach { case (rel, sz) =>
+      val f = src.resolve(rel)
+      require(Files.isRegularFile(f) && Files.size(f) == sz,
+        s"snapshot file $rel missing or size-mismatched in $srcDir (corrupt backup)")
+    }
+    (ver, dirs, files)
+  }
 
   /** The atomicity point of the commit protocol: materialize the entry to a
     * temp file, then HARD-LINK it to `<version>.json`. link(2) atomically

@@ -1901,4 +1901,95 @@ class InfluxQLSpec extends SparkSuite {
     }
     assert(cqErr.getMessage.contains("integral"))
   }
+
+  test("database backup/restore: one consistent cut, full round-trip, loud refusals") {
+    val root = java.nio.file.Files.createTempDirectory("dbbak_src").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "tele")
+    cat.run("CREATE DATABASE tele")
+    cat.run("CREATE DATABASE other") // must survive restores elsewhere untouched
+    cat.run("CREATE RETENTION POLICY keep30 ON tele DURATION 30d DEFAULT")
+    cat.run("CREATE USER boss WITH PASSWORD 'bpw' WITH ALL PRIVILEGES")
+    cat.run("CREATE USER viewer WITH PASSWORD 'vpw'")
+    cat.run("GRANT READ ON tele TO viewer")
+    cat.run("CREATE SUBSCRIPTION sub0 ON tele.autogen DESTINATIONS ALL 'mq/s0', 'mq/s1'")
+    cat.run("CREATE CONTINUOUS QUERY cq1 ON tele BEGIN SELECT mean(value) AS m " +
+      "INTO agg FROM temp GROUP BY time(10m) END")
+    cat.writePoints("tele", pts(("a", "temp", 1000000L, 1.5), ("b", "temp", 2000000L, 2.5)))
+    // field types register through line protocol
+    cat.writeLineProtocol("tele", Seq("weather,city=sf temp=21.5,ok=true 1000000000").toDS())
+    // an INTO/CQ target is just another table under the db
+    new graft.storage.TxLogTable(spark, s"$root/tele/agg")
+      .append(Seq((0L, 3.0)).toDF("time", "m"))
+
+    val bak = java.nio.file.Files.createTempDirectory("dbbak").toString + "/set"
+    cat.exportDatabase("tele", bak)
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(s"$bak/db_manifest.json")))
+
+    // full round-trip into a fresh root
+    val root2 = java.nio.file.Files.createTempDirectory("dbbak_dst").toString
+    val cat2 = new graft.influxql.InfluxCatalog(spark, root2, defaultDb = "tele")
+    assert(cat2.importDatabase(bak) == "tele")
+    assert(cat2.run("SHOW DATABASES").as[String].collect().toSeq == Seq("tele"))
+    def allPoints(c: graft.influxql.InfluxCatalog) =
+      c.points("tele").collect().map(_.toString).toSet
+    assert(allPoints(cat2) == allPoints(cat))
+    assert(cat2.run("SHOW RETENTION POLICIES ON tele").collect().toSeq ==
+      cat.run("SHOW RETENTION POLICIES ON tele").collect().toSeq)
+    assert(cat2.run("SHOW SUBSCRIPTIONS").collect().toSeq ==
+      cat.run("SHOW SUBSCRIPTIONS").collect().toSeq)
+    assert(cat2.run("SHOW CONTINUOUS QUERIES").collect().toSeq ==
+      cat.run("SHOW CONTINUOUS QUERIES").collect().toSeq)
+    assert(cat2.fieldTypes("tele") == cat.fieldTypes("tele") && cat2.fieldTypes("tele").nonEmpty)
+    assert(new graft.storage.TxLogTable(spark, s"$root2/tele/agg")
+      .read().as[(Long, Double)].collect().toSeq == Seq((0L, 3.0)))
+    // db-scoped grants travel; global users do NOT (influxd's split)
+    assert(new graft.storage.TxLogTable(spark, s"$root2/_grants")
+      .read().as[(String, String, String)].collect().toSet ==
+      Set(("viewer", "tele", "READ")))
+    assert(new graft.storage.TxLogTable(spark, s"$root2/_users").version.isEmpty)
+
+    // restoring over a live database refuses loudly
+    val fence = intercept[IllegalStateException](cat.importDatabase(bak))
+    assert(fence.getMessage.contains("fence conflict"), fence.getMessage)
+
+    // concurrent-append torture: a writer races the export; the restored
+    // database is EXACTLY the pinned cut, never a mid-commit mix
+    val bak2 = java.nio.file.Files.createTempDirectory("dbbak2").toString + "/set"
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop && i < 200) {
+        cat.writePoints("tele", pts(("w", "temp", 10000000L + i * 1000L, i.toDouble)))
+        i += 1
+      }
+    })
+    writer.start()
+    try cat.exportDatabase("tele", bak2) finally { stop = true; writer.join() }
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$bak2/db_manifest.json")), "UTF-8")
+    val pinnedPoints = """\["points",(\d+)\]""".r.findFirstMatchIn(m2).get.group(1).toLong
+    val root3 = java.nio.file.Files.createTempDirectory("dbbak_dst2").toString
+    val cat3 = new graft.influxql.InfluxCatalog(spark, root3, defaultDb = "tele")
+    cat3.importDatabase(bak2)
+    assert(cat3.points("tele").collect().map(_.toString).toSet ==
+      cat.pointsTable("tele").readVersion(pinnedPoints).collect().map(_.toString).toSet,
+      "restored points are not the pinned snapshot")
+
+    // a corrupt table file refuses BEFORE any byte of ANY table lands
+    val victim = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$bak2/tables/agg"))
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet")).head
+      finally w.close()
+    }
+    java.nio.file.Files.write(victim, Array[Byte](9, 9))
+    val root4 = java.nio.file.Files.createTempDirectory("dbbak_dst3").toString
+    val cat4 = new graft.influxql.InfluxCatalog(spark, root4, defaultDb = "tele")
+    assert(intercept[IllegalArgumentException](cat4.importDatabase(bak2))
+      .getMessage.contains("corrupt backup"))
+    assert(cat4.run("SHOW DATABASES").as[String].collect().isEmpty,
+      "a refused restore must not list the database")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root4/tele")),
+      "a refused restore must not leave a partial tree")
+  }
 }
