@@ -1537,16 +1537,41 @@ class InfluxQLDifferentialSpec extends SparkSuite {
       val sentinel = matched.headOption.map(p =>
         (p.device, "m", base + 864000L * 1000000L, p.value))
 
-      val in = MemoryStream[(String, String, Long, Double)]
-      val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
-        .withColumn("ts", timestamp_micros(col("ts_us")))
-      val q = InfluxQL.startContinuousQuery(points, ddl, root,
-        checkpoint = s"$root/cp$seed", lateness = "0 seconds",
-        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      try {
-        in.addData(pts ++ sentinel)
-        q.processAllAvailable()
-      } finally q.stop()
+      // ADVERSARIAL BATCH SPLITS (r14 task): deliver the points as 1-3
+      // time-contiguous micro-batches (sorted so nothing falls behind the
+      // 0-second watermark), then the sentinel alone. Gaps whose right
+      // neighbor lands 2+ batches later now retro-fill through the MERGE
+      // instead of inside one emission — the fill(previous/linear)
+      // cross-batch machinery (carry bucket, open-gap re-read, donors)
+      // is on the hook for every seed, not just the hand-built specs.
+      def deliver(checkpoint: String, chunkDraw: scala.util.Random): Unit = {
+        val in = MemoryStream[(String, String, Long, Double)]
+        val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val q = InfluxQL.startContinuousQuery(points, ddl, root,
+          checkpoint = checkpoint, lateness = "0 seconds",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+        try {
+          val sorted = pts.sortBy(_._3)
+          val nChunks = 1 + chunkDraw.nextInt(3)
+          val cuts = Vector.fill(nChunks - 1)(chunkDraw.nextInt(sorted.size + 1))
+            .sorted :+ sorted.size
+          var from = 0
+          cuts.foreach { to =>
+            if (to > from) { in.addData(sorted.slice(from, to): _*); q.processAllAvailable() }
+            from = to
+          }
+          sentinel.foreach { s => in.addData(s); q.processAllAvailable() }
+        } finally q.stop()
+      }
+      deliver(s"$root/cp$seed", new scala.util.Random(8300L + seed))
+      // every 3rd seed: an at-least-once FULL re-delivery against the
+      // populated target (fresh checkpoint, different chunking). The keyed
+      // MERGE must converge back to the batch answer bit-exactly — the
+      // retroactive fills recompute from observed endpoints, never from a
+      // surviving interpolation
+      if (seed % 3 == 0)
+        deliver(s"$root/cp${seed}_replay", new scala.util.Random(8900L + seed))
 
       // --- reference interpreter: closed buckets only --------------------
       val all = matched ++ sentinel.map(s => Pt(s._1, s._3, s._4))

@@ -250,6 +250,97 @@ class PipelineDifferentialSpec extends SparkSuite {
     }
   }
 
+  test("differential: multi-fold clustering index equals union-find after EVERY fold") {
+    // the r14 surface the single-split draw never exercised: a batch that
+    // bridges components formed by EARLIER folds — chains whose edges
+    // scatter across 3-5 folds, so labels must keep collapsing toward the
+    // global min across the persisted index's whole history
+    import graft.operators.DedupOps
+    for (seed <- 1 to 4 * diffScale) {
+      val r = new scala.util.Random(seed * 877L)
+      val n = 12 + r.nextInt(20)
+      val rand = (0 until n).map(_ =>
+        ((r.nextInt(n) + 1).toLong, (r.nextInt(n) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      val chainLen = 10 + r.nextInt(8)
+      val chain = (0 until chainLen).map(i => (500L + i, 500L + i + 1))
+      // a bridge that eventually merges the chain region into the random
+      // region — landing in whichever fold the shuffle puts it
+      val bridge = Seq((1L, 500L + r.nextInt(chainLen)))
+      val edges = r.shuffle((rand ++ chain ++ bridge).toVector)
+      val nFolds = 3 + r.nextInt(3)
+      val dir = java.nio.file.Files.createTempDirectory(s"ccfold$seed").toString
+      try {
+        val chunk = math.max(1, (edges.size + nFolds - 1) / nFolds)
+        var soFar = Vector.empty[(Long, Long)]
+        edges.grouped(chunk).zipWithIndex.foreach { case (b, k) =>
+          soFar = soFar ++ b
+          DedupOps.foldCcIndex(b.toDF("i", "j"), dir)
+          val got = new graft.storage.TxLogTable(spark, dir)
+            .read().as[(Long, Long)].collect().toMap
+          val want = ccReplay(soFar)
+          assert(got == want,
+            s"seed $seed fold $k/${nFolds}: persisted labels diverge\n" +
+              s" got=${got.toSeq.sorted}\nwant=${want.toSeq.sorted}")
+        }
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+      }
+    }
+  }
+
+  test("differential: decontamination index+probe vs in-memory n-gram model") {
+    import graft.operators.DedupOps
+    for (seed <- 1 to 6 * diffScale) {
+      val r = new scala.util.Random(seed * 991L)
+      val bench = (1L to (3 + r.nextInt(5)).toLong).map(i => (i, randText(r)))
+      // batch docs: clean, a verbatim benchmark doc (full leak), or a
+      // partial splice of benchmark text onto fresh text
+      val batch = (100L to (104 + r.nextInt(6)).toLong).map { i =>
+        val t = r.nextInt(3) match {
+          case 0 => randText(r)
+          case 1 => bench(r.nextInt(bench.size))._2
+          case _ => randText(r) + " " +
+            bench(r.nextInt(bench.size))._2.split(" ", -1).take(4).mkString(" ")
+        }
+        (i, t)
+      }
+      val n = 2 + r.nextInt(3)
+      val dir = java.nio.file.Files.createTempDirectory(s"dc$seed").toString
+      try {
+        DedupOps.buildDecontamIndex(
+          bench.toDF("doc_id", "text"), "doc_id", "text", n, dir)
+        val got = DedupOps.decontamProbe(
+            batch.toDF("doc_id", "text"), "doc_id", "text", n, dir)
+          .collect().map(row => row.getLong(0) ->
+            ((row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4)))).toMap
+        // replay: Spark split(" ") keeps empty tokens (randText plants
+        // double spaces), shingles are DISTINCT per doc, concat_ws keeps
+        // empties too; contamination is one IEEE long/long division
+        def shingleSet(t: String): Set[String] = {
+          val toks = t.split(" ", -1)
+          if (toks.length < n) Set.empty
+          else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toSet
+        }
+        val evalDf: Map[String, Long] = bench.flatMap(d => shingleSet(d._2))
+          .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+        val want = batch.flatMap { case (id, t) =>
+          val sh = shingleSet(t)
+          if (sh.isEmpty) None // no shingles -> no probe row, engine-identical
+          else {
+            val hits = sh.filter(evalDf.contains)
+            val maxDf = if (hits.isEmpty) 0L else hits.map(evalDf).max
+            Some(id -> ((sh.size.toLong, hits.size.toLong, maxDf,
+              hits.size.toLong.toDouble / sh.size.toLong.toDouble)))
+          }
+        }.toMap
+        assert(got == want, s"seed $seed n=$n: probe diverges\n got=$got\nwant=$want")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+      }
+    }
+  }
+
   // ---- URL canonicalization ----
 
   private def canonReplay(u: String): String = {
