@@ -73,14 +73,19 @@ object ScaleBench {
 
     val vow = "aeiou"
     val con = "snrtl"
+    val con2 = "dgmpb"
     replicate(Tables.documents(spark, base), (d, k) => {
-      // k % 5 rotates the vowels, k / 5 rotates a consonant set: all 10
-      // replica transforms are distinct, so no two replicas are exact
-      // twins and cross-replica shingles stay dissimilar
+      // k % 5 rotates the vowels, k / 5 % 5 rotates a consonant set, and
+      // k / 25 rotates a SECOND consonant set: all replica transforms up
+      // to 125 replicas are distinct, so no two replicas are exact twins
+      // (twin replicas would explode the cross-replica near-dup pair
+      // space quadratically and corrupt the dedup scaling exponents) and
+      // cross-replica shingles stay dissimilar
       val rotV = vow.drop(k % 5) + vow.take(k % 5)
       val rotC = con.drop(k / 5 % 5) + con.take(k / 5 % 5)
+      val rotC2 = con2.drop(k / 25 % 5) + con2.take(k / 25 % 5)
       d.withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
-        .withColumn("text", translate(col("text"), vow + con, rotV + rotC))
+        .withColumn("text", translate(col("text"), vow + con + con2, rotV + rotC + rotC2))
     }).coalesce(1) // one file, the fixture layout the queries' scan heuristics see
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -112,15 +117,23 @@ object ScaleBench {
     val maxSf = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAXSF", "1.0").toDouble
     val slice03 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf0.3")
     val slice1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR1", "/tmp/graft_sf1")
+    val slice3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR3", "/tmp/graft_sf3")
+    // SPARK_GRAFT_SCALE_ONLY=q_a,q_b trims the measured set — the targeted
+    // sf3 drill for a drifting exponent shouldn't re-run all 8 heavies
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
     if (maxSf >= 0.3) genSlice(spark, s"$tdRoot/sf0.1", slice03)
     if (maxSf >= 1.0) genSlice(spark, s"$tdRoot/sf0.1", slice1, replicas = 10)
+    if (maxSf >= 3.0) genSlice(spark, s"$tdRoot/sf0.1", slice3, replicas = 30)
 
     val sfs: Seq[(Double, String)] = Seq(
       0.001 -> s"$tdRoot/sf0.001", 0.01 -> s"$tdRoot/sf0.01",
-      0.1 -> s"$tdRoot/sf0.1", 0.3 -> slice03, 1.0 -> slice1)
+      0.1 -> s"$tdRoot/sf0.1", 0.3 -> slice03, 1.0 -> slice1, 3.0 -> slice3)
       .filter(_._1 <= maxSf)
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
-    val selected = SparkEntry.queries.filter { case (n, _) => Heavies.contains(n) }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      Heavies.contains(n) && wanted(n) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame,
@@ -165,6 +178,7 @@ object ScaleBench {
           .forEach(f => { Files.deleteIfExists(f); () })
     }
     val foldTimes: Map[(String, Double), Double] = sfs.filter(_._1 >= 0.1)
+      .filter(_ => wanted("cc_fold_fixed_batch"))
       .flatMap { case (sf, dir) =>
         try {
           val pairs = graft.operators.DedupOps

@@ -55,25 +55,31 @@ object ServiceMain {
 
   /** One compaction sweep over every database — the other half of the
     * maintenance tick (InfluxDB's compactor): per-batch streaming appends
-    * accumulate small files forever without it. Folds each points table's
-    * sub-`maxBytes` data dirs into one (no-op below two candidates);
-    * snapshot isolation keeps concurrent readers on their version and the
-    * append feed's txn fences are untouched. Returns the (db, committed
+    * accumulate small files forever without it. Folds EVERY table of each
+    * db — the points table AND the INTO/CQ targets, whose granular
+    * per-batch merges now carry history as one directory per batch by
+    * design — folding each table's sub-`maxBytes` data dirs into one
+    * (no-op below two candidates); snapshot isolation keeps concurrent
+    * readers on their version, the append feed's txn fences are
+    * untouched, and a compaction racing a CQ's merge resolves through the
+    * usual conflict-retry on both sides. Returns the (db/table, committed
     * version) pairs that actually compacted.
     */
   def compactionSweep(spark: SparkSession, dataDir: String,
                       maxBytes: Long = 128L << 20): Seq[(String, Long)] = {
     val cat = new graft.influxql.InfluxCatalog(spark, dataDir)
     cat.databaseNames().flatMap { db =>
-      val table = cat.pointsTable(db)
-      if (table.version.isEmpty) None
-      else {
-        val before = table.version.get
-        val v = TxLogTable.retryOnConflict() { table.compact(maxBytes) }
-        // report only a commit THIS sweep made: a no-op compact returns
-        // the current version, which a concurrent append may have
-        // advanced past `before` — the committed op disambiguates
-        if (v > before && table.opOf(v) == "compact") Some(db -> v) else None
+      cat.tableNamesOf(db).flatMap { name =>
+        val table = new TxLogTable(spark, s"$dataDir/$db/$name")
+        if (table.version.isEmpty) None
+        else {
+          val before = table.version.get
+          val v = TxLogTable.retryOnConflict() { table.compact(maxBytes) }
+          // report only a commit THIS sweep made: a no-op compact returns
+          // the current version, which a concurrent append may have
+          // advanced past `before` — the committed op disambiguates
+          if (v > before && table.opOf(v) == "compact") Some(s"$db/$name" -> v) else None
+        }
       }
     }
   }

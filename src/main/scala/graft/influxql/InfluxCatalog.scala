@@ -141,7 +141,7 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * SELECT ... INTO / CQ target — each a TxLogTable directory directly
     * under `<root>/<db>`.
     */
-  private def tableNamesOf(db: String): Seq[String] = {
+  private[graft] def tableNamesOf(db: String): Seq[String] = {
     val dbDir = Paths.get(s"$rootDir/$db")
     if (!Files.isDirectory(dbDir)) Seq.empty
     else {

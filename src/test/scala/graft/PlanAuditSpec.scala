@@ -258,6 +258,45 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty, s"unpartitioned windows: ${offenders.mkString(", ")}")
   }
 
+  test("blanket net: no cartesian, mid-plan CollectLimit, or unexplained 1-partition shuffle anywhere") {
+    // the cheap whole-surface regression net behind the named pins: a
+    // future edit that sneaks a CartesianProduct, funnels data through a
+    // driver-side CollectLimit that feeds further computation, or shuffles
+    // a data path onto ONE partition gets caught here even when no named
+    // pin covers that query. A SinglePartition shuffle is legitimate in
+    // exactly one shape — the final stage of a global (group-less)
+    // aggregate, fed by its map-side partial, where one row per partition
+    // flows in; anything else is a scale-killer.
+    import org.apache.spark.sql.execution.{CollectLimitExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    def partialAggBelow(p: SparkPlan): Boolean = {
+      val modes = p match {
+        case h: HashAggregateExec => Some(h.aggregateExpressions.map(_.mode))
+        case h: ObjectHashAggregateExec => Some(h.aggregateExpressions.map(_.mode))
+        case h: SortAggregateExec => Some(h.aggregateExpressions.map(_.mode))
+        case _ => None
+      }
+      modes match {
+        case Some(ms) => ms.forall(m => m == Partial || m == PartialMerge)
+        case None => p.children.size == 1 && partialAggBelow(p.children.head)
+      }
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val root = fn(spark, sf).queryExecution.sparkPlan
+      root.collect {
+        case c: CartesianProductExec => s"$name: CartesianProduct"
+        case c: CollectLimitExec if !(c eq root) => s"$name: mid-plan CollectLimit"
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+          !partialAggBelow(e.child) => s"$name: 1-partition shuffle (not a global-agg final)"
+      }
+    }
+    assert(offenders.isEmpty, s"scale-killers: ${offenders.distinct.mkString("; ")}")
+  }
+
   test("ingest pipeline: no shuffle before the final aggregate") {
     val p = plan("q_ingest_narrow")
     // one Exchange for the groupBy is expected; the semi-join must not add one

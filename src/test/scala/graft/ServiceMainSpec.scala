@@ -278,7 +278,7 @@ class ServiceMainSpec extends SparkSuite {
     val t = cat.pointsTable("oc")
     assert(t.dirPaths(t.version.get).size == 5, "five appends = five dirs")
     val swept = ServiceMain.compactionSweep(spark, dir)
-    assert(swept.map(_._1) == Seq("oc"), s"got $swept")
+    assert(swept.map(_._1) == Seq("oc/points"), s"got $swept")
     assert(cat.pointsTable("oc").dirPaths(cat.pointsTable("oc").version.get).size == 1,
       "the tick folds the small files into one dir")
     assert(cat.points("oc").count() == 5, "content identical after the fold")
