@@ -177,6 +177,22 @@ object ScaleBench {
         Files.walk(root).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { Files.deleteIfExists(f); () })
     }
+    def treeBytes(p: String): Long = {
+      val root = Paths.get(p)
+      if (!Files.exists(root)) 0L
+      else {
+        val w = Files.walk(root)
+        try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally w.close()
+      }
+    }
+    // per SF: fold wall time (min-of-N) plus the fold's WRITE VOLUME —
+    // the bytes of the data directories the fold commit introduced vs the
+    // whole index's bytes. The granular merge's claim is exactly that the
+    // former stays batch-bounded while the latter grows with the corpus
+    // (the r14 design rewrote the full snapshot, so they were equal).
+    val foldBytes = scala.collection.mutable.LinkedHashMap[Double, (Long, Long)]()
     val foldTimes: Map[(String, Double), Double] = sfs.filter(_._1 >= 0.1)
       .filter(_ => wanted("cc_fold_fixed_batch"))
       .flatMap { case (sf, dir) =>
@@ -190,9 +206,14 @@ object ScaleBench {
             val idx = Files.createTempDirectory("ccfold").toString
             try {
               graft.operators.DedupOps.buildCcIndex(rest, idx)
+              val table = new graft.storage.TxLogTable(spark, idx)
+              val before = table.dirPaths(table.version.get).toSet
               val t0 = System.nanoTime()
               graft.operators.DedupOps.foldCcIndex(batch, idx)
               val dt = (System.nanoTime() - t0) / 1e9
+              val written = table.dirPaths(table.version.get)
+                .filterNot(before).map(treeBytes).sum
+              foldBytes(sf) = (written, table.dirPaths(table.version.get).map(treeBytes).sum)
               spark.catalog.clearCache()
               dt
             } finally rmTree(idx)
@@ -232,8 +253,11 @@ object ScaleBench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val foldBytesJson = foldBytes.map { case (sf, (w, tot)) =>
+      s""""$sf":{"fold_write":$w,"index_total":$tot}""" }.mkString("{", ",", "}")
     val line = s"""{"event":"scalebench","passes":$passes,""" +
-      s""""heavies":${perQuery.mkString("{", ",", "}")},"errors":$errJson}"""
+      s""""heavies":${perQuery.mkString("{", ",", "}")},""" +
+      s""""cc_fold_bytes":$foldBytesJson,"errors":$errJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "PROGRESS.jsonl")
     try Files.write(Paths.get(outFile), (line + "\n").getBytes("UTF-8"),

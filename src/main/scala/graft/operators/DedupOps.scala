@@ -397,6 +397,42 @@ object DedupOps {
     */
   def mergeComponents(assign: DataFrame, newPairs: DataFrame,
       maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val (a, _, repLabels, freshAssigned) =
+      mergeParts(assign, newPairs, maxIters, checkpointDir)
+    // relabel existing components whose representative merged; everything
+    // untouched keeps its label (left join + coalesce)
+    val relabel = repLabels.select(col("node").as("component"), col("component").as("__new"))
+    val updated = a.join(broadcast(relabel), Seq("component"), "left")
+      .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
+    updated.unionByName(freshAssigned)
+  }
+
+  /** [[mergeComponents]]' BLAST RADIUS only: the rows a batch of new pairs
+    * actually changes — members of components whose label shrank, plus the
+    * batch's fresh nodes — computed DIRECTLY as one corpus scan against
+    * the broadcast relabel map, never by diffing two corpus-sized frames.
+    * [[foldCcIndex]] merges exactly this set, so the full-assignment
+    * anti-join (a corpus×corpus shuffle per fold) never exists.
+    */
+  private[graft] def mergeComponentsDelta(assign: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val (a, _, repLabels, freshAssigned) =
+      mergeParts(assign, newPairs, maxIters, checkpointDir)
+    // only representatives whose label ACTUALLY shrank relabel members;
+    // the inner broadcast join touches exactly those components' rows
+    val relabel = repLabels
+      .select(col("node").as("component"), col("component").as("__new"))
+      .where(col("__new") =!= col("component"))
+    val updatedChanged = a.join(broadcast(relabel), Seq("component"))
+      .select(col("node"), col("__new").as("component"))
+    updatedChanged.unionByName(freshAssigned)
+  }
+
+  // the shared head of mergeComponents/mergeComponentsDelta: normalized
+  // inputs, CC over the representative graph, and the batch's fresh nodes
+  private def mergeParts(assign: DataFrame, newPairs: DataFrame,
+      maxIters: Int, checkpointDir: Option[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // both inputs are consumed several times (the pair mapping, the fresh
     // anti-join, the relabel); cut their lineage once so an expensive
     // upstream (a banded candidate pipeline, a prior CC) never re-executes
@@ -415,18 +451,13 @@ object DedupOps {
     // CC over the representative graph: batch-sized, label = min vertex
     val repLabels = connectedComponents(mapped, maxIters, checkpointDir)
       .localCheckpoint()
-    // relabel existing components whose representative merged; everything
-    // untouched keeps its label (left join + coalesce)
-    val relabel = repLabels.select(col("node").as("component"), col("component").as("__new"))
-    val updated = a.join(broadcast(relabel), Seq("component"), "left")
-      .select(col("node"), coalesce(col("__new"), col("component")).as("component"))
     // nodes the batch introduced: assign their representative-graph label
     // (themselves if their only pairs collapsed inside one old component)
     val fresh = pi.select(col("i").as("node")).union(pi.select(col("j").as("node")))
       .distinct().join(a, Seq("node"), "left_anti")
     val freshAssigned = fresh.join(repLabels, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
-    updated.unionByName(freshAssigned)
+    (a, pi, repLabels, freshAssigned)
   }
 
   /** Persist a clustering as an ACID `(node, component)` table — the bulk
@@ -492,15 +523,20 @@ object DedupOps {
         case Some(_) => table.read()
         case None => spark.range(0).select(col("id").as("node"), col("id").as("component"))
       }
-      val merged = mergeComponents(assign, newPairs, checkpointDir = checkpointDir)
-      val changed = merged.join(assign, Seq("node", "component"), "left_anti")
+      // the blast radius directly (one corpus scan against the broadcast
+      // relabel map) — never merged-vs-assign, whose anti-join would
+      // shuffle the whole corpus-sized assignment on every fold
+      val changed = mergeComponentsDelta(assign, newPairs, checkpointDir = checkpointDir)
         .localCheckpoint()
-      val badLabel = changed.where(col("component") > col("node")).limit(1).collect()
-      require(badLabel.isEmpty,
+      // one control-plane job answers both gates: is the fold a no-op,
+      // and does any touched row break the min-node label convention
+      val gate = changed.agg(count(lit(1)),
+        coalesce(sum(when(col("component") > col("node"), 1L).otherwise(0L)), lit(0L))).head()
+      require(gate.getLong(1) == 0L,
         s"clustering index at $path violates the min-node label convention " +
-          s"(node ${badLabel.headOption.map(_.get(0)).orNull} got label above " +
-          "itself) — the table was not built by buildCcIndex/foldCcIndex")
-      if (changed.isEmpty) table.version.getOrElse(-1L)
+          "(a touched node got a label above itself) — the table was not " +
+          "built by buildCcIndex/foldCcIndex")
+      if (gate.getLong(0) == 0L) table.version.getOrElse(-1L)
       else if (table.version.isEmpty)
         // bootstrap from the first fold: range-clustered like the bulk
         // build, so the second fold already merges granularly

@@ -149,7 +149,12 @@ class TxLogTable(spark: SparkSession, path: String) {
       // an empty input still commits a schema-preserving empty dir, so the
       // snapshot stays readable (same rule as removeDirs' last-dir case)
       val dirs = if (names.nonEmpty) names else Seq(writeDataDir(df.limit(0)))
-      commit("append", base.map(readEntry(_).dirs).getOrElse(Nil) ++ dirs, base, txn)
+      val v = commit("append", base.map(readEntry(_).dirs).getOrElse(Nil) ++ dirs, base, txn)
+      // materialize the range column's stats sidecars NOW (the data is
+      // page-cache warm): they are the part of the index a granular merge
+      // plans against, so the first fold shouldn't pay a lazy corpus scan
+      dirColStats(rangeCol, dirs)
+      v
     }
   }
 
@@ -287,39 +292,33 @@ class TxLogTable(spark: SparkSession, path: String) {
     // updates feed both the key probe and the rewrite union — one pass
     val up = updates.persist()
     try {
-      val uk = up.select(col(rc).cast("long").as("__k")).distinct().persist()
-      try {
-        val hasNullKey = uk.filter(col("__k").isNull).limit(1).count() > 0
-        val ranged = dirs.flatMap(d => stats(d) match {
-          case DirColStats(_, _, Some(mn), Some(mx)) => Some((d, mn, mx))
-          case _ => None
-        })
-        // per-dir hit = SOME update key falls inside the dir's range — an
-        // exact containment probe (broadcast theta-join against the tiny
-        // range list), not an interval overlap with the updates' [min,
-        // max] envelope: a batch touching both ends of the key space must
-        // not drag every directory in between into the rewrite
-        val hitRanged: Set[String] =
-          if (ranged.isEmpty) Set.empty
-          else uk.join(
-              broadcast(spark.createDataFrame(ranged).toDF("__dir", "__mn", "__mx")),
-              col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-            .select("__dir").distinct().collect().map(_.getString(0)).toSet
-        // a null update key can match committed null-key rows anywhere a
-        // null hides; range stats ignore nulls, so null-holding dirs join
-        // the rewrite whenever the updates carry a null key
-        val hitNull: Set[String] =
-          if (hasNullKey) dirs.filter(d => stats(d).hasNull).toSet else Set.empty
-        val hit = hitRanged ++ hitNull
-        val (rewrite, carried) = dirs.partition(hit.contains)
-        val tagged =
-          if (rewrite.isEmpty) up.withColumn("__src", lit(1))
-          else spark.read.parquet(rewrite.map(d => root.resolve(d).toString): _*)
-            .withColumn("__src", lit(0))
-            .unionByName(up.withColumn("__src", lit(1)))
-        val dir = writeDataDir(dedupKeys(tagged, keys, orderCol))
-        commit("merge", carried :+ dir, Some(v))
-      } finally uk.unpersist()
+      // per-dir hit = SOME update key falls inside the dir's range — an
+      // exact containment probe (ONE broadcast theta-join against the
+      // tiny per-dir list), not an interval overlap with the updates'
+      // [min, max] envelope: a batch touching both ends of the key space
+      // must not drag every directory in between into the rewrite. A null
+      // update key can match committed null-key rows anywhere a null
+      // hides (range stats ignore nulls), so the same probe marks every
+      // null-holding dir hit when the updates carry a null key.
+      val probe = dirs.map { d =>
+        val s = stats(d)
+        (d, s.min.getOrElse(0L), s.max.getOrElse(0L), s.min.isDefined, s.hasNull)
+      }
+      val uk = up.select(col(rc).cast("long").as("__k")).distinct()
+      val hit: Set[String] = uk.join(
+          broadcast(spark.createDataFrame(probe)
+            .toDF("__dir", "__mn", "__mx", "__ranged", "__nullable")),
+          (col("__ranged") && col("__k") >= col("__mn") && col("__k") <= col("__mx")) ||
+            (col("__k").isNull && col("__nullable")))
+        .select("__dir").distinct().collect().map(_.getString(0)).toSet
+      val (rewrite, carried) = dirs.partition(hit.contains)
+      val tagged =
+        if (rewrite.isEmpty) up.withColumn("__src", lit(1))
+        else spark.read.parquet(rewrite.map(d => root.resolve(d).toString): _*)
+          .withColumn("__src", lit(0))
+          .unionByName(up.withColumn("__src", lit(1)))
+      val dir = writeDataDir(dedupKeys(tagged, keys, orderCol))
+      commit("merge", carried :+ dir, Some(v))
     } finally up.unpersist()
   }
 
