@@ -58,14 +58,31 @@ object InfluxShell {
   def process(cat: InfluxCatalog, stmt: String,
               creds: Option[(String, String)] = None): String =
     try {
-      // both paths run under the query registry and accept `;`-separated
-      // multi-statement input (last result prints, like influx's CLI);
-      // the render happens INSIDE the last statement's registry window, so
-      // SHOW QUERIES lists it and KILL QUERY can cancel it while its page
-      // streams out — and the driver only ever holds the page
-      creds match {
-        case Some((u, pw)) => cat.executeAsStreamed(u, pw, stmt)(render(_))
-        case None => cat.executeStreamed(stmt)(render(_))
+      // shell meta-commands first — the `influxd backup/restore` operator
+      // surface (not InfluxQL statements). With credentials they demand
+      // ADMIN, validated through the same auth store as every statement
+      // (a whole-database export/import is strictly stronger than any
+      // single grant).
+      val parts = stmt.trim.split("\\s+")
+      parts.headOption.map(_.toLowerCase) match {
+        case Some("backup") if parts.length == 3 =>
+          creds.foreach { case (u, p) => cat.authorize(u, p, s"CREATE DATABASE x") }
+          cat.exportDatabase(parts(1), parts(2))
+          s"backed up database ${parts(1)} to ${parts(2)}"
+        case Some("restore") if parts.length == 2 =>
+          creds.foreach { case (u, p) => cat.authorize(u, p, s"CREATE DATABASE x") }
+          val db = cat.importDatabase(parts(1))
+          s"restored database $db"
+        case _ =>
+          // both paths run under the query registry and accept `;`-separated
+          // multi-statement input (last result prints, like influx's CLI);
+          // the render happens INSIDE the last statement's registry window, so
+          // SHOW QUERIES lists it and KILL QUERY can cancel it while its page
+          // streams out — and the driver only ever holds the page
+          creds match {
+            case Some((u, pw)) => cat.executeAsStreamed(u, pw, stmt)(render(_))
+            case None => cat.executeStreamed(stmt)(render(_))
+          }
       }
     } catch {
       case e: Exception =>

@@ -74,6 +74,32 @@ class InfluxShellSpec extends SparkSuite {
     assert(strSemi.endsWith("(1 row)"), strSemi)
   }
 
+  test("backup/restore meta-commands: round-trip, admin-gated under credentials") {
+    val root = java.nio.file.Files.createTempDirectory("shell_bak").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.writePoints("db", Seq(("a", "temp", 10L, 1.5), ("b", "temp", 20L, 2.5))
+      .toDF("device", "transducer", "ts_us", "value"))
+    val bak = java.nio.file.Files.createTempDirectory("shell_bakset").toString + "/set"
+    assert(InfluxShell.process(cat, s"backup db $bak").startsWith("backed up"))
+    // restore into a fresh root through a second shell
+    val root2 = java.nio.file.Files.createTempDirectory("shell_bak2").toString
+    val cat2 = new graft.influxql.InfluxCatalog(spark, root2, defaultDb = "db")
+    assert(InfluxShell.process(cat2, s"restore $bak") == "restored database db")
+    assert(InfluxShell.process(cat2, "SELECT sum(value) FROM temp").contains("4.0"))
+    // restoring over the live db is a contained ERR, not a crash
+    assert(InfluxShell.process(cat2, s"restore $bak").startsWith("ERR:"))
+    // under credentials both demand ADMIN (a whole-db export outranks READ)
+    cat.run("CREATE USER reader WITH PASSWORD 'pw'")
+    cat.run("GRANT READ ON db TO reader")
+    val deny = InfluxShell.process(cat, s"backup db ${bak}2",
+      creds = Some(("reader", "pw")))
+    assert(deny.startsWith("ERR:") && deny.toLowerCase.contains("admin"), deny)
+    cat.run("CREATE USER boss WITH PASSWORD 'bpw' WITH ALL PRIVILEGES")
+    assert(InfluxShell.process(cat, s"backup db ${bak}2",
+      creds = Some(("boss", "bpw"))).startsWith("backed up"))
+  }
+
   test("render consumes at most cap+1 rows — a big result never buffers on the driver") {
     val acc = spark.sparkContext.longAccumulator("render_consumed")
     val big = spark.range(0, 100000, 1, 8).map { x => acc.add(1); x }.toDF("v")
