@@ -118,6 +118,7 @@ object ScaleBench {
     val slice03 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf0.3")
     val slice1 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR1", "/tmp/graft_sf1")
     val slice3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR3", "/tmp/graft_sf3")
+    val slice10 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR10", "/tmp/graft_sf10")
     // SPARK_GRAFT_SCALE_ONLY=q_a,q_b trims the measured set — the targeted
     // sf3 drill for a drifting exponent shouldn't re-run all 8 heavies
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -126,10 +127,15 @@ object ScaleBench {
     if (maxSf >= 0.3) genSlice(spark, s"$tdRoot/sf0.1", slice03)
     if (maxSf >= 1.0) genSlice(spark, s"$tdRoot/sf0.1", slice1, replicas = 10)
     if (maxSf >= 3.0) genSlice(spark, s"$tdRoot/sf0.1", slice3, replicas = 30)
+    // sf10 (100 replicas — the transform family stays distinct through
+    // 125) is the targeted-drill point at the edge of the 128 GiB box:
+    // run it with SPARK_GRAFT_SCALE_ONLY trimmed to the query in question
+    if (maxSf >= 10.0) genSlice(spark, s"$tdRoot/sf0.1", slice10, replicas = 100)
 
     val sfs: Seq[(Double, String)] = Seq(
       0.001 -> s"$tdRoot/sf0.001", 0.01 -> s"$tdRoot/sf0.01",
-      0.1 -> s"$tdRoot/sf0.1", 0.3 -> slice03, 1.0 -> slice1, 3.0 -> slice3)
+      0.1 -> s"$tdRoot/sf0.1", 0.3 -> slice03, 1.0 -> slice1, 3.0 -> slice3,
+      10.0 -> slice10)
       .filter(_._1 <= maxSf)
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val selected = SparkEntry.queries.filter { case (n, _) =>
@@ -227,7 +233,100 @@ object ScaleBench {
             None
         }
       }.toMap
-    val times = heavyTimes ++ foldTimes
+    // CQ fill-frontier scaling: fold a FIXED head batch into a CQ target
+    // of GROWING committed history — the fillScaffold claim is that
+    // per-batch cost tracks the frontier (stats sidecars + one carry
+    // bucket + the open gaps), never the history. History bootstraps
+    // directly in the steady-state layout a long-lived CQ produces
+    // (range-clustered on time, ~200 buckets per directory — what
+    // per-micro-batch head merges accumulate); the measured batch then
+    // rides the REAL streaming path (startContinuousQuery → fillScaffold
+    // → granular MERGE). Recorded per SF: min wall time over `passes`
+    // measured batches plus task-metric rows READ and committed rows
+    // WRITTEN for the last batch — the judge reads both for flatness.
+    val cqInfo = scala.collection.mutable.LinkedHashMap[Double, (Long, Long)]()
+    val cqTimes: Map[(String, Double), Double] = sfs.filter(_._1 >= 0.1)
+      .filter(_ => wanted("cq_fill_fixed_batch"))
+      .flatMap { case (sf, _) =>
+        try {
+          implicit val sq = spark.sqlContext
+          import spark.implicits._
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+          val h = math.max(2000, (sf / 0.1 * 2000).toInt) // history buckets
+          val step = 600000000L // 10m in µs
+          val base = 1704067200000000L // 2024-01-01
+          val root = Files.createTempDirectory("cqscale").toString
+          val tgt = new graft.storage.TxLogTable(spark, s"$root/db/tgt")
+          val hist = spark.range(h.toLong).select(
+              (lit(base) + col("id") * step).as("time"),
+              explode(array(lit("d1"), lit("d2"))).as("device"))
+            .withColumn("m", col("time").cast("double") / 1e9)
+          tgt.appendClustered(hist, "time", nDirs = math.max(10, h / 200))
+          val in = MemoryStream[(String, String, Long, Double)]
+          val points = in.toDF().toDF("device", "transducer", "ts_us", "value")
+            .withColumn("ts", timestamp_micros(col("ts_us")))
+          val q = graft.influxql.InfluxQL.startContinuousQuery(points,
+            """CREATE CONTINUOUS QUERY cqs ON db BEGIN
+              |SELECT mean(value) AS m INTO tgt FROM temp
+              |GROUP BY time(10m), device FILL(previous) END""".stripMargin,
+            root, checkpoint = s"$root/cp", lateness = "1 minute",
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          val rowsRead = new java.util.concurrent.atomic.AtomicLong
+          val l = new SparkListener {
+            override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+              if (te.taskMetrics != null)
+                rowsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+          }
+          def settled(): Long = { // the listener bus is async
+            var last = -1L; var still = 0
+            val deadline = System.nanoTime() + 10000000000L
+            while (still < 3 && System.nanoTime() < deadline) {
+              Thread.sleep(50)
+              val c = rowsRead.get()
+              if (c == last) still += 1 else { still = 0; last = c }
+            }
+            rowsRead.get()
+          }
+          spark.sparkContext.addSparkListener(l)
+          val cells = try {
+            (0 until (passes + 2)).map { i =>
+              val t0i = base + (h + i) * step
+              val before = settled()
+              val dirsBefore = tgt.dirPaths(tgt.version.get).toSet
+              val w0 = System.nanoTime()
+              // d2 skips every other batch so fill(previous)'s carry path
+              // stays exercised, not just the dense continuation
+              if (i % 2 == 0)
+                in.addData(("d1", "temp", t0i, i.toDouble),
+                  ("d2", "temp", t0i + 1000000L, i * 2.0))
+              else in.addData(("d1", "temp", t0i, i.toDouble))
+              q.processAllAvailable()
+              val dt = (System.nanoTime() - w0) / 1e9
+              val read = settled() - before
+              val newDirs = tgt.dirPaths(tgt.version.get).filterNot(dirsBefore)
+              val written =
+                if (newDirs.isEmpty) 0L
+                else spark.read.parquet(newDirs: _*).count()
+              (dt, read, written)
+            }
+          } finally {
+            q.stop()
+            spark.sparkContext.removeSparkListener(l)
+          }
+          rmTree(root)
+          val measured = cells.drop(2) // warmup: JIT + the bootstrap seam
+          cqInfo(sf) = (measured.last._2, measured.last._3)
+          Some(("cq_fill_fixed_batch", sf) -> measured.map(_._1).min)
+        } catch {
+          case e: Throwable =>
+            errors(s"cq_fill_fixed_batch@$sf") = Option(e.getMessage)
+              .getOrElse(e.getClass.getName).linesIterator.next().take(200)
+            None
+        }
+      }.toMap
+
+    val times = heavyTimes ++ foldTimes ++ cqTimes
 
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val perQuery = (Heavies :+ "cc_fold_fixed_batch").flatMap { n =>

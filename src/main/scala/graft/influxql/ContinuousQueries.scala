@@ -40,6 +40,33 @@ object ContinuousQueries {
   def show(spark: SparkSession, root: String): DataFrame =
     defs(spark, root).select("db", "name", "query").orderBy("db", "name")
 
+  /** INTO target of one registered CQ definition (its stored DDL text).
+    * Registered defs always parse (CREATE validated them), but a row
+    * hand-edited into the registry degrades to None rather than wedging
+    * every write that consults the target set.
+    */
+  private[influxql] def targetOf(ddl: String): Option[String] =
+    try {
+      val p = new P(tokenize(ddl))
+      while (!p.done && !p.kw("BEGIN")) p.next()
+      if (p.done) None else InfluxQL.parseQuery(p).into.filter(_ != ":MEASUREMENT")
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The registered CQ target measurements of `db` — the tables the
+    * sole-writer contract reserves for their CQs. The fill frontier's
+    * dense-grid invariant (every (series, bucket) cell of the committed
+    * range present — what seeds LOCF carries and linear's donor runs)
+    * only holds while the CQ is its target's sole content writer, so the
+    * write faces consult this set and REFUSE external appends into it.
+    * Control-plane sized: one bounded registry read, no data scan.
+    */
+  def cqTargets(spark: SparkSession, root: String, db: String): Set[String] = {
+    import spark.implicits._
+    defs(spark, root).filter(col("db") === db)
+      .select("query").as[String].collect()
+      .flatMap(targetOf).toSet
+  }
+
   /** Parse + execute one CQ management statement; every form returns the
     * refreshed SHOW CONTINUOUS QUERIES surface.
     */
@@ -80,11 +107,32 @@ object ContinuousQueries {
     if (q.into.contains(":MEASUREMENT"))
       p.fail("continuous queries need a named INTO target, not :MEASUREMENT")
     if (q.groupTimeUs.isEmpty) p.fail("continuous query needs GROUP BY time(d)")
+    // top()/bottom() return original POINTS, not bucket aggregates — the
+    // streaming MERGE sink is keyed on (bucket time, tags), which a
+    // point-shaped result cannot ride; loud at CREATE, never at restart
+    if (q.fields.exists(_.calls.exists(f => InfluxQL.TopBottomFuncs.contains(f.func))))
+      p.fail("continuous queries aggregate buckets — top()/bottom() return " +
+        "original points; run them as batch SELECT ... INTO instead")
     // every fill mode densifies at emission (linear retroactively,
     // through the keyed MERGE) — nothing left to reject here
     InfluxQL.validateResample(p, rs, q)
     if (exists) throw new IllegalArgumentException(
       s"InfluxQL: continuous query already exists: $name on $db")
+    // sole-writer contract, enforced at DDL time (a CQ that could never
+    // hold its fill invariant must fail at CREATE): the raw points table
+    // belongs to the write faces — a CQ merging into it would both break
+    // its own dense-grid frontier under every external write AND flip the
+    // table merge-maintained, refusing the ingest path's appends; and a
+    // SECOND CQ on the same target is just another external writer from
+    // the first one's point of view
+    val target = q.into.get
+    if (target == "points")
+      p.fail("a continuous query cannot target the raw 'points' measurement" +
+        " — the write faces own it and would break the CQ's fill invariant")
+    if (cqTargets(spark, root, db).contains(target))
+      throw new IllegalArgumentException(
+        s"InfluxQL: continuous query target $target on $db already belongs " +
+          "to another continuous query (CQ targets have exactly one writer)")
     table(spark, root).append(
       Seq((db, name, text.trim)).toDF("db", "name", "query"))
     show(spark, root)

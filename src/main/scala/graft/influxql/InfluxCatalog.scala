@@ -242,7 +242,16 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
           "to accept the restore")
     require(!Files.exists(Paths.get(s"$rootDir/$db")),
       s"stray tree at $rootDir/$db shadows the restore; delete it first")
-    // verify EVERYTHING before ANY byte lands
+    // verify EVERYTHING before ANY byte lands. The manifest is untrusted
+    // input: a tampered table name like `../../x` would otherwise splice
+    // directly into filesystem paths and restore a table OUTSIDE the
+    // database directory (and outside rootDir) — reject any name that is
+    // not a single plain path segment before touching anything.
+    (tables.map(_._1) ++ ctrl.map(_._1)).foreach { n =>
+      require(n.nonEmpty && n != "." && n != ".." &&
+        !n.exists(c => c == '/' || c == '\\' || c < ' '),
+        s"backup manifest carries unsafe table name '$n'")
+    }
     tables.foreach { case (n, v) =>
       val (ver, _, _) = TxLogTable.verifySnapshotFiles(s"$srcDir/tables/$n")
       require(ver == v,
@@ -275,11 +284,31 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     db
   }
 
+  /** Refuse a write into a table a continuous query owns: the CQ fill's
+    * dense-grid frontier (LOCF carry-bucket seeds, linear's donor-run
+    * contiguity) is only valid while the CQ is its target's SOLE content
+    * writer — an external append would silently mis-seed every later
+    * fill. Loud 4xx-style error, InfluxDB's partial-write idiom. One
+    * bounded control-plane registry read (same cost shape as the
+    * field-type registry this face already consults per write).
+    */
+  private def refuseCqTarget(db: String, table: String): Unit =
+    if (ContinuousQueries.cqTargets(spark, rootDir, db).contains(table))
+      throw new IllegalArgumentException(
+        s"InfluxQL: measurement $table on $db is a continuous query target " +
+          "and accepts writes only from its CQ; write to the CQ's source " +
+          "measurement instead")
+
   /** Append points into the db's table. The db must exist — InfluxDB
     * rejects writes to unknown databases rather than auto-creating them.
     */
   def writePoints(db: String, df: DataFrame): Long = {
     requireDb(db)
+    // CREATE CONTINUOUS QUERY refuses `INTO points`, so this face is
+    // normally clear — the consult is defense in depth against a registry
+    // predating that rule (or hand-edited), where an append here would
+    // silently break the CQ's fill invariant
+    refuseCqTarget(db, "points")
     pointsTable(db).append(df)
   }
 
@@ -378,14 +407,17 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * in-memory monitors; this engine answers exactly from the tables),
     * plus `sub_dropped`, the subscription fan-out's cap gauge for the db
     * (InfluxDB's subscriber drop stats; at-least-once under batch
-    * retries, see [[Subscriptions.droppedRows]]).
+    * retries, see [[Subscriptions.droppedRows]]), and `udp_dropped`, the
+    * UDP input service's best-effort shed gauge
+    * ([[UdpWriteListener.droppedFor]]).
     */
   def showStats(): DataFrame = {
     import spark.implicits._
     val rows = databaseNames().map { db =>
       val dropped = Subscriptions.droppedFor(rootDir, db)
+      val udpDropped = UdpWriteListener.droppedFor(rootDir, db)
       val t = pointsTable(db)
-      if (t.version.isEmpty) (db, 0L, 0L, 0L, 0L, dropped)
+      if (t.version.isEmpty) (db, 0L, 0L, 0L, 0L, dropped, udpDropped)
       else {
         val pts = t.read()
         val tagCols = InfluxQL.tagColumns(pts)
@@ -396,11 +428,11 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
           countDistinct(seriesKey),
           count(lit(1))).head
         (db, s.getLong(0), s.getLong(1), s.getLong(2),
-          t.dirPaths(t.version.get).size.toLong, dropped)
+          t.dirPaths(t.version.get).size.toLong, dropped, udpDropped)
       }
     }
     rows.toDF("database", "measurements", "series", "points", "shards",
-      "sub_dropped")
+      "sub_dropped", "udp_dropped")
   }
 
   /** SHOW DIAGNOSTICS: build/runtime facts as (name, value) rows. */
@@ -427,6 +459,10 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
   def writeLineProtocol(db: String, lines: Dataset[String],
                         tsUnitNs: Long = 1L): LpWriteResult = {
     requireDb(db)
+    // same defense-in-depth consult as writePoints: this face appends to
+    // the raw points table, which a (legacy/hand-edited) CQ registration
+    // could claim — the sole-writer contract refuses before any byte lands
+    refuseCqTarget(db, "points")
     val serverTsUs = System.currentTimeMillis() * 1000L
     // field-type enforcement (InfluxDB 1.x: a field's type is fixed at its
     // first write per measurement and a conflicting later write is a
@@ -576,7 +612,8 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
         val db = q.fromDb.getOrElse(defaultDb)
         requireDb(db)
         q.fromRp.foreach(requireRp(db, _))
-        InfluxQL.runInto(points(db), stripQualifier(t, q), s"$rootDir/$db")
+        InfluxQL.runInto(points(db), stripQualifier(t, q), s"$rootDir/$db",
+          refuseTarget = refuseCqTarget(db, _))
           .toDF("target", "version")
       } else select(t)
     }

@@ -125,7 +125,8 @@ object InfluxQL {
   final case class Field(func: String, arg: String, pct: Option[Double],
                          transform: Option[String] = None,
                          targ: Option[Long] = None,
-                         seasonal: Option[Long] = None) {
+                         seasonal: Option[Long] = None,
+                         tagKeys: Seq[String] = Nil) {
     def defaultName: String = transform.getOrElse(func)
   }
 
@@ -717,14 +718,26 @@ object InfluxQL {
       return Field("integral", arg, Some(unit.toDouble))
     }
     val arg = p.ident()
-    val pct = if (p.sym(",")) Some(p.num()) else None
+    // top/bottom take InfluxDB 1.8's per-tag middle arguments too:
+    // top(field, tag_key [, tag_key ...], N) — the N extreme points
+    // across distinct tag(-combination) values, at most one per value
+    val tagKeys = Seq.newBuilder[String]
+    var pct: Option[Double] = None
+    while (p.sym(",")) p.peek match {
+      case Some(TIdent(_)) | Some(TStr(_, _)) if TopBottomFuncs.contains(fn) =>
+        if (pct.nonEmpty) p.fail(s"$fn: N must be the last argument")
+        tagKeys += p.ident()
+      case _ =>
+        if (pct.nonEmpty) p.fail(s"$fn() takes at most one N")
+        pct = Some(p.num())
+    }
     p.expectSym(")")
     val needsN = fn == "percentile" || TopBottomFuncs.contains(fn)
     if (needsN && pct.isEmpty) p.fail(s"$fn(field, N) needs N")
     if (!needsN && pct.nonEmpty) p.fail(s"$fn() takes one argument")
     if (TopBottomFuncs.contains(fn) && pct.exists(n => n < 1 || n != math.floor(n)))
       p.fail(s"$fn N must be a positive integer")
-    Field(fn, arg, pct)
+    Field(fn, arg, pct, tagKeys = tagKeys.result())
   }
 
   /** Boolean condition grammar, standard precedence (AND binds tighter):
@@ -889,9 +902,13 @@ object InfluxQL {
       if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
         throw new IllegalArgumentException(
           "InfluxQL: top()/bottom() must be the only SELECT field — it returns points, not a value")
-      if (q.groupTimeUs.nonEmpty)
+      // GROUP BY time(d) IS legal (InfluxDB 1.8): the N extremes pick per
+      // bucket and rows keep their original point timestamps, so fill()
+      // has no bucket rows to densify — reject an explicit fill loudly
+      // rather than silently ignoring it
+      if (q.groupTimeUs.nonEmpty && q.fillExplicit)
         throw new IllegalArgumentException(
-          "InfluxQL: top()/bottom() does not combine with GROUP BY time()")
+          "InfluxQL: top()/bottom() returns original points — fill() does not apply")
     }
     if (q.fields.exists(_.calls.exists(_.transform.exists(_.startsWith("holt_winters")))) &&
         (q.fields.size > 1 || q.fields.head.bareCall.isEmpty))
@@ -1015,12 +1032,18 @@ object InfluxQL {
     * names, a control-plane-bounded set, with the planned result persisted
     * once.
     */
-  def runInto(points: DataFrame, text: String, root: String): Seq[(String, Long)] = {
+  def runInto(points: DataFrame, text: String, root: String,
+              refuseTarget: String => Unit = _ => ()): Seq[(String, Long)] = {
     val q = parse(text)
     val target = q.into.getOrElse(throw new IllegalArgumentException(
       "InfluxQL: runInto needs a SELECT ... INTO statement"))
-    def table(name: String) =
+    def table(name: String) = {
+      // the catalog's guard: a name reserved by a continuous query refuses
+      // BEFORE any append — an external INTO would break the CQ fill's
+      // dense-grid sole-writer invariant
+      refuseTarget(name)
       new graft.storage.TxLogTable(points.sparkSession, s"$root/$name")
+    }
     if (target != ":MEASUREMENT")
       return Seq(target -> table(target).append(planResolved(points, q)))
     if (!q.fromRegex)
@@ -1029,6 +1052,10 @@ object InfluxQL {
     try {
       val names = res.select("measurement").distinct()
         .collect().map(_.getString(0)).sorted
+      // refuse EVERY backreference target before appending ANY (the
+      // multi-statement pre-authorize discipline): a refusal on name N
+      // must not leave targets 0..N-1 committed behind a failed statement
+      names.foreach(refuseTarget)
       names.toSeq.map { m =>
         m -> table(m).append(res.filter(col("measurement") === m).drop("measurement"))
       }
@@ -1260,7 +1287,8 @@ object InfluxQL {
       case _ => Nil
     }
     val referenced =
-      qs.fields.flatMap(it => it.refs ++ it.calls.map(_.arg)) ++
+      qs.fields.flatMap(it => it.refs ++ it.calls.map(_.arg) ++
+        it.calls.flatMap(_.tagKeys)) ++
         qs.conds.flatMap(condNames) ++ qs.groupTags
     referenced.distinct.filterNot(known.contains) match {
       case Nil => ()
@@ -1915,6 +1943,9 @@ object InfluxQL {
     if (target == ":MEASUREMENT")
       p.fail("continuous queries need a named INTO target, not :MEASUREMENT " +
         "(the streaming MERGE commits to one table)")
+    if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
+      p.fail("continuous queries aggregate buckets — top()/bottom() return " +
+        "original points; run them as batch SELECT ... INTO instead")
     // FOR overrides the default watermark delay; EVERY overrides the
     // trigger — except an AvailableNow drain (--once maintenance runs
     // process the backlog regardless of the CQ's schedule)
@@ -2384,10 +2415,22 @@ object InfluxQL {
 
   /** top/bottom return the N extreme POINTS with their own event times —
     * globally a sort+limit (TakeOrderedAndProject: per-partition heap +
-    * driver merge, never a full sort); per tag group a rank window, which
-    * Spark's WindowGroupLimit prunes to N rows per group before the
-    * exchange. Ties pin on (value, time); two rows tying on BOTH are
-    * identical in every output column, so any pick yields the same result.
+    * driver merge, never a full sort); per tag group / per time bucket a
+    * rank window, which Spark's WindowGroupLimit prunes to N rows per
+    * group before the exchange. Ties pin on (value, time, tag keys); for
+    * the plain form two rows tying on (value, time) are identical in
+    * every output column, so any pick yields the same result.
+    *
+    * The InfluxDB 1.8 extensions:
+    *   - `top(field, tag_key [, tag_key...], N)`: each distinct tag(-combo)
+    *     value contributes at most ONE point — its own extreme (a rank-1
+    *     window per tag value, WindowGroupLimit-pruned to one row per
+    *     group before the exchange) — and the N winners are picked among
+    *     those champions, whose row count is bounded by tag cardinality.
+    *   - `GROUP BY time(d)`: the bucket start joins the partition keys, so
+    *     the N extremes pick PER BUCKET — but rows keep their ORIGINAL
+    *     point timestamps (top/bottom are the selectors InfluxDB does not
+    *     collapse to the bucket start), so no fill/densify applies.
     */
   private def planTopBottom(df: DataFrame, q: Query): DataFrame = {
     val it = q.fields.head
@@ -2396,12 +2439,32 @@ object InfluxQL {
     val sortCols =
       if (f.func == "top") Seq(col(f.arg).desc, col("ts_us").asc)
       else Seq(col(f.arg).asc, col("ts_us").asc)
-    val out = (col("ts_us").as("time") +: q.groupTags.map(col)) :+ col(f.arg).as(it.outName)
-    val picked =
-      if (q.groupTags.isEmpty) df.orderBy(sortCols: _*).limit(n).select(out: _*)
+    val withBk = q.groupTimeUs match {
+      case Some(step) => df.withColumn("__bk",
+        col("ts_us") - pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step)))
+      case None => df
+    }
+    val bkCols = if (q.groupTimeUs.isDefined) Seq("__bk") else Nil
+    val champions =
+      if (f.tagKeys.isEmpty) withBk
       else {
-        val w = Window.partitionBy(q.groupTags.map(col): _*).orderBy(sortCols: _*)
-        df.withColumn("__rk", row_number().over(w))
+        val wc = Window
+          .partitionBy((q.groupTags ++ bkCols ++ f.tagKeys).map(col): _*)
+          .orderBy(sortCols: _*)
+        withBk.withColumn("__ck", row_number().over(wc))
+          .filter(col("__ck") === 1).drop("__ck")
+      }
+    // champions from different tag values can tie on (value, time): the
+    // tag keys are the deterministic last resort
+    val finalSort = sortCols ++ f.tagKeys.map(col(_).asc)
+    val out = (col("ts_us").as("time") +: (q.groupTags ++ f.tagKeys).map(col)) :+
+      col(f.arg).as(it.outName)
+    val partKeys = q.groupTags ++ bkCols
+    val picked =
+      if (partKeys.isEmpty) champions.orderBy(finalSort: _*).limit(n).select(out: _*)
+      else {
+        val w = Window.partitionBy(partKeys.map(col): _*).orderBy(finalSort: _*)
+        champions.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= n).select(out: _*)
       }
     applyRowRange(applySeriesLimit(picked, q), q)

@@ -112,8 +112,16 @@ object ClassifierOps {
     // MERGE keyed on the bucket id, not append: a RETRAIN replaces the
     // model. An appended second build would duplicate bk rows, and the
     // probe's broadcast join would then silently double every score.
+    // The merged frame is DENSE over [0, buckets] (bias included): a
+    // sparse upsert would keep a PREVIOUS model's weights alive for any
+    // bucket the retrain corpus happens not to touch — the retrain means
+    // zero weight there, and scoreLinearQ's inner join would silently
+    // apply the stale one. buckets+1 rows, driver-side trivial.
+    val dense = docs.sparkSession.range(buckets + 1L).toDF("bk")
+      .join(w, Seq("bk"), "left")
+      .select(col("bk"), coalesce(col("w_q"), lit(0L)).as("w_q"))
     new graft.storage.TxLogTable(docs.sparkSession, s"$path/weights")
-      .merge(w, Seq("bk"))
+      .merge(dense, Seq("bk"))
     ()
   }
 

@@ -105,6 +105,27 @@ object InfluxQLQueries {
           |GROUP BY device""".stripMargin)
     }),
 
+    // the three-arg per-tag form (InfluxDB 1.8): the 5 greatest points
+    // across DISTINCT device values, at most one per device — a rank-1
+    // champion window per tag value (WindowGroupLimit prunes to one row
+    // per device before the exchange), then a top-5 over the champions,
+    // whose row count is bounded by tag cardinality (50 devices)
+    "q_influxql_topn_tag" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT top(value, device, 5) FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'""".stripMargin)
+    }),
+
+    // top/bottom under GROUP BY time(d): the 2 smallest points per
+    // (device, day) bucket, each keeping its ORIGINAL point timestamp
+    // (InfluxDB 1.8 — top/bottom never collapse to the bucket start)
+    "q_influxql_topn_bucketed" -> ((s, dir) => {
+      InfluxQL.run(points(s, dir),
+        """SELECT bottom(value, 2) FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d), device""".stripMargin)
+    }),
+
     // boolean WHERE trees: OR with parentheses (AND binds tighter) plus a
     // numeric field predicate beside the top-level time bounds — the bounds
     // stay top-level conjuncts, so scan pushdown and the fill skeleton are
@@ -650,6 +671,28 @@ object InfluxQLQueries {
          |    row_number() OVER (PARTITION BY device ORDER BY value DESC, ts_us ASC) AS rk
          |  FROM f)
          |SELECT time, device, value AS top FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_influxql_topn_tag" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |c AS (SELECT device, ts_us, value,
+         |    row_number() OVER (PARTITION BY device ORDER BY value DESC, ts_us ASC) AS ck
+         |  FROM f),
+         |r AS (SELECT ts_us AS time, device, value,
+         |    row_number() OVER (ORDER BY value DESC, ts_us ASC, device ASC) AS rk
+         |  FROM c WHERE ck = 1)
+         |SELECT time, device, value AS top FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_influxql_topn_bucketed" ->
+      s"""WITH $ptsSql,
+         |f AS (SELECT device, ts_us, value FROM pts WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |r AS (SELECT ts_us AS time, device, value,
+         |    row_number() OVER (PARTITION BY device, ts_us - ts_us % 86400000000
+         |                       ORDER BY value ASC, ts_us ASC) AS rk
+         |  FROM f)
+         |SELECT time, device, value AS bottom FROM r WHERE rk <= 2""".stripMargin,
 
     "q_influxql_math" ->
       s"""WITH $ptsSql,

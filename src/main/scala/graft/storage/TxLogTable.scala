@@ -76,6 +76,19 @@ class TxLogTable(spark: SparkSession, path: String) {
     * the same commit file as the data it fences.
     */
   def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    // a range-clustered merge-maintained table REFUSES plain appends: the
+    // granular merge's correctness rests on the committed snapshot being
+    // key-unique, and an append between granular merges can smear a
+    // duplicate key across two carried directories where it survives
+    // every later merge silently. The evolution paths for such tables are
+    // overwrite()/appendClustered()/merge() — all of which keep (or reset)
+    // the invariant.
+    clusteredOn.foreach { rc =>
+      throw new IllegalStateException(
+        s"$path is range-clustered on '$rc' and merge-maintained: plain " +
+          "append() would break the key-uniqueness invariant granular " +
+          "merges depend on; use merge(), appendClustered() or overwrite()")
+    }
     val base = version
     val fenced = txn.exists { case (appId, seq) => txnHighWatermark(appId).exists(_ >= seq) }
     if (fenced)
@@ -114,6 +127,8 @@ class TxLogTable(spark: SparkSession, path: String) {
   def appendClustered(df: DataFrame, rangeCol: String, nDirs: Int,
                       txn: Option[(String, Long)] = None): Long = {
     require(nDirs > 0, "nDirs must be positive")
+    requireRangeCastable(df, rangeCol, "appendClustered")
+    markClustered(rangeCol)
     val base = version
     val fenced = txn.exists { case (appId, seq) => txnHighWatermark(appId).exists(_ >= seq) }
     if (fenced)
@@ -271,6 +286,11 @@ class TxLogTable(spark: SparkSession, path: String) {
         require(keys.contains(rc),
           s"rangeCol $rc must be one of the merge keys ${keys.mkString(",")} — " +
             "pruning on a non-key column could carry directories holding matching keys")
+        requireRangeCastable(updates, rc, "merge")
+        // a granular merge declares the table merge-maintained: from here
+        // on plain append() refuses (see [[append]]) so the key-uniqueness
+        // precondition the carry classification depends on stays enforced
+        markClustered(rc)
         mergeGranular(updates, keys, orderCol, rc, base.get)
       case _ =>
         val merged = base match {
@@ -585,10 +605,13 @@ class TxLogTable(spark: SparkSession, path: String) {
         (rel, Files.size(f))
       }
     }
+    // the clustered marker travels with the snapshot: a restored
+    // merge-maintained table must keep refusing plain appends
+    val clusterPart = clusteredOn.map(rc => s""","cluster":"$rc"""").getOrElse("")
     val manifest =
       s"""{"version":$ver,"op":"${e.op}",""" +
         s""""dirs":[${e.dirs.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""files":[${files.map { case (p, sz) => s"""["$p",$sz]""" }.mkString(",")}]}"""
+        s""""files":[${files.map { case (p, sz) => s"""["$p",$sz]""" }.mkString(",")}]$clusterPart}"""
     Files.write(dest.resolve("manifest.json"), manifest.getBytes("UTF-8"))
     ver
   }
@@ -627,12 +650,72 @@ class TxLogTable(spark: SparkSession, path: String) {
       }
     }
     Files.createDirectories(logDir)
+    // restore the clustered marker BEFORE the commit lands: a reader that
+    // sees the restored version must already see the append refusal
+    """"cluster":"([^"]+)"""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(src.resolve("manifest.json")), "UTF-8"))
+      .foreach(m => markClustered(m.group(1)))
     writeCommitFile(logDir, ver, renderEntry(LogEntry(ver, "restore", dirs, None)))
     ver
   }
 
   private def currentDirs(): Seq[String] =
     version.map(readEntry(_).dirs).getOrElse(Nil)
+
+  // ---- range-clustered / merge-maintained marker -------------------------
+  //
+  // Once a table is written via appendClustered or maintained via a
+  // granular merge(rangeCol), the commit log carries a durable marker and
+  // plain append() refuses forever after — the granular merge's carry
+  // classification is only correct over a key-unique snapshot, and the
+  // engine's own writers maintain that invariant exclusively through
+  // merge/appendClustered/overwrite. The marker is a one-shot hard-linked
+  // file (same no-replace primitive as commits), so racing writers agree.
+
+  private def clusterMarker: Path = logDir.resolve("_clustered.json")
+
+  /** The range column this table is clustered and merge-maintained on, if
+    * it has ever been written via [[appendClustered]] or granularly merged.
+    */
+  def clusteredOn: Option[String] =
+    if (!Files.isRegularFile(clusterMarker)) None
+    else """"rangeCol":"([^"]+)"""".r.findFirstMatchIn(
+      new String(Files.readAllBytes(clusterMarker), "UTF-8")).map(_.group(1))
+
+  private def markClustered(rc: String): Unit = {
+    require(!rc.exists(c => c == '"' || c == '\\'),
+      s"range column name $rc cannot ride the marker")
+    if (clusteredOn.isDefined) return
+    Files.createDirectories(logDir)
+    val tmp = logDir.resolve(s".tmp-cl-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, s"""{"rangeCol":"$rc"}""".getBytes("UTF-8"))
+    try Files.createLink(clusterMarker, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Fail fast when the range column cannot ride the long-cast probes:
+    * for e.g. a string key, cast("long") yields null in BOTH the per-dir
+    * stats (min/max → None with hasNull=false) and the update-key probe —
+    * NO directory ever classifies hit, committed rows sharing an update
+    * key are carried, and the update appends a silent duplicate. The
+    * scaladoc precondition becomes a hard gate here instead.
+    */
+  private def requireRangeCastable(df: DataFrame, rc: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val f = df.schema.fields.find(_.name == rc).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: no column '$rc' in ${df.schema.simpleString}"))
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op: range column '$rc' has type ${other.simpleString}, which is " +
+          "not losslessly long-castable — directory range stats and the " +
+          "update-key probe would cast it to null, classify no directory " +
+          "as hit, and silently duplicate keys instead of merging them")
+    }
+  }
 
   private def readEntry(v: Long): LogEntry =
     parseEntry(new String(Files.readAllBytes(logDir.resolve(s"$v.json")), "UTF-8"))

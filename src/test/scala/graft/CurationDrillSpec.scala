@@ -218,4 +218,105 @@ class CurationDrillSpec extends SparkSuite {
     info(f"[curation-drill] bulk_rows=$bulkN wall_s=$bulkWall%.2f rows_per_s=$bulkRate%.0f")
     println(f"[curation-drill] bulk_rows=$bulkN wall_s=$bulkWall%.2f rows_per_s=$bulkRate%.0f")
   }
+
+  test("curated media drill: decode gate -> phash probe -> dedup gate -> fenced fold, replay byte-identical") {
+    import graft.operators.MultimodalOps
+    val root = java.nio.file.Files.createTempDirectory("media_drill").toString
+    // the reference image corpus is decoded + pHashed ONCE; batches only
+    // ever probe it (the 100 TB property: codec + DCT cost per image EVER)
+    MultimodalOps.buildPhashIndex(
+      spark.createDataset(Seq(1L, 2L, 3L))
+        .map(id => MultimodalOps.MediaRow(id, MultimodalOps.synthImage(id), "image")),
+      s"$root/phash")
+    val curated = new TxLogTable(spark, s"$root/curated_media")
+    val bands = new TxLogTable(spark, s"$root/phash/bands")
+    val hashes = new TxLogTable(spark, s"$root/phash/hashes")
+
+    /** The composed media leg — deterministic given (batch, table state):
+      * already-curated ids drop, the REAL codec dead-letters corrupt
+      * payloads, near-dups of the index or of a smaller batch id drop,
+      * survivors fold into the index FENCED on batchId and MERGE with
+      * their decoder-derived metadata.
+      */
+    def curateMedia(batch: Seq[(Long, Array[Byte])], batchId: Long): Unit = {
+      val media = spark.createDataset(batch.map { case (id, bytes) =>
+        MultimodalOps.MediaRow(id, bytes, "image") })
+      // 0. committed-state dedup: a replayed batch re-converges here
+      val fresh =
+        if (curated.version.isEmpty) media
+        else {
+          val done = curated.read().select("doc_id").as[Long].collect().toSet
+          media.filter(m => !done(m.doc_id))
+        }
+      if (fresh.isEmpty) return
+      // 1. decode gate: only payloads the REAL codec accepts continue
+      val meta = MultimodalOps.decodeMeta(fresh).toDF().filter(col("ok"))
+        .select("doc_id", "n_bytes", "width", "height")
+      val okIds = meta.select("doc_id").as[Long].collect().toSet
+      val decoded = fresh.filter(m => okIds(m.doc_id))
+      if (decoded.isEmpty) return
+      // 2. near-dup gate: vs the persisted index AND within the batch —
+      // doc_a < doc_b and index ids are smaller, so dropping doc_b keeps
+      // the earliest copy everywhere
+      val pairs = MultimodalOps.phashProbe(decoded, s"$root/phash", maxHamming = 0)
+      val dupIds = pairs.select("doc_b").as[Long].collect().toSet
+      val survivors = decoded.filter(m => !dupIds(m.doc_id))
+      if (survivors.isEmpty) return
+      // 3. fold survivors into the index, FENCED on batchId (lockstep)
+      MultimodalOps.buildPhashIndex(survivors, s"$root/phash",
+        Some(("media-mh", batchId)))
+      // 4. ACID MERGE with decoder-derived metadata + the fingerprint
+      val out = MultimodalOps.imagePhash(survivors).toDF()
+        .select("doc_id", "phash").join(meta, Seq("doc_id"))
+      TxLogTable.retryOnConflict() { curated.merge(out, Seq("doc_id")); () }
+    }
+
+    def img(contentOf: Long): Array[Byte] = MultimodalOps.synthImage(contentOf)
+    // batch 1: 101 duplicates corpus image 1; 102 is fresh; 103 is corrupt
+    // (dead-letters at decode); 104 duplicates 102 within the batch
+    val batch1 = Seq((101L, img(1L)), (102L, img(44L)),
+      (103L, Array[Byte](1, 2, 3)), (104L, img(44L)))
+    curateMedia(batch1, 0L)
+    val after1 = curated.read().select("doc_id").as[Long].collect().toSet
+    assert(after1 == Set(102L),
+      s"101 dups the index, 103 is corrupt, 104 loses to 102 in-batch: $after1")
+    // decoder-derived metadata, never formulas: synthImage(44) is 26x21
+    val m102 = curated.read().filter(col("doc_id") === 102L)
+      .select("width", "height").as[(Int, Int)].head()
+    assert(m102 == ((26, 21)), s"width/height must come from the BMP header: $m102")
+
+    // ---- the crash replay: byte-identical table, no index double-fold ----
+    val cv = curated.version.get
+    val bv = bands.version.get
+    val hv = hashes.version.get
+    val wantRows = curated.read().collect().toSet
+    val wantBytes = curated.dirPaths(cv).flatMap { d =>
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toSeq
+      finally w.close()
+    }.toMap
+    curateMedia(batch1, 0L)
+    assert(curated.version.contains(cv) &&
+      curated.read().collect().toSet == wantRows,
+      "replaying a committed media batch must not change the curated table")
+    val gotBytes = curated.dirPaths(curated.version.get).flatMap { d =>
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toSeq
+      finally w.close()
+    }.toMap
+    assert(gotBytes == wantBytes, "curated media table must be BYTE-identical under replay")
+    assert(bands.version.contains(bv) && hashes.version.contains(hv),
+      "the fenced phash index must not double-fold on replay (lockstep)")
+
+    // batch 2: 201 duplicates 102 — folded LAST batch, never re-decoded —
+    // and 202 is fresh; the index is the memory across batches
+    curateMedia(Seq((201L, img(44L)), (202L, img(77L))), 1L)
+    val after2 = curated.read().select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(102L, 202L),
+      s"201 must dedup against batch 1's folded survivor: $after2")
+  }
 }

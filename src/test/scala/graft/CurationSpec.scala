@@ -429,4 +429,33 @@ class CurationSpec extends SparkSuite {
       .as[(Long, Long)].collect()
     assert(u.length == 1 && u.head._1 == 99L, s"bias must keep unseen docs scored: ${u.toSeq}")
   }
+
+  test("classifier registry: a retrain REPLACES the model, stale buckets zero out") {
+    import graft.operators.ClassifierOps
+    val path = java.nio.file.Files.createTempDirectory("clfidx").toString + "/m"
+    val buckets = 64
+    // corpus A trains weights on tokens corpus B never mentions: a sparse
+    // upsert would keep those buckets' OLD weights alive after the retrain
+    // and scoreLinearQ's join would silently apply them
+    val a = ((1L to 4L).map(i => (i, "alpha beta gamma", true)) ++
+      (5L to 8L).map(i => (i, "delta epsilon zeta", false))).toDF("doc_id", "text", "y")
+    val b = ((1L to 4L).map(i => (i, "one two three", true)) ++
+      (5L to 8L).map(i => (i, "four five six", false))).toDF("doc_id", "text", "y")
+    ClassifierOps.buildClassifierIndex(a, "doc_id", "text", col("y"), buckets, 2, 50L, path)
+    ClassifierOps.buildClassifierIndex(b, "doc_id", "text", col("y"), buckets, 2, 50L, path)
+    // probe docs written in corpus A's vocabulary: under the replaced
+    // model their only live feature is the bias bucket
+    val probeDocs = Seq((101L, "alpha beta gamma"), (102L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = ClassifierOps.classifierProbe(spark, path, probeDocs,
+      "doc_id", "text", buckets).as[(Long, Long)].collect().toMap
+    val freshW = ClassifierOps.trainLinearQ(b, "doc_id", "text", col("y"), buckets, 2, 50L)
+    val want = ClassifierOps.scoreLinearQ(probeDocs, "doc_id", "text", freshW, buckets)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"retrained registry must score exactly like a fresh model: got=$got want=$want")
+    // and the persisted frame is dense: every bucket row present
+    val rows = new graft.storage.TxLogTable(spark, s"$path/weights").read()
+    assert(rows.count() == buckets + 1L, "weight table must be dense over [0, buckets]")
+  }
 }

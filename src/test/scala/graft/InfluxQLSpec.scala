@@ -355,12 +355,34 @@ class InfluxQLSpec extends SparkSuite {
     val botT = InfluxQL.run(df, "SELECT bottom(value, 1) FROM m GROUP BY device")
       .as[(Long, String, Double)].collect().toSet
     assert(botT == Set((4L, "a", 1.0), (6L, "b", 3.0)))
+    // GROUP BY time(d): extremes pick per bucket, rows keep their
+    // ORIGINAL point timestamps (InfluxDB 1.8 — top/bottom are the
+    // selectors that do not collapse to the bucket start)
+    val topB = InfluxQL.run(df, "SELECT top(value, 1) FROM m GROUP BY time(3u)")
+      .as[(Long, Double)].collect().toSet
+    assert(topB == Set((2L, 9.0), (3L, 9.0), (6L, 3.0)))
+    // three-arg per-tag form: at most one point per distinct tag value
+    val topTag = InfluxQL.run(df, "SELECT top(value, device, 2) FROM m")
+      .as[(Long, String, Double)].collect().toSet
+    assert(topTag == Set((2L, "a", 9.0), (5L, "b", 7.0)))
+    val botTag = InfluxQL.run(df, "SELECT bottom(value, device, 1) FROM m")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(botTag == Seq((4L, "a", 1.0)))
+    // per-tag AND per-bucket compose
+    val topTagB = InfluxQL.run(df,
+      "SELECT top(value, device, 1) FROM m GROUP BY time(3u)")
+      .as[(Long, String, Double)].collect().toSet
+    assert(topTagB == Set((2L, "a", 9.0), (3L, "a", 9.0), (6L, "b", 3.0)))
     def bad(s: String): String =
       intercept[IllegalArgumentException](parse(s)).getMessage
     assert(bad("SELECT top(value, 2), mean(value) FROM m").contains("only SELECT field"))
-    assert(bad("SELECT top(value, 2) FROM m GROUP BY time(1h)").contains("GROUP BY time"))
+    assert(bad("SELECT top(value, 2) FROM m GROUP BY time(1h) fill(0)").contains("fill"))
     assert(bad("SELECT top(value) FROM m").contains("needs N"))
     assert(bad("SELECT bottom(value, 0) FROM m").contains("positive integer"))
+    assert(bad("SELECT top(value, 2, device) FROM m").contains("last argument"))
+    assert(intercept[IllegalArgumentException](
+      InfluxQL.run(df, "SELECT top(value, nosuch, 2) FROM m"))
+      .getMessage.contains("unknown field or tag"))
   }
 
   test("SHOW statements answer the discovery surface; GROUP BY * expands tags") {
@@ -1506,8 +1528,8 @@ class InfluxQLSpec extends SparkSuite {
     assert(shards.map(s => (s._2, s._3)).distinct == Seq(("tele", "autogen")))
     assert(shards.map(s => (s._5.get, s._6.get)).toSet == Set((10L, 20L), (30L, 30L)))
     assert(cat.run("SHOW SHARD GROUPS").count() == 2)
-    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long)]
-      .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L, 0L)))
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 2L, 3L, 3L, 2L, 0L, 0L)))
     val diag = cat.run("SHOW DIAGNOSTICS").as[(String, String)].collect().toMap
     assert(diag("sparkVersion") == spark.version && diag("engine") == "graft")
     // DROP SHARD removes ONE committed dir as an O(1) metadata commit.
@@ -1520,8 +1542,8 @@ class InfluxQLSpec extends SparkSuite {
     assert(cat.points("tele").as[(String, String, Long, Double)].collect().toSet ==
       Set(("a", "hum", 30L, 3.0), ("c", "pres", 50L, 5.0)),
       "the id captured BEFORE the interleaved commit still dropped its own dir")
-    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long)]
-      .collect().toSeq == Seq(("tele", 2L, 2L, 2L, 2L, 0L)))
+    assert(cat.run("SHOW STATS").as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq == Seq(("tele", 2L, 2L, 2L, 2L, 0L, 0L)))
     // the surviving shards kept their pre-commit ids too
     val after = cat.run("SHOW SHARDS")
       .as[(Long, String, String, Long, Option[Long], Option[Long], Long, Long)]
@@ -1621,7 +1643,7 @@ class InfluxQLSpec extends SparkSuite {
       .find(_._3 == "slow").get
     assert(subRow._6 == 47L, s"SHOW SUBSCRIPTIONS dropped gauge: $subRow")
     val statsRow = cat.run("SHOW STATS")
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
       .find(_._1 == "tele").get
     assert(statsRow._6 == 47L, s"SHOW STATS sub_dropped gauge: $statsRow")
     // the scoped gauge keys on the NORMALIZED root: a trailing slash or a
@@ -1692,6 +1714,43 @@ class InfluxQLSpec extends SparkSuite {
       .collect().toSeq.map(_._2) == Seq("cq2"))
     assert(intercept[IllegalArgumentException](
       cat.run("DROP CONTINUOUS QUERY cq1 ON db")).getMessage.contains("not found"))
+  }
+
+  test("CQ targets have exactly one writer: external INTO refuses, DDL gates hold") {
+    val root = java.nio.file.Files.createTempDirectory("cqsole").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db")
+    cat.run("CREATE DATABASE db")
+    cat.run("CREATE CONTINUOUS QUERY cq1 ON db BEGIN SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u) END")
+    // seed some raw points so the INTO statements below have a plan
+    import spark.implicits._
+    cat.writePoints("db", Seq(("a", "m", 1L, 1.0), ("a", "m", 5L, 3.0))
+      .toDF("device", "transducer", "ts_us", "value"))
+    // a manual SELECT ... INTO the CQ's target would break the fill
+    // frontier's dense-grid invariant — refused loudly, nothing committed
+    assert(intercept[IllegalArgumentException](
+      cat.run("SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u)"))
+      .getMessage.contains("continuous query target"))
+    assert(new graft.storage.TxLogTable(spark, s"$root/db/agg").version.isEmpty,
+      "the refused INTO must not have committed anything")
+    // ...while an INTO on a free table still works
+    cat.run("SELECT mean(value) AS m INTO free FROM m GROUP BY time(10u)")
+    assert(new graft.storage.TxLogTable(spark, s"$root/db/free").read().count() > 0)
+    // a CQ can never claim the raw points table (the write faces own it)
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY bad ON db BEGIN SELECT mean(value) AS m INTO points FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("points"))
+    // ...nor may a second CQ share the first one's target
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY cq2 ON db BEGIN SELECT count(value) AS c INTO agg FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("exactly one writer"))
+    // top/bottom return points, not bucket aggregates — loud at CREATE
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY tb ON db BEGIN SELECT top(value, 2) INTO t FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("top()/bottom()"))
+    // DROP releases the target for external writers again
+    cat.run("DROP CONTINUOUS QUERY cq1 ON db")
+    cat.run("SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u)")
+    assert(new graft.storage.TxLogTable(spark, s"$root/db/agg").read().count() > 0)
   }
 
   test("user management: CREATE/DROP USER, GRANT/REVOKE lattice, SHOW USERS/GRANTS") {
@@ -1991,5 +2050,22 @@ class InfluxQLSpec extends SparkSuite {
       "a refused restore must not list the database")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root4/tele")),
       "a refused restore must not leave a partial tree")
+
+    // a tampered manifest with a path-traversal table name must refuse
+    // BEFORE any verification or mutation: '../../x' would otherwise
+    // splice straight into filesystem paths and restore OUTSIDE the root
+    val bak3 = java.nio.file.Files.createTempDirectory("dbbak3").toString + "/set"
+    cat.exportDatabase("tele", bak3)
+    val mp = java.nio.file.Paths.get(s"$bak3/db_manifest.json")
+    val tampered = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("""["agg",""", """["../../agg",""")
+    java.nio.file.Files.write(mp, tampered.getBytes("UTF-8"))
+    val root5 = java.nio.file.Files.createTempDirectory("dbbak_dst4").toString
+    val cat5 = new graft.influxql.InfluxCatalog(spark, root5, defaultDb = "tele")
+    assert(intercept[IllegalArgumentException](cat5.importDatabase(bak3))
+      .getMessage.contains("unsafe table name"))
+    assert(cat5.run("SHOW DATABASES").as[String].collect().isEmpty &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root5/tele")),
+      "a refused tampered restore must leave nothing behind")
   }
 }

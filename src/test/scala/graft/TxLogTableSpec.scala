@@ -382,6 +382,50 @@ class TxLogTableSpec extends SparkSuite {
     assert(t2.read().count() == 0 && t2.read().columns.toSeq == Seq("k", "v"))
   }
 
+  test("clustered tables refuse plain append; rangeCol must be long-castable") {
+    import spark.implicits._
+    val t = new TxLogTable(spark, tmp())
+    val df = spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+    t.appendClustered(df, "k", nDirs = 4)
+    assert(t.clusteredOn.contains("k"))
+    // a plain append between granular merges could smear a duplicate key
+    // across two carried directories where it survives silently — refuse
+    val e = intercept[IllegalStateException](t.append(df.limit(1)))
+    assert(e.getMessage.contains("range-clustered"))
+    // the supported evolution paths stay open
+    t.merge(Seq((5L, 999L)).toDF("k", "v"), Seq("k"), rangeCol = Some("k"))
+    assert(t.read().filter(col("k") === 5L).select("v").as[Long].head() == 999L)
+    t.overwrite(df)
+    assert(t.read().count() == 100)
+    // a granular merge alone also marks the table (no appendClustered)
+    val t2 = new TxLogTable(spark, tmp())
+    t2.merge(df, Seq("k"))
+    assert(t2.clusteredOn.isEmpty)
+    t2.merge(Seq((1L, 7L)).toDF("k", "v"), Seq("k"), rangeCol = Some("k"))
+    assert(t2.clusteredOn.contains("k"))
+    assert(intercept[IllegalStateException](t2.append(df.limit(1)))
+      .getMessage.contains("merge-maintained"))
+    // the marker travels with backup/restore
+    val dest = tmp() + "/snap"
+    t2.exportSnapshot(dest)
+    val t3 = new TxLogTable(spark, tmp())
+    t3.importSnapshot(dest)
+    assert(t3.clusteredOn.contains("k"))
+    assert(intercept[IllegalStateException](t3.append(df.limit(1)))
+      .getMessage.contains("range-clustered"))
+    // a string range key would cast to null in both the dir stats and the
+    // update probe — NO dir ever classifies hit and duplicates survive;
+    // fail fast at the call instead of relying on the scaladoc
+    val ts = new TxLogTable(spark, tmp())
+    val sdf = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    assert(intercept[IllegalArgumentException](
+      ts.appendClustered(sdf, "k", 2)).getMessage.contains("long-castable"))
+    ts.merge(sdf, Seq("k"))
+    assert(intercept[IllegalArgumentException](
+      ts.merge(sdf, Seq("k"), rangeCol = Some("k")))
+      .getMessage.contains("long-castable"))
+  }
+
   test("granular merge: untouched directories carry as metadata, byte-identical") {
     val path = tmp()
     val t = new TxLogTable(spark, path)
@@ -666,5 +710,76 @@ class TxLogTableSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](t2bad.importSnapshot(bak3))
       .getMessage.contains("corrupt backup"))
     assert(t2bad.version.isEmpty, "a refused restore must not half-commit")
+  }
+
+  test("seeded maintenance net: granular merges + expiry + compaction equal the full-merge model") {
+    // round 15 added the granular writers (appendClustered, merge(rangeCol),
+    // export/import); this net draws random interleavings of ALL the
+    // maintenance verbs against (a) a full-merge shadow table and (b) an
+    // in-memory map — the granular carry classification, the dual-end
+    // batch hazard (a batch touching both ends of the key space must not
+    // corrupt, however it classifies), expiry interleaved between folds,
+    // compaction widening directory ranges, and a snapshot export cut at a
+    // random step restoring exactly its pinned version.
+    val diffScale = sys.env.getOrElse("GRAFT_DIFF_SCALE", "1").toInt.max(1)
+    for (seed <- 0 until (4 * diffScale)) {
+      val rnd = new scala.util.Random(41000L + seed)
+      val t = new TxLogTable(spark, tmp())    // granular, range-clustered
+      val full = new TxLogTable(spark, tmp()) // full-merge shadow
+      val n = 150 + rnd.nextInt(150)
+      val init = (0L until n.toLong).map(k => (k, rnd.nextInt(100000).toLong))
+      t.appendClustered(init.toDF("k", "v"), "k", 2 + rnd.nextInt(6))
+      full.merge(init.toDF("k", "v"), Seq("k"))
+      var model = init.toMap
+      val cutStep = rnd.nextInt(10)
+      var cut: Option[(String, Long)] = None
+      for (step <- 0 until 10) {
+        def upsert(batch: Seq[(Long, Long)]): Unit = {
+          t.merge(batch.toDF("k", "v"), Seq("k"), rangeCol = Some("k"))
+          full.merge(batch.toDF("k", "v"), Seq("k"))
+          model = model ++ batch.toMap
+        }
+        rnd.nextInt(6) match {
+          case 0 | 1 => // contiguous range batch (the steady-state fold)
+            val lo = rnd.nextInt(n).toLong
+            upsert((lo until math.min(n.toLong, lo + 1 + rnd.nextInt(25)))
+              .map(k => (k, rnd.nextInt(100000).toLong)))
+          case 2 => // adversarial dual-end batch: both extremes of the key
+            // space — exact containment probing must not drag every
+            // directory in between into the rewrite NOR drop either end
+            upsert(Seq((rnd.nextInt(5).toLong, rnd.nextInt(100000).toLong),
+              (n.toLong - 1 - rnd.nextInt(5), rnd.nextInt(100000).toLong)))
+          case 3 => // fresh keys beyond the committed range (index growth)
+            val base = n.toLong + step * 50
+            upsert((base until base + 1 + rnd.nextInt(10))
+              .map(k => (k, rnd.nextInt(100000).toLong)))
+          case 4 => // expiry between folds: drops keys strictly below a cut
+            val cutoff = rnd.nextInt(n / 2).toLong
+            t.expireOlderThan("k", cutoff)
+            full.expireOlderThan("k", cutoff)
+            model = model.filter(_._1 >= cutoff)
+          case 5 => // compaction widens dir ranges; content must not move
+            t.compact()
+        }
+        if (step == cutStep) {
+          val dest = tmp() + s"/cut$seed"
+          val v = t.exportSnapshot(dest)
+          cut = Some((dest, v))
+        }
+      }
+      val got = t.read().as[(Long, Long)].collect().toMap
+      val shadow = full.read().as[(Long, Long)].collect().toMap
+      assert(got == model, s"seed $seed: granular table diverged from the model")
+      assert(shadow == model, s"seed $seed: full-merge shadow diverged (model bug)")
+      // the mid-run cut restores EXACTLY its pinned version, marker intact
+      cut.foreach { case (dest, v) =>
+        val r = new TxLogTable(spark, tmp())
+        r.importSnapshot(dest)
+        assert(r.read().as[(Long, Long)].collect().toMap ==
+          t.readVersion(v).as[(Long, Long)].collect().toMap,
+          s"seed $seed: restored cut is not the pinned version $v")
+        assert(r.clusteredOn.contains("k"), s"seed $seed: marker lost in restore")
+      }
+    }
   }
 }
