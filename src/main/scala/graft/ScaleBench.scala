@@ -329,7 +329,7 @@ object ScaleBench {
     val times = heavyTimes ++ foldTimes ++ cqTimes
 
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val perQuery = (Heavies :+ "cc_fold_fixed_batch").flatMap { n =>
+    val perQuery = (Heavies ++ Seq("cc_fold_fixed_batch", "cq_fill_fixed_batch")).flatMap { n =>
       val pts = sfs.map(_._1).flatMap(sf => times.get((n, sf)).map(sf -> _))
       if (pts.size < 2) None
       else {
@@ -354,9 +354,12 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val foldBytesJson = foldBytes.map { case (sf, (w, tot)) =>
       s""""$sf":{"fold_write":$w,"index_total":$tot}""" }.mkString("{", ",", "}")
+    val cqInfoJson = cqInfo.map { case (sf, (r, w)) =>
+      s""""$sf":{"rows_read":$r,"rows_written":$w}""" }.mkString("{", ",", "}")
     val line = s"""{"event":"scalebench","passes":$passes,""" +
       s""""heavies":${perQuery.mkString("{", ",", "}")},""" +
-      s""""cc_fold_bytes":$foldBytesJson,"errors":$errJson}"""
+      s""""cc_fold_bytes":$foldBytesJson,"cq_fill_batch":$cqInfoJson,""" +
+      s""""errors":$errJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "PROGRESS.jsonl")
     try Files.write(Paths.get(outFile), (line + "\n").getBytes("UTF-8"),

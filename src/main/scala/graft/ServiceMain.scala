@@ -51,7 +51,8 @@ object ServiceMain {
                            manager: MqttConnectionManager,
                            queries: Seq[StreamingQuery],
                            http: Option[graft.http.InfluxHttpServer] = None,
-                           retention: Option[Thread] = None)
+                           retention: Option[Thread] = None,
+                           udp: Option[graft.influxql.UdpWriteListener] = None)
 
   /** One compaction sweep over every database — the other half of the
     * maintenance tick (InfluxDB's compactor): per-batch streaming appends
@@ -231,10 +232,26 @@ object ServiceMain {
       s
     }
 
+    // the InfluxDB 1.x UDP input (influxdb.conf's [[udp]]): a datagram
+    // front into the same write path, best-effort (drops counted into
+    // SHOW STATS' udp_dropped). Bound right after HTTP so a port conflict
+    // aborts startup while only the HTTP listener needs tearing down.
+    val udp = conf.get("udp_port").map { port =>
+      try new graft.influxql.UdpWriteListener(catalog,
+        conf.getOrElse("udp_database", db), port.toInt,
+        batchSize = conf.getOrElse("udp_batch_size", "5000").toInt,
+        flushIntervalMs = conf.getOrElse("udp_batch_timeout_ms", "100").toLong)
+      catch {
+        case e: Throwable =>
+          http.foreach(s => try s.stop() catch { case _: Exception => () })
+          throw e
+      }
+    }
+
     // everything below can fail (broker connect, REST bootstrap, query
-    // starts); the already-bound HTTP listener, the connected manager, and
-    // any query started before the failure must not outlive a failed
-    // start() with no Handles to stop them
+    // starts); the already-bound HTTP listener, the UDP listener, the
+    // connected manager, and any query started before the failure must
+    // not outlive a failed start() with no Handles to stop them
     val manager = new MqttConnectionManager(transport, Seq(evTopic, dataTopics))
     val started = scala.collection.mutable.ArrayBuffer.empty[StreamingQuery]
     def reg(q: StreamingQuery): StreamingQuery = { started += q; q }
@@ -407,13 +424,14 @@ object ServiceMain {
 
     Handles(spark, manager,
       Seq(controlQ, dataQ, dlQ, statusQ, autoQ, subQ) ++ cqQs.map(_._2), http,
-      Some(retentionThread))
+      Some(retentionThread), udp)
 
     } catch {
       case e: Throwable =>
         started.foreach(q => try q.stop() catch { case _: Exception => () })
         try manager.stop() catch { case _: Exception => () }
         http.foreach(s => try s.stop() catch { case _: Exception => () })
+        udp.foreach(u => try u.stop() catch { case _: Exception => () })
         throw e
     }
   }
@@ -426,6 +444,9 @@ object ServiceMain {
       try if (q.isActive) q.stop()
       catch { case _: Exception => () } // already terminated: fine
     }
+    // UDP before HTTP: its drain path commits through the same catalog,
+    // and both before the manager so in-flight writes finish first
+    h.udp.foreach(_.stop())
     h.http.foreach(_.stop())
     h.retention.foreach(_.interrupt())
     h.manager.stop()

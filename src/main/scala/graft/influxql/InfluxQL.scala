@@ -1042,7 +1042,15 @@ object InfluxQL {
       // BEFORE any append — an external INTO would break the CQ fill's
       // dense-grid sole-writer invariant
       refuseTarget(name)
-      new graft.storage.TxLogTable(points.sparkSession, s"$root/$name")
+      val t = new graft.storage.TxLogTable(points.sparkSession, s"$root/$name")
+      // a merge-maintained table (e.g. a dropped CQ's target) holds one
+      // row per (time, tags) key; an INTO append would duplicate keys the
+      // storage layer is contracted to keep unique — refuse as a clean
+      // statement error, not the storage layer's internal refusal
+      t.clusteredOn.foreach(rc => throw new IllegalArgumentException(
+        s"InfluxQL: measurement $name is merge-maintained (range-clustered " +
+          s"on $rc); INTO cannot append into it — choose a fresh target"))
+      t
     }
     if (target != ":MEASUREMENT")
       return Seq(target -> table(target).append(planResolved(points, q)))
@@ -1055,7 +1063,14 @@ object InfluxQL {
       // refuse EVERY backreference target before appending ANY (the
       // multi-statement pre-authorize discipline): a refusal on name N
       // must not leave targets 0..N-1 committed behind a failed statement
-      names.foreach(refuseTarget)
+      // — both the CQ-reservation gate and the merge-maintained gate
+      names.foreach { m =>
+        refuseTarget(m)
+        new graft.storage.TxLogTable(points.sparkSession, s"$root/$m")
+          .clusteredOn.foreach(rc => throw new IllegalArgumentException(
+            s"InfluxQL: measurement $m is merge-maintained (range-clustered " +
+              s"on $rc); INTO cannot append into it — choose a fresh target"))
+      }
       names.toSeq.map { m =>
         m -> table(m).append(res.filter(col("measurement") === m).drop("measurement"))
       }

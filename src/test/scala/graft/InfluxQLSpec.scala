@@ -1751,6 +1751,15 @@ class InfluxQLSpec extends SparkSuite {
     cat.run("DROP CONTINUOUS QUERY cq1 ON db")
     cat.run("SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u)")
     assert(new graft.storage.TxLogTable(spark, s"$root/db/agg").read().count() > 0)
+    // ...but a target a CQ actually MAINTAINED (granular merges marked it
+    // range-clustered) refuses INTO as a clean statement error even after
+    // the CQ is dropped: an append would duplicate (time, tags) keys
+    val ran = new graft.storage.TxLogTable(spark, s"$root/db/ran")
+    ran.merge(Seq((0L, 1.0)).toDF("time", "m"), Seq("time"))
+    ran.merge(Seq((10L, 2.0)).toDF("time", "m"), Seq("time"), rangeCol = Some("time"))
+    assert(intercept[IllegalArgumentException](
+      cat.run("SELECT mean(value) AS m INTO ran FROM m GROUP BY time(10u)"))
+      .getMessage.contains("merge-maintained"))
   }
 
   test("user management: CREATE/DROP USER, GRANT/REVOKE lattice, SHOW USERS/GRANTS") {

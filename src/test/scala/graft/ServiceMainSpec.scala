@@ -268,6 +268,32 @@ class ServiceMainSpec extends SparkSuite {
     } finally ServiceMain.stop(h)
   }
 
+  test("udp input: udp_port wires the datagram face into the composed service") {
+    val dir = Files.createTempDirectory("svc_udp").toString
+    val conf = Map("data_dir" -> dir, "influx_database" -> "oc",
+      "udp_port" -> "0", "udp_batch_timeout_ms" -> "50")
+    val h = ServiceMain.start(spark, conf, new graft.streaming.InProcessTransport,
+      rest = None, publish = (_, _) => (),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      val u = h.udp.get
+      assert(u.boundPort > 0)
+      val s = new java.net.DatagramSocket()
+      try {
+        val payload = "udpm,device=d7 value=7.5 7000000000".getBytes("UTF-8")
+        s.send(new java.net.DatagramPacket(payload, payload.length,
+          java.net.InetAddress.getLoopbackAddress, u.boundPort))
+      } finally s.close()
+      val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
+      def got() = cat.points("oc")
+        .filter(org.apache.spark.sql.functions.col("transducer") === "udpm")
+        .count() == 1L
+      val deadline = System.nanoTime() + 60000000000L
+      while (!got() && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(got(), "the udp datagram must land in the service's points table")
+    } finally ServiceMain.stop(h)
+  }
+
   test("maintenance compaction folds small streaming appends into one dir") {
     val dir = Files.createTempDirectory("svc_compact").toString
     val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
