@@ -582,24 +582,49 @@ class InfluxQLDifferentialSpec extends SparkSuite {
             .as[(Long, Double)].collect().toSeq.sorted
           val expected = kept.map(p => (p.ts, p.value * k + 1.0)).sorted
           assert(engine == expected, s"raw mismatch (iter $iter) k=$k$whereTxt")
-        case 1 => // top/bottom, global or per device
+        case 1 => // top/bottom: global, per device, per-tag 3-arg, bucketed
           val n = 1 + rnd.nextInt(5)
           val (fn, desc) = if (rnd.nextBoolean()) ("top", true) else ("bottom", false)
-          if (rnd.nextBoolean()) {
-            val engine = InfluxQL.run(df, s"SELECT $fn(value, $n) FROM m$whereTxt")
-              .as[(Long, Double)].collect().toSeq.sorted
-            val ordered = kept.sortBy(p => (if (desc) -p.value else p.value, p.ts))
-            val expected = ordered.take(n).map(p => (p.ts, p.value)).sorted
-            assert(engine == expected, s"$fn global mismatch (iter $iter)$whereTxt")
-          } else {
-            val engine = InfluxQL.run(df,
-              s"SELECT $fn(value, $n) FROM m$whereTxt GROUP BY device")
-              .as[(Long, String, Double)].collect().toSeq.sorted
-            val expected = kept.groupBy(_.device).toSeq.flatMap { case (d, rs) =>
-              rs.sortBy(p => (if (desc) -p.value else p.value, p.ts))
-                .take(n).map(p => (p.ts, d, p.value))
-            }.sorted
-            assert(engine == expected, s"$fn grouped mismatch (iter $iter)$whereTxt")
+          def key(p: Pt): (Double, Long) = (if (desc) -p.value else p.value, p.ts)
+          rnd.nextInt(4) match {
+            case 0 =>
+              val engine = InfluxQL.run(df, s"SELECT $fn(value, $n) FROM m$whereTxt")
+                .as[(Long, Double)].collect().toSeq.sorted
+              val expected = kept.sortBy(key).take(n).map(p => (p.ts, p.value)).sorted
+              assert(engine == expected, s"$fn global mismatch (iter $iter)$whereTxt")
+            case 1 =>
+              val engine = InfluxQL.run(df,
+                s"SELECT $fn(value, $n) FROM m$whereTxt GROUP BY device")
+                .as[(Long, String, Double)].collect().toSeq.sorted
+              val expected = kept.groupBy(_.device).toSeq.flatMap { case (d, rs) =>
+                rs.sortBy(key).take(n).map(p => (p.ts, d, p.value))
+              }.sorted
+              assert(engine == expected, s"$fn grouped mismatch (iter $iter)$whereTxt")
+            case 2 =>
+              // InfluxDB 1.8's three-arg per-tag form: each device's own
+              // extreme is its champion; n winners among champions with
+              // (value, time, tag) tie-breaks
+              val engine = InfluxQL.run(df,
+                s"SELECT $fn(value, device, $n) FROM m$whereTxt")
+                .as[(Long, String, Double)].collect().toSeq.sorted
+              val champs = kept.groupBy(_.device).toSeq
+                .map { case (_, rs) => rs.minBy(key) }
+              val expected = champs
+                .sortBy(p => (if (desc) -p.value else p.value, p.ts, p.device))
+                .take(n).map(p => (p.ts, p.device, p.value)).sorted
+              assert(engine == expected, s"$fn per-tag mismatch (iter $iter)$whereTxt")
+            case _ =>
+              // GROUP BY time(k): extremes pick per bucket, rows keep
+              // their ORIGINAL timestamps
+              val k = Seq(7L, 50L, 160L)(rnd.nextInt(3))
+              val engine = InfluxQL.run(df,
+                s"SELECT $fn(value, $n) FROM m$whereTxt GROUP BY time(${k}u)")
+                .as[(Long, Double)].collect().toSeq.sorted
+              val expected = kept.groupBy(p => p.ts - (((p.ts % k) + k) % k))
+                .toSeq.flatMap { case (_, rs) =>
+                  rs.sortBy(key).take(n).map(p => (p.ts, p.value))
+                }.sorted
+              assert(engine == expected, s"$fn bucketed mismatch (iter $iter) k=$k$whereTxt")
           }
         case _ => // elapsed with a random unit
           val unit = Seq(1L, 5L, 20L)(rnd.nextInt(3))
