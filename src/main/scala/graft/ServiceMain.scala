@@ -237,10 +237,21 @@ object ServiceMain {
     // SHOW STATS' udp_dropped). Bound right after HTTP so a port conflict
     // aborts startup while only the HTTP listener needs tearing down.
     val udp = conf.get("udp_port").map { port =>
+      // udp_precision mirrors influxdb.conf's [[udp]] precision knob: the
+      // wire timestamps' unit (protocol default ns)
+      val unitNs = conf.getOrElse("udp_precision", "ns") match {
+        case "ns" | "n" => 1L
+        case "u" | "us" => 1000L
+        case "ms" => 1000000L
+        case "s" => 1000000000L
+        case other => throw new IllegalArgumentException(
+          s"udp_precision must be one of ns|u|ms|s, got '$other'")
+      }
       try new graft.influxql.UdpWriteListener(catalog,
         conf.getOrElse("udp_database", db), port.toInt,
         batchSize = conf.getOrElse("udp_batch_size", "5000").toInt,
-        flushIntervalMs = conf.getOrElse("udp_batch_timeout_ms", "100").toLong)
+        flushIntervalMs = conf.getOrElse("udp_batch_timeout_ms", "100").toLong,
+        tsUnitNs = unitNs)
       catch {
         case e: Throwable =>
           http.foreach(s => try s.stop() catch { case _: Exception => () })

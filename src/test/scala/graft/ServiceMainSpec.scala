@@ -271,7 +271,8 @@ class ServiceMainSpec extends SparkSuite {
   test("udp input: udp_port wires the datagram face into the composed service") {
     val dir = Files.createTempDirectory("svc_udp").toString
     val conf = Map("data_dir" -> dir, "influx_database" -> "oc",
-      "udp_port" -> "0", "udp_batch_timeout_ms" -> "50")
+      "udp_port" -> "0", "udp_batch_timeout_ms" -> "50",
+      "udp_precision" -> "u") // influxdb.conf's [[udp]] precision knob
     val h = ServiceMain.start(spark, conf, new graft.streaming.InProcessTransport,
       rest = None, publish = (_, _) => (),
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -280,17 +281,20 @@ class ServiceMainSpec extends SparkSuite {
       assert(u.boundPort > 0)
       val s = new java.net.DatagramSocket()
       try {
-        val payload = "udpm,device=d7 value=7.5 7000000000".getBytes("UTF-8")
+        val payload = "udpm,device=d7 value=7.5 7000000".getBytes("UTF-8")
         s.send(new java.net.DatagramPacket(payload, payload.length,
           java.net.InetAddress.getLoopbackAddress, u.boundPort))
       } finally s.close()
       val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
-      def got() = cat.points("oc")
+      def landed() = cat.points("oc")
         .filter(org.apache.spark.sql.functions.col("transducer") === "udpm")
-        .count() == 1L
+        .select("device", "ts_us", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
       val deadline = System.nanoTime() + 60000000000L
-      while (!got() && System.nanoTime() < deadline) Thread.sleep(100)
-      assert(got(), "the udp datagram must land in the service's points table")
+      while (landed().isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      // the µs wire timestamp lands as-is under udp_precision=u
+      assert(landed() == Seq(("d7", 7000000L, 7.5)),
+        s"the udp datagram must land at its µs precision: ${landed()}")
     } finally ServiceMain.stop(h)
   }
 
