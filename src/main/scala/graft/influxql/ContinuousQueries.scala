@@ -52,6 +52,13 @@ object ContinuousQueries {
       if (p.done) None else InfluxQL.parseQuery(p).into.filter(_ != ":MEASUREMENT")
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Cheap no-CQs fast path: a pure commit-log file probe, no Spark job —
+    * what keeps the write faces' per-request sole-writer consult free on
+    * deployments that registered no continuous queries at all.
+    */
+  def anyDefined(spark: SparkSession, root: String): Boolean =
+    table(spark, root).version.isDefined
+
   /** The registered CQ target measurements of `db` — the tables the
     * sole-writer contract reserves for their CQs. The fill frontier's
     * dense-grid invariant (every (series, bucket) cell of the committed

@@ -293,7 +293,8 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * field-type registry this face already consults per write).
     */
   private def refuseCqTarget(db: String, table: String): Unit =
-    if (ContinuousQueries.cqTargets(spark, rootDir, db).contains(table))
+    if (ContinuousQueries.anyDefined(spark, rootDir) &&
+        ContinuousQueries.cqTargets(spark, rootDir, db).contains(table))
       throw new IllegalArgumentException(
         s"InfluxQL: measurement $table on $db is a continuous query target " +
           "and accepts writes only from its CQ; write to the CQ's source " +
