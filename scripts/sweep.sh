@@ -32,6 +32,20 @@ run() { # run <name> <cmd...> — capture log, return exit code
   return $rc
 }
 
+# 0. control-byte guard — a raw NUL (or other control byte) embedded in
+# source makes git/grep classify the file as BINARY, silently blinding
+# diff review and the grep-based leak/copy scanners (the round-16 slip
+# this guard exists to prevent). Tab (0x09) is the one control byte
+# allowed; anything else fails the sweep immediately.
+CTRL=$(grep -rlP --include='*.scala' --include='*.sh' --include='*.py' \
+  --include='*.sbt' '[\x00-\x08\x0b\x0c\x0e-\x1f]' src/ scripts/ build.sbt \
+  2>/dev/null || true)
+if [ -n "$CTRL" ]; then
+  echo "[sweep] FATAL: control bytes embedded in source files:" >&2
+  echo "$CTRL" >&2
+  exit 1
+fi
+
 # 1. full test suite — parse sbt's FINAL total ("Passed: Total N" /
 # "Failed: Total N, Failed M"), which counts ScalaCheck properties the
 # ScalaTest "Tests:" summary line silently omits (a failed property once

@@ -244,8 +244,10 @@ object ServiceMain {
         case "u" | "us" => 1000L
         case "ms" => 1000000L
         case "s" => 1000000000L
+        case "m" => 60000000000L
+        case "h" => 3600000000000L
         case other => throw new IllegalArgumentException(
-          s"udp_precision must be one of ns|u|ms|s, got '$other'")
+          s"udp_precision must be one of ns|u|ms|s|m|h, got '$other'")
       }
       try new graft.influxql.UdpWriteListener(catalog,
         conf.getOrElse("udp_database", db), port.toInt,

@@ -59,19 +59,44 @@ object ContinuousQueries {
   def anyDefined(spark: SparkSession, root: String): Boolean =
     table(spark, root).version.isDefined
 
+  // version-keyed target cache: the write faces consult cqTargets on EVERY
+  // append (including every UDP flush), and the registry only changes on
+  // CREATE/DROP — so the parsed target set is cached per (root, db) keyed
+  // on the registry table's commit version. Steady state pays one
+  // commit-log file probe + a map lookup, never a Spark collect — even on
+  // a deployment whose LAST CQ was dropped (the registry table stays
+  // committed forever, so anyDefined alone cannot restore the free path).
+  // Invalidation is automatic: CREATE/DROP commit a new version and the
+  // cached key mismatches.
+  private val targetCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Set[String])]()
+
   /** The registered CQ target measurements of `db` — the tables the
     * sole-writer contract reserves for their CQs. The fill frontier's
     * dense-grid invariant (every (series, bucket) cell of the committed
     * range present — what seeds LOCF carries and linear's donor runs)
     * only holds while the CQ is its target's sole content writer, so the
     * write faces consult this set and REFUSE external appends into it.
-    * Control-plane sized: one bounded registry read, no data scan.
+    * Control-plane sized: one bounded registry read on a version change,
+    * a commit-log file probe + map hit otherwise.
     */
   def cqTargets(spark: SparkSession, root: String, db: String): Set[String] = {
-    import spark.implicits._
-    defs(spark, root).filter(col("db") === db)
-      .select("query").as[String].collect()
-      .flatMap(targetOf).toSet
+    val t = table(spark, root)
+    t.version match {
+      case None => Set.empty
+      case Some(v) =>
+        val key =
+          (java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString, db)
+        val cached = targetCache.get(key)
+        if (cached != null && cached._1 == v) cached._2
+        else {
+          import spark.implicits._
+          val targets = t.read().filter(col("db") === db)
+            .select("query").as[String].collect().flatMap(targetOf).toSet
+          targetCache.put(key, (v, targets))
+          targets
+        }
+    }
   }
 
   /** Parse + execute one CQ management statement; every form returns the

@@ -2464,7 +2464,7 @@ object InfluxQL {
       if (f.tagKeys.isEmpty) withBk
       else {
         val wc = Window
-          .partitionBy((q.groupTags ++ bkCols ++ f.tagKeys).map(col): _*)
+          .partitionBy((q.groupTags ++ bkCols ++ f.tagKeys).distinct.map(col): _*)
           .orderBy(sortCols: _*)
         withBk.withColumn("__ck", row_number().over(wc))
           .filter(col("__ck") === 1).drop("__ck")
@@ -2472,7 +2472,10 @@ object InfluxQL {
     // champions from different tag values can tie on (value, time): the
     // tag keys are the deterministic last resort
     val finalSort = sortCols ++ f.tagKeys.map(col(_).asc)
-    val out = (col("ts_us").as("time") +: (q.groupTags ++ f.tagKeys).map(col)) :+
+    // a tag key named BOTH in GROUP BY and as a selector argument must
+    // surface once, not as two identically-named output columns
+    val out = (col("ts_us").as("time") +:
+      (q.groupTags ++ f.tagKeys).distinct.map(col)) :+
       col(f.arg).as(it.outName)
     val partKeys = q.groupTags ++ bkCols
     val picked =
