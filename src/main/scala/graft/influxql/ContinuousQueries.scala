@@ -145,6 +145,13 @@ object ContinuousQueries {
     if (q.fields.exists(_.calls.exists(f => InfluxQL.TopBottomFuncs.contains(f.func))))
       p.fail("continuous queries aggregate buckets — top()/bottom() return " +
         "original points; run them as batch SELECT ... INTO instead")
+    // selector companions (max(value), tag — r17) are point-shaped too:
+    // the fill frontier's dense-grid contract has no cell for them, loud
+    // at CREATE exactly like top/bottom
+    if (InfluxQL.selectorCompanion(q).nonEmpty)
+      p.fail("continuous queries aggregate buckets — selector companion " +
+        "columns return point values the keyed MERGE cannot maintain; run " +
+        "them as batch SELECT ... INTO instead")
     // every fill mode densifies at emission (linear retroactively,
     // through the keyed MERGE) — nothing left to reject here
     InfluxQL.validateResample(p, rs, q)

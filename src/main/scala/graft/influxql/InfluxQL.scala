@@ -225,6 +225,14 @@ object InfluxQL {
     */
   val TopBottomFuncs: Set[String] = Set("top", "bottom")
 
+  /** The rank-1 point selectors that accept COMPANION columns (InfluxDB
+    * 1.8): `SELECT max(value), tag_or_field [, ...] FROM m` returns the
+    * selected point's companion values beside the selector value.
+    * top/bottom and sample take companions too, on their own plan paths.
+    */
+  val PointSelectorFuncs: Set[String] =
+    Set("max", "min", "first", "last", "percentile")
+
   /** `elapsed(field [, unit])` — the time between a point and its
     * predecessor in the series, in whole `unit`s (default 1us, InfluxQL's
     * integer division). Raw-only, sole field, per-measurement series.
@@ -838,6 +846,24 @@ object InfluxQL {
         p.fail(s"bad time literal '$s' (ISO-8601 or epoch microseconds)")
     }
 
+  /** Selector-companion detection (InfluxDB 1.8): a SINGLE bare selector
+    * call — top/bottom/sample or the rank-1 family — beside one or more
+    * raw references returns the SELECTED points' companion values. Answers
+    * (selector item, companion items) when the SELECT has that shape;
+    * validate() then pins the companions to bare refs.
+    */
+  private[influxql] def selectorCompanion(q: Query): Option[(Item, Seq[Item])] = {
+    val (callItems, rawItems) = q.fields.partition(_.isAgg)
+    if (rawItems.isEmpty || callItems.size != 1) None
+    else callItems.head.bareCall match {
+      case Some(f) if f.transform.isEmpty &&
+          (PointSelectorFuncs.contains(f.func) ||
+            TopBottomFuncs.contains(f.func) || f.func == "sample") =>
+        Some((callItems.head, rawItems))
+      case _ => None
+    }
+  }
+
   private def validate(q: Query): Unit = {
     if (q.fields.isEmpty && !q.selectStar)
       throw new IllegalArgumentException("InfluxQL: empty SELECT")
@@ -850,9 +876,32 @@ object InfluxQL {
       throw new IllegalArgumentException(
         "InfluxQL: elapsed() must be the only SELECT field")
     val aggs = q.fields.count(_.isAgg)
-    if (aggs > 0 && q.fields.exists(it => it.refs.nonEmpty && it.calls.isEmpty))
+    val comp = selectorCompanion(q)
+    if (aggs > 0 && q.fields.exists(it => it.refs.nonEmpty && it.calls.isEmpty)
+        && comp.isEmpty)
       throw new IllegalArgumentException(
-        "InfluxQL: cannot mix aggregated and raw fields in one SELECT")
+        "InfluxQL: cannot mix aggregated and raw fields in one SELECT — " +
+          "only a single bare selector (top/bottom/max/min/first/last/" +
+          "percentile/sample) takes companion columns")
+    comp.foreach { case (sel, comps) =>
+      comps.foreach { it =>
+        it.expr match {
+          case FRef(_) => ()
+          case _ => throw new IllegalArgumentException(
+            "InfluxQL: companion columns beside a selector must be bare " +
+              "field or tag references")
+        }
+      }
+      val taken = Set("time") ++ q.groupTags ++ sel.bareCall.get.tagKeys
+      comps.map(_.outName).find(taken.contains).foreach(n =>
+        throw new IllegalArgumentException(
+          s"InfluxQL: companion column $n collides with an output column — " +
+            "alias it with AS"))
+      if (q.groupTimeUs.nonEmpty && q.fillExplicit)
+        throw new IllegalArgumentException(
+          "InfluxQL: selector companions return point values — fill() " +
+            "does not apply")
+    }
     if (aggs == 0 && q.groupTimeUs.nonEmpty)
       throw new IllegalArgumentException("InfluxQL: GROUP BY time() needs aggregated fields")
     if (aggs == 0 && (q.groupTags.nonEmpty || q.groupStar))
@@ -882,7 +931,11 @@ object InfluxQL {
     }
     for (fn <- Seq("sample", "distinct")) {
       if (q.fields.exists(_.calls.exists(_.func == fn))) {
-        if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
+        // sample is a selector: companion refs beside it are legal (they
+        // ride the sampled rows); distinct has no source point to companion
+        val soleOrCompanion = (fn == "sample" && comp.nonEmpty) ||
+          (q.fields.size == 1 && q.fields.head.bareCall.nonEmpty)
+        if (!soleOrCompanion)
           throw new IllegalArgumentException(
             s"InfluxQL: $fn() must be the only SELECT field — it returns points, not a value")
         if (q.groupTimeUs.nonEmpty)
@@ -899,9 +952,10 @@ object InfluxQL {
           "InfluxQL: tz() does not combine with holt_winters() — forecast steps are bucket-uniform")
     }
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func)))) {
-      if (q.fields.size > 1 || q.fields.head.bareCall.isEmpty)
+      if (comp.isEmpty && (q.fields.size > 1 || q.fields.head.bareCall.isEmpty))
         throw new IllegalArgumentException(
-          "InfluxQL: top()/bottom() must be the only SELECT field — it returns points, not a value")
+          "InfluxQL: top()/bottom() must be the only SELECT field (or take " +
+            "companion references) — it returns points, not a value")
       // GROUP BY time(d) IS legal (InfluxDB 1.8): the N extremes pick per
       // bucket and rows keep their original point timestamps, so fill()
       // has no bucket rows to densify — reject an explicit fill loudly
@@ -1643,6 +1697,11 @@ object InfluxQL {
       return out(planSample(df, q))
     if (q.fields.exists(_.calls.exists(_.func == "distinct")))
       return out(planDistinct(df, q))
+    selectorCompanion(q) match {
+      case Some((sel, comps)) if PointSelectorFuncs.contains(sel.bareCall.get.func) =>
+        return out(planSelectorCompanion(df, q, sel, comps))
+      case _ => ()
+    }
     if (q.fields.exists(_.calls.exists(_.transform.exists(_.startsWith("holt_winters")))))
       return out(planHoltWinters(df, q))
 
@@ -1961,6 +2020,10 @@ object InfluxQL {
     if (q.fields.exists(_.calls.exists(f => TopBottomFuncs.contains(f.func))))
       p.fail("continuous queries aggregate buckets — top()/bottom() return " +
         "original points; run them as batch SELECT ... INTO instead")
+    if (selectorCompanion(q).nonEmpty)
+      p.fail("continuous queries aggregate buckets — selector companion " +
+        "columns return point values the keyed MERGE cannot maintain; run " +
+        "them as batch SELECT ... INTO instead")
     // FOR overrides the default watermark delay; EVERY overrides the
     // trigger — except an AvailableNow drain (--once maintenance runs
     // process the backlog regardless of the CQ's schedule)
@@ -2448,12 +2511,17 @@ object InfluxQL {
     *     collapse to the bucket start), so no fill/densify applies.
     */
   private def planTopBottom(df: DataFrame, q: Query): DataFrame = {
-    val it = q.fields.head
+    val it = q.fields.find(_.isAgg).get
     val f = it.bareCall.get // validate() pins top/bottom to a sole bare call
+    // companion columns (InfluxDB 1.8): bare refs beside the selector ride
+    // the selected rows — projected from the winners and joined into every
+    // tie-break so the pick stays deterministic cross-engine
+    val comps = q.fields.filterNot(_.isAgg)
+    val compAsc = comps.map(c => col(c.refs.head).asc)
     val n = f.pct.get.toInt
     val sortCols =
-      if (f.func == "top") Seq(col(f.arg).desc, col("ts_us").asc)
-      else Seq(col(f.arg).asc, col("ts_us").asc)
+      (if (f.func == "top") Seq(col(f.arg).desc, col("ts_us").asc)
+       else Seq(col(f.arg).asc, col("ts_us").asc)) ++ compAsc
     val withBk = q.groupTimeUs match {
       case Some(step) => df.withColumn("__bk",
         col("ts_us") - pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step)))
@@ -2474,9 +2542,10 @@ object InfluxQL {
     val finalSort = sortCols ++ f.tagKeys.map(col(_).asc)
     // a tag key named BOTH in GROUP BY and as a selector argument must
     // surface once, not as two identically-named output columns
-    val out = (col("ts_us").as("time") +:
+    val out = ((col("ts_us").as("time") +:
       (q.groupTags ++ f.tagKeys).distinct.map(col)) :+
-      col(f.arg).as(it.outName)
+      col(f.arg).as(it.outName)) ++
+      comps.map(c => col(c.refs.head).as(c.outName))
     val partKeys = q.groupTags ++ bkCols
     val picked =
       if (partKeys.isEmpty) champions.orderBy(finalSort: _*).limit(n).select(out: _*)
@@ -2636,17 +2705,97 @@ object InfluxQL {
     * partition — never a full per-group sort of the output.
     */
   private def planSample(df: DataFrame, q: Query): DataFrame = {
-    val f = q.fields.head.bareCall.get
+    val it = q.fields.find(_.isAgg).get
+    val f = it.bareCall.get
+    // companion refs (InfluxDB 1.8) ride the sampled rows; they join the
+    // window tie-break so equal-(hash, ts, value) rows pick deterministically
+    val comps = q.fields.filterNot(_.isAgg)
+    val compAsc = comps.map(c => col(c.refs.head).asc)
     val n = f.pct.get.toInt
     val partCols = ("transducer" +: q.groupTags).distinct
     val h = graft.operators.TextOps.hash60(col("ts_us").cast("string"))
     val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(h.asc, col("ts_us").asc, col(f.arg).asc)
+      .orderBy(Seq(h.asc, col("ts_us").asc, col(f.arg).asc) ++ compAsc: _*)
     val res = df.filter(col(f.arg).isNotNull)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
-      .select((col("ts_us").as("time") +: q.groupTags.map(col)) :+
-        col(f.arg).as(q.fields.head.outName): _*)
+      .select(((col("ts_us").as("time") +: q.groupTags.map(col)) :+
+        col(f.arg).as(it.outName)) ++
+        comps.map(c => col(c.refs.head).as(c.outName)): _*)
+    val tie = res.columns.filter(_ != "time").map(col(_).asc)
+    applyRowRange(applySeriesLimit(res, q).orderBy(
+      (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*), q)
+  }
+
+  /** Selector companion columns (InfluxDB 1.8): a single bare selector —
+    * max/min/first/last/percentile — beside bare field/tag references
+    * returns the SELECTED point's companion values alongside the selector
+    * value (`SELECT max(value), device FROM m`). top/bottom and sample
+    * carry companions on their own plan paths; this covers the rank-1
+    * family. Semantics pinned to InfluxDB 1.x:
+    *
+    *   - the output time is the selected POINT's own time; under GROUP BY
+    *     time(d) it is the bucket start (these selectors, unlike
+    *     top/bottom, collapse to the interval start) while companions
+    *     still come from the selected point;
+    *   - max picks the earliest of tied maxima, min the earliest of tied
+    *     minima; first/last agree with the bare aggregate forms (min/max
+    *     over (ts, value) structs); remaining ties pin on the companion
+    *     values in SELECT order — the module's determinism discipline;
+    *   - percentile selects an ACTUAL point by InfluxDB's nearest-rank
+    *     rule (1-based rank = floor(n·P/100 + 0.5) over the
+    *     value-ascending order; an out-of-range rank answers no row) —
+    *     the bare percentile AGGREGATE interpolates instead, mirroring
+    *     InfluxDB's own selector-vs-aggregate split;
+    *   - explicit fill() is refused in validate() — companions are point
+    *     values, there is nothing to densify.
+    *
+    * Scale: one rank window per (measurement, tags[, bucket]) group —
+    * WindowGroupLimit prunes the rank-1 family to one row per group before
+    * the exchange; percentile adds a count over the same partition (the
+    * same single shuffle, never a self-join or second scan). The tagless
+    * query windows on the measurement attribute, which Catalyst cannot
+    * constant-fold, so the partitioning survives.
+    */
+  private def planSelectorCompanion(df: DataFrame, q: Query,
+                                    sel: Item, comps: Seq[Item]): DataFrame = {
+    val f = sel.bareCall.get
+    val v = col(f.arg)
+    val withBk = q.groupTimeUs match {
+      case Some(step) => df.withColumn("__bk",
+        col("ts_us") - pmod(col("ts_us") - lit(q.groupTimeOffsetUs), lit(step)))
+      case None => df
+    }
+    val bkCols = if (q.groupTimeUs.isDefined) Seq("__bk") else Nil
+    val partCols = (("transducer" +: q.groupTags).distinct ++ bkCols).map(col)
+    val compAsc = comps.map(c => col(c.refs.head).asc)
+    val order: Seq[Column] = (f.func match {
+      case "max" => Seq(v.desc, col("ts_us").asc)
+      case "min" => Seq(v.asc, col("ts_us").asc)
+      case "first" => Seq(col("ts_us").asc, v.asc)
+      case "last" => Seq(col("ts_us").desc, v.desc)
+      case "percentile" => Seq(v.asc, col("ts_us").asc)
+      case other => throw new IllegalArgumentException(
+        s"InfluxQL: $other() does not take companion columns")
+    }) ++ compAsc
+    val w = Window.partitionBy(partCols: _*).orderBy(order: _*)
+    val ranked = withBk.filter(v.isNotNull)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    val picked = f.func match {
+      case "percentile" =>
+        val p = f.pct.get
+        require(p >= 0 && p <= 100, s"percentile N out of [0,100]: $p")
+        val wAll = Window.partitionBy(partCols: _*)
+        ranked.withColumn("__n", count(lit(1)).over(wAll))
+          .filter(col("__rk") ===
+            floor(col("__n").cast("double") * lit(p) / lit(100.0) + lit(0.5)))
+      case _ => ranked.filter(col("__rk") === 1L)
+    }
+    val timeCol =
+      if (q.groupTimeUs.isDefined) col("__bk").as("time")
+      else col("ts_us").as("time")
+    val res = picked.select(((timeCol +: q.groupTags.map(col)) :+
+      v.as(sel.outName)) ++ comps.map(c => col(c.refs.head).as(c.outName)): _*)
     val tie = res.columns.filter(_ != "time").map(col(_).asc)
     applyRowRange(applySeriesLimit(res, q).orderBy(
       (if (q.timeDesc) col("time").desc else col("time").asc) +: tie.toSeq: _*), q)

@@ -35,6 +35,27 @@ object InfluxQLQueries {
     """pts AS (SELECT 'dev' || (user_id % 50) AS device, event_type AS transducer,
       |  epoch_us(ts) AS ts_us, value FROM events)""".stripMargin
 
+  /** The companion-query surface needs a SECOND tag and a SECOND field so
+    * companions exercise both kinds: `cohort` (tag, u0..u9) and `load`
+    * (field, user_id mod 97 as double) ride beside the device/value pair.
+    */
+  def pointsWide(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      concat(lit("dev"), col("user_id") % 50).as("device"),
+      concat(lit("u"), col("user_id") % 10).as("cohort"),
+      col("event_type").as("transducer"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("ts"),
+      col("ts_ns"),
+      col("value"),
+      (col("user_id") % 97).cast("double").as("load"))
+
+  private val ptsWSql =
+    """ptsw AS (SELECT 'dev' || (user_id % 50) AS device,
+      |  'u' || (user_id % 10) AS cohort, event_type AS transducer,
+      |  epoch_us(ts) AS ts_us, value,
+      |  CAST(user_id % 97 AS DOUBLE) AS load FROM events)""".stripMargin
+
   // exact-moment sample stddev of 1e-6-quantized values (the engine's
   // deterministic stddev pin), as DuckDB SQL
   private val vuSql = "CAST(floor(value*1000000.0) AS DECIMAL(38,0))"
@@ -124,6 +145,40 @@ object InfluxQLQueries {
         """SELECT bottom(value, 2) FROM click
           |WHERE time >= '2024-01-01' AND time < '2024-01-31'
           |GROUP BY time(1d), device""".stripMargin)
+    }),
+
+    // selector companion columns (InfluxDB 1.8, r17): max(value) beside
+    // bare tag/field refs returns the SELECTED point's companion values;
+    // under GROUP BY time(1d) the row collapses to the bucket start while
+    // companions still come from the picked point. One rank-1 window per
+    // bucket (WindowGroupLimit-pruned), ties pinned (value desc, ts asc,
+    // companions asc)
+    "q_influxql_selector_companion" -> ((s, dir) => {
+      InfluxQL.run(pointsWide(s, dir),
+        """SELECT max(value), device, load FROM click
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY time(1d)""".stripMargin)
+    }),
+
+    // percentile companion: selects an ACTUAL point per device by
+    // InfluxDB's nearest-rank rule (1-based rank = floor(n*P/100 + 0.5)
+    // over value-ascending order) — the bare percentile AGGREGATE
+    // interpolates instead, mirroring InfluxDB's selector/aggregate split
+    "q_influxql_percentile_companion" -> ((s, dir) => {
+      InfluxQL.run(pointsWide(s, dir),
+        """SELECT percentile(value, 90), cohort FROM view
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY device""".stripMargin)
+    }),
+
+    // top(value, N) with companions: the N extreme points per device keep
+    // their own times and carry the companion tag + field values; the
+    // companions join the tie-break chain so the pick is deterministic
+    "q_influxql_topn_companion" -> ((s, dir) => {
+      InfluxQL.run(pointsWide(s, dir),
+        """SELECT top(value, 3), cohort, load FROM error
+          |WHERE time >= '2024-01-01' AND time < '2024-01-31'
+          |GROUP BY device""".stripMargin)
     }),
 
     // boolean WHERE trees: OR with parentheses (AND binds tighter) plus a
@@ -693,6 +748,43 @@ object InfluxQLQueries {
          |                       ORDER BY value ASC, ts_us ASC) AS rk
          |  FROM f)
          |SELECT time, device, value AS bottom FROM r WHERE rk <= 2""".stripMargin,
+
+    "q_influxql_selector_companion" ->
+      s"""WITH $ptsWSql,
+         |f AS (SELECT device, ts_us, value, load FROM ptsw
+         |      WHERE transducer = 'click'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000
+         |      AND value IS NOT NULL),
+         |r AS (SELECT ts_us - ts_us % 86400000000 AS time, device, load, value,
+         |    row_number() OVER (PARTITION BY ts_us - ts_us % 86400000000
+         |      ORDER BY value DESC, ts_us ASC, device ASC, load ASC) AS rk
+         |  FROM f)
+         |SELECT time, value AS "max", device, load FROM r WHERE rk = 1""".stripMargin,
+
+    "q_influxql_percentile_companion" ->
+      s"""WITH $ptsWSql,
+         |f AS (SELECT device, cohort, ts_us, value FROM ptsw
+         |      WHERE transducer = 'view'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000
+         |      AND value IS NOT NULL),
+         |r AS (SELECT ts_us AS time, device, cohort, value,
+         |    row_number() OVER (PARTITION BY device
+         |      ORDER BY value ASC, ts_us ASC, cohort ASC) AS rk,
+         |    count(*) OVER (PARTITION BY device) AS n
+         |  FROM f)
+         |SELECT time, device, value AS percentile, cohort FROM r
+         |WHERE rk = CAST(floor(CAST(n AS DOUBLE) * 90.0 / 100.0 + 0.5) AS BIGINT)""".stripMargin,
+
+    "q_influxql_topn_companion" ->
+      s"""WITH $ptsWSql,
+         |f AS (SELECT device, cohort, ts_us, value, load FROM ptsw
+         |      WHERE transducer = 'error'
+         |      AND ts_us >= 1704067200000000 AND ts_us < 1706659200000000),
+         |r AS (SELECT ts_us AS time, device, cohort, load, value,
+         |    row_number() OVER (PARTITION BY device
+         |      ORDER BY value DESC, ts_us ASC, cohort ASC, load ASC) AS rk
+         |  FROM f)
+         |SELECT time, device, value AS top, cohort, load FROM r WHERE rk <= 3""".stripMargin,
 
     "q_influxql_math" ->
       s"""WITH $ptsSql,

@@ -385,6 +385,64 @@ class InfluxQLSpec extends SparkSuite {
       .getMessage.contains("unknown field or tag"))
   }
 
+  test("selector companions return the selected point's tag/field values") {
+    // two fields (value, load) and one tag (device): companions may be
+    // tags or other fields, and the values must come from the SELECTED point
+    val df = Seq(
+      ("a", "m", 1L, 5.0, 10.0), ("a", "m", 2L, 9.0, 20.0),
+      ("a", "m", 3L, 9.0, 30.0), ("b", "m", 4L, 7.0, 40.0),
+      ("b", "m", 5L, 1.0, 50.0), ("b", "m", 6L, 3.0, 60.0))
+      .toDF("device", "transducer", "ts_us", "value", "load")
+    // max: the earliest of tied maxima wins; companions ride that point
+    assert(InfluxQL.run(df, "SELECT max(value), device, load FROM m")
+      .as[(Long, Double, String, Double)].collect().toSeq ==
+      Seq((2L, 9.0, "a", 20.0)))
+    // GROUP BY tags: point-own times per group
+    assert(InfluxQL.run(df, "SELECT min(value), load FROM m GROUP BY device")
+      .as[(Long, String, Double, Double)].collect().toSet ==
+      Set((1L, "a", 5.0, 10.0), (5L, "b", 1.0, 50.0)))
+    // last agrees with the bare aggregate's (ts, value)-struct pick
+    assert(InfluxQL.run(df, "SELECT last(value), device FROM m")
+      .as[(Long, Double, String)].collect().toSeq == Seq((6L, 3.0, "b")))
+    // GROUP BY time(d): these selectors collapse to the BUCKET START
+    // (unlike top/bottom) while companions still come from the picked point
+    assert(InfluxQL.run(df, "SELECT max(value), load FROM m GROUP BY time(3u)")
+      .as[(Long, Double, Double)].collect().toSet ==
+      Set((0L, 9.0, 20.0), (3L, 9.0, 30.0), (6L, 3.0, 60.0)))
+    // percentile companion selects an ACTUAL point by nearest rank:
+    // 6 values ascending (1,3,5,7,9,9), p=50 -> rank floor(3.5)=3 -> 5.0
+    assert(InfluxQL.run(df, "SELECT percentile(value, 50), device, load FROM m")
+      .as[(Long, Double, String, Double)].collect().toSeq ==
+      Seq((1L, 5.0, "a", 10.0)))
+    // top/bottom keep original point times, companions ride the winners
+    assert(InfluxQL.run(df, "SELECT top(value, 2), load FROM m")
+      .as[(Long, Double, Double)].collect().toSet ==
+      Set((2L, 9.0, 20.0), (3L, 9.0, 30.0)))
+    // a tag in GROUP BY re-selected as a companion aliases out cleanly
+    assert(InfluxQL.run(df, "SELECT max(value), device AS d FROM m GROUP BY device")
+      .as[(Long, String, Double, String)].collect().toSet ==
+      Set((2L, "a", 9.0, "a"), (4L, "b", 7.0, "b")))
+    // sample: companions ride the deterministically sampled rows — every
+    // output row must be an input point
+    val inputs = df.select("ts_us", "value", "device", "load")
+      .as[(Long, Double, String, Double)].collect().toSet
+    val smp = InfluxQL.run(df, "SELECT sample(value, 2), device, load FROM m")
+      .as[(Long, Double, String, Double)].collect().toSeq
+    assert(smp.size == 2 && smp.forall(inputs.contains))
+    // validation: bare refs only; name collisions need AS; no mixing;
+    // fill() has nothing to densify on a point-shaped result
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](InfluxQL.run(df, s)).getMessage
+    assert(bad("SELECT max(value), load * 2 FROM m").contains("bare"))
+    assert(bad("SELECT max(value), device FROM m GROUP BY device").contains("collides"))
+    assert(bad("SELECT sum(value), device FROM m").contains("mix"))
+    assert(bad("SELECT max(value), min(value), device FROM m").contains("mix"))
+    assert(bad("SELECT max(value), load FROM m GROUP BY time(3u) FILL(0)").contains("fill"))
+    assert(bad("SELECT top(value, device, 2), device FROM m").contains("collides"))
+    assert(bad("SELECT distinct(value), device FROM m").contains("mix"),
+      "distinct() has no source point — not a companion selector")
+  }
+
   test("SHOW statements answer the discovery surface; GROUP BY * expands tags") {
     val df = pts(("a", "temp", 1L, 1.0), ("b", "temp", 2L, 2.0), ("a", "hum", 3L, 3.0))
     assert(InfluxQL.run(df, "SHOW MEASUREMENTS").as[String].collect().toSeq ==
@@ -1747,6 +1805,11 @@ class InfluxQLSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException](cat.run(
       "CREATE CONTINUOUS QUERY tb ON db BEGIN SELECT top(value, 2) INTO t FROM m GROUP BY time(10u) END"))
       .getMessage.contains("top()/bottom()"))
+    // selector companions (r17) are point-shaped too — the fill frontier's
+    // dense-grid contract has no cell for them, refused at CREATE
+    assert(intercept[IllegalArgumentException](cat.run(
+      "CREATE CONTINUOUS QUERY sc ON db BEGIN SELECT max(value), device INTO t FROM m GROUP BY time(10u) END"))
+      .getMessage.contains("companion"))
     // DROP releases the target for external writers again
     cat.run("DROP CONTINUOUS QUERY cq1 ON db")
     cat.run("SELECT mean(value) AS m INTO agg FROM m GROUP BY time(10u)")
