@@ -639,6 +639,130 @@ class InfluxQLDifferentialSpec extends SparkSuite {
     }
   }
 
+  /** Seeded companion-selector draws (r17): every selector that takes
+    * companion refs — max/min/first/last/percentile/top/bottom — against a
+    * literal in-memory replay of the engine's pick rules, across the four
+    * grouping shapes (global, GROUP BY device, GROUP BY time(k), both) and
+    * companion sets drawn from a second tag-like column and a second field.
+    * The replay mirrors the pinned tie-break chains operation for
+    * operation (value/ts keys, then companions asc in SELECT order;
+    * percentile's nearest rank computed with the same IEEE expression), so
+    * every comparison is exact.
+    */
+  test("selector companion draws match the reference") {
+    val rnd = new scala.util.Random(171717L)
+    val pts = fixture
+    // a second FIELD derived purely from ts so the model can replay it
+    val df = pts.toDF("device", "transducer", "ts_us", "value")
+      .withColumn("v2", (col("ts_us") % 17).cast("double"))
+    val mPts = pts.collect { case (d, "m", t, v) => Pt(d, t, v) }
+
+    case class Comp(name: String, alias: Option[String], value: Pt => Any) {
+      def sel: String = alias.fold(name)(a => s"$name AS $a")
+    }
+    val compDevice = Comp("device", None, _.device)
+    val compV2 = Comp("v2", None, p => (p.ts % 17).toDouble)
+
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => sys.error(s"uncomparable tie-break values $a / $b")
+    }
+    def lexOrd(keys: Pt => Seq[(Any, Boolean)]): Ordering[Pt] =
+      (p1: Pt, p2: Pt) => keys(p1).zip(keys(p2)).iterator
+        .map { case ((a, desc), (b, _)) =>
+          val c = cmpAny(a, b); if (desc) -c else c }
+        .find(_ != 0).getOrElse(0)
+
+    for (iter <- 0 until 40 * diffScale) {
+      val conds: Seq[GCond] = (0 until rnd.nextInt(3)).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 => GTime(if (rnd.nextBoolean()) ">=" else "<", rnd.nextInt(1000).toLong)
+          case 1 => GTag(rnd.nextBoolean(), devices(rnd.nextInt(3)))
+          case _ => GField(if (rnd.nextBoolean()) ">" else "<=",
+            math.floor(rnd.nextDouble() * 1000) / 10.0)
+        }
+      }
+      val whereTxt = if (conds.isEmpty) "" else " WHERE " + conds.map(_.text).mkString(" AND ")
+      val kept = mPts.filter(p => conds.forall(_.holds(p)))
+
+      val grp = rnd.nextInt(4)
+      val byDevice = grp == 1 || grp == 3
+      val byTime = grp == 2 || grp == 3
+      val k = Seq(7L, 50L, 160L)(rnd.nextInt(3))
+      // a device companion beside GROUP BY device collides — alias it out,
+      // exactly what validate() demands of a user
+      val comps = (rnd.nextInt(3) match {
+        case 0 => Seq(compDevice)
+        case 1 => Seq(compV2)
+        case _ => Seq(compDevice, compV2)
+      }).map(c =>
+        if (byDevice && c.name == "device") c.copy(alias = Some("d")) else c)
+      val groupTxt =
+        if (grp == 0) ""
+        else " GROUP BY " + ((if (byTime) Seq(s"time(${k}u)") else Nil) ++
+          (if (byDevice) Seq("device") else Nil)).mkString(", ")
+      def bucket(ts: Long): Long = ts - (((ts % k) + k) % k)
+      def groupOf(p: Pt): (String, Long) =
+        (if (byDevice) p.device else "", if (byTime) bucket(p.ts) else 0L)
+      val compKeys: Pt => Seq[(Any, Boolean)] =
+        p => comps.map(c => (c.value(p), false))
+
+      val fn = Vector("max", "min", "first", "last",
+        "percentile", "top", "bottom")(rnd.nextInt(7))
+      val n = 1 + rnd.nextInt(4)
+      val pct = Seq(5, 25, 50, 75, 90, 99)(rnd.nextInt(6))
+      val call = fn match {
+        case "percentile" => s"percentile(value, $pct)"
+        case "top" | "bottom" => s"$fn(value, $n)"
+        case _ => s"$fn(value)"
+      }
+      val text =
+        s"SELECT ${(call +: comps.map(_.sel)).mkString(", ")} FROM m$whereTxt$groupTxt"
+
+      val engine = InfluxQL.run(df, text).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+
+      def rowOf(g: (String, Long), p: Pt, pointTime: Boolean): String = {
+        val t: Long = if (byTime && !pointTime) g._2 else p.ts
+        ((Vector[Any](t) ++ (if (byDevice) Vector(g._1) else Vector()) :+
+          p.value) ++ comps.map(_.value(p))).mkString("|")
+      }
+      val groups = kept.groupBy(groupOf).toSeq
+      val expected: Seq[String] = (fn match {
+        case "top" | "bottom" =>
+          val o = lexOrd(p => Seq((p.value, fn == "top"), (p.ts, false)) ++ compKeys(p))
+          groups.flatMap { case (g, rs) =>
+            rs.sorted(o).take(n).map(p => rowOf(g, p, pointTime = true)) }
+        case "percentile" =>
+          val o = lexOrd(p => Seq((p.value, false), (p.ts, false)) ++ compKeys(p))
+          groups.flatMap { case (g, rs) =>
+            val s = rs.sorted(o)
+            val rank = math.floor(s.size.toDouble * pct.toDouble / 100.0 + 0.5).toLong
+            if (rank >= 1 && rank <= s.size)
+              Seq(rowOf(g, s(rank.toInt - 1), pointTime = false))
+            else Nil
+          }
+        case _ =>
+          val keys: Pt => Seq[(Any, Boolean)] = fn match {
+            case "max" => p => Seq((p.value, true), (p.ts, false)) ++ compKeys(p)
+            case "min" => p => Seq((p.value, false), (p.ts, false)) ++ compKeys(p)
+            case "first" => p => Seq((p.ts, false), (p.value, false)) ++ compKeys(p)
+            case _ => p => Seq((p.ts, true), (p.value, true)) ++ compKeys(p)
+          }
+          groups.collect { case (g, rs) if rs.nonEmpty =>
+            rowOf(g, rs.min(lexOrd(keys)), pointTime = false) }
+      }).sorted
+
+      assert(engine == expected,
+        s"""companion differential mismatch (iter $iter)
+           |QUERY: $text
+           |ENGINE-ONLY: ${(engine.toSet -- expected.toSet).take(5)}
+           |EXPECTED-ONLY: ${(expected.toSet -- engine.toSet).take(5)}""".stripMargin)
+    }
+  }
+
   /** The raw-path TA model: truncated integer kernels over a field's
     * compacted (ts, value) subsequence — the literal mirror of
     * planRawTransform's ignoreNulls discipline (each field walks only its
