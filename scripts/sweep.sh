@@ -77,7 +77,7 @@ diffnet() { # diffnet <scale> — the sbt EXIT CODE is the verdict (an
   # aborted suite prints "Tests: succeeded 0, failed 0"; a compile
   # failure prints no Tests line at all — both must read as FAIL)
   if GRAFT_DIFF_SCALE="$1" run "diff_scale$1" sbt -batch \
-      "testOnly graft.InfluxQLDifferentialSpec graft.PipelineDifferentialSpec"; then
+      "testOnly graft.InfluxQLDifferentialSpec graft.PipelineDifferentialSpec graft.UdpDifferentialSpec"; then
     grep -hE '^\[info\] Tests: succeeded' "$OUT/diff_scale$1.log" \
       | awk '{s+=$4+0; f+=$6+0} END {print s "/" s+f " green"}' | tr -d ','
   else

@@ -69,10 +69,23 @@ object InfluxShell {
           creds.foreach { case (u, p) => cat.authorize(u, p, s"CREATE DATABASE x") }
           cat.exportDatabase(parts(1), parts(2))
           s"backed up database ${parts(1)} to ${parts(2)}"
+        case Some("backup") if parts.length == 2 =>
+          // influxd's no-database form: the full instance (all dbs + users)
+          creds.foreach { case (u, p) => cat.authorize(u, p, s"CREATE DATABASE x") }
+          cat.exportInstance(parts(1))
+          s"backed up instance to ${parts(1)}"
         case Some("restore") if parts.length == 2 =>
           creds.foreach { case (u, p) => cat.authorize(u, p, s"CREATE DATABASE x") }
-          val db = cat.importDatabase(parts(1))
-          s"restored database $db"
+          // the manifest names the set's kind — a directory holds exactly
+          // one of the two, so sniffing is unambiguous
+          if (java.nio.file.Files.isRegularFile(
+              java.nio.file.Paths.get(parts(1), "instance_manifest.json"))) {
+            val dbs = cat.importInstance(parts(1))
+            s"restored instance (databases: ${dbs.mkString(", ")})"
+          } else {
+            val db = cat.importDatabase(parts(1))
+            s"restored database $db"
+          }
         case _ =>
           // both paths run under the query registry and accept `;`-separated
           // multi-statement input (last result prints, like influx's CLI);

@@ -222,6 +222,20 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * never a listed database with missing data. Returns the database name.
     */
   def importDatabase(srcDir: String): String = {
+    val b = verifyDatabaseBackup(srcDir)
+    applyDatabaseBackup(b)
+    b.db
+  }
+
+  /** One verified database backup set, ready to apply — the verify half of
+    * [[importDatabase]], split out so [[importInstance]] can verify EVERY
+    * member before ANY byte lands.
+    */
+  private case class DbBackup(srcDir: String, db: String,
+                              tables: Seq[(String, Long)],
+                              ctrlRows: Seq[(String, DataFrame)])
+
+  private def verifyDatabaseBackup(srcDir: String): DbBackup = {
     val mPath = Paths.get(srcDir, "db_manifest.json")
     require(Files.isRegularFile(mPath), s"no db_manifest.json in $srcDir")
     val m = new String(Files.readAllBytes(mPath), "UTF-8")
@@ -264,24 +278,111 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       require(df.count() == n, s"control dump $t holds ${df.count()} rows, manifest says $n")
       (t, df)
     }
+    DbBackup(srcDir, db, tables, ctrlRows)
+  }
+
+  private def applyDatabaseBackup(b: DbBackup): Unit = {
     // data first...
-    tables.foreach { case (n, _) =>
-      new TxLogTable(spark, s"$rootDir/$db/$n").importSnapshot(s"$srcDir/tables/$n"); ()
+    b.tables.foreach { case (n, _) =>
+      new TxLogTable(spark, s"$rootDir/${b.db}/$n").importSnapshot(s"${b.srcDir}/tables/$n"); ()
     }
     // ...control rows next, in dbCtrlTables order so `_databases` lands
     // LAST; a half-dropped db may have left rows behind — clear them so
     // the restore is exact, not additive
     dbCtrlTables.foreach { case (t, fcol) =>
-      ctrlRows.find(_._1 == t).foreach { case (_, df) =>
+      b.ctrlRows.find(_._1 == t).foreach { case (_, df) =>
         val tab = new TxLogTable(spark, s"$rootDir/$t")
         if (tab.version.isDefined) {
-          tab.delete(col(fcol) === db)
+          tab.delete(col(fcol) === b.db)
           tab.append(df)
         } else tab.append(df)
         ()
       }
     }
-    db
+  }
+
+  /** `influxd backup` WITHOUT `-database`: the full instance — every
+    * database's per-db backup set (each at its own consistent pinned cut,
+    * [[exportDatabase]] verbatim) plus the GLOBAL `_users` store, under one
+    * `instance_manifest.json`. Mirrors influxd's split: users ride the
+    * metastore, never any single database's set (db-scoped `_grants` rows
+    * already travel inside each member).
+    *
+    * Layout: `instance_manifest.json` (database list + user row count) +
+    * `dbs/<db>/` per member (a complete [[exportDatabase]] set) +
+    * `users/` (parquet dump of `_users`, present only when users exist).
+    * Database names are [[checkName]]-safe by construction, so the member
+    * paths cannot traverse.
+    */
+  def exportInstance(destDir: String): Unit = {
+    val dest = Paths.get(destDir)
+    require(!Files.isDirectory(dest) || {
+      val s = Files.list(dest); try !s.findAny().isPresent finally s.close()
+    }, s"backup destination $destDir is not empty")
+    Files.createDirectories(dest)
+    val dbs = databaseNames()
+    dbs.foreach(db => exportDatabase(db, s"$destDir/dbs/$db"))
+    val users = new TxLogTable(spark, s"$rootDir/_users")
+    val nUsers =
+      if (users.version.isEmpty) 0L
+      else {
+        val rows = users.read()
+        val n = rows.count()
+        if (n > 0) rows.coalesce(1).write.parquet(s"$destDir/users")
+        n
+      }
+    val manifest =
+      s"""{"databases":[${dbs.map(d => s""""$d"""").mkString(",")}],""" +
+        s""""users":$nUsers}"""
+    Files.write(dest.resolve("instance_manifest.json"), manifest.getBytes("UTF-8"))
+  }
+
+  /** `influxd restore` of an [[exportInstance]] set. Verification runs for
+    * EVERY member (and the users dump) before ANY byte lands: each member's
+    * fence (database must not exist, no stray tree, snapshot + control
+    * verification) plus the users fence (the backup carries users only
+    * onto an instance with none — drop them first to accept the restore,
+    * the database-must-not-exist rule applied to the global store).
+    * Mutation order: members in manifest order (each data-then-control,
+    * `_databases` row last), global users LAST — a crash mid-restore
+    * leaves some members fully restored and the rest absent; drop the
+    * restored members and re-run. Returns the restored database names.
+    */
+  def importInstance(srcDir: String): Seq[String] = {
+    val mPath = Paths.get(srcDir, "instance_manifest.json")
+    require(Files.isRegularFile(mPath), s"no instance_manifest.json in $srcDir")
+    val m = new String(Files.readAllBytes(mPath), "UTF-8")
+    val dbList = """"databases":\[([^\]]*)\]""".r.findFirstMatchIn(m)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bad instance_manifest in $srcDir")).group(1)
+    // the manifest is untrusted input: every member name must be a plain
+    // checkName-safe identifier before it splices into any path
+    val dbs = """"([^"]+)"""".r.findAllMatchIn(dbList)
+      .map(mm => checkName(mm.group(1))).toSeq
+    val nUsers = """"users":(\d+)""".r.findFirstMatchIn(m)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val backups = dbs.map { db =>
+      val b = verifyDatabaseBackup(s"$srcDir/dbs/$db")
+      require(b.db == db, s"member backup at dbs/$db names database ${b.db}")
+      b
+    }
+    val usersTab = new TxLogTable(spark, s"$rootDir/_users")
+    val usersDf =
+      if (nUsers == 0L) None
+      else {
+        val df = spark.read.parquet(s"$srcDir/users")
+        require(df.count() == nUsers,
+          s"users dump holds ${df.count()} rows, manifest says $nUsers")
+        Some(df)
+      }
+    if (usersDf.nonEmpty &&
+        usersTab.version.isDefined && usersTab.read().count() > 0)
+      throw new IllegalStateException(
+        "restore fence conflict: users already defined on this instance; " +
+          "drop them first to accept the restore")
+    backups.foreach(applyDatabaseBackup)
+    usersDf.foreach { df => usersTab.append(df); () }
+    dbs
   }
 
   /** Refuse a write into a table a continuous query owns: the CQ fill's

@@ -2140,4 +2140,101 @@ class InfluxQLSpec extends SparkSuite {
       !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root5/tele")),
       "a refused tampered restore must leave nothing behind")
   }
+
+  test("instance backup/restore: all databases + global users, loud fences") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("instbak_src").toString
+    val cat = new graft.influxql.InfluxCatalog(spark, root, defaultDb = "db1")
+    cat.run("CREATE DATABASE db1")
+    cat.run("CREATE DATABASE db2")
+    cat.run("CREATE USER boss WITH PASSWORD 'bpw' WITH ALL PRIVILEGES")
+    cat.run("CREATE USER viewer WITH PASSWORD 'vpw'")
+    cat.run("GRANT READ ON db2 TO viewer")
+    cat.run("CREATE RETENTION POLICY keep7 ON db1 DURATION 7d DEFAULT")
+    cat.writePoints("db1", pts(("a", "temp", 1000000L, 1.5)))
+    cat.writePoints("db2", pts(("b", "hum", 2000000L, 2.5)))
+
+    // concurrent-append torture on ONE member while the instance exports:
+    // the restored member must be EXACTLY its pinned cut
+    val bak = Files.createTempDirectory("instbak").toString + "/set"
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop && i < 200) {
+        cat.writePoints("db1", pts(("w", "temp", 10000000L + i * 1000L, i.toDouble)))
+        i += 1
+      }
+    })
+    writer.start()
+    try cat.exportInstance(bak) finally { stop = true; writer.join() }
+    assert(Files.isRegularFile(Paths.get(s"$bak/instance_manifest.json")))
+    val m1 = new String(Files.readAllBytes(
+      Paths.get(s"$bak/dbs/db1/db_manifest.json")), "UTF-8")
+    val pinnedPoints = """\["points",(\d+)\]""".r.findFirstMatchIn(m1).get.group(1).toLong
+
+    // round-trip into a fresh root through the SHELL's sniffing restore
+    val root2 = Files.createTempDirectory("instbak_dst").toString
+    val cat2 = new graft.influxql.InfluxCatalog(spark, root2, defaultDb = "db1")
+    val out = InfluxShell.process(cat2, s"restore $bak")
+    assert(out.contains("restored instance"), out)
+    assert(cat2.run("SHOW DATABASES").as[String].collect().toSeq == Seq("db1", "db2"))
+    assert(cat2.points("db1").collect().map(_.toString).toSet ==
+      cat.pointsTable("db1").readVersion(pinnedPoints).collect().map(_.toString).toSet,
+      "restored member is not its pinned cut")
+    assert(cat2.points("db2").as[(String, String, Long, Double)].collect().toSeq ==
+      Seq(("b", "hum", 2000000L, 2.5)))
+    // GLOBAL users travel with the instance set (unlike per-db backups),
+    // byte-identical including password hashes — auth works immediately
+    assert(new graft.storage.TxLogTable(spark, s"$root2/_users")
+      .read().collect().map(_.toString).toSet ==
+      new graft.storage.TxLogTable(spark, s"$root/_users")
+        .read().collect().map(_.toString).toSet)
+    // the db-scoped grant rode db2's member set: viewer reads db2, not db1
+    new graft.influxql.InfluxCatalog(spark, root2, defaultDb = "db2")
+      .authorize("viewer", "vpw", "SELECT value FROM hum")
+    assert(intercept[IllegalArgumentException](
+      cat2.authorize("viewer", "vpw", "SELECT value FROM temp"))
+      .getMessage.contains("not authorized"))
+    assert(cat2.run("SHOW RETENTION POLICIES ON db1").collect().toSeq ==
+      cat.run("SHOW RETENTION POLICIES ON db1").collect().toSeq)
+
+    // member fence: ANY pre-existing member database refuses the whole
+    // restore BEFORE any byte lands (db1 verifies clean first — it must
+    // still not land)
+    val root3 = Files.createTempDirectory("instbak_dst2").toString
+    val cat3 = new graft.influxql.InfluxCatalog(spark, root3, defaultDb = "db2")
+    cat3.run("CREATE DATABASE db2")
+    assert(intercept[IllegalStateException](cat3.importInstance(bak))
+      .getMessage.contains("fence conflict"))
+    assert(cat3.run("SHOW DATABASES").as[String].collect().toSeq == Seq("db2") &&
+      !Files.exists(Paths.get(s"$root3/db1")),
+      "a refused instance restore must not land any member")
+
+    // users fence: an instance that already defines users refuses a
+    // users-carrying restore before any member lands
+    val root4 = Files.createTempDirectory("instbak_dst3").toString
+    val cat4 = new graft.influxql.InfluxCatalog(spark, root4, defaultDb = "db1")
+    cat4.run("CREATE USER squatter WITH PASSWORD 'spw'")
+    assert(intercept[IllegalStateException](cat4.importInstance(bak))
+      .getMessage.contains("users already defined"))
+    assert(cat4.run("SHOW DATABASES").as[String].collect().isEmpty,
+      "a users-fence refusal must not land any member")
+
+    // the shell's two-arg backup form writes an instance set
+    val bak2 = Files.createTempDirectory("instbak2").toString + "/set"
+    assert(InfluxShell.process(cat, s"backup $bak2").contains("backed up instance"))
+    assert(Files.isRegularFile(Paths.get(s"$bak2/instance_manifest.json")))
+
+    // a tampered member list with a non-identifier name refuses before
+    // any path splice
+    val mp = Paths.get(s"$bak2/instance_manifest.json")
+    val tampered = new String(Files.readAllBytes(mp), "UTF-8")
+      .replace(""""db1"""", """"../db1"""")
+    Files.write(mp, tampered.getBytes("UTF-8"))
+    val root5 = Files.createTempDirectory("instbak_dst4").toString
+    val cat5 = new graft.influxql.InfluxCatalog(spark, root5, defaultDb = "db1")
+    assert(intercept[IllegalArgumentException](cat5.importInstance(bak2))
+      .getMessage.contains("invalid database name"))
+    assert(cat5.run("SHOW DATABASES").as[String].collect().isEmpty)
+  }
 }
