@@ -422,6 +422,11 @@ class InfluxQLSpec extends SparkSuite {
     assert(InfluxQL.run(df, "SELECT max(value), device AS d FROM m GROUP BY device")
       .as[(Long, String, Double, String)].collect().toSet ==
       Set((2L, "a", 9.0, "a"), (4L, "b", 7.0, "b")))
+    // the three-arg per-tag form composes with companions: each device's
+    // champion carries its companion values into the top-N
+    assert(InfluxQL.run(df, "SELECT top(value, device, 1), load FROM m")
+      .as[(Long, String, Double, Double)].collect().toSeq ==
+      Seq((2L, "a", 9.0, 20.0)))
     // sample: companions ride the deterministically sampled rows — every
     // output row must be an input point
     val inputs = df.select("ts_us", "value", "device", "load")
