@@ -62,14 +62,18 @@ object ContinuousQueries {
   // version-keyed target cache: the write faces consult cqTargets on EVERY
   // append (including every UDP flush), and the registry only changes on
   // CREATE/DROP — so the parsed target set is cached per (root, db) keyed
-  // on the registry table's commit version. Steady state pays one
-  // commit-log file probe + a map lookup, never a Spark collect — even on
-  // a deployment whose LAST CQ was dropped (the registry table stays
-  // committed forever, so anyDefined alone cannot restore the free path).
-  // Invalidation is automatic: CREATE/DROP commit a new version and the
-  // cached key mismatches.
-  private val targetCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Set[String])]()
+  // on the registry table's commit version PLUS its log incarnation (the
+  // earliest commit file's inode): a registry dir removed and recreated at
+  // the same path restarts version numbering, and a bare version match
+  // would then serve a stale target set past the sole-writer refusal.
+  // Steady state pays one commit-log list + one stat + a map lookup, never
+  // a Spark collect — even on a deployment whose LAST CQ was dropped (the
+  // registry table stays committed forever, so anyDefined alone cannot
+  // restore the free path). Invalidation is automatic: CREATE/DROP commit
+  // a new version and the cached key mismatches. Bounded: one entry per
+  // live (root, db) pair, pinned control-plane small.
+  private val targetCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((Long, Option[String]), Set[String])]()
 
   /** The registered CQ target measurements of `db` — the tables the
     * sole-writer contract reserves for their CQs. The fill frontier's
@@ -87,13 +91,14 @@ object ContinuousQueries {
       case Some(v) =>
         val key =
           (java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString, db)
+        val stamp = (v, t.incarnation)
         val cached = targetCache.get(key)
-        if (cached != null && cached._1 == v) cached._2
+        if (cached != null && cached._1 == stamp) cached._2
         else {
           import spark.implicits._
           val targets = t.read().filter(col("db") === db)
             .select("query").as[String].collect().flatMap(targetOf).toSet
-          targetCache.put(key, (v, targets))
+          targetCache.put(key, (stamp, targets))
           targets
         }
     }

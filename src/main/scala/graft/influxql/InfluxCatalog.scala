@@ -313,6 +313,14 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * `users/` (parquet dump of `_users`, present only when users exist).
     * Database names are [[checkName]]-safe by construction, so the member
     * paths cannot traverse.
+    *
+    * Consistency contract: the database LIST and the `_users` version are
+    * snapshotted up front (before any member export), and each member
+    * exports at its own pinned cut — so the set is PER-MEMBER consistent,
+    * not a single global point-in-time snapshot. Concurrent DDL during the
+    * export (CREATE DATABASE after the list snapshot, writes into a member
+    * after its cut) lands in the live instance but not in this backup —
+    * the same contract `influxd backup` gives without a global lock.
     */
   def exportInstance(destDir: String): Unit = {
     val dest = Paths.get(destDir)
@@ -320,17 +328,21 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
       val s = Files.list(dest); try !s.findAny().isPresent finally s.close()
     }, s"backup destination $destDir is not empty")
     Files.createDirectories(dest)
+    // snapshot the membership and the users cut BEFORE the (long) member
+    // exports: a CREATE USER racing the export cannot shear the users dump
+    // relative to the manifest written at the end
     val dbs = databaseNames()
-    dbs.foreach(db => exportDatabase(db, s"$destDir/dbs/$db"))
     val users = new TxLogTable(spark, s"$rootDir/_users")
-    val nUsers =
-      if (users.version.isEmpty) 0L
-      else {
-        val rows = users.read()
+    val usersCut = users.version
+    dbs.foreach(db => exportDatabase(db, s"$destDir/dbs/$db"))
+    val nUsers = usersCut match {
+      case None => 0L
+      case Some(v) =>
+        val rows = users.readVersion(v)
         val n = rows.count()
         if (n > 0) rows.coalesce(1).write.parquet(s"$destDir/users")
         n
-      }
+    }
     val manifest =
       s"""{"databases":[${dbs.map(d => s""""$d"""").mkString(",")}],""" +
         s""""users":$nUsers}"""

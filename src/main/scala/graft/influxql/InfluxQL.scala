@@ -55,8 +55,17 @@ import org.apache.spark.sql.functions._
   *   call   := agg | xform '(' agg [',' dur|num] ')'
   *   agg    := func '(' ident [',' num] ')' | count '(' distinct '(' ident ')' ')'
   *   func   := count|sum|mean|min|max|first|last|median|percentile|spread|stddev|mode
-  *             | top|bottom   (N extreme points, sole field, no time buckets)
+  *             | top|bottom   (the N extreme POINTS, keeping their own
+  *               event times; `top(f, tag_key [, tag_key...], N)` picks at
+  *               most one champion per tag(-combo) value; composes with
+  *               `GROUP BY time(d)` — extremes pick per bucket)
+  *             | sample       (`sample(f, N)`: N deterministic hash-order
+  *               points per series; composes with GROUP BY time/tags)
   *             | elapsed      (time to the series predecessor, raw-only)
+  *   (selector companions: bare field/tag refs may ride beside a single
+  *    top/bottom/sample/max/min/first/last/percentile call — each selected
+  *    row carries its companions' values; names must not collide with
+  *    time/tags, alias with AS)
   *   xform  := derivative|non_negative_derivative|difference|non_negative_difference|cumulative_sum|moving_average
   *           | exponential_moving_average|double_exponential_moving_average
   *           | triple_exponential_moving_average|triple_exponential_derivative
@@ -892,11 +901,18 @@ object InfluxQL {
               "field or tag references")
         }
       }
-      val taken = Set("time") ++ q.groupTags ++ sel.bareCall.get.tagKeys
-      comps.map(_.outName).find(taken.contains).foreach(n =>
-        throw new IllegalArgumentException(
-          s"InfluxQL: companion column $n collides with an output column — " +
-            "alias it with AS"))
+      // seed with the selector's own output name and fold each companion in
+      // as it is checked, so `SELECT max(value), load AS max` and duplicate
+      // companion aliases get THIS error, not a downstream
+      // ambiguous-column AnalysisException from the tie-sort
+      var taken = Set("time") ++ q.groupTags ++ sel.bareCall.get.tagKeys + sel.outName
+      comps.map(_.outName).foreach { n =>
+        if (taken.contains(n))
+          throw new IllegalArgumentException(
+            s"InfluxQL: companion column $n collides with an output column — " +
+              "alias it with AS")
+        taken += n
+      }
       if (q.groupTimeUs.nonEmpty && q.fillExplicit)
         throw new IllegalArgumentException(
           "InfluxQL: selector companions return point values — fill() " +

@@ -411,6 +411,75 @@ object SimilarityOps {
     probeIvf(qs, cents, assigned, probes, k)
   }
 
+  /** Build the SemDeDup index ONCE: the deterministic k-means centroids
+    * (`centroids`: cid, cv, cn) plus every corpus vector's cluster
+    * membership (`members`: vec_id, qv, qn, cid) as ACID tables under
+    * `path`. Same learning as [[buildIvfIndex]] — the index shape is
+    * shared; what differs is the probe: dedup pairs, not top-k.
+    * At 100 TB the k-means and the full-corpus assignment pass run once on
+    * the maintenance path; every ingest batch then probes cluster-locally
+    * ([[semanticDedupProbe]]) and folds in ([[foldSemanticIndex]]) without
+    * ever re-learning or re-scanning the indexed corpus.
+    */
+  def buildSemanticIndex(vecs: DataFrame, nCentroids: Int, kmeansIters: Int,
+                         path: String): Unit = {
+    val spark = vecs.sparkSession
+    val q = prepQ(vecs).persist()
+    val cents = ivfCentroids(q, nCentroids, kmeansIters).persist()
+    new graft.storage.TxLogTable(spark, s"$path/centroids").overwrite(cents)
+    new graft.storage.TxLogTable(spark, s"$path/members").overwrite(assignTo(q, cents))
+    Seq(q, cents).foreach(_.unpersist())
+  }
+
+  /** Probe a NEW batch against a persisted SemDeDup index: assign each
+    * batch vector to its max-cosine centroid (broadcast centroid table — no
+    * k-means stage in the plan), then verify exact quantized cosine against
+    * (a) the indexed members of that cluster and (b) the batch's own
+    * same-cluster vectors. Returns (cid, i, j, cos) with i < j and
+    * cos >= tau — i/j canonicalized by id, so member-vs-batch and
+    * batch-vs-batch pairs carry the same shape as [[semanticDedupPairs]].
+    *
+    * Scale: per-batch cost is O(batch × cluster-size) — the indexed corpus
+    * is touched only through the `cid` equi-join (never member-vs-member
+    * pairs, never a re-cluster), so a 100 TB corpus prices each ingest
+    * batch by its own size, not the corpus's.
+    */
+  def semanticDedupProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, tau: Double): DataFrame = {
+    val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
+    val members = new graft.storage.TxLogTable(spark, s"$path/members").read()
+    val assignedB = assignTo(prepQ(batch), cents)
+    def pairCos(a: String, b: String): Column =
+      cosineQ(dotQ(col(s"$a.qv"), col(s"$b.qv")), col(s"$a.qn"), col(s"$b.qn"))
+    // member ↔ batch: indexed side enters ONLY via the cid equi-join
+    val mb = members.as("a").join(assignedB.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        least(col("a.vec_id"), col("b.vec_id")).as("i"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("j"),
+        pairCos("a", "b").as("cos"))
+    // batch ↔ batch within the assigned cluster
+    val bb = assignedB.as("a").join(assignedB.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"), pairCos("a", "b").as("cos"))
+    mb.unionByName(bb).filter(col("cos") >= tau)
+  }
+
+  /** Fold a probed batch INTO the semantic index: assign to the persisted
+    * centroids (fixed — SemDeDup learns once; members accrete) and append
+    * the batch's membership rows, txn-fenced so an at-least-once replay of
+    * the same (appId, seq) is a no-op. Pass the batch's SURVIVORS (post
+    * keep-lowest curation) so the index holds exactly the retained corpus.
+    */
+  def foldSemanticIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
+    new graft.storage.TxLogTable(spark, s"$path/members")
+      .append(assignTo(prepQ(batch), cents), txn)
+    ()
+  }
+
   /** Build the PQ index ONCE: `codebooks` (sub, cid, cv, cn) and `codes`
     * (vec_id, sub, code) as ACID tables — m·log2(kCodes) bits per corpus
     * vector, the footprint that keeps a 100 TB corpus's index in RAM.

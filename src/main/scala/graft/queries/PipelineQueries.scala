@@ -187,14 +187,17 @@ object PipelineQueries {
   /** The k-means-iteration + final-assignment CTE prefix shared by the IVF
     * and semantic-dedup oracles: defines `cents0..cents$iters` and
     * `assigned` (vec_id, qv, nq, cid) after `iters` unrolled iterations.
+    * `src` is the quantized source CTE the clustering learns over (default
+    * the full corpus `n`; the semantic-probe oracle passes the pre-batch
+    * corpus so the learning replays the BUILD-time input exactly).
     */
-  private def kmeansAssignedSql(nCentroids: Int, iters: Int): String = {
+  private def kmeansAssignedSql(nCentroids: Int, iters: Int, src: String = "n"): String = {
     val steps = (0 until iters).map { t =>
       s"""kassign$t AS (SELECT vec_id, qv, cid FROM (
          |    SELECT n.vec_id, n.qv, c.cid,
          |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
          |        ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} DESC, c.cid) AS crk
-         |    FROM n, cents$t c) WHERE crk = 1),
+         |    FROM $src n, cents$t c) WHERE crk = 1),
          |ksums$t AS (SELECT cid, i AS pos, sum(qv[i]) AS s, count(*) AS cnt
          |  FROM kassign$t, UNNEST(generate_series(1, len(qv))) AS u(i) GROUP BY 1, 2),
          |knewc$t AS (SELECT cid,
@@ -204,11 +207,11 @@ object PipelineQueries {
          |    CAST(list_sum(list_transform(coalesce(nc.cv, p.cv), x -> x * x)) AS BIGINT) AS cn
          |  FROM cents$t p LEFT JOIN knewc$t nc ON p.cid = nc.cid)""".stripMargin
     }
-    s"""cents0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM n WHERE vec_id < $nCentroids),
+    s"""cents0 AS (SELECT vec_id AS cid, qv AS cv, nq AS cn FROM $src WHERE vec_id < $nCentroids),
        |${steps.mkString(",\n")}${if (iters > 0) "," else ""}
        |assign0 AS (SELECT n.vec_id, n.qv, n.nq, c.cid,
        |    ${cosSql("n.qv", "n.nq", "c.cv", "c.cn")} AS ccos
-       |  FROM n, cents$iters c),
+       |  FROM $src n, cents$iters c),
        |assigned AS (SELECT vec_id, qv, nq, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
        |    FROM assign0) WHERE crk = 1)""".stripMargin
@@ -495,6 +498,22 @@ object PipelineQueries {
     "q_dedup_semantic" -> ((s, dir) => {
       SimilarityOps.semanticDedupPairs(Tables.embeddings(s, dir),
         nCentroids = 8, kmeansIters = 2, tau = 0.4)
+    }),
+
+    // SemDeDup with the build/probe split: centroids + cluster members are
+    // learned ONCE from the pre-batch corpus (vec_id < 400) into persisted
+    // ACID tables; the gated query probes the NEW batch (vec_id >= 400)
+    // cluster-locally — assign to the FIXED centroids, verify exact cosine
+    // vs indexed members and batch peers. No k-means stage, no indexed-
+    // corpus rescan in the probe plan (PlanAuditSpec pins both).
+    "q_dedup_semantic_probe" -> ((s, dir) => {
+      val idx = annIndexPath(dir, "sem_8_2")
+      if (!SimilarityOps.indexExists(s, idx, Seq("centroids", "members")))
+        SimilarityOps.buildSemanticIndex(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 400),
+          nCentroids = 8, kmeansIters = 2, path = idx)
+      SimilarityOps.semanticDedupProbe(s, idx,
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 400), tau = 0.4)
     }),
 
     // embedding near-dup via the LSH scale path: bucket candidates (8
@@ -1128,6 +1147,32 @@ object PipelineQueries {
          |  ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} AS cos
          |FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} >= 0.4""".stripMargin,
+
+    // the semantic-probe oracle: replay the BUILD (k-means + assignment
+    // over the pre-batch corpus only), assign the batch to the FINAL
+    // centroids, then member↔batch and batch↔batch within-cluster pairs
+    // with exact quantized cosine — mirrors SimilarityOps.semanticDedupProbe
+    "q_dedup_semantic_probe" ->
+      s"""WITH $quantSql,
+         |old AS (SELECT vec_id, qv, nq FROM n WHERE vec_id < 400),
+         |${kmeansAssignedSql(8, 2, src = "old")},
+         |batch AS (SELECT vec_id, qv, nq FROM n WHERE vec_id >= 400),
+         |bassign AS (SELECT vec_id, qv, nq, cid FROM (
+         |    SELECT b.vec_id, b.qv, b.nq, c.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${cosSql("b.qv", "b.nq", "c.cv", "c.cn")} DESC, c.cid) AS crk
+         |    FROM batch b, cents2 c) WHERE crk = 1),
+         |mb AS (SELECT a.cid, least(a.vec_id, b.vec_id) AS i,
+         |    greatest(a.vec_id, b.vec_id) AS j,
+         |    ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} AS cos
+         |  FROM assigned a JOIN bassign b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |bb AS (SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+         |    ${cosSql("a.qv", "a.nq", "b.qv", "b.nq")} AS cos
+         |  FROM bassign a JOIN bassign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cid, i, j, cos FROM (SELECT * FROM mb UNION ALL SELECT * FROM bb)
+         |WHERE cos >= 0.4""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${simhashCtes()},

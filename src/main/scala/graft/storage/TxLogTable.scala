@@ -54,6 +54,25 @@ class TxLogTable(spark: SparkSession, path: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Stable identity of this commit-log INCARNATION: the filesystem fileKey
+    * (device+inode on POSIX) of the earliest commit file still in the log.
+    * A table dir removed and recreated at the same path restarts version
+    * numbering from 0, so `version` alone cannot key a cross-request cache
+    * — the earliest commit file's inode changes with every incarnation
+    * (commit files are hard-link-created, never rewritten in place). Same
+    * cost class as [[version]]: one directory list + one stat, no Spark job.
+    */
+  def incarnation: Option[String] = {
+    if (!Files.isDirectory(logDir)) return None
+    val vs = listLog(logDir)
+    if (vs.isEmpty) None
+    else
+      try Some(String.valueOf(Files.readAttributes(
+        logDir.resolve(s"${vs.min}.json"),
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey))
+      catch { case _: java.io.IOException => None }
+  }
+
   def read(): DataFrame =
     readVersion(version.getOrElse(throw new IllegalStateException(s"no committed version at $path")))
 

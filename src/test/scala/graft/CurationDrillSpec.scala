@@ -219,6 +219,72 @@ class CurationDrillSpec extends SparkSuite {
     println(f"[curation-drill] bulk_rows=$bulkN wall_s=$bulkWall%.2f rows_per_s=$bulkRate%.0f")
   }
 
+  test("semantic dedup drill: build-once centroids -> cluster-local probe -> fenced member fold, replay lockstep") {
+    import graft.operators.SimilarityOps
+    val root = java.nio.file.Files.createTempDirectory("sem_drill").toString
+    val idx = s"$root/sem"
+    // reference corpus: two clean embedding directions (ids 0-3 along e1,
+    // ids 4-7 along e2 — ids 0 and 1 seed the two k-means centroids); the
+    // clustering is learned ONCE here and never again
+    def e1(eps: Float) = Array(1.0f, eps, 0.0f, 0.0f)
+    def e2(eps: Float) = Array(eps, 1.0f, 0.0f, 0.0f)
+    val ref = Seq(
+      0L -> e1(0.0f), 1L -> e2(0.0f), 2L -> e1(0.01f), 3L -> e1(0.02f),
+      4L -> e2(0.01f), 5L -> e2(0.02f), 6L -> e1(0.03f), 7L -> e2(0.03f))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.buildSemanticIndex(ref, nCentroids = 2, kmeansIters = 2, path = idx)
+    val centroids = new TxLogTable(spark, s"$idx/centroids")
+    val members = new TxLogTable(spark, s"$idx/members")
+    val centroidsV = centroids.version.get
+
+    /** The per-batch leg a deployment's foreachBatch runs: probe the batch
+      * cluster-locally, drop every batch vector that near-dups a smaller id
+      * (keep-lowest-id curation), fold the survivors into the member table
+      * fenced on batchId. Deterministic given (batch, table state).
+      */
+    def dedupBatch(batch: DataFrame, batchId: Long): Set[Long] = {
+      val pairs = SimilarityOps.semanticDedupProbe(spark, idx, batch, tau = 0.95)
+        .localCheckpoint()
+      // j is the pair's larger id: with batch ids above all indexed ids,
+      // keep-lowest-id curation = drop every j
+      val dups = pairs.select(col("j")).as[Long].collect().toSet
+      val survivors = batch.filter(!col("vec_id").isin(dups.toSeq: _*))
+      if (!survivors.isEmpty)
+        SimilarityOps.foldSemanticIndex(spark, idx, survivors,
+          txn = Some(("sem-drill", batchId)))
+      survivors.select("vec_id").as[Long].collect().toSet
+    }
+
+    // batch 1: 100 duplicates ref id 2 (must pair against the INDEXED
+    // members through the cid equi-join and drop); 101 is a fresh direction
+    // (orthogonal to both clusters — no pair, survives, folds in)
+    val batch1 = Seq(100L -> e1(0.01f), 101L -> Array(0.0f, 0.0f, 1.0f, 0.0f))
+      .toDF("vec_id", "embedding")
+    assert(dedupBatch(batch1, 1L) == Set(101L), "100 must dedup, 101 survive")
+    val membersV1 = members.version.get
+    val memberIds = members.read().select("vec_id").as[Long].collect().toSet
+    assert(memberIds == (0L to 7L).toSet + 101L, s"fold must add 101 only: $memberIds")
+
+    // replay batch 1 (a restarted foreachBatch redelivers): the probe is
+    // read-only and the fold is fenced on batchId — same survivors, no
+    // second member commit
+    assert(dedupBatch(batch1, 1L) == Set(101L), "replay must converge")
+    assert(members.version.contains(membersV1),
+      "the fenced member fold must not double-apply on replay (lockstep)")
+
+    // batch 2: 200 duplicates 101 — the BATCH-1 SURVIVOR, provable only if
+    // the fold made 101 visible to later probes; 201 is fresh again
+    val batch2 = Seq(200L -> Array(0.0f, 0.0f, 1.0f, 0.0f),
+      201L -> Array(0.0f, 0.0f, 0.0f, 1.0f)).toDF("vec_id", "embedding")
+    assert(dedupBatch(batch2, 2L) == Set(201L),
+      "200 must dedup against the folded batch-1 survivor")
+    // the centroids never re-learn: SemDeDup learns once, members accrete
+    assert(centroids.version.contains(centroidsV),
+      "probe/fold must never touch the centroid table")
+    val finalIds = members.read().select("vec_id").as[Long].collect().toSet
+    assert(finalIds == (0L to 7L).toSet ++ Set(101L, 201L), s"final corpus: $finalIds")
+  }
+
   test("curated media drill: decode gate -> phash probe -> dedup gate -> fenced fold, replay byte-identical") {
     import graft.operators.MultimodalOps
     val root = java.nio.file.Files.createTempDirectory("media_drill").toString

@@ -150,6 +150,25 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_semantic_probe: no k-means stage, indexed corpus never rescanned") {
+    // SemDeDup's probe half: the batch assigns to the PERSISTED centroids
+    // (no posexplode = no k-means learning anywhere in the plan) and the
+    // indexed corpus enters only through the members table's cid equi-join
+    // — every raw embeddings scan must carry the batch predicate
+    // (vec_id >= 400) in its pushed filters, proving the 400-vector indexed
+    // corpus is never re-read on the probe path.
+    val p = plan("q_dedup_semantic_probe")
+    assert(!p.toLowerCase.contains("posexplode"), s"probe plan contains a k-means stage:\n$p")
+    assert(p.contains("graft_ann_idx"), s"probe does not read the persisted index:\n$p")
+    // formatted-mode node blocks are blank-line separated: every scan block
+    // over the raw embeddings must carry the batch predicate
+    val scanBlocks = p.split("\n\\s*\n").filter(b =>
+      b.contains("embeddings.parquet") && b.contains("Scan parquet"))
+    assert(scanBlocks.nonEmpty, s"no batch-side read found:\n$p")
+    scanBlocks.foreach(b => assert(b.contains("GreaterThanOrEqual(vec_id,400)"),
+      s"a raw embeddings scan lacks the batch pushdown (indexed corpus rescan):\n$b"))
+  }
+
   test("q_lm_perplexity: model joins broadcast, vocab top-K bounded, no cartesian") {
     val p = plan("q_lm_perplexity")
     // vocab = global top-K -> TakeOrderedAndProject (bounded heap, never a
