@@ -326,10 +326,57 @@ object ScaleBench {
         }
       }.toMap
 
-    val times = heavyTimes ++ foldTimes ++ cqTimes
+    // ANN-probe scaling: the build/probe split's claim is that a probe
+    // against the persisted IVF index never re-learns or scans beyond its
+    // buckets. Per SF (0.1+): build the index UNTIMED, then time the probe
+    // of a FIXED 20-query set. Two variants:
+    //   - fixed8: the oracle query's exact settings (nCentroids=8) — with
+    //     centroid count pinned, bucket size grows with the corpus, so the
+    //     probe's verified-candidate count is corpus-linear by construction
+    //     (the honest bound on the oracle configuration);
+    //   - scaledc: nCentroids grows ~sqrt(corpus) (8 at sf0.1), the
+    //     standard IVF deployment rule — bucket size and probe cost then
+    //     grow ~sqrt(N), the sublinear path a 100 TB deployment runs.
+    val annTimes: Map[(String, Double), Double] = sfs.filter(_._1 >= 0.1)
+      .flatMap { case (sf, dir) =>
+        Seq("ann_ivf_probe_fixed8" -> 8,
+          "ann_ivf_probe_scaledc" ->
+            math.max(8, math.round(8 * math.sqrt(sf / 0.1)).toInt))
+          .filter { case (n, _) => wanted(n) }
+          .flatMap { case (name, nC) =>
+            try {
+              val idx = Files.createTempDirectory("annscale").toString
+              graft.operators.SimilarityOps.buildIvfIndex(
+                Tables.embeddings(spark, dir), nC, kmeansIters = 2, path = idx)
+              val queries = Tables.embeddings(spark, dir)
+                .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+                .localCheckpoint()
+              def one(): Double = {
+                val t0 = System.nanoTime()
+                graft.operators.SimilarityOps.ivfProbe(spark, idx, queries,
+                  probes = 2, k = 3).write.format("noop").mode("overwrite").save()
+                val dt = (System.nanoTime() - t0) / 1e9
+                spark.catalog.clearCache()
+                dt
+              }
+              one() // warmup
+              val r = Some((name, sf) -> (1 to passes).map(_ => one()).min)
+              rmTree(idx)
+              r
+            } catch {
+              case e: Throwable =>
+                errors(s"$name@$dir") = Option(e.getMessage)
+                  .getOrElse(e.getClass.getName).linesIterator.next().take(200)
+                None
+            }
+          }
+      }.toMap
+
+    val times = heavyTimes ++ foldTimes ++ cqTimes ++ annTimes
 
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val perQuery = (Heavies ++ Seq("cc_fold_fixed_batch", "cq_fill_fixed_batch")).flatMap { n =>
+    val perQuery = (Heavies ++ Seq("cc_fold_fixed_batch", "cq_fill_fixed_batch",
+      "ann_ivf_probe_fixed8", "ann_ivf_probe_scaledc")).flatMap { n =>
       val pts = sfs.map(_._1).flatMap(sf => times.get((n, sf)).map(sf -> _))
       if (pts.size < 2) None
       else {

@@ -236,6 +236,31 @@ class InfluxHttpSpec extends SparkSuite {
     assert(one.body().trim.split("\n").length == 1 && !one.body().contains("partial"))
   }
 
+  test("selector-companion projection survives the chunked streaming path") {
+    // the companion shape (selector column + bare-ref riders) is the newest
+    // projection to cross the streamed envelope, where user aliases and the
+    // helper-column dodge live — drive it end to end through
+    // /query?chunked=true and reassemble against the unchunked result
+    val sel = enc("SELECT top(value, 2), device FROM temp")
+    val r = get(s"/query?db=tele&epoch=u&chunked=true&chunk_size=1&q=$sel")
+    assert(r.statusCode() == 200, r.body())
+    val docs = r.body().trim.split("\n")
+    assert(docs.length == 2, r.body())
+    assert(docs.forall(_.contains(""""columns": ["time", "top", "device"]""")),
+      r.body())
+    assert(docs(0).contains(""""partial": true""") && !docs(1).contains("partial"),
+      r.body())
+    val whole = get(s"/query?db=tele&epoch=u&q=$sel").body()
+    for (v <- Seq("""[2000000, 22.0, "a"]""", """[1000000, 20.0, "a"]"""))
+      assert(whole.contains(v) && docs.mkString.contains(v), s"$v missing:\n$whole\n${docs.mkString("\n")}")
+    // an aliased companion renames the streamed column the same way
+    val aliased = enc("SELECT max(value), device AS dev FROM temp")
+    val a = get(s"/query?db=tele&epoch=u&chunked=true&chunk_size=1&q=$aliased")
+    assert(a.statusCode() == 200, a.body())
+    assert(a.body().contains(""""columns": ["time", "max", "dev"]"""), a.body())
+    assert(a.body().contains("""[2000000, 22.0, "a"]"""), a.body())
+  }
+
   test("pretty=true re-indents the envelope losslessly") {
     val sel = enc("SELECT mean(value) FROM temp")
     val compact = get(s"/query?db=tele&epoch=u&q=$sel").body()

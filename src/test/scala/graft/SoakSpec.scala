@@ -51,10 +51,17 @@ class SoakSpec extends SparkSuite {
       "data_dir" -> dir,
       "influx_database" -> "oc",
       "cq_lateness" -> "0 seconds",
-      "retention_check_interval_ms" -> "2000") // maintenance tick LIVE
+      "retention_check_interval_ms" -> "2000", // maintenance tick LIVE
+      // the UDP leg: a datagram front into its OWN database (so the MQTT
+      // exactly-once count below stays exact), ephemeral port
+      "udp_port" -> "0",
+      "udp_database" -> "udpsoak",
+      "udp_batch_size" -> "500",
+      "udp_batch_timeout_ms" -> "100")
     // control plane before start: register the device, a CQ, a subscription
     val cat = new graft.influxql.InfluxCatalog(spark, dir, "oc")
     cat.run("CREATE DATABASE oc")
+    cat.run("CREATE DATABASE udpsoak")
     // fill(linear): the CQ leg runs the RETROACTIVE fill machinery live —
     // d2 below reports sporadically, so its buckets commit as null edges
     // and interpolate when the next report closes them, every few batches,
@@ -94,7 +101,15 @@ class SoakSpec extends SparkSuite {
     spark.streams.addListener(listener)
     val h = ServiceMain.start(spark, conf, new InProcessTransport, rest = None,
       trigger = Trigger.ProcessingTime(0))
+    val udp = h.udp.get
+    val udpSock = new java.net.DatagramSocket()
+    def udpSend(line: String): Unit = {
+      val b = line.getBytes("UTF-8")
+      udpSock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getLoopbackAddress, udp.boundPort))
+    }
     var published = 0L
+    var udpSent = 0L
     var heapMidMb = 0L
     val t0 = System.nanoTime()
     try {
@@ -116,6 +131,14 @@ class SoakSpec extends SparkSuite {
             s"${(published % 50)}.25".getBytes("UTF-8"),
             baseUs + published * 1000000L)
           published += 1
+        }
+        // the UDP leg runs for the whole soak alongside the MQTT stream:
+        // line-protocol datagrams into their own database; conservation
+        // (sent == written + dropped == committed) asserted at drain
+        if (published % 9 == 0) {
+          udpSend(s"usoak,device=u${published % 4} value=${published % 100}.5 " +
+            s"${(baseUs + published * 1000000L) * 1000L}")
+          udpSent += 1
         }
         if (published == 1000) heapMidMb = usedHeapMb() // mid-ish sample
         Thread.sleep(5)
@@ -147,10 +170,27 @@ class SoakSpec extends SparkSuite {
       val landed = committed()
       assert(landed == published,
         s"exactly-once under sustained load: published=$published landed=$landed")
+      // let the UDP listener thread catch up with the last datagrams before
+      // stop() closes the socket (delivery up to receipt is the kernel's;
+      // the engine's conservation contract starts at received lines)
+      val udpDeadline = System.nanoTime() + 60L * 1000000000L
+      while (udp.received.get() < udpSent && System.nanoTime() < udpDeadline)
+        Thread.sleep(100)
     } finally {
       ServiceMain.stop(h)
       spark.streams.removeListener(listener)
+      udpSock.close()
     }
+    // UDP-leg conservation at drain: every RECEIVED line either committed
+    // or counted as a drop — nothing lost inside the engine, nothing
+    // double-committed (stop() flushed the queue before this point)
+    assert(udp.received.get() > 0, s"UDP leg never received (sent $udpSent)")
+    assert(udp.written.get() + udp.dropped == udp.received.get(),
+      s"UDP conservation: received=${udp.received.get()} " +
+        s"written=${udp.written.get()} dropped=${udp.dropped}")
+    val udpRows = cat.points("udpsoak").count()
+    assert(udpRows == udp.written.get(),
+      s"UDP committed rows ($udpRows) must equal the written gauge (${udp.written.get()})")
     val wallS = (System.nanoTime() - t0) / 1e9
     val heapEndMb = usedHeapMb()
     // the CQ leg really ran: event time advanced ~1 bucket per 5 messages,
@@ -208,6 +248,8 @@ class SoakSpec extends SparkSuite {
       s""""rows_per_s":${"%.1f".formatLocal(java.util.Locale.ROOT, published / wallS)},""" +
       s""""p99_trigger_ms":$p99,"p99_by_min":[${p99ByMin.mkString(",")}],""" +
       s""""cq_fill":"linear","max_state_rows":${stateRows.get()},""" +
+      s""""udp_sent":$udpSent,"udp_received":${udp.received.get()},""" +
+      s""""udp_written":${udp.written.get()},"udp_dropped":${udp.dropped},""" +
       s""""commits":$commits,"shards":$shards,""" +
       s""""heap_mid_mb":$heapMidMb,"heap_end_mb":$heapEndMb}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("PROGRESS.jsonl"),
