@@ -275,16 +275,28 @@ object SimilarityOps {
     * no learning — at 100 TB this is the entire per-query cost.
     */
   private def probeIvf(queries: DataFrame, cents: DataFrame, assigned: DataFrame,
-                       probes: Int, k: Int): DataFrame = {
+                       probes: Int, k: Int): DataFrame =
+    scoreBuckets(pickBuckets(queries, cents, probes), assigned, k)
+
+  /** Bucket selection: the `probes` max-cosine centroids per query — a
+    * tiny broadcast cross join, |queries|·probes output rows.
+    */
+  private def pickBuckets(queries: DataFrame, cents: DataFrame, probes: Int): DataFrame = {
     val probeCents = cents
       .select(col("cid").as("cid2"), col("cv"), col("cn"))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid2").asc)
-    val probed = queries.crossJoin(broadcast(probeCents))
+    queries.crossJoin(broadcast(probeCents))
       .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2"),
         cosineQ(dotQ(col("want_qv"), col("cv")), col("want_qn"), col("cn")).as("pcos"))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= probes)
       .select(col("query_id"), col("want_qv"), col("want_qn"), col("cid2").as("cid"))
+  }
+
+  /** Scoring: exact cosine against ONLY the picked buckets' members (the
+    * `cid` equi-join), then per-query top-k.
+    */
+  private def scoreBuckets(probed: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
     val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     probed.join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -387,9 +399,34 @@ object SimilarityOps {
     val q = prepQ(vecs).persist()
     val cents = ivfCentroids(q, nCentroids, kmeansIters).persist()
     new graft.storage.TxLogTable(spark, s"$path/centroids").overwrite(cents)
-    new graft.storage.TxLogTable(spark, s"$path/assignments").overwrite(assignTo(q, cents))
+    writeClustered(new graft.storage.TxLogTable(spark, s"$path/assignments"),
+      assignTo(q, cents), nCentroids)
     Seq(q, cents).foreach(_.unpersist())
   }
+
+  /** Index member tables write CID-CLUSTERED (range-partitioned dirs with
+    * `cid` stats sidecars) so a probe's [[graft.storage.TxLogTable
+    * .readKeysIn]] skips every directory outside its picked buckets — the
+    * read-volume half of the probe-only contract (the plan half is the
+    * cid equi-join). A rebuild over an existing table falls back to a
+    * single-dir overwrite (correct, unpruned; fresh builds are the
+    * production path — annIndexPath keys on the corpus generation).
+    */
+  private def writeClustered(t: graft.storage.TxLogTable, df: DataFrame,
+                             nCentroids: Int): Unit = {
+    if (t.version.isEmpty)
+      t.appendClustered(df, "cid", nDirs = math.max(2, math.min(nCentroids, 64)))
+    else t.overwrite(df)
+    ()
+  }
+
+  /** The distinct bucket ids of a (checkpointed, tiny) picked-bucket or
+    * assigned-batch frame — the driver-side key set [[graft.storage
+    * .TxLogTable.readKeysIn]] prunes directories with. Bounded by
+    * min(|frame|, nCentroids), control-plane sized by construction.
+    */
+  private def cidKeys(assigned: DataFrame): Seq[Long] =
+    assigned.select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
 
   /** True iff a built IVF/PQ index exists at `path` (both tables committed). */
   def indexExists(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -398,17 +435,25 @@ object SimilarityOps {
 
   /** Probe-only IVF ANN against a persisted index: quantize the (small)
     * query set map-side, pick probe buckets against the broadcast centroid
-    * table, score only those buckets via the `cid` equi-join. The plan
-    * contains NO k-means stage and never scans the raw corpus.
+    * table, score only those buckets via the `cid` equi-join — reading
+    * only the assignment DIRECTORIES those buckets live in (the picked
+    * cids collect driver-side, |queries|·probes values, and prune the
+    * cid-clustered table via readKeysIn). The plan contains NO k-means
+    * stage, never scans the raw corpus, and its read volume is priced by
+    * the probed buckets, not the corpus.
     */
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                queries: DataFrame, probes: Int, k: Int): DataFrame = {
     val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
-    val assigned = new graft.storage.TxLogTable(spark, s"$path/assignments").read()
     val qs = queries.select(col("vec_id").as("query_id"),
         quantize(col("embedding")).as("want_qv"))
       .withColumn("want_qn", normQ(col("want_qv")))
-    probeIvf(qs, cents, assigned, probes, k)
+    // the picked-bucket frame is consumed twice (cid collect + the scoring
+    // join) and is |queries|·probes rows: checkpoint once, never recompute
+    val probed = pickBuckets(qs, cents, probes).localCheckpoint(true)
+    val assigned = new graft.storage.TxLogTable(spark, s"$path/assignments")
+      .readKeysIn("cid", cidKeys(probed))
+    scoreBuckets(probed, assigned, k)
   }
 
   /** Build the SemDeDup index ONCE: the deterministic k-means centroids
@@ -427,7 +472,8 @@ object SimilarityOps {
     val q = prepQ(vecs).persist()
     val cents = ivfCentroids(q, nCentroids, kmeansIters).persist()
     new graft.storage.TxLogTable(spark, s"$path/centroids").overwrite(cents)
-    new graft.storage.TxLogTable(spark, s"$path/members").overwrite(assignTo(q, cents))
+    writeClustered(new graft.storage.TxLogTable(spark, s"$path/members"),
+      assignTo(q, cents), nCentroids)
     Seq(q, cents).foreach(_.unpersist())
   }
 
@@ -447,8 +493,14 @@ object SimilarityOps {
   def semanticDedupProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                          batch: DataFrame, tau: Double): DataFrame = {
     val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
-    val members = new graft.storage.TxLogTable(spark, s"$path/members").read()
-    val assignedB = assignTo(prepQ(batch), cents)
+    // the assigned batch feeds three consumers (the cid collect, the
+    // member leg, the batch self-join): persist once so the assignment
+    // pass runs once, and prune the member read to the batch's own
+    // clusters — a batch touching 3 of 1000 clusters reads 3 buckets'
+    // directories, not the corpus
+    val assignedB = assignTo(prepQ(batch), cents).persist()
+    val members = new graft.storage.TxLogTable(spark, s"$path/members")
+      .readKeysIn("cid", cidKeys(assignedB))
     def pairCos(a: String, b: String): Column =
       cosineQ(dotQ(col(s"$a.qv"), col(s"$b.qv")), col(s"$a.qn"), col(s"$b.qn"))
     // member ↔ batch: indexed side enters ONLY via the cid equi-join
@@ -475,8 +527,12 @@ object SimilarityOps {
   def foldSemanticIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     val cents = new graft.storage.TxLogTable(spark, s"$path/centroids").read()
+    // clustered append (a member table is cid-clustered since build): the
+    // batch's own dirs carry cid stats, so probe pruning stays exact as
+    // the corpus accretes; the txn fence makes replays no-ops as before
     new graft.storage.TxLogTable(spark, s"$path/members")
-      .append(assignTo(prepQ(batch), cents), txn)
+      .appendClustered(assignTo(prepQ(batch), cents), "cid",
+        nDirs = 2, txn = txn)
     ()
   }
 

@@ -463,6 +463,37 @@ class TxLogTable(spark: SparkSession, path: String) {
     cached ++ fresh
   }
 
+  /** Read only the directories that can hold rows whose `rangeCol` equals
+    * one of `keys` — the hand-rolled dynamic-partition-pruning primitive
+    * for key-clustered tables ([[appendClustered]] / granular merge): the
+    * caller resolves a small driver-side key set (e.g. an ANN probe's
+    * bucket ids) and the scan then skips every directory whose [min, max]
+    * range excludes all of them, so a probe's read volume is priced by the
+    * buckets it touches, not the corpus. Returns a SUPERSET of the
+    * matching rows (whole hit directories) — compose with the equi-join or
+    * filter that motivated the key set. Null-key rows never equal a key,
+    * so all-null/empty directories prune like any other. Costs one sidecar
+    * resolve (amortized: data dirs are immutable and stats cache under
+    * `_stats/`) — no data-plane job. On an unclustered single-directory
+    * snapshot this degrades gracefully to the full read.
+    */
+  def readKeysIn(rangeCol: String, keys: Seq[Long]): DataFrame = {
+    val v = version.getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val dirs = readEntry(v).dirs
+    val stats = dirColStats(rangeCol, dirs)
+    val ks = keys.distinct
+    val hit = dirs.filter { d =>
+      stats(d) match {
+        case DirColStats(_, _, Some(mn), Some(mx)) =>
+          ks.exists(k => k >= mn && k <= mx)
+        case _ => false // empty dir or all-null rangeCol: no key can match
+      }
+    }
+    if (hit.isEmpty) readVersion(v).filter(lit(false))
+    else spark.read.parquet(hit.map(d => root.resolve(d).toString): _*)
+  }
+
   /** [min, max] of a long-castable column over the CURRENT snapshot — from
     * the per-dir stats cache, so amortized O(new dirs), never a table scan.
     * None when the table is empty or the column is all-null.

@@ -77,6 +77,35 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= recallFirstN - 0.15, "learned centroids regressed recall materially")
   }
 
+  test("ivfProbe reads only the probed buckets' directories and matches the inline path") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    // 8 clean directions (ids 0-7 seed the centroids), 12 satellites each:
+    // cluster structure is exact, so bucket membership is deterministic
+    def dir8(c: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(c) = 1.0f; v((c + 1) % 8) = eps; v
+    }
+    val corpus = (0 until 8).flatMap(c => (0 until 13).map(s =>
+      (c + 8L * s) -> dir8(c, 0.02f * s))).toDF("vec_id", "embedding")
+    SimilarityOps.buildIvfIndex(corpus, nCentroids = 8, kmeansIters = 1, path = root)
+    val asgFiles = new graft.storage.TxLogTable(spark, s"$root/assignments")
+      .read().inputFiles.toSet
+    assert(asgFiles.size >= 4, s"index not clustered: ${asgFiles.size} files")
+    // one query near direction 3, one probe: the scoring scan must touch
+    // only the directory slice holding cluster 3
+    val q = Seq(1003L -> dir8(3, 0.01f)).toDF("vec_id", "embedding")
+    val res = SimilarityOps.ivfProbe(spark, root, q, probes = 1, k = 3)
+    val scanned = res.inputFiles.toSet & asgFiles
+    assert(scanned.nonEmpty && scanned.size < asgFiles.size,
+      s"probe read ${scanned.size} of ${asgFiles.size} assignment files — no pruning")
+    // ... and the pruned result is the same top-k the inline path computes
+    val inline = SimilarityOps.ivfTopK(
+        corpus.unionByName(q), nCentroids = 8, probes = 1, k = 3,
+        isQuery = col("vec_id") === 1003L, kmeansIters = 1)
+      .select("neighbor_id", "rk").as[(Long, Long)].collect().toSet
+    val probed = res.select("neighbor_id", "rk").as[(Long, Long)].collect().toSet
+    assert(probed == inline, s"pruned probe diverged: $probed vs $inline")
+  }
+
   test("PQ/ADC: top-1 self-hit sanity and recall vs brute-force") {
     val isQ = col("vec_id") >= 100 && col("vec_id") < 110
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -382,6 +382,37 @@ class TxLogTableSpec extends SparkSuite {
     assert(t2.read().count() == 0 && t2.read().columns.toSeq == Seq("k", "v"))
   }
 
+  test("readKeysIn prunes to the directories holding the keys") {
+    val path = tmp()
+    val t = new TxLogTable(spark, path)
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    t.appendClustered(df, "k", nDirs = 10)
+    val allFiles = t.read().inputFiles.toSet
+    // a single key reads one slice's files, and every matching row is there
+    val one = t.readKeysIn("k", Seq(137L))
+    assert(one.inputFiles.toSet.subsetOf(allFiles) &&
+      one.inputFiles.length < allFiles.size,
+      s"no pruning: ${one.inputFiles.length} of ${allFiles.size} files read")
+    assert(one.filter(col("k") === 137L).count() == 1)
+    // the result is a SUPERSET restricted to hit dirs: composing with the
+    // equi-filter gives exactly the keyed rows
+    val keys = Seq(5L, 6L, 995L) // two dirs at the ends, none in between
+    val got = t.readKeysIn("k", keys).filter(col("k").isin(keys: _*))
+    assert(got.count() == 3 &&
+      t.readKeysIn("k", keys).inputFiles.length < allFiles.size)
+    // keys outside every dir's range read nothing but keep the schema
+    val none = t.readKeysIn("k", Seq(50000L))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v"))
+    // after a clustered append (an index fold), new dirs' stats join the
+    // pruning and their keys resolve
+    t.appendClustered(
+      spark.range(2000, 2100).select(col("id").as("k"), (col("id") * 3).as("v")),
+      "k", nDirs = 2)
+    val folded = t.readKeysIn("k", Seq(2050L))
+    assert(folded.filter(col("k") === 2050L).count() == 1)
+    assert(folded.inputFiles.length < t.read().inputFiles.length)
+  }
+
   test("clustered tables refuse plain append; rangeCol must be long-castable") {
     import spark.implicits._
     val t = new TxLogTable(spark, tmp())
