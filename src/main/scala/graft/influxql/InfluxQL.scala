@@ -60,7 +60,7 @@ import org.apache.spark.sql.functions._
   *               most one champion per tag(-combo) value; composes with
   *               `GROUP BY time(d)` — extremes pick per bucket)
   *             | sample       (`sample(f, N)`: N deterministic hash-order
-  *               points per series; composes with GROUP BY time/tags)
+  *               points per series; GROUP BY tags yes, time buckets no)
   *             | elapsed      (time to the series predecessor, raw-only)
   *   (selector companions: bare field/tag refs may ride beside a single
   *    top/bottom/sample/max/min/first/last/percentile call — each selected
