@@ -448,11 +448,19 @@ object SimilarityOps {
     val qs = queries.select(col("vec_id").as("query_id"),
         quantize(col("embedding")).as("want_qv"))
       .withColumn("want_qn", normQ(col("want_qv")))
-    // the picked-bucket frame is consumed twice (cid collect + the scoring
-    // join) and is |queries|·probes rows: checkpoint once, never recompute
-    val probed = pickBuckets(qs, cents, probes).localCheckpoint(true)
+    // ONE driver-side materialization of the picked buckets serves both
+    // consumers: the cid set prunes the assignment read, and the rows
+    // themselves become the scoring join's local (broadcast-sized) side —
+    // queries are small by the ANN contract (bruteTopK already broadcasts
+    // them), so this is |queries|·probes rows of query vectors, and the
+    // probe pays one tiny job instead of a checkpoint plus a collect
+    val picked = pickBuckets(qs, cents, probes)
+    val rows = picked.collect()
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), picked.schema)
+    val cids = rows.map(_.getAs[Long]("cid")).distinct.toSeq
     val assigned = new graft.storage.TxLogTable(spark, s"$path/assignments")
-      .readKeysIn("cid", cidKeys(probed))
+      .readKeysIn("cid", cids)
     scoreBuckets(probed, assigned, k)
   }
 
