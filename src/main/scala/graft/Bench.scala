@@ -15,6 +15,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // codegen class cache sized for the full query surface (static conf,
+      // so GraftSession.prepare cannot set it): the 100-entry default
+      // churns across 162 queries and janino-recompiles every plan every
+      // pass, defeating the warmup pass's purpose. Compiler cache only —
+      // every timed pass still computes from the parquet inputs.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftSession.prepare(spark)

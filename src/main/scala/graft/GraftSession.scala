@@ -36,6 +36,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // whole-stage-codegen class cache (STATIC conf — must be set at
+      // session build, prepare() cannot): the default 100 entries hold
+      // ~5-10 queries' generated classes, so a 162-query service (or a
+      // bench pass) evicts everything and janino-recompiles every plan on
+      // every run — pure fixed overhead on the driver, identical on a
+      // cluster. Not a result cache: computation still runs per query.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   /** Ensure an externally-created session (driver's Verify/Bench, tests) has

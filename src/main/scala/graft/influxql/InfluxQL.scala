@@ -2604,7 +2604,8 @@ object InfluxQL {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
     val wDesc = Window.partitionBy(partCols.map(col): _*).orderBy(col("time").desc)
     val c = col("__c0").cast("double")
-    val smoothed = filled
+    val withFit = f.transform.contains("holt_winters_with_fit")
+    val smoothed0 = filled
       .withColumn("__d", c - lag(c, 1).over(w))
       .withColumn("__lvl", exponentialMovingAverage(c, w, n = 4, depth = 10))
       // a first bucket has no difference: zero trend, not 0/0
@@ -2612,28 +2613,45 @@ object InfluxQL {
         exponentialMovingAverage(col("__d"), w, n = 4, depth = 10))
         .otherwise(lit(0.0)))
       .withColumn("__rn", row_number().over(wDesc))
-    val fanBase =
-      if (season == 0)
-        smoothed.filter(col("__rn") === 1)
-          .select(partCols.map(col) ++ Seq(col("time"), col("__lvl"), col("__trd"),
-            explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+    // with_fit consumes the smoothed series TWICE (in-sample fits + the
+    // forecast fan) through a union: persist the shared frame so the whole
+    // upstream — bucket agg, fill densification, the EMA windows — runs
+    // once, not once per union branch (r18; |buckets × series| rows,
+    // bounded by the query's own output scale)
+    val smoothed = if (withFit && season == 0) smoothed0.persist() else smoothed0
+    // additive seasonality: each bucket's phase is its index on the grid
+    // mod S; the seasonal index is the SAME integer EMA kernel over the
+    // level residuals, along each (series, phase) sub-series — computed
+    // ONCE here and shared by the forecast fan AND the with_fit in-sample
+    // rows (r18: the fit branch previously re-derived it). Forecast
+    // buckets look up the latest index of THEIR phase — a join on
+    // |series|·S rows, never data-sized.
+    val seasonal0 =
+      if (season == 0) smoothed
       else {
-        // additive seasonality: each bucket's phase is its index on the
-        // grid mod S; the seasonal index is the SAME integer EMA kernel
-        // over the level residuals, along each (series, phase) sub-series.
-        // Forecast buckets look up the latest index of THEIR phase — a
-        // join on |series|·S rows, never data-sized.
         val phase = pmod(((col("time") - lit(q.groupTimeOffsetUs)) / lit(step))
           .cast("long"), lit(season))
         val wp = Window.partitionBy((partCols :+ "__ph").map(col): _*)
           .orderBy(col("time"))
         val wpDesc = Window.partitionBy((partCols :+ "__ph").map(col): _*)
           .orderBy(col("time").desc)
-        val seasonal = smoothed
+        smoothed
           .withColumn("__ph", phase)
           .withColumn("__r", c - col("__lvl"))
           .withColumn("__s", exponentialMovingAverage(col("__r"), wp, n = 4, depth = 10))
           .withColumn("__rnp", row_number().over(wpDesc))
+      }
+    // the seasonal frame ALWAYS has two consumers — the latest-phase-index
+    // broadcast side and the forecast fan (plus the fits under with_fit) —
+    // so persist it unconditionally when seasonal: one upstream execution
+    // instead of one per consumer
+    val seasonal = if (season != 0) seasonal0.persist() else seasonal0
+    val fanBase =
+      if (season == 0)
+        smoothed.filter(col("__rn") === 1)
+          .select(partCols.map(col) ++ Seq(col("time"), col("__lvl"), col("__trd"),
+            explode(array(horizons.map(h => lit(h.toLong)): _*)).as("__h")): _*)
+      else {
         val seasons = seasonal.filter(col("__rnp") === 1)
           .select((partCols :+ "__ph").map(col) :+ col("__s"): _*)
         val fan = seasonal.filter(col("__rn") === 1)
@@ -2662,23 +2680,15 @@ object InfluxQL {
     // (plus the bucket's OWN phase index when seasonal); a bucket with no
     // trailing kernel mass (before the series' first value) has no fit
     val res =
-      if (!f.transform.contains("holt_winters_with_fit")) fanRes
+      if (!withFit) fanRes
       else {
+        // in-sample rows read the SAME persisted seasonal/smoothed frame
+        // the forecast fan reads (r18) — the bucket's own phase index,
+        // identical expression tree to the re-derivation it replaces
         val fitVal =
           if (season == 0) col("__lvl")
           else col("__lvl") + coalesce(nanvl(col("__s"), lit(0.0)), lit(0.0))
-        val fitSrc =
-          if (season == 0) smoothed
-          else {
-            val phase = pmod(((col("time") - lit(q.groupTimeOffsetUs)) / lit(step))
-              .cast("long"), lit(season))
-            val wp = Window.partitionBy((partCols :+ "__ph").map(col): _*)
-              .orderBy(col("time"))
-            smoothed.withColumn("__ph", phase)
-              .withColumn("__r", c - col("__lvl"))
-              .withColumn("__s", exponentialMovingAverage(col("__r"), wp, n = 4, depth = 10))
-          }
-        val fits = fitSrc.filter(!isnan(col("__lvl")))
+        val fits = seasonal.filter(!isnan(col("__lvl")))
           .select((col("time") +: q.groupTags.map(col)) :+ fitVal.as(it.outName): _*)
         fits.unionAll(fanRes)
       }

@@ -57,7 +57,6 @@ object ClassifierOps {
     */
   def trainLinearQ(docs: DataFrame, id: String, text: String, label: Column,
                    buckets: Int = 1024, iters: Int = 3, lrNum: Long = 1L): DataFrame = {
-    require(iters >= 1 && lrNum >= 1L, s"bad iters=$iters lrNum=$lrNum")
     // x and y cache PRE-PARTITIONED on the per-pass join/agg key: the
     // margin groupBy, the error join, and the gradient join then all
     // reuse the cached partitioning instead of re-shuffling corpus-scale
@@ -66,6 +65,22 @@ object ClassifierOps {
     // order-independent, so partitioning cannot move a bit)
     val x = featuresQ(docs, id, text, buckets)
       .repartition(col("__id")).persist()
+    val w = trainOnFeatures(x, docs, id, label, iters, lrNum)
+    // the corpus-scale cache must not outlive training; the final
+    // weights are checkpointed blocks, so dropping it costs nothing
+    x.unpersist()
+    w
+  }
+
+  /** The GD loop over a PRE-BUILT (persisted, __id-partitioned) feature
+    * frame — split out so [[trainAndScoreQ]] can share ONE feature pass
+    * between training and scoring (r18: featuresQ is the corpus-scan half
+    * of the operator — per-token md5 — and train-then-score paid it twice,
+    * guide §1.2 "don't compute things you throw away").
+    */
+  private def trainOnFeatures(x: DataFrame, docs: DataFrame, id: String,
+                              label: Column, iters: Int, lrNum: Long): DataFrame = {
+    require(iters >= 1 && lrNum >= 1L, s"bad iters=$iters lrNum=$lrNum")
     val y = docs.select(col(id).as("__id"),
       when(label, lit(S)).otherwise(lit(0L)).as("y_q"))
       .repartition(col("__id")).persist()
@@ -94,11 +109,31 @@ object ClassifierOps {
             lit(0L))).as("w_q"))
         .localCheckpoint(true)
     }
-    // the corpus-scale caches must not outlive training; the final
-    // weights are checkpointed blocks, so dropping them costs nothing
-    x.unpersist()
+    // the label cache must not outlive training; the final weights are
+    // checkpointed blocks, so dropping it costs nothing (the caller owns x)
     y.unpersist()
     w
+  }
+
+  /** Train AND score over ONE persisted feature pass: the per-token-md5
+    * featuresQ scan is the operator's corpus-pass cost, and the separate
+    * train-then-score composition paid it twice (train builds features,
+    * scoring rebuilds them). Identical math to trainLinearQ + scoreLinearQ
+    * — featuresQ is deterministic, so scoring from the same cached frame
+    * cannot move a bit (ClassifierSpec asserts equality). The feature cache
+    * stays pinned for the returned plan; callers (Bench) clear it with the
+    * session cache, exactly like the dedup shingle indexes.
+    */
+  def trainAndScoreQ(docs: DataFrame, id: String, text: String, label: Column,
+                     buckets: Int = 1024, iters: Int = 3,
+                     lrNum: Long = 1L): DataFrame = {
+    val x = featuresQ(docs, id, text, buckets)
+      .repartition(col("__id")).persist()
+    val w = trainOnFeatures(x, docs, id, label, iters, lrNum)
+    x.join(broadcast(w), Seq("bk"))
+      .groupBy("__id")
+      .agg(expr(s"cast(sum(x_q * w_q) as bigint) div ${S}L").as("score_q"))
+      .select(col("__id").as(id), col("score_q"))
   }
 
   /** Train once, persist the weight table (<= buckets+1 rows) as a

@@ -109,11 +109,23 @@ object LmOps {
           lit(1e7)).as("avg_logprob"))
       .withColumn("perplexity", exp(-col("avg_logprob")))
 
-  /** Train on `docs`, score `docs` — the single-corpus pipeline stage. */
+  /** Train on `docs`, score `docs` — the single-corpus pipeline stage.
+    *
+    * Pass accounting (r18, guide §1.2/§5): the vocabulary is <= K rows but
+    * costs a full corpus token pass — localCheckpoint it so the `vTypes`
+    * count and the two broadcast joins read K cached rows instead of
+    * re-aggregating the corpus each time. The mapped bigram stream feeds
+    * THREE aggregations (ctx, pairs, the per-doc score) inside one plan —
+    * uncached, each re-runs the explode + vocab joins over the corpus.
+    * MEMORY_AND_DISK persist drops lmScore from ~5 corpus passes to 2
+    * (vocab, mapped materialization); the cached partitions spill rather
+    * than OOM on a corpus-scale run.
+    */
   def lmScore(docs: DataFrame, id: String, text: String,
               vocabK: Int): DataFrame = {
-    val vocab = vocabulary(docs, text, vocabK)
+    val vocab = vocabulary(docs, text, vocabK).localCheckpoint(true)
     val mapped = mappedBigrams(docs, id, text, vocab)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = mapped.groupBy("prev").agg(count(lit(1)).as("c1"))
     val pairs = mapped.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
     // control-plane scalar: |vocab| is bounded by K by construction

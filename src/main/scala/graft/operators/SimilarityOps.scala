@@ -131,17 +131,27 @@ object SimilarityOps {
       .withColumn("qn", normQ(col("qv")))
 
   /** Assign each vector to its max-cosine centroid (explicit tie-break on
-    * cid). Centroids are broadcast; the corpus is never shuffled.
+    * cid). Centroids are broadcast; the corpus is never shuffled — and the
+    * argmax is a map-side-combinable hash aggregation, NOT a window: the
+    * broadcast cross join fans the corpus out ×k, and a window partitioned
+    * by vec_id would push all corpus×k rows through the exchange and sort
+    * them per vector. `max_by` over struct(ccos, -cid) is the identical
+    * total order (max cosine, then MIN cid — cid is unique per vector, so
+    * the key has no ties; NaN sorts greatest in both forms) and its partial
+    * aggregate collapses the ×k fan-out back to one row per vector BEFORE
+    * the exchange — corpus×1 rows shuffled, no sort (r18, guide §2.3/2.4;
+    * every k-means iteration and every build/probe assignment pays this
+    * exchange, so the win multiplies across the ANN/SemDeDup family).
     */
-  private def assignTo(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid").asc)
+  private def assignTo(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("qn"), col("cid"),
         cosineQ(dotQ(col("qv"), col("cv")), col("qn"), col("cn")).as("ccos"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-      .select("vec_id", "qv", "qn", "cid")
-  }
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("qv"), col("qn")),
+        struct(col("ccos"), (-col("cid")).as("__nc"))).as("__w"))
+      .select(col("vec_id"), col("__w.qv").as("qv"), col("__w.qn").as("qn"),
+        col("__w.cid").as("cid"))
 
   /** Fixed-iteration Lloyd's k-means on quantized vectors, fully
     * deterministic and integer-exact so it is oracle-able as plain
@@ -592,17 +602,102 @@ object SimilarityOps {
     * parse the identical double literal (1.0−0.7 in IEEE is NOT the parsed
     * 0.3 — the one-ulp trap this signature dodges).
     *
-    * Scale posture: the greedy is PER QUERY and the plan distributes over
-    * queries — candidate pools are parameter-bounded (n from [[bruteTopK]]
-    * or any ANN probe), the n² pair space is per query, and each of the k
-    * rounds is one anti-join + one max-aggregation + one per-query
-    * window over <= n rows. Candidates, pair sims, and the growing
-    * selection persist (all parameter-bounded) so round t never re-runs
-    * rounds 1..t−1. Emits (query_id, step, sel_id, score), step 1..k;
-    * step 1's redundancy term is 0 by definition.
+    * Scale posture (r18): the greedy is PER QUERY and parameter-bounded —
+    * at most `n` candidates and an n² pair space per query — so it runs
+    * IN-MEMORY inside one `flatMapGroups` over the candidate pull: ONE
+    * shuffle on query_id, then O(k·n) exact-kernel dot products per query,
+    * state bounded by n vectors. The round-based dataframe formulation
+    * ([[mmrRerankRounds]], kept as the semantic reference) paid k−1
+    * sequential driver barriers (anti-join + max-agg + window + checkpoint
+    * per round) — pure fixed overhead per round locally, and k global
+    * synchronization points on a cluster where millions of queries could
+    * otherwise proceed independently. The in-memory fold replays the
+    * identical IEEE steps (int64 dots, one sqrt+divide per pair,
+    * `λ·cos − (1−λ)·maxsim` in doubles; NaN-greatest/total double order,
+    * Spark's own sort semantics), so results are bit-identical
+    * (SimilaritySpec asserts equality against the reference; the DuckDB
+    * oracle gates it end-to-end). Emits (query_id, step, sel_id, score),
+    * step 1..k; step 1's redundancy term is 0 by definition.
     */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
                 lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct out of range: $lambdaPct")
+    val lam = lambdaPct / 100.0
+    val comp = (100 - lambdaPct) / 100.0
+    val cand = bruteTopK(queries, corpus, n)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+    val cv = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nv", normQ(col("v")))
+    val withVec = cand.join(cv, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"),
+        col("v"), col("nv"))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // total double order (java.lang.Double.compare): NaN greatest, the
+    // ordering Spark's `max` aggregate and desc sort use — the in-memory
+    // fold must break ties and handle degenerate (zero-norm) cosines
+    // exactly like the dataframe reference
+    val ord = Ordering.Double.TotalOrdering
+    withVec.as[MmrCandidate].groupByKey(_.query_id)
+      .flatMapGroups { (q: Long, it: Iterator[MmrCandidate]) =>
+        val cands = it.toArray.sortBy(_.rk)
+        // the same one-division exact kernel as cosineQ/dotQ: int64 dot,
+        // one sqrt, one divide — bit-identical to the plan expression
+        def cosQm(a: MmrCandidate, b: MmrCandidate): Double = {
+          var d = 0L
+          var i = 0
+          while (i < a.v.length) { d += a.v(i) * b.v(i); i += 1 }
+          d.toDouble / math.sqrt(a.nv.toDouble * b.nv.toDouble)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[MmrCandidate]()
+        val remaining = scala.collection.mutable.ArrayBuffer[MmrCandidate]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+        cands.headOption.foreach { first =>
+          selected += first
+          out += ((q, first.neighbor_id, 1L, lam * first.cos - comp * 0.0))
+          remaining ++= cands.tail
+        }
+        var t = 2
+        while (t <= k && remaining.nonEmpty) {
+          var bestIdx = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            var maxsim = Double.NegativeInfinity
+            selected.foreach { s =>
+              val sim = cosQm(c, s)
+              if (ord.gt(sim, maxsim)) maxsim = sim
+            }
+            val score = lam * c.cos - comp * maxsim
+            val cmp = if (bestIdx < 0) 1 else ord.compare(score, bestScore)
+            if (cmp > 0 || (cmp == 0 &&
+                c.neighbor_id < remaining(bestIdx).neighbor_id)) {
+              bestIdx = i
+              bestScore = score
+            }
+            i += 1
+          }
+          val pick = remaining.remove(bestIdx)
+          selected += pick
+          out += ((q, pick.neighbor_id, t.toLong, bestScore))
+          t += 1
+        }
+        out.iterator
+      }.toDF("query_id", "sel_id", "step", "score")
+  }
+
+  /** The round-based dataframe formulation of [[mmrRerank]], kept as the
+    * semantic reference (SimilaritySpec asserts the in-memory fold equals
+    * it bit-for-bit): each of the k rounds is one anti-join + one
+    * max-aggregation + one per-query window over <= n rows, with the
+    * candidate pool, the n²-per-query pair sims and the growing selection
+    * persisted so round t never re-runs rounds 1..t−1.
+    */
+  private[graft] def mmrRerankRounds(queries: DataFrame, corpus: DataFrame,
+                                     n: Int, k: Int,
+                                     lambdaPct: Int = 70): DataFrame = {
     require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
     require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct out of range: $lambdaPct")
     val lam = lit(lambdaPct / 100.0)
@@ -656,3 +751,9 @@ object SimilarityOps {
     selected
   }
 }
+
+/** Encoder row for [[SimilarityOps.mmrRerank]]'s per-query in-memory greedy
+  * (top-level public — the engine's encoder-case-class rule).
+  */
+case class MmrCandidate(query_id: Long, neighbor_id: Long, cos: Double,
+                        rk: Long, v: Array[Long], nv: Long)

@@ -280,9 +280,12 @@ object CurationQueries {
     // training trajectory as 3 unrolled CTE iterations, bit-exact
     "q_quality_classifier" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val w = ClassifierOps.trainLinearQ(docs, "doc_id", "text",
+      // train + score over ONE persisted feature pass (r18): the separate
+      // trainLinearQ-then-scoreLinearQ composition rebuilt the hashed
+      // bag-of-words (a per-token-md5 corpus scan) a second time for
+      // scoring; identical math, one featuresQ pass
+      ClassifierOps.trainAndScoreQ(docs, "doc_id", "text",
         label = col("lang") === "en", buckets = 1024, iters = 3, lrNum = 25L)
-      ClassifierOps.scoreLinearQ(docs, "doc_id", "text", w, buckets = 1024)
         .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")),
           Seq("doc_id"))
         .select(col("doc_id"), col("score_q"),

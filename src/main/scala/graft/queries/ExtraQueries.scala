@@ -115,8 +115,13 @@ object ExtraQueries {
     "q_cms_counts" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val cells = graft.operators.SketchOps.cmsCells(ev, col("user_id"), 4, 1024)
-      val probes = ev.filter(col("user_id") % 5 === 0).select("user_id").distinct()
-      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      // ONE per-user exact agg serves both the probe-key set and the
+      // comparison column (r18): the old shape scanned events a third
+      // time for `distinct user_id % 5 == 0` — that set IS the keys of
+      // the exact agg, filtered. |users| rows, persisted for its two
+      // consumers; 3 corpus scans -> 2.
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n")).persist()
+      val probes = exact.filter(col("user_id") % 5 === 0).select("user_id")
       graft.operators.SketchOps.cmsEstimate(cells, probes, "user_id", 4, 1024)
         .join(exact, Seq("user_id"))
         .select(col("user_id"), col("exact_n"), col("cms_est"),

@@ -430,6 +430,21 @@ class CurationSpec extends SparkSuite {
     assert(u.length == 1 && u.head._1 == 99L, s"bias must keep unseen docs scored: ${u.toSeq}")
   }
 
+  test("trainAndScoreQ: one shared feature pass scores exactly like train-then-score") {
+    import graft.operators.ClassifierOps
+    val docs = ((1L to 6L).map(i => (i, "good great excellent fine", true)) ++
+      (7L to 12L).map(i => (i, "bad awful terrible poor", false))).toDF("doc_id", "text", "y")
+    val w = ClassifierOps.trainLinearQ(docs, "doc_id", "text", col("y"),
+      buckets = 64, iters = 3, lrNum = 50L)
+    val want = ClassifierOps.scoreLinearQ(docs, "doc_id", "text", w, 64)
+      .as[(Long, Long)].collect().toMap
+    val got = ClassifierOps.trainAndScoreQ(docs, "doc_id", "text", col("y"),
+      buckets = 64, iters = 3, lrNum = 50L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"shared-feature-pass scoring must be bit-identical: got=$got want=$want")
+  }
+
   test("classifier registry: a retrain REPLACES the model, stale buckets zero out") {
     import graft.operators.ClassifierOps
     val path = java.nio.file.Files.createTempDirectory("clfidx").toString + "/m"

@@ -49,6 +49,19 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("ivf assignment argmax: exact cosine ties break to the MIN cid") {
+    // r18: the assignment is a max_by hash aggregation (not a window) —
+    // this pins the tie-break it must preserve. vec 2 = (1,1) has the
+    // IDENTICAL cosine to both unit-axis centroids, so cid 0 must win.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfAssignments(df, 2, 0)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L),
+      s"tie must break to min cid: $got")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityOps.brutePairs(emb, 0.4)
       .select("i", "j").as[(Long, Long)].collect().toSet
@@ -214,5 +227,31 @@ class SimilaritySpec extends SparkSuite {
       .orderBy("step").select("sel_id", "score").as[(Long, Double)].collect().toSeq
     assert(again == got.orderBy("step").select("sel_id", "score")
       .as[(Long, Double)].collect().toSeq)
+  }
+
+  test("mmrRerank: the in-memory greedy equals the round-based reference bit-for-bit") {
+    // r18: mmrRerank folds the per-query greedy in one flatMapGroups pass;
+    // mmrRerankRounds is the k-round dataframe reference it replaced —
+    // every (query, step, pick, IEEE score) must agree exactly, on the
+    // fixture AND on a degenerate tie-heavy corpus
+    val qs = emb.filter(col("vec_id") < 3)
+    val got = SimilarityOps.mmrRerank(qs, emb, n = 12, k = 4)
+      .select("query_id", "step", "sel_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val ref = SimilarityOps.mmrRerankRounds(qs, emb, n = 12, k = 4)
+      .select("query_id", "step", "sel_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == ref, s"greedy fold diverged from the round reference")
+    val dup = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (10L, Array(1f, 1f, 0f, 0f)),
+      (11L, Array(1f, 1f, 0f, 0f)), (12L, Array(1f, 0f, 1f, 0f)),
+      (13L, Array(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val got2 = SimilarityOps.mmrRerank(dup.filter(col("vec_id") === 1), dup, n = 4, k = 4)
+      .select("query_id", "step", "sel_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val ref2 = SimilarityOps.mmrRerankRounds(dup.filter(col("vec_id") === 1), dup, n = 4, k = 4)
+      .select("query_id", "step", "sel_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got2 == ref2, s"tie-heavy corpus diverged: $got2 vs $ref2")
   }
 }
