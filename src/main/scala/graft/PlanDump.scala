@@ -34,11 +34,17 @@ object PlanDump {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_(name))) {
         try {
+          val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
           val plan = df.queryExecution.explainString(mode)
+          val t2 = System.nanoTime()
           java.nio.file.Files.write(
             java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
             plan.getBytes("UTF-8"))
+          // construction (any eager operator work) vs analyze+optimize+plan
+          // — the split that tells plan-time overhead from execution
+          System.err.println(f"[plandump] $name construct=${(t1 - t0) / 1e9}%.3fs plan=${(t2 - t1) / 1e9}%.3fs")
           spark.catalog.clearCache()
         } catch { case e: Throwable =>
           System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")

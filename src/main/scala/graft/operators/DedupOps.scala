@@ -320,15 +320,19 @@ object DedupOps {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("component").as("nbl")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min(col("nbl")).as("nbr_min"))
-      // neighbor-min update; the old label rides along for change detection
+      // neighbor-min update; the old label rides along for change detection.
+      // NOT checkpointed (r18): `next` references it twice (base + the
+      // pointer-jump lookup), but both subtrees hang off the SAME
+      // checkpointed `labels` / persisted `edges`, so per-round lineage
+      // stays O(1) anyway, and the nbrMin exchange is canonically identical
+      // on both sides — ReuseExchange computes it once inside next's single
+      // materialization job. One eager round job instead of two. (The
+      // round's ONE checkpoint below still cuts lineage: persist instead
+      // would nest round N's plan inside all N-1 predecessors and Catalyst
+      // analysis goes super-linear — the original rule, unchanged.)
       val step = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        // checkpoint, NOT persist: persist keeps the LOGICAL plan
-        // growing (round N nests all N-1 predecessors; Catalyst analysis
-        // goes super-linear), the checkpoint cuts lineage to the
-        // materialized blocks so per-round planning stays O(1)
-        .transform(ckpt)
       // pointer jumping: also take the label OF the current label
       // (component <= node always holds, so label[label[node]] only ever
       // shrinks). This halves the remaining propagation distance per round
@@ -343,7 +347,6 @@ object DedupOps {
         .transform(ckpt)
       val changed = next.agg(coalesce(sum(col("__moved")), lit(0L))).head.getLong(0)
       labels.unpersist()
-      step.unpersist()
       labels = next.drop("__moved")
       converged = changed == 0
       iters += 1

@@ -147,10 +147,25 @@ object ImportanceOps {
     */
   def dsirWeights(docs: DataFrame, id: String, text: String, isTarget: Column,
                   buckets: Int): DataFrame = {
-    val w = dsirBucketWeights(docs, text, isTarget, buckets).select("bk", "lw_q")
-    SkewOps.spreadSmall(docs)
-      .select(col(id), explode(featureBuckets(col(text), buckets)).as("bk"))
-      .join(broadcast(w), Seq("bk"))
+    // ONE explode+md5 feature pass (r18, guide §1.2): the exploded (id,
+    // __t, bk) stream is persisted and feeds BOTH the bucket-count agg and
+    // the scoring join — the former [[dsirBucketWeights]]-then-rescore
+    // shape hashed the corpus twice. Same expressions, same rows, so the
+    // scoring output is bit-identical (the bucket model covers every bk in
+    // f by construction, so the inner join still keeps every occurrence).
+    val f = SkewOps.spreadSmall(docs)
+      .select(col(id), isTarget.as("__t"),
+        explode(featureBuckets(col(text), buckets)).as("bk"))
+      .persist()
+    val counts = f.groupBy("bk").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct")).persist()
+    val totals = counts.agg(sum("cr").as("__tr"), sum("ct").as("__tt"))
+    val w = counts.crossJoin(broadcast(totals))
+      .withColumn("lw_q",
+        lwQ(col("ct"), col("cr"), col("__tt"), col("__tr"), buckets))
+      .select("bk", "lw_q")
+    f.join(broadcast(w), Seq("bk"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_features"), sum("lw_q").as("weight_q"))
   }

@@ -99,7 +99,12 @@ object TextOps {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var seg = SkewOps.spreadSmall(docs)
       .select(bpeSegment(col(text), Seq.empty).as("seg")).persist()
-    seg.count()
+    // no materialization job per round (r18): each round's argmax collect
+    // materializes the current seg's cache itself; the PARENT round's
+    // blocks stay pinned until that has happened (prev unpersists at the
+    // top of the next round, after its child is cached) — one corpus job
+    // per merge round instead of two, identical trajectory
+    var prev: Option[DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
     for (_ <- 0 until nMerges if !exhausted) {
@@ -116,17 +121,20 @@ object TextOps {
           split(col("pr"), " ").getItem(1).as("y"), col("cnt"))
         .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
         .limit(1).collect()
+      // the collect above cached this round's seg; the parent's blocks are
+      // no longer reachable by any future plan — drop them now
+      prev.foreach(_.unpersist())
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (x, y, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         learned += ((x, y, c))
-        val prev = seg
+        prev = Some(seg)
         seg = seg.select(replace(col("seg"), lit(s"|$x |$y "), lit(s"|$x$y ")).as("seg"))
           .persist()
-        seg.count() // materialize before dropping the parent's blocks
-        prev.unpersist()
       }
     }
+    prev.foreach(_.unpersist())
     seg.unpersist()
     learned.toSeq
   }
@@ -347,9 +355,14 @@ object TextOps {
     */
   def removeCommonLines(docs: DataFrame, id: String, text: String,
                         maxDf: Long): DataFrame = {
+    // the exploded line stream feeds THREE consumers (the line-df agg, the
+    // anti-join's kept side, the per-doc totals): persist it so the
+    // explode runs once per job, not once per consumer (r18, guide §5 —
+    // same rule as the dedup shingle indexes)
     val lines = SkewOps.spreadSmall(docs)
       .select(col(id).as("__id"),
         posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .persist()
     val dfc = lines.select(col("__id"), hash60(col("line")).as("lh")).distinct()
       .groupBy("lh").agg(count(lit(1)).as("df"))
     val common = dfc.filter(col("df") > maxDf).select("lh")
