@@ -353,15 +353,29 @@ object SimilarityOps {
     */
   private def pqCodebooks(q: DataFrame, m: Int, kCodes: Int, subLen: Int,
                           kmeansIters: Int): (DataFrame, DataFrame) = {
-    // per-subspace: learned codebook + code assignment (max-cos, cid tie-break)
-    val perSub = (0 until m).map { j =>
-      val sub = q.select(col("vec_id"), slice(col("qv"), j * subLen + 1, subLen).as("qv"))
-        .withColumn("qn", normQ(col("qv")))
-      val cents = kmeansCentroidsQ(sub, kCodes, kmeansIters)
-      val codes = assignTo(sub, cents)
-        .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
-      (cents.withColumn("sub", lit(j)), codes)
-    }
+    // per-subspace: learned codebook + code assignment (max-cos, cid
+    // tie-break). The m subspaces are INDEPENDENT (each slices its own
+    // columns of the cached corpus), and their k-means rounds materialize
+    // eagerly (localCheckpoint jobs) — so they run CONCURRENTLY from
+    // driver threads (guide §2.6: overlap independent jobs; one subspace's
+    // straggler tail back-fills with the next subspace's tasks instead of
+    // idling the cluster m times). Each subspace's trajectory is
+    // deterministic in isolation and results assemble in subspace order,
+    // so the output is bit-identical to the sequential loop.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val perSub = Await.result(Future.sequence((0 until m).map { j =>
+      Future {
+        val sub = q.select(col("vec_id"), slice(col("qv"), j * subLen + 1, subLen).as("qv"))
+          .withColumn("qn", normQ(col("qv")))
+        val cents = kmeansCentroidsQ(sub, kCodes, kmeansIters)
+        val codes = assignTo(sub, cents)
+          .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
+        (cents.withColumn("sub", lit(j)), codes)
+      }
+    }), Duration.Inf)
     (perSub.map(_._1).reduce(_ unionByName _), perSub.map(_._2).reduce(_ unionByName _))
   }
 
