@@ -112,10 +112,12 @@ object LmOps {
   /** Train on `docs`, score `docs` — the single-corpus pipeline stage.
     *
     * Pass accounting (r18, guide §1.2/§5): the vocabulary is <= K rows but
-    * costs a full corpus token pass — localCheckpoint it so the `vTypes`
-    * count and the two broadcast joins read K cached rows instead of
-    * re-aggregating the corpus each time. The mapped bigram stream feeds
-    * THREE aggregations (ctx, pairs, the per-doc score) inside one plan —
+    * costs a full corpus token pass — persist it (materialized by the
+    * `vTypes` count) so the two broadcast joins read K cached rows instead
+    * of re-aggregating the corpus each time; persist, not localCheckpoint,
+    * keeps the TakeOrderedAndProject visible in the plan for the
+    * PlanAuditSpec bounded-heap pin. The mapped bigram stream feeds THREE
+    * aggregations (ctx, pairs, the per-doc score) inside one plan —
     * uncached, each re-runs the explode + vocab joins over the corpus.
     * MEMORY_AND_DISK persist drops lmScore from ~5 corpus passes to 2
     * (vocab, mapped materialization); the cached partitions spill rather
@@ -123,7 +125,7 @@ object LmOps {
     */
   def lmScore(docs: DataFrame, id: String, text: String,
               vocabK: Int): DataFrame = {
-    val vocab = vocabulary(docs, text, vocabK).localCheckpoint(true)
+    val vocab = vocabulary(docs, text, vocabK).persist()
     val mapped = mappedBigrams(docs, id, text, vocab)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = mapped.groupBy("prev").agg(count(lit(1)).as("c1"))
