@@ -110,6 +110,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    // The full line above is ~4 KB and the driver's stdout capture keeps
+    // only a ~2 KB TAIL, decapitating it (PERF parsed:null for two rounds).
+    // Print a second, SHORT summary as the LAST line — <300 B, so any tail
+    // capture retains one complete parseable record. Additions-only: the
+    // full line (and its file copy) is unchanged, so round-over-round
+    // per-query comparison stays valid.
+    val shortLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${results.size},"n_failed":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(shortLine)
     spark.stop()
   }
 }

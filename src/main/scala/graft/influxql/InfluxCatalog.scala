@@ -841,7 +841,12 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     * first chunk leaves.
     */
   def runStreamed[T](stmt: String)(consume: DataFrame => T): T =
-    queryRegistry.track(spark, stmt, defaultDb)(consume(run(stmt.trim)))
+    // drain the planner's persist pins (holt_winters shared frames) after
+    // the result is consumed: plan + consume happen on THIS thread, and a
+    // long-lived service must not accumulate CacheManager entries per
+    // request (ADVICE r18)
+    try queryRegistry.track(spark, stmt, defaultDb)(consume(run(stmt.trim)))
+    finally InfluxQL.drainPins()
 
   /** Multi-statement [[runStreamed]] — the shell's path. Every statement
     * but the last runs in order under its own registry window
@@ -856,7 +861,10 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
   def executeStreamed[T](text: String)(consume: DataFrame => T): T = {
     val stmts = InfluxQL.splitStatements(text)
     require(stmts.nonEmpty, "InfluxQL: empty statement")
-    stmts.init.foreach(s => tracked(s)(run(s)))
+    // init statements' results are never consumed — release any planner
+    // pins they registered before the last statement runs
+    try stmts.init.foreach(s => tracked(s)(run(s)))
+    finally InfluxQL.drainPins()
     runStreamed(stmts.last)(consume)
   }
 
@@ -870,7 +878,8 @@ final class InfluxCatalog(val spark: SparkSession, val rootDir: String,
     val stmts = InfluxQL.splitStatements(text)
     require(stmts.nonEmpty, "InfluxQL: empty statement")
     stmts.foreach(authorize(user, password, _))
-    stmts.init.foreach(s => tracked(s)(run(s)))
+    try stmts.init.foreach(s => tracked(s)(run(s)))
+    finally InfluxQL.drainPins()
     runStreamed(stmts.last)(consume)
   }
 

@@ -103,6 +103,34 @@ import org.apache.spark.sql.functions._
   */
 object InfluxQL {
 
+  // ---------- per-statement persist pins ----------
+
+  /** Frames the planner persist()s for intra-query reuse (the holt_winters
+    * smoothed/seasonal frames). The persists are a pure optimization —
+    * they must stay pinned while the statement's result is consumed, and
+    * be RELEASED after, or a long-lived service accumulates CacheManager
+    * entries per request (ADVICE r18). Thread-local because the planner is
+    * static and the HTTP face plans+consumes each statement on one pool
+    * thread; the catalog's streamed runners drain after `consume`.
+    * Bench/Verify never drain — their per-query `clearCache()` already
+    * releases everything, exactly like the dedup shingle-index pins.
+    */
+  private val pins = new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+    override def initialValue() = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  }
+  private def pin(df: DataFrame): DataFrame = { pins.get += df; df }
+  /** Unpersist every frame pinned on THIS thread and clear the registry.
+    * Safe on never-materialized pins (unpersist is a no-op) and after a
+    * drain (idempotent); a released frame re-consumed later just
+    * recomputes — results are unaffected.
+    */
+  def drainPins(): Unit = {
+    val b = pins.get
+    b.foreach(df => try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
+    b.clear()
+  }
+
   // ---------- AST ----------
 
   sealed trait Fill
@@ -2618,7 +2646,7 @@ object InfluxQL {
     // upstream — bucket agg, fill densification, the EMA windows — runs
     // once, not once per union branch (r18; |buckets × series| rows,
     // bounded by the query's own output scale)
-    val smoothed = if (withFit && season == 0) smoothed0.persist() else smoothed0
+    val smoothed = if (withFit && season == 0) pin(smoothed0.persist()) else smoothed0
     // additive seasonality: each bucket's phase is its index on the grid
     // mod S; the seasonal index is the SAME integer EMA kernel over the
     // level residuals, along each (series, phase) sub-series — computed
@@ -2645,7 +2673,7 @@ object InfluxQL {
     // broadcast side and the forecast fan (plus the fits under with_fit) —
     // so persist it unconditionally when seasonal: one upstream execution
     // instead of one per consumer
-    val seasonal = if (season != 0) seasonal0.persist() else seasonal0
+    val seasonal = if (season != 0) pin(seasonal0.persist()) else seasonal0
     val fanBase =
       if (season == 0)
         smoothed.filter(col("__rn") === 1)

@@ -65,7 +65,7 @@ object ClassifierOps {
     // order-independent, so partitioning cannot move a bit)
     val x = featuresQ(docs, id, text, buckets)
       .repartition(col("__id")).persist()
-    val w = trainOnFeatures(x, docs, id, label, iters, lrNum)
+    val w = trainOnFeatures(x, docs, id, label, buckets, iters, lrNum)
     // the corpus-scale cache must not outlive training; the final
     // weights are checkpointed blocks, so dropping it costs nothing
     x.unpersist()
@@ -79,14 +79,23 @@ object ClassifierOps {
     * guide §1.2 "don't compute things you throw away").
     */
   private def trainOnFeatures(x: DataFrame, docs: DataFrame, id: String,
-                              label: Column, iters: Int, lrNum: Long): DataFrame = {
+                              label: Column, buckets: Int, iters: Int,
+                              lrNum: Long): DataFrame = {
     require(iters >= 1 && lrNum >= 1L, s"bad iters=$iters lrNum=$lrNum")
     val y = docs.select(col(id).as("__id"),
       when(label, lit(S)).otherwise(lit(0L)).as("y_q"))
       .repartition(col("__id")).persist()
     // one driver long (bounded), read once instead of a count job per pass
     val nRows = docs.count()
-    var w = x.select("bk").distinct().withColumn("w_q", lit(0L))
+    // zero-init weights over the FULL bucket domain [0, buckets] (bias
+    // included) instead of distinct(bk) over the cached corpus features:
+    // the distinct cost a full cached-x pass plus an exchange inside
+    // iteration 1's job (r19). Unoccupied buckets ride along at w_q = 0
+    // forever (no x row joins them, so no gradient ever lands) and every
+    // downstream join is keyed on x's buckets — scores are bit-identical
+    // (CurationSpec/differential nets assert the trajectory).
+    var w = x.sparkSession.range(buckets + 1L)
+      .select(col("id").as("bk"), lit(0L).as("w_q"))
     for (_ <- 0 until iters) {
       val z = x.join(broadcast(w), Seq("bk"))
         .groupBy("__id")
@@ -129,7 +138,7 @@ object ClassifierOps {
                      lrNum: Long = 1L): DataFrame = {
     val x = featuresQ(docs, id, text, buckets)
       .repartition(col("__id")).persist()
-    val w = trainOnFeatures(x, docs, id, label, iters, lrNum)
+    val w = trainOnFeatures(x, docs, id, label, buckets, iters, lrNum)
     x.join(broadcast(w), Seq("bk"))
       .groupBy("__id")
       .agg(expr(s"cast(sum(x_q * w_q) as bigint) div ${S}L").as("score_q"))

@@ -44,6 +44,23 @@ object DedupOps {
         explode(array_distinct(when(size(t) >= n, grams).otherwise(array()))).as("shingle"))
   }
 
+  /** Distinct shingles narrowed to their 60-bit md5 hash: (doc_id, sh60).
+    * The banded dedup pipeline only ever compares shingles for EQUALITY
+    * (inverted-index self-joins, the verify join, the minhash input), so an
+    * 8-byte long replaces the ~30-byte string at every exchange, in the
+    * persisted shingle cache and in the on-disk shingle index (guide §2.3
+    * narrower shuffle types — the dominant shuffle-bytes cost at 100 TB).
+    * Collision semantics: two DISTINCT shingles colliding in 60 bits merge
+    * for counting purposes — the same ~2^30-distinct-shingles birthday
+    * bound the engine already accepts for [[duplicateSpans]] and the
+    * contamination keys; the DuckDB oracles mirror the hashed key exactly,
+    * so the gate compares like with like. [[shingles]] keeps the string
+    * form for consumers that need shingle CONTENT (q_text_ngrams).
+    */
+  def shingles60(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), hash60(col("shingle")).as("sh60"))
+
   /** Exact pairwise n-gram Jaccard >= tau. Complete for tau > 0: any pair
     * with J > 0 shares a shingle, so the inverted-index self-join on
     * `shingle` enumerates every qualifying pair without a cross product.
@@ -64,8 +81,10 @@ object DedupOps {
                    maxShingleDf: Option[Long] = None): DataFrame = {
     // the shingle set feeds three plan branches (sizes + both join sides);
     // persist so the explode+md5 work runs once per job. At warehouse scale
-    // the equivalent is materializing the shingle index as a table.
-    val sh = shingles(docs, idCol, textCol, n).persist()
+    // the equivalent is materializing the shingle index as a table. The
+    // cached rows are the NARROWED (doc_id, sh60) form — every exchange
+    // below moves 8-byte longs, never shingle strings (§2.3).
+    val sh = shingles60(docs, idCol, textCol, n).persist()
     maxShingleDf match {
       case None =>
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -73,7 +92,7 @@ object DedupOps {
         // no candidate materialization + re-join (which re-explodes every
         // candidate by its full shingle list and dominated the benchmark)
         val shared = sh.as("a").join(sh.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            col("a.sh60") === col("b.sh60") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
           .agg(count(lit(1)).as("c"))
         jaccardFromCounts(shared, sizes, tau)
@@ -82,10 +101,10 @@ object DedupOps {
         // candidates only from rare shingles (df <= cap): the self-join's
         // per-key fan-out is bounded by cap^2 regardless of corpus skew
         val rare = sh.withColumn("__df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sh60"))))
           .filter(col("__df") <= cap).drop("__df")
         val candidates = rare.as("a").join(rare.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+            col("a.sh60") === col("b.sh60") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
         verifyJaccard(candidates, sh, tau)
     }
@@ -100,14 +119,16 @@ object DedupOps {
       .filter(col("jaccard") >= tau)
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against the
-    * shingle inverted index; emits (i, j, jaccard) for J >= tau.
+    * hashed shingle inverted index (`sh` = (doc_id, sh60), the
+    * [[shingles60]] form); emits (i, j, jaccard) for J >= tau. Both verify
+    * exchanges carry the 8-byte sh60, never shingle strings (§2.3).
     * Integer-count division keeps the double bit-identical cross-engine.
     */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = candidates
       .join(sh.as("si"), col("i") === col("si.doc_id"))
-      .join(sh.as("sj"), col("j") === col("sj.doc_id") && col("si.shingle") === col("sj.shingle"))
+      .join(sh.as("sj"), col("j") === col("sj.doc_id") && col("si.sh60") === col("sj.sh60"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     jaccardFromCounts(shared, sizes, tau)
   }
@@ -123,9 +144,11 @@ object DedupOps {
     * [[graft.functions.MinHashSketch]] TypedImperativeAggregate (single
     * k-slot buffer instead of k independent min-aggregates; bit-identical
     * results — MinHashSketchSpec asserts equivalence to the k-column form).
+    * Input is the HASHED (doc_id, sh60) [[shingles60]] frame — the md5 is
+    * computed once there, not re-derived from strings per consumer.
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val h = pmod(hash60(col("shingle")), lit(M))
+    val h = pmod(col("sh60"), lit(M))
     val withSketch = sh.withColumn("__h", h)
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.minhash_sketch(col("__h"), k).as("sig"))
@@ -135,7 +158,7 @@ object DedupOps {
 
   /** The k-column built-ins-only formulation, kept as semantic reference. */
   def minhashSignaturesCols(sh: DataFrame, k: Int): DataFrame = {
-    val h = pmod(hash60(col("shingle")), lit(M))
+    val h = pmod(col("sh60"), lit(M))
     val aggs = (0 until k).map(i =>
       min(pmod(lit(minhashA(i)) * col("__h") + lit(minhashB(i)), lit(M))).as(s"mh$i"))
     sh.withColumn("__h", h).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -149,7 +172,7 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, tau: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).persist() // reused by sigs + verify
+    val sh = shingles60(docs, idCol, textCol, n).persist() // reused by sigs + verify
     val buckets = bandBuckets(minhashSignatures(sh, k), k, bands)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -188,7 +211,9 @@ object DedupOps {
     // two appends heals on replay (the committed side's fence skips, the
     // missing side lands) — the index stays in lockstep with the stream
     val spark = docs.sparkSession
-    val sh = shingles(docs, idCol, textCol, n).persist()
+    // the stored shingle index carries the 8-byte sh60, not strings — at
+    // corpus scale the index table is the probe's dominant read cost (§6)
+    val sh = shingles60(docs, idCol, textCol, n).persist()
     new graft.storage.TxLogTable(spark, s"$path/buckets")
       .append(bandBuckets(minhashSignatures(sh, k), k, bands), txn)
     new graft.storage.TxLogTable(spark, s"$path/shingles").append(sh, txn)
@@ -207,7 +232,7 @@ object DedupOps {
                    n: Int, k: Int, bands: Int, tau: Double,
                    path: String): DataFrame = {
     val spark = newDocs.sparkSession
-    val newSh = shingles(newDocs, idCol, textCol, n).persist()
+    val newSh = shingles60(newDocs, idCol, textCol, n).persist()
     val newBuckets = bandBuckets(minhashSignatures(newSh, k), k, bands)
     val idxBuckets = new graft.storage.TxLogTable(spark, s"$path/buckets").read()
     val all = idxBuckets.unionByName(newBuckets)
@@ -399,9 +424,10 @@ object DedupOps {
     * boundary, where external tables could enter.
     */
   def mergeComponents(assign: DataFrame, newPairs: DataFrame,
-      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      inputsMaterialized: Boolean = false): DataFrame = {
     val (a, _, repLabels, freshAssigned) =
-      mergeParts(assign, newPairs, maxIters, checkpointDir)
+      mergeParts(assign, newPairs, maxIters, checkpointDir, inputsMaterialized)
     // relabel existing components whose representative merged; everything
     // untouched keeps its label (left join + coalesce)
     val relabel = repLabels.select(col("node").as("component"), col("component").as("__new"))
@@ -418,9 +444,10 @@ object DedupOps {
     * anti-join (a corpus×corpus shuffle per fold) never exists.
     */
   private[graft] def mergeComponentsDelta(assign: DataFrame, newPairs: DataFrame,
-      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      inputsMaterialized: Boolean = false): DataFrame = {
     val (a, _, repLabels, freshAssigned) =
-      mergeParts(assign, newPairs, maxIters, checkpointDir)
+      mergeParts(assign, newPairs, maxIters, checkpointDir, inputsMaterialized)
     // only representatives whose label ACTUALLY shrank relabel members;
     // the inner broadcast join touches exactly those components' rows
     val relabel = repLabels
@@ -432,28 +459,43 @@ object DedupOps {
   }
 
   // the shared head of mergeComponents/mergeComponentsDelta: normalized
-  // inputs, CC over the representative graph, and the batch's fresh nodes
+  // inputs, CC over the representative graph, and the batch's fresh nodes.
+  // `inputsMaterialized = true` is the caller's promise that assign and
+  // newPairs are already cheap to consume repeatedly (table reads,
+  // checkpointed frames, CC outputs whose lineage ends in checkpointed
+  // blocks) — the defensive per-input localCheckpoints (eager jobs, ~4
+  // driver barriers per merge) are then skipped. Default false keeps the
+  // safety net for arbitrary pipelines (a banded candidate pipeline fed
+  // directly in would otherwise re-execute once per consumer).
   private def mergeParts(assign: DataFrame, newPairs: DataFrame,
-      maxIters: Int, checkpointDir: Option[String])
+      maxIters: Int, checkpointDir: Option[String],
+      inputsMaterialized: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // both inputs are consumed several times (the pair mapping, the fresh
     // anti-join, the relabel); cut their lineage once so an expensive
     // upstream (a banded candidate pipeline, a prior CC) never re-executes
     // per consumer — the engine's iterative-input rule
-    val a = assign.select(col("node").cast("long").as("node"),
-      col("component").cast("long").as("component")).localCheckpoint()
-    val pi = newPairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .where(col("i") =!= col("j")).localCheckpoint()
-    // endpoint -> its current representative (itself when unassigned)
+    def guard(df: DataFrame): DataFrame =
+      if (inputsMaterialized) df else df.localCheckpoint()
+    val a = guard(assign.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component")))
+    val pi = guard(newPairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .where(col("i") =!= col("j")))
+    // endpoint -> its current representative (itself when unassigned).
+    // NOT checkpointed (r19): connectedComponents consumes `mapped` exactly
+    // once (the localRoots mapPartitions pass, fused into CC's first eager
+    // `m` checkpoint job), so a checkpoint here was a pure extra barrier.
     val mapped = pi
       .join(a.select(col("node").as("i"), col("component").as("ci")), Seq("i"), "left")
       .join(a.select(col("node").as("j"), col("component").as("cj")), Seq("j"), "left")
       .select(coalesce(col("ci"), col("i")).as("i"), coalesce(col("cj"), col("j")).as("j"))
       .where(col("i") =!= col("j")).distinct()
-      .localCheckpoint()
-    // CC over the representative graph: batch-sized, label = min vertex
+    // CC over the representative graph: batch-sized, label = min vertex.
+    // NOT checkpointed (r19): CC's output lineage is one small join over
+    // its own checkpointed m/labels frames, so the two downstream
+    // consumers (fresh join + relabel) each pay one cheap broadcast join,
+    // not a pipeline re-execution.
     val repLabels = connectedComponents(mapped, maxIters, checkpointDir)
-      .localCheckpoint()
     // nodes the batch introduced: assign their representative-graph label
     // (themselves if their only pairs collapsed inside one old component)
     val fresh = pi.select(col("i").as("node")).union(pi.select(col("j").as("node")))
@@ -521,6 +563,12 @@ object DedupOps {
       checkpointDir: Option[String] = None): Long = {
     val spark = newPairs.sparkSession
     val table = new graft.storage.TxLogTable(spark, path)
+    // checkpoint the caller's batch ONCE, outside the conflict-retry loop:
+    // the merge consumes it several times and a retry re-merges — the old
+    // per-merge defensive checkpoint re-materialized the (possibly
+    // expensive banded-pipeline) batch on every retry (r19)
+    val np = newPairs.select(col("i").cast("long").as("i"),
+      col("j").cast("long").as("j")).localCheckpoint()
     graft.storage.TxLogTable.retryOnConflict() {
       val assign = table.version match {
         case Some(_) => table.read()
@@ -528,8 +576,12 @@ object DedupOps {
       }
       // the blast radius directly (one corpus scan against the broadcast
       // relabel map) — never merged-vs-assign, whose anti-join would
-      // shuffle the whole corpus-sized assignment on every fold
-      val changed = mergeComponentsDelta(assign, newPairs, checkpointDir = checkpointDir)
+      // shuffle the whole corpus-sized assignment on every fold.
+      // inputsMaterialized: assign is a table read (disk-materialized,
+      // column-pruned scans per consumer beat an eager corpus-sized
+      // localCheckpoint), np is checkpointed above.
+      val changed = mergeComponentsDelta(assign, np,
+          checkpointDir = checkpointDir, inputsMaterialized = true)
         .localCheckpoint()
       // one control-plane job answers both gates: is the fold a no-op,
       // and does any touched row break the min-node label convention
@@ -567,11 +619,11 @@ object DedupOps {
     */
   def contaminationReport(train: DataFrame, eval: DataFrame,
                           idCol: String, textCol: String, n: Int): DataFrame = {
-    val trainIdx = shingles(train, idCol, textCol, n)
-      .withColumn("sh", hash60(col("shingle")))
+    val trainIdx = shingles60(train, idCol, textCol, n)
+      .withColumnRenamed("sh60", "sh")
       .groupBy("sh").agg(count(lit(1)).as("train_df"))
-    val evalSh = shingles(eval, idCol, textCol, n)
-      .select(col("doc_id").as("eval_id"), hash60(col("shingle")).as("sh"))
+    val evalSh = shingles60(eval, idCol, textCol, n)
+      .select(col("doc_id").as("eval_id"), col("sh60").as("sh"))
     evalSh.join(trainIdx, Seq("sh"), "left")
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -603,8 +655,8 @@ object DedupOps {
     require(table.version.isEmpty || replayFenced,
       s"decontamination index at $path/ngrams is already built (build-once " +
         "index; the benchmark suite is fixed by design — drop the table to rebuild)")
-    val idx = shingles(evalDocs, idCol, textCol, n)
-      .withColumn("sh", hash60(col("shingle")))
+    val idx = shingles60(evalDocs, idCol, textCol, n)
+      .withColumnRenamed("sh60", "sh")
       .groupBy("sh").agg(count(lit(1)).as("eval_df"))
     table.append(idx, txn)
     ()
@@ -624,8 +676,8 @@ object DedupOps {
                     n: Int, path: String): DataFrame = {
     val idx = new graft.storage.TxLogTable(
       batch.sparkSession, s"$path/ngrams").read()
-    shingles(batch, idCol, textCol, n)
-      .select(col("doc_id"), hash60(col("shingle")).as("sh"))
+    shingles60(batch, idCol, textCol, n)
+      .select(col("doc_id"), col("sh60").as("sh"))
       .join(idx, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -740,7 +792,15 @@ object DedupOps {
     // 4 bands are lossless only while maxDist < 4 (pigeonhole); a larger
     // threshold would silently miss pairs whose differing bits spread 1-per-band
     require(maxDist <= 3, s"4-band blocking is only complete for maxDist <= 3, got $maxDist")
+    // persist the signatures: the band self-join consumes them on BOTH
+    // sides, and the broadcast build side otherwise re-executes the whole
+    // token-explode + per-token-md5 + sketch pipeline — the operator's
+    // corpus-pass cost — a second time (r19; the q_edit_distance plan
+    // showed the duplicated subtree). One row per doc, narrower than the
+    // banded form; the cache follows the shingle-index convention (session
+    // clearCache releases it).
     val sigs = simhashSignatures(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), (shiftright(col("simhash"), b * 15) % lit(32768L)).as("bv")))
     val buckets = sigs.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))

@@ -122,6 +122,15 @@ object LmOps {
     * MEMORY_AND_DISK persist drops lmScore from ~5 corpus passes to 2
     * (vocab, mapped materialization); the cached partitions spill rather
     * than OOM on a corpus-scale run.
+    *
+    * CACHE OWNERSHIP (ADVICE r18): the `mapped` pin is CORPUS-SCALE and
+    * stays referenced by the returned plan, so lmScore cannot unpersist it
+    * — the CALLER owns release. The bench/verify paths release via the
+    * per-query session `clearCache()` (the shingle-index convention); any
+    * other composition (operator-chaining tests, a future service face)
+    * must `spark.catalog.clearCache()` or keep a handle and unpersist
+    * after consuming the result, or a corpus-sized cache entry outlives
+    * the call.
     */
   def lmScore(docs: DataFrame, id: String, text: String,
               vocabK: Int): DataFrame = {

@@ -362,19 +362,23 @@ object SimilarityOps {
     // idling the cluster m times). Each subspace's trajectory is
     // deterministic in isolation and results assemble in subspace order,
     // so the output is bit-identical to the sequential loop.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val perSub = Await.result(Future.sequence((0 until m).map { j =>
-      Future {
+      // blocking{}: each future BLOCKS on Spark actions (the k-means
+      // localCheckpoint jobs), and the shared global pool must compensate
+      // with extra threads or a small machine / a pool shared with other
+      // code silently caps the intended m-way overlap (ADVICE r18)
+      Future { blocking {
         val sub = q.select(col("vec_id"), slice(col("qv"), j * subLen + 1, subLen).as("qv"))
           .withColumn("qn", normQ(col("qv")))
         val cents = kmeansCentroidsQ(sub, kCodes, kmeansIters)
         val codes = assignTo(sub, cents)
           .select(col("vec_id"), lit(j).as("sub"), col("cid").as("code"))
         (cents.withColumn("sub", lit(j)), codes)
-      }
+      } }
     }), Duration.Inf)
     (perSub.map(_._1).reduce(_ unionByName _), perSub.map(_._2).reduce(_ unionByName _))
   }

@@ -419,7 +419,10 @@ object PipelineQueries {
     // re-shingling the base — pairs touching the batch, exact-verified.
     // The scale story of dedup-at-ingest: sketch cost is per-document-ever
     "q_dedup_incremental" -> ((s, dir) => {
-      val idx = annIndexPath(dir, "mh_12_6")
+      // tag bumped r19: the shingle index now stores the narrowed sh60
+      // longs — a stale string-schema index under the old tag must not
+      // be picked up by indexExists
+      val idx = annIndexPath(dir, "mh60_12_6")
       if (!SimilarityOps.indexExists(s, idx, Seq("buckets", "shingles")))
         DedupOps.buildMinhashIndex(
           Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0),
@@ -481,7 +484,10 @@ object PipelineQueries {
       val assign0 = DedupOps.connectedComponents(
         pairs.where(!isNew(col("i")) && !isNew(col("j"))))
       val newPairs = pairs.where(isNew(col("i")) || isNew(col("j")))
-      DedupOps.mergeComponents(assign0, newPairs)
+      // inputsMaterialized: pairs are checkpointed above, and assign0's
+      // lineage ends in CC's own checkpointed frames — the merge skips its
+      // four defensive localCheckpoint barriers (r19)
+      DedupOps.mergeComponents(assign0, newPairs, inputsMaterialized = true)
         .groupBy("component")
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -1053,18 +1059,26 @@ object PipelineQueries {
         |  count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // joins on the 60-bit md5 shingle hash, mirroring the engine's
+    // narrowed shuffle key (DedupOps.shingles60 — r19): identical results
+    // up to the documented ~2^30 birthday bound, compared like-for-like
     "q_dedup_jaccard" ->
       s"""WITH $shinglesSql,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hh AS (SELECT doc_id, ${hash60Sql("shingle")} AS h60 FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
          |shared AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM hh a JOIN hh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
          |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
 
+    // verify joins on the 60-bit shingle hash — the engine's narrowed
+    // shuffle/index key (DedupOps.shingles60, r19); sig takes h60 mod M
+    // exactly as minhashSignatures takes pmod(sh60, M)
     "q_dedup_minhash" ->
       s"""WITH $shinglesSql,
-         |h AS (SELECT doc_id, ${hash60Sql("shingle")} % 1000000007 AS h FROM sh),
+         |hh AS (SELECT doc_id, ${hash60Sql("shingle")} AS h60 FROM sh),
+         |h AS (SELECT doc_id, h60 % 1000000007 AS h FROM hh),
          |sig AS (SELECT doc_id, i, min(((7919*i + 17) * h + (104729*i + 31)) % 1000000007) AS mh
          |  FROM h, UNNEST(generate_series(0, 11)) AS t(i) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 2 AS band,
@@ -1072,10 +1086,10 @@ object PipelineQueries {
          |  FROM sig GROUP BY doc_id, i // 2),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
          |shared AS (SELECT c.i, c.j, count(*) AS c
-         |  FROM cand c JOIN sh si ON si.doc_id = c.i
-         |  JOIN sh sj ON sj.doc_id = c.j AND sj.shingle = si.shingle GROUP BY 1, 2)
+         |  FROM cand c JOIN hh si ON si.doc_id = c.i
+         |  JOIN hh sj ON sj.doc_id = c.j AND sj.h60 = si.h60 GROUP BY 1, 2)
          |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
          |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,
@@ -1085,7 +1099,8 @@ object PipelineQueries {
     // probe computes (index = base corpus, probe = batch)
     "q_dedup_incremental" ->
       s"""WITH $shinglesSql,
-         |h AS (SELECT doc_id, ${hash60Sql("shingle")} % 1000000007 AS h FROM sh),
+         |hh AS (SELECT doc_id, ${hash60Sql("shingle")} AS h60 FROM sh),
+         |h AS (SELECT doc_id, h60 % 1000000007 AS h FROM hh),
          |sig AS (SELECT doc_id, i, min(((7919*i + 17) * h + (104729*i + 31)) % 1000000007) AS mh
          |  FROM h, UNNEST(generate_series(0, 11)) AS t(i) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, i // 2 AS band,
@@ -1094,10 +1109,10 @@ object PipelineQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
          |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hh GROUP BY 1),
          |shared AS (SELECT c.i, c.j, count(*) AS c
-         |  FROM cand c JOIN sh si ON si.doc_id = c.i
-         |  JOIN sh sj ON sj.doc_id = c.j AND sj.shingle = si.shingle GROUP BY 1, 2)
+         |  FROM cand c JOIN hh si ON si.doc_id = c.i
+         |  JOIN hh sj ON sj.doc_id = c.j AND sj.h60 = si.h60 GROUP BY 1, 2)
          |SELECT i, j, CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) AS jaccard
          |FROM shared JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j
          |WHERE CAST(c AS DOUBLE) / CAST(si.n + sj.n - c AS DOUBLE) >= 0.5""".stripMargin,

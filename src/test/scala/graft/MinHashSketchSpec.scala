@@ -6,7 +6,7 @@ class MinHashSketchSpec extends SparkSuite {
   import spark.implicits._
 
   test("TypedImperativeAggregate sketch equals the k-column min formulation") {
-    val sh = DedupOps.shingles(Tables.documents(spark, sf), "doc_id", "text", 3)
+    val sh = DedupOps.shingles60(Tables.documents(spark, sf), "doc_id", "text", 3)
     val viaSketch = DedupOps.minhashSignatures(sh, 12)
       .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong)).toMap
     val viaCols = DedupOps.minhashSignaturesCols(sh, 12)
