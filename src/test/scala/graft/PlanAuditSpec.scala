@@ -387,4 +387,31 @@ class PlanAuditSpec extends SparkSuite {
           s"$total rows for $expected matches — stats-based skipping is dead")
     }
   }
+
+  test("ANN assignment plans a max_by partial aggregate, never a window (r18 pin)") {
+    // r18 rewrote SimilarityOps.assignTo from a row_number window to a
+    // max_by hash aggregation: the window shuffled AND sorted the
+    // broadcast-crossjoin's corpus x k fan-out, the partial aggregate
+    // collapses it map-side. A Window reappearing in any assignment plan
+    // silently reintroduces that sort — pinned here on the two semantic-
+    // dedup queries whose plans are not checkpoint-hidden (the IVF/PQ
+    // builds share the same assignTo code path).
+    Seq("q_dedup_semantic", "q_dedup_semantic_probe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: a window reappeared in the assignment plan:\n$p")
+    }
+  }
+
+  test("holt_winters with_fit reads the shared seasonal frame from cache (r18 pin)") {
+    // r18 persisted the holt smoothed/seasonal frames so the with_fit
+    // union's two branches (in-sample fits + forecast fan) execute the
+    // upstream bucket-agg + fill + EMA chain once; without the persist the
+    // plan re-derives it per branch and InMemoryTableScan disappears.
+    Seq("q_influxql_holt_fit", "q_influxql_holt_fit_seasonal").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: shared smoothed/seasonal frame is no longer cached:\n$p")
+    }
+  }
 }
